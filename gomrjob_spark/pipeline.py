@@ -1,0 +1,162 @@
+"""Pipeline / Step API — engine analog of the reference's job framework.
+
+Reference contract (/root/reference/map_reduce_step.go:7-25, runner.go):
+a job is an ordered ``[]Step``; each step has an optional ``Mapper``, a
+required ``Reducer``, an optional ``Combiner``, and an optional per-step
+reducer-task count; steps chain through materialized HDFS temp dirs
+(runner.go:134-151, :352-356).
+
+Spark-first translation:
+
+========================  ====================================================
+reference                 engine
+==========================  ==================================================
+``Mapper(r, w)``          ``Step.mapper``: pandas-batch fn via ``mapInPandas``
+identity mapper           ``mapper=None`` (runner.go:281-287 ``io.Copy``)
+``Reducer(r, w)``         ``Step.reducer``: per-key fn via ``applyInPandas``,
+                          or a builtin (``SUM``) compiled to a native
+                          ``groupBy().agg()`` — the JVM fast path
+``Combiner``              accepted, *ignored*: Spark's partial aggregation
+                          subsumes it for builtins (runner.go:188-190 is an
+                          opt-in for what Catalyst does automatically)
+``StepReducerTasksCount`` ``Step.reducer_tasks`` -> ``repartition(n, key)``
+                          (AQE coalescing usually makes this unnecessary)
+multi-step chain          DataFrame composition — ONE logical plan, no
+                          intermediate materialization; Catalyst fuses stages
+==========================  ==================================================
+
+Grouped-stream semantics: reference reducers see each key's values in
+shuffle-sort (byte) order (SURVEY.md §1.3). ``applyInPandas`` guarantees no
+intra-group order, so ``Step(sorted_values=True)`` sorts each group's
+values before the reducer runs — only pay that cost for order-dependent
+reducers.
+
+Scale: builtin reducers stay entirely JVM-side with map-side partial
+aggregation (the reference's Combiner+LRU trick, protocol.go/exampleLRU,
+for free). Python reducers move one Arrow batch per group — prefer
+builtins; when a Python reducer is unavoidable it still distributes
+per-key across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Builtin reducers (the reference ships exactly one: Sum,
+# mrproto/protocol.go:339-356). Compiled to native aggregations.
+SUM = "sum"
+COUNT = "count"
+
+_BUILTIN_REDUCERS = {SUM, COUNT}
+
+MapperFn = Callable[[pd.DataFrame], pd.DataFrame]
+ReducerFn = Callable[[Any, pd.DataFrame], pd.DataFrame]
+
+
+@dataclass
+class Step:
+    """One map/reduce stage over a DataFrame with ``key``/``value`` columns.
+
+    mapper: per-batch fn ``pd.DataFrame -> pd.DataFrame`` (None = identity,
+        matching runner.go:281-287). Output must contain ``key`` and
+        ``value`` columns (any additional columns pass through).
+    reducer: builtin name (``pipeline.SUM``/``COUNT``) or per-group fn
+        ``(key, pd.DataFrame) -> pd.DataFrame``. Required, as in the
+        reference (``Step = Reducer``, map_reduce_step.go:23-25).
+    combiner: accepted for API parity; ignored (see module docstring).
+    reducer_tasks: optional shuffle-partition override for this step
+        (map_reduce_step.go:19-21 analog).
+    map_schema / reduce_schema: Spark DDL schema of the mapper / reducer
+        output (pandas paths need declared schemas; Arrow enforces them).
+    sorted_values: sort each group by ``value`` before a Python reducer,
+        mirroring the byte-sorted shuffle stream the reference consumes.
+    """
+
+    mapper: MapperFn | None = None
+    reducer: str | ReducerFn = SUM
+    combiner: object = None
+    reducer_tasks: int | None = None
+    map_schema: str = "key string, value string"
+    reduce_schema: str = "key string, value bigint"
+    sorted_values: bool = False
+
+
+@dataclass
+class Pipeline:
+    """Ordered steps composed into one DataFrame expression.
+
+    Unlike the reference's runner (each step a separate ``hadoop jar``
+    submission writing part files, runner.go:352-356), ``run`` builds a
+    single lazy plan; nothing materializes until the caller acts. Pass
+    ``checkpoint=True`` to localCheckpoint between steps if a step chain
+    grows too deep for one plan (the reference's materialization as an
+    opt-in, not the default).
+    """
+
+    steps: list[Step] = field(default_factory=list)
+    name: str = "gomrjob_spark_pipeline"
+    checkpoint: bool = False
+
+    def step(self, **kwargs) -> "Pipeline":
+        self.steps.append(Step(**kwargs))
+        return self
+
+    def run(self, df: DataFrame) -> DataFrame:
+        if not self.steps:
+            raise ValueError("pipeline has no steps")
+        for s in self.steps:
+            df = _run_step(df, s)
+            if self.checkpoint:
+                df = df.localCheckpoint(eager=False)
+        return df
+
+
+def _run_step(df: DataFrame, s: Step) -> DataFrame:
+    if s.mapper is not None:
+        mapper = s.mapper
+
+        def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = mapper(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        df = df.mapInPandas(map_batches, schema=s.map_schema)
+
+    if s.reducer_tasks:
+        df = df.repartition(s.reducer_tasks, "key")
+
+    if isinstance(s.reducer, str):
+        if s.reducer not in _BUILTIN_REDUCERS:
+            raise ValueError(f"unknown builtin reducer {s.reducer!r}")
+        return _builtin_reduce(df, s.reducer)
+
+    reducer = s.reducer
+    sort_first = s.sorted_values
+
+    def reduce_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_first and "value" in pdf.columns:
+            pdf = pdf.sort_values("value", kind="mergesort")
+        return reducer(key[0] if len(key) == 1 else key, pdf)
+
+    return df.groupBy("key").applyInPandas(reduce_group, schema=s.reduce_schema)
+
+
+def _builtin_reduce(df: DataFrame, which: str) -> DataFrame:
+    """Native compilation of builtin reducers — full JVM path with map-side
+    partial aggregation (subsumes the reference's Combiner + in-mapper LRU
+    counting, example_mr.go:26-29)."""
+    if which == SUM:
+        # Sum parity (protocol.go:339-356): values parse as int64; non-int
+        # values are skipped (try_cast yields null under ANSI mode, sum
+        # ignores nulls — count skipped via protocols.count_malformed_kv).
+        return df.groupBy("key").agg(F.sum(F.col("value").try_cast("bigint")).alias("value"))
+    if which == COUNT:
+        return df.groupBy("key").agg(F.count(F.lit(1)).alias("value"))
+    raise AssertionError(which)
