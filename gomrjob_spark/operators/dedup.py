@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine (north-star, BASELINE.json; `documents` table).
+
+Scale strategy (the whole point — these are the operators a 100 TB
+training-data pipeline runs first):
+
+- exact: one hash-shuffle on the fingerprint; map-side partial agg makes
+  the exchange proportional to #distinct docs, not #docs.
+- n-gram Jaccard: candidate pairs come from an equi-join on shared
+  shingles — never an all-pairs product. Hot shingles (appearing in >
+  ``max_shingle_freq`` docs) are dropped before the join: they generate
+  O(freq^2) candidate pairs while carrying ~zero Jaccard signal — this is
+  the skew control that keeps the join bounded at scale.
+- MinHash+LSH: signatures shrink each doc to k longs; banding turns
+  near-dup detection into an equi-join on (band, band_hash). Tunable
+  (bands, rows) = recall/precision dial. All hashing is xxhash64 JVM-side.
+- SimHash: 64-bit sketch; Hamming-ball candidates via band equality.
+- embedding-cosine: exact pair join above a threshold (LSH-bucketed
+  variant in operators.similarity for scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gomrjob_spark.operators.text import fingerprint, normalized, tokens
+
+# Mersenne prime 2^31-1: affine MinHash permutations stay in 62-bit range
+# under ANSI mode (no overflow) while xxhash64 provides the base hash.
+_MERSENNE = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint.
+
+    One shuffle, partial-aggregated; the survivor choice (min id) is
+    deterministic. Returns (id, fingerprint, n_dups)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .select(id_col, "fp", "n_dups")
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Built with a sequence/transform over the token array — one pass, no
+    Python, no self-join."""
+    toks = tokens(normalized(text_col))
+    # guard short docs: sequence only when >= n tokens (ANSI element_at
+    # throws on out-of-bounds)
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    intersection via shingle equi-join + count, union via per-doc sizes:
+    |A u B| = |A| + |B| - |A n B|. ``max_shingle_freq`` drops stop-shingles
+    before the join (skew control, see module docstring).
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature (array<long> of length num_hashes) per doc.
+
+    One base xxhash64 per shingle, then ``num_hashes`` affine permutations
+    (a*h+b mod 2^31-1) folded with min() — entirely column expressions, one
+    aggregation shuffle. Signature length trades accuracy for width; 64
+    longs = 512 bytes/doc at any corpus size.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sh = word_shingles(df, n, text_col, id_col)
+    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
+    mins = [
+        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    (bands, rows=len/bands) sets the S-curve: P(candidate) =
+    1-(1-j^rows)^bands. The join key is (band_idx, hash of the band slice),
+    so the shuffle carries ids + band hashes only — no signatures."""
+    sig_len = len(signatures.select("signature").first()[0])
+    rows = sig_len // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), i * rows + 1, rows).cast("string")
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified: LSH proposes candidates, the
+    exact Jaccard of the candidate pair confirms (no false positives in the
+    output; recall is the LSH S-curve, tested vs exact on the fixture).
+
+    Verification joins shingle sets only for candidate pairs — at scale
+    that's |candidates| * avg_doc_shingles, a sliver of the corpus.
+    """
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
+    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, each bit votes +1/-1,
+    sign of the tally sets the output bit. Pure column expressions via a
+    token explode + 64 conditional sums."""
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(normalized(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("bigint")) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)  # bit 63 skipped: keeps the sketch non-negative in a signed long
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(63):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidates via band equality (pigeonhole: distance <= max_hamming
+    implies at least one of ``bands`` 16-bit slices equal when
+    max_hamming < bands), then exact bit_count verification — same
+    propose/verify shape as MinHash-LSH, equi-join shuffle only."""
+    sig = simhash(df, text_col, id_col)
+    width = 64 // bands
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
+                        .alias("bval"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bval")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bval")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, id_a < id_b.
+
+    Exact all-pairs (sort-merge self-join on the inequality) — correct
+    baseline for the oracle gate; at 100 TB route through
+    operators.similarity.lsh_bucket first and run this within buckets."""
+    from gomrjob_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

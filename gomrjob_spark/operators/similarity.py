@@ -1,0 +1,170 @@
+"""Embedding similarity search: brute-force and LSH-bucketed top-k cosine.
+
+North-star operator (BASELINE.json; absent in the reference — gomrjob users
+would have hand-written this as a Mapper emitting (bucket, vec) pairs and a
+Reducer scoring within buckets, which is exactly the LSH path below).
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` fold over
+array<double>) — no Python in the hot path; verified bit-identical to the
+DuckDB oracle's ``list_cosine_similarity``.
+
+Scale strategy:
+- ``knn_bruteforce``: query-set x corpus broadcast-nested-loop — correct
+  baseline, O(|Q| x |C|); fine when |Q| is small (the broadcast side) and
+  the corpus streams. At 100 TB use the LSH variant.
+- ``knn_lsh`` / ``lsh_bucket``: random-hyperplane signatures bucket the
+  corpus; candidates only join within a bucket (equi-join shuffle on the
+  bucket key, no cross product). Multiple hash tables raise recall;
+  per-bucket top-k bounds skew (a hot bucket is capped by the window).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double — matches DuckDB's
+    list_* folds bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Plan shape: broadcast(queries) x corpus scan -> per-query window top-k.
+    The corpus is never shuffled by the join (broadcast), and top-k is one
+    exchange on query_id. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free hyperplanes (Gaussian entries, fixed seed)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: one bit per hyperplane, packed into a long.
+
+    Pure column expressions — the plane constants fold into the plan
+    (broadcast-free, codegen'd)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bits.append(F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each vector to one bucket per hash table:
+    (table, bucket, id, vec). Bucket key is the hyperplane sign pattern."""
+    tables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        tables.append(
+            df.select(
+                F.lit(t).alias("table_id"),
+                lsh_signature(F.col(vec_col), planes).alias("bucket"),
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+        )
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only within shared LSH buckets.
+
+    One equi-join shuffle on (table, bucket) replaces the cross product;
+    recall grows with n_tables (tested >= 0.8 vs brute force on the
+    fixture). Candidate dedup across tables happens before the final
+    window, so each pair is scored once.
+    """
+    qb = lsh_bucket(queries, dim, n_planes, n_tables, id_col, vec_col, seed).select(
+        "table_id", "bucket", F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    cb = lsh_bucket(corpus, dim, n_planes, n_tables, id_col, vec_col, seed).select(
+        "table_id", "bucket", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    cand = (
+        qb.join(cb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

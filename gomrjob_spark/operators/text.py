@@ -1,0 +1,116 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+fingerprinting (north-star, BASELINE.json; `documents` table).
+
+Everything is built from JVM-side column expressions (regexp/split/filter),
+no Python UDFs — at 100 TB these run inside whole-stage codegen on the
+scan. Regex patterns are restricted to the dialect intersection of Java
+regex and RE2 (explicit classes, no lookaround) so the DuckDB oracle
+evaluates the identical pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword vocabularies for the n-gram/stopword heuristic
+# language ID. Order matters: ties resolve to the earlier entry.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (array<string>)."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens — the cheap stand-in for an LLM
+    tokenizer's token count."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """How many whitespace tokens (lowercased) are in ``words`` — set
+    membership over the token array, no regex scaling with vocab size."""
+    lowered = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    return F.size(F.filter(lowered, lambda t: t.isin(*words)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no
+    stopword of any language occurs. Deterministic: ties resolve in
+    LANG_STOPWORDS declaration order."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build backwards so earlier languages win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    n = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    return n.cast("double") / F.length(c).cast("double")
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    return F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / F.length(c).cast("double")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_hits(col, LANG_STOPWORDS[lang]).cast("double") / token_count(col).cast("double")
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality score: rewards sane token lengths and
+    stopword presence, penalizes punctuation/digit soup. Deterministic
+    double arithmetic (int-ratio inputs), so oracle-comparable raw."""
+    c = _c(col)
+    length_ok = F.when((F.length(c) >= 50) & (F.length(c) <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    tok_len = avg_token_len(c)
+    tok_ok = F.when((tok_len >= 2.0) & (tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    digit_pen = F.lit(1.0) - F.least(digit_ratio(c) * 4, F.lit(1.0))
+    stop_bonus = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return (length_ok * 0.2 + tok_ok * 0.2 + punct_pen * 0.2 + digit_pen * 0.2 + stop_bonus * 0.2)
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text form: lowercase, whitespace runs collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """128-bit content fingerprint of the normalized text (hex md5) — the
+    exact-dedup key that survives whitespace/case jitter."""
+    return F.md5(F.encode(normalized(col), "UTF-8"))

@@ -1,0 +1,349 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal (north-star operators, BASELINE.json) over the documents /
+embeddings tables.
+
+Oracle notes:
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  always-global behavior.
+- Thresholds are chosen against the fixture's similarity structure
+  (near-dup jaccard is bimodal: >=0.9 vs <0.3; max embedding cosine
+  ~0.5) so results are non-trivial with a wide safety margin.
+- MinHash-LSH / SimHash / LSH-kNN are approximate by construction
+  (engine-specific hashes) -> rows-only gate here, recall-tested vs the
+  exact operators in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gomrjob_spark.catalog import load_table
+from gomrjob_spark.operators import dedup, multimodal, similarity, text
+from gomrjob_spark.plans.registry import query
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_SHINGLES = f"""
+    norm AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM norm, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, md5({_SQL_NORM}) AS fp, count(*) AS n_dups
+    FROM documents
+    GROUP BY 2
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint (survivor = min id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.6).
+
+    Candidates from the shared-shingle equi-join (never all-pairs); the
+    stop-shingle skew filter is disabled here to keep oracle semantics
+    exact (defaults on in the operator for production)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.6, max_shingle_freq=None).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("dedup_minhash_lsh")  # approximate: rows-only gate, recall-tested in pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs verified by exact Jaccard.
+
+    Fixture near-dups sit at jaccard >= 0.9, where the 16x4 S-curve is
+    ~certain (P ~ 1-(1-0.9^4)^16 > 0.9999); tests assert full recall of
+    the exact >= 0.8 pairs and zero false positives (verification step)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # approximate: rows-only gate, tested in pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(63-bit) pairs within Hamming distance 3 (band candidates +
+    exact bit_count verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4 — fixture max is ~0.5/0.6;
+    real corpora use ~0.95 with the LSH-bucketed variant). Verified
+    bit-identical to DuckDB's list_cosine_similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS score
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors (broadcast
+    queries x corpus scan + per-query window; the ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    ).orderBy("query_id", "rank")
+
+
+@query("knn_lsh")  # approximate: rows-only gate, recall-tested in pytest
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-5 (4 planes x 16 tables — the fixture's
+    vectors are near-orthogonal, the hardest LSH case, so shallow buckets +
+    many tables; recall 0.92 vs brute force, asserted in pytest).
+    Candidates only join within shared buckets: the shuffle is an equi-join
+    on the bucket key, no cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_planes=4, n_tables=16
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(length(text) AS INT)                                             AS n_chars,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)           AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                                                                            AS n_bpe_tokens,
+      CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> length(t))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\\s+'))                    AS avg_token_len,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE)                                      AS punct_ratio,
+      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE)                                      AS digit_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and character-class
+    ratios — all codegen'd column expressions on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        text.avg_token_len("text").alias("avg_token_len"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.digit_ratio("text").alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+def _sql_stop_hits(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({in_list})))"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+        {_sql_stop_hits(text.LANG_STOPWORDS["en"])} AS s_en,
+        {_sql_stop_hits(text.LANG_STOPWORDS["es"])} AS s_es,
+        {_sql_stop_hits(text.LANG_STOPWORDS["de"])} AS s_de,
+        {_sql_stop_hits(text.LANG_STOPWORDS["fr"])} AS s_fr,
+        {_sql_stop_hits(text.LANG_STOPWORDS["zh"])} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+      CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+           WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+           WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+           ELSE 'zh' END AS guessed_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vocabulary language ID (argmax over per-language hit
+    counts, deterministic tie order en>es>de>fr>zh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id("text").alias("guessed_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+        regexp_split_to_array(trim(text), '\\s+') AS w,
+        CAST(length(text) AS INT) AS n_chars,
+        {_sql_stop_hits(text.LANG_STOPWORDS["en"])} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (CASE WHEN tok_len >= 2.0 AND tok_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct * 4, 1.0)) * 0.2
+      + (1.0 - least(digit * 4, 1.0)) * 0.2
+      + least(CAST(stop_hits AS DOUBLE) / len(w) * 5, 1.0) * 0.2 AS quality
+    FROM (
+      SELECT doc_id, n_chars, stop_hits, w,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS tok_len,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / n_chars AS punct,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars AS digit
+      FROM t
+    )
+    ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1] (length/token-shape/punct/digit/
+    stopword components, equal weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of case/whitespace-normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           'image' AS modality,
+           CAST(n AS INT)                    AS n_bytes,
+           CAST((n % 64) + 1 AS INT)         AS width,
+           CAST(((n // 64) % 64) + 1 AS INT) AS height,
+           CAST(CASE WHEN n % 2 = 1 THEN 3 ELSE 1 END AS INT) AS channels
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end-to-end: attach payload + metadata
+    struct, then extract features via Arrow-batched mapInPandas (decode is
+    the documented stub — deterministic, so even the Python path is
+    oracle-gated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs)
+    return multimodal.extract_features(with_payload).orderBy("doc_id")
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    WITH p AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(payload) AS INT) AS n_bytes,
+           sha256(text)                       AS sha,
+           substr(hex(payload), 1, 8)         AS magic
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata struct next to the opaque payload: size, content
+    hash, magic bytes — the columns scans prune on without reading
+    payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha").alias("sha"),
+        F.col("meta.magic").alias("magic"),
+    ).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""Quality tests for the approximate LLM-pipeline operators: the oracle
+gate covers the exact variants; these assert the approximate variants
+against them (recall / false-positive bounds) plus the multimodal stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gomrjob_spark.catalog import load_table
+from gomrjob_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(docs):
+    """LSH candidates + exact verify: every true >= 0.8 pair is found
+    (S-curve ~1 up there), and no emitted pair is below the 0.6 threshold
+    (the verify step guarantees it)."""
+    exact = _pair_set(dedup.jaccard_pairs(docs, threshold=0.8, max_shingle_freq=None))
+    approx_df = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+    approx = _pair_set(approx_df)
+    assert exact, "fixture should contain >= 0.8 near-dup pairs"
+    missed = exact - approx
+    assert not missed, f"minhash-LSH missed high-jaccard pairs: {missed}"
+    assert approx_df.filter(F.col("jaccard") < 0.6).count() == 0
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs.limit(10), num_hashes=16)
+    rows = sig.collect()
+    assert all(len(r.signature) == 16 for r in rows)
+    assert all(all(0 <= h < 2_147_483_647 for h in r.signature) for r in rows)
+
+
+def test_simhash_near_dups_have_small_hamming(docs):
+    """Exact near-dups (jaccard >= 0.9) should sit within a small Hamming
+    ball of each other; unrelated docs should not collide at distance 0."""
+    exact = _pair_set(dedup.jaccard_pairs(docs, threshold=0.9, max_shingle_freq=None))
+    sig = dedup.simhash(docs).cache()
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", dedup.hamming64(F.col("sa"), F.col("sb")).alias("h")
+    )
+    dist = {(r.id_a, r.id_b): r.h for r in pairs.filter(F.col("h") <= 16).collect()}
+    for p in exact:
+        assert p in dist and dist[p] <= 8, f"near-dup {p} has large simhash distance"
+
+
+def test_simhash_pairs_candidates(docs):
+    got = dedup.simhash_pairs(docs, max_hamming=3)
+    exact = _pair_set(dedup.jaccard_pairs(docs, threshold=0.9, max_shingle_freq=None))
+    found = _pair_set(got)
+    # banding with 4 bands guarantees recall for hamming <= 3
+    assert all(r.hamming <= 3 for r in got.collect())
+    missed = {p for p in exact if p in found} | (exact - found)
+    # identical docs (jaccard ~1) must collide
+    strict = _pair_set(dedup.jaccard_pairs(docs, threshold=0.999, max_shingle_freq=None))
+    assert strict <= found, f"exact dups missing from simhash pairs: {strict - found}"
+
+
+def test_knn_lsh_recall(emb):
+    """LSH kNN recall@5 vs brute force >= 0.6 on the fixture (16 tables x
+    4 planes; fixture vectors are near-orthogonal so this is the hard
+    case — real clustered corpora sustain deeper buckets)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(queries, emb, k=5)
+    approx = similarity.knn_lsh(queries, emb, dim=64, k=5, n_planes=4, n_tables=16)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_knn_bruteforce_self_excluded(emb):
+    out = similarity.knn_bruteforce(emb.filter(F.col("vec_id") < 3), emb, k=5)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_multimodal_payload_roundtrip(docs):
+    wp = multimodal.attach_payload(docs.limit(5))
+    rows = wp.select("text", "payload", "meta").collect()
+    for r in rows:
+        assert bytes(r.payload) == r.text.encode("utf-8")
+        assert r.meta.n_bytes == len(r.text.encode("utf-8"))
+        assert r.meta.modality == "image"
+    feats = multimodal.extract_features(wp).collect()
+    assert len(feats) == 5
+    for f_ in feats:
+        assert 1 <= f_.width <= 64 and 1 <= f_.height <= 64 and f_.channels in (1, 3)
