@@ -1,0 +1,114 @@
+"""As-of join and sessionization — time-series operators Spark lacks
+natively (SURVEY.md §2F joins row; a gomrjob user would have written these
+as a Reducer over a key-sorted union stream — which is precisely the
+execution shape used here, minus the hand-rolled shuffle).
+
+Scale strategy: both operators are ONE shuffle on the partition key with a
+single window pass — no self-join, no pandas. The union-stream as-of join
+is the classic scalable formulation: rows from both sides interleave in
+(key, ts) order and a running ``last(ignoreNulls)`` carries the most
+recent right-side values forward onto left rows. Skewed keys are bounded
+by AQE; at 100 TB add a coarse time-bucket to the partition key if a
+single key's history exceeds one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
+    inclusive — DuckDB ``ASOF JOIN`` semantics). Unmatched left rows keep
+    nulls (LEFT join semantics).
+
+    ``value_cols`` are the right-side columns to carry. ``tiebreak``
+    (right-side column) makes the choice among equal-``right_ts`` rows
+    deterministic.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # right rows sort before left rows at equal ts (inclusive >=); among
+    # right rows at the same ts the tiebreak's last row wins
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tb"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the previous event of the same key is >= gap (matching
+    ``session_window``'s half-open [start, last+gap) semantics).
+
+    Returns (key, session_id, session_start, session_end, n_events) where
+    session_end = last event + gap. One shuffle on key, two window passes
+    (lag + running sum), then the session aggregate.
+    """
+    w = W.partitionBy(key).orderBy(ts)
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = df.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.when(
+            F.lag(ts).over(w).isNull()
+            | ((F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) >= gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    w2 = W.partitionBy(key).orderBy("_ts").rowsBetween(W.unboundedPreceding, 0)
+    with_sid = marked.withColumn("session_id", F.sum("_new").over(w2))
+    return (
+        with_sid.groupBy(key, "session_id")
+        .agg(
+            F.min("_ts").alias("session_start"),
+            (F.timestamp_micros(F.unix_micros(F.max("_ts")) + gap_us)).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Streaming queries, oracle-gated by replaying the finite events table.
+
+Each query drives a real Structured Streaming topology (file source ->
+stateful operators -> memory sink) to completion synchronously, then
+returns the sink table — deterministic for a finite source, so the DuckDB
+batch oracle applies. The same topology pointed at Kafka is the production
+deployment; nothing in the operator definitions changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gomrjob_spark.plans.registry import query
+from gomrjob_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    stateful_user_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _drain(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+    q, name = run_to_memory(stream_df, mode=mode)
+    try:
+        # materialize the sink table into a stable local result
+        out = spark.table(name)
+        out.count()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "streaming_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts)                      AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR    AS window_end,
+           event_type,
+           count(*)                                    AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling counts, streamed to completion — the
+    complete-mode result must equal the batch GROUP BY date_trunc."""
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) — state merges sessions
+    across micro-batches; equals the batch islands formulation."""
+    stream = session_windows(read_events_stream(spark, sf_dir), gap="30 minutes")
+    return _drain(spark, stream, "complete").orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the source unioned with itself (every event twice)
+    -> state-backed dropDuplicates on event_id -> counts equal the
+    batch counts of the un-duplicated table."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(read_events_stream(spark, sf_dir))
+    deduped = streaming_dedup(doubled)
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _drain(spark, counts, "complete").orderBy("event_type")
+
+
+@query(
+    "streaming_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) holding per-user
+    running totals in explicit GroupState; over the finite replay the
+    final update per user equals the batch aggregate.
+
+    Note: cents are summed in pandas float then rounded once per batch —
+    matched by the oracle's per-row round + sum because fixture values are
+    exact 2-decimal doubles."""
+    stream = stateful_user_counts(read_events_stream(spark, sf_dir))
+    out = _drain(spark, stream, "update")
+    # update-mode memory sink keeps one row per (user, batch); the final
+    # state per user is the row from the last batch — with availableNow on
+    # a single file there is exactly one batch, but dedup defensively:
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,114 @@
+"""Time-series queries: as-of join and sessionization (batch paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gomrjob_spark.catalog import load_table
+from gomrjob_spark.operators.asof import asof_join, sessionize
+from gomrjob_spark.plans.registry import query
+
+_SQL_ISLANDS = """
+    marked AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+"""
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts       AS asof_ts,
+           v.event_id AS asof_event_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most recent
+    prior 'view' event of the same user (inclusive, LEFT semantics).
+
+    Engine path: union-stream + running last(ignoreNulls) window — one
+    shuffle on user_id, no self-join (operators/asof.py; a gomrjob user
+    wrote this exact algorithm as a Reducer over a sorted union stream)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "event_id"],
+        tiebreak="event_id",
+    ).orderBy("event_id")
+
+
+@query(
+    "sessionize_windows",
+    oracle=f"""
+    WITH {_SQL_ISLANDS}
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative-sum islands (the
+    window-function path; one shuffle on user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, key="user_id", ts="ts", gap_minutes=30).orderBy(
+        "user_id", "session_id"
+    )
+
+
+@query(
+    "session_window_batch",
+    oracle=f"""
+    WITH {_SQL_ISLANDS}
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation in batch mode — must agree
+    with the islands formulation (same gap semantics: a 30-minute-exact
+    gap starts a new session, [start, last+gap) windows)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

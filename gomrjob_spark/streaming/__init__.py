@@ -1,0 +1,18 @@
+"""Structured Streaming operators (SURVEY.md §2F streaming row).
+
+The reference processed logs as batch files over Hadoop Streaming; the
+`_HEARTBEAT_` rows in its fixtures (mrproto/protocol_test.go:14) betray the
+log-stream origin. The engine makes streams first-class: file-replay
+sources, watermarked tumbling/sliding/session windows, streaming dedup,
+and arbitrary stateful operators via applyInPandasWithState.
+"""
+
+from gomrjob_spark.streaming.ops import (  # noqa: F401
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    stateful_user_counts,
+    streaming_dedup,
+    tumbling_counts,
+)

@@ -1,0 +1,146 @@
+"""Streaming operator implementations.
+
+Determinism for the oracle gate: a finite file-replay source +
+``processAllAvailable`` + complete/append output is a deterministic
+computation, so streaming queries can be differential-tested against the
+equivalent batch SQL — a strictly stronger check than the reference had
+for its batch jobs.
+
+Scale notes: every aggregation here carries a watermark so state is
+bounded (late rows beyond it are dropped, state evicted); at 100 TB the
+same topology runs against Kafka with executor-count parallelism, state in
+RocksDB, and the memory sink swapped for a real one — the operator
+definitions don't change.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events.parquet schema as read under nanosAsLong (ts arrives as int64
+#: nanoseconds; see gomrjob_spark.catalog for why)
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+)
+
+_sink_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay stream of the events table (micro-truncated ts, same as
+    the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory: point at sf_dir and glob-filter
+    # down to the events table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_cents",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-merged per user)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids across
+    micro-batches (state-backed). Use dropDuplicatesWithinWatermark at
+    scale so dedup state is evicted with the watermark."""
+    return events.dropDuplicates(keys or ["event_id"])
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + cents total carried in explicit GroupState —
+    the engine's ``arbitrary Reducer over a keyed stream`` parity point
+    (the reference's Reducer contract, map_reduce_step.go:11-13, but
+    incremental and fault-tolerant)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].sum() * 100))
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_cents": [cents]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "complete", name: str | None = None) -> tuple[Any, str]:
+    """Drive a finite streaming query to completion synchronously via the
+    memory sink; returns (query, table_name). Caller reads
+    ``spark.table(name)`` and stops the query."""
+    name = name or f"gomrjob_stream_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q, name
