@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gomrjob_spark.operators.text import fingerprint, normalized, tokens
+from gomrjob_spark.operators.text import fingerprint, normalized, spread, tokens
 
 # Mersenne prime 2^31-1: affine MinHash permutations stay in 62-bit range
 # under ANSI mode (no overflow) while xxhash64 provides the base hash.
@@ -48,8 +48,15 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     """Distinct word n-gram shingles per doc: (id, shingle).
 
     Built with a sequence/transform over the token array — one pass, no
-    Python, no self-join."""
-    toks = tokens(normalized(text_col))
+    Python, no self-join. The token array is projected into a real column
+    before the higher-order transform: expressions referenced inside a
+    lambda don't get common-subexpression elimination, so inlining the
+    regex tokenizer there re-runs it per element_at call (measured ~5x
+    slower end-to-end)."""
+    toked = spread(df).select(
+        F.col(id_col), tokens(normalized(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     # guard short docs: sequence only when >= n tokens (ANSI element_at
     # throws on out-of-bounds)
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
@@ -58,11 +65,12 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    # no trailing .distinct(): array_distinct already dedups within a doc
+    # and ids separate docs — a global distinct would be a pure extra
+    # shuffle of the full (id, shingle) stream
+    return toked.select(
+        F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle")
+    ).filter(F.length("shingle") > 0)
 
 
 def jaccard_pairs(
@@ -79,7 +87,7 @@ def jaccard_pairs(
     |A u B| = |A| + |B| - |A n B|. ``max_shingle_freq`` drops stop-shingles
     before the join (skew control, see module docstring).
     """
-    sh = word_shingles(df, n, text_col, id_col)
+    sh = word_shingles(df, n, text_col, id_col).persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "shingle", "left_anti")
@@ -114,19 +122,21 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature (array<long> of length num_hashes) per doc.
 
     One base xxhash64 per shingle, then ``num_hashes`` affine permutations
     (a*h+b mod 2^31-1) folded with min() — entirely column expressions, one
     aggregation shuffle. Signature length trades accuracy for width; 64
-    longs = 512 bytes/doc at any corpus size.
+    longs = 512 bytes/doc at any corpus size. Pass a precomputed (persisted)
+    ``shingles`` frame to share the tokenize+shingle scan with other stages.
     """
     import random
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    sh = word_shingles(df, n, text_col, id_col)
+    sh = shingles if shingles is not None else word_shingles(df, n, text_col, id_col)
     base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
     mins = [
         F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
@@ -140,13 +150,19 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     id_col: str = "doc_id",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band.
 
     (bands, rows=len/bands) sets the S-curve: P(candidate) =
     1-(1-j^rows)^bands. The join key is (band_idx, hash of the band slice),
-    so the shuffle carries ids + band hashes only — no signatures."""
-    sig_len = len(signatures.select("signature").first()[0])
+    so the shuffle carries ids + band hashes only — no signatures.
+
+    ``sig_len`` should be passed by the caller (it knows num_hashes);
+    falling back to ``.first()`` costs one extra full computation of the
+    signature pipeline."""
+    if sig_len is None:
+        sig_len = len(signatures.select("signature").first()[0])
     rows = sig_len // bands
     banded = signatures.select(
         F.col(id_col),
@@ -190,10 +206,15 @@ def minhash_dedup_pairs(
 
     Verification joins shingle sets only for candidate pairs — at scale
     that's |candidates| * avg_doc_shingles, a sliver of the corpus.
+
+    The shingle frame is computed once and persisted (MEMORY_AND_DISK):
+    it feeds the signature aggregation and both sides of the verification
+    join — without the persist, the tokenize+shingle scan of the full
+    corpus runs three times.
     """
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
-    cand = lsh_candidate_pairs(sigs, bands, id_col)
-    sh = word_shingles(df, n, text_col, id_col)
+    sh = word_shingles(df, n, text_col, id_col).persist()
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed, shingles=sh)
+    cand = lsh_candidate_pairs(sigs, bands, id_col, sig_len=num_hashes)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -223,7 +244,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     sign of the tally sets the output bit. Pure column expressions via a
     token explode + 64 conditional sums."""
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(normalized(text_col))).alias("tok"))
+        spread(df).select(F.col(id_col), F.explode(tokens(normalized(text_col))).alias("tok"))
         .filter(F.length("tok") > 0)
         .withColumn("h", F.xxhash64("tok"))
     )

@@ -31,6 +31,18 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def spread(df, min_factor: int = 1):
+    """Repartition up to the session's default parallelism when the input
+    arrives in fewer partitions — a small parquet file can land in ONE
+    split, serializing every CPU-heavy text expression downstream. On a
+    real cluster a 100 TB scan already has >> cores splits and this is a
+    no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of trimmed text (array<string>)."""
     return F.split(F.trim(_c(col)), r"\s+")
