@@ -1,0 +1,125 @@
+"""Grouping-sets and UDTF coverage (SURVEY.md §2F aggregation + UDF rows).
+
+GROUPING SETS completes the multi-dimensional aggregate family next to
+``agg_cube``/``agg_rollup`` — one shuffle produces all groupings via
+Spark's Expand operator, not one job per grouping (which is what a gomrjob
+user had to run). The UDTF query exercises Spark 4's Python user-defined
+table function — the one UDF shape (one row -> many rows with its own
+schema) that mapInPandas doesn't model directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gomrjob_spark.catalog import load_table
+from gomrjob_spark.functions import dsum
+from gomrjob_spark.plans.registry import query
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of cube/rollup. Spark
+    plans one Expand + one aggregate: every grouping computed in a single
+    shuffle (contrast: one MapReduce job per grouping under the
+    reference's model)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "udtf_sentences",
+    oracle="""
+    SELECT doc_id, trim(s.sent) AS sentence
+    FROM documents, unnest(string_split(text, '.')) AS s(sent)
+    WHERE length(trim(s.sent)) > 0
+    ORDER BY doc_id, sentence
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): explode each document into sentences —
+    one input row, many output rows, UDTF-declared schema.
+
+    Scale note: UDTFs are a Python-side path; this one is Arrow-batched
+    (useArrow) and stateless, so it parallelizes per-partition like any
+    map. For a pure split like this a built-in explode(split()) is the
+    faster plan — the query exists to pin the UDTF contract for the
+    operators that genuinely need imperative row-expansion logic."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, sentence string", useArrow=True)
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for part in text.split("."):
+                part = part.strip()
+                if part:
+                    yield doc_id, part
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sentence
+        FROM udtf_docs, LATERAL split_sentences(doc_id, text) s
+        ORDER BY doc_id, sentence
+        """
+    )
+
+
+@query(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+    WITH p AS (
+      -- nullif: Spark's pivot cell is NULL (not 0) when a combo has no
+      -- rows; mirror that so both sides drop the same rows below
+      SELECT user_id,
+             nullif(CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT), 0) AS click,
+             nullif(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT), 0) AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, 'click' AS event_type, click AS n FROM p
+      UNION ALL
+      SELECT user_id, 'view' AS event_type, view AS n FROM p
+    )
+    WHERE n IS NOT NULL
+    ORDER BY user_id, event_type
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot -> unpivot (melt) roundtrip: wide-to-long is the inverse of
+    the pivot aggregation; exercises F.unpivot/melt (SURVEY.md §2F set-op
+    row's reshaping cousin)."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot("user_id", ["click", "view"], "event_type", "n")
+        .filter(F.col("n").isNotNull())
+        .orderBy("user_id", "event_type")
+    )

@@ -17,6 +17,7 @@ from gomrjob_spark.streaming import (
     read_events_stream,
     run_to_memory,
     session_windows,
+    sliding_counts,
     stateful_user_counts,
     streaming_dedup,
     tumbling_counts,
@@ -51,6 +52,28 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling counts, streamed to completion — the
     complete-mode result must equal the batch GROUP BY date_trunc."""
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS window_start
+      FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM w
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window / 30 min slide): every event lands in
+    exactly two windows. Oracle enumerates both via the 30-min grid."""
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
     return _drain(spark, stream, "complete").orderBy("window_start", "event_type")
 
 
