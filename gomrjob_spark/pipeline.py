@@ -127,7 +127,12 @@ def _run_step(df: DataFrame, s: Step) -> DataFrame:
                 if out is not None and len(out):
                     yield out
 
-        df = df.mapInPandas(map_batches, schema=s.map_schema)
+        # mapper-task fan-out parity (the reference gets one mapper per
+        # input split; a small local file arrives as ONE split, which
+        # would serialize the Python mapper) — no-op on real cluster scans
+        from gomrjob_spark.operators.text import spread
+
+        df = spread(df).mapInPandas(map_batches, schema=s.map_schema)
 
     if s.reducer_tasks:
         df = df.repartition(s.reducer_tasks, "key")
