@@ -1,0 +1,65 @@
+"""Bucketed band join — inequality-only joins made shuffle-friendly.
+
+A join whose ONLY predicate is a range (``r.ts - l.ts BETWEEN lo AND hi``,
+no equi key) compiles to BroadcastNestedLoopJoin in Spark: O(|L| x |R|)
+compares and a broadcast requirement — unusable at 100 TB. The standard
+scalable formulation (what Databricks' range-join hint and KDB-style band
+joins do under the hood) turns the band into an equi key:
+
+1. pick a bucket width >= the band width,
+2. each left row keys by its bucket, each right row *explodes* to the
+   (at most two) buckets its admissible band overlaps,
+3. equi-join on the bucket id (hash shuffle, AQE-skew-splittable),
+4. apply the exact band predicate as a post-join residual filter.
+
+Cost: one row duplication on one side + a hash shuffle, versus a full
+cross product. Any additional equi keys just join on (key, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    extra_keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Pairs where ``right_ts - left_ts`` falls in
+    ``[lower_seconds, upper_seconds]`` (inclusive both ends).
+
+    Output columns: all of ``left`` + all of ``right`` (caller should
+    pre-select/alias to avoid collisions). ``extra_keys`` are additional
+    equi-join column names present on both sides.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    width = max(upper_seconds - lower_seconds, 1)
+
+    l_ts = F.unix_micros(F.col(left_ts))
+    r_ts = F.unix_micros(F.col(right_ts))
+    width_us = width * 1_000_000
+    lower_us = lower_seconds * 1_000_000
+    upper_us = upper_seconds * 1_000_000
+
+    # derivation: with x = l_ts + lo, the band is x <= r_ts <= x + W,
+    # i.e. x in [r_ts - W, r_ts] — an interval of length exactly W, which
+    # the width-W bucket grid covers with at most the two buckets
+    # floor(r_ts/W) and floor(r_ts/W)-1. So: left keys by floor(x/W),
+    # right explodes to those two buckets.
+    l_b = left.withColumn("_bucket", F.floor((l_ts + lower_us) / F.lit(width_us)))
+    r_bucket = F.floor(r_ts / F.lit(width_us))
+    r_b = right.withColumn("_bucket", F.explode(F.array(r_bucket, r_bucket - 1)))
+    keys = ["_bucket"] + list(extra_keys or [])
+    # qualified refs so the residual resolves even when both ts columns
+    # share a name
+    delta: Column = F.unix_micros(r_b[right_ts]) - F.unix_micros(l_b[left_ts])
+    residual: Column = (delta >= lower_us) & (delta <= upper_us)
+    return l_b.join(r_b, keys, how).filter(residual).drop("_bucket")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
 from gomrjob_spark.operators.asof import asof_join, sessionize
+from gomrjob_spark.operators.rangejoin import band_join
 from gomrjob_spark.plans.registry import query
 
 _SQL_ISLANDS = """
@@ -62,6 +63,39 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_band_time",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.ts AS view_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts - a.ts BETWEEN INTERVAL 0 SECOND AND INTERVAL 30 MINUTE
+    ORDER BY view_id, purchase_id
+    """,
+)
+def join_band_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band join (NO equi key): every (view, purchase) pair across
+    all users at most 30 minutes apart.
+
+    Engine path: bucketed band join (operators/rangejoin.py) — the naive
+    expression of this predicate is a BroadcastNestedLoopJoin (cross
+    product, broadcast-bound); the bucket formulation is one hash shuffle
+    on the 30-minute bucket id plus a 2x explode of the right side."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        band_join(views, purchases, "view_ts", "purchase_ts", 0, 30 * 60)
+        .select("view_id", "purchase_id", "view_ts", "purchase_ts")
+        .orderBy("view_id", "purchase_id")
+    )
+
+
+@query(
     "sessionize_windows",
     oracle=f"""
     WITH {_SQL_ISLANDS}
@@ -80,6 +114,39 @@ def sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return sessionize(events, key="user_id", ts="ts", gap_minutes=30).orderBy(
         "user_id", "session_id"
+    )
+
+
+@query(
+    "timeseries_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    ORDER BY day NULLS FIRST, hour NULLS FIRST
+    """,
+)
+def timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour and day
+    granularities plus the grand total in ONE pass (rollup = single
+    Expand + aggregate shuffle; the materialized-rollup pattern at scale
+    writes this partitioned by day)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+        )
+        .orderBy(F.asc_nulls_first("day"), F.asc_nulls_first("hour"))
     )
 
 
