@@ -1,0 +1,100 @@
+"""Physical-plan regression tests — the scale properties, pinned.
+
+Correctness tests prove the answers match; these prove the *plans* stay
+the ones that survive 100 TB: filters reach the parquet scan, projections
+prune the read schema, dimension joins broadcast, band joins never fall
+back to nested-loop, and aggregates keep map-side partial phases.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from gomrjob_spark import plans
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_q3_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(plans.QUERIES["q3_shipping_priority"](spark, sf_dir))
+    # date + segment filters must reach the parquet scans
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # lineitem scan must not read the full table width
+    assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_no_cartesian_or_nested_loop(spark, sf_dir):
+    plan = _plan(plans.QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(plans.QUERIES["q5_nation_revenue"](spark, sf_dir))
+    # nation/region are always broadcast-sized
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_join_is_hash_join_not_bnlj(spark, sf_dir):
+    plan = _plan(plans.QUERIES["join_band_time"](spark, sf_dir))
+    # the whole point of the bucketed formulation
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(plans.QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # map-side partial agg (the reference's Combiner, automatic here):
+    # two HashAggregate phases around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = plans.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    # the scan->filter->project->partial-agg pipeline must be fused into
+    # generated code, not interpreted row-at-a-time
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    plan = _plan(plans.QUERIES["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_for_not_in(spark, sf_dir):
+    plan = _plan(plans.QUERIES["q16_parts_supplier"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_minhash_shuffle_carries_hashes_not_text(spark, sf_dir):
+    """The LSH candidate join's exchange must not carry document text."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    plan = _plan(lsh_candidate_pairs(sigs, sig_len=64))
+    # the join itself must be a hash/merge join on (band, bhash)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
