@@ -129,6 +129,90 @@ def lsh_bucket(
     return out
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid cells:
+    (id, vec, cell). The centroid frame is broadcast (a coarse quantizer
+    is a model — O(cells x dim), never data-sized), so assignment is a
+    map-side scan: |df| x n_centroids scored rows, argmin via window."""
+    c = centroids.select(
+        F.col("cell").alias("_cell"), F.col("centroid").alias("_cv")
+    )
+    scored = df.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cell"),
+        cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(id_col, vec_col, F.col("_cell").alias("cell"))
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer: a deterministic hash-ordered sample of corpus
+    vectors as cell centroids (IVF-flat with sampled seeds; a k-means
+    refinement would slot in here without changing the search path).
+    Returns (cell, centroid)."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(W.orderBy("_h")).alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in exactly one coarse
+    cell; each query probes its ``n_probe`` nearest cells and scores only
+    those cells' members. The search join is an equi-join on the cell id
+    — shuffle volume is |corpus| + n_probe x |queries|, no cross product.
+    Recall rises with n_probe (= exact when n_probe = n_centroids)."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    q_cells = ivf_assign(queries, cents, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"
+    )
+    scored = (
+        q_cells.join(c_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

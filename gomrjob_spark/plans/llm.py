@@ -168,6 +168,17 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("knn_ivf")  # approximate: rows-only gate, recall-tested in pytest
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: hash-sampled coarse centroids, corpus pinned to 1 cell,
+    queries probe their 8 nearest of 16 cells. The search shuffle is an
+    equi-join on the cell id; recall asserted vs brute force in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=8
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

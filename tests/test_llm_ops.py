@@ -85,6 +85,24 @@ def test_knn_lsh_recall(emb):
     assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
 
 
+def test_knn_ivf_recall(emb):
+    """IVF recall@5 vs brute force on the fixture. Near-orthogonal
+    vectors give the coarse quantizer little structure (worst case); with
+    half the cells probed recall must still clear 0.5, and probing ALL
+    cells must be exact (recall 1.0)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(queries, emb, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    approx = similarity.knn_ivf(queries, emb, k=5, n_centroids=16, n_probe=8)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5, "IVF recall too low at n_probe=8/16"
+
+    full = similarity.knn_ivf(queries, emb, k=5, n_centroids=16, n_probe=16)
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert f == e, "probing all cells must equal brute force"
+
+
 def test_knn_bruteforce_self_excluded(emb):
     out = similarity.knn_bruteforce(emb.filter(F.col("vec_id") < 3), emb, k=5)
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
