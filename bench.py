@@ -29,9 +29,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "agg_cube",
     "window_topk_per_group",
     "join_range",
+    "join_band_time",
     "join_asof",
     "sessionize_windows",
     "set_ops",

@@ -10,9 +10,11 @@ and arbitrary stateful operators via applyInPandasWithState.
 from gomrjob_spark.streaming.ops import (  # noqa: F401
     read_events_stream,
     run_to_memory,
+    run_to_parquet,
     session_windows,
     sliding_counts,
     stateful_user_counts,
     streaming_dedup,
+    streaming_dedup_within_watermark,
     tumbling_counts,
 )

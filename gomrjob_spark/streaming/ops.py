@@ -98,9 +98,49 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def streaming_dedup(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids across
-    micro-batches (state-backed). Use dropDuplicatesWithinWatermark at
-    scale so dedup state is evicted with the watermark."""
+    micro-batches (state-backed). Use
+    :func:`streaming_dedup_within_watermark` at scale so dedup state is
+    evicted instead of growing with the key space."""
     return events.dropDuplicates(keys or ["event_id"])
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: duplicates are only suppressed
+    while their key is within the watermark, and state evicts with it.
+    This is the 100 TB formulation — unbounded dropDuplicates state on an
+    infinite stream eventually holds every key ever seen; this holds only
+    the watermark window."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+) -> Any:
+    """foreachBatch parquet sink: each micro-batch lands as part files
+    under ``path`` (idempotent per batch id via the checkpoint — Spark
+    replays an incomplete batch, overwrite semantics come from the
+    checkpoint's batch tracking). The part-file output dir convention is
+    the reference's sink (runner.go:137-151) in streaming form."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
 
 
 def stateful_user_counts(events: DataFrame) -> DataFrame:
