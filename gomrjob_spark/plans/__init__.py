@@ -1,4 +1,13 @@
 """Query library. Importing this package populates the registry."""
 
 from gomrjob_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
-from gomrjob_spark.plans import extras, llm, mr, relational, streaming, subqueries, timeseries  # noqa: F401,E402
+from gomrjob_spark.plans import (  # noqa: F401,E402
+    extras,
+    llm,
+    mr,
+    relational,
+    streaming,
+    subqueries,
+    timeseries,
+    tpch,
+)
