@@ -89,6 +89,58 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_array_map",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                               AS n_toks,
+           CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+           -- coalesce: DuckDB's array_to_string of an empty list is NULL
+           -- where Spark's array_join is ''
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_transform(list_filter(toks, t -> length(t) = 3), t -> lower(t))
+           )), ','), '')                                        AS three_letter_words
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/filter/aggregate/sort/
+    distinct) — all JVM lambda expressions on the scan, the §2F scalar-fn
+    family's array/map row. (The token array is projected into a column
+    first; see dedup.word_shingles for why that matters.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
+    return toked.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(toks, lambda t: F.length(t) == 3), lambda t: F.lower(t)
+                    )
+                )
+            ),
+            ",",
+        ).alias("three_letter_words"),
+    ).orderBy("doc_id")
+
+
+@query(
     "pivot_unpivot_roundtrip",
     oracle="""
     WITH p AS (
