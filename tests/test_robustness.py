@@ -1,0 +1,39 @@
+"""Robustness probes: determinism across runs, clean failure on missing
+inputs, and non-trivial result sizes (a 0-row result would 'match' any
+oracle vacuously)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from gomrjob_spark import plans
+
+# queries whose results must be non-trivially sized at the smoke SF —
+# one per family; a regression to 0 rows here means a broken filter/join
+MIN_ROWS = {
+    "q1_pricing_summary": 4,
+    "q13_customer_distribution": 2,
+    "window_topk_per_group": 10,
+    "dedup_exact": 50,
+    "text_token_stats": 50,
+    "sessionize_windows": 50,
+    "mr_field_count": 2,  # fixture props have one field + lines_read
+}
+
+
+@pytest.mark.parametrize("name", sorted(MIN_ROWS))
+def test_results_non_trivial(spark, sf_dir, name):
+    assert plans.QUERIES[name](spark, sf_dir).count() >= MIN_ROWS[name]
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "join_asof", "dedup_minhash_lsh"])
+def test_deterministic_across_runs(spark, sf_dir, name):
+    a = plans.QUERIES[name](spark, sf_dir).collect()
+    b = plans.QUERIES[name](spark, sf_dir).collect()
+    assert a == b
+
+
+def test_missing_input_raises_analysis_exception(spark):
+    with pytest.raises(AnalysisException):
+        plans.QUERIES["q1_pricing_summary"](spark, "/no/such/dir").collect()
