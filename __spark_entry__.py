@@ -13,7 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# local-mode Python workers inherit the driver process env, not its
+# sys.path — export PYTHONPATH so cloudpickled module references
+# (mapInPandas/applyInPandas fns) import on the worker side even when
+# the driver process was launched from another directory
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from gomrjob_spark import plans  # noqa: E402
 

@@ -1,4 +1,13 @@
-"""Query library. Importing this package populates the registry."""
+"""Query library. Importing this package populates the registry.
+
+Registration order is significant: the correctness driver verifies the
+first 50 registry entries against the DuckDB oracle. ``_reorder()`` puts
+queries that most need a fresh driver-verified correctness row first
+(never-yet-verified families, then anything new or changed this round),
+keeps every oracle-eligible query ahead of the approximate rows-only
+ones (which the driver can only rows-check), and preserves relative
+registration order within each tier.
+"""
 
 from gomrjob_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
 from gomrjob_spark.plans import (  # noqa: F401,E402
@@ -11,3 +20,52 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     timeseries,
     tpch,
 )
+
+# Tier 1: queries without a driver-verified correctness row from round 1
+# (CORRECTNESS_r01.json covered registry indices 0-49 only) plus queries
+# whose plan changed or that are new this round — these must land inside
+# the driver's 50-entry verification window.
+_VERIFY_FIRST = [
+    # TPC-H family missed by the r01 window
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    # timeseries family missed by the r01 window
+    "join_asof",
+    "join_band_time",
+    "sessionize_windows",
+    "timeseries_rollup",
+    "session_window_batch",
+    # streaming family missed by the r01 window
+    "streaming_tumbling_agg",
+    "streaming_sliding_counts",
+    "streaming_session_window",
+    "streaming_dedup_counts",
+    "streaming_stateful_counts",
+    # relational stragglers missed by the r01 window
+    "case_when_bucketing",
+    # changed this round: now the LSH-bucketed scale-safe plan
+    "dedup_embedding_cosine",
+    # new this round
+    "mr_combiner",
+    "multimodal_decode_headers",
+]
+
+
+def _reorder() -> None:
+    tier1 = [n for n in _VERIFY_FIRST if n in QUERIES]
+    tier2 = [n for n in QUERIES if n not in tier1 and n in ORACLES]
+    tier3 = [n for n in QUERIES if n not in tier1 and n not in ORACLES]
+    for name in tier1 + tier2 + tier3:
+        QUERIES[name] = QUERIES.pop(name)
+
+
+_reorder()
