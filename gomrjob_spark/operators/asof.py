@@ -36,15 +36,26 @@ def asof_join(
     ``value_cols`` are the right-side columns to carry. ``tiebreak``
     (right-side column) makes the choice among equal-``right_ts`` rows
     deterministic.
+
+    The carried values ride in ONE struct per right row and the running
+    ``last(ignoreNulls)`` runs over the struct, not per column: the
+    struct is non-null for every right row even when its value fields
+    are NULL, so a matched row's NULL fields surface as NULL instead of
+    leaking a stale value from an older right row.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = [c for c in left.columns]
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -52,7 +63,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     # right rows sort before left rows at equal ts (inclusive >=); among
     # right rows at the same ts the tiebreak's last row wins
@@ -63,15 +74,11 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col("_m").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
 
 

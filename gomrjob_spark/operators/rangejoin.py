@@ -38,7 +38,18 @@ def band_join(
     Output columns: all of ``left`` + all of ``right`` (caller should
     pre-select/alias to avoid collisions). ``extra_keys`` are additional
     equi-join column names present on both sides.
+
+    Only ``how='inner'`` is supported: the exact band predicate is a
+    post-join residual filter, which would silently drop the
+    null-extended rows of any outer join (residual evaluates to NULL),
+    and the right side's 2-bucket explode would duplicate unmatched
+    right rows — so outer variants are rejected rather than wrong.
     """
+    if how != "inner":
+        raise ValueError(
+            f"band_join supports how='inner' only, got {how!r}: the residual "
+            "band filter and the bucket explode break outer-join semantics"
+        )
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds must be >= lower_seconds")
     width = max(upper_seconds - lower_seconds, 1)

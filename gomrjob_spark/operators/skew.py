@@ -33,7 +33,17 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on column ``on`` with ``salt``-way key
     spreading. ``small`` is replicated ``salt`` times; ``big`` rows get a
     uniform deterministic salt (hash of all columns, not a random() —
-    reruns and task retries must salt identically or results change)."""
+    reruns and task retries must salt identically or results change).
+
+    ``how`` must preserve the big (non-replicated) side: 'inner' or
+    'left'. A 'right'/'full' join would emit ``salt`` duplicate
+    null-extended rows for every unmatched small-side row (each replica
+    fails the match independently), so those are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "right/full would duplicate unmatched replicated small-side rows"
+        )
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

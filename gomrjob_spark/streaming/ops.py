@@ -124,13 +124,19 @@ def run_to_parquet(
     mode: str = "append",
 ) -> Any:
     """foreachBatch parquet sink: each micro-batch lands as part files
-    under ``path`` (idempotent per batch id via the checkpoint — Spark
-    replays an incomplete batch, overwrite semantics come from the
-    checkpoint's batch tracking). The part-file output dir convention is
-    the reference's sink (runner.go:137-151) in streaming form."""
+    under ``path`` (the reference's part-file output dir convention,
+    runner.go:137-151, in streaming form).
+
+    foreachBatch is at-least-once — after a mid-batch failure the
+    restarted query REPLAYS the batch — so the sink must be idempotent
+    per batch id: each batch writes to its own ``batch_id=N`` partition
+    directory with overwrite, making a replay rewrite the same
+    directory instead of appending duplicates. Readers load ``path``
+    normally; partition discovery surfaces ``batch_id`` as an extra
+    sink-metadata column (drop it, or use it for incremental reads)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     q = (
         stream_df.writeStream.outputMode(mode)

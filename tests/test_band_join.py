@@ -74,3 +74,11 @@ def test_band_join_rejects_inverted_band(spark):
     left = _df(spark, [0], "lid", "lts")
     with pytest.raises(ValueError):
         band_join(left, left, "lts", "lts", 10, 0)
+
+
+def test_band_join_rejects_outer(spark):
+    """Outer band joins would silently drop null-extended rows via the
+    residual filter (ADVICE r1) — rejected, not wrong."""
+    left = _df(spark, [0], "lid", "lts")
+    with pytest.raises(ValueError, match="inner"):
+        band_join(left, left, "lts", "lts", 0, 10, how="left")

@@ -7,6 +7,7 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
 from pyspark.sql import functions as F
 
 from gomrjob_spark.operators.bucketing import bucketed_join, write_bucketed
@@ -85,3 +86,13 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit salt-many duplicate null-extended rows for
+    unmatched small-side rows (ADVICE r1) — rejected, not wrong."""
+    big = spark.createDataFrame([(1, "a")], "k int, payload string")
+    small = spark.createDataFrame([(1, "one")], "k int, label string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", salt=4, how=how)

@@ -54,6 +54,29 @@ def test_run_to_parquet_sink(spark, tmp_path):
         from gomrjob_spark.catalog import load_table
 
         assert back.count() == load_table(spark, SF_DIR, "events").count()
-        assert set(back.columns) == {"event_id", "event_type"}
+        # batch_id is the sink's idempotency partition column
+        assert set(back.columns) == {"event_id", "event_type", "batch_id"}
     finally:
         q.stop()
+
+
+def test_run_to_parquet_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a post-failure replay by
+    wiping the checkpoint and re-running against the same output path —
+    batches re-fire with the same batch ids and must overwrite their own
+    partitions, not append duplicates (ADVICE r1)."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_events_stream(spark, SF_DIR).select("event_id", "event_type")
+        q = run_to_parquet(stream, out, ckpt)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    shutil.rmtree(ckpt)  # lose the checkpoint -> full replay
+    run_once()
+    assert spark.read.parquet(out).count() == first
