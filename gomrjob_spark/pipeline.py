@@ -16,9 +16,15 @@ identity mapper           ``mapper=None`` (runner.go:281-287 ``io.Copy``)
 ``Reducer(r, w)``         ``Step.reducer``: per-key fn via ``applyInPandas``,
                           or a builtin (``SUM``) compiled to a native
                           ``groupBy().agg()`` — the JVM fast path
-``Combiner``              accepted, *ignored*: Spark's partial aggregation
-                          subsumes it for builtins (runner.go:188-190 is an
-                          opt-in for what Catalyst does automatically)
+``Combiner``              builtin reducers: ignored — Spark's partial
+                          aggregation already pre-reduces map-side
+                          (runner.go:188-190 opt-in, automatic here).
+                          Python reducers: honored — a per-batch
+                          ``mapInPandas`` pre-reduce runs the combiner
+                          over each Arrow batch's key groups BEFORE the
+                          shuffle (map_reduce_step.go:15-17 contract,
+                          dispatch runner.go:290-295), so a hot key
+                          ships one partial per batch, not every row
 ``StepReducerTasksCount`` ``Step.reducer_tasks`` -> ``repartition(n, key)``
                           (AQE coalescing usually makes this unnecessary)
 multi-step chain          DataFrame composition — ONE logical plan, no
@@ -69,7 +75,13 @@ class Step:
     reducer: builtin name (``pipeline.SUM``/``COUNT``) or per-group fn
         ``(key, pd.DataFrame) -> pd.DataFrame``. Required, as in the
         reference (``Step = Reducer``, map_reduce_step.go:23-25).
-    combiner: accepted for API parity; ignored (see module docstring).
+    combiner: optional per-group fn ``(key, pd.DataFrame) -> pd.DataFrame``
+        run map-side before the shuffle when the reducer is a Python fn
+        (ignored for builtins — partial agg subsumes it). Its output must
+        have the same schema as its input (the reference's combiner
+        rewrites the map-output stream in place, runner.go:188-195) and
+        the operation must be associative for the result to match the
+        combiner-free plan.
     reducer_tasks: optional shuffle-partition override for this step
         (map_reduce_step.go:19-21 analog).
     map_schema / reduce_schema: Spark DDL schema of the mapper / reducer
@@ -80,7 +92,7 @@ class Step:
 
     mapper: MapperFn | None = None
     reducer: str | ReducerFn = SUM
-    combiner: object = None
+    combiner: ReducerFn | None = None
     reducer_tasks: int | None = None
     map_schema: str = "key string, value string"
     reduce_schema: str = "key string, value bigint"
@@ -134,6 +146,33 @@ def _run_step(df: DataFrame, s: Step) -> DataFrame:
 
         df = spread(df).mapInPandas(map_batches, schema=s.map_schema)
 
+    # map-side combining for Python reducers (map_reduce_step.go:15-17,
+    # wiring runner.go:188-195): pre-reduce each Arrow batch's key groups
+    # BEFORE the shuffle so a hot key ships one partial row per batch
+    # instead of its full row stream — the exact case the reference's
+    # Combiner existed for. Builtins skip this: Catalyst's partial
+    # aggregation already pre-reduces map-side.
+    if s.combiner is not None and not isinstance(s.reducer, str):
+        combiner = s.combiner
+        comb_sorted = s.sorted_values
+        comb_schema = s.map_schema if s.mapper is not None else df.schema
+
+        def combine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                outs = []
+                for k, g in pdf.groupby("key", sort=False):
+                    if comb_sorted and "value" in g.columns:
+                        g = g.sort_values("value", kind="mergesort")
+                    out = combiner(k, g)
+                    if out is not None and len(out):
+                        outs.append(out)
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        df = df.mapInPandas(combine_batches, schema=comb_schema)
+
     if s.reducer_tasks:
         df = df.repartition(s.reducer_tasks, "key")
 
@@ -161,7 +200,11 @@ def _builtin_reduce(df: DataFrame, which: str) -> DataFrame:
         # Sum parity (protocol.go:339-356): values parse as int64; non-int
         # values are skipped (try_cast yields null under ANSI mode, sum
         # ignores nulls — count skipped via protocols.count_malformed_kv).
-        return df.groupBy("key").agg(F.sum(F.col("value").try_cast("bigint")).alias("value"))
+        # coalesce: a group whose values ALL fail the cast sums to 0, not
+        # NULL — the reference's accumulator starts at 0 and skips.
+        return df.groupBy("key").agg(
+            F.coalesce(F.sum(F.col("value").try_cast("bigint")), F.lit(0)).alias("value")
+        )
     if which == COUNT:
         return df.groupBy("key").agg(F.count(F.lit(1)).alias("value"))
     raise AssertionError(which)

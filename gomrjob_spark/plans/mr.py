@@ -164,3 +164,49 @@ def mr_python_reducer(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="mr_python_reducer",
     )
     return pipe.run(kv).orderBy("key")
+
+
+def _max_combiner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Map-side partial: per-key max within one Arrow batch. Same schema
+    in as out (the reference's combiner rewrites the map-output stream,
+    runner.go:188-195)."""
+    return pd.DataFrame({"key": [key], "value": [int(pdf["value"].max())]})
+
+
+def _max_reducer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"key": [key], "value": [int(pdf["value"].max())]})
+
+
+@query(
+    "mr_combiner",
+    oracle="""
+    SELECT event_type AS key,
+           CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value
+    FROM events
+    GROUP BY event_type
+    ORDER BY key
+    """,
+)
+def mr_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python reducer WITH a map-side combiner (map_reduce_step.go:15-17,
+    dispatch runner.go:290-295): per-event-type max cents. The combiner
+    pre-reduces each Arrow batch before the shuffle, so each map task
+    ships one partial per (key, batch) instead of every row — the hot-key
+    protection the reference's Combiner contract exists for. Shuffle-row
+    reduction is asserted in tests/test_pipeline.py."""
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(
+        F.col("event_type").alias("key"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value"),
+    )
+    pipe = Pipeline(
+        steps=[
+            Step(
+                reducer=_max_reducer,
+                combiner=_max_combiner,
+                reduce_schema="key string, value bigint",
+            )
+        ],
+        name="mr_combiner",
+    )
+    return pipe.run(kv).orderBy("key")

@@ -58,7 +58,9 @@ def test_sum_skips_non_int_values(spark):
         "key string, value string",
     )
     got = Pipeline(steps=[Step(reducer=SUM)]).run(kv).orderBy("key").collect()
-    assert [(r.key, r.value) for r in got] == [("a", 3), ("b", None)]
+    # a group whose values ALL fail to parse sums to 0, not NULL — the
+    # reference's accumulator starts at 0 and skips (protocol.go:339-356)
+    assert [(r.key, r.value) for r in got] == [("a", 3), ("b", 0)]
 
 
 def test_count_builtin(spark):
@@ -126,3 +128,93 @@ def test_counters_accumulate(spark):
     Pipeline(steps=[Step(mapper=count_mapper, reducer=SUM)]).run(df).collect()
     assert counters.value("example_mr", "lines_read") == 3
     assert counters.report() == {"example_mr.lines_read": 3}
+
+
+def test_combiner_matches_combiner_free_plan(spark):
+    """An associative combiner must not change the answer."""
+    import pandas as pd
+
+    def agg_max(key, pdf):
+        return pd.DataFrame({"key": [key], "value": [int(pdf["value"].max())]})
+
+    kv = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i * 7) for i in range(50)],
+        "key string, value bigint",
+    ).repartition(4)
+    plain = Pipeline(
+        steps=[Step(reducer=agg_max, reduce_schema="key string, value bigint")]
+    ).run(kv)
+    combined = Pipeline(
+        steps=[
+            Step(
+                reducer=agg_max,
+                combiner=agg_max,
+                reduce_schema="key string, value bigint",
+            )
+        ]
+    ).run(kv)
+    assert sorted(plain.collect()) == sorted(combined.collect())
+
+
+def test_combiner_shrinks_shuffle_rows_on_hot_key(spark):
+    """The point of the combiner (map_reduce_step.go:15-17): a hot key
+    must NOT ship every row through the shuffle. The reducer observes how
+    many rows actually arrived — with a combiner that is at most one
+    partial per (key, map batch); without it, every input row."""
+    import pandas as pd
+
+    n_rows, n_parts = 2000, 8
+    kv = spark.createDataFrame(
+        [("hot", i) for i in range(n_rows)], "key string, value bigint"
+    ).repartition(n_parts)
+
+    def rows_seen(key, pdf):
+        return pd.DataFrame({"key": [key], "value": [len(pdf)]})
+
+    def max_partial(key, pdf):
+        return pd.DataFrame({"key": [key], "value": [int(pdf["value"].max())]})
+
+    without = Pipeline(
+        steps=[Step(reducer=rows_seen, reduce_schema="key string, value bigint")]
+    ).run(kv).collect()
+    with_comb = Pipeline(
+        steps=[
+            Step(
+                reducer=rows_seen,
+                combiner=max_partial,
+                reduce_schema="key string, value bigint",
+            )
+        ]
+    ).run(kv).collect()
+    assert without[0].value == n_rows  # every row crossed the shuffle
+    # one partial per (key, Arrow batch): bounded by the partition count,
+    # orders of magnitude below the row count
+    assert with_comb[0].value <= n_parts
+    assert with_comb[0].value < n_rows // 100
+
+
+def test_combiner_ignored_for_builtin_reducer(spark):
+    """Builtins keep the native partial-agg path (combiner subsumed)."""
+    import pandas as pd
+
+    def never_called(key, pdf):  # pragma: no cover
+        raise AssertionError("combiner must not run for builtin reducers")
+
+    kv = spark.createDataFrame([("a", "1"), ("a", "2")], "key string, value string")
+    got = (
+        Pipeline(steps=[Step(reducer=SUM, combiner=never_called)])
+        .run(kv)
+        .collect()
+    )
+    assert [(r.key, r.value) for r in got] == [("a", 3)]
+
+
+def test_cpu_report_nonzero_after_run(spark):
+    """reporter.go:23-34 auditCpuTime analog: executor CPU totals are
+    readable engine-side after a distributed job ran."""
+    kv = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
+    Pipeline(steps=[Step(reducer=SUM)]).run(kv).collect()
+    rep = Counters(spark).cpu_report()
+    assert rep["n_stages"] > 0
+    assert rep["executor_cpu_ns"] > 0
+    assert rep["executor_run_ms"] >= 0
