@@ -101,5 +101,92 @@ def build_dataproc_job(
     return {"job": job}
 
 
-#: terminal states of the Dataproc poll loop (dataproc/job.go:94-107)
+#: terminal states of the Dataproc poll loop (dataproc/job.go:26-33)
 DATAPROC_TERMINAL_STATES = ("DONE", "ERROR", "CANCELLED", "ATTEMPT_FAILURE")
+
+#: terminal states that mean failure (dataproc/job.go:17-24)
+DATAPROC_ERROR_STATES = ("ERROR", "CANCELLED", "ATTEMPT_FAILURE")
+
+
+def is_terminal_state(state: str) -> bool:
+    """dataproc/job.go:26-33."""
+    return state in DATAPROC_TERMINAL_STATES
+
+
+def is_error_state(state: str) -> bool:
+    """dataproc/job.go:17-24."""
+    return state in DATAPROC_ERROR_STATES
+
+
+class DataprocUnavailableError(Exception):
+    """A 503 from the jobs API — transient, retried (dataproc/job.go:118-124)."""
+
+
+class DataprocJobError(RuntimeError):
+    """Job reached a terminal error state (dataproc/job.go:108-113)."""
+
+    def __init__(self, job_id: str, state: str):
+        super().__init__(f"job:{job_id} finished with status:{state}")
+        self.job_id = job_id
+        self.state = state
+
+
+def get_with_retry(fetch, sleep=None, attempts: int = 5, retry_delay: float = 10.0):
+    """Call ``fetch()`` retrying 503s up to ``attempts`` times with
+    ``retry_delay`` between tries (dataproc/job.go:126-142: 5 tries, 10 s
+    sleep, non-503 errors propagate immediately).
+
+    ``fetch`` raises :class:`DataprocUnavailableError` for a 503;
+    ``sleep`` is injectable for offline tests."""
+    import time as _time
+
+    sleep = sleep if sleep is not None else _time.sleep
+    last: DataprocUnavailableError | None = None
+    for i in range(attempts):
+        try:
+            return fetch()
+        except DataprocUnavailableError as e:  # noqa: PERF203 — mirror of the Go loop
+            last = e
+            if i < attempts - 1:
+                sleep(retry_delay)
+    assert last is not None
+    raise last
+
+
+def poll_job(
+    fetch_state,
+    job_id: str,
+    sleep=None,
+    log=None,
+    poll_interval: float = 2.0,
+    log_every_ticks: int = 15,
+    max_polls: int | None = None,
+) -> str:
+    """Poll ``fetch_state() -> state`` until a terminal state, mirroring
+    the reference's loop (dataproc/job.go:94-116): 2 s tick; log on state
+    change or every 15 ticks (~30 s); 503s inside a poll retried by
+    :func:`get_with_retry`; terminal error states raise
+    :class:`DataprocJobError`, DONE returns.
+
+    Pure state machine — ``fetch_state``/``sleep``/``log`` are injected so
+    the transitions are unit-testable offline, the way the reference's own
+    job tests drive it. ``max_polls`` guards test harnesses (None = poll
+    forever, the reference's behavior)."""
+    import time as _time
+
+    sleep = sleep if sleep is not None else _time.sleep
+    log = log if log is not None else (lambda msg: None)
+    state: str | None = None
+    i = 0
+    while max_polls is None or i < max_polls:
+        sleep(poll_interval)
+        i += 1
+        new_state = get_with_retry(fetch_state, sleep=sleep)
+        if state != new_state or i % log_every_ticks == 0:
+            state = new_state
+            log(f"job:{job_id} status:{state}")
+        if is_terminal_state(new_state):
+            if is_error_state(new_state):
+                raise DataprocJobError(job_id, new_state)
+            return new_state
+    raise TimeoutError(f"job:{job_id} not terminal after {max_polls} polls")
