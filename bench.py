@@ -65,6 +65,41 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # gzip text-protocol path end-to-end (runner.go:160-163 parity): the
+    # same flagship mapper/reducer, but reading gzipped JSON lines. Setup
+    # (writing the .gz input) is untimed; gzip files are not splittable,
+    # so the writer fans out to many files — at scale, file count IS the
+    # read parallelism for compressed text.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.pipeline import SUM, Pipeline, Step
+    from gomrjob_spark.plans.mr import field_count_mapper
+    from gomrjob_spark.sources.lines import read_lines, write_part_files
+
+    gz_dir = tempfile.mkdtemp(prefix="gomrjob_bench_gz_")
+    try:
+        write_part_files(
+            load_table(spark, sf_dir, "events").select(F.col("props").alias("value")),
+            gz_dir,
+            compress=True,
+            num_files=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
+        t0 = time.perf_counter()
+        lines = read_lines(spark, gz_dir)
+        pipe = Pipeline(
+            steps=[Step(mapper=field_count_mapper, reducer=SUM)],
+            name="mr_field_count_gzip",
+        )
+        _materialize(pipe.run(lines))
+        timings["mr_field_count_gzip"] = round(time.perf_counter() - t0, 3)
+        print(f"# mr_field_count_gzip: {timings['mr_field_count_gzip']:.3f}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(gz_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

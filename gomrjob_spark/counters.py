@@ -44,6 +44,32 @@ class Counters:
     def report(self) -> dict[str, int]:
         return {k: acc.value for k, acc in sorted(self._accs.items())}
 
+    def cpu_report(self) -> dict[str, int]:
+        """Task CPU accounting (reference reporter.go:23-34 ``auditCpuTime``
+        analog): executor CPU/runtime totals summed over this app's
+        stages, read from Spark's status store — the engine-side metrics
+        Hadoop's counter dump carried. Returns
+        ``{executor_cpu_ns, executor_run_ms, n_stages}``."""
+        store = self._sc._jsc.sc().statusStore()
+        gw = self._sc._gateway
+        stages = store.stageList(
+            None,  # no status filter: all stages
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            gw.jvm.java.util.Collections.emptyList(),
+        )
+        cpu_ns = run_ms = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            cpu_ns += s.executorCpuTime()
+            run_ms += s.executorRunTime()
+        return {
+            "executor_cpu_ns": int(cpu_ns),
+            "executor_run_ms": int(run_ms),
+            "n_stages": stages.size(),
+        }
+
 
 def status(spark: SparkSession, msg: str) -> None:
     """Job-status analog of reporter.go:18-21 — surfaces in the Spark UI

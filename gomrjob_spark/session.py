@@ -14,8 +14,9 @@ Defaults are tuned for the local[32] test harness but chosen to be the
   Arrow batching is what keeps them viable).
 - UTC session timezone so results are oracle-comparable (DuckDB timestamps
   are UTC-naive).
-- Broadcast threshold left at default (10 MB) — dimension tables (region,
-  nation, supplier, part at most SFs) broadcast; fact-fact joins shuffle.
+- Broadcast threshold raised to 32 MB (default is 10 MB) so every
+  dimension table (region, nation, supplier, part, customer at bench SFs)
+  broadcasts; fact-fact joins still shuffle.
 """
 
 from __future__ import annotations
@@ -62,6 +63,9 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # local-only: let spread() widen single-split test files without
+        # inspecting .rdd at plan time (no-op on real clusters — unset)
+        .config("spark.gomrjob.spread.partitions", str(cpus))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -54,7 +54,11 @@ def write_part_files(
         # global sort: range partitioner makes part-file order total
         df = df.repartitionByRange(num_files or df.sparkSession.sparkContext.defaultParallelism, *sort_by).sortWithinPartitions(*sort_by)
     elif num_files:
-        df = df.coalesce(num_files)
+        # repartition, not coalesce: the caller asked for an exact file
+        # fan-out, and coalesce cannot INCREASE partition count — for
+        # gzip output the file count IS the downstream read parallelism
+        # (gzip is not splittable), so widening must work
+        df = df.repartition(num_files)
     writer = df.write.mode("overwrite")
     if compress:
         writer = writer.option("compression", "gzip")
