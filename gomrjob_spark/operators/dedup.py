@@ -317,15 +317,102 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, id_a < id_b.
 
-    Exact all-pairs (sort-merge self-join on the inequality) — correct
-    baseline for the oracle gate; at 100 TB route through
-    operators.similarity.lsh_bucket first and run this within buckets."""
+    Exact all-pairs (BNLJ on the id inequality) — O(n^2), kept ONLY as
+    the recall oracle for pytest. Production path (and the registered
+    query) is ``embedding_dup_pairs_bucketed``."""
     from gomrjob_spark.operators.similarity import cosine
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def axis_sign_buckets(
+    df: DataFrame,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucket assignment with axis-aligned hyperplanes.
+
+    Table ``t`` buckets on the sign bits of coordinates
+    ``[t*n_planes, (t+1)*n_planes)`` — random-hyperplane LSH where the
+    planes are the coordinate axes. Two properties make this the
+    oracle-gated production bucketing (vs the Gaussian planes in
+    operators.similarity.lsh_bucket):
+
+    - zero float arithmetic (a sign test per coordinate), so any SQL
+      engine reproduces the buckets bit-identically — the DuckDB oracle
+      mirrors it literally;
+    - the bucket frame carries only (table_id, bucket, id): the bucket
+      shuffle never moves vectors.
+
+    (n_planes, n_tables) is the recall/cost dial: P(pair shares a
+    bucket) = 1-(1-p^n_planes)^n_tables with p = 1 - theta/pi. At the
+    production threshold 0.95 use deep buckets (n_planes ~ 12-16); the
+    fixture's adversarially low 0.4 threshold needs shallow buckets +
+    many tables (3 x 16 = full recall on the fixture, pytest-gated).
+    Returns one row per (vector, table): (id, table_id, bucket)."""
+    if n_planes * n_tables > dim:
+        raise ValueError(
+            f"n_planes*n_tables={n_planes * n_tables} exceeds dim={dim}: "
+            "coordinate slices would run past the vector"
+        )
+    entries = []
+    for t in range(n_tables):
+        bits: Column | None = None
+        for j in range(n_planes):
+            bit = F.when(
+                F.element_at(F.col(vec_col), t * n_planes + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        entries.append(F.struct(F.lit(t).alias("table_id"), bits.alias("bucket")))
+    return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("_tb")).select(
+        id_col, F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
+def embedding_dup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: sign-LSH buckets propose,
+    exact cosine verifies — no all-pairs product anywhere.
+
+    Plan shape: bucket assignment is a projection of the scan (ids +
+    bucket keys only), candidates come from an equi-join on
+    (table_id, bucket), pair dedup happens BEFORE vectors are fetched,
+    and the two vector fetches are equi-joins on id. Shuffle volume is
+    O(n_tables * n + |candidates|) rows of ids — the vectors move only
+    for deduped candidates. No BroadcastNestedLoopJoin (pinned in
+    tests/test_plan_quality.py)."""
+    from gomrjob_spark.operators.similarity import cosine
+
+    b = axis_sign_buckets(df, n_planes, n_tables, id_col, vec_col, dim)
+    a_side = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    b_side = b.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    cand = (
+        a_side.join(b_side, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -11,11 +11,12 @@ North-star operator family (BASELINE.json). The convention:
 
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` — the only
 viable shape at 100 TB (payload bytes never route through the driver; each
-task decodes its own partition). The actual codec libraries (PIL/ffmpeg)
-are not in this container, so ``decode_image`` is a clearly-marked STUB:
-the Spark-side plumbing (schemas, batch iteration, partitioning) is real
-and tested with ``fake_decode_meta``, and a real decoder drops in by
-replacing one function.
+task decodes its own partition). Container headers (PNG/JPEG/GIF
+dimensions + channels) decode for REAL via ``decode_image_header`` —
+pure Python over magic bytes, no codec library needed. Only full pixel
+decode (``decode_image``) remains a clearly-marked STUB because
+PIL/ffmpeg are not in this container; a real decoder drops in by
+replacing that one function.
 """
 
 from __future__ import annotations
@@ -51,13 +52,89 @@ def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "image
 
 
 def decode_image(payload: bytes) -> dict:
-    """STUB: real image decode requires PIL/libvips (not in this
-    container). Replace this function to productionize; everything else
-    (batching, schema, partition flow) is already wired."""
+    """STUB: full pixel decode requires PIL/libvips (not in this
+    container). Container *headers* decode for real via
+    :func:`decode_image_header` (pure Python, no codec libs); replace
+    this function to get pixel data — everything else (batching, schema,
+    partition flow) is already wired."""
     raise NotImplementedError(
         "image codec libraries unavailable in this environment; "
-        "use fake_decode_meta for the plumbing path"
+        "decode_image_header parses real container headers without them"
     )
+
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+#: PNG color type -> sample channels (spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG SOF markers carrying frame dimensions (C4/C8/CC are DHT/JPG/DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_header(payload: bytes) -> dict | None:
+    """Real container-header decode, pure Python (no codec libraries):
+    width/height/channels from the PNG IHDR chunk, the GIF logical
+    screen descriptor, or the first JPEG SOF segment. Returns None for
+    unrecognized payloads (caller falls back or filters).
+
+    This is the production fast path for 100 TB metadata extraction —
+    dimensions come from the first bytes of the payload, so the task
+    never materializes pixels."""
+    if payload[:8] == _PNG_SIGNATURE and len(payload) >= 26 and payload[12:16] == b"IHDR":
+        color_type = payload[25]
+        if color_type not in _PNG_CHANNELS:
+            return None
+        return {
+            "format": "png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "channels": _PNG_CHANNELS[color_type],
+        }
+    if payload[:6] in _GIF_MAGICS and len(payload) >= 10:
+        return {
+            "format": "gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "channels": 3,  # palette entries are RGB triples
+        }
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 10 > n:
+                    return None
+                return {
+                    "format": "jpeg",
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "channels": payload[i + 9],
+                }
+            i += 2 + seg_len
+    return None
+
+
+def decode_meta(payload: bytes) -> dict:
+    """Default extract_features decoder: REAL header decode for
+    recognized containers (PNG/JPEG/GIF), deterministic fake for
+    synthetic payloads — so the same pipeline serves production bytes
+    and codec-free test fixtures."""
+    parsed = decode_image_header(payload)
+    if parsed is not None:
+        return parsed
+    return fake_decode_meta(payload)
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -74,7 +151,7 @@ def fake_decode_meta(payload: bytes) -> dict:
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",
-    decoder=fake_decode_meta,
+    decoder=decode_meta,
 ) -> DataFrame:
     """Per-payload feature extraction via mapInPandas (Arrow batches).
 

@@ -104,23 +104,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def _axis_bucket_sql(n_planes: int, n_tables: int) -> str:
+    """DuckDB mirror of dedup.axis_sign_buckets: same sign tests, same
+    bit packing, table t over coordinates [t*n_planes, (t+1)*n_planes).
+    Sign tests involve no float arithmetic, so buckets are bit-identical
+    across engines by construction."""
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN v[{t * n_planes + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        selects.append(f"SELECT {t} AS table_id, vec_id, {bits} AS bucket FROM e")
+    return "\n      UNION ALL ".join(selects)
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.v, b.v) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {_axis_bucket_sql(3, 16)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.table_id = c.table_id AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.id_a
+    JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
     ORDER BY id_a, id_b
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4 — fixture max is ~0.5/0.6;
-    real corpora use ~0.95 with the LSH-bucketed variant). Verified
-    bit-identical to DuckDB's list_cosine_similarity."""
+    real corpora use ~0.95) via the scale-safe bucketed path: axis-sign
+    LSH proposes candidates (equi-join on (table, bucket), ids only),
+    exact cosine verifies. The oracle mirrors the bucketing literally, so
+    the gate stays a full hash match; recall vs the all-pairs exact form
+    (1.0 on this fixture) is separately pytest-gated."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return dedup.embedding_dup_pairs_bucketed(
+        emb, threshold=0.4, n_planes=3, n_tables=16
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +361,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_payload(docs)
     return multimodal.extract_features(with_payload).orderBy("doc_id")
+
+
+@query(
+    "multimodal_decode_headers",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 512) + 16 AS INT) AS width,
+           CAST((doc_id % 333) + 16 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header decode under the oracle gate: build a valid PNG
+    signature+IHDR per doc JVM-side (width/height derived from doc_id),
+    then recover the dimensions in the Arrow-batched decode path via
+    operators.multimodal.decode_image_header — the oracle recomputes the
+    expected dimensions arithmetically, so a parser bug (endianness,
+    offset, channel map) breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.col("doc_id") % 512 + 16).cast("int")
+    height = (F.col("doc_id") % 333 + 16).cast("int")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731 — 4-byte big-endian
+    png_header = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D49484452")),  # IHDR length 13 + chunk type
+        be4(width),
+        be4(height),
+        F.unhex(F.lit("0802000000")),  # bit depth 8, color type 2 (RGB), default flags
+    )
+    payloads = docs.select(
+        "doc_id",
+        png_header.alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.octet_length(png_header).alias("n_bytes"),
+            F.sha2(png_header, 256).alias("sha"),
+            F.hex(F.substring(png_header, 1, 4)).alias("magic"),
+        ).alias("meta"),
+    )
+    return (
+        multimodal.extract_features(payloads)
+        .select("doc_id", "width", "height", "channels")
+        .orderBy("doc_id")
+    )
 
 
 @query(

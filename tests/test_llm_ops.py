@@ -126,3 +126,121 @@ def test_multimodal_payload_roundtrip(docs):
     assert len(feats) == 5
     for f_ in feats:
         assert 1 <= f_.width <= 64 and 1 <= f_.height <= 64 and f_.channels in (1, 3)
+
+
+def test_embedding_bucketed_full_recall_vs_exact(emb):
+    """The registered bucketed path (axis-sign LSH propose -> exact
+    cosine verify) recovers every all-pairs exact pair on the fixture at
+    threshold 0.4, and emits nothing the exact form wouldn't (the verify
+    step makes false positives impossible)."""
+    exact = _pair_set(dedup.embedding_dup_pairs(emb, threshold=0.4))
+    bucketed = _pair_set(
+        dedup.embedding_dup_pairs_bucketed(emb, threshold=0.4, n_planes=3, n_tables=16)
+    )
+    assert bucketed <= exact
+    assert len(bucketed) == len(exact)  # full recall on the fixture
+
+
+def test_axis_sign_buckets_validates_dim():
+    with pytest.raises(ValueError, match="exceeds dim"):
+        dedup.axis_sign_buckets(None, n_planes=16, n_tables=16, dim=64)
+
+
+def _png_bytes(w, h, color_type=2):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _jpeg_bytes(w, h, channels=3):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8 + 3 * channels) + b"\x08" + struct.pack(
+        ">HH", h, w
+    ) + bytes([channels]) + b"\x00" * (3 * channels)
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_decode_image_header_png():
+    got = multimodal.decode_image_header(_png_bytes(640, 480))
+    assert got == {"format": "png", "width": 640, "height": 480, "channels": 3}
+    # grayscale+alpha color type
+    assert multimodal.decode_image_header(_png_bytes(2, 3, color_type=4))["channels"] == 2
+
+
+def test_decode_image_header_gif():
+    got = multimodal.decode_image_header(_gif_bytes(320, 200))
+    assert got == {"format": "gif", "width": 320, "height": 200, "channels": 3}
+
+
+def test_decode_image_header_jpeg():
+    got = multimodal.decode_image_header(_jpeg_bytes(1024, 768))
+    assert got == {"format": "jpeg", "width": 1024, "height": 768, "channels": 3}
+    assert multimodal.decode_image_header(_jpeg_bytes(5, 7, channels=1))["channels"] == 1
+
+
+def test_decode_image_header_rejects_garbage():
+    assert multimodal.decode_image_header(b"not an image at all") is None
+    assert multimodal.decode_image_header(b"") is None
+    assert multimodal.decode_image_header(b"\x89PNG\r\n\x1a\x00 corrupted") is None
+
+
+def test_extract_features_decodes_real_headers(spark):
+    """Real container bytes flow through the distributed decode path and
+    come back with their true dimensions; unrecognized payloads keep the
+    deterministic fake (so synthetic fixtures still hash-match)."""
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _gif_bytes(320, 200)),
+        (3, _jpeg_bytes(1024, 768)),
+        (4, b"opaque synthetic payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha"),
+            F.hex(F.substring("payload", 1, 4)).alias("magic"),
+        ).alias("meta"),
+    )
+    got = {r.doc_id: (r.width, r.height, r.channels) for r in multimodal.extract_features(df).collect()}
+    assert got[1] == (640, 480, 3)
+    assert got[2] == (320, 200, 3)
+    assert got[3] == (1024, 768, 3)
+    fake = multimodal.fake_decode_meta(rows[3][1])
+    assert got[4] == (fake["width"], fake["height"], fake["channels"])
+
+
+def test_spread_is_conf_gated(spark):
+    """spread() must not inspect .rdd at plan time; it widens only per
+    the session conf / local master, and honors an explicit 0 = off."""
+    from gomrjob_spark.operators.text import spread
+
+    df = spark.range(10)
+    conf_key = "spark.gomrjob.spread.partitions"
+    old = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "7")
+        assert spread(df).rdd.getNumPartitions() == 7
+        spark.conf.set(conf_key, "0")
+        assert spread(df) is df  # disabled -> pure no-op
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)

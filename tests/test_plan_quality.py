@@ -98,3 +98,12 @@ def test_minhash_shuffle_carries_hashes_not_text(spark, sf_dir):
     # the join itself must be a hash/merge join on (band, bhash)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_bucketed_no_bnlj(spark, sf_dir):
+    """The registered embedding-dedup path must be the bucketed one:
+    candidates from an equi-join on (table_id, bucket), never an
+    all-pairs nested-loop product (VERDICT r1 'What's wrong' #2)."""
+    plan = _plan(plans.QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
