@@ -57,6 +57,11 @@ _VERIFY_FIRST = [
     # new this round
     "mr_combiner",
     "multimodal_decode_headers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balances",
+    "q12_priority_lines",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -260,3 +260,119 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q11_important_balances",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING sum(CAST(s_acctbal AS DECIMAL(18,2))) >
+           (SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) * CAST(0.05 AS DECIMAL(3,2))
+            FROM supplier)
+    ORDER BY value DESC, n_name
+    """,
+)
+def q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered by a HAVING clause against a
+    global scalar subquery (the fixture has no partsupp, so the "value"
+    is supplier account balance by nation at a 5% threshold). The global
+    total is one aggregated row cross-joined (broadcast) onto the
+    per-group aggregate — the decorrelation Catalyst produces for an
+    uncorrelated scalar subquery. The resulting plan contains a
+    BroadcastNestedLoopJoin whose build side is ONE aggregated row —
+    O(n) work, the intended shape for a global-scalar comparison (unlike
+    a data-sized BNLJ, which plan tests ban elsewhere). Comparison
+    happens in exact decimals; only the output casts to double."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    per_nation = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(bal).alias("_total"))
+    )
+    threshold = supp.agg(
+        (F.sum(bal) * F.lit("0.05").cast("decimal(3,2)")).alias("_cutoff")
+    )
+    return (
+        per_nation.join(F.broadcast(threshold))
+        .filter(F.col("_total") > F.col("_cutoff"))
+        .select("n_name", F.col("_total").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest subquery form: EXISTS plus NOT
+    EXISTS, both correlated on the outer row's order AND anti-correlated
+    on its supplier (a different supplier in the same order). "Kept
+    waiting" adapts to shipped >90 days after the order date (the
+    fixture has no commit/receipt dates).
+
+    Decorrelation: EXISTS == left-semi join on (orderkey, suppkey !=);
+    NOT EXISTS == left-anti join against the late-line set with the same
+    key pair. Both shuffles carry only orderkey/suppkey; the supplier
+    nation filter broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    late1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # EXISTS: some other supplier has ANY line in the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    with_other = late1.join(
+        l2,
+        (late1.l_orderkey == l2.l2_orderkey) & (late1.l_suppkey != l2.l2_suppkey),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier was ALSO late in that order
+    late3 = late1.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    sole_late = with_other.join(
+        late3,
+        (with_other.l_orderkey == late3.l3_orderkey)
+        & (with_other.l_suppkey != late3.l3_suppkey),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )

@@ -107,3 +107,23 @@ def test_embedding_dedup_bucketed_no_bnlj(spark, sf_dir):
     plan = _plan(plans.QUERIES["dedup_embedding_cosine"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_anti_no_bnlj(spark, sf_dir):
+    """The double-correlated EXISTS/NOT EXISTS must decorrelate to
+    semi/anti hash or merge joins, never a nested-loop product."""
+    plan = _plan(plans.QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q8_q9_dims_broadcast(spark, sf_dir):
+    """Every dimension side of the 8-table (q8) and 5-table (q9) stars
+    broadcasts; the only shuffle joins are fact-fact."""
+    for name in ("q8_market_share", "q9_product_profit"):
+        plan = _plan(plans.QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
