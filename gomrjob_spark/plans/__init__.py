@@ -62,6 +62,9 @@ _VERIFY_FIRST = [
     "q11_important_balances",
     "q12_priority_lines",
     "q21_waiting_suppliers",
+    "streaming_static_join",
+    "streaming_interval_join",
+    "multimodal_frame_sample",
 ]
 
 

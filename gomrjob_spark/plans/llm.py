@@ -410,6 +410,39 @@ def multimodal_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(length(text) % 240 + 24 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
+    FROM v, unnest(generate_series(0, n_frames - 1, 10)) AS t(f)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: every-10th-frame indices as an
+    array column exploded to (doc, frame) rows — downstream decode tasks
+    read only sampled frames. Frame count is a deterministic stand-in
+    derived from the text length (no video codecs in the container); the
+    sequence arithmetic under the oracle gate is the real operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = (F.length("text") % 240 + 24).cast("int")
+    return (
+        docs.select("doc_id", n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(multimodal.frame_sample_indices(F.col("n_frames"), every=10)).alias(
+                "frame_idx"
+            ),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
     "multimodal_metadata",
     oracle="""
     WITH p AS (SELECT doc_id, text, encode(text) AS payload FROM documents)

@@ -153,3 +153,77 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched against a static dimension (events x customer on
+    user_id): per-batch broadcast hash join with zero streaming state,
+    then a complete-mode aggregate per market segment. The scale-correct
+    shape for stream-vs-dimension enrichment."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import stream_static_join as _ssj
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = _ssj(events, customer, "user_id", "c_custkey")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+    )
+    return _drain(spark, agg, "complete").orderBy("c_mktsegment")
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.ts AS click_ts,
+           b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ORDER BY a.user_id, click_id, purchase_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: clicks pair with the same
+    user's purchases within the following 30 minutes. Watermarks on both
+    sides plus the two-sided time bound let Spark evict join state as the
+    watermark advances — the only shape under which an unbounded
+    stream-stream join is runnable. Over the finite replay the appended
+    matches equal the batch band self-join."""
+    from gomrjob_spark.streaming import stream_stream_interval_join
+
+    events = read_events_stream(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id", "p_user_id", "click_ts", "purchase_ts",
+        within="30 minutes",
+    )
+    out = joined.select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+    return _drain(spark, out, "append").orderBy("user_id", "click_id", "purchase_id")

@@ -14,6 +14,8 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     session_windows,
     sliding_counts,
     stateful_user_counts,
+    stream_static_join,
+    stream_stream_interval_join,
     streaming_dedup,
     streaming_dedup_within_watermark,
     tumbling_counts,

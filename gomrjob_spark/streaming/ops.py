@@ -117,6 +117,48 @@ def streaming_dedup_within_watermark(
     )
 
 
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    left_on: str,
+    right_on: str,
+) -> DataFrame:
+    """Enrich a stream against a static dimension table: per micro-batch
+    broadcast hash join, no streaming state at all (the static side is
+    re-broadcast per batch, picking up dimension updates between
+    batches). The scale-correct shape for stream-vs-dimension joins —
+    a stream-stream join here would hold unbounded state."""
+    return stream.join(F.broadcast(static), stream[left_on] == static[right_on])
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time interval join of two streams: rows pair when
+    ``left_key = right_key`` and ``right_ts`` falls in
+    ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so Spark can evict join state once the watermark
+    passes — the required shape for an unbounded stream-stream join
+    (without the time bound, state grows forever)."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[left_key] == r_wm[right_key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l_wm.join(r_wm, cond)
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     path: str,
