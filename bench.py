@@ -39,10 +39,13 @@ HEADLINE = [
     "set_ops",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "knn_bruteforce",
     "text_token_stats",
     "mr_field_count",
+    "mr_combiner",
     "streaming_tumbling_agg",
+    "streaming_interval_join",
 ]
 
 

@@ -396,8 +396,13 @@ def embedding_dup_pairs_bucketed(
     and the two vector fetches are equi-joins on id. Shuffle volume is
     O(n_tables * n + |candidates|) rows of ids — the vectors move only
     for deduped candidates. No BroadcastNestedLoopJoin (pinned in
-    tests/test_plan_quality.py)."""
-    from gomrjob_spark.operators.similarity import cosine
+    tests/test_plan_quality.py).
+
+    Per-vector L2 norms are computed ONCE in the fetch frames and the
+    per-pair score is dot/(norm_a*norm_b) — the same expression
+    cosine() folds per pair (bit-identical result, verified by the
+    unchanged oracle hash) at a third of the per-pair flops."""
+    from gomrjob_spark.operators.similarity import dot, l2_norm
 
     b = axis_sign_buckets(df, n_planes, n_tables, id_col, vec_col, dim)
     a_side = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
@@ -408,11 +413,23 @@ def embedding_dup_pairs_bucketed(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

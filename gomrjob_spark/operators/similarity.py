@@ -252,3 +252,64 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def knn_axis_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with axis-sign LSH buckets (the oracle-gated
+    variant of :func:`knn_lsh` — see dedup.axis_sign_buckets: sign tests
+    only, so any SQL engine reproduces the candidate set exactly).
+
+    Plan: bucket both sides (ids + bucket keys only), equi-join on
+    (table, bucket), dedup candidate pairs BEFORE fetching vectors, then
+    exact cosine + per-query top-k window. Shuffle volume is
+    O(n_tables * (|Q| + |C|) + |candidates|)."""
+    from gomrjob_spark.operators.dedup import axis_sign_buckets
+
+    qb = axis_sign_buckets(queries, n_planes, n_tables, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
+    )
+    cb = axis_sign_buckets(corpus, n_planes, n_tables, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), "table_id", "bucket"
+    )
+    cand = (
+        qb.join(cb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # norms once per vector; per-pair score is dot/(nq*nc) — identical
+    # arithmetic to cosine() at a third of the per-pair flops
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_nq"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_nq") * F.col("_nc"))).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

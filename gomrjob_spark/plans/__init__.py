@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "streaming_static_join",
     "streaming_interval_join",
     "multimodal_frame_sample",
+    "knn_axis_lsh",
 ]
 
 

@@ -197,6 +197,47 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query(
+    "knn_axis_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {_axis_bucket_sql(3, 16)}
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q JOIN b c ON q.table_id = c.table_id AND q.bucket = c.bucket
+      WHERE c.vec_id != q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS score
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_axis_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 under the FULL oracle gate: axis-sign LSH
+    buckets (sign tests only — bit-identical across engines) define the
+    candidate set, exact cosine + window rank the survivors, and the
+    DuckDB oracle mirrors the bucketing literally. Complements the
+    Gaussian-plane knn_lsh (rows-only) by making the bucketed-kNN plan
+    shape itself hash-verified; recall vs brute force is pytest-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_axis_lsh(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=3, n_tables=16
+    ).orderBy("query_id", "rank")
+
+
 @query("knn_ivf")  # approximate: rows-only gate, recall-tested in pytest
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5: hash-sampled coarse centroids, corpus pinned to 1 cell,

