@@ -15,6 +15,7 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     llm,
     mr,
     relational,
+    sqlapi,
     streaming,
     subqueries,
     timeseries,
@@ -66,6 +67,7 @@ _VERIFY_FIRST = [
     "streaming_interval_join",
     "multimodal_frame_sample",
     "knn_axis_lsh",
+    "sql_passthrough_topn_revenue",
 ]
 
 

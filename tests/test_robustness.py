@@ -19,6 +19,14 @@ MIN_ROWS = {
     "text_token_stats": 50,
     "sessionize_windows": 50,
     "mr_field_count": 2,  # fixture props have one field + lines_read
+    "dedup_embedding_cosine": 10,
+    "knn_axis_lsh": 25,
+    "mr_combiner": 2,
+    "multimodal_decode_headers": 50,
+    "multimodal_frame_sample": 100,
+    "sql_passthrough_topn_revenue": 6,
+    "q21_waiting_suppliers": 1,
+    "streaming_interval_join": 1,
 }
 
 
@@ -27,7 +35,10 @@ def test_results_non_trivial(spark, sf_dir, name):
     assert plans.QUERIES[name](spark, sf_dir).count() >= MIN_ROWS[name]
 
 
-@pytest.mark.parametrize("name", ["q3_shipping_priority", "join_asof", "dedup_minhash_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "join_asof", "dedup_minhash_lsh", "dedup_embedding_cosine", "knn_axis_lsh"],
+)
 def test_deterministic_across_runs(spark, sf_dir, name):
     a = plans.QUERIES[name](spark, sf_dir).collect()
     b = plans.QUERIES[name](spark, sf_dir).collect()
