@@ -433,3 +433,62 @@ def embedding_dup_pairs_bucketed(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the survivor
+    -selection step after near-dup pair detection (every doc maps to the
+    minimum id reachable through dup pairs; singletons map to
+    themselves). Returns (id, component).
+
+    Algorithm: minimum-label propagation. Each node starts labeled with
+    its own id; every iteration each node takes the min of its label and
+    its neighbors' labels; converged when no label changes. Iterations
+    needed = component diameter (near-dup clusters are shallow — pairs
+    and small cliques — so this is 2-4 rounds in practice; a
+    large-star/small-star variant would cut pathological chains to
+    O(log n) rounds without changing the interface).
+
+    Distribution: each round is one join of the symmetric edge list
+    against the label frame (shuffle on node id) + one aggregate; the
+    driver only coordinates the loop and reads a single converged
+    count per round. ``localCheckpoint`` truncates the growing lineage
+    so round N's plan doesn't replay rounds 1..N-1."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -68,6 +68,8 @@ _VERIFY_FIRST = [
     "multimodal_frame_sample",
     "knn_axis_lsh",
     "sql_passthrough_topn_revenue",
+    "dedup_cluster_survivors",
+    "corpus_clean_filter",
 ]
 
 

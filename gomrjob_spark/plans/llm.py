@@ -34,6 +34,14 @@ _SQL_SHINGLES = f"""
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
+def _sql_stop_hits(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({in_list})))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -150,6 +158,109 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs_bucketed(
         emb, threshold=0.4, n_planes=3, n_tables=16
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.6
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.dst AS node, r.label AS label
+      FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection after near-dup detection: connected components
+    over the jaccard >= 0.6 pair graph — every doc maps to the minimum
+    id in its dup cluster (singletons to themselves), the id a cleaning
+    pipeline keeps. Spark side is min-label propagation to a fixpoint
+    (one edge-vs-labels join per round, lineage checkpointed); the
+    oracle computes the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.6, max_shingle_freq=None)
+    return dedup.connected_components(pairs, docs).orderBy("doc_id")
+
+
+@query(
+    "corpus_clean_filter",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, lang,
+        regexp_split_to_array(trim(text), '\\s+') AS w,
+        CAST(length(text) AS INT) AS n_chars,
+        {_sql_stop_hits(("the", "and", "of", "to", "in", "is", "a"))} AS stop_hits,
+        md5({_SQL_NORM}) AS fp
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, fp,
+        (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0 ELSE 0.5 END) * 0.2
+        + (CASE WHEN tok_len >= 2.0 AND tok_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        + (1.0 - least(punct * 4, 1.0)) * 0.2
+        + (1.0 - least(digit * 4, 1.0)) * 0.2
+        + least(CAST(stop_hits AS DOUBLE) / len(w) * 5, 1.0) * 0.2 AS quality
+      FROM (
+        SELECT doc_id, lang, fp, n_chars, stop_hits, w,
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS tok_len,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / n_chars AS punct,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars AS digit
+        FROM q
+      )
+    ),
+    survivors AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp)
+    SELECT s.doc_id, s.lang, s.quality
+    FROM scored s JOIN survivors USING (doc_id)
+    WHERE s.quality >= 0.5 AND s.lang = 'en'
+    ORDER BY s.doc_id
+    """,
+)
+def corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning composition in ONE plan:
+    heuristic quality gate + language filter + exact-dedup survivorship
+    (keep a doc only if it is the minimum id for its normalized-text
+    fingerprint). All three stages are codegen'd column expressions plus
+    one fingerprint aggregate — the shape of a real corpus-cleaning run,
+    end-to-end under the oracle gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.fingerprint("text").alias("fp"),
+        text.quality_score("text").alias("quality"),
+    )
+    survivors = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(survivors.select("doc_id"), "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -286,14 +397,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.punct_ratio("text").alias("punct_ratio"),
         text.digit_ratio("text").alias("digit_ratio"),
     ).orderBy("doc_id")
-
-
-def _sql_stop_hits(words: tuple[str, ...]) -> str:
-    in_list = ", ".join(f"'{w}'" for w in words)
-    return (
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
-        f"t -> t IN ({in_list})))"
-    )
 
 
 @query(

@@ -259,3 +259,16 @@ def test_knn_axis_lsh_high_recall_on_fixture(emb):
     want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     got = {(r.query_id, r.neighbor_id) for r in ax.collect()}
     assert len(got & want) / len(want) >= 0.95
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, singleton: labels converge to the component min."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id bigint")
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}

@@ -25,6 +25,8 @@ MIN_ROWS = {
     "multimodal_decode_headers": 50,
     "multimodal_frame_sample": 100,
     "sql_passthrough_topn_revenue": 6,
+    "dedup_cluster_survivors": 100,
+    "corpus_clean_filter": 20,
     "q21_waiting_suppliers": 1,
     "streaming_interval_join": 1,
 }
