@@ -127,3 +127,38 @@ def test_q8_q9_dims_broadcast(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
+    """Sweep EVERY registered batch query's physical plan: a nested-loop
+    or cartesian join may only appear where the build side is
+    constant-sized by construction (global-scalar broadcasts in q11/q22,
+    the 10-row query set in knn_bruteforce, the 16-row coarse quantizer
+    in knn_ivf). Anything else is a data-sized product — the class of
+    plan that dies at 100 TB — and fails this test."""
+    ALLOWED_BNLJ = {
+        "q11_important_balances",   # 1-row global-total broadcast
+        "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
+        "knn_bruteforce",           # |Q|=10 broadcast x corpus, by design
+        "knn_ivf",                  # 16-row centroid quantizer broadcast
+    }
+    STREAMING_OR_ITERATIVE = {
+        "streaming_tumbling_agg", "streaming_sliding_counts",
+        "streaming_session_window", "streaming_dedup_counts",
+        "streaming_stateful_counts", "streaming_static_join",
+        "streaming_interval_join",
+        "dedup_cluster_survivors",  # fixpoint loop runs at construction
+    }
+    offenders = {}
+    for name, fn in plans.QUERIES.items():
+        if name in STREAMING_OR_ITERATIVE:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"data-sized join products found: {offenders}"
