@@ -128,6 +128,28 @@ class Pipeline:
                 df = df.localCheckpoint(eager=False)
         return df
 
+    def run_to_dir(
+        self,
+        df: DataFrame,
+        path: str,
+        compress: bool = False,
+        num_files: int | None = None,
+        sorted_output: bool = False,
+    ) -> DataFrame:
+        """Run and materialize the result as a ``part-*`` text directory
+        in the reference's job-output convention (``k\\tv`` lines,
+        optional gzip — runner.go:137-163): the interop format an
+        existing Hadoop-Streaming consumer (or a later ``read_text_dir``
+        + ``parse_kv_lines`` step) reads. Returns the result DataFrame
+        as well."""
+        from gomrjob_spark.sources.lines import write_tsv_part_files
+
+        out = self.run(df)
+        write_tsv_part_files(
+            out, path, compress=compress, num_files=num_files, sorted_output=sorted_output
+        )
+        return out
+
 
 def _run_step(df: DataFrame, s: Step) -> DataFrame:
     if s.mapper is not None:

@@ -218,3 +218,21 @@ def test_cpu_report_nonzero_after_run(spark):
     assert rep["n_stages"] > 0
     assert rep["executor_cpu_ns"] > 0
     assert rep["executor_run_ms"] >= 0
+
+
+def test_run_to_dir_chains_through_materialized_output(spark, tmp_path):
+    """The reference's ACTUAL chaining mechanism — job 1 writes part-*
+    k\\tv files, job 2 reads them (runner.go:134-163) — round-trips:
+    run_to_dir -> read_text_dir + parse_kv_lines -> second pipeline."""
+    from gomrjob_spark.protocols import parse_kv_lines
+    from gomrjob_spark.sources.lines import read_text_dir
+
+    kv = spark.createDataFrame(
+        [("a", "1"), ("a", "2"), ("b", "5")], "key string, value string"
+    )
+    out_dir = str(tmp_path / "job1")
+    Pipeline(steps=[Step(reducer=SUM)]).run_to_dir(kv, out_dir, compress=True)
+
+    back = parse_kv_lines(read_text_dir(spark, out_dir))
+    got = Pipeline(steps=[Step(reducer=COUNT)]).run(back).orderBy("key").collect()
+    assert [(r.key, r.value) for r in got] == [("a", 1), ("b", 1)]
