@@ -138,3 +138,50 @@ def fingerprint(col: Column | str) -> Column:
     """128-bit content fingerprint of the normalized text (hex md5) — the
     exact-dedup key that survives whitespace/case jitter."""
     return F.md5(F.encode(normalized(col), "UTF-8"))
+
+
+def winnow_fingerprints(
+    df,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram of the normalized text, slide a window of ``w``
+    consecutive hashes, keep each window's minimum — the selected set is
+    a position-robust rolling-hash sketch whose overlap localizes shared
+    passages (guarantee: any shared substring of length >= k + w - 1
+    contributes at least one common fingerprint).
+
+    Cross-engine determinism: the k-gram hash is the md5 hex prefix and
+    window minima compare LEXICOGRAPHICALLY — strings, not ints — so any
+    SQL engine reproduces the exact fingerprint set (no integer
+    conversion, no engine-specific hash). All column expressions; the
+    gram/min arrays are projected into real columns between the
+    higher-order steps (lambda subexpressions get no CSE).
+
+    Returns exploded (id, fp) rows, distinct per doc."""
+    norm_df = spread(df).select(
+        F.col(id_col), normalized(text_col).alias("_norm")
+    )
+    # substring with a dynamic start needs the SQL form (the Python
+    # builder takes literal ints); one expr over the projected column
+    grams_df = norm_df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(CASE WHEN length(_norm) >= {k} "
+            f"THEN sequence(1, length(_norm) - {k} + 1) ELSE array() END, "
+            f"i -> substring(md5(substring(_norm, i, {k})), 1, 16))"
+        ).alias("_grams"),
+    )
+    g = F.col("_grams")
+    wins = F.when(
+        F.size(g) >= w, F.sequence(F.lit(1), F.size(g) - w + 1)
+    ).otherwise(F.when(F.size(g) >= 1, F.array(F.lit(1))).otherwise(F.array().cast("array<int>")))
+    fps = F.transform(
+        wins, lambda j: F.array_min(F.slice(g, j, w))
+    )
+    return grams_df.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )

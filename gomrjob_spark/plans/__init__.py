@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "sql_passthrough_topn_revenue",
     "dedup_cluster_survivors",
     "corpus_clean_filter",
+    "text_winnow_fingerprint",
 ]
 
 

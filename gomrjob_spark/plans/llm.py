@@ -478,6 +478,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(
+          CASE WHEN length(norm) >= 8
+               THEN generate_series(1, length(norm) - 8 + 1)
+               ELSE CAST([] AS BIGINT[]) END,
+          i -> substr(md5(substr(norm, i, 8)), 1, 16)) AS grams
+      FROM n
+    ),
+    f AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          CASE WHEN len(grams) >= 4
+               THEN generate_series(1, len(grams) - 4 + 1)
+               WHEN len(grams) >= 1 THEN [CAST(1 AS BIGINT)]
+               ELSE CAST([] AS BIGINT[]) END,
+          j -> list_min(list_slice(grams, j, j + 4 - 1)))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (k=8-char grams,
+    window w=4): the position-robust sketch that localizes shared
+    passages — any shared substring of length >= k+w-1 yields a common
+    fingerprint. Hashes are md5-hex prefixes with LEXICOGRAPHIC window
+    minima, so the DuckDB oracle reproduces the set exactly (note its
+    list_slice is end-inclusive where Spark's slice takes a length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=8, w=4).orderBy("doc_id", "fp")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

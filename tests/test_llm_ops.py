@@ -272,3 +272,27 @@ def test_connected_components_shapes(spark):
         for r in dedup.connected_components(edges, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing's covenant: two docs sharing a substring of length >=
+    k + w - 1 (= 11 at k=8, w=4) share at least one fingerprint, while
+    disjoint-content docs share none."""
+    from gomrjob_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXXX {shared} YYYYY"),
+            (3, "completely different content with no overlap at all kkkk"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]  # shared passage -> common fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

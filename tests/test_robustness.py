@@ -27,6 +27,7 @@ MIN_ROWS = {
     "sql_passthrough_topn_revenue": 6,
     "dedup_cluster_survivors": 100,
     "corpus_clean_filter": 20,
+    "text_winnow_fingerprint": 1000,
     "q21_waiting_suppliers": 1,
     "streaming_interval_join": 1,
 }
