@@ -51,3 +51,20 @@ def test_deterministic_across_runs(spark, sf_dir, name):
 def test_missing_input_raises_analysis_exception(spark):
     with pytest.raises(AnalysisException):
         plans.QUERIES["q1_pricing_summary"](spark, "/no/such/dir").collect()
+
+
+def test_verify_first_names_all_exist():
+    """Every name in the driver-window priority list must be a real
+    registered query — a typo would silently waste a verification slot."""
+    from gomrjob_spark.plans import _VERIFY_FIRST
+
+    missing = [n for n in _VERIFY_FIRST if n not in plans.QUERIES]
+    assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
+
+
+def test_registry_tiering():
+    """Window discipline: first-50 all oracle-eligible; rows-only last."""
+    names = list(plans.QUERIES)
+    assert all(n in plans.ORACLES for n in names[:50])
+    rows_only = [n for n in names if n not in plans.ORACLES]
+    assert names[-len(rows_only):] == rows_only
