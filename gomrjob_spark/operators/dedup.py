@@ -115,6 +115,15 @@ def jaccard_pairs(
     )
 
 
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The affine-permutation coefficients, deterministic per seed —
+    shared by the Spark operator and any SQL mirror of it."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 64,
@@ -123,21 +132,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 42,
     shingles: DataFrame | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature (array<long> of length num_hashes) per doc.
 
-    One base xxhash64 per shingle, then ``num_hashes`` affine permutations
+    One base hash per shingle, then ``num_hashes`` affine permutations
     (a*h+b mod 2^31-1) folded with min() — entirely column expressions, one
     aggregation shuffle. Signature length trades accuracy for width; 64
     longs = 512 bytes/doc at any corpus size. Pass a precomputed (persisted)
     ``shingles`` frame to share the tokenize+shingle scan with other stages.
-    """
-    import random
 
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    ``base_hash``: 'xxhash64' (production — fastest JVM path) or 'md5'
+    (60-bit md5-hex prefix — slower, but reproducible by any SQL engine,
+    enabling a full oracle gate on the MinHash pipeline)."""
+    coeffs = minhash_coeffs(num_hashes, seed)
     sh = shingles if shingles is not None else word_shingles(df, n, text_col, id_col)
-    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
+    if base_hash == "xxhash64":
+        raw = F.xxhash64(F.col("shingle"))
+    elif base_hash == "md5":
+        raw = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError(f"base_hash must be 'xxhash64' or 'md5', got {base_hash!r}")
+    base = F.pmod(raw, F.lit(_MERSENNE))
     mins = [
         F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -215,6 +231,15 @@ def minhash_dedup_pairs(
     sh = word_shingles(df, n, text_col, id_col).persist()
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed, shingles=sh)
     cand = lsh_candidate_pairs(sigs, bands, id_col, sig_len=num_hashes)
+    return _jaccard_verify(cand, sh, threshold, id_col)
+
+
+def _jaccard_verify(
+    cand: DataFrame, sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the (persisted)
+    shingle frame: intersection via the pair-restricted shingle join,
+    union via per-doc sizes. Shared by every propose/verify dedup path."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -237,6 +262,54 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_md5_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The fully SQL-mirrorable MinHash-LSH pipeline: md5-derived base
+    hashes (any engine reproduces them — see minhash_signatures
+    base_hash='md5') and banding on the RAW signature-slice values
+    (an equi-join on (band, v0..v_{rows-1}) instead of a band hash), so
+    the complete propose/verify computation sits under the hash-match
+    oracle gate. The xxhash64 variant (minhash_dedup_pairs) stays the
+    production fast path; this one is its cross-engine-verifiable twin —
+    identical plan shape, a few extra bytes per banded row."""
+    rows = num_hashes // bands
+    sh = word_shingles(df, n, text_col, id_col).persist()
+    sigs = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, seed, shingles=sh, base_hash="md5"
+    )
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.element_at(F.col("signature"), b * rows + r + 1).alias(f"v{r}")
+                for r in range(rows)
+            ],
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*entries)).alias("bk")).select(
+        id_col, "bk.*"
+    )
+    keys = ["band"] + [f"v{r}" for r in range(rows)]
+    a = banded.select(F.col(id_col).alias("id_a"), *keys)
+    b = banded.select(F.col(id_col).alias("id_b"), *keys)
+    cand = (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh, threshold, id_col)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "dedup_cluster_survivors",
     "corpus_clean_filter",
     "text_winnow_fingerprint",
+    "dedup_minhash_md5",
 ]
 
 

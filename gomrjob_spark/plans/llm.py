@@ -104,6 +104,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
 
 
+def _minhash_md5_sql(num_hashes: int, bands: int, seed: int, threshold: float) -> str:
+    """DuckDB mirror of dedup.minhash_md5_dedup_pairs: same md5-prefix
+    base hash, same affine coefficients (shared generator), same
+    band-on-raw-values candidate join, same exact-Jaccard verify."""
+    from gomrjob_spark.operators.dedup import _MERSENNE, minhash_coeffs
+
+    rows = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes, seed)
+    base = f"(('0x' || substr(md5(shingle),1,15))::BIGINT % {_MERSENNE})"
+    mins = ",\n        ".join(
+        f"min(({base} * {a} + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {vals} FROM sig".format(
+            b=b,
+            vals=", ".join(f"h{b * rows + r} AS v{r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    vkeys = " AND ".join(f"x.v{r} = y.v{r}" for r in range(rows))
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh
+      GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y ON x.band = y.band AND {vkeys}
+      WHERE x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_md5", oracle=_minhash_md5_sql(32, 16, 42, 0.6))
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH under the FULL oracle gate: md5-prefix base hashes and
+    raw-value banding make every stage of the propose/verify pipeline
+    reproducible in SQL — the DuckDB oracle recomputes the identical 32
+    permutations, 16 bands and exact-Jaccard verification. Twin of the
+    xxhash64 production path (which stays rows-only: DuckDB has no
+    xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_md5_dedup_pairs(
+        docs, threshold=0.6, num_hashes=32, bands=16
+    ).orderBy("id_a", "id_b")
+
+
 @query("dedup_simhash")  # approximate: rows-only gate, tested in pytest
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(63-bit) pairs within Hamming distance 3 (band candidates +

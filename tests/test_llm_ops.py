@@ -296,3 +296,12 @@ def test_winnow_shared_passage_guarantee(spark):
     assert by_doc[1] & by_doc[2]  # shared passage -> common fingerprint
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_minhash_md5_matches_xxhash_recall(docs):
+    """The SQL-mirrorable md5 MinHash recovers the same near-dup pairs
+    as the exact Jaccard join on the fixture (the >=0.9 bimodal cluster
+    saturates the 16x2 S-curve), like the production xxhash64 variant."""
+    exact = _pair_set(dedup.jaccard_pairs(docs, threshold=0.6, max_shingle_freq=None))
+    md5lsh = _pair_set(dedup.minhash_md5_dedup_pairs(docs, threshold=0.6))
+    assert md5lsh == exact

@@ -28,6 +28,7 @@ MIN_ROWS = {
     "dedup_cluster_survivors": 100,
     "corpus_clean_filter": 20,
     "text_winnow_fingerprint": 1000,
+    "dedup_minhash_md5": 10,
     "q21_waiting_suppliers": 1,
     "streaming_interval_join": 1,
 }
