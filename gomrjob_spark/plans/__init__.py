@@ -72,6 +72,10 @@ _VERIFY_FIRST = [
     "corpus_clean_filter",
     "text_winnow_fingerprint",
     "dedup_minhash_md5",
+    # new/changed this round (2, continued): the last two TPC-H shapes
+    # and the de-vacuized q7/q22 predicates
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
 ]
 
 

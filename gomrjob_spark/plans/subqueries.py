@@ -225,7 +225,9 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND substring(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
         )
     ) cust
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = cust.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = cust.c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
@@ -235,7 +237,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frame) + NOT EXISTS (anti join). The avg is computed exactly in
     decimal then compared in double — both engines see the identical value.
     (TPC-H q22 shape; the customer-name digit suffix stands in for the
-    missing c_phone country code.)"""
+    missing c_phone country code; "has never placed an order" narrows to
+    "has never placed an URGENT order" because the fixture's uniform
+    o_custkey leaves no order-less customers at any SF — the unrestricted
+    form is vacuously empty, which would match any oracle.)"""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     codes = ("13", "31", "23", "29", "30", "18", "17")
@@ -250,7 +255,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rich = in_codes.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("_avg"))
     no_orders = rich.join(
-        orders.select("o_custkey"), rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
     )
     return (
         no_orders.groupBy("cntrycode")

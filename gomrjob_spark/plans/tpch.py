@@ -11,6 +11,7 @@ that must still push down (q19).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
@@ -40,8 +41,8 @@ def _disc_price() -> F.Column:
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
         AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+          OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -58,9 +59,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    pair = (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY") | (
-        F.col("supp_nation") == "GERMANY"
-    ) & (F.col("cust_nation") == "FRANCE")
+    pair = (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11") | (
+        F.col("supp_nation") == "NATION_11"
+    ) & (F.col("cust_nation") == "NATION_20")
     return (
         lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -362,6 +363,149 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").cast("double").alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name, n_name,
+           p_partkey, p_name, supplycost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = supply.l_partkey AND s_suppkey = supply.l_suppkey
+      AND p_size <= 15 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supplycost = (
+        SELECT min(s2.supplycost)
+        FROM supply s2, supplier sp2, nation n2, region r2
+        WHERE s2.l_partkey = p_partkey AND sp2.s_suppkey = s2.l_suppkey
+          AND sp2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part in a region, via a
+    correlated-min subquery. The fixture has no partsupp, so the supply
+    relation is derived: distinct (l_partkey, l_suppkey) pairs from
+    lineitem with supplycost = min unit price ever charged. The correlated
+    min decorrelates to a window min over p_partkey after the region
+    filter — exactly what Catalyst would produce for the subquery form.
+
+    supplycost is a row-level double division then MIN — both
+    order-independent and IEEE-identical across engines, so the equality
+    against the per-part min is exact.
+
+    Scale: the supply aggregation shuffles lineitem once on the composite
+    key (map-side partial min); part (filtered), nation and region
+    broadcast; supplier is auto-broadcast below the threshold and
+    shuffles above it; the window min adds one shuffle on p_partkey."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supply = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    parts = part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+    eu_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = supply.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")).join(
+        eu_supp, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("_min_cost"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supplycost",
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2)
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND qty > CAST(0.5 AS DECIMAL(3,2)) * (
+          SELECT sum(s2.qty) FROM shipped s2
+          WHERE s2.l_partkey = shipped.l_partkey))
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate a promo part's annual
+    volume — nested IN subqueries with a correlated aggregate. Without
+    partsupp, "availqty > half the year's shipments" becomes "shipped
+    more than half of the part's total 1995 volume" over the derived
+    supply relation. (The q20 nation filter is dropped: the smoke SF has
+    10 suppliers total, so any per-nation cut is vacuous.)
+
+    Quantities are summed as exact decimals so the >50% comparison is
+    bit-identical across engines.
+
+    Scale: one lineitem shuffle for the (partkey, suppkey) rollup (date
+    filter pushed to the scan), the promo part list is a broadcast semi
+    join, the per-part total is a window sum on partkey, and the final
+    supplier filter is a broadcast semi join on the small qualifying-id
+    set."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    w = W.partitionBy("l_partkey")
+    qualifying = (
+        shipped.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .withColumn("_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > F.lit("0.5").cast("decimal(3,2)") * F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("s_name")
     )
 
 
