@@ -471,20 +471,75 @@ def embedding_dup_pairs_bucketed(
     for deduped candidates. No BroadcastNestedLoopJoin (pinned in
     tests/test_plan_quality.py).
 
+    Pair dedup is shuffle-free ("first matching table wins"): every row
+    carries the packed n_planes*n_tables-bit sign signature, and a pair
+    colliding in several tables survives only in the lowest such
+    table_id — a bit test on sig_a XOR sig_b evaluated map-side right
+    after the join, replacing a distinct() exchange over the (large)
+    candidate stream. At 16 tables on a hot fixture this removes the
+    single most expensive shuffle in the query.
+
     Per-vector L2 norms are computed ONCE in the fetch frames and the
     per-pair score is dot/(norm_a*norm_b) — the same expression
     cosine() folds per pair (bit-identical result, verified by the
-    unchanged oracle hash) at a third of the per-pair flops."""
+    unchanged oracle hash) at a third of the per-pair flops.
+
+    (A dim-unrolled flat expression tree was tried for the scoring and
+    is ~4x SLOWER than the HOF fold: a 128-term nested Add chain blows
+    up Catalyst's optimizer passes. The HOF fold is the right form.)"""
     from gomrjob_spark.operators.similarity import dot, l2_norm
 
-    b = axis_sign_buckets(df, n_planes, n_tables, id_col, vec_col, dim)
-    a_side = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
-    b_side = b.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    nbits = n_planes * n_tables
+    if nbits > 63:
+        raise ValueError(f"n_planes*n_tables={nbits} exceeds 63 signature bits")
+    # packed signature: bit i = sign(vec[i]); folded high->low so the
+    # fold is acc*2+bit (no per-bit variable shift needed)
+    sig = F.aggregate(
+        F.sequence(F.lit(nbits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc * F.lit(2).cast("bigint")
+        + F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    mask = (1 << n_planes) - 1
+    entries = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            F.shiftrightunsigned(F.col("_sig"), t * n_planes).bitwiseAND(F.lit(mask)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    b = (
+        df.select(F.col(id_col), sig.alias("_sig"))
+        .select(F.col(id_col), "_sig", F.explode(F.array(*entries)).alias("_tb"))
+        .select(id_col, "_sig", F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket"))
+    )
+    # The bucket join broadcasts one side, so downstream parallelism is
+    # the streaming side's partitioning — which is the (tiny) source
+    # scan's. Repartition the exploded frame (n_tables*n rows of ids, a
+    # trivial shuffle) so the join fan-out and the per-pair scoring run
+    # wide instead of in one task. The partition count is explicit:
+    # AQE would coalesce a by-size-tiny shuffle to one partition, which
+    # serializes the (large) downstream fan-out — the shuffle is small
+    # but what GROWS out of it is not.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a_side = b.repartition(n_parts, "table_id", "bucket").select(
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "table_id", "bucket"
+    )
+    b_side = b.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "table_id", "bucket")
+    xor = F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
+    first_match: Column = F.lit(None).cast("int")
+    for t in range(n_tables - 1, -1, -1):
+        first_match = F.when(
+            F.shiftrightunsigned(xor, t * n_planes).bitwiseAND(F.lit(mask)) == 0, F.lit(t)
+        ).otherwise(first_match)
     cand = (
         a_side.join(b_side, ["table_id", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (first_match == F.col("table_id")))
         .select("id_a", "id_b")
-        .distinct()
     )
     va = df.select(
         F.col(id_col).alias("id_a"),

@@ -46,6 +46,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# NOTE: a dim-unrolled flat expression form of dot/l2_norm (64 getItem
+# terms in a nested Add chain) was benchmarked as ~4x SLOWER than the
+# HOF folds above — deep Add chains blow up Catalyst's optimizer passes.
+# Keep the folds.
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
