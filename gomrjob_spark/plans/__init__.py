@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     # and the de-vacuized q7/q22 predicates
     "q2_min_cost_supplier",
     "q20_potential_promotion",
+    "window_range_frame",
 ]
 
 

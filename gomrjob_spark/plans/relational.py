@@ -665,6 +665,42 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, o_orderdate,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        AS spend_30d,
+      CAST(count(*) OVER w AS BIGINT) AS orders_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, peers included) — 30-day trailing
+    spend per customer, ordered by days-since-epoch so the frame bound is
+    integer arithmetic on both engines. Unlike the ROWS frames above, a
+    RANGE frame's extent depends on the ORDER BY value, and same-day
+    orders are frame peers. Decimal window sum keeps the result
+    order-independent; one shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
     "window_lag_lead",
     oracle="""
     SELECT

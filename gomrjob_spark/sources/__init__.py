@@ -17,6 +17,12 @@ from gomrjob_spark.sources.lines import (
     write_tsv_part_files,
 )
 from gomrjob_spark.sources.fs import FileStatus, FsOps
+from gomrjob_spark.sources.tables import (
+    read_csv,
+    read_table,
+    write_csv,
+    write_partitioned,
+)
 
 __all__ = [
     "resolve_path",

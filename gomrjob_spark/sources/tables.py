@@ -1,0 +1,79 @@
+"""Columnar table sources/sinks beyond the line-protocol layer.
+
+The reference's storage surface is line files only (text/gz part files,
+`/root/reference/runner.go:137-163`); the engine's §2F scans/sources
+contract adds the columnar formats Spark ships (parquet/csv/orc) plus the
+layout feature that matters most at 100 TB: **partitioned directories**.
+A date- or category-partitioned dataset turns a predicate on the
+partition column into directory pruning — the scan never opens the
+non-matching files, which at scale is the difference between reading
+100 TB and reading one partition. Pruning is pinned by
+tests/test_sources.py::test_partitioned_write_prunes_scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gomrjob_spark.sources.paths import resolve_path
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Write a dataset partitioned by the given columns (hive-style
+    ``col=value`` directories). Partition columns should be low-to-medium
+    cardinality (a date, a category) — one directory per value; a
+    high-cardinality partition column creates a small-files problem
+    instead of pruning."""
+    w = df.write.mode(mode).partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.format(fmt).save(resolve_path(path))
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a columnar table (parquet/orc/csv). Partitioned layouts are
+    discovered automatically; filters on partition columns prune at plan
+    time. For csv, pass an explicit ``schema`` — inference reads the data
+    twice and types drift (everything-is-string without it)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.format(fmt).load(resolve_path(path))
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+) -> None:
+    """CSV sink (header on by default; gzip via ``compression='gzip'``)."""
+    w = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(resolve_path(path))
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True, **options: str
+) -> DataFrame:
+    """CSV source with a required schema (see read_table note)."""
+    return read_table(
+        spark, path, fmt="csv", schema=schema, header=str(header).lower(), **options
+    )

@@ -98,3 +98,65 @@ def test_fs_verbs(spark, tmp_path):
     assert fs.rmr(d)
     assert not fs.exists(d)
     assert fs.rmr(d) is False  # absent path: False, no raise
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    """Partition pruning is THE scale lever for layout: a filter on the
+    partition column must reach the scan as a PartitionFilter (directory
+    pruning — non-matching files never open), not a post-scan Filter."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.sources import read_table, write_partitioned
+
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    write_partitioned(events, out, partition_by=["event_type"])
+
+    back = read_table(spark, out)
+    one_type = back.filter(F.col("event_type") == "click")
+    plan = one_type._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear inside PartitionFilters, and the
+    # data filter list must not carry it (pruning, not row filtering)
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "event_type" in pf
+    # pruned read returns exactly the partition's rows
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert one_type.count() == expected > 0
+
+
+def test_partitioned_roundtrip_schema(spark, tmp_path):
+    from gomrjob_spark.sources import read_table, write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], "id long, cat string, v double"
+    )
+    out = str(tmp_path / "part_tbl")
+    write_partitioned(df, out, partition_by=["cat"])
+    back = read_table(spark, out)
+    assert set(back.columns) == {"id", "cat", "v"}
+    assert back.count() == 3
+    assert sorted(r.cat for r in back.select("cat").distinct().collect()) == ["a", "b"]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from gomrjob_spark.sources import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "x,with,commas", 1.5), (2, None, -2.0)], "id long, s string, v double"
+    )
+    out = str(tmp_path / "csv_tbl")
+    write_csv(df, out)
+    back = read_csv(spark, out, schema="id long, s string, v double")
+    rows = {r.id: (r.s, r.v) for r in back.collect()}
+    assert rows == {1: ("x,with,commas", 1.5), 2: (None, -2.0)}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from gomrjob_spark.sources import read_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "orc_tbl")
+    df.write.mode("overwrite").orc(out)
+    back = read_table(spark, out, fmt="orc")
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "s"}
