@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A 100 TB training pipeline cannot use ``rand()`` for train/val/test
+splits or downsampling: the assignment must be reproducible across
+reruns, stable under repartitioning, and consistent between engines
+(the label a row gets today is the label it has forever). The standard
+answer is content-addressed bucketing — hash a stable id into B buckets
+and split on bucket ranges.
+
+The hash is the md5 hex prefix (same cross-engine-reproducible idiom as
+dedup.minhash_md5_dedup_pairs): any SQL engine computes the identical
+bucket, so the split itself sits under the full DuckDB oracle gate
+(``sample_hash_split``). Salting the id decorrelates independent splits
+drawn from the same keys.
+
+Scale: one md5 + modulo per row, embedded in the scan projection — no
+shuffle, no state, trivially parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets) from the 60-bit md5-hex
+    prefix of ``salt || str(col)`` — reproducible by any SQL engine
+    (DuckDB mirror: ``('0x' || substr(md5(...), 1, 15))::BIGINT % B``)."""
+    key = F.concat(F.lit(salt), col.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return (h % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Add ``bucket`` and ``split`` ('train'/'val'/'test') columns keyed
+    on a stable id. Percentages are bucket counts out of ``buckets``."""
+    if train_pct + val_pct >= buckets:
+        raise ValueError("train_pct + val_pct must leave room for test")
+    b = hash_bucket(F.col(id_col), buckets, salt)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~``fraction`` downsample: keep rows whose bucket
+    falls below ``fraction * buckets``. Unlike ``DataFrame.sample`` the
+    kept set is a pure function of the ids — rerun-stable and
+    join-consistent across datasets sharing the key."""
+    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < int(fraction * buckets))

@@ -185,3 +185,50 @@ def winnow_fingerprints(
     return grams_df.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
     )
+
+
+def chunk_text(
+    df,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Fixed-size character chunking with overlap — the context-window
+    prep step of an LLM training/RAG pipeline. Chunk i covers
+    ``[i*step, i*step + size)`` with ``step = size - overlap``; every
+    character belongs to at least one chunk and consecutive chunks share
+    ``overlap`` characters. Empty documents produce no chunks.
+
+    Pure column expressions (sequence + explode + substr): the explode
+    multiplies rows ~len/step-fold BEFORE any shuffle, so downstream
+    per-chunk ops parallelize; nothing here shuffles at all. Exact
+    string arithmetic — any SQL engine reproduces the chunks
+    byte-identically.
+
+    Returns (id, chunk_index, chunk, chunk_len) rows."""
+    if overlap >= size:
+        raise ValueError(f"overlap={overlap} must be < size={size}")
+    step = size - overlap
+    t = F.col(text_col)
+    return (
+        df.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(0), F.length(t) - 1, F.lit(step))).alias("_off"),
+        )
+        .select(
+            id_col,
+            (F.col("_off") / step).cast("int").alias("chunk_index"),
+            F.col("_t").substr(F.col("_off") + 1, F.lit(size)).alias("chunk"),
+            F.length(F.col("_t").substr(F.col("_off") + 1, F.lit(size))).alias("chunk_len"),
+        )
+    )
+
+
+def strip_stopwords(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Remove stopword tokens, preserving the order and single-space
+    joining of the survivors (array filter + join — no Python)."""
+    kept = F.filter(tokens(col), lambda t: ~t.isin(*stopwords))
+    return F.array_join(kept, " ")

@@ -77,6 +77,9 @@ _VERIFY_FIRST = [
     "q2_min_cost_supplier",
     "q20_potential_promotion",
     "window_range_frame",
+    "text_chunks",
+    "sample_hash_split",
+    "text_stopword_strip",
 ]
 
 

@@ -717,3 +717,84 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.sha").alias("sha"),
         F.col("meta.magic").alias("magic"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_chunks",
+    oracle="""
+    WITH offs AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, length(text) - 1, 100)) AS off
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(off // 100 AS INT) AS chunk_index,
+           substr(text, CAST(off AS INT) + 1, 120) AS chunk,
+           CAST(length(substr(text, CAST(off AS INT) + 1, 120)) AS INT) AS chunk_len
+    FROM offs
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking with overlap (size 120, overlap 20)
+    — the context-window prep step of an LLM pipeline, as a pure
+    sequence+explode+substr projection (operators.text.chunk_text):
+    shuffle-free, byte-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_text(docs, size=120, overlap=20).orderBy("doc_id", "chunk_index")
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST((('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100) AS INT) AS bucket,
+           CASE WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 100) < 80 THEN 'train'
+                WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket of the doc
+    id (operators.sampling.hash_split): rerun-stable, repartition-stable,
+    engine-reproducible — the way a 100 TB pipeline splits data (rand()
+    is none of those). 80/10/10 over 100 buckets."""
+    from gomrjob_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_stopword_strip",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(w, x -> x NOT IN ('a', 'the')), ' ') AS stripped,
+           CAST(len(list_filter(w, x -> x NOT IN ('a', 'the'))) AS INT) AS kept_tokens,
+           CAST(len(w) AS INT) AS total_tokens
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal preserving token order (array filter + join —
+    JVM-side, no Python), with kept/total counts. The boilerplate-strip
+    stage of corpus cleaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    kept = F.filter(toks, lambda t: ~t.isin("a", "the"))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("stripped"),
+        F.size(kept).alias("kept_tokens"),
+        F.size(toks).alias("total_tokens"),
+    ).orderBy("doc_id")

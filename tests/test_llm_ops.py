@@ -305,3 +305,62 @@ def test_minhash_md5_matches_xxhash_recall(docs):
     exact = _pair_set(dedup.jaccard_pairs(docs, threshold=0.6, max_shingle_freq=None))
     md5lsh = _pair_set(dedup.minhash_md5_dedup_pairs(docs, threshold=0.6))
     assert md5lsh == exact
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    """Every character lands in >= 1 chunk; consecutive chunks share
+    exactly `overlap` characters; empty docs produce no chunks."""
+    import pytest
+
+    from gomrjob_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 5), (2, "short"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = chunk_text(docs, size=20, overlap=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc: no chunks
+    assert [r.chunk for r in by_doc[2]] == ["short"]
+    chunks1 = sorted(by_doc[1], key=lambda r: r.chunk_index)
+    # reassembly: drop each chunk's leading overlap, concatenation = doc
+    text1 = chunks1[0].chunk + "".join(c.chunk[5:] for c in chunks1[1:])
+    assert text1 == "abcdefghij" * 5
+    for a, b in zip(chunks1, chunks1[1:]):
+        assert a.chunk[-5:] == b.chunk[:5]  # shared overlap
+    with pytest.raises(ValueError):
+        chunk_text(docs, size=10, overlap=10)
+
+
+def test_hash_split_deterministic_and_exhaustive(docs):
+    from gomrjob_spark.operators.sampling import hash_split
+
+    a = {r.doc_id: (r.bucket, r.split) for r in hash_split(docs).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b  # repartition-stable
+    splits = {s for _, s in a.values()}
+    assert splits == {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for _, s in a.values() if s == "train")
+    assert 0.6 * n < train < 0.95 * n  # ~80% within tolerance
+
+
+def test_hash_sample_stable_subset(docs):
+    from gomrjob_spark.operators.sampling import hash_sample
+
+    s20 = {r.doc_id for r in hash_sample(docs, 0.2, id_col="doc_id").select("doc_id").collect()}
+    s40 = {r.doc_id for r in hash_sample(docs, 0.4, id_col="doc_id").select("doc_id").collect()}
+    assert s20 and s20 < s40  # growing fraction only ADDS rows (stable subsets)
+    n = docs.count()
+    assert 0.1 * n < len(s20) < 0.3 * n
+
+
+def test_strip_stopwords_preserves_order(spark):
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.text import strip_stopwords
+
+    df = spark.createDataFrame([(1, "the cat a hat the end")], "id bigint, text string")
+    out = df.select(strip_stopwords("text", ("a", "the")).alias("s")).head()
+    assert out.s == "cat hat end"

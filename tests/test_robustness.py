@@ -38,6 +38,10 @@ MIN_ROWS = {
     "q22_global_sales_opportunity": 1,
     "q2_min_cost_supplier": 5,
     "q20_potential_promotion": 2,
+    "text_chunks": 500,
+    "sample_hash_split": 100,
+    "text_stopword_strip": 100,
+    "window_range_frame": 1000,
 }
 
 
