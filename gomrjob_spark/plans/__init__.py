@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "text_chunks",
     "sample_hash_split",
     "text_stopword_strip",
+    "udaf_weighted_avg",
 ]
 
 

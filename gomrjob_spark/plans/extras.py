@@ -175,3 +175,44 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n").isNotNull())
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / (100.0 * sum(CAST(l_quantity AS BIGINT))) AS wavg_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-aggregate UDF (a true UDAF): quantity-weighted
+    average price per supplier. The accumulation happens on exact int64
+    cents inside the UDF (pandas int sums are order-independent), with
+    ONE double division per group — which is what lets a Python
+    aggregate sit under a bit-exact SQL oracle at all.
+
+    Scale note: a grouped-agg pandas UDF materializes each group's
+    columns in one Arrow batch on an executor — right for
+    many-small-groups keys like suppkey, wrong for a 3-value key whose
+    groups are the table. (This aggregation is also expressible natively
+    — the query pins the UDAF contract for aggregates that genuinely
+    need imperative Python.)"""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(ep, qty):
+        cents = (ep * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return float(float((cents * q).sum()) / (100.0 * float(q.sum())))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_suppkey")
+    )

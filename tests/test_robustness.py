@@ -42,6 +42,7 @@ MIN_ROWS = {
     "sample_hash_split": 100,
     "text_stopword_strip": 100,
     "window_range_frame": 1000,
+    "udaf_weighted_avg": 5,
 }
 
 
