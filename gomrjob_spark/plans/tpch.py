@@ -404,8 +404,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the supply aggregation shuffles lineitem once on the composite
     key (map-side partial min); part (filtered), nation and region
-    broadcast; supplier is auto-broadcast below the threshold and
-    shuffles above it; the window min adds one shuffle on p_partkey."""
+    broadcast; the supplier side joins via shuffle (post-broadcast-join
+    size estimates keep it out of auto-broadcast — correct at scale,
+    where the region-filtered supplier dimension outgrows a broadcast);
+    the window min adds one shuffle on p_partkey."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
