@@ -27,27 +27,38 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance_minutes: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
-    inclusive — DuckDB ``ASOF JOIN`` semantics). Unmatched left rows keep
-    nulls (LEFT join semantics).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: greatest ``right_ts <= left_ts`` for backward (the
+    default — DuckDB ``ASOF JOIN ... >=`` semantics), smallest
+    ``right_ts >= left_ts`` for forward (DuckDB ``<=``). Both inclusive;
+    unmatched left rows keep nulls (LEFT join semantics).
 
     ``value_cols`` are the right-side columns to carry. ``tiebreak``
     (right-side column) makes the choice among equal-``right_ts`` rows
-    deterministic.
+    deterministic. ``tolerance_minutes`` nulls out matches farther than
+    the tolerance from the left timestamp (match SELECTION is unchanged
+    — the nearest row is still the nearest; it is only disqualified),
+    mirroring pandas ``merge_asof(tolerance=...)``.
 
     The carried values ride in ONE struct per right row and the running
     ``last(ignoreNulls)`` runs over the struct, not per column: the
     struct is non-null for every right row even when its value fields
     are NULL, so a matched row's NULL fields surface as NULL instead of
-    leaking a stale value from an older right row.
+    leaking a stale value from an older right row. Forward is the same
+    single window pass over the DESCENDING stream — still one shuffle,
+    no self-join.
     """
     from pyspark.sql.types import StructField, StructType
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lcols = [c for c in left.columns]
     r_struct_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("_mts", right.schema[right_ts].dataType)]
     )
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -63,22 +74,35 @@ def asof_join(
         F.lit(0).alias("_side"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col(right_ts).alias("_mts")
+        ).alias("_r"),
     )
-    # right rows sort before left rows at equal ts (inclusive >=); among
-    # right rows at the same ts the tiebreak's last row wins
+    # right rows sort before left rows at equal ts (inclusive match);
+    # among right rows at the same ts the tiebreak's last row wins.
+    # Backward scans the stream in ascending ts order; forward scans
+    # descending, so "last right seen" is the nearest FUTURE row.
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tb"))
+        .orderBy(ts_order, F.col("_side"), F.col("_tb"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
+    m = F.col("_m")
+    if tolerance_minutes is not None:
+        gap_us = (
+            F.unix_micros(F.col("_ts")) - F.unix_micros(m.getField("_mts"))
+            if direction == "backward"
+            else F.unix_micros(m.getField("_mts")) - F.unix_micros(F.col("_ts"))
+        )
+        m = F.when(gap_us <= tolerance_minutes * 60 * 1_000_000, F.col("_m"))
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col("_m").getField(c).alias(f"asof_{c}") for c in value_cols],
+        *[m.getField(c).alias(f"asof_{c}") for c in value_cols],
     )
 
 

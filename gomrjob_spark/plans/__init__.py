@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "sample_hash_split",
     "text_stopword_strip",
     "udaf_weighted_avg",
+    "join_asof_forward",
 ]
 
 

@@ -179,3 +179,42 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN v.ts - p.ts <= INTERVAL 360 MINUTE THEN v.ts END
+             AS asof_ts,
+           CASE WHEN v.ts - p.ts <= INTERVAL 360 MINUTE THEN v.event_id END
+             AS asof_event_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each purchase picks up the NEXT
+    'view' event of the same user (inclusive), nulled when it lies more
+    than 6 hours ahead — pandas merge_asof(direction='forward',
+    tolerance=...) semantics. Same union-stream single-window plan as the
+    backward form, scanned descending; the tolerance disqualifies rather
+    than re-selects, matching DuckDB's ASOF `<=` + post-CASE."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "event_id"],
+        tiebreak="event_id",
+        direction="forward",
+        tolerance_minutes=360,
+    ).orderBy("event_id")

@@ -51,3 +51,69 @@ def test_asof_inclusive_and_tiebreak(spark):
     ).collect()
     # equal-ts rows match (inclusive); highest tiebreak wins
     assert out[0].asof_price == 2.0
+
+
+def test_asof_forward_picks_next_and_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [("k", _ts(100)), ("k", _ts(40))], "k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(40), "same"), ("k", _ts(150), "next"), ("k", _ts(300), "far")],
+        "k string, rts timestamp, tag string",
+    )
+    out = {
+        r.lts: r.asof_tag
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["tag"], direction="forward"
+        ).collect()
+    }
+    assert out[_ts(40)] == "same"  # inclusive: equal ts matches
+    assert out[_ts(100)] == "next"  # nearest FUTURE row, not the farthest
+
+
+def test_asof_tolerance_disqualifies_far_matches(spark):
+    left = spark.createDataFrame(
+        [("k", _ts(0)), ("k", _ts(7200))], "k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(3600), "v")], "k string, rts timestamp, tag string"
+    )
+    # forward with 30-min tolerance: ts=0 sees the view 1h ahead -> nulled
+    out = {
+        r.lts: r.asof_tag
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "lts",
+            "rts",
+            ["tag"],
+            direction="forward",
+            tolerance_minutes=30,
+        ).collect()
+    }
+    assert out[_ts(0)] is None
+    # backward with 30-min tolerance from ts=7200: match 1h back -> nulled
+    out_b = asof_join(
+        left.filter("lts = timestamp'2024-01-01 02:00:00'"),
+        right,
+        "k",
+        "lts",
+        "rts",
+        ["tag"],
+        tolerance_minutes=30,
+    ).collect()
+    assert out_b[0].asof_tag is None
+    # generous tolerance keeps it
+    out_c = asof_join(
+        left, right, "k", "lts", "rts", ["tag"], direction="forward", tolerance_minutes=120
+    ).collect()
+    assert {r.asof_tag for r in out_c} == {"v", None}
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([("k", _ts(0))], "k string, lts timestamp")
+    with pytest.raises(ValueError):
+        asof_join(left, left, "k", "lts", "lts", [], direction="sideways")

@@ -43,6 +43,7 @@ MIN_ROWS = {
     "text_stopword_strip": 100,
     "window_range_frame": 1000,
     "udaf_weighted_avg": 5,
+    "join_asof_forward": 100,
 }
 
 
