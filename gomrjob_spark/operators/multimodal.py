@@ -186,3 +186,71 @@ def frame_sample_indices(n_frames_col, every: int = 10):
     """Frame-sampling helper for video payloads: indices 0, every, 2*every
     ... as an array column (decode only sampled frames downstream)."""
     return F.sequence(F.lit(0), F.greatest(n_frames_col - 1, F.lit(0)), F.lit(every))
+
+
+#: schema produced by resize_images (resized carries the actual bytes)
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "out_w int, out_h int, resized binary"
+)
+
+
+def resize_dims(width: int, height: int, target_long_side: int) -> tuple[int, int]:
+    """Aspect-preserving target dimensions, integer arithmetic only
+    (floor-scaled to the long side, floored at 1) — exactly mirrorable
+    by any SQL engine, which is what lets the resize pipeline sit under
+    the oracle gate."""
+    mx = max(width, height)
+    return (
+        max(1, (width * target_long_side) // mx),
+        max(1, (height * target_long_side) // mx),
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_long_side: int = 32,
+    id_col: str = "doc_id",
+    decoder=decode_meta,
+) -> DataFrame:
+    """Per-payload resize via mapInPandas — the thumbnail/normalize stage
+    of an image pipeline. Decode gives (width, height, channels); the
+    output buffer is built by nearest-neighbor sampling over the payload
+    bytes (REAL for a raw w*h*c buffer; for synthetic/fake-decoded
+    payloads the source index wraps modulo payload length, keeping the
+    operator deterministic without a codec library — swap ``decoder``
+    for a pixel decoder and this is production resize).
+
+    Scale: pure per-row work inside Arrow batches, no shuffle; payload
+    bytes stay on the task that scanned them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "channels", "out_w", "out_h", "resized")}
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                p = bytes(p)
+                m = decoder(p)
+                w, h, ch = m["width"], m["height"], m["channels"]
+                ow, oh = resize_dims(w, h, target_long_side)
+                n = len(p) or 1
+                buf = bytearray(ow * oh * ch)
+                pos = 0
+                for y in range(oh):
+                    sy = y * h // oh
+                    for x in range(ow):
+                        sx = x * w // ow
+                        src = (sy * w + sx) * ch
+                        for c in range(ch):
+                            buf[pos] = p[(src + c) % n]
+                            pos += 1
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["resized"].append(bytes(buf))
+            yield pd.DataFrame(rows)
+
+    cols = df.select(F.col(id_col), F.col("payload"))
+    return cols.mapInPandas(run, schema=RESIZE_SCHEMA)

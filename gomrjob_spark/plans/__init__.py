@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "text_stopword_strip",
     "udaf_weighted_avg",
     "join_asof_forward",
+    "multimodal_resize",
 ]
 
 

@@ -798,3 +798,46 @@ def text_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).alias("kept_tokens"),
         F.size(toks).alias("total_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (
+      SELECT doc_id,
+             CAST((n % 64) + 1 AS INT)         AS width,
+             CAST(((n // 64) % 64) + 1 AS INT) AS height,
+             CAST(CASE WHEN n % 2 = 1 THEN 3 ELSE 1 END AS INT) AS channels
+      FROM p
+    )
+    SELECT doc_id, width, height, channels,
+           CAST(greatest(1, (width * 32) // greatest(width, height)) AS INT)  AS out_w,
+           CAST(greatest(1, (height * 32) // greatest(width, height)) AS INT) AS out_h,
+           CAST(greatest(1, (width * 32) // greatest(width, height))
+                * greatest(1, (height * 32) // greatest(width, height))
+                * channels AS INT) AS out_bytes
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage end-to-end: the Arrow-batched resize UDF
+    (operators.multimodal.resize_images) decodes dims, computes
+    aspect-preserving integer target dims, and materializes the actual
+    nearest-neighbor-resampled byte buffer. The oracle recomputes the
+    dimension arithmetic and asserts the produced buffer has EXACTLY the
+    promised size — so the Python pipeline's real output (not just its
+    plan) is gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs)
+    resized = multimodal.resize_images(with_payload, target_long_side=32)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        "out_w",
+        "out_h",
+        F.octet_length("resized").alias("out_bytes"),
+    ).orderBy("doc_id")

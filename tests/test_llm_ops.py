@@ -364,3 +364,23 @@ def test_strip_stopwords_preserves_order(spark):
     df = spark.createDataFrame([(1, "the cat a hat the end")], "id bigint, text string")
     out = df.select(strip_stopwords("text", ("a", "the")).alias("s")).head()
     assert out.s == "cat hat end"
+
+
+def test_resize_images_nearest_neighbor_roundtrip(spark):
+    """A true raw w*h*c buffer resizes by real nearest-neighbor: known
+    input pixels land at the expected output positions; dims preserve
+    aspect; degenerate 1-px sources floor at 1."""
+    from gomrjob_spark.operators import multimodal
+
+    w, h = 4, 2
+    payload = bytes(range(w * h))  # 1-channel 4x2 ramp
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id bigint, payload binary")
+    out = multimodal.resize_images(
+        df, target_long_side=2,
+        decoder=lambda p: {"width": w, "height": h, "channels": 1},
+    ).head()
+    assert (out.out_w, out.out_h) == (2, 1)
+    # nearest-neighbor: y=0 -> sy=0; x in {0,1} -> sx in {0, 2}
+    assert bytes(out.resized) == bytes([payload[0], payload[2]])
+    assert multimodal.resize_dims(1, 1, 32) == (32, 32)
+    assert multimodal.resize_dims(1000, 10, 32) == (32, 1)  # floor at 1

@@ -44,6 +44,7 @@ MIN_ROWS = {
     "window_range_frame": 1000,
     "udaf_weighted_avg": 5,
     "join_asof_forward": 100,
+    "multimodal_resize": 100,
 }
 
 
