@@ -254,3 +254,74 @@ def resize_images(
 
     cols = df.select(F.col(id_col), F.col("payload"))
     return cols.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+#: schema produced by extract_audio_features
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, channels int, sample_rate int, bits_per_sample int, duration_ms int"
+)
+
+
+def decode_audio_header(payload: bytes) -> dict | None:
+    """Real WAV (RIFF/WAVE) header decode, pure Python: walks the chunk
+    list for ``fmt `` (channels, sample rate, bits) and ``data`` (byte
+    count), deriving duration_ms by integer arithmetic. The audio
+    counterpart of decode_image_header — metadata comes from the first
+    bytes, no audio library and no sample decoding."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            fmt = {
+                "channels": int.from_bytes(payload[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(payload[i + 12 : i + 16], "little"),
+                "byte_rate": int.from_bytes(payload[i + 16 : i + 20], "little"),
+                "bits_per_sample": int.from_bytes(payload[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize % 2)  # RIFF chunks are word-aligned
+    if fmt is None:
+        return None
+    duration_ms = (
+        data_size * 1000 // fmt["byte_rate"]
+        if data_size is not None and fmt["byte_rate"]
+        else None
+    )
+    return {
+        "format": "wav",
+        "channels": fmt["channels"],
+        "sample_rate": fmt["sample_rate"],
+        "bits_per_sample": fmt["bits_per_sample"],
+        "duration_ms": duration_ms,
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decoder=decode_audio_header,
+) -> DataFrame:
+    """Audio metadata extraction via mapInPandas (same batch shape as
+    extract_features); unrecognized payloads yield NULL features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder(bytes(p)) or {} for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "channels": [m.get("channels") for m in metas],
+                    "sample_rate": [m.get("sample_rate") for m in metas],
+                    "bits_per_sample": [m.get("bits_per_sample") for m in metas],
+                    "duration_ms": [m.get("duration_ms") for m in metas],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -83,6 +83,7 @@ _VERIFY_FIRST = [
     "udaf_weighted_avg",
     "join_asof_forward",
     "multimodal_resize",
+    "multimodal_audio_headers",
 ]
 
 

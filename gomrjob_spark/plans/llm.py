@@ -841,3 +841,59 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_h",
         F.octet_length("resized").alias("out_bytes"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio_headers",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + (doc_id % 2) AS INT) AS channels,
+             CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+             CAST((doc_id % 1000 + 1) * 256 AS BIGINT) AS data_size
+      FROM documents
+    )
+    SELECT doc_id, channels, sample_rate, CAST(16 AS INT) AS bits_per_sample,
+           CAST(data_size * 1000 // (sample_rate * channels * 2) AS INT)
+             AS duration_ms
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV-header decode under the oracle gate (audio counterpart of
+    multimodal_decode_headers): build a valid RIFF/WAVE header per doc
+    JVM-side (sample rate / channels / data size derived from doc_id),
+    recover the metadata in the Arrow-batched decode path via
+    operators.multimodal.decode_audio_header, and let the oracle
+    recompute the expected values arithmetically — an endianness, chunk
+    walk, or duration-math bug breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    sample_rate = (8000 + (F.col("doc_id") % 8) * 4000).cast("int")
+    data_size = ((F.col("doc_id") % 1000 + 1) * 256).cast("bigint")
+    bits = F.lit(16)
+    byte_rate = (sample_rate * channels * bits / 8).cast("int")
+    block_align = (channels * bits / 8).cast("int")
+
+    def le(c: F.Column, nbytes: int) -> F.Column:
+        hx = F.lpad(F.hex(c), nbytes * 2, "0")
+        pairs = [F.substring(hx, i * 2 + 1, 2) for i in range(nbytes)]
+        return F.unhex(F.concat(*reversed(pairs)))
+
+    wav_header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(data_size + 36, 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le(F.lit(16), 4),  # fmt chunk size
+        le(F.lit(1), 2),  # PCM
+        le(channels, 2),
+        le(sample_rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+        F.encode(F.lit("data"), "UTF-8"),
+        le(data_size, 4),
+    )
+    payloads = docs.select("doc_id", wav_header.alias("payload"))
+    return multimodal.extract_audio_features(payloads).orderBy("doc_id")

@@ -384,3 +384,25 @@ def test_resize_images_nearest_neighbor_roundtrip(spark):
     assert bytes(out.resized) == bytes([payload[0], payload[2]])
     assert multimodal.resize_dims(1, 1, 32) == (32, 32)
     assert multimodal.resize_dims(1000, 10, 32) == (32, 1)  # floor at 1
+
+
+def test_decode_audio_header_walks_chunks():
+    import struct
+
+    from gomrjob_spark.operators.multimodal import decode_audio_header
+
+    def wav(sr, ch, bits, data_size, junk_first=False):
+        br = sr * ch * bits // 8
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, br, ch * bits // 8, bits)
+        junk = b"LIST" + struct.pack("<I", 5) + b"junk\x00\x00"  # odd size -> word-aligned
+        chunks = (junk + fmt) if junk_first else fmt
+        return b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE" + chunks \
+            + b"data" + struct.pack("<I", data_size)
+
+    m = decode_audio_header(wav(16000, 1, 16, 32000))
+    assert (m["sample_rate"], m["channels"], m["duration_ms"]) == (16000, 1, 1000)
+    # fmt found even behind a preceding (odd-sized, padded) chunk
+    m2 = decode_audio_header(wav(8000, 2, 16, 8000, junk_first=True))
+    assert (m2["sample_rate"], m2["channels"]) == (8000, 2)
+    assert decode_audio_header(b"RIFFxxxxAIFF") is None
+    assert decode_audio_header(b"") is None

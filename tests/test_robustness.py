@@ -45,6 +45,7 @@ MIN_ROWS = {
     "udaf_weighted_avg": 5,
     "join_asof_forward": 100,
     "multimodal_resize": 100,
+    "multimodal_audio_headers": 100,
 }
 
 
