@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "knn_bruteforce",
     "text_token_stats",
+    "text_chunks",
+    "sample_hash_split",
     "mr_field_count",
     "mr_combiner",
     "streaming_tumbling_agg",

@@ -216,3 +216,30 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
         .orderBy("l_suppkey")
     )
+
+
+@query("agg_approx_quantile")  # approximate: no SQL oracle; tolerance-gated in pytest
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of extended
+    price per return flag — the quantile member of the approximate-agg
+    family next to approx_count_distinct's HLL++. At 100 TB a sketch
+    with bounded accuracy (here 1e-4 relative rank error) is the only
+    sane way to get tail percentiles: one pass, mergeable partials, no
+    global sort. Accuracy is pytest-gated against DuckDB's exact
+    quantiles (tests/test_robustness.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -84,3 +84,27 @@ def test_registry_tiering():
     assert all(n in plans.ORACLES for n in names[:50])
     rows_only = [n for n in names if n not in plans.ORACLES]
     assert names[-len(rows_only):] == rows_only
+
+
+def test_approx_quantile_within_tolerance(spark, sf_dir):
+    """The GK sketch's percentiles must land within 1% (relative) of the
+    exact DuckDB quantiles — the accuracy gate for the no-oracle entry."""
+    import duckdb
+
+    rows = {r.l_returnflag: r for r in plans.QUERIES["agg_approx_quantile"](spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"create view lineitem as select * from '{sf_dir}/lineitem.parquet'")
+    exact = con.execute(
+        """
+        select l_returnflag,
+               quantile_cont(l_extendedprice, 0.5),
+               quantile_cont(l_extendedprice, 0.9),
+               quantile_cont(l_extendedprice, 0.99)
+        from lineitem group by l_returnflag
+        """
+    ).fetchall()
+    assert rows
+    for flag, e50, e90, e99 in exact:
+        r = rows[flag]
+        for got, want in ((r.p50, e50), (r.p90, e90), (r.p99, e99)):
+            assert abs(got - want) / want < 0.01, (flag, got, want)
