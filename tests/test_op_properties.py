@@ -1,0 +1,67 @@
+"""Property-based tests for the LLM-pipeline operators (hypothesis),
+following the serde-property convention: pure-Python invariants run many
+examples; Spark-backed properties run a bounded number of jobs, each
+over a generated BATCH of documents."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gomrjob_spark.operators.multimodal import resize_dims
+
+
+@given(
+    st.integers(min_value=1, max_value=10_000),
+    st.integers(min_value=1, max_value=10_000),
+    st.integers(min_value=1, max_value=512),
+)
+@settings(max_examples=300, deadline=None)
+def test_resize_dims_invariants(w, h, target):
+    ow, oh = resize_dims(w, h, target)
+    assert 1 <= ow <= target and 1 <= oh <= target
+    assert max(ow, oh) == target  # the long side always hits the target
+    # orientation preserved
+    if w > h:
+        assert ow >= oh
+    elif h > w:
+        assert oh >= ow
+    else:
+        assert ow == oh == target
+
+
+texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(
+    texts,
+    st.integers(min_value=2, max_value=40),
+    st.data(),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunk_reassembly_property(spark, docs, size, data):
+    """Dropping each chunk's leading overlap and concatenating in index
+    order reconstructs the document exactly — for ANY (text, size,
+    overlap) combination, which subsumes coverage + contiguity."""
+    from gomrjob_spark.operators.text import chunk_text
+
+    overlap = data.draw(st.integers(min_value=0, max_value=size - 1))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    rows = chunk_text(df, size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_index] = r.chunk
+    for i, t in enumerate(docs):
+        if not t:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))  # contiguous indices
+        rebuilt = chunks[0] + "".join(chunks[j][overlap:] for j in range(1, len(chunks)))
+        assert rebuilt == t
