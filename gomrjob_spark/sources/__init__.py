@@ -22,6 +22,7 @@ from gomrjob_spark.sources.tables import (
     read_table,
     write_csv,
     write_partitioned,
+    write_range_clustered,
 )
 
 __all__ = [

@@ -77,3 +77,33 @@ def read_csv(
     return read_table(
         spark, path, fmt="csv", schema=schema, header=str(header).lower(), **options
     )
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write with range clustering on the given columns:
+    ``repartitionByRange`` (one file per range) + ``sortWithinPartitions``
+    so each output file covers a DISJOINT value range. Parquet then
+    records tight min/max stats per file/row-group, and a point or range
+    predicate on the cluster column prunes to the few files whose range
+    overlaps — the poor man's Z-order, and the difference between a
+    needle-in-haystack query scanning one file vs the whole dataset.
+    Disjointness is pinned by tests/test_sources.py via the parquet
+    footers.
+
+    Use a timestamp or monotone id as the leading cluster column; skewed
+    columns still work (range partitioner samples the distribution)."""
+    parted = (
+        df.repartitionByRange(num_files, *cluster_by)
+        if num_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    parted.sortWithinPartitions(*cluster_by).write.mode(mode).format(fmt).save(
+        resolve_path(path)
+    )

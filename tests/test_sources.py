@@ -160,3 +160,40 @@ def test_orc_roundtrip(spark, tmp_path):
     back = read_table(spark, out, fmt="orc")
     assert back.count() == 2
     assert set(back.columns) == {"id", "s"}
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range clustering must yield files with non-overlapping min/max on
+    the cluster column (checked from the parquet footers) — that's the
+    property that lets a time predicate prune to one file at scale."""
+    import pyarrow.parquet as pq
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.sources.tables import write_range_clustered
+
+    out = str(tmp_path / "events_by_ts")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    write_range_clustered(events, out, cluster_by=["event_id"], num_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner actually fanned out
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"
+    # and the data survived intact
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
