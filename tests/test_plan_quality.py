@@ -162,3 +162,42 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"data-sized join products found: {offenders}"
+
+
+def test_chunk_and_split_operators_shuffle_free(spark, sf_dir):
+    """Chunking and hash-split are scan projections: their operator plans
+    must contain NO exchange at all (the registered queries add one only
+    for the oracle's deterministic ORDER BY)."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.sampling import hash_split
+    from gomrjob_spark.operators.text import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(chunk_text(docs))
+    assert "Exchange" not in _plan(hash_split(docs))
+
+
+def test_embedding_dedup_pair_dedup_is_shuffle_free(spark, sf_dir):
+    """The packed-signature first-match dedup removed the distinct()
+    exchange over the candidate stream: the whole plan must contain no
+    aggregate at all (bucket join + filters + vector joins only)."""
+    plan = _plan(plans.QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert "HashAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_q2_q20_supply_rollup_partial_agg_and_broadcasts(spark, sf_dir):
+    """The derived supply relation keeps map-side partial aggregation,
+    and the dimension sides broadcast."""
+    for name in ("q2_min_cost_supplier", "q20_potential_promotion"):
+        plan = _plan(plans.QUERIES[name](spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_window_range_frame_single_data_shuffle(spark, sf_dir):
+    """One hash exchange on the partition key; the only other exchange
+    is the final presentation sort."""
+    plan = _plan(plans.QUERIES["window_range_frame"](spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") == 1  # the output ORDER BY
