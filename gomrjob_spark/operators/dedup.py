@@ -492,6 +492,11 @@ def embedding_dup_pairs_bucketed(
     nbits = n_planes * n_tables
     if nbits > 63:
         raise ValueError(f"n_planes*n_tables={nbits} exceeds 63 signature bits")
+    if nbits > dim:
+        raise ValueError(
+            f"n_planes*n_tables={nbits} exceeds dim={dim}: "
+            "coordinate slices would run past the vector"
+        )
     # packed signature: bit i = sign(vec[i]); folded high->low so the
     # fold is acc*2+bit (no per-bit variable shift needed)
     sig = F.aggregate(

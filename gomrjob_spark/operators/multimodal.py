@@ -232,17 +232,18 @@ def resize_images(
                 m = decoder(p)
                 w, h, ch = m["width"], m["height"], m["channels"]
                 ow, oh = resize_dims(w, h, target_long_side)
-                n = len(p) or 1
-                buf = bytearray(ow * oh * ch)
-                pos = 0
-                for y in range(oh):
-                    sy = y * h // oh
-                    for x in range(ow):
-                        sx = x * w // ow
-                        src = (sy * w + sx) * ch
-                        for c in range(ch):
-                            buf[pos] = p[(src + c) % n]
-                            pos += 1
+                n = len(p)
+                buf = bytearray(ow * oh * ch)  # empty payload -> zero buffer
+                if n:
+                    pos = 0
+                    for y in range(oh):
+                        sy = y * h // oh
+                        for x in range(ow):
+                            sx = x * w // ow
+                            src = (sy * w + sx) * ch
+                            for c in range(ch):
+                                buf[pos] = p[(src + c) % n]
+                                pos += 1
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -64,4 +64,6 @@ def hash_sample(
     falls below ``fraction * buckets``. Unlike ``DataFrame.sample`` the
     kept set is a pure function of the ids — rerun-stable and
     join-consistent across datasets sharing the key."""
-    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < int(fraction * buckets))
+    # round, not truncate: int(0.29 * 10_000) is 2899 under float
+    # representation error, silently shrinking the kept range by a bucket
+    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < round(fraction * buckets))

@@ -227,8 +227,14 @@ def chunk_text(
     )
 
 
+def kept_tokens(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Token array with stopwords removed, order preserved (JVM array
+    filter — no Python). The building block for strip_stopwords and any
+    kept/total token accounting."""
+    return F.filter(tokens(col), lambda t: ~t.isin(*stopwords))
+
+
 def strip_stopwords(col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Remove stopword tokens, preserving the order and single-space
-    joining of the survivors (array filter + join — no Python)."""
-    kept = F.filter(tokens(col), lambda t: ~t.isin(*stopwords))
-    return F.array_join(kept, " ")
+    joining of the survivors."""
+    return F.array_join(kept_tokens(col, stopwords), " ")

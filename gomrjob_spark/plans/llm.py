@@ -790,13 +790,13 @@ def text_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, no Python), with kept/total counts. The boilerplate-strip
     stage of corpus cleaning."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = text.tokens("text")
-    kept = F.filter(toks, lambda t: ~t.isin("a", "the"))
+    stops = ("a", "the")
+    kept = text.kept_tokens("text", stops)
     return docs.select(
         "doc_id",
         F.array_join(kept, " ").alias("stripped"),
         F.size(kept).alias("kept_tokens"),
-        F.size(toks).alias("total_tokens"),
+        F.size(text.tokens("text")).alias("total_tokens"),
     ).orderBy("doc_id")
 
 

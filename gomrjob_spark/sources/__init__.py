@@ -34,4 +34,9 @@ __all__ = [
     "write_tsv_part_files",
     "FileStatus",
     "FsOps",
+    "read_csv",
+    "read_table",
+    "write_csv",
+    "write_partitioned",
+    "write_range_clustered",
 ]

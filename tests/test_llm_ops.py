@@ -406,3 +406,39 @@ def test_decode_audio_header_walks_chunks():
     assert (m2["sample_rate"], m2["channels"]) == (8000, 2)
     assert decode_audio_header(b"RIFFxxxxAIFF") is None
     assert decode_audio_header(b"") is None
+
+
+def test_resize_images_handles_empty_payload(spark):
+    """An empty payload must resize to a zero buffer of the promised
+    size, not crash the task (code-review finding: p[0] on b'')."""
+    from gomrjob_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "doc_id bigint, payload binary")
+    out = multimodal.resize_images(df, target_long_side=4).head()
+    assert len(bytes(out.resized)) == out.out_w * out.out_h * out.channels
+    assert set(bytes(out.resized)) <= {0}
+
+
+def test_embedding_bucketed_rejects_planes_past_dim():
+    """Restored validation: slices past the vector raise a clear
+    driver-side ValueError, not a mid-job ANSI array-index crash."""
+    import pytest
+
+    from gomrjob_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="past the vector"):
+        dedup.embedding_dup_pairs_bucketed(None, n_planes=3, n_tables=8, dim=8)
+
+
+def test_hash_sample_fraction_not_truncated(spark):
+    """round, not int(): 0.29 of 10k buckets keeps ids under bucket
+    2900, not 2899 (code-review finding)."""
+    from gomrjob_spark.operators.sampling import hash_bucket, hash_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).withColumnRenamed("id", "doc_id")
+    with_b = df.withColumn("b", hash_bucket(F.col("doc_id"), 10_000, "sample"))
+    boundary = {r.doc_id for r in with_b.filter(F.col("b") == 2899).collect()}
+    if boundary:  # boundary-bucket ids exist in this range
+        kept = {r.doc_id for r in hash_sample(df, 0.29).select("doc_id").collect()}
+        assert boundary <= kept
