@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "join_asof_forward",
     "multimodal_resize",
     "multimodal_audio_headers",
+    "funnel_conversion",
 ]
 
 

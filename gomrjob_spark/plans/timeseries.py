@@ -218,3 +218,84 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance_minutes=360,
     ).orderBy("event_id")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND v.first_view IS NOT NULL
+        AND e.ts >= v.first_view AND e.ts <= v.first_view + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.first_click AND e.ts <= c.first_click + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v WHERE first_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v WHERE first_view IS NOT NULL) AS view_to_click,
+           CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / nullif((SELECT count(*) FROM c), 0) AS click_to_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage conversion funnel: first view -> first click within
+    24 h -> first purchase within 24 h of the click, with per-stage user
+    counts and conversion rates. The staple event-analytics composite a
+    gomrjob user chained three MapReduce jobs for.
+
+    Scale: every stage is a keyed aggregation or a user_id equi-join
+    against a strictly shrinking user set — no window over the full
+    event stream, no self-join on time. The final three 1-row stage
+    counts combine via broadcast (constant-sized, allowlisted like the
+    q11/q22 global-scalar broadcasts)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        events.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"))
+        .filter(F.col("first_view").isNotNull())
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("first_view")) & (F.col("ts") <= F.col("first_view") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("first_click")) & (F.col("ts") <= F.col("first_click") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.join(F.broadcast(nc))
+        .join(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias("view_to_click"),
+            (
+                F.col("n_purchase").cast("double")
+                / F.nullif(F.col("n_click"), F.lit(0))
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -141,6 +141,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
         "knn_bruteforce",           # |Q|=10 broadcast x corpus, by design
         "knn_ivf",                  # 16-row centroid quantizer broadcast
+        "funnel_conversion",        # three 1-row stage-count broadcasts
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",

@@ -46,6 +46,7 @@ MIN_ROWS = {
     "join_asof_forward": 100,
     "multimodal_resize": 100,
     "multimodal_audio_headers": 100,
+    "funnel_conversion": 1,
 }
 
 
