@@ -10,6 +10,7 @@ schema) that mapInPandas doesn't model directly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -202,10 +203,10 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups are the table. (This aggregation is also expressible natively
     — the query pins the UDAF contract for aggregates that genuinely
     need imperative Python.)"""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wavg(ep, qty):
+    @pandas_udf("double")
+    def wavg(ep: pd.Series, qty: pd.Series) -> float:  # grouped-agg by hints
         cents = (ep * 100).round().astype("int64")
         q = qty.astype("int64")
         return float(float((cents * q).sum()) / (100.0 * float(q.sum())))
