@@ -10,7 +10,7 @@ evaluates the identical pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
@@ -238,3 +238,36 @@ def strip_stopwords(col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Remove stopword tokens, preserving the order and single-space
     joining of the survivors."""
     return F.array_join(kept_tokens(col, stopwords), " ")
+
+
+def pack_token_batches(
+    df,
+    budget: int = 2048,
+    shard_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid end-to-end in id order and assigned to the training batch
+    their START offset falls in (``batch_id = start_offset // budget``)
+    — the deterministic batching step that turns a cleaned corpus into
+    fixed-token-budget training units.
+
+    Scale: the running offset is a window cumsum PARTITIONED BY the
+    shard column — never a global single-task sort. Shard by language,
+    source, or a hash bucket so each shard's history fits a task; the
+    assignment is a pure function of (shard, id order), so reruns and
+    repartitioning cannot reshuffle batches.
+
+    Returns (id, shard, n_tokens, start_offset, batch_id)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = token_count(text_col).cast("bigint")
+    return (
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("batch_id", (F.col("start_offset") / budget).cast("bigint"))
+    )

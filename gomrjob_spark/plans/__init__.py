@@ -85,6 +85,9 @@ _VERIFY_FIRST = [
     "multimodal_resize",
     "multimodal_audio_headers",
     "funnel_conversion",
+    # 51st: one past the 50-entry driver window this round — leads the
+    # rotation next round (locally oracle-verified meanwhile)
+    "pack_token_batches",
 ]
 
 

@@ -897,3 +897,37 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id", wav_header.alias("payload"))
     return multimodal.extract_audio_features(payloads).orderBy("doc_id")
+
+
+@query(
+    "pack_token_batches",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      -- CAST: DuckDB widens the window sum to HUGEINT, which fetches as
+      -- float64 and breaks the dtype-sensitive hash vs Spark's BIGINT
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS batch_id
+    FROM c
+    ORDER BY lang, doc_id
+    """,
+)
+def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (operators.text.pack_token_batches):
+    lay each language shard's documents end-to-end in id order and assign
+    every doc to the 2048-token training batch its start offset falls in.
+    One window cumsum per shard — no global sort, rerun-stable batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_token_batches(docs, budget=2048).orderBy("lang", "doc_id")

@@ -47,6 +47,7 @@ MIN_ROWS = {
     "multimodal_resize": 100,
     "multimodal_audio_headers": 100,
     "funnel_conversion": 1,
+    "pack_token_batches": 100,
 }
 
 
