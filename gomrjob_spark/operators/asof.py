@@ -55,6 +55,10 @@ def asof_join(
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if "_mts" in value_cols:
+        # the matched timestamp rides in the carried struct under this
+        # reserved name (same hazard class as the _k/_ts/_side scratch cols)
+        raise ValueError("'_mts' is reserved in value_cols (carries the matched timestamp)")
     lcols = [c for c in left.columns]
     r_struct_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in value_cols]

@@ -166,7 +166,8 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     id_col: str = "doc_id",
-    sig_len: int | None = None,
+    *,
+    sig_len: int,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band.
 
@@ -174,11 +175,9 @@ def lsh_candidate_pairs(
     1-(1-j^rows)^bands. The join key is (band_idx, hash of the band slice),
     so the shuffle carries ids + band hashes only — no signatures.
 
-    ``sig_len`` should be passed by the caller (it knows num_hashes);
-    falling back to ``.first()`` costs one extra full computation of the
-    signature pipeline."""
-    if sig_len is None:
-        sig_len = len(signatures.select("signature").first()[0])
+    ``sig_len`` is required (the caller knows num_hashes): inferring it
+    from the frame would cost a ``.first()`` — one extra full execution
+    of the signature pipeline — silently."""
     rows = sig_len // bands
     banded = signatures.select(
         F.col(id_col),

@@ -19,6 +19,8 @@ shuffle, no state, trivially parallel.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,10 @@ def hash_sample(
     falls below ``fraction * buckets``. Unlike ``DataFrame.sample`` the
     kept set is a pure function of the ids — rerun-stable and
     join-consistent across datasets sharing the key."""
-    # round, not truncate: int(0.29 * 10_000) is 2899 under float
-    # representation error, silently shrinking the kept range by a bucket
-    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < round(fraction * buckets))
+    # floor(x + 0.5), not round(): Python round() is half-to-even, so a
+    # fraction*buckets landing exactly on .5 (0.00005 * 10_000) would keep
+    # ZERO buckets; half-up keeps one. Adding 0.5 also absorbs the float
+    # representation error that makes 0.29 * 10_000 come out as 2899.99…
+    return df.filter(
+        hash_bucket(F.col(id_col), buckets, salt) < math.floor(fraction * buckets + 0.5)
+    )

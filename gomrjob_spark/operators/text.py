@@ -207,8 +207,10 @@ def chunk_text(
     byte-identically.
 
     Returns (id, chunk_index, chunk, chunk_len) rows."""
-    if overlap >= size:
-        raise ValueError(f"overlap={overlap} must be < size={size}")
+    if not 0 <= overlap < size:
+        # negative overlap would make step > size, silently skipping
+        # characters and breaking the every-character-covered invariant
+        raise ValueError(f"overlap={overlap} must satisfy 0 <= overlap < size={size}")
     step = size - overlap
     t = F.col(text_col)
     return (

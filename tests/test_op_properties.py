@@ -65,3 +65,40 @@ def test_chunk_reassembly_property(spark, docs, size, data):
         assert sorted(chunks) == list(range(len(chunks)))  # contiguous indices
         rebuilt = chunks[0] + "".join(chunks[j][overlap:] for j in range(1, len(chunks)))
         assert rebuilt == t
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    """overlap must sit in [0, size): negative overlap makes step > size
+    and silently skips characters (ADVICE r2)."""
+    import pytest
+
+    from gomrjob_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for bad in (-10, -1, 10, 11):
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_text(df, size=10, overlap=bad)
+
+
+def test_asof_rejects_reserved_mts(spark):
+    import pytest
+
+    from gomrjob_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1, 1)], "k long, ts long, _mts long")
+    with pytest.raises(ValueError, match="_mts"):
+        asof_join(df, df, on="k", left_ts="ts", right_ts="ts", value_cols=["_mts"])
+
+
+def test_hash_sample_half_up_rounding(spark):
+    """fraction * buckets landing exactly on .5 keeps a bucket (half-up),
+    not zero (Python round() half-to-even would drop it, ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.sampling import hash_bucket, hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    kept = hash_sample(df, fraction=0.00005, buckets=10_000)
+    # threshold is floor(0.5 + 0.5) = 1 -> exactly the bucket-0 rows survive
+    expected = df.filter(hash_bucket(F.col("doc_id"), 10_000, "sample") == 0)
+    assert kept.count() == expected.count()
