@@ -248,28 +248,62 @@ def pack_token_batches(
     shard_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    buckets: int = 64,
 ):
     """Concat-and-chunk sequence packing: within each shard, documents
-    are laid end-to-end in id order and assigned to the training batch
-    their START offset falls in (``batch_id = start_offset // budget``)
-    — the deterministic batching step that turns a cleaned corpus into
-    fixed-token-budget training units.
+    are laid end-to-end in (hash_bucket(id), id) order and assigned to
+    the training batch their START offset falls in (``batch_id =
+    start_offset // budget``) — the deterministic batching step that
+    turns a cleaned corpus into fixed-token-budget training units.
 
-    Scale: the running offset is a window cumsum PARTITIONED BY the
-    shard column — never a global single-task sort. Shard by language,
-    source, or a hash bucket so each shard's history fits a task; the
-    assignment is a pure function of (shard, id order), so reruns and
-    repartitioning cannot reshuffle batches.
+    Scale (the r2 skew fix): the prefix sum is HIERARCHICAL. A single
+    ``Window.partitionBy(shard)`` cumsum makes the dominant shard (at
+    100 TB: the English 80 %) one task running a sequential prefix sum
+    over most of the corpus. Instead each document hashes to one of
+    ``buckets`` sub-shards (content-addressed ``hash_bucket`` — uniform
+    for ANY id distribution), the cumsum runs per (shard, bucket) —
+    bounded at ~1/buckets of the shard — and a tiny per-bucket totals
+    frame (shards × buckets rows) gets an exclusive prefix sum and is
+    broadcast back. Layout order is therefore (shard, bucket(id), id):
+    still a pure function of the ids, so reruns and repartitioning
+    cannot reshuffle batches; the hash scatter additionally decorrelates
+    adjacent ids within a batch (a mild bonus for training).
 
     Returns (id, shard, n_tokens, start_offset, batch_id)."""
-    w = (
-        Window.partitionBy(shard_col)
+    from gomrjob_spark.operators.sampling import hash_bucket
+
+    n_tok = token_count(text_col).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tok.alias("n_tokens"),
+        hash_bucket(F.col(id_col), buckets, salt="pack").alias("_pack_bucket"),
+    )
+    w_local = (
+        Window.partitionBy(shard_col, "_pack_bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    n_tok = token_count(text_col).cast("bigint")
+    local = base.withColumn(
+        "_local_off", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    w_bucket = (
+        Window.partitionBy(shard_col)
+        .orderBy("_pack_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(shard_col, "_pack_bucket")
+        .agg(F.sum("n_tokens").alias("_btotal"))
+        .withColumn(
+            "_bucket_off",
+            F.coalesce(F.sum("_btotal").over(w_bucket), F.lit(0)).cast("bigint"),
+        )
+        .select(shard_col, "_pack_bucket", "_bucket_off")
+    )
     return (
-        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        local.join(F.broadcast(offsets), [shard_col, "_pack_bucket"])
+        .withColumn("start_offset", (F.col("_bucket_off") + F.col("_local_off")).cast("bigint"))
         .withColumn("batch_id", (F.col("start_offset") / budget).cast("bigint"))
+        .select(id_col, shard_col, "n_tokens", "start_offset", "batch_id")
     )

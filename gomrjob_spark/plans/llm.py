@@ -905,29 +905,48 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, lang,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-               AS n_tokens
+               AS n_tokens,
+             CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 64 AS INT) AS bucket
       FROM documents
     ),
     c AS (
       -- CAST: DuckDB widens the window sum to HUGEINT, which fetches as
       -- float64 and breaks the dtype-sensitive hash vs Spark's BIGINT
-      SELECT doc_id, lang, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      SELECT doc_id, lang, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) - n_tokens AS BIGINT)
-               AS start_offset
+               AS local_off
       FROM t
+    ),
+    b AS (
+      SELECT lang, bucket, CAST(sum(n_tokens) AS BIGINT) AS btotal
+      FROM t GROUP BY lang, bucket
+    ),
+    o AS (
+      SELECT lang, bucket,
+             CAST(COALESCE(sum(btotal) OVER (PARTITION BY lang ORDER BY bucket
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS BIGINT)
+               AS bucket_off
+      FROM b
     )
-    SELECT doc_id, lang, n_tokens, start_offset,
-           CAST(start_offset // 2048 AS BIGINT) AS batch_id
-    FROM c
-    ORDER BY lang, doc_id
+    SELECT c.doc_id, c.lang, c.n_tokens,
+           CAST(o.bucket_off + c.local_off AS BIGINT) AS start_offset,
+           CAST((o.bucket_off + c.local_off) // 2048 AS BIGINT) AS batch_id
+    FROM c JOIN o ON c.lang = o.lang AND c.bucket = o.bucket
+    ORDER BY c.lang, c.doc_id
     """,
 )
 def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing (operators.text.pack_token_batches):
-    lay each language shard's documents end-to-end in id order and assign
-    every doc to the 2048-token training batch its start offset falls in.
-    One window cumsum per shard — no global sort, rerun-stable batches."""
+    lay each language shard's documents end-to-end in (hash bucket, id)
+    order and assign every doc to the 2048-token training batch its start
+    offset falls in. Hierarchical prefix sum — per-(shard, bucket) window
+    cumsum plus a broadcast exclusive prefix over the tiny bucket-totals
+    frame — so no single task ever scans a whole shard's history (the r2
+    skewed-shard fix). The oracle recomputes the identical bucket from the
+    same md5 idiom, so the full layout is hash-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return text.pack_token_batches(docs, budget=2048).orderBy("lang", "doc_id")

@@ -442,3 +442,54 @@ def test_hash_sample_fraction_not_truncated(spark):
     if boundary:  # boundary-bucket ids exist in this range
         kept = {r.doc_id for r in hash_sample(df, 0.29).select("doc_id").collect()}
         assert boundary <= kept
+
+
+def test_pack_hierarchical_matches_bruteforce_under_skew(spark):
+    """Differential test on a 90%-one-shard fixture (the 100 TB shape):
+    the hierarchical per-bucket prefix sum must equal a brute-force
+    single-pass cumsum over the same (shard, bucket, id) layout order."""
+    import hashlib
+
+    from gomrjob_spark.operators.text import pack_token_batches
+
+    rows = [(i, " ".join(["tok"] * (1 + i % 7)), "en" if i % 10 else "de")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["doc_id"]): (r["start_offset"], r["batch_id"])
+        for r in pack_token_batches(df, budget=16, buckets=8).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(f"pack{i}".encode()).hexdigest()[:15], 16) % 8
+
+    expect = {}
+    for lang in ("de", "en"):
+        off = 0
+        for i, ntok, lg in sorted(
+            ((i, 1 + i % 7, lg) for i, _, lg in rows), key=lambda t: (bucket(t[0]), t[0])
+        ):
+            if lg != lang:
+                continue
+            expect[i] = (off, off // 16)
+            off += ntok
+    assert got == expect
+
+
+def test_pack_total_tokens_conserved(docs):
+    """max(start_offset + n_tokens) per shard == sum(n_tokens) per shard:
+    the layout is gapless and overlap-free regardless of bucketing."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.text import pack_token_batches
+
+    packed = pack_token_batches(docs, budget=64, buckets=4)
+    per_shard = (
+        packed.groupBy("lang")
+        .agg(
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias("laid_out"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    )
+    assert per_shard and all(r["laid_out"] == r["total"] for r in per_shard)

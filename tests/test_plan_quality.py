@@ -202,3 +202,20 @@ def test_window_range_frame_single_data_shuffle(spark, sf_dir):
     plan = _plan(plans.QUERIES["window_range_frame"](spark, sf_dir))
     assert plan.count("hashpartitioning(") == 1
     assert plan.count("rangepartitioning(") == 1  # the output ORDER BY
+
+
+def test_pack_no_single_task_window_over_full_shard(spark, sf_dir):
+    """The r2 skew fix, pinned: the data-sized window cumsum must be
+    partitioned by (shard, _pack_bucket) — a windowspec partitioned by
+    the shard alone and ordered by doc_id would make the dominant shard
+    one sequential task at 100 TB. The tiny bucket-offset frame joins
+    back via broadcast, never a shuffle of the data side."""
+    import re
+
+    plan = _plan(plans.QUERIES["pack_token_batches"](spark, sf_dir))
+    # the big cumsum: partition spec carries the hash bucket
+    assert re.search(r"windowspecdefinition\(lang#\d+, _pack_bucket#\d+, doc_id#\d+L? ASC", plan)
+    # the forbidden shape: full-shard history in one task
+    assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#\d+L? ASC", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
