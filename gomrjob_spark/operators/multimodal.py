@@ -12,11 +12,13 @@ North-star operator family (BASELINE.json). The convention:
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` — the only
 viable shape at 100 TB (payload bytes never route through the driver; each
 task decodes its own partition). Container headers (PNG/JPEG/GIF
-dimensions + channels) decode for REAL via ``decode_image_header`` —
-pure Python over magic bytes, no codec library needed. Only full pixel
-decode (``decode_image``) remains a clearly-marked STUB because
-PIL/ffmpeg are not in this container; a real decoder drops in by
-replacing that one function.
+dimensions + channels) decode for REAL via ``decode_image_header``, and
+full pixel decode (``decode_image``) is REAL for the uncompressed formats
+(PPM/PGM/BMP), as is 16-bit PCM sample decode for WAV — all pure Python
+over bytes, no codec library. Only compressed-pixel entropy decoding
+(PNG/JPEG/GIF rasters) still raises NotImplementedError because
+PIL/ffmpeg are not in this container; a codec-backed decoder drops in by
+extending that one function.
 """
 
 from __future__ import annotations
@@ -52,15 +54,105 @@ def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "image
 
 
 def decode_image(payload: bytes) -> dict:
-    """STUB: full pixel decode requires PIL/libvips (not in this
-    container). Container *headers* decode for real via
-    :func:`decode_image_header` (pure Python, no codec libs); replace
-    this function to get pixel data — everything else (batching, schema,
-    partition flow) is already wired."""
+    """Full pixel decode for the UNCOMPRESSED container formats — real,
+    pure Python, no codec library:
+
+    - PPM ``P6`` (binary RGB) and PGM ``P5`` (binary grayscale), maxval
+      <= 255: whitespace/comment-tolerant header, then raw samples.
+    - BMP (``BM``), BI_RGB 24/32 bpp: 4-byte-aligned rows stored
+      bottom-up (or top-down when height is negative) in BGR(A) order —
+      normalized here to top-down row-major RGB(A).
+
+    Returns ``{format, width, height, channels, pixels: bytes}`` with
+    ``pixels`` top-down row-major, channel-interleaved. Compressed
+    formats (PNG/JPEG/GIF pixels) still raise NotImplementedError —
+    their *headers* decode via :func:`decode_image_header`; entropy
+    decoding genuinely needs a codec library (swap this function's
+    fallback for PIL when available)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image codec libraries unavailable in this environment; "
-        "decode_image_header parses real container headers without them"
+        "pixel decode implemented for uncompressed PPM/PGM/BMP only; "
+        "PNG/JPEG/GIF entropy decoding needs a codec library "
+        "(decode_image_header parses their headers without one)"
     )
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) decode: header tokens are
+    whitespace-separated with ``#`` comments; samples follow the single
+    whitespace byte after maxval."""
+    fmt = payload[:2]
+    channels = 3 if fmt == b"P6" else 1
+    i, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end-of-line
+            while i < n and payload[i] not in b"\r\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    if len(tokens) < 3 or tokens[2] > 255:
+        raise ValueError("bad PNM header (need width height maxval<=255)")
+    width, height, _maxval = tokens
+    i += 1  # exactly one whitespace byte separates header and raster
+    need = width * height * channels
+    pixels = payload[i : i + need]
+    if len(pixels) != need:
+        raise ValueError(f"PNM raster truncated: {len(pixels)} < {need}")
+    return {
+        "format": "ppm" if channels == 3 else "pgm",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(pixels),
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed (BI_RGB) 24/32 bpp BMP decode. Rows are padded to
+    4 bytes and stored bottom-up unless the header height is negative;
+    samples are BGR(A) on disk — output is normalized to top-down
+    RGB(A) so every decoder in this module speaks one pixel layout."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    raw_h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP BI_RGB 24/32bpp only (bpp={bpp}, comp={compression})")
+    height, bottom_up = abs(raw_h), raw_h > 0
+    channels = bpp // 8
+    stride = (width * channels + 3) // 4 * 4
+    out = bytearray(width * height * channels)
+    for y in range(height):
+        src_row = height - 1 - y if bottom_up else y
+        row = payload[data_off + src_row * stride :][: width * channels]
+        if len(row) < width * channels:
+            raise ValueError("BMP raster truncated")
+        for x in range(width):
+            s, d = x * channels, (y * width + x) * channels
+            out[d], out[d + 1], out[d + 2] = row[s + 2], row[s + 1], row[s]  # BGR -> RGB
+            if channels == 4:
+                out[d + 3] = row[s + 3]
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
 
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -325,4 +417,105 @@ def extract_audio_features(
 
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+#: schema produced by extract_pixel_stats
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, channels int, "
+    "px_sum bigint, px_min int, px_max int, px_possum bigint"
+)
+
+
+def extract_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode REAL pixels (PPM/PGM/BMP via :func:`decode_image`) and emit
+    integer per-image statistics: byte sum / min / max plus the
+    position-weighted checksum ``sum(i * pixel[i])`` over the normalized
+    top-down RGB layout. The positional checksum is what makes the gate
+    sharp: a bottom-up flip, BGR swap, or padding-skip bug changes it
+    even when the order-insensitive stats survive.
+
+    Integer-only outputs -> exactly mirrorable by a SQL oracle that
+    recomputes the same sums from the generator formula. Same 100 TB
+    shape as extract_features: Arrow-batched mapInPandas, payload bytes
+    never leave the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "format", "width", "height", "channels",
+                "px_sum", "px_min", "px_max", "px_possum",
+            )}
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                m = decode_image(bytes(p))
+                px = m["pixels"]
+                rows["doc_id"].append(doc_id)
+                rows["format"].append(m["format"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["channels"].append(m["channels"])
+                rows["px_sum"].append(sum(px))
+                rows["px_min"].append(min(px) if px else None)
+                rows["px_max"].append(max(px) if px else None)
+                rows["px_possum"].append(sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+def decode_audio_samples(payload: bytes) -> dict:
+    """Real PCM sample decode for WAV payloads: walks the RIFF chunk list
+    (via :func:`decode_audio_header` semantics), then parses the ``data``
+    chunk as little-endian signed 16-bit samples. Returns the header
+    fields plus ``samples: list[int]`` (channel-interleaved)."""
+    hdr = decode_audio_header(payload)
+    if hdr is None:
+        raise ValueError("not a RIFF/WAVE payload")
+    if hdr["bits_per_sample"] != 16:
+        raise NotImplementedError("16-bit PCM only")
+    n = len(payload)
+    i, data = 12, b""
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"data":
+            data = payload[i + 8 : i + 8 + csize]
+            break
+        i += 8 + csize + (csize % 2)
+    samples = [
+        int.from_bytes(data[k : k + 2], "little", signed=True)
+        for k in range(0, len(data) - 1, 2)
+    ]
+    return {**hdr, "samples": samples}
+
+
+#: schema produced by extract_audio_sample_stats
+AUDIO_SAMPLE_STATS_SCHEMA = (
+    "doc_id bigint, n_samples int, s_sum bigint, s_min int, s_max int, s_possum bigint"
+)
+
+
+def extract_audio_sample_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode REAL 16-bit PCM samples and emit integer statistics
+    (sum/min/max + position-weighted checksum) — the audio counterpart
+    of extract_pixel_stats, same Arrow-batched shape, same exact-integer
+    oracle-mirrorability (an endianness or sign bug flips every stat)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "s_sum", "s_min", "s_max", "s_possum")}
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                sm = decode_audio_samples(bytes(p))["samples"]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(sm))
+                rows["s_sum"].append(sum(sm))
+                rows["s_min"].append(min(sm) if sm else None)
+                rows["s_max"].append(max(sm) if sm else None)
+                rows["s_possum"].append(sum(k * v for k, v in enumerate(sm)))
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        run, schema=AUDIO_SAMPLE_STATS_SCHEMA
     )

@@ -22,11 +22,24 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1: queries without a driver-verified correctness row from round 1
-# (CORRECTNESS_r01.json covered registry indices 0-49 only) plus queries
-# whose plan changed or that are new this round — these must land inside
-# the driver's 50-entry verification window.
+# Tier 1 (round 3): queries without a driver-verified correctness row
+# across CORRECTNESS_r01+r02 (the driver checks the first 50 registry
+# entries each round) — the two r2 stragglers, then everything new or
+# plan-changed this round. The rest of the window backfills with
+# already-green queries (cheap re-confirmation).
 _VERIFY_FIRST = [
+    # no driver row yet: registered 51st in r2 (by design) / added after
+    # the r02 check ran
+    "pack_token_batches",
+    "agg_quantile_exact",
+    # new this round: real pixel/PCM decode under the oracle gate
+    "multimodal_pixel_stats",
+    "multimodal_audio_samples",
+]
+
+# r1/r2-era ordering, kept as the backfill sequence for the rest of the
+# driver window (all of these already have a green row in r01 or r02).
+_BACKFILL = [
     # TPC-H family missed by the r01 window
     "q4_order_priority",
     "q7_volume_shipping",
@@ -85,17 +98,17 @@ _VERIFY_FIRST = [
     "multimodal_resize",
     "multimodal_audio_headers",
     "funnel_conversion",
-    # 51st: one past the 50-entry driver window this round — leads the
-    # rotation next round (locally oracle-verified meanwhile)
-    "pack_token_batches",
 ]
 
 
 def _reorder() -> None:
     tier1 = [n for n in _VERIFY_FIRST if n in QUERIES]
-    tier2 = [n for n in QUERIES if n not in tier1 and n in ORACLES]
+    backfill = [n for n in _BACKFILL if n in QUERIES and n not in tier1]
+    tier2 = [
+        n for n in QUERIES if n not in tier1 and n not in backfill and n in ORACLES
+    ]
     tier3 = [n for n in QUERIES if n not in tier1 and n not in ORACLES]
-    for name in tier1 + tier2 + tier3:
+    for name in tier1 + backfill + tier2 + tier3:
         QUERIES[name] = QUERIES.pop(name)
 
 

@@ -493,3 +493,115 @@ def test_pack_total_tokens_conserved(docs):
         .collect()
     )
     assert per_shard and all(r["laid_out"] == r["total"] for r in per_shard)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel / PCM decode (round 3): PPM/PGM/BMP rasters, WAV 16-bit samples
+# ---------------------------------------------------------------------------
+
+
+def _bmp_bytes(w, h, rows_bgr, bpp=24, top_down=False, compression=0):
+    """Build a BI_RGB BMP. ``rows_bgr`` is the VISUAL top-down raster,
+    each row a flat BGR(A) byte list; bottom-up storage reverses rows."""
+    import struct
+
+    ch = bpp // 8
+    stride = (w * ch + 3) // 4 * 4
+    stored = rows_bgr if top_down else list(reversed(rows_bgr))
+    raster = b"".join(bytes(r) + b"\x00" * (stride - len(r)) for r in stored)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, compression,
+        len(raster), 0, 0, 0, 0,
+    )
+    return hdr + dib + raster
+
+
+def test_decode_ppm_with_comment_and_whitespace():
+    pix = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    m = multimodal.decode_image(b"P6\n# a comment\n2 3\n255\n" + pix)
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("ppm", 2, 3, 3)
+    assert m["pixels"] == pix
+
+
+def test_decode_pgm_grayscale():
+    pix = bytes([9, 8, 7, 6])
+    m = multimodal.decode_image(b"P5 2 2 255 " + pix)
+    assert (m["format"], m["channels"]) == ("pgm", 1)
+    assert m["pixels"] == pix
+
+
+def test_decode_pnm_rejects_truncated_and_wide_maxval():
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(b"P6\n2 2\n255\n" + b"\x00" * 11)
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_decode_bmp_bottom_up_bgr_and_padding():
+    """2x2 24bpp: stride pads 6-byte rows to 8; storage is bottom-up BGR.
+    Decode must return top-down RGB — byte-exact."""
+    rows_bgr = [[3, 2, 1, 6, 5, 4], [9, 8, 7, 12, 11, 10]]  # visual top-down
+    m = multimodal.decode_image(_bmp_bytes(2, 2, rows_bgr))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("bmp", 2, 2, 3)
+    assert m["pixels"] == bytes(range(1, 13))
+
+
+def test_decode_bmp_top_down_32bpp():
+    rows_bgra = [[3, 2, 1, 4, 7, 6, 5, 8]]  # 2x1 BGRA
+    m = multimodal.decode_image(_bmp_bytes(2, 1, rows_bgra, bpp=32, top_down=True))
+    assert (m["channels"], m["pixels"]) == (4, bytes([1, 2, 3, 4, 5, 6, 7, 8]))
+
+
+def test_decode_bmp_rejects_compressed():
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        multimodal.decode_image(_bmp_bytes(1, 1, [[1, 2, 3]], compression=1))
+
+
+def _wav_pcm_bytes(samples, sr=16000, ch=1, bits=16, junk_first=False):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    br = sr * ch * bits // 8
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, br, ch * bits // 8, bits)
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk\x00\x00"
+    chunks = (junk + fmt) if junk_first else fmt
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + chunks
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_audio_samples_signed_le():
+    want = [0, 1, -1, 32767, -32768, 12345]
+    m = multimodal.decode_audio_samples(_wav_pcm_bytes(want, junk_first=True))
+    assert m["samples"] == want
+    assert m["sample_rate"] == 16000
+
+
+def test_decode_audio_samples_rejects_non_pcm16_and_garbage():
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_audio_samples(_wav_pcm_bytes([0], bits=8))
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_audio_samples(b"not audio")
+
+
+def test_extract_pixel_stats_distributed(spark):
+    pix = bytes([5, 0, 250, 1, 2, 3])  # 2x1 RGB
+    df = spark.createDataFrame(
+        [(7, b"P6\n2 1\n255\n" + pix)], "doc_id bigint, payload binary"
+    )
+    r = multimodal.extract_pixel_stats(df).head()
+    assert (r.format, r.width, r.height, r.channels) == ("ppm", 2, 1, 3)
+    assert (r.px_sum, r.px_min, r.px_max) == (sum(pix), 0, 250)
+    assert r.px_possum == sum(i * v for i, v in enumerate(pix))
+
+
+def test_extract_audio_sample_stats_distributed(spark):
+    sm = [10, -20, 30]
+    df = spark.createDataFrame(
+        [(3, _wav_pcm_bytes(sm))], "doc_id bigint, payload binary"
+    )
+    r = multimodal.extract_audio_sample_stats(df).head()
+    assert (r.n_samples, r.s_sum, r.s_min, r.s_max) == (3, 20, -20, 30)
+    assert r.s_possum == sum(k * v for k, v in enumerate(sm))
