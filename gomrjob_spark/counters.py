@@ -70,6 +70,107 @@ class Counters:
             "n_stages": stages.size(),
         }
 
+    def _stage_list(self):
+        store = self._sc._jsc.sc().statusStore()
+        gw = self._sc._gateway
+        stages = store.stageList(
+            None,
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            gw.jvm.java.util.Collections.emptyList(),
+        )
+        return store, [stages.apply(i) for i in range(stages.size())]
+
+    def stage_report(self) -> list[dict]:
+        """Per-stage progress + IO metrics, read from Spark's status
+        store — the engine-native replacement for the reference's remote
+        log channel (/root/reference/remote_logging.go:13-76), which
+        existed so the submitting driver could watch task progress
+        without ssh-ing to workers. On Spark the driver already holds
+        that state; this surfaces it as plain dicts (one per stage,
+        oldest first)."""
+        _, stages = self._stage_list()
+        out = []
+        for s in stages:
+            out.append(
+                {
+                    "stage_id": int(s.stageId()),
+                    "attempt": int(s.attemptId()),
+                    "name": s.name(),
+                    "status": s.status().toString(),
+                    "num_tasks": int(s.numTasks()),
+                    "complete_tasks": int(s.numCompleteTasks()),
+                    "failed_tasks": int(s.numFailedTasks()),
+                    "input_records": int(s.inputRecords()),
+                    "output_records": int(s.outputRecords()),
+                    "shuffle_read_bytes": int(s.shuffleReadBytes()),
+                    "shuffle_write_bytes": int(s.shuffleWriteBytes()),
+                    "memory_spill_bytes": int(s.memoryBytesSpilled()),
+                    "disk_spill_bytes": int(s.diskBytesSpilled()),
+                    "executor_run_ms": int(s.executorRunTime()),
+                }
+            )
+        out.sort(key=lambda d: (d["stage_id"], d["attempt"]))
+        return out
+
+    def task_report(self, stage_id: int | None = None, max_tasks: int = 1000) -> list[dict]:
+        """Per-task rows for one stage (default: the most recent) — task
+        id, partition, host, status, duration — the granularity the
+        reference's remote logger streamed line-by-line over UDP
+        (remote_logging.go:36-56). Task retries appear as extra rows with
+        the same partition id, which is how double-fire is observable."""
+        store, stages = self._stage_list()
+        if not stages:
+            return []
+        if stage_id is None:
+            target = max(stages, key=lambda s: (s.stageId(), s.attemptId()))
+        else:
+            matching = [s for s in stages if s.stageId() == stage_id]
+            if not matching:
+                return []
+            target = max(matching, key=lambda s: s.attemptId())
+        tasks = store.taskList(target.stageId(), target.attemptId(), max_tasks)
+        out = []
+        for i in range(tasks.size()):
+            t = tasks.apply(i)
+            dur = t.duration()
+            out.append(
+                {
+                    "stage_id": int(target.stageId()),
+                    "task_id": int(t.taskId()),
+                    "partition_id": int(t.partitionId()),
+                    "attempt": int(t.attempt()),
+                    "host": t.host(),
+                    "status": t.status(),
+                    "duration_ms": int(dur.get()) if dur.isDefined() else None,
+                }
+            )
+        out.sort(key=lambda d: d["task_id"])
+        return out
+
+    def task_log_tail(self, n: int = 20) -> list[str]:
+        """Formatted tail of recent task completions across stages —
+        one human-readable line per task, newest last. The reference
+        tailed these lines from a UDP socket; here they come from the
+        driver's own status store, so the capability survives with no
+        side channel. Lines look like
+        ``stage 3.0 task 42 p7 SUCCESS 207ms on host``."""
+        _, stages = self._stage_list()
+        lines: list[tuple[int, str]] = []
+        for s in stages:
+            for t in self.task_report(stage_id=s.stageId()):
+                dur = f"{t['duration_ms']}ms" if t["duration_ms"] is not None else "-"
+                lines.append(
+                    (
+                        t["task_id"],
+                        f"stage {t['stage_id']}.{t['attempt']} task {t['task_id']} "
+                        f"p{t['partition_id']} {t['status']} {dur} on {t['host']}",
+                    )
+                )
+        lines.sort()
+        return [line for _, line in lines[-n:]]
+
 
 def status(spark: SparkSession, msg: str) -> None:
     """Job-status analog of reporter.go:18-21 — surfaces in the Spark UI

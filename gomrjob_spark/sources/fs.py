@@ -96,6 +96,32 @@ class FsOps:
         finally:
             stream.close()
 
+    def delete_prefix(self, prefix: str) -> int:
+        """Object-store ``DeletePrefix`` analog
+        (/root/reference/internal/storage/storage.go:113-133): delete
+        everything whose path starts with ``prefix`` — flat-namespace
+        semantics, not directory semantics, so ``/a/b`` removes file
+        ``/a/b``, sibling ``/a/bc``, and the whole subtree ``/a/b/...``;
+        a trailing ``/`` scopes to children only (object names "under"
+        the prefix). Returns the number of top-level matches deleted;
+        0 when nothing matches (the reference returns nil there too).
+
+        Guard: an empty or filesystem-root prefix raises ValueError —
+        the reference API would happily drain the whole bucket."""
+        resolved = resolve_path(prefix, self._default_proto)
+        rest = resolved.split("://", 1)[-1]
+        if not rest.strip("/"):
+            raise ValueError(f"refusing to delete empty/root prefix: {prefix!r}")
+        fs = self._fs(prefix)
+        pattern = self._jvm.org.apache.hadoop.fs.Path(resolved + "*")
+        statuses = fs.globStatus(pattern)
+        n = 0
+        if statuses is not None:
+            for st in statuses:
+                fs.delete(st.getPath(), True)
+                n += 1
+        return n
+
     def ls(self, path: str) -> list[FileStatus]:
         """Structured `hadoop fs -ls` (hdfs/hadoop.go:121-207)."""
         fs = self._fs(path)

@@ -236,3 +236,35 @@ def test_run_to_dir_chains_through_materialized_output(spark, tmp_path):
     back = parse_kv_lines(read_text_dir(spark, out_dir))
     got = Pipeline(steps=[Step(reducer=COUNT)]).run(back).orderBy("key").collect()
     assert [(r.key, r.value) for r in got] == [("a", 1), ("b", 1)]
+
+
+def test_stage_and_task_report_after_run(spark):
+    """remote_logging.go:13-76 replacement: after a pipeline runs, the
+    driver can read per-stage progress/IO and per-task rows (host,
+    partition, status, duration) straight from the status store — the
+    capability the reference needed a UDP side channel for."""
+    kv = spark.createDataFrame(
+        [("a", "1"), ("a", "2"), ("b", "5")], "key string, value string"
+    )
+    Pipeline(steps=[Step(reducer=SUM)]).run(kv).collect()
+    c = Counters(spark)
+
+    stages = c.stage_report()
+    assert stages, "at least one stage recorded"
+    done = [s for s in stages if s["status"] == "COMPLETE"]
+    assert done and all(s["complete_tasks"] >= 1 for s in done)
+    assert all(
+        set(s) >= {"stage_id", "num_tasks", "shuffle_read_bytes", "memory_spill_bytes"}
+        for s in stages
+    )
+
+    tasks = c.task_report()  # most recent stage
+    assert tasks and all(t["status"] == "SUCCESS" for t in tasks)
+    assert all(t["duration_ms"] is None or t["duration_ms"] >= 0 for t in tasks)
+    assert {t["partition_id"] for t in tasks} == set(range(len(tasks)))
+
+    tail = c.task_log_tail(n=5)
+    assert 0 < len(tail) <= 5
+    assert all(line.startswith("stage ") and " on " in line for line in tail)
+    # unknown stage id -> empty, not an exception
+    assert c.task_report(stage_id=10**9) == []

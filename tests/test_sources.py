@@ -197,3 +197,38 @@ def test_range_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path)
     # and the data survived intact
     back = spark.read.parquet(out)
     assert back.count() == events.count()
+
+
+def test_delete_prefix_contract(spark, tmp_path):
+    """storage.go:113-133 DeletePrefix contract against file:// —
+    flat-prefix (not directory) semantics: `/a/b` removes file b,
+    sibling bc, and subtree b/...; unrelated siblings survive; empty and
+    root prefixes are refused; no match is a 0-count no-op."""
+    import pytest
+
+    fs = FsOps(spark)
+    base = tmp_path / "objs"
+    (base / "b").mkdir(parents=True)
+    (base / "b" / "nested.txt").write_text("n")
+    (base / "bc.txt").write_text("sibling starting with b")
+    (base / "keep.txt").write_text("unrelated")
+
+    n = fs.delete_prefix(str(base / "b"))
+    assert n == 2  # the dir `b` (recursively) and the file `bc.txt`
+    assert not (base / "b").exists() and not (base / "bc.txt").exists()
+    assert (base / "keep.txt").exists()
+
+    # trailing slash scopes to children: parent dir itself survives
+    (base / "d").mkdir()
+    (base / "d" / "x.txt").write_text("x")
+    (base / "d" / "y.txt").write_text("y")
+    assert fs.delete_prefix(str(base / "d") + "/") == 2
+    assert (base / "d").exists() and not (base / "d" / "x.txt").exists()
+
+    # no match -> 0, no error (reference returns nil on empty list)
+    assert fs.delete_prefix(str(base / "zzz")) == 0
+
+    # guard: empty / root prefixes refused
+    for bad in ("", "/", "file:///"):
+        with pytest.raises(ValueError, match="refusing"):
+            fs.delete_prefix(bad)
