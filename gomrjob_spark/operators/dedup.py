@@ -567,6 +567,42 @@ def embedding_dup_pairs_bucketed(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly
+    larger neighbor to m = min(N(u) ∪ {u}). One shuffle on node id."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("_m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large→small, then for each
+    node u link all of its smaller neighbors (and u itself) to the
+    minimum one. One shuffle on the larger endpoint."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("_m"))
+    relinked = directed.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("_m").alias("dst")
+    )
+    centers = mins.select("src", F.col("_m").alias("dst"))
+    return (
+        relinked.unionByName(centers)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -574,53 +610,53 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the survivor
     -selection step after near-dup pair detection (every doc maps to the
     minimum id reachable through dup pairs; singletons map to
     themselves). Returns (id, component).
 
-    Algorithm: minimum-label propagation. Each node starts labeled with
-    its own id; every iteration each node takes the min of its label and
-    its neighbors' labels; converged when no label changes. Iterations
-    needed = component diameter (near-dup clusters are shallow — pairs
-    and small cliques — so this is 2-4 rounds in practice; a
-    large-star/small-star variant would cut pathological chains to
-    O(log n) rounds without changing the interface).
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al. 2014) — each round hangs nodes directly off their
+    neighborhood minimum, so component depth roughly halves per round
+    and pathological chains converge in O(log n) rounds (min-label
+    propagation, the previous implementation, needed diameter rounds:
+    a 64-node chain would not converge inside max_iter). At the fixed
+    point the edge set is a forest of stars centered at each
+    component's minimum id.
 
-    Distribution: each round is one join of the symmetric edge list
-    against the label frame (shuffle on node id) + one aggregate; the
-    driver only coordinates the loop and reads a single converged
-    count per round. ``localCheckpoint`` truncates the growing lineage
-    so round N's plan doesn't replay rounds 1..N-1."""
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    sym = sym.localCheckpoint(eager=False)
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    Distribution: each round is two grouped aggregates + two joins, all
+    shuffling on node id; the driver only coordinates the loop and reads
+    one per-round count (the changed-edge check). ``localCheckpoint``
+    truncates lineage so round N's plan doesn't replay rounds 1..N-1.
+    Pass ``stats={}`` to receive ``{"rounds": r}`` back (used by the
+    convergence-rate test)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("_nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        rounds += 1
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # multiset equality: sizes match and new ⊆ old
+        changed = new_e.exceptAll(e).count()
+        same_size = changed == 0 and new_e.count() == e.count()
+        e = new_e
+        if same_size:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    if stats is not None:
+        stats["rounds"] = rounds
+    star_map = e.groupBy("src").agg(F.min("dst").alias("_component"))
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(star_map, F.col("node") == F.col("src"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("_component"), F.col("node")).alias("component"),
+        )
+    )
+    return out

@@ -35,6 +35,8 @@ _VERIFY_FIRST = [
     # new this round: real pixel/PCM decode under the oracle gate
     "multimodal_pixel_stats",
     "multimodal_audio_samples",
+    # plan changed this round: star-contraction connected components
+    "dedup_cluster_survivors",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

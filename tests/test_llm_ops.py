@@ -605,3 +605,22 @@ def test_extract_audio_sample_stats_distributed(spark):
     r = multimodal.extract_audio_sample_stats(df).head()
     assert (r.n_samples, r.s_sum, r.s_min, r.s_max) == (3, 20, -20, 30)
     assert r.s_possum == sum(k * v for k, v in enumerate(sm))
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 64-node path graph is the worst case for label propagation
+    (diameter 63). Star contraction must (a) get it RIGHT — everything
+    labeled 0 — and (b) converge in <= log2(n)+4 rounds, the property
+    that makes the fixpoint loop viable on 100 TB pair graphs."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    stats = {}
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(edges, nodes, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 10, f"expected O(log n) rounds, took {stats['rounds']}"
