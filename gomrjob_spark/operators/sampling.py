@@ -73,3 +73,41 @@ def hash_sample(
     return df.filter(
         hash_bucket(F.col(id_col), buckets, salt) < math.floor(fraction * buckets + 0.5)
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic downsample — the class-rebalancing
+    primitive of corpus curation (cap the dominant language, keep all of
+    a rare one). Each stratum gets its own keep-threshold over the same
+    content-addressed buckets, so within every stratum the kept set is
+    the hash_sample set for that fraction (nested: lowering a stratum's
+    fraction keeps a subset of what the higher fraction kept).
+
+    Scale: identical shape to hash_sample — one md5 + modulo per row and
+    a CASE over a handful of literals, all in the scan projection; no
+    join against a fractions table, no shuffle."""
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {f}")
+
+    def thr(f: float) -> int:
+        return math.floor(f * buckets + 0.5)
+
+    case = None
+    for k in sorted(fractions):
+        cond = F.col(strata_col) == k
+        case = (F.when if case is None else case.when)(cond, F.lit(thr(fractions[k])))
+    threshold = (
+        case.otherwise(F.lit(thr(default_fraction)))
+        if case is not None
+        else F.lit(thr(default_fraction))
+    )
+    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < threshold)

@@ -319,3 +319,49 @@ def knn_axis_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+#: fixed-point scale for deterministic distributed centroid accumulation
+CENTROID_QUANT = 1 << 20
+
+
+def centroid_sums(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids via fixed-point accumulation —
+    (group, pos, qsum, n, centroid).
+
+    Float sums are order-sensitive, and a distributed aggregate adds in
+    whatever order partitions finish — so a naive avg() centroid is not
+    reproducible run-to-run, let alone across engines. The standard fix
+    is a fixed-point accumulator: quantize each component to an integer
+    (floor(val * 2^20) — multiplying a float by a power of two is exact,
+    floor has no tie semantics to disagree on), sum exactly in bigint
+    (associative, order-free), divide once at the end. The result is
+    bit-identical on any engine and any partitioning.
+
+    Scale: posexplode widens rows x dim, but it feeds a partial
+    aggregate — the map side combines to one (group, pos) partial per
+    task, so the shuffle carries |groups| * dim tiny rows regardless of
+    corpus size. This is the canonical 100 TB centroid shape (same as
+    computing per-feature means for normalization)."""
+    pe = emb.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    q = F.floor(F.col("val").cast("double") * CENTROID_QUANT).cast("bigint")
+    return (
+        pe.groupBy("grp", "pos")
+        .agg(F.sum(q).alias("qsum"), F.count("*").alias("n"))
+        .select(
+            F.col("grp").alias(group_col),
+            "pos",
+            "qsum",
+            "n",
+            (F.col("qsum").cast("double") / (F.col("n").cast("double") * CENTROID_QUANT)).alias(
+                "centroid"
+            ),
+        )
+    )

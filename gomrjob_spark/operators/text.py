@@ -10,7 +10,7 @@ evaluates the identical pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
@@ -306,4 +306,30 @@ def pack_token_batches(
         .withColumn("start_offset", (F.col("_bucket_off") + F.col("_local_off")).cast("bigint"))
         .withColumn("batch_id", (F.col("start_offset") / budget).cast("bigint"))
         .select(id_col, shard_col, "n_tokens", "start_offset", "batch_id")
+    )
+
+
+def filter_above_group_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    q: float = 0.25,
+) -> DataFrame:
+    """Relative quality gate: keep rows at or above their OWN group's
+    q-th percentile of ``value_col`` (per-language length floors, per-
+    source score floors, ...) — absolute thresholds misfire when groups
+    have different baselines. Adds the threshold as ``_thr``.
+
+    Scale: one exact-percentile aggregate per group (single shuffle on
+    the group key), then a broadcast join of the |groups|-row threshold
+    table back onto the stream — the big side is never re-shuffled.
+    Exact percentile sorts each group on the executors; for huge groups
+    swap in approx_percentile, same plan shape."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias("_thr")
+    )
+    return df.join(F.broadcast(thresholds), group_col).filter(
+        F.col(value_col).cast("double") >= F.col("_thr")
     )

@@ -37,6 +37,11 @@ _VERIFY_FIRST = [
     "multimodal_audio_samples",
     # plan changed this round: star-contraction connected components
     "dedup_cluster_survivors",
+    # new this round: stratified sampling, fixed-point centroids,
+    # per-group percentile gate
+    "sample_stratified",
+    "embedding_centroids",
+    "quality_percentile_filter",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1022,6 +1022,106 @@ def multimodal_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+    FROM b
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 3000
+                     WHEN 'de' THEN 10000
+                     WHEN 'fr' THEN 8000
+                     ELSE 500
+                   END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample
+    (operators.sampling.stratified_hash_sample): cap the dominant
+    language at 30%, keep all German, 80% of French, 5% of everything
+    else — the class-rebalancing step of corpus curation, as a pure
+    scan-projection CASE over content-addressed md5 buckets (no join, no
+    shuffle, rerun- and engine-stable)."""
+    from gomrjob_spark.operators.sampling import hash_bucket, stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_hash_sample(
+        docs,
+        fractions={"en": 0.3, "de": 1.0, "fr": 0.8},
+        default_fraction=0.05,
+    )
+    return kept.select(
+        "doc_id", "lang", hash_bucket(F.col("doc_id"), 10_000, "strat").alias("bucket")
+    ).orderBy("doc_id")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qv
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(sum(qv) AS BIGINT) AS qsum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576)
+             AS centroid
+    FROM e
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via fixed-point accumulation
+    (operators.similarity.centroid_sums): float sums are order-sensitive
+    and distributed addition order is nondeterministic, so the
+    accumulator quantizes components to integers (exact *2^20 scaling +
+    floor), sums exactly in bigint, and divides once — bit-identical on
+    any engine and partitioning, which is exactly what this oracle
+    proves. The shuffle carries one (label, pos) partial per task
+    regardless of corpus size (map-side combine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_sums(emb, group_col="label").orderBy("label", "pos")
+
+
+@query(
+    "quality_percentile_filter",
+    oracle="""
+    WITH t AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS thr
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, t.thr
+    FROM documents d JOIN t USING (lang)
+    WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
+    ORDER BY d.doc_id
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate (operators.text.filter_above_group_quantile):
+    keep documents at/above their own language's 25th-percentile length —
+    absolute thresholds misfire across languages with different length
+    baselines. Spark exact percentile and DuckDB quantile_cont share
+    type-7 interpolation, so the threshold itself is under the hash
+    gate. Plan: one per-lang aggregate + broadcast threshold join; the
+    document stream is never re-shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = text.filter_above_group_quantile(docs, "n_chars", group_col="lang", q=0.25)
+    return kept.select(
+        "doc_id", "lang", "n_chars", F.col("_thr").alias("thr")
+    ).orderBy("doc_id")
+
+
+@query(
     "pack_token_batches",
     oracle="""
     WITH t AS (

@@ -624,3 +624,55 @@ def test_connected_components_chain_converges_logarithmically(spark):
     }
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 10, f"expected O(log n) rounds, took {stats['rounds']}"
+
+
+def test_stratified_sample_nested_and_validated(docs):
+    """Lowering a stratum's fraction keeps a SUBSET of the higher
+    fraction's picks (content-addressed buckets nest); unlisted strata
+    fall to default_fraction; out-of-range fractions are refused."""
+    from gomrjob_spark.operators.sampling import stratified_hash_sample
+
+    small = {r.doc_id for r in stratified_hash_sample(
+        docs, {"en": 0.2}, default_fraction=0.0).select("doc_id").collect()}
+    large = {r.doc_id for r in stratified_hash_sample(
+        docs, {"en": 0.6}, default_fraction=0.0).select("doc_id").collect()}
+    assert small and small <= large
+    only_en = {r.lang for r in stratified_hash_sample(
+        docs, {"en": 1.0}, default_fraction=0.0).select("lang").distinct().collect()}
+    assert only_en == {"en"}
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_hash_sample(docs, {"en": 1.5})
+
+
+def test_centroid_sums_partitioning_invariant(emb):
+    """The fixed-point accumulator's whole point: identical output (all
+    columns, including the float division) under different partition
+    counts / addition orders."""
+    from gomrjob_spark.operators.similarity import centroid_sums
+
+    def snap(df):
+        return {
+            (r.label, r.pos): (r.qsum, r.n, r.centroid)
+            for r in centroid_sums(df).collect()
+        }
+
+    a = snap(emb.repartition(3))
+    b = snap(emb.repartition(17, "vec_id"))
+    assert a == b and a
+
+
+def test_group_quantile_filter_bounds(docs):
+    """Per-group q=0.25 gate keeps 75% +/- rounding of each group and
+    every survivor sits at/above its own group's threshold."""
+    from gomrjob_spark.operators.text import filter_above_group_quantile
+
+    kept = filter_above_group_quantile(docs, "n_chars", group_col="lang", q=0.25)
+    rows = kept.select("lang", "n_chars", "_thr").collect()
+    assert all(float(r.n_chars) >= r._thr for r in rows)
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept_counts = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    for lang, total in totals.items():
+        frac = kept_counts.get(lang, 0) / total
+        assert 0.70 <= frac <= 0.85, (lang, frac)
+    with pytest.raises(ValueError, match="quantile"):
+        filter_above_group_quantile(docs, "n_chars", q=1.5)
