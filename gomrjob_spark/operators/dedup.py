@@ -632,22 +632,36 @@ def connected_components(
     truncates lineage so round N's plan doesn't replay rounds 1..N-1.
     Pass ``stats={}`` to receive ``{"rounds": r}`` back (used by the
     convergence-rate test)."""
-    e = (
+    def _materialize(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        """One job per round: the lazy localCheckpoint materializes under
+        the same action that computes the edge-set fingerprint
+        (count, wrapping sum of xxhash64(src,dst)). Two consecutive
+        DISTINCT edge sets with equal fingerprints are equal up to a
+        64-bit hash-sum collision — vanishingly unlikely and
+        non-adversarial here; max_iter still bounds the loop. This
+        replaces an exceptAll + two counts (three driver jobs) per
+        round."""
+        ck = df.localCheckpoint(eager=False)
+        row = ck.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI mode
+            # (a bigint sum of 64-bit hashes would overflow)
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("fp"),
+        ).first()
+        return ck, (row["n"], row["fp"])
+
+    e, sig = _materialize(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # multiset equality: sizes match and new ⊆ old
-        changed = new_e.exceptAll(e).count()
-        same_size = changed == 0 and new_e.count() == e.count()
-        e = new_e
-        if same_size:
+        e, new_sig = _materialize(_small_star(_large_star(e)))
+        if new_sig == sig:
             break
+        sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
     star_map = e.groupBy("src").agg(F.min("dst").alias("_component"))
