@@ -102,3 +102,72 @@ def test_hash_sample_half_up_rounding(spark):
     # threshold is floor(0.5 + 0.5) = 1 -> exactly the bucket-0 rows survive
     expected = df.filter(hash_bucket(F.col("doc_id"), 10_000, "sample") == 0)
     assert kept.count() == expected.count()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+    fmt=st.sampled_from(["ppm", "pgm", "bmp24", "bmp32", "bmp_topdown"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_pixel_decode_roundtrip_property(w, h, data, fmt):
+    """Encode random pixels into each supported container, decode, and
+    recover the EXACT top-down RGB(A) byte sequence — covering BMP row
+    padding, bottom-up storage, BGR ordering, and PNM header parsing."""
+    import struct
+
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    ch = {"ppm": 3, "pgm": 1, "bmp24": 3, "bmp32": 4, "bmp_topdown": 3}[fmt]
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    if fmt in ("ppm", "pgm"):
+        magic = b"P6" if fmt == "ppm" else b"P5"
+        payload = magic + f"\n# c\n{w} {h}\n255\n".encode() + pix
+    else:
+        top_down = fmt == "bmp_topdown"
+        stride = (w * ch + 3) // 4 * 4
+        rows = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                s = (y * w + x) * ch
+                row += bytes([pix[s + 2], pix[s + 1], pix[s]])  # RGB -> BGR
+                if ch == 4:
+                    row += pix[s + 3 : s + 4]
+            rows.append(bytes(row) + b"\x00" * (stride - len(row)))
+        raster = b"".join(rows if top_down else list(reversed(rows)))
+        payload = (
+            b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1,
+                          ch * 8, 0, len(raster), 0, 0, 0, 0)
+            + raster
+        )
+    m = decode_image(payload)
+    assert (m["width"], m["height"], m["channels"]) == (w, h, ch)
+    assert m["pixels"] == pix
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+    junk_first=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pcm_decode_roundtrip_property(samples, junk_first):
+    """Random signed 16-bit sequences survive WAV encode -> decode
+    byte-exactly, with or without a preceding odd-sized chunk."""
+    import struct
+
+    from gomrjob_spark.operators.multimodal import decode_audio_samples
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk\x00\x00"
+    chunks = (junk + fmt) if junk_first else fmt
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + chunks
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert decode_audio_samples(payload)["samples"] == samples
