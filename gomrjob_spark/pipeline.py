@@ -128,6 +128,38 @@ class Pipeline:
                 df = df.localCheckpoint(eager=False)
         return df
 
+    def run_stream(self, df: DataFrame) -> DataFrame:
+        """Run the same Step graph on a STREAMING DataFrame — the
+        reference's batch job re-expressed as a live micro-batch
+        topology with zero changes to the Step definitions. The mapper
+        (and combiner) are stateless per-batch transforms; a builtin
+        reducer becomes Spark's stateful running aggregate (drain in
+        ``update``/``complete`` mode, or add a watermark upstream for
+        append). Returns the streaming DataFrame; the caller attaches
+        the sink (``streaming.run_to_memory`` / ``writeStream``).
+
+        Constraints are Spark's, surfaced as clear errors: one reducing
+        step per stream (chained stateful aggregates need watermarked
+        append topologies — compose ``streaming/ops`` directly), and a
+        Python reducer on a stream needs ``applyInPandasWithState``
+        (see ``streaming.stateful_user_counts``) — use SUM/COUNT here."""
+        if not self.steps:
+            raise ValueError("pipeline has no steps")
+        if not df.isStreaming:
+            raise ValueError("run_stream needs a streaming DataFrame; use run()")
+        if len(self.steps) != 1:
+            raise ValueError(
+                "streaming pipelines support exactly one map/reduce step; "
+                "compose streaming/ops directly for multi-stage stateful topologies"
+            )
+        s = self.steps[0]
+        if not isinstance(s.reducer, str):
+            raise ValueError(
+                "Python reducers on a stream need applyInPandasWithState "
+                "(streaming.stateful_user_counts); use a builtin (SUM/COUNT) here"
+            )
+        return _run_step(df, s, streaming=True)
+
     def run_to_dir(
         self,
         df: DataFrame,
@@ -151,7 +183,7 @@ class Pipeline:
         return out
 
 
-def _run_step(df: DataFrame, s: Step) -> DataFrame:
+def _run_step(df: DataFrame, s: Step, streaming: bool = False) -> DataFrame:
     if s.mapper is not None:
         mapper = s.mapper
 
@@ -163,10 +195,14 @@ def _run_step(df: DataFrame, s: Step) -> DataFrame:
 
         # mapper-task fan-out parity (the reference gets one mapper per
         # input split; a small local file arrives as ONE split, which
-        # would serialize the Python mapper) — no-op on real cluster scans
-        from gomrjob_spark.operators.text import spread
+        # would serialize the Python mapper) — no-op on real cluster
+        # scans, skipped on streams (micro-batches already arrive split)
+        if streaming:
+            df = df.mapInPandas(map_batches, schema=s.map_schema)
+        else:
+            from gomrjob_spark.operators.text import spread
 
-        df = spread(df).mapInPandas(map_batches, schema=s.map_schema)
+            df = spread(df).mapInPandas(map_batches, schema=s.map_schema)
 
     # map-side combining for Python reducers (map_reduce_step.go:15-17,
     # wiring runner.go:188-195): pre-reduce each Arrow batch's key groups

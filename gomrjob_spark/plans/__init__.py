@@ -38,10 +38,11 @@ _VERIFY_FIRST = [
     # plan changed this round: star-contraction connected components
     "dedup_cluster_survivors",
     # new this round: stratified sampling, fixed-point centroids,
-    # per-group percentile gate
+    # per-group percentile gate, streaming MR parity
     "sample_stratified",
     "embedding_centroids",
     "quality_percentile_filter",
+    "streaming_mr_sum",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

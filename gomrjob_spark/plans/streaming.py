@@ -246,3 +246,46 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
     )
     return _drain(spark, out, "append").orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "streaming_mr_sum",
+    oracle="""
+    SELECT event_type AS key,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value
+    FROM events
+    GROUP BY event_type
+    ORDER BY key
+    """,
+)
+def streaming_mr_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship batch shape (mapper -> Sum reducer,
+    example_mr.go:21-53) run as a LIVE STREAM via Pipeline.run_stream:
+    the same Step definition, unchanged, becomes a micro-batch topology —
+    Python mapper per batch, builtin Sum as Spark's stateful running
+    aggregate, drained in complete mode. Over the finite replay the
+    running totals equal the batch GROUP BY, which is what the oracle
+    checks. floor(x + 0.5) cent-rounding: identical half-up semantics in
+    the Python mapper and the SQL oracle (round() would pit Python's
+    half-even against DuckDB's half-away)."""
+    import math
+
+    from gomrjob_spark.pipeline import SUM, Pipeline, Step
+
+    def cents_mapper(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "key": pdf["event_type"],
+                "value": [
+                    str(int(math.floor(v * 100 + 0.5))) for v in pdf["value"]
+                ],
+            }
+        )
+
+    events = read_events_stream(spark, sf_dir)
+    totals = Pipeline(steps=[Step(mapper=cents_mapper, reducer=SUM)]).run_stream(
+        events
+    )
+    return _drain(spark, totals, "complete").orderBy("key")

@@ -268,3 +268,53 @@ def test_stage_and_task_report_after_run(spark):
     assert all(line.startswith("stage ") and " on " in line for line in tail)
     # unknown stage id -> empty, not an exception
     assert c.task_report(stage_id=10**9) == []
+
+
+def test_run_stream_matches_batch_run(spark, tmp_path):
+    """The SAME Step runs batch and streaming: totals from the drained
+    stream equal Pipeline.run on the identical input."""
+    import pandas as pd
+
+    from gomrjob_spark.streaming import run_to_memory
+
+    rows = [("a", str(i)) for i in range(10)] + [("b", "7"), ("b", "xx")]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(rows, "key string, value string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    step = Step(mapper=None, reducer=SUM)
+    batch = {
+        (r.key, r.value)
+        for r in Pipeline(steps=[step]).run(spark.read.parquet(str(src))).collect()
+    }
+
+    stream_in = spark.readStream.schema("key string, value string").parquet(str(src))
+    totals = Pipeline(steps=[step]).run_stream(stream_in)
+    q, name = run_to_memory(totals, mode="complete")
+    try:
+        spark.table(name).count()
+    finally:
+        q.stop()
+    streamed = {(r.key, r.value) for r in spark.table(name).collect()}
+    assert streamed == batch == {("a", 45), ("b", 7)}  # "xx" skipped, as in batch
+
+
+def test_run_stream_validations(spark, tmp_path):
+    import pytest
+
+    src = tmp_path / "v_src"
+    src.mkdir()
+    spark.createDataFrame([("a", "1")], "key string, value string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream_in = spark.readStream.schema("key string, value string").parquet(str(src))
+    batch_df = spark.read.parquet(str(src))
+
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        Pipeline(steps=[Step(reducer=SUM)]).run_stream(batch_df)
+    with pytest.raises(ValueError, match="exactly one"):
+        Pipeline(steps=[Step(reducer=SUM), Step(reducer=SUM)]).run_stream(stream_in)
+    with pytest.raises(ValueError, match="applyInPandasWithState"):
+        Pipeline(steps=[Step(reducer=lambda k, pdf: pdf)]).run_stream(stream_in)
