@@ -674,3 +674,32 @@ def connected_components(
         )
     )
     return out
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    known_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: admit only batch documents whose
+    content fingerprint is (a) not already in the corpus fingerprint
+    store and (b) the first occurrence within this batch (min id wins).
+    Returns (id, fp, n_dups_in_batch) — the rows to append to both the
+    corpus and the store.
+
+    This is how a 100 TB pipeline dedups day-over-day: the store is an
+    append-only fingerprint table, never rewritten; each batch pays one
+    anti-join shuffle on fp against it plus the within-batch survivor
+    aggregate. Both sides shuffle on the same key, so a bucketed store
+    elides its exchange entirely (operators/bucketing.py)."""
+    fps = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    fresh = fps.join(
+        known_fps.select(F.col(fp_col).alias("fp")).distinct(), "fp", "left_anti"
+    )
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups_in_batch"))
+        .select(id_col, "fp", "n_dups_in_batch")
+    )

@@ -111,3 +111,71 @@ def stratified_hash_sample(
         else F.lit(thr(default_fraction))
     )
     return df.filter(hash_bucket(F.col(id_col), buckets, salt) < threshold)
+
+
+def select_within_budget(
+    df: DataFrame,
+    order_col: str,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy global selection under a budget: order rows by
+    (order_col, id) and keep the prefix whose running ``token_col``
+    total stays within ``budget`` — "take the highest-quality documents
+    until the token budget is spent", the corpus-selection step of
+    training-data curation. Adds ``cum_tokens`` (the running total
+    including the row).
+
+    A naive global window cumsum is one task sorting the world. This is
+    the distributed shape: range-repartition on the selection order
+    (distributed sort), cumsum WITHIN each range partition, then a
+    driver-side exclusive prefix over the per-partition totals
+    (|partitions| rows) folded back in. The result is identical for any
+    partition count or boundary placement — range partitions are
+    globally ordered, so boundaries only move work, never totals. The
+    partitioned frame is checkpointed so the totals pass and the final
+    filter see the SAME sampled boundaries."""
+    from pyspark.sql import Window
+
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    n_parts = (
+        partitions
+        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local_cum",
+            F.sum(F.col(token_col)).over(
+                Window.partitionBy("_pid")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in ranged.groupBy("_pid").agg(F.sum(token_col).alias("t")).collect()
+    )
+    offsets, running = {}, 0
+    for pid, t in totals:
+        offsets[pid] = running
+        running += t
+    if offsets:
+        offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        offset_expr = F.coalesce(offset_map[F.col("_pid")], F.lit(0))
+    else:
+        offset_expr = F.lit(0)
+    return (
+        ranged.withColumn("cum_tokens", (F.col("_local_cum") + offset_expr).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_local_cum")
+    )

@@ -43,6 +43,8 @@ _VERIFY_FIRST = [
     "embedding_centroids",
     "quality_percentile_filter",
     "streaming_mr_sum",
+    "dedup_incremental",
+    "select_token_budget",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1122,6 +1122,76 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH store AS (
+      SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents WHERE doc_id >= 250
+    )
+    SELECT min(doc_id) AS doc_id, fp,
+           CAST(count(*) AS BIGINT) AS n_dups_in_batch
+    FROM batch
+    WHERE fp NOT IN (SELECT fp FROM store)
+    GROUP BY fp
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (operators.dedup.incremental_dedup):
+    the corpus fingerprint store is docs 0-249; the incoming batch is
+    docs 250+. Admit only batch docs whose content fingerprint is absent
+    from the store AND first within the batch — one anti-join shuffle on
+    fp plus the survivor partial-agg, the day-over-day shape where the
+    store is append-only and never rewritten."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = dedup.exact_dedup(docs.filter(F.col("doc_id") < 250)).select("fp")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return dedup.incremental_dedup(batch, store).orderBy("doc_id")
+
+
+@query(
+    "select_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 12000
+    ORDER BY doc_id
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a token budget
+    (operators.sampling.select_within_budget): take documents in
+    (n_chars DESC, doc_id) order until 12k tokens are spent. The oracle
+    is the naive global window cumsum; the Spark plan is the distributed
+    form — range repartition + per-partition cumsum + a driver-side
+    exclusive prefix over |partitions| totals — proving the two-level
+    prefix sum equals the single-task window exactly."""
+    from gomrjob_spark.operators.sampling import select_within_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "n_chars", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return select_within_budget(
+        t, order_col="n_chars", budget=12_000, token_col="n_tokens"
+    ).select("doc_id", "n_chars", "n_tokens", "cum_tokens").orderBy("doc_id")
+
+
+@query(
     "pack_token_batches",
     oracle="""
     WITH t AS (

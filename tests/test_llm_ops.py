@@ -676,3 +676,56 @@ def test_group_quantile_filter_bounds(docs):
         assert 0.70 <= frac <= 0.85, (lang, frac)
     with pytest.raises(ValueError, match="quantile"):
         filter_above_group_quantile(docs, "n_chars", q=1.5)
+
+
+def test_incremental_dedup_store_semantics(spark):
+    from gomrjob_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "AAA "), (13, "ccc")],
+        "doc_id bigint, text string",
+    )
+    empty_store = spark.createDataFrame([], "fp string")
+    got = {
+        r.doc_id: r.n_dups_in_batch
+        for r in incremental_dedup(batch, empty_store).collect()
+    }
+    assert got == {10: 2, 11: 1, 13: 1}  # 12 normalizes into 10's fp
+
+    # store already containing "bbb"'s fingerprint suppresses 11
+    from gomrjob_spark.operators.dedup import exact_dedup
+
+    store = exact_dedup(
+        spark.createDataFrame([(1, "  BBB")], "doc_id bigint, text string")
+    ).select("fp")
+    got2 = {r.doc_id for r in incremental_dedup(batch, store).collect()}
+    assert got2 == {10, 13}
+
+
+def test_select_within_budget_partition_invariant(docs):
+    """The two-level prefix sum equals the global cumsum for ANY
+    partition count — including 1 (degenerate single range)."""
+    from gomrjob_spark.operators.sampling import select_within_budget
+
+    t = docs.select("doc_id", "n_chars", F.lit(1).cast("bigint").alias("tok"))
+
+    def snap(n):
+        return {
+            (r.doc_id, r.cum_tokens)
+            for r in select_within_budget(
+                t, "n_chars", 200, "tok", partitions=n
+            ).collect()
+        }
+
+    a, b, c = snap(1), snap(4), snap(13)
+    assert a == b == c
+    assert len(a) == 200  # tok=1 each: exactly `budget` rows survive
+    # the kept set is the global-order prefix: every kept doc is at least
+    # as long as every dropped doc (ties broken by id)
+    kept_ids = {d for d, _ in a}
+    rows = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    worst_kept = min((rows[d], -d) for d in kept_ids)
+    best_dropped = max(
+        ((rows[d], -d) for d in rows if d not in kept_ids), default=None
+    )
+    assert best_dropped is None or best_dropped < worst_kept
