@@ -75,3 +75,18 @@ def sql_dsum(expr: str, carrier: str = "DECIMAL(18,2)") -> str:
 
 def sql_davg(expr: str, carrier: str = "DECIMAL(18,2)") -> str:
     return f"(CAST(sum(CAST({expr} AS {carrier})) AS DOUBLE) / count({expr}))"
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since the epoch for TIMESTAMP *and* TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet TIMESTAMP
+    without isAdjustedToUTC now reads as), and casting NTZ->TIMESTAMP
+    first would make the value session-timezone/DST-dependent. A
+    ``timestamp_diff`` against the epoch accepts both types; an NTZ input
+    is treated as UTC wall-clock, matching DuckDB's naive TIMESTAMP.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+    )

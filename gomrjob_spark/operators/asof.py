@@ -98,12 +98,15 @@ def asof_join(
     )
     m = F.col("_m")
     if tolerance_minutes is not None:
-        gap_us = (
-            F.unix_micros(F.col("_ts")) - F.unix_micros(m.getField("_mts"))
+        # timestamp subtraction yields a day-time interval for both
+        # TIMESTAMP and TIMESTAMP_NTZ inputs (unix_micros rejects NTZ,
+        # and an NTZ->TIMESTAMP cast is session-timezone/DST-dependent)
+        gap = (
+            F.col("_ts") - m.getField("_mts")
             if direction == "backward"
-            else F.unix_micros(m.getField("_mts")) - F.unix_micros(F.col("_ts"))
+            else m.getField("_mts") - F.col("_ts")
         )
-        m = F.when(gap_us <= tolerance_minutes * 60 * 1_000_000, F.col("_m"))
+        m = F.when(gap <= F.expr(f"INTERVAL {int(tolerance_minutes)} MINUTE"), F.col("_m"))
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
         *[m.getField(c).alias(f"asof_{c}") for c in value_cols],
@@ -125,13 +128,16 @@ def sessionize(
     (lag + running sum), then the session aggregate.
     """
     w = W.partitionBy(key).orderBy(ts)
-    gap_us = gap_minutes * 60 * 1_000_000
+    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ
+    # (unix_micros rejects NTZ, and an NTZ->TIMESTAMP cast would be
+    # session-timezone/DST-dependent)
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
     marked = df.select(
         F.col(key),
         F.col(ts).alias("_ts"),
         F.when(
             F.lag(ts).over(w).isNull()
-            | ((F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) >= gap_us),
+            | ((F.col(ts) - F.lag(ts).over(w)) >= gap),
             1,
         )
         .otherwise(0)
@@ -143,7 +149,7 @@ def sessionize(
         with_sid.groupBy(key, "session_id")
         .agg(
             F.min("_ts").alias("session_start"),
-            (F.timestamp_micros(F.unix_micros(F.max("_ts")) + gap_us)).alias("session_end"),
+            (F.max("_ts") + gap).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

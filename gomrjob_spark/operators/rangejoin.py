@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gomrjob_spark.functions import epoch_us
+
 
 def band_join(
     left: DataFrame,
@@ -54,8 +56,8 @@ def band_join(
         raise ValueError("upper_seconds must be >= lower_seconds")
     width = max(upper_seconds - lower_seconds, 1)
 
-    l_ts = F.unix_micros(F.col(left_ts))
-    r_ts = F.unix_micros(F.col(right_ts))
+    l_ts = epoch_us(left_ts)
+    r_ts = epoch_us(right_ts)
     width_us = width * 1_000_000
     lower_us = lower_seconds * 1_000_000
     upper_us = upper_seconds * 1_000_000
@@ -71,6 +73,6 @@ def band_join(
     keys = ["_bucket"] + list(extra_keys or [])
     # qualified refs so the residual resolves even when both ts columns
     # share a name
-    delta: Column = F.unix_micros(r_b[right_ts]) - F.unix_micros(l_b[left_ts])
+    delta: Column = epoch_us(r_b[right_ts]) - epoch_us(l_b[left_ts])
     residual: Column = (delta >= lower_us) & (delta <= upper_us)
     return l_b.join(r_b, keys, how).filter(residual).drop("_bucket")

@@ -24,27 +24,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: events.parquet schema as read under nanosAsLong (ts arrives as int64
-#: nanoseconds; see gomrjob_spark.catalog for why)
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-)
-
 _sink_counter = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-replay stream of the events table (micro-truncated ts, same as
-    the batch catalog)."""
+    """File-replay stream of the events table, with the same ``ts``
+    handling as the batch catalog (gomrjob_spark.catalog.load_table):
+    the file source needs an explicit schema, so take it from a static
+    read of the same file — parquet TIMESTAMP(MICROS) arrives as
+    TIMESTAMP/TIMESTAMP_NTZ and passes through; TIMESTAMP(NANOS) (which
+    Spark can only read as int64 under nanosAsLong) arrives as bigint
+    and is truncated to microseconds, matching DuckDB's scan behavior."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source requires a directory: point at sf_dir and glob-filter
     # down to the events table
+    from gomrjob_spark.catalog import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # the engine session is pinned to UTC (session.get_session), where
+        # the NTZ->TIMESTAMP cast is exact and DST-free
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
