@@ -703,3 +703,49 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups_in_batch"))
         .select(id_col, "fp", "n_dups_in_batch")
     )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination detector: training documents sharing at
+    least ``min_common`` distinct word n-grams with any benchmark/eval
+    document. Returns (id, n_hit) where n_hit counts the train doc's
+    distinct n-grams that appear anywhere in the benchmark set — the
+    standard leakage check before training on web-scale corpora (eval
+    answers quoted verbatim in crawl pages).
+
+    Scale: eval suites are tiny next to a 100 TB corpus, so the distinct
+    benchmark n-gram set is broadcast and the train-side shingle stream
+    is probed in place — no shuffle of the corpus at all, just the
+    per-doc hit count aggregate. If the benchmark side ever outgrows the
+    broadcast threshold, drop the hint and the same plan degrades to a
+    shuffled hash join on the shingle."""
+    train_sh = word_shingles(train, n, text_col, id_col)
+    bench_sh = word_shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") >= min_common)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop contaminated training documents (see contaminated_ids): one
+    broadcast probe + one anti-join on the id, the corpus stream is
+    never shuffled."""
+    bad = contaminated_ids(train, benchmark, n, min_common, text_col, id_col)
+    return train.join(bad.select(id_col), id_col, "left_anti")

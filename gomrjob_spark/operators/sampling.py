@@ -179,3 +179,47 @@ def select_within_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_pid", "_local_cum")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, best-first — the per-domain /
+    per-source cap of corpus curation (a handful of hosts contribute half
+    the crawl; capping them is the standard anti-domination step). The
+    order is the total order (order_col, id), so the kept set is
+    deterministic and rerun-stable. Adds ``rank`` (1-based within group).
+
+    Scale: a single ``Window.partitionBy(group)`` ranks each group in one
+    task — for the hottest domain at 100 TB that task sorts billions of
+    rows. So phase 1 pre-prunes with a window over (group,
+    input-partition-id): the hot group's rows are spread across however
+    many scan partitions hold them, each bounded task keeps its local
+    top-k, and only <= k * num_partitions survivors per group reach the
+    phase-2 global rank. Keeping local top-k first provably preserves the
+    global top-k (any global winner is a local winner of its slice)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    from pyspark.sql import Window
+
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrank",
+            F.row_number().over(Window.partitionBy(group_col, "_pid").orderBy(*order)),
+        )
+        .filter(F.col("_lrank") <= k)
+        .drop("_lrank", "_pid")
+    )
+    return local.withColumn(
+        "rank", F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
+    ).filter(F.col("rank") <= k)

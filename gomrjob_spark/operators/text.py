@@ -333,3 +333,99 @@ def filter_above_group_quantile(
     return df.join(F.broadcast(thresholds), group_col).filter(
         F.col(value_col).cast("double") >= F.col("_thr")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token (``top_token_frac``)
+    and the fraction of word bigrams that are repeats of an earlier
+    bigram (``dup_bigram_frac``). Boilerplate, keyword-stuffed, and
+    generator-loop pages score high on both; the thresholds (0.2 / 0.2,
+    after Rae et al.'s Gopher rules) gate the ``keep`` flag.
+
+    Docs with fewer than ``min_tokens`` tokens are excluded — repetition
+    fractions over a handful of tokens are noise, and the pre-filter
+    keeps the explode small.
+
+    Scale: the top-token count is the distributed shape — explode to
+    (id, token), count, take the max — two partial-aggregated shuffles
+    keyed by (id, token) then id, never a per-doc Python pass. The
+    bigram repeat fraction needs no shuffle at all: bigrams and their
+    distinct count are array expressions evaluated in the scan
+    projection, joined back by id (both sides already hash on id).
+    Returns (id, n_tokens, top_token_frac, dup_bigram_frac, keep)."""
+    toked = spread(df).select(
+        F.col(id_col), tokens(normalized(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= min_tokens)
+    per_tok = (
+        toked.select(F.col(id_col), F.explode("_toks").alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("n_tokens"))
+    )
+    toks = F.col("_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    # project the bigram array into a real column first: lambda
+    # subexpressions get no CSE, so inlining it would tokenize twice
+    per_doc = toked.withColumn("_bg", bigrams).select(
+        F.col(id_col),
+        F.size(F.col("_bg")).alias("_n_bg"),
+        F.size(F.array_distinct(F.col("_bg"))).alias("_n_bg_d"),
+    )
+    out = per_doc.join(per_tok, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("_top").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("_n_bg_d").cast("double") / F.col("_n_bg").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_token_frac") <= 0.2) & (F.col("dup_bigram_frac") <= 0.2),
+    )
+
+
+# PII patterns, restricted to the Java-regex / RE2 dialect intersection
+# (explicit classes, no lookaround, no backreferences) so the DuckDB
+# oracle evaluates the identical pattern:
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_DIGIT_RUN = r"[0-9]{7,}"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII category on the raw text (pre-redaction)."""
+    c = _c(col)
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)),
+        "n_ips": F.regexp_count(c, F.lit(PII_IPV4)),
+        "n_digit_runs": F.regexp_count(c, F.lit(PII_DIGIT_RUN)),
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, IPv4 addresses, and long digit runs (account/card/
+    phone-shaped numbers) with typed placeholders. Order matters and is
+    part of the contract: emails first (their local/domain parts contain
+    digit runs), then IPs (their octets would otherwise be eaten by the
+    digit-run pass), then bare digit runs. Pure regexp_replace chain —
+    leftmost-first global substitution is identical in Java regex and
+    RE2, so any SQL engine reproduces the redacted text byte-for-byte."""
+    c = _c(col)
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    c = F.regexp_replace(c, PII_DIGIT_RUN, "<NUM>")
+    return c

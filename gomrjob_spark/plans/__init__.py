@@ -45,6 +45,12 @@ _VERIFY_FIRST = [
     "streaming_mr_sum",
     "dedup_incremental",
     "select_token_budget",
+    # new this round (2): curation ops — per-source cap, benchmark
+    # decontamination, Gopher repetition filters, PII redaction
+    "cap_per_source",
+    "decontaminate_ngrams",
+    "text_repetition_stats",
+    "text_pii_scrub",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1242,3 +1242,178 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5 idiom, so the full layout is hash-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return text.pack_token_batches(docs, budget=2048).orderBy("lang", "doc_id")
+
+
+@query(
+    "cap_per_source",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rank
+    FROM r WHERE rank <= 20
+    ORDER BY doc_id
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators.sampling.cap_per_group): keep
+    the 20 longest documents of every source — the anti-domination step
+    that stops a handful of template-heavy hosts from being half the
+    corpus. The oracle is the naive single ROW_NUMBER; the Spark plan is
+    the skew-safe two-phase form (local top-k per scan slice, then the
+    global rank over <= k * partitions survivors), proving the prune
+    preserves the exact global result."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    capped = cap_per_group(
+        docs, group_col="source", k=20, order_col="n_chars", id_col="doc_id"
+    )
+    return capped.select(
+        "doc_id", "source", "n_chars", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM norm, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+    hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM sh s JOIN bench USING (shingle)
+      WHERE s.doc_id % 25 <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, n_hit FROM hits WHERE n_hit >= 5
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.contaminated_ids):
+    treat every 25th document as the held-out eval suite and flag
+    training docs sharing >= 5 distinct word 3-grams with it — the
+    leakage check that catches eval answers quoted in crawl pages (the
+    fixture's injected exact/near duplicates across the split make the
+    hit set non-trivial). Plan: the tiny benchmark shingle set is
+    broadcast and probed against the train shingle stream in place; the
+    corpus is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    flagged = dedup.contaminated_ids(train, bench, n=3, min_common=5)
+    return flagged.select(
+        "doc_id", F.col("n_hit").cast("bigint").alias("n_hit")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+    ),
+    eligible AS (SELECT doc_id, w FROM norm WHERE len(w) >= 20),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM eligible),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+      FROM eligible, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    bstat AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             CAST(count(DISTINCT bigram) AS BIGINT) AS n_bg_d
+      FROM bg GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(t.top_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             AS top_token_frac,
+           1.0 - CAST(b.n_bg_d AS DOUBLE) / CAST(b.n_bg AS DOUBLE)
+             AS dup_bigram_frac,
+           (CAST(t.top_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) <= 0.2
+            AND 1.0 - CAST(b.n_bg_d AS DOUBLE) / CAST(b.n_bg AS DOUBLE) <= 0.2)
+             AS keep
+    FROM top t JOIN bstat b USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators.text.repetition_stats):
+    top-token fraction and duplicate-bigram fraction per document, with
+    the keep flag at the 0.2/0.2 thresholds. Exact integer counts and a
+    single IEEE double division per fraction, so both engines emit
+    identical bits and the full stats sit under the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, min_tokens=20).orderBy("doc_id")
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7, ref '
+                  || CAST(9000000 + doc_id * 37 AS VARCHAR) || '.' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.text.scrub_pii): emails -> <EMAIL>,
+    IPv4 -> <IP>, 7+-digit runs -> <NUM>, with per-category match counts
+    measured pre-redaction. The fixture text carries no PII, so a
+    deterministic contact-footer (same concat expression in both
+    engines) is appended first — making every row's counts non-trivial
+    and putting the redacted text itself under the byte-exact hash gate.
+    All JVM regexp in the scan projection; patterns restricted to the
+    Java-regex/RE2 intersection so DuckDB evaluates them identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, ref "),
+            (F.lit(9000000) + F.col("doc_id") * 37).cast("string"),
+            F.lit("."),
+        ).alias("_t"),
+    )
+    counts = text.pii_counts("_t")
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_ips"].cast("bigint").alias("n_ips"),
+        counts["n_digit_runs"].cast("bigint").alias("n_digit_runs"),
+        text.scrub_pii("_t").alias("scrubbed"),
+    ).orderBy("doc_id")

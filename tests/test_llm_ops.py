@@ -729,3 +729,133 @@ def test_select_within_budget_partition_invariant(docs):
         ((rows[d], -d) for d in rows if d not in kept_ids), default=None
     )
     assert best_dropped is None or best_dropped < worst_kept
+
+
+def test_cap_per_group_matches_naive_and_is_partition_invariant(docs):
+    """The two-phase prune (local top-k per scan slice, then global rank)
+    returns exactly the naive single-window top-k, for any input
+    partitioning, and never more than k rows per group."""
+    from pyspark.sql import Window
+
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    d = docs.select("doc_id", "source", "n_chars")
+    naive = {
+        (r.doc_id, r.rank)
+        for r in d.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+
+    for parts in (1, 5, 17):
+        got = {
+            (r.doc_id, r.rank)
+            for r in cap_per_group(
+                d.repartition(parts), "source", 7, "n_chars"
+            ).collect()
+        }
+        assert got == naive
+    per_group = (
+        cap_per_group(d, "source", 7, "n_chars")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 7 for r in per_group)
+
+
+def test_decontaminate_flags_benchmark_duplicates(spark):
+    """A train doc that IS a benchmark doc (verbatim or near-verbatim)
+    must be flagged; a train doc sharing no 3-gram must not be; and
+    decontaminate() drops exactly the flagged ids."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog today"),  # verbatim (case)
+            (2, "a quick brown fox jumps over some other dog entirely"),  # partial
+            (3, "completely unrelated text with no overlap at all whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    hits = {
+        r.doc_id: r.n_hit
+        for r in dedup.contaminated_ids(train, bench, n=3, min_common=1).collect()
+    }
+    assert 1 in hits and hits[1] == 8  # all 8 shingles of the 10-token doc
+    assert 2 in hits and 0 < hits[2] < 8
+    assert 3 not in hits
+    survivors = {
+        r.doc_id for r in dedup.decontaminate(train, bench, min_common=1).collect()
+    }
+    assert survivors == {3}
+    # raising min_common above doc 2's overlap keeps it
+    survivors2 = {
+        r.doc_id for r in dedup.decontaminate(train, bench, min_common=5).collect()
+    }
+    assert survivors2 == {2, 3}
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed fractions on a fixed doc: 24 tokens of which 12 are
+    'spam' -> top_token_frac = 0.5; and a doc below min_tokens is
+    excluded."""
+    from gomrjob_spark.operators.text import repetition_stats
+
+    spammy = " ".join(["spam"] * 12 + [f"w{i}" for i in range(12)])
+    clean = " ".join(f"u{i}" for i in range(24))
+    df = spark.createDataFrame(
+        [(1, spammy), (2, clean), (3, "too short")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, min_tokens=20).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_tokens == 24
+    assert got[1].top_token_frac == 0.5
+    # 23 bigrams, 'spam spam' repeats 10 times -> 13 distinct
+    assert abs(got[1].dup_bigram_frac - (1 - 13 / 23)) < 1e-12
+    assert not got[1].keep
+    assert got[2].top_token_frac == 1 / 24
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[2].keep
+
+
+def test_scrub_pii_exact_output(spark):
+    """Byte-exact redaction incl. the ordering contract (emails before
+    IPs before digit runs)."""
+    from gomrjob_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x.co or 10.1.2.3 card 4111111111111111 end"),
+            (2, "no pii here"),
+            (3, "ip 999.999.999.999 and number 1234567"),
+        ],
+        "doc_id bigint, text string",
+    )
+    counts = pii_counts("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii("text").alias("s"),
+            counts["n_emails"].alias("e"),
+            counts["n_ips"].alias("i"),
+            counts["n_digit_runs"].alias("d"),
+        ).collect()
+    }
+    assert got[1].s == "mail <EMAIL> or <IP> card <NUM> end"
+    assert (got[1].e, got[1].i, got[1].d) == (1, 1, 1)
+    assert got[2].s == "no pii here"
+    assert (got[2].e, got[2].i, got[2].d) == (0, 0, 0)
+    assert got[3].s == "ip <IP> and number <NUM>"
+    assert (got[3].e, got[3].i, got[3].d) == (0, 1, 1)
