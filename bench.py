@@ -49,6 +49,10 @@ HEADLINE = [
     "text_chunks",
     "sample_hash_split",
     "pack_token_batches",
+    "cap_per_source",
+    "decontaminate_ngrams",
+    "text_repetition_stats",
+    "text_pii_scrub",
     "multimodal_pixel_stats",
     "mr_field_count",
     "mr_combiner",
