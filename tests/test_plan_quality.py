@@ -219,3 +219,37 @@ def test_pack_no_single_task_window_over_full_shard(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#\d+L? ASC", plan)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cap_per_source_two_phase_rank(spark, sf_dir):
+    """The skew-safe cap, pinned: the first (data-sized) rank must be
+    partitioned by (source, scan-partition-id) — a single windowspec
+    over the source alone before the prune would rank the hottest
+    domain in one task at 100 TB. The global rank then runs over the
+    pruned <= k x partitions survivors."""
+    import re
+
+    plan = _plan(plans.QUERIES["cap_per_source"](spark, sf_dir))
+    # phase 1 spec carries the partition id next to the group key
+    assert re.search(r"windowspecdefinition\(source#\d+, _pid#\d+", plan)
+    # and the final global rank exists (source-only spec, post-prune)
+    assert re.search(r"windowspecdefinition\(source#\d+, n_chars#\d+", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_benchmark_side_broadcast(spark, sf_dir):
+    """The corpus stream must be probed by a broadcast of the (tiny)
+    benchmark shingle set, never shuffled against it with a sort-merge
+    join — and never a nested loop."""
+    plan = _plan(plans.QUERIES["decontaminate_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_shuffle_free_scan_projection(spark, sf_dir):
+    """Redaction is a scan-side projection: no exchange except the
+    presentation ORDER BY."""
+    plan = _plan(plans.QUERIES["text_pii_scrub"](spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 0
+    assert plan.count("rangepartitioning(") == 1
