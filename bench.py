@@ -53,6 +53,7 @@ HEADLINE = [
     "decontaminate_ngrams",
     "text_repetition_stats",
     "text_pii_scrub",
+    "corpus_curation_pipeline",
     "multimodal_pixel_stats",
     "mr_field_count",
     "mr_combiner",

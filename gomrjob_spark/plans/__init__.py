@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "decontaminate_ngrams",
     "text_repetition_stats",
     "text_pii_scrub",
+    "corpus_curation_pipeline",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1417,3 +1417,57 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_digit_runs"].cast("bigint").alias("n_digit_runs"),
         text.scrub_pii("_t").alias("scrubbed"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars, md5({_SQL_NORM}) AS fp
+      FROM documents
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS thr
+      FROM documents GROUP BY lang
+    ),
+    gated AS (
+      SELECT t.doc_id, t.lang, t.source, t.n_chars, t.fp
+      FROM t JOIN thr USING (lang)
+      WHERE CAST(t.n_chars AS DOUBLE) >= thr.thr
+    ),
+    surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp),
+    ranked AS (
+      SELECT g.doc_id, g.lang, g.source, g.n_chars,
+             CAST(row_number() OVER (PARTITION BY g.source
+                                     ORDER BY g.n_chars DESC, g.doc_id)
+                  AS BIGINT) AS rank
+      FROM gated g JOIN surv USING (doc_id)
+    )
+    SELECT doc_id, lang, source, n_chars, rank
+    FROM ranked WHERE rank <= 20
+    ORDER BY doc_id
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's curation operators composed end-to-end in ONE fused
+    plan — the selection pass of a real corpus build: keep documents at
+    or above their own language's 25th-percentile length
+    (filter_above_group_quantile), drop exact duplicates (min-id
+    survivorship on the normalized-text fingerprint), then cap every
+    source at its 20 best (cap_per_group, skew-safe two-phase rank).
+    Stage boundaries are just column dependencies: Catalyst fuses the
+    percentile broadcast, the fingerprint aggregate, and both rank
+    windows into a single DAG with no intermediate materialization."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = text.filter_above_group_quantile(docs, "n_chars", group_col="lang", q=0.25)
+    scored = gated.select(
+        "doc_id", "lang", "source", "n_chars", text.fingerprint("text").alias("fp")
+    )
+    surv = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = scored.join(surv.select("doc_id"), "doc_id")
+    capped = cap_per_group(deduped, group_col="source", k=20, order_col="n_chars")
+    return capped.select(
+        "doc_id", "lang", "source", "n_chars", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("doc_id")
