@@ -54,6 +54,7 @@ HEADLINE = [
     "text_repetition_stats",
     "text_pii_scrub",
     "corpus_curation_pipeline",
+    "dedup_repeated_chunks",
     "multimodal_pixel_stats",
     "mr_field_count",
     "mr_combiner",

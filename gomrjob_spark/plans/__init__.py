@@ -52,6 +52,8 @@ _VERIFY_FIRST = [
     "text_repetition_stats",
     "text_pii_scrub",
     "corpus_curation_pipeline",
+    "dedup_repeated_chunks",
+    "streaming_incremental_dedup",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1471,3 +1471,46 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "lang", "source", "n_chars", F.col("rank").cast("bigint").alias("rank")
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_repeated_chunks",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 256)) AS fp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) AS t(i)
+      WHERE len(text) > 0
+    )
+    SELECT fp,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS doc_id
+    FROM ch
+    GROUP BY fp
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY fp
+    """,
+)
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal: 256-char chunks (operators.text.
+    chunk_text, zero overlap) whose fingerprint recurs across >= 2
+    distinct documents — the chunk-granular approximation of
+    repeated-substring dedup (Lee et al.), catching shared passages and
+    boilerplate between documents that are NOT whole-doc duplicates
+    (near-dup pairs share their aligned prefix chunks up to the first
+    edit). Plan: the chunk explode is shuffle-free in the scan
+    projection; one partial-agg shuffle on the chunk fingerprint carries
+    (fp, doc_id) only — never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_text(docs, size=256, overlap=0).select(
+        "doc_id", F.md5(F.col("chunk")).alias("fp")
+    )
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
+    )

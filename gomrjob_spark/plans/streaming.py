@@ -289,3 +289,41 @@ def streaming_mr_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         events
     )
     return _drain(spark, totals, "complete").orderBy("key")
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    WHERE doc_id >= 250
+      AND md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          NOT IN (SELECT fp FROM store)
+    ORDER BY fp
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup as a LIVE topology
+    (streaming.ops.incremental_dedup_stream): documents 250+ arrive as a
+    stream, the fingerprint store built from docs 0-249 is the static
+    side of a per-batch broadcast anti probe, and dropDuplicates state
+    suppresses within-stream repeats — the streaming twin of the batch
+    `dedup_incremental` query, emitting the admitted fingerprint set
+    (deterministic even though per-fp arrival order is not)."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.dedup import exact_dedup
+    from gomrjob_spark.streaming import (
+        incremental_dedup_stream,
+        read_documents_stream,
+    )
+
+    store = exact_dedup(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    ).select("fp")
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    admitted = incremental_dedup_stream(batch, store)
+    return _drain(spark, admitted, "append").orderBy("fp")

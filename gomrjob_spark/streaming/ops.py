@@ -242,3 +242,47 @@ def run_to_memory(stream_df: DataFrame, mode: str = "complete", name: str | None
     )
     q.processAllAvailable()
     return q, name
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay stream of the documents table (schema from a static
+    read, same convention as read_events_stream)."""
+    from gomrjob_spark.catalog import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def incremental_dedup_stream(docs: DataFrame, known_fps: DataFrame) -> DataFrame:
+    """Continuous-ingestion exact dedup as a LIVE topology: the streaming
+    twin of operators.dedup.incremental_dedup. Each arriving document is
+    fingerprinted, dropped if its fingerprint is already in the (static,
+    per-batch re-broadcast) corpus store, and dropped again if an earlier
+    streamed document already carried it (dropDuplicates state). Emits
+    the admitted fingerprints.
+
+    The survivor SET is deterministic (a pure function of the store and
+    the replayed corpus) even though which doc arrives first per
+    fingerprint is not — so the query surface returns fps, not doc ids.
+
+    Scale: the store probe is a per-batch broadcast (dimension-table
+    pattern); dedup state is one fp per admitted document, keyed by the
+    shuffle — at production scale bound it with
+    dropDuplicatesWithinWatermark on the ingestion timestamp, identical
+    topology."""
+    from gomrjob_spark.operators.dedup import fingerprint
+
+    fps = docs.select(fingerprint(F.col("text")).alias("fp"))
+    store = F.broadcast(known_fps.select(F.col("fp").alias("_known")))
+    # stream-static anti join, phrased as left-outer + IS NULL (the
+    # universally supported stream-static shape)
+    fresh = (
+        fps.join(store, fps["fp"] == store["_known"], "left_outer")
+        .filter(F.col("_known").isNull())
+        .select("fp")
+    )
+    return fresh.dropDuplicates(["fp"])
