@@ -80,3 +80,47 @@ def test_run_to_parquet_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(ckpt)  # lose the checkpoint -> full replay
     run_once()
     assert spark.read.parquet(out).count() == first
+
+
+def test_incremental_dedup_stream_state_spans_micro_batches(spark, tmp_path):
+    """Dedup state must carry ACROSS micro-batches, and the static-store
+    probe must suppress already-known fingerprints: two parquet files
+    replayed one per batch (maxFilesPerTrigger=1); batch 2 repeats one of
+    batch 1's texts and one of the store's. Admitted = each novel text
+    exactly once."""
+    import pandas as pd
+
+    from gomrjob_spark.operators.dedup import exact_dedup, fingerprint
+    from gomrjob_spark.streaming import incremental_dedup_stream
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["known text", "fresh one"]}).to_parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    pd.DataFrame(
+        {"doc_id": [3, 4, 5], "text": ["fresh one", "known text", "fresh two"]}
+    ).to_parquet(os.path.join(src, "b2.parquet"))
+
+    store = exact_dedup(
+        spark.createDataFrame([(0, "known text")], "doc_id bigint, text string")
+    ).select("fp")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q, name = run_to_memory(incremental_dedup_stream(stream, store), mode="append")
+    try:
+        q.processAllAvailable()
+        got = {r.fp for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    want = {
+        r.fp
+        for r in spark.createDataFrame(
+            [("fresh one",), ("fresh two",)], "text string"
+        ).select(fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert got == want
