@@ -352,23 +352,18 @@ def repetition_stats(
     fractions over a handful of tokens are noise, and the pre-filter
     keeps the explode small.
 
-    Scale: the top-token count is the distributed shape — explode to
-    (id, token), count, take the max — two partial-aggregated shuffles
-    keyed by (id, token) then id, never a per-doc Python pass. The
-    bigram repeat fraction needs no shuffle at all: bigrams and their
-    distinct count are array expressions evaluated in the scan
-    projection, joined back by id (both sides already hash on id).
+    Scale: ONE scan, no join. The bigram repeat fraction is computed as
+    array expressions in the scan projection (no shuffle); its two
+    per-doc ints ride along through the token explode, so the top-token
+    count runs in the distributed shape — (id, token) partial-agg count,
+    then the per-id max — without re-scanning and re-tokenizing the
+    corpus for a second branch (the join-of-two-branches form reads the
+    text twice; carrying 8 bytes per token row is cheaper than a second
+    pass of regex tokenization over 100 TB).
     Returns (id, n_tokens, top_token_frac, dup_bigram_frac, keep)."""
     toked = spread(df).select(
         F.col(id_col), tokens(normalized(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= min_tokens)
-    per_tok = (
-        toked.select(F.col(id_col), F.explode("_toks").alias("_tok"))
-        .groupBy(id_col, "_tok")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("n_tokens"))
-    )
     toks = F.col("_toks")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
@@ -376,12 +371,27 @@ def repetition_stats(
     )
     # project the bigram array into a real column first: lambda
     # subexpressions get no CSE, so inlining it would tokenize twice
-    per_doc = toked.withColumn("_bg", bigrams).select(
+    exploded = toked.withColumn("_bg", bigrams).select(
         F.col(id_col),
         F.size(F.col("_bg")).alias("_n_bg"),
         F.size(F.array_distinct(F.col("_bg"))).alias("_n_bg_d"),
+        F.explode("_toks").alias("_tok"),
     )
-    out = per_doc.join(per_tok, id_col).select(
+    out = (
+        exploded.groupBy(id_col, "_tok")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("_n_bg").alias("_n_bg"),
+            F.first("_n_bg_d").alias("_n_bg_d"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("_top"),
+            F.sum("_c").alias("n_tokens"),
+            F.first("_n_bg").alias("_n_bg"),
+            F.first("_n_bg_d").alias("_n_bg_d"),
+        )
+    ).select(
         F.col(id_col),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         (F.col("_top").cast("double") / F.col("n_tokens").cast("double")).alias(

@@ -253,3 +253,13 @@ def test_pii_scrub_shuffle_free_scan_projection(spark, sf_dir):
     plan = _plan(plans.QUERIES["text_pii_scrub"](spark, sf_dir))
     assert plan.count("hashpartitioning(") == 0
     assert plan.count("rangepartitioning(") == 1
+
+
+def test_repetition_stats_single_scan_no_join(spark, sf_dir):
+    """The bigram stats ride along through the token explode: one corpus
+    scan, no join-of-two-branches (which would read and re-tokenize the
+    text twice)."""
+    plan = _plan(plans.QUERIES["text_repetition_stats"](spark, sf_dir))
+    assert "Join" not in plan
+    # formatted explain lists each node twice (tree + details)
+    assert plan.count("Scan parquet") <= 2
