@@ -712,6 +712,7 @@ def contaminated_ids(
     min_common: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination detector: training documents sharing at
     least ``min_common`` distinct word n-grams with any benchmark/eval
@@ -724,12 +725,14 @@ def contaminated_ids(
     benchmark n-gram set is broadcast and the train-side shingle stream
     is probed in place — no shuffle of the corpus at all, just the
     per-doc hit count aggregate. If the benchmark side ever outgrows the
-    broadcast threshold, drop the hint and the same plan degrades to a
-    shuffled hash join on the shingle."""
+    broadcast threshold, pass ``broadcast_benchmark=False`` and the same
+    plan degrades to a shuffled hash join on the shingle."""
     train_sh = word_shingles(train, n, text_col, id_col)
     bench_sh = word_shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     return (
-        train_sh.join(F.broadcast(bench_sh), "shingle")
+        train_sh.join(bench_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") >= min_common)

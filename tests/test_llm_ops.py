@@ -859,3 +859,36 @@ def test_scrub_pii_exact_output(spark):
     assert (got[2].e, got[2].i, got[2].d) == (0, 0, 0)
     assert got[3].s == "ip <IP> and number <NUM>"
     assert (got[3].e, got[3].i, got[3].d) == (0, 1, 1)
+
+
+def test_cap_per_group_on_90pct_skewed_source(spark):
+    """The two-phase cap on a 90%-one-source fixture (the shape that
+    melts a single-window rank at scale): results equal the naive window
+    for every partitioning, and the hot source is correctly capped."""
+    from pyspark.sql import Window
+
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "hot" if i % 10 != 0 else f"cold{i % 7}", i * 13 % 997) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    naive = {
+        (r.doc_id, r.rank)
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 25)
+        .collect()
+    }
+    for parts in (1, 8, 64):
+        got = {
+            (r.doc_id, r.rank)
+            for r in cap_per_group(
+                df.repartition(parts), "source", 25, "n_chars"
+            ).collect()
+        }
+        assert got == naive
