@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
     "streaming_incremental_dedup",
+    "corpus_vocab_topk",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1514,3 +1514,37 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("fp")
     )
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_SQL_NORM}, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the 100 most frequent normalized
+    tokens with counts — the first pass of tokenizer/vocab construction
+    and the input to stopword-list induction. Plan: explode in the scan
+    projection, one partial-aggregated shuffle on the token (the map-side
+    combine makes the exchange proportional to the vocabulary, not the
+    corpus), then TakeOrderedAndProject for the global top-k — no full
+    sort of the vocabulary. Deterministic tie-break on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.spread(docs).select(
+        F.explode(text.tokens(text.normalized("text"))).alias("token")
+    )
+    return (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )
