@@ -223,3 +223,33 @@ def cap_per_group(
     return local.withColumn(
         "rank", F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
     ).filter(F.col("rank") <= k)
+
+
+def mixture_weights(
+    df: DataFrame,
+    token_col: str,
+    group_col: str = "lang",
+    target_per_group: int = 50_000,
+) -> DataFrame:
+    """Data-mixing plan: per-group sampling weights that would equalize
+    the corpus at ``target_per_group`` tokens per group — the mixture
+    step before training (upweight rare languages/domains to their cap,
+    downsample dominant ones). Returns (group, n_docs, n_tokens, weight)
+    with weight = min(1, target/n_tokens): a group's weight feeds
+    straight into stratified_hash_sample as its keep fraction, making
+    plan + application both deterministic.
+
+    Scale: one partial-aggregated shuffle keyed by the group — the
+    exchange carries one partial per task regardless of corpus size; the
+    weights table is |groups| rows (driver/broadcast sized)."""
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    return totals.withColumn(
+        "weight",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_per_group)) / F.col("n_tokens").cast("double"),
+        ),
+    )

@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "dedup_repeated_chunks",
     "streaming_incremental_dedup",
     "corpus_vocab_topk",
+    "mix_weights_equal_tokens",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -1548,3 +1548,34 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(100)
     )
+
+
+@query(
+    "mix_weights_equal_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           least(1.0, 50000.0 / CAST(n_tokens AS DOUBLE)) AS weight
+    FROM t ORDER BY lang
+    """,
+)
+def mix_weights_equal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning (operators.sampling.mixture_weights): per-language
+    sampling weights that equalize the corpus at 50k tokens per language —
+    the upweight-rare / downsample-dominant step before training. The
+    weight is one IEEE division over exact bigint totals (bit-identical
+    cross-engine); it feeds stratified_hash_sample directly, so the plan
+    AND its application are deterministic."""
+    from gomrjob_spark.operators.sampling import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", text.token_count("text").cast("bigint").alias("n_tok"))
+    return mixture_weights(
+        t, token_col="n_tok", group_col="lang", target_per_group=50_000
+    ).orderBy("lang")
