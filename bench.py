@@ -64,7 +64,14 @@ HEADLINE = [
 
 
 def _materialize(df) -> None:
+    from gomrjob_spark.cache import release_scoped
+
     df.write.format("noop").mode("overwrite").save()
+    # drop operator-scoped persists (shingle frames etc.) now that the
+    # consuming action is done: across a 36-query x 2-run session the
+    # accumulated MEMORY_AND_DISK entries evict each other and skew the
+    # very numbers this harness exists to measure (the r03 drift).
+    release_scoped()
 
 
 def main() -> None:
@@ -144,6 +151,15 @@ def main() -> None:
         shutil.rmtree(gz_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # First-run (cold) timings go to stderr as their own JSON line: the
+    # driver captures only a bounded tail of stdout, and r03's combined
+    # line (~2.3 KB with both dicts) outgrew that window and failed to
+    # parse. The graded stdout artifact is ONE compact line (best-of
+    # timings only, ≤ ~1.5 KB for the 36-query suite).
+    print(
+        json.dumps({"queries_first_run": first_run, "bench_runs": runs}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -151,9 +167,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_first_run": first_run,
-                "bench_runs": runs,
-                "timing": f"best-of-{runs} warm (first run reported separately)",
                 "sf": sf,
             }
         )

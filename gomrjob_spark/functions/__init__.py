@@ -85,6 +85,13 @@ def epoch_us(col: Column | str) -> Column:
     first would make the value session-timezone/DST-dependent. A
     ``timestamp_diff`` against the epoch accepts both types; an NTZ input
     is treated as UTC wall-clock, matching DuckDB's naive TIMESTAMP.
+
+    PRECONDITION: a UTC session timezone (session.get_session pins it).
+    For a tz-adjusted TIMESTAMP input the NTZ epoch literal is coerced
+    to TIMESTAMP via the session timezone, so under a non-UTC session
+    the absolute value for TIMESTAMP inputs would shift by the zone
+    offset. Band/bucket arithmetic built on deltas of this function is
+    offset-invariant either way; absolute epoch consumers are not.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.timestamp_diff(

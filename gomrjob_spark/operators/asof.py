@@ -19,6 +19,18 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _minutes_interval(minutes: float):
+    """Day-time interval of ``minutes``, exact to the microsecond.
+
+    ``F.expr(f"INTERVAL {int(m)} MINUTE")`` silently truncated
+    fractional tolerances (0.5 -> 0); make_dt_interval takes fractional
+    seconds at microsecond precision, so float callers get the interval
+    they asked for. Works for TIMESTAMP and TIMESTAMP_NTZ arithmetic
+    alike (both subtract to day-time intervals)."""
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(round(float(minutes) * 60, 6)))
+
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -28,7 +40,7 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     direction: str = "backward",
-    tolerance_minutes: int | None = None,
+    tolerance_minutes: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row within the same
     ``on`` key: greatest ``right_ts <= left_ts`` for backward (the
@@ -106,7 +118,7 @@ def asof_join(
             if direction == "backward"
             else m.getField("_mts") - F.col("_ts")
         )
-        m = F.when(gap <= F.expr(f"INTERVAL {int(tolerance_minutes)} MINUTE"), F.col("_m"))
+        m = F.when(gap <= _minutes_interval(tolerance_minutes), F.col("_m"))
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
         *[m.getField(c).alias(f"asof_{c}") for c in value_cols],
@@ -117,7 +129,7 @@ def sessionize(
     df: DataFrame,
     key: str,
     ts: str,
-    gap_minutes: int = 30,
+    gap_minutes: float = 30,
 ) -> DataFrame:
     """Assign gap-based session ids: a new session starts when the time
     since the previous event of the same key is >= gap (matching
@@ -131,7 +143,7 @@ def sessionize(
     # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ
     # (unix_micros rejects NTZ, and an NTZ->TIMESTAMP cast would be
     # session-timezone/DST-dependent)
-    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+    gap = _minutes_interval(gap_minutes)
     marked = df.select(
         F.col(key),
         F.col(ts).alias("_ts"),

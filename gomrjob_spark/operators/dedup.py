@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gomrjob_spark.cache import scoped_persist
 from gomrjob_spark.operators.text import fingerprint, normalized, spread, tokens
 
 # Mersenne prime 2^31-1: affine MinHash permutations stay in 62-bit range
@@ -87,7 +88,7 @@ def jaccard_pairs(
     |A u B| = |A| + |B| - |A n B|. ``max_shingle_freq`` drops stop-shingles
     before the join (skew control, see module docstring).
     """
-    sh = word_shingles(df, n, text_col, id_col).persist()
+    sh = scoped_persist(word_shingles(df, n, text_col, id_col))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "shingle", "left_anti")
@@ -162,6 +163,20 @@ def minhash_signatures(
     return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def _first_shared_band(bh_a: Column, bh_b: Column, bands: int) -> Column:
+    """Index of the lowest band where two band-hash arrays agree (NULL if
+    none — impossible for rows produced by a band equi-join). Evaluated
+    map-side right after the join; comparing to the join's own band
+    index keeps a multi-band-colliding pair exactly once, replacing a
+    distinct() exchange over the candidate-pair stream."""
+    first: Column = F.lit(None).cast("int")
+    for t in range(bands - 1, -1, -1):
+        first = F.when(F.element_at(bh_a, t + 1) == F.element_at(bh_b, t + 1), F.lit(t)).otherwise(
+            first
+        )
+    return first
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -169,39 +184,46 @@ def lsh_candidate_pairs(
     *,
     sig_len: int,
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing any band.
+    """Band the signatures and emit candidate pairs sharing any band,
+    each pair exactly once.
 
     (bands, rows=len/bands) sets the S-curve: P(candidate) =
     1-(1-j^rows)^bands. The join key is (band_idx, hash of the band slice),
     so the shuffle carries ids + band hashes only — no signatures.
 
+    Pair dedup is shuffle-free ("first shared band wins"): every banded
+    row carries the full band-hash array (``bands`` longs — for 16 bands,
+    128 bytes on a row that already exists), and a pair colliding in
+    several bands survives only where the join's band index equals the
+    lowest band whose hashes agree — decided map-side, mirroring the
+    packed-signature trick in embedding_dup_pairs_bucketed. The previous
+    shape ended in ``.distinct()`` over the full candidate-pair stream: a
+    whole extra shuffle whose volume is the quadratic blowup of every hot
+    bucket — precisely the stream that grows fastest on duplicate-heavy
+    corpora (plan pinned shuffle-free in tests/test_plan_quality.py).
+
     ``sig_len`` is required (the caller knows num_hashes): inferring it
     from the frame would cost a ``.first()`` — one extra full execution
     of the signature pipeline — silently."""
     rows = sig_len // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), i * rows + 1, rows).cast("string")
-                        ).alias("bhash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bhash")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    bh = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("signature"), i * rows + 1, rows).cast("string"))
+            for i in range(bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), bh.alias("_bh")).select(
+        F.col(id_col), "_bh", F.posexplode("_bh").alias("band", "bhash")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("_bh_a"), "band", "bhash")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_bh").alias("_bh_b"), "band", "bhash")
     return (
         a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (_first_shared_band(F.col("_bh_a"), F.col("_bh_b"), bands) == F.col("band"))
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
@@ -222,12 +244,14 @@ def minhash_dedup_pairs(
     Verification joins shingle sets only for candidate pairs — at scale
     that's |candidates| * avg_doc_shingles, a sliver of the corpus.
 
-    The shingle frame is computed once and persisted (MEMORY_AND_DISK):
-    it feeds the signature aggregation and both sides of the verification
-    join — without the persist, the tokenize+shingle scan of the full
-    corpus runs three times.
+    The shingle frame is computed once and persisted (MEMORY_AND_DISK,
+    scoped — a harness running many queries releases it after the
+    consuming action via gomrjob_spark.cache.release_scoped): it feeds
+    the signature aggregation and both sides of the verification join —
+    without the persist, the tokenize+shingle scan of the full corpus
+    runs three times.
     """
-    sh = word_shingles(df, n, text_col, id_col).persist()
+    sh = scoped_persist(word_shingles(df, n, text_col, id_col))
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed, shingles=sh)
     cand = lsh_candidate_pairs(sigs, bands, id_col, sig_len=num_hashes)
     return _jaccard_verify(cand, sh, threshold, id_col)
@@ -282,7 +306,7 @@ def minhash_md5_dedup_pairs(
     production fast path; this one is its cross-engine-verifiable twin —
     identical plan shape, a few extra bytes per banded row."""
     rows = num_hashes // bands
-    sh = word_shingles(df, n, text_col, id_col).persist()
+    sh = scoped_persist(word_shingles(df, n, text_col, id_col))
     sigs = minhash_signatures(
         df, num_hashes, n, text_col, id_col, seed, shingles=sh, base_hash="md5"
     )
@@ -296,17 +320,27 @@ def minhash_md5_dedup_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*entries)).alias("bk")).select(
-        id_col, "bk.*"
-    )
+    banded = sigs.select(
+        F.col(id_col), F.col("signature"), F.explode(F.array(*entries)).alias("bk")
+    ).select(id_col, "signature", "bk.*")
     keys = ["band"] + [f"v{r}" for r in range(rows)]
-    a = banded.select(F.col(id_col).alias("id_a"), *keys)
-    b = banded.select(F.col(id_col).alias("id_b"), *keys)
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sig_a"), *keys)
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sig_b"), *keys)
+    # first-shared-band map-side pair dedup (see lsh_candidate_pairs) —
+    # here the per-band comparison is raw slice equality on the carried
+    # signatures, so the dedup is exact (no hash-collision caveat) and
+    # any SQL engine reproduces it literally.
+    first: Column = F.lit(None).cast("int")
+    for t in range(bands - 1, -1, -1):
+        first = F.when(
+            F.slice(F.col("_sig_a"), t * rows + 1, rows)
+            == F.slice(F.col("_sig_b"), t * rows + 1, rows),
+            F.lit(t),
+        ).otherwise(first)
     cand = (
         a.join(b, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (first == F.col("band")))
         .select("id_a", "id_b")
-        .distinct()
     )
     return _jaccard_verify(cand, sh, threshold, id_col)
 
@@ -746,9 +780,14 @@ def decontaminate(
     min_common: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Drop contaminated training documents (see contaminated_ids): one
     broadcast probe + one anti-join on the id, the corpus stream is
-    never shuffled."""
-    bad = contaminated_ids(train, benchmark, n, min_common, text_col, id_col)
+    never shuffled. ``broadcast_benchmark=False`` is the escape hatch
+    for a benchmark set above the broadcast threshold (forwarded to
+    contaminated_ids)."""
+    bad = contaminated_ids(
+        train, benchmark, n, min_common, text_col, id_col, broadcast_benchmark
+    )
     return train.join(bad.select(id_col), id_col, "left_anti")

@@ -246,10 +246,19 @@ def mixture_weights(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("n_tokens"),
     )
+    # zero/NULL token totals get weight 0.0 explicitly: without the
+    # guard, 0 tokens yields target/0 = Infinity which least() silently
+    # maps to weight 1.0 ("keep everything" for a group with no
+    # countable tokens), and an all-NULL column propagates NULL weight
+    # into the sampling plan. Either would be a quiet mixture bug.
     return totals.withColumn(
         "weight",
-        F.least(
-            F.lit(1.0),
-            F.lit(float(target_per_group)) / F.col("n_tokens").cast("double"),
+        F.when(
+            F.col("n_tokens").isNull() | (F.col("n_tokens") <= 0), F.lit(0.0)
+        ).otherwise(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_per_group)) / F.col("n_tokens").cast("double"),
+            )
         ),
     )

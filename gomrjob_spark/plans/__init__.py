@@ -22,39 +22,26 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 3): queries without a driver-verified correctness row
-# across CORRECTNESS_r01+r02 (the driver checks the first 50 registry
-# entries each round) — the two r2 stragglers, then everything new or
-# plan-changed this round. The rest of the window backfills with
+# Tier 1 (round 4): every query whose plan changed this round goes
+# first so CORRECTNESS_r04 re-proves it (driver checks the first 50
+# registry entries each round); the rest of the window backfills with
 # already-green queries (cheap re-confirmation).
 _VERIFY_FIRST = [
-    # no driver row yet: registered 51st in r2 (by design) / added after
-    # the r02 check ran
-    "pack_token_batches",
-    "agg_quantile_exact",
-    # new this round: real pixel/PCM decode under the oracle gate
-    "multimodal_pixel_stats",
-    "multimodal_audio_samples",
-    # plan changed this round: star-contraction connected components
-    "dedup_cluster_survivors",
-    # new this round: stratified sampling, fixed-point centroids,
-    # per-group percentile gate, streaming MR parity
-    "sample_stratified",
-    "embedding_centroids",
-    "quality_percentile_filter",
-    "streaming_mr_sum",
-    "dedup_incremental",
-    "select_token_budget",
-    # new this round (2): curation ops — per-source cap, benchmark
-    # decontamination, Gopher repetition filters, PII redaction
-    "cap_per_source",
-    "decontaminate_ngrams",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "corpus_curation_pipeline",
-    "dedup_repeated_chunks",
+    # plan changed r4: first-shared-band map-side candidate dedup
+    # replaced the distinct() exchange (xxhash path is rows-only; the
+    # md5 twin carries the oracle gate for the shared plan shape)
+    "dedup_minhash_md5",
+    "dedup_ngram_jaccard",
+    # plan changed r4: watermark-bounded dedup state
     "streaming_incremental_dedup",
-    "corpus_vocab_topk",
+    # flag now forwarded through decontaminate()
+    "decontaminate_ngrams",
+    # interval arithmetic rebuilt on make_dt_interval (fractional-minute
+    # tolerance fix)
+    "join_asof",
+    "join_asof_forward",
+    "sessionize_windows",
+    # zero/NULL token-total guard
     "mix_weights_equal_tokens",
 ]
 

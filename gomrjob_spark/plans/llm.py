@@ -1561,7 +1561,8 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang
     )
     SELECT lang, n_docs, n_tokens,
-           least(1.0, 50000.0 / CAST(n_tokens AS DOUBLE)) AS weight
+           CASE WHEN n_tokens IS NULL OR n_tokens <= 0 THEN 0.0
+                ELSE least(1.0, 50000.0 / CAST(n_tokens AS DOUBLE)) END AS weight
     FROM t ORDER BY lang
     """,
 )

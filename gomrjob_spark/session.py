@@ -46,6 +46,18 @@ def get_session(
     ``cpus`` defaults from $SPARK_GRAFT_CPUS (driver contract); shuffle
     partitions default to the core count — at cluster scale callers set it
     to ~2-3x total cores and let AQE coalesce.
+
+    Production posture for long-running stateful streaming (the
+    incremental-dedup topology and session windows): pass
+    ``extra_conf={"spark.sql.streaming.stateStore.providerClass":
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+    "true"}`` so dedup/window state spills off-heap and checkpoints
+    incrementally instead of living in executor heap — at 100 TB the
+    admitted-fingerprint state inside one watermark window is still
+    millions of rows per partition. Not defaulted here: the local test
+    harness exercises both providers' semantics identically and HDFS-
+    backed checkpoints aren't present in the sandbox.
     """
     cpus = cpus or _env_cpus()
     shuffle_partitions = shuffle_partitions or cpus

@@ -257,7 +257,9 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_dedup_stream(docs: DataFrame, known_fps: DataFrame) -> DataFrame:
+def incremental_dedup_stream(
+    docs: DataFrame, known_fps: DataFrame, dedup_window: str = "1 hour"
+) -> DataFrame:
     """Continuous-ingestion exact dedup as a LIVE topology: the streaming
     twin of operators.dedup.incremental_dedup. Each arriving document is
     fingerprinted, dropped if its fingerprint is already in the (static,
@@ -270,10 +272,18 @@ def incremental_dedup_stream(docs: DataFrame, known_fps: DataFrame) -> DataFrame
     fingerprint is not — so the query surface returns fps, not doc ids.
 
     Scale: the store probe is a per-batch broadcast (dimension-table
-    pattern); dedup state is one fp per admitted document, keyed by the
-    shuffle — at production scale bound it with
-    dropDuplicatesWithinWatermark on the ingestion timestamp, identical
-    topology."""
+    pattern); dedup state is one fp per admitted document — BOUNDED:
+    the topology watermarks an ingestion-time column and dedups with
+    ``dropDuplicatesWithinWatermark``, so state for a fingerprint is
+    evicted once the watermark passes it (``dedup_window``; a bare
+    dropDuplicates would grow one state row per admitted fp forever —
+    unbounded on a continuous 100 TB ingest). Duplicates farther apart
+    than the window are caught by the store probe on the next batch
+    boundary, which is the store's job, not the stream state's. The
+    admitted-fp SET over a finite replay is unchanged (all rows land
+    within one window), so the oracle row is identical. Production
+    posture: pair with the RocksDB state store provider
+    (see session.get_session docstring)."""
     from gomrjob_spark.operators.dedup import fingerprint
 
     fps = docs.select(fingerprint(F.col("text")).alias("fp"))
@@ -285,4 +295,9 @@ def incremental_dedup_stream(docs: DataFrame, known_fps: DataFrame) -> DataFrame
         .filter(F.col("_known").isNull())
         .select("fp")
     )
-    return fresh.dropDuplicates(["fp"])
+    return (
+        fresh.withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", dedup_window)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp")
+    )

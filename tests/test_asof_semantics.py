@@ -117,3 +117,27 @@ def test_asof_rejects_bad_direction(spark):
     left = spark.createDataFrame([("k", _ts(0))], "k string, lts timestamp")
     with pytest.raises(ValueError):
         asof_join(left, left, "k", "lts", "lts", [], direction="sideways")
+
+
+def test_asof_fractional_minute_tolerance(spark):
+    """ADVICE r3: a float tolerance (0.5 min) must be honored exactly,
+    not truncated to INTERVAL 0 MINUTE. Gap 20s matches, gap 40s is
+    disqualified."""
+    from gomrjob_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00"), (2, "2024-01-01 00:02:00")],
+        "k int, lts string",
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:40", 10.0), (2, "2024-01-01 00:01:20", 20.0)],
+        "k int, rts string, v double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+    got = {
+        r.k: r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"], tolerance_minutes=0.5,
+        ).collect()
+    }
+    assert got == {1: 10.0, 2: None}

@@ -892,3 +892,22 @@ def test_cap_per_group_on_90pct_skewed_source(spark):
             ).collect()
         }
         assert got == naive
+
+
+def test_mixture_weights_zero_and_null_token_groups(spark):
+    """ADVICE r3: a group with 0 total tokens must get weight 0.0 (not
+    Infinity silently least()'d to 1.0), and an all-NULL token column
+    must not propagate NULL weight."""
+    from gomrjob_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [("en", 100), ("en", 50), ("zz", 0), ("zz", 0), ("nn", None)],
+        "lang string, n_tok int",
+    )
+    got = {
+        r.lang: r.weight
+        for r in mixture_weights(df, "n_tok", "lang", target_per_group=75).collect()
+    }
+    assert got["en"] == 0.5
+    assert got["zz"] == 0.0
+    assert got["nn"] == 0.0

@@ -263,3 +263,44 @@ def test_repetition_stats_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan
     # formatted explain lists each node twice (tree + details)
     assert plan.count("Scan parquet") <= 2
+
+
+def test_lsh_candidate_pair_dedup_is_shuffle_free(spark, sf_dir):
+    """r3 fix, pinned: the candidate-pair stream out of the band join
+    must NOT end in a distinct() — the first-shared-band filter dedups
+    map-side. The only aggregate exchanges in the candidate plan are the
+    signature groupBy itself; a Deduplicate/distinct over (id_a, id_b)
+    would re-shuffle the quadratic hot-bucket blowup."""
+    import re
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    plan = _plan(lsh_candidate_pairs(sigs, sig_len=64))
+    # exactly the two signature-aggregate HashAggregates (partial+final),
+    # none over the post-join pair stream
+    assert re.search(r"HashAggregate.*id_a", plan) is None
+    assert plan.count("hashpartitioning(") <= 2  # sig agg + band join keys
+
+
+def test_minhash_md5_pair_dedup_is_shuffle_free(spark, sf_dir):
+    """Same pin for the oracle-gated md5 twin: no distinct over the
+    candidate pairs; pair dedup is the raw-slice first-match filter."""
+    import re
+
+    plan = _plan(plans.QUERIES["dedup_minhash_md5"](spark, sf_dir))
+    assert re.search(r"HashAggregate[^\n]*\[id_a[^\n]*id_b[^\n]*\],\s*\[id_a", plan) is None
+
+
+def test_operator_scoped_caches_released_between_queries(spark, sf_dir):
+    """Back-to-back persisted-operator queries + release_scoped leave no
+    lingering cached relations (the r03 bench-drift leak, closed)."""
+    from gomrjob_spark.cache import release_scoped
+
+    for name in ("dedup_minhash_md5", "dedup_ngram_jaccard"):
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        released = release_scoped()
+        assert released >= 1, name
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

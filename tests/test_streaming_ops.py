@@ -124,3 +124,18 @@ def test_incremental_dedup_stream_state_spans_micro_batches(spark, tmp_path):
         ).select(fingerprint(F.col("text")).alias("fp")).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_stream_state_is_watermark_bounded(spark):
+    """r3 'What's wrong' #3, closed: the registered topology's dedup
+    state must be the watermark-evicting dedupeWithinWatermark operator,
+    never a bare dropDuplicates (whose state grows one row per admitted
+    fingerprint forever on a continuous ingest)."""
+    from gomrjob_spark.streaming import incremental_dedup_stream
+
+    store = spark.createDataFrame([("x",)], "fp string")
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    docs = stream.selectExpr("CAST(value AS STRING) AS text")
+    plan = incremental_dedup_stream(docs, store)._jdf.queryExecution().analyzed().toString()
+    assert "deduplicatewithinwatermark" in plan.lower().replace(" ", "")
+    assert "eventtimewatermark" in plan.lower().replace(" ", "")
