@@ -149,6 +149,12 @@ class Counters:
         out.sort(key=lambda d: d["task_id"])
         return out
 
+    def on_progress(self, fn, interval_s: float = 0.25) -> "ProgressWatch":
+        """Start a live progress watch (see ProgressWatch): ``fn`` is
+        called with per-stage progress dicts WHILE jobs run, until the
+        returned watch is stopped / its context exits."""
+        return ProgressWatch(self._sc, fn, interval_s)
+
     def task_log_tail(self, n: int = 20) -> list[str]:
         """Formatted tail of recent task completions across stages —
         one human-readable line per task, newest last. The reference
@@ -177,3 +183,117 @@ def status(spark: SparkSession, msg: str) -> None:
     job description and the driver log."""
     spark.sparkContext.setJobDescription(msg)
     logger.info("status: %s", msg)
+
+
+class ProgressWatch:
+    """Live per-stage progress callbacks DURING execution — the Spark-
+    native replacement for the reference's remote log channel
+    (/root/reference/remote_logging.go:26-56), which streamed task lines
+    over UDP so the submitting driver could watch a running job without
+    ssh-ing to workers. ``stage_report()``/``task_log_tail()`` read the
+    same state after the fact; this delivers it WHILE the job runs —
+    the difference that matters on a multi-hour 100 TB job.
+
+    A daemon thread polls ``SparkContext.statusTracker()`` (driver-local
+    state, zero cluster traffic) every ``interval_s`` and invokes the
+    callback with one dict per active stage::
+
+        {"stage_id", "name", "num_tasks", "active_tasks",
+         "complete_tasks", "failed_tasks"}
+
+    Polling the status tracker (rather than a py4j-callback
+    SparkListener) is deliberate: the Python callback server adds a
+    second socket channel that must outlive arbitrary user callbacks,
+    while the tracker poll is pure driver-side reads with no JVM->Python
+    reentrancy. Use as a context manager around the action::
+
+        with Counters(spark).on_progress(print):
+            df.write.format("noop").mode("overwrite").save()
+    """
+
+    def __init__(self, sc, fn, interval_s: float = 0.25):
+        import threading
+
+        self._sc = sc
+        self._fn = fn
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="gomrjob-progress-watch", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self) -> None:
+        tracker = self._sc.statusTracker()
+        while not self._stop.is_set():
+            try:
+                for sid in tracker.getActiveStageIds():
+                    info = tracker.getStageInfo(sid)
+                    if info is None:
+                        continue
+                    self._fn(
+                        {
+                            "stage_id": int(info.stageId),
+                            "name": info.name,
+                            "num_tasks": int(info.numTasks),
+                            "active_tasks": int(info.numActiveTasks),
+                            "complete_tasks": int(info.numCompletedTasks),
+                            "failed_tasks": int(info.numFailedTasks),
+                        }
+                    )
+            except Exception:  # SparkContext stopping mid-poll
+                return
+            self._stop.wait(self._interval)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "ProgressWatch":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+class StreamProgressListener:
+    """StreamingQueryListener adapter: forwards each micro-batch's
+    progress (rows/sec, batch duration, state rows) to a plain callback
+    — the streaming half of the live-progress surface. Register/remove
+    via ``attach``/``detach``; events arrive on Spark's listener bus
+    thread while the query runs."""
+
+    def __init__(self, fn):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer_fn = fn
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer_fn(
+                    {
+                        "query_id": str(p.id),
+                        "batch_id": int(p.batchId),
+                        "num_input_rows": int(p.numInputRows),
+                        "batch_duration_ms": int(p.batchDuration),
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _L()
+
+    def attach(self, spark: SparkSession) -> "StreamProgressListener":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self._listener)

@@ -318,3 +318,66 @@ def test_run_stream_validations(spark, tmp_path):
         Pipeline(steps=[Step(reducer=SUM), Step(reducer=SUM)]).run_stream(stream_in)
     with pytest.raises(ValueError, match="applyInPandasWithState"):
         Pipeline(steps=[Step(reducer=lambda k, pdf: pdf)]).run_stream(stream_in)
+
+
+def test_on_progress_events_arrive_during_execution(spark):
+    """r3 'What's missing' #1, closed: progress callbacks fire WHILE the
+    job runs — events exist the instant the action returns (no post-hoc
+    read), and at least one snapshot catches a stage mid-flight."""
+    import time
+
+    events: list[dict] = []
+    c = Counters(spark)
+
+    def slow(batches):
+        for b in batches:
+            time.sleep(0.15)
+            yield b
+
+    df = spark.range(64).repartition(16).mapInPandas(slow, schema="id long")
+    with c.on_progress(events.append, interval_s=0.05):
+        df.write.format("noop").mode("overwrite").save()
+        n_at_action_return = len(events)
+
+    assert n_at_action_return > 0, "no live events before the action returned"
+    assert any(e["complete_tasks"] < e["num_tasks"] for e in events), (
+        "every event saw a finished stage - not live"
+    )
+    assert all(
+        set(e) >= {"stage_id", "name", "num_tasks", "active_tasks"} for e in events
+    )
+    # watch is stopped: no further events accumulate
+    n = len(events)
+    spark.range(10).write.format("noop").mode("overwrite").save()
+    time.sleep(0.2)
+    assert len(events) == n
+
+
+def test_stream_progress_listener_delivers_batch_events(spark):
+    """Streaming half of the live-progress surface: per-micro-batch
+    progress dicts arrive via the listener bus while the query runs."""
+    import time
+
+    from gomrjob_spark.counters import StreamProgressListener
+    from gomrjob_spark.streaming.ops import run_to_memory
+
+    events: list[dict] = []
+    lis = StreamProgressListener(events.append).attach(spark)
+    try:
+        stream = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        q, name = run_to_memory(
+            stream.selectExpr("value % 5 AS k").groupBy("k").count(), mode="complete"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener bus delivery is async; give it a beat
+        for _ in range(40):
+            if events:
+                break
+            time.sleep(0.25)
+    finally:
+        lis.detach(spark)
+    assert events, "no streaming progress events arrived"
+    assert all(set(e) >= {"query_id", "batch_id", "num_input_rows"} for e in events)

@@ -3,6 +3,8 @@ construction checks)."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from gomrjob_spark.submit import SubmitConfig, build_dataproc_job, build_spark_submit
@@ -162,3 +164,106 @@ def test_state_predicates():
     assert not is_terminal_state("RUNNING")
     assert all(is_error_state(s) for s in ("ERROR", "CANCELLED", "ATTEMPT_FAILURE"))
     assert not is_error_state("DONE")
+
+
+class _StubTransport:
+    """Scripted (method, url) -> (status, body) transport; records calls."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def __call__(self, method, url, body, headers):
+        import json as _json
+
+        self.calls.append((method, url, _json.loads(body) if body else None, headers))
+        status, resp = self.script.pop(0)
+        return status, json.dumps(resp).encode() if isinstance(resp, dict) else resp
+
+
+def test_dataproc_client_submit_and_wait_real_client_stubbed_transport():
+    """r3 'What's missing' #2, closed: the REAL client executes the
+    submit + poll state machine end-to-end; only the socket is stubbed.
+    Includes a mid-poll 503 (retried, reference dataproc/job.go:126-142)
+    and bearer-token injection."""
+    from gomrjob_spark.gcp import DataprocClient
+    from gomrjob_spark.submit import SubmitConfig
+
+    t = _StubTransport(
+        [
+            (200, {"reference": {"jobId": "j-123"}}),
+            (200, {"status": {"state": "PENDING"}}),
+            (503, {"error": "unavailable"}),
+            (200, {"status": {"state": "RUNNING"}}),
+            (200, {"status": {"state": "DONE"}}),
+        ]
+    )
+    c = DataprocClient("proj", "us-central1", transport=t, token_provider=lambda: "tok")
+    job_id = c.submit(SubmitConfig(app_file="gs://b/job.py"), cluster="cl")
+    assert job_id == "j-123"
+    method, url, body, headers = t.calls[0]
+    assert (method, url) == (
+        "POST",
+        "https://dataproc.googleapis.com/v1/projects/proj/regions/us-central1/jobs:submit",
+    )
+    assert body["job"]["pysparkJob"]["mainPythonFileUri"] == "gs://b/job.py"
+    assert headers["Authorization"] == "Bearer tok"
+
+    assert c.wait(job_id, sleep=lambda s: None) == "DONE"
+    assert all(m == "GET" and url.endswith("/jobs/j-123") for m, url, _, _ in t.calls[1:])
+
+
+def test_dataproc_client_error_state_raises():
+    from gomrjob_spark.gcp import DataprocClient
+    from gomrjob_spark.submit import DataprocJobError
+
+    t = _StubTransport([(200, {"status": {"state": "ERROR"}})])
+    c = DataprocClient("p", "r", transport=t, token_provider=lambda: "tok")
+    with pytest.raises(DataprocJobError):
+        c.wait("j-9", sleep=lambda s: None)
+
+
+def test_gcs_list_objects_follows_next_page_token():
+    """storage.go:71-99 pagination parity: a 2-page listing is walked via
+    nextPageToken; the second request carries the token."""
+    from gomrjob_spark.gcp import GcsClient
+
+    t = _StubTransport(
+        [
+            (200, {"items": [{"name": "p/a"}, {"name": "p/b"}], "nextPageToken": "T2"}),
+            (200, {"items": [{"name": "p/c"}]}),
+        ]
+    )
+    c = GcsClient(transport=t, token_provider=lambda: "tok")
+    names = [o["name"] for o in c.list_objects("bkt", "p/")]
+    assert names == ["p/a", "p/b", "p/c"]
+    assert "pageToken" not in t.calls[0][1]
+    assert "pageToken=T2" in t.calls[1][1]
+
+
+def test_gcs_delete_prefix_paginated_and_guarded():
+    from gomrjob_spark.gcp import GcsClient
+
+    t = _StubTransport(
+        [
+            (200, {"items": [{"name": "tmp/x"}], "nextPageToken": "T"}),
+            (204, b""),
+            (200, {"items": [{"name": "tmp/y"}]}),
+            (204, b""),
+        ]
+    )
+    c = GcsClient(transport=t, token_provider=lambda: "tok")
+    assert c.delete_prefix("bkt", "tmp/") == 2
+    deletes = [u for m, u, _, _ in t.calls if m == "DELETE"]
+    assert [u.rsplit("/o/", 1)[1] for u in deletes] == ["tmp%2Fx", "tmp%2Fy"]
+    with pytest.raises(ValueError):
+        c.delete_prefix("bkt", "")
+
+
+def test_gcp_non_2xx_raises_with_body():
+    from gomrjob_spark.gcp import GcsClient
+
+    t = _StubTransport([(403, {"error": "forbidden"})])
+    c = GcsClient(transport=t, token_provider=lambda: "tok")
+    with pytest.raises(RuntimeError, match="403"):
+        list(c.list_objects("bkt", "p/"))
