@@ -54,30 +54,377 @@ def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "image
 
 
 def decode_image(payload: bytes) -> dict:
-    """Full pixel decode for the UNCOMPRESSED container formats — real,
-    pure Python, no codec library:
+    """Full pixel decode, real and pure Python — no codec library:
 
     - PPM ``P6`` (binary RGB) and PGM ``P5`` (binary grayscale), maxval
       <= 255: whitespace/comment-tolerant header, then raw samples.
     - BMP (``BM``), BI_RGB 24/32 bpp: 4-byte-aligned rows stored
       bottom-up (or top-down when height is negative) in BGR(A) order —
       normalized here to top-down row-major RGB(A).
+    - PNG, 8-bit non-interlaced, all five color types: stdlib
+      ``zlib`` inflates the IDAT stream, then the five per-row filters
+      (None/Sub/Up/Average/Paeth) are reversed; palette images expand
+      through PLTE to RGB.
+    - GIF (87a/89a): first image frame via a full LZW decoder
+      (variable code width, clear/EOI, 12-bit cap), palette-mapped to
+      RGB, interlaced row order restored.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
-    ``pixels`` top-down row-major, channel-interleaved. Compressed
-    formats (PNG/JPEG/GIF pixels) still raise NotImplementedError —
-    their *headers* decode via :func:`decode_image_header`; entropy
-    decoding genuinely needs a codec library (swap this function's
-    fallback for PIL when available)."""
+    ``pixels`` top-down row-major, channel-interleaved. The one
+    remaining stub is JPEG entropy decoding (Huffman + IDCT — a codec,
+    not a container; swap in PIL when available): JPEG *headers* decode
+    via :func:`decode_image_header`."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIGNATURE:
+        return _decode_png(payload)
+    if payload[:6] in _GIF_MAGICS:
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "pixel decode implemented for uncompressed PPM/PGM/BMP only; "
-        "PNG/JPEG/GIF entropy decoding needs a codec library "
-        "(decode_image_header parses their headers without one)"
+        "pixel decode implemented for PPM/PGM/BMP/PNG/GIF; JPEG entropy "
+        "decoding needs a codec library (decode_image_header parses its "
+        "header without one)"
     )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG pixel decode per the spec's portable core: chunk walk ->
+    zlib-inflate concatenated IDAT -> reverse per-row filters. Scope:
+    8-bit samples, non-interlaced (the overwhelming production case for
+    web-scraped rasters); 16-bit/Adam7 raise with a precise message.
+    Palette (color type 3) expands through PLTE to RGB so every decoder
+    in this module emits interleaved RGB(A)/gray."""
+    import zlib
+
+    if len(payload) < 33 or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG payload (missing IHDR)")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlacing")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color_type}")
+    nch = _PNG_CHANNELS[color_type]
+
+    plte = b""
+    idat = []
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    raw = zlib.decompress(b"".join(idat))
+
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"PNG raster size {len(raw)} != {(stride + 1) * height}")
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        src = raw[row_off + 1 : row_off + 1 + stride]
+        dst = y * stride
+        if ftype == 0:  # None
+            out[dst : dst + stride] = src
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[dst + x - nch] if x >= nch else 0
+                out[dst + x] = (src[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev_start + x] if y else 0
+                out[dst + x] = (src[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[dst + x - nch] if x >= nch else 0
+                b = out[prev_start + x] if y else 0
+                out[dst + x] = (src[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[dst + x - nch] if x >= nch else 0
+                b = out[prev_start + x] if y else 0
+                c = out[prev_start + x - nch] if (y and x >= nch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[dst + x] = (src[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        prev_start = dst
+
+    if color_type == 3:  # palette -> RGB
+        if not plte:
+            raise ValueError("palette PNG without PLTE")
+        rgb = bytearray(width * height * 3)
+        for j, idx in enumerate(out):
+            p = idx * 3
+            rgb[j * 3 : j * 3 + 3] = plte[p : p + 3]
+        return {"format": "png", "width": width, "height": height,
+                "channels": 3, "pixels": bytes(rgb)}
+    return {"format": "png", "width": width, "height": height,
+            "channels": nch, "pixels": bytes(out)}
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+    plte: bytes = b"",
+) -> bytes:
+    """Minimal spec-correct PNG writer (8-bit, non-interlaced): the
+    thumbnail/normalized-raster SINK format for image pipelines, and the
+    synthesis side of the oracle-gated compressed-decode query. By
+    default each row's filter type cycles 0..4 so a stream produced
+    here exercises every inverse filter in :func:`_decode_png`."""
+    import struct
+    import zlib
+
+    nch = _PNG_CHANNELS[color_type]
+    stride = width * nch
+    if len(pixels) != stride * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != {stride * height}")
+    filters = filters if filters is not None else [y % 5 for y in range(height)]
+    raw = bytearray()
+    for y, ft in enumerate(filters):
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                f = row[x]
+            elif ft == 1:
+                f = (row[x] - a) & 0xFF
+            elif ft == 2:
+                f = (row[x] - b) & 0xFF
+            elif ft == 3:
+                f = (row[x] - ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = (row[x] - pred) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ft}")
+            raw.append(f)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = _PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def encode_gif(
+    indices: bytes, width: int, height: int, palette: bytes
+) -> bytes:
+    """Minimal GIF89a writer (single frame, global color table,
+    non-interlaced): greedy LZW with growing code width — the synthesis
+    twin of :func:`_decode_gif`."""
+    import math
+
+    n_entries = len(palette) // 3
+    size_field = max(0, math.ceil(math.log2(max(2, n_entries))) - 1)
+    pal = palette + b"\x00" * ((2 << size_field) * 3 - len(palette))
+    min_code = max(2, (n_entries - 1).bit_length())
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    cwidth = min_code + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += cwidth
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    prev = b""
+    for ch in indices:
+        cur = prev + bytes([ch])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == (1 << cwidth):
+                cwidth += 1
+            next_code += 1
+        prev = bytes([ch])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    blocks = b""
+    for i in range(0, len(out), 255):
+        part = bytes(out[i : i + 255])
+        blocks += bytes([len(part)]) + part
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x80 | size_field, 0, 0])
+        + pal
+        + b"\x2c"
+        + b"\x00" * 4
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-variant LZW: codes start at min_code_size+1 bits, grow after
+    the table fills to 2^width (capped at 12 bits), CLEAR resets,
+    EOI terminates. LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    n = len(data)
+    while len(out) < max_pixels:
+        while bits < width:
+            if pos >= n:
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """First-frame GIF decode: logical screen descriptor, global/local
+    color table, extension-block skip, then LZW over the image data
+    sub-blocks; indices map through the active palette to RGB and
+    interlaced frames (four-pass row order) are de-interlaced. Returns
+    the FRAME's raster (its own width/height — animation composition
+    onto the logical screen is out of scope for feature extraction)."""
+    if payload[:6] not in _GIF_MAGICS or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    i = 13
+    if flags & 0x80:  # global color table
+        gct_len = 3 * (2 << (flags & 0x07))
+        gct = payload[i : i + gct_len]
+        i += gct_len
+    else:
+        gct = b""
+    n = len(payload)
+    while i < n:
+        b0 = payload[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        # image descriptor
+        w = int.from_bytes(payload[i + 5 : i + 7], "little")
+        h = int.from_bytes(payload[i + 7 : i + 9], "little")
+        iflags = payload[i + 9]
+        i += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            lct_len = 3 * (2 << (iflags & 0x07))
+            pal = payload[i : i + lct_len]
+            i += lct_len
+        if not pal:
+            raise ValueError("GIF frame without a color table")
+        min_code = payload[i]
+        i += 1
+        data = bytearray()
+        while i < n and payload[i] != 0:
+            sz = payload[i]
+            data += payload[i + 1 : i + 1 + sz]
+            i += 1 + sz
+        indices = _gif_lzw_decode(min_code, bytes(data), w * h)
+        if len(indices) < w * h:
+            raise ValueError(f"GIF raster truncated: {len(indices)} < {w * h}")
+        if iflags & 0x40:  # interlaced: passes at rows 0/8,4/8,2/4,1/2
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            deinter = bytearray(w * h)
+            for src_row, dst_row in enumerate(order):
+                deinter[dst_row * w : (dst_row + 1) * w] = indices[
+                    src_row * w : (src_row + 1) * w
+                ]
+            indices = deinter
+        rgb = bytearray(w * h * 3)
+        for j in range(w * h):
+            p = indices[j] * 3
+            rgb[j * 3 : j * 3 + 3] = pal[p : p + 3]
+        return {"format": "gif", "width": w, "height": h, "channels": 3,
+                "pixels": bytes(rgb)}
+    raise ValueError("GIF contains no image descriptor")
 
 
 def _decode_pnm(payload: bytes) -> dict:

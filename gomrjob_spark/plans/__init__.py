@@ -43,6 +43,8 @@ _VERIFY_FIRST = [
     "sessionize_windows",
     # zero/NULL token-total guard
     "mix_weights_equal_tokens",
+    # NEW r4: PNG/GIF compressed-raster decode under the oracle gate
+    "multimodal_compressed_pixel_stats",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -956,6 +956,75 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_compressed_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 2 AS INT) AS w,
+             CAST(doc_id % 4 + 2 AS INT) AS h
+      FROM documents
+    ),
+    png AS (
+      SELECT doc_id, 'png' AS format, w, h, i,
+             (doc_id * 7 + i * 13) % 256 AS val
+      FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+      WHERE doc_id % 2 = 0
+    ),
+    gif AS (
+      SELECT doc_id, 'gif' AS format, w, h, 3 * j + c AS i,
+             5 * ((doc_id * 7 + j * 13) % 8) + c AS val
+      FROM d,
+           unnest(generate_series(0, w * h - 1)) AS t(j),
+           unnest(generate_series(0, 2)) AS u(c)
+      WHERE doc_id % 2 = 1
+    ),
+    v AS (SELECT * FROM png UNION ALL SELECT * FROM gif)
+    SELECT doc_id, format, w AS width, h AS height, CAST(3 AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h
+    ORDER BY doc_id
+    """,
+)
+def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-raster decode under the oracle gate — the r3
+    'What's missing #3' stub, closed for PNG and GIF: even doc_ids carry
+    a PNG whose rows cycle all five filter types (so zlib-inflate AND
+    every inverse filter run per image), odd doc_ids a GIF decoded
+    through the full LZW path. Payload bytes are synthesized per doc by
+    the module's own spec-correct encoders (round-tripped against
+    independent encoders in pytest), pixel VALUES are pure arithmetic in
+    doc_id — so the DuckDB oracle recomputes all four stats, including
+    the position-weighted checksum, without understanding either
+    container. A filter-inverse, palette, de-interlace, or LZW bug
+    breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 2, d % 4 + 2
+                if d % 2 == 0:
+                    px = bytes((d * 7 + i * 13) % 256 for i in range(w * h * 3))
+                    payloads.append(multimodal.encode_png(px, w, h, color_type=2))
+                else:
+                    idx = bytes((d * 7 + j * 13) % 8 for j in range(w * h))
+                    pal = bytes(5 * j + c for j in range(8) for c in range(3))
+                    payloads.append(multimodal.encode_gif(idx, w, h, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return multimodal.extract_pixel_stats(payloads).orderBy("doc_id")
+
+
+@query(
     "multimodal_audio_samples",
     oracle="""
     WITH d AS (

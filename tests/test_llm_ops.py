@@ -911,3 +911,201 @@ def test_mixture_weights_zero_and_null_token_groups(spark):
     assert got["en"] == 0.5
     assert got["zz"] == 0.0
     assert got["nn"] == 0.0
+
+
+# ---- PNG / GIF pixel decode (round-trip vs independent encoders) ----
+
+
+def _png_encode(pixels: bytes, width: int, height: int, color_type: int,
+                filters: list[int], plte: bytes = b"") -> bytes:
+    """Independent forward PNG encoder for the round-trip test: applies
+    the requested filter type per row (the spec's FORWARD transform,
+    implemented separately from the decoder's inverse), deflates, and
+    frames the chunks."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * nch
+    raw = bytearray()
+    for y, ft in enumerate(filters):
+        row = pixels[y * stride:(y + 1) * stride]
+        prev = pixels[(y - 1) * stride: y * stride] if y else bytes(stride)
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                f = row[x]
+            elif ft == 1:
+                f = (row[x] - a) & 0xFF
+            elif ft == 2:
+                f = (row[x] - b) & 0xFF
+            elif ft == 3:
+                f = (row[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = (row[x] - pred) & 0xFF
+            raw.append(f)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_rgb():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) reversed
+    correctly on an RGB raster."""
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    w, h = 5, 5
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    got = decode_image(_png_encode(pixels, w, h, 2, filters=[0, 1, 2, 3, 4]))
+    assert (got["format"], got["width"], got["height"], got["channels"]) == ("png", 5, 5, 3)
+    assert got["pixels"] == pixels
+
+
+def test_png_decode_gray_and_rgba():
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    gray = bytes((x * 31) % 256 for x in range(6 * 3))
+    got = decode_image(_png_encode(gray, 6, 3, 0, filters=[4, 1, 2]))
+    assert (got["channels"], got["pixels"]) == (1, gray)
+
+    rgba = bytes((x * 29 + 5) % 256 for x in range(4 * 2 * 4))
+    got = decode_image(_png_encode(rgba, 4, 2, 6, filters=[3, 4]))
+    assert (got["channels"], got["pixels"]) == (4, rgba)
+
+
+def test_png_decode_palette_expands_to_rgb():
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    plte = bytes(range(12))  # 4 entries
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])  # 4x2
+    got = decode_image(_png_encode(idx, 4, 2, 3, filters=[0, 1], plte=plte))
+    want = b"".join(plte[i * 3 : i * 3 + 3] for i in idx)
+    assert (got["channels"], got["pixels"]) == (3, want)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Independent GIF LZW encoder (greedy longest-match, emits CLEAR
+    first and EOI last, grows code width when the table fills)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    prev = b""
+    for ch in indices:
+        cur = prev + bytes([ch])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            # GIF encoders bump width when next_code EXCEEDS the current
+            # code range (decoder mirrors: grows when its table REACHES it)
+            if next_code == (1 << width):
+                width += 1
+            next_code += 1
+        prev = bytes([ch])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(indices: bytes, width: int, height: int, palette: bytes,
+                interlace: bool = False) -> bytes:
+    import math
+
+    n_entries = len(palette) // 3
+    size_field = max(0, math.ceil(math.log2(max(2, n_entries))) - 1)
+    pal = palette + b"\x00" * ((2 << size_field) * 3 - len(palette))
+    hdr = (
+        b"GIF89a"
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + bytes([0x80 | size_field, 0, 0]) + pal
+        # a graphic-control extension block, to prove the skip path
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    )
+    img = (
+        b"\x2c" + b"\x00" * 4
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+    )
+    min_code = max(2, (len(palette) // 3 - 1).bit_length())
+    lzw = _gif_lzw_encode(indices, min_code)
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    return hdr + img + bytes([min_code]) + blocks + b"\x00" + b"\x3b"
+
+
+def test_gif_decode_lzw_roundtrip():
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    palette = bytes(range(24))  # 8 RGB entries
+    w, h = 7, 5
+    indices = bytes((x * 3 + x // 7) % 8 for x in range(w * h))
+    got = decode_image(_gif_encode(indices, w, h, palette))
+    assert (got["format"], got["width"], got["height"], got["channels"]) == ("gif", 7, 5, 3)
+    want = b"".join(palette[i * 3 : i * 3 + 3] for i in indices)
+    assert got["pixels"] == want
+
+
+def test_gif_decode_interlaced_rows_restored():
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    palette = bytes(range(12))  # 4 entries
+    w, h = 3, 9
+    indices = bytes((x // w) % 4 for x in range(w * h))  # row-colored
+    # interlaced storage order: rows 0,8 / 4 / 2,6 / 1,3,5,7
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    stored = b"".join(indices[r * w : (r + 1) * w] for r in order)
+    got = decode_image(_gif_encode(stored, w, h, palette, interlace=True))
+    want = b"".join(palette[i * 3 : i * 3 + 3] for i in indices)
+    assert got["pixels"] == want
+
+
+def test_gif_lzw_table_growth_past_one_width():
+    """A raster long enough to push the LZW table past a width boundary
+    (>= 2^(min_code+1) entries) still round-trips byte-exact."""
+    import random
+
+    from gomrjob_spark.operators.multimodal import decode_image
+
+    rng = random.Random(3)
+    palette = bytes(range(12))
+    w, h = 50, 40
+    indices = bytes(rng.randrange(4) for _ in range(w * h))
+    got = decode_image(_gif_encode(indices, w, h, palette))
+    want = b"".join(palette[i * 3 : i * 3 + 3] for i in indices)
+    assert got["pixels"] == want
