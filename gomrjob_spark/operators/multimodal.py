@@ -13,12 +13,15 @@ Decode / feature-extract run as Arrow-batched ``mapInPandas`` — the only
 viable shape at 100 TB (payload bytes never route through the driver; each
 task decodes its own partition). Container headers (PNG/JPEG/GIF
 dimensions + channels) decode for REAL via ``decode_image_header``, and
-full pixel decode (``decode_image``) is REAL for the uncompressed formats
-(PPM/PGM/BMP), as is 16-bit PCM sample decode for WAV — all pure Python
-over bytes, no codec library. Only compressed-pixel entropy decoding
-(PNG/JPEG/GIF rasters) still raises NotImplementedError because
-PIL/ffmpeg are not in this container; a codec-backed decoder drops in by
-extending that one function.
+full pixel decode (``decode_image``) is REAL across the board — pure
+Python/numpy over bytes, no codec library: PPM/PGM/BMP rasters, PNG
+(stdlib-zlib inflate + inverse row filters + palette), GIF (full LZW +
+de-interlace), baseline JPEG (canonical Huffman + IDCT + chroma
+upsampling + YCbCr), and 16-bit PCM for WAV. Matching minimal writers
+(``encode_png``/``encode_gif``/``encode_jpeg_baseline``) serve as sink
+formats and the synthesis side of the oracle-gated decode queries. The
+only codings that still raise NotImplementedError are progressive /
+arithmetic JPEG, 16-bit/Adam7 PNG — named precisely at the raise sites.
 """
 
 from __future__ import annotations
@@ -69,11 +72,14 @@ def decode_image(payload: bytes) -> dict:
       (variable code width, clear/EOI, 12-bit cap), palette-mapped to
       RGB, interlaced row order restored.
 
+    - JPEG baseline sequential (SOF0/1): full entropy decode — DHT
+      canonical Huffman, DC prediction + AC run-length, dequantize,
+      8x8 IDCT, sampling-factor upsampling, YCbCr->RGB, restart
+      markers. Progressive (SOF2) and arithmetic coding raise
+      NotImplementedError — the only remaining unimplemented codings.
+
     Returns ``{format, width, height, channels, pixels: bytes}`` with
-    ``pixels`` top-down row-major, channel-interleaved. The one
-    remaining stub is JPEG entropy decoding (Huffman + IDCT — a codec,
-    not a container; swap in PIL when available): JPEG *headers* decode
-    via :func:`decode_image_header`."""
+    ``pixels`` top-down row-major, channel-interleaved."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -82,10 +88,11 @@ def decode_image(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload[:6] in _GIF_MAGICS:
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "pixel decode implemented for PPM/PGM/BMP/PNG/GIF; JPEG entropy "
-        "decoding needs a codec library (decode_image_header parses its "
-        "header without one)"
+        "pixel decode implemented for PPM/PGM/BMP/PNG/GIF/baseline-JPEG; "
+        "unrecognized payload magic"
     )
 
 
@@ -306,6 +313,454 @@ def encode_gif(
         + bytes([min_code])
         + blocks
         + b"\x00\x3b"
+    )
+
+
+# ---------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (SOF0), the dominant web-image coding: real
+# entropy decode — DHT canonical Huffman construction, bit-unstuffing,
+# DC prediction + AC run-length, dequantize/dezigzag, 8x8 IDCT (numpy
+# matrix form), sampling-factor upsampling, YCbCr->RGB. Progressive
+# (SOF2) and arithmetic coding raise NotImplementedError with a precise
+# message. All constants below are generated, not transcribed: the
+# zigzag order comes from the diagonal walk, the DCT basis from its
+# closed form — no copied tables to mistype.
+
+
+def _zigzag_order() -> list[int]:
+    """Block (row-major) index for each position of the 64-length zigzag
+    STREAM, generated by the standard diagonal walk:
+    ``_ZIGZAG[stream_pos] = block_pos``."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1)
+        for i in rng if d % 2 else reversed(rng):
+            r, c = i, d - i
+            if r < 8 and c < 8:
+                order.append(r * 8 + c)
+    return order
+
+
+_ZIGZAG = _zigzag_order()  # stream index -> block index
+
+
+def _dct_basis():
+    """8x8 DCT-II basis C with C[u,x] = a(u)/2 * cos((2x+1)u*pi/16);
+    spatial = C.T @ coeffs @ C, coeffs = C @ spatial @ C.T."""
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8).reshape(-1, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    c[0] /= np.sqrt(2)
+    return c
+
+
+class _HuffTable:
+    """Canonical Huffman per the JPEG spec's DHT convention: 16 length
+    counts + symbols in code order."""
+
+    def __init__(self, bits: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at markers (0xFF xx), and realigns across RSTn."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.bits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by the MCU loop
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.bits += 8
+
+    def read_bit(self) -> int:
+        if self.bits == 0:
+            self._fill()
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the expected RSTn marker and realign to a byte."""
+        self.acc = 0
+        self.bits = 0
+        d = self.data
+        if d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + n:
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """Table F.1 EXTEND: map the `size`-bit magnitude to its signed value."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG pixel decode (see module-section comment). Returns
+    the module's standard dict; grayscale stays 1-channel, everything
+    else converts to interleaved RGB via the JFIF YCbCr transform."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if prec:
+                    vals = [int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big") for k in range(64)]
+                    j += 128
+                else:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                tbl = np.zeros(64, dtype=np.float64)
+                for s, b in enumerate(_ZIGZAG):
+                    tbl[b] = vals[s]
+                qt[tid] = tbl.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (+ext. sequential)
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for k in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2); baseline only")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("arithmetic-coded JPEG; Huffman baseline only")
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nsym = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, seg[j + 17 : j + 17 + nsym])
+                j += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for k in range(ns):
+                cid, tabs = seg[1 + 2 * k : 3 + 2 * k]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
+            return _jpeg_scan(
+                payload, i + 2 + seg_len, frame, scan, qt, huff, restart_interval
+            )
+        i += 2 + seg_len
+    raise ValueError("JPEG contains no scan")
+
+
+def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _dct_basis()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    reader = _BitReader(payload, start)
+    pred = [0] * len(comps)
+    rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = huff[(0, scan[c["id"]][0])]
+                ac_t = huff[(1, scan[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        size = reader.decode_symbol(dc_t)
+                        diff = _jpeg_extend(reader.read_bits(size), size)
+                        pred[ci] += diff
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_t)
+                            run, sz = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            coeffs[k] = _jpeg_extend(reader.read_bits(sz), sz)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        for s, b in enumerate(_ZIGZAG):
+                            blk.flat[b] = coeffs[s]
+                        blk *= q
+                        spatial = basis.T @ blk @ basis + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return {"format": "jpeg", "width": w, "height": h, "channels": 1,
+                "pixels": out.tobytes()}
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return {"format": "jpeg", "width": w, "height": h, "channels": 3,
+            "pixels": out.tobytes()}
+
+
+def encode_jpeg_baseline(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: int = 1,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Minimal baseline JPEG writer: grayscale or YCbCr at 4:4:4
+    (``subsampling=(1,1)``) or 4:2:0 (``(2,2)``, chroma mean-pooled),
+    flat ``quant`` quantization (1 = near-lossless: the only loss is the
+    float DCT round-trip, within +/-1 per sample; flat 8x8 blocks are
+    bit-exact), single-length canonical Huffman tables emitted via DHT
+    (the decoder must run the real canonical construction — nothing is
+    implicit). The synthesis side of the oracle-gated JPEG decode query
+    and a usable thumbnail sink."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("grayscale or 3-channel only")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [arr[..., 0]]
+    hmax, vmax = subsampling if channels == 3 else (1, 1)
+    if (hmax, vmax) not in ((1, 1), (2, 2)):
+        raise ValueError("subsampling (1,1) [4:4:4] or (2,2) [4:2:0] only")
+    # Y carries the max factors; chroma stays at (1,1) — the 4:2:0 layout
+    factors = [(hmax, vmax)] + [(1, 1)] * (len(planes) - 1)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    prepped = []
+    for p, (h_i, v_i) in zip(planes, factors):
+        pool_y, pool_x = vmax // v_i, hmax // h_i
+        full_h, full_w = mcuy * v_i * 8 * pool_y, mcux * h_i * 8 * pool_x
+        full = np.pad(
+            p, ((0, full_h - p.shape[0]), (0, full_w - p.shape[1])), mode="edge"
+        )
+        if (pool_y, pool_x) != (1, 1):  # chroma mean pooling
+            full = full.reshape(
+                full_h // pool_y, pool_y, full_w // pool_x, pool_x
+            ).mean(axis=(1, 3))
+        prepped.append(full)
+    planes = prepped
+    basis = _dct_basis()
+
+    # single-length canonical tables: DC sizes 0..11 at 4 bits, AC
+    # symbols (EOB, ZRL, all run/size) at 9 bits (162 symbols < 2^9-1)
+    dc_syms = bytes(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 4-bit codes
+    ac_syms = bytes(
+        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)  # 9-bit codes
+
+    def canonical(bits: list[int], syms: bytes) -> dict[int, tuple[int, int]]:
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[syms[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_enc = canonical(dc_bits, dc_syms)
+    ac_enc = canonical(ac_bits, ac_syms)
+
+    bitbuf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            bitbuf.append(byte)
+            if byte == 0xFF:
+                bitbuf.append(0x00)  # stuffing
+
+    q = np.full((8, 8), float(quant))
+    pred = [0] * len(planes)
+    rst = 0
+    mcu_count = 0
+    mcus = [(y, x) for y in range(mcuy) for x in range(mcux)]
+    blocks_of = [
+        [(by, bx) for by in range(v_i) for bx in range(h_i)] for h_i, v_i in factors
+    ]
+    for my, mx in mcus:
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            # flush to byte boundary with 1-padding, emit RSTn
+            if nbits:
+                put((1 << (8 - nbits)) - 1, 8 - nbits)
+            bitbuf.extend((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            pred = [0] * len(planes)
+        for ci, p in enumerate(planes):
+          for by, bx in blocks_of[ci]:
+            h_i, v_i = factors[ci]
+            y0, x0 = (my * v_i + by) * 8, (mx * h_i + bx) * 8
+            blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coeffs = basis @ blk @ basis.T
+            qz = np.rint(coeffs / q).astype(np.int64)
+            # zz[s] = coefficient at zigzag stream position s
+            zz = [int(qz.flat[b]) for b in _ZIGZAG]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            size = abs(diff).bit_length()
+            length, code = dc_enc[size]
+            put(code, length)
+            if size:
+                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    length, code = ac_enc[0xF0]
+                    put(code, length)
+                    run -= 16
+                size = abs(v).bit_length()
+                length, code = ac_enc[(run << 4) | size]
+                put(code, length)
+                put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_enc[0x00]
+                put(code, length)
+        mcu_count += 1
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    ncomp = len(planes)
+    sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for cid in range(ncomp):
+        h_i, v_i = factors[cid]
+        sof_body += bytes([cid + 1, (h_i << 4) | v_i, 0])
+    sof = seg(0xC0, sof_body)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_bits) + dc_syms + bytes([0x10]) + bytes(ac_bits) + ac_syms,
+    )
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    sos_body = bytes([ncomp])
+    for cid in range(ncomp):
+        sos_body += bytes([cid + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bitbuf) + b"\xff\xd9"
     )
 
 

@@ -961,46 +961,62 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id,
              CAST(doc_id % 6 + 2 AS INT) AS w,
-             CAST(doc_id % 4 + 2 AS INT) AS h
+             CAST(doc_id % 4 + 2 AS INT) AS h,
+             CAST(doc_id % 4 + 1 AS INT) AS wb,
+             CAST(doc_id % 3 + 1 AS INT) AS hb
       FROM documents
     ),
     png AS (
-      SELECT doc_id, 'png' AS format, w, h, i,
+      SELECT doc_id, 'png' AS format, w, h, 3 AS channels, i,
              (doc_id * 7 + i * 13) % 256 AS val
       FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
-      WHERE doc_id % 2 = 0
+      WHERE doc_id % 3 = 0
     ),
     gif AS (
-      SELECT doc_id, 'gif' AS format, w, h, 3 * j + c AS i,
+      SELECT doc_id, 'gif' AS format, w, h, 3 AS channels, 3 * j + c AS i,
              5 * ((doc_id * 7 + j * 13) % 8) + c AS val
       FROM d,
            unnest(generate_series(0, w * h - 1)) AS t(j),
            unnest(generate_series(0, 2)) AS u(c)
-      WHERE doc_id % 2 = 1
+      WHERE doc_id % 3 = 1
     ),
-    v AS (SELECT * FROM png UNION ALL SELECT * FROM gif)
-    SELECT doc_id, format, w AS width, h AS height, CAST(3 AS INT) AS channels,
+    jpeg AS (
+      SELECT doc_id, 'jpeg' AS format, 8 * wb AS w, 8 * hb AS h,
+             1 AS channels, i,
+             (doc_id * 7
+              + (((i // (8 * wb)) // 8) * wb + ((i % (8 * wb)) // 8)) * 13
+             ) % 256 AS val
+      FROM d, unnest(generate_series(0, 64 * wb * hb - 1)) AS t(i)
+      WHERE doc_id % 3 = 2
+    ),
+    v AS (
+      SELECT * FROM png UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpeg
+    )
+    SELECT doc_id, format, w AS width, h AS height, CAST(channels AS INT) AS channels,
            CAST(sum(val) AS BIGINT)     AS px_sum,
            CAST(min(val) AS INT)        AS px_min,
            CAST(max(val) AS INT)        AS px_max,
            CAST(sum(i * val) AS BIGINT) AS px_possum
     FROM v
-    GROUP BY doc_id, format, w, h
+    GROUP BY doc_id, format, w, h, channels
     ORDER BY doc_id
     """,
 )
 def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-raster decode under the oracle gate — the r3
-    'What's missing #3' stub, closed for PNG and GIF: even doc_ids carry
-    a PNG whose rows cycle all five filter types (so zlib-inflate AND
-    every inverse filter run per image), odd doc_ids a GIF decoded
-    through the full LZW path. Payload bytes are synthesized per doc by
-    the module's own spec-correct encoders (round-tripped against
-    independent encoders in pytest), pixel VALUES are pure arithmetic in
-    doc_id — so the DuckDB oracle recomputes all four stats, including
-    the position-weighted checksum, without understanding either
-    container. A filter-inverse, palette, de-interlace, or LZW bug
-    breaks the hash."""
+    'What's missing #3' stub, closed: doc_id % 3 routes each doc to a
+    PNG whose rows cycle all five filter types (zlib-inflate AND every
+    inverse filter run per image), a GIF decoded through the full LZW
+    path, or a baseline JPEG (canonical Huffman + IDCT) built from
+    per-8x8-block-constant grayscale — DC-only blocks at quant=1 decode
+    BIT-EXACT, so even the lossy codec sits under the hash gate. Payload
+    bytes are synthesized per doc by the module's own spec-correct
+    encoders (round-tripped against independent encoders and
+    spec-known Huffman codes in pytest); pixel VALUES are pure
+    arithmetic in doc_id, so the DuckDB oracle recomputes all four
+    stats, including the position-weighted checksum, without
+    understanding any container. A filter-inverse, palette,
+    de-interlace, LZW, Huffman, or IDCT bug breaks the hash."""
     import pandas as pd  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1011,13 +1027,24 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = d % 6 + 2, d % 4 + 2
-                if d % 2 == 0:
+                if d % 3 == 0:
                     px = bytes((d * 7 + i * 13) % 256 for i in range(w * h * 3))
                     payloads.append(multimodal.encode_png(px, w, h, color_type=2))
-                else:
+                elif d % 3 == 1:
                     idx = bytes((d * 7 + j * 13) % 8 for j in range(w * h))
                     pal = bytes(5 * j + c for j in range(8) for c in range(3))
                     payloads.append(multimodal.encode_gif(idx, w, h, pal))
+                else:
+                    wb, hb = d % 4 + 1, d % 3 + 1
+                    wpx, hpx = 8 * wb, 8 * hb
+                    px = bytes(
+                        (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
+                        for y in range(hpx)
+                        for x in range(wpx)
+                    )
+                    payloads.append(
+                        multimodal.encode_jpeg_baseline(px, wpx, hpx, channels=1)
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")

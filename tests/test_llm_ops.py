@@ -1109,3 +1109,125 @@ def test_gif_lzw_table_growth_past_one_width():
     got = decode_image(_gif_encode(indices, w, h, palette))
     want = b"".join(palette[i * 3 : i * 3 + 3] for i in indices)
     assert got["pixels"] == want
+
+
+# ---- baseline JPEG decode ----
+
+
+def test_jpeg_canonical_huffman_matches_spec_known_codes():
+    """Pin _HuffTable's canonical construction against the JPEG spec's
+    standard luminance DC table (Annex K), whose canonical codes are
+    public knowledge — this is independent of the repo's own encoder, so
+    a complementary encoder/decoder bug cannot hide here."""
+    from gomrjob_spark.operators.multimodal import _HuffTable
+
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    t = _HuffTable(bits, bytes(range(12)))
+    want = {
+        (2, 0b00): 0,
+        (3, 0b010): 1, (3, 0b011): 2, (3, 0b100): 3, (3, 0b101): 4, (3, 0b110): 5,
+        (4, 0b1110): 6,
+        (5, 0b11110): 7,
+        (6, 0b111110): 8,
+        (7, 0b1111110): 9,
+        (8, 0b11111110): 10,
+        (9, 0b111111110): 11,
+    }
+    assert t.lookup == want
+
+
+def test_jpeg_flat_blocks_decode_exact():
+    """Per-8x8-block-constant grayscale is DC-only: decode must be
+    bit-exact (DCT of a constant is pure DC; quant=1)."""
+    import numpy as np
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    w, h = 24, 16
+    px = bytes(
+        (37 * ((y // 8) * (w // 8) + x // 8) + 10) % 256
+        for y in range(h) for x in range(w)
+    )
+    got = decode_image(encode_jpeg_baseline(px, w, h, channels=1))
+    assert (got["format"], got["width"], got["height"], got["channels"]) == ("jpeg", w, h, 1)
+    assert got["pixels"] == px
+
+
+def test_jpeg_random_gray_within_rounding():
+    import numpy as np
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    rng = np.random.RandomState(11)
+    h, w = 16, 24
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    got = decode_image(encode_jpeg_baseline(arr.tobytes(), w, h, channels=1))
+    dec = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w)
+    assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 1
+
+
+def test_jpeg_rgb_444_and_crop():
+    import numpy as np
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    rng = np.random.RandomState(5)
+    h, w = 11, 13  # exercises edge-pad + crop
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = decode_image(encode_jpeg_baseline(arr.tobytes(), w, h, channels=3))
+    assert (got["width"], got["height"], got["channels"]) == (w, h, 3)
+    dec = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 2
+
+
+def test_jpeg_restart_markers():
+    import numpy as np
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    rng = np.random.RandomState(7)
+    h, w = 16, 32
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    got = decode_image(
+        encode_jpeg_baseline(arr.tobytes(), w, h, channels=1, restart_interval=2)
+    )
+    dec = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w)
+    assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 1
+
+
+def test_jpeg_420_subsampling_decodes_through_upsample_path():
+    import numpy as np
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    h, w = 16, 24
+    flat = np.zeros((h, w, 3), dtype=np.uint8)
+    flat[...] = (200, 30, 90)
+    got = decode_image(
+        encode_jpeg_baseline(flat.tobytes(), w, h, channels=3, subsampling=(2, 2))
+    )
+    dec = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    # flat chroma pools losslessly: exact
+    assert int(np.abs(dec.astype(int) - flat.astype(int)).max()) == 0
+    # gradient: bounded by chroma pooling loss
+    grad = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            grad[y, x] = (x * 4, y * 8, 128)
+    got = decode_image(
+        encode_jpeg_baseline(grad.tobytes(), w, h, channels=3, subsampling=(2, 2))
+    )
+    dec = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert int(np.abs(dec.astype(int) - grad.astype(int)).max()) <= 6
+
+
+def test_jpeg_progressive_raises_not_implemented():
+    import pytest as _pytest
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    payload = bytearray(encode_jpeg_baseline(bytes(64), 8, 8, channels=1))
+    i = payload.index(b"\xff\xc0")  # rewrite SOF0 -> SOF2
+    payload[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_image(bytes(payload))
