@@ -494,6 +494,41 @@ def axis_sign_buckets(
     )
 
 
+def auto_lsh_params(
+    n_vectors: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    target_occupancy: int = 64,
+    max_bits: int = 63,
+) -> tuple[int, int]:
+    """Pick (n_planes, n_tables) for sign-LSH bucketed dedup from corpus
+    size and similarity threshold — the scale dial the r4 sf-sweep
+    showed matters: at fixed depth, bucket occupancy grows ∝ n and
+    candidate pairs ∝ n², so the DEPTH must grow with log2(n) to keep
+    the propose/verify join linear (measured: the fixture's (3,16) is
+    quadratic across sf0.1→0.4 while (8,7) stays flat — SCALING.md).
+
+    Model: a pair at cosine c collides under one random hyperplane with
+    p = 1 - arccos(c)/π; a k-plane bucket with p^k; any of L tables with
+    1-(1-p^k)^L. Choose k so the EXPECTED bucket occupancy n/2^k ≈
+    ``target_occupancy`` (bounded candidate blowup), then the smallest L
+    reaching ``target_recall`` at the threshold, capped by the packed-
+    signature budget k*L <= ``max_bits`` (shave k if needed — shallower
+    buckets raise per-table recall, so the cap stays satisfiable)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    k = max(1, int(math.log2(max(2, n_vectors / max(1, target_occupancy)))))
+    while k > 1:
+        l_needed = math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - p**k)
+        )
+        if k * l_needed <= max_bits:
+            return k, l_needed
+        k -= 1
+    return 1, min(max_bits, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+
+
 def embedding_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1231,3 +1231,25 @@ def test_jpeg_progressive_raises_not_implemented():
     payload[i + 1] = 0xC2
     with _pytest.raises(NotImplementedError, match="progressive"):
         decode_image(bytes(payload))
+
+
+def test_auto_lsh_params_scale_with_corpus():
+    """Depth grows log2(n) (bounded occupancy -> linear candidates);
+    table count keeps recall; the packed-signature bit budget holds."""
+    import math
+
+    from gomrjob_spark.operators.dedup import auto_lsh_params
+
+    prev_k = 0
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        k, tables = auto_lsh_params(n, threshold=0.95)
+        assert k >= prev_k, "depth must be monotone in corpus size"
+        assert k * tables <= 63
+        # recall model holds at the threshold
+        p = 1 - math.acos(0.95) / math.pi
+        recall = 1 - (1 - p**k) ** tables
+        assert recall >= 0.95 - 1e-9, (n, k, tables, recall)
+        prev_k = k
+    # low thresholds (weak per-plane collision prob) still satisfiable
+    k, tables = auto_lsh_params(10_000_000, threshold=0.4, target_recall=0.9)
+    assert k * tables <= 63
