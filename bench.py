@@ -56,6 +56,7 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
     "multimodal_pixel_stats",
+    "multimodal_compressed_pixel_stats",
     "mr_field_count",
     "mr_combiner",
     "streaming_tumbling_agg",

@@ -95,7 +95,12 @@ def read_json_lines(
     else:
         df = path_or_df
     if corrupt_col in df.columns:
-        df = df.cache()
+        # Spark requires caching the parsed frame before referencing the
+        # corrupt-record column from a filter; scoped so a long-lived
+        # session can release it (gomrjob_spark.cache.release_scoped)
+        from gomrjob_spark.cache import scoped_persist
+
+        df = scoped_persist(df)
         bad = df.filter(F.col(corrupt_col).isNotNull()).agg(
             F.count(F.lit(1)).alias("bad_records")
         )

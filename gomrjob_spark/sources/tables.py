@@ -107,3 +107,65 @@ def write_range_clustered(
     parted.sortWithinPartitions(*cluster_by).write.mode(mode).format(fmt).save(
         resolve_path(path)
     )
+
+
+def dataset_stats(spark: SparkSession, path: str, fmt: str = "parquet") -> dict:
+    """File-layout audit for a dataset directory: file count, total/avg/
+    min/max file bytes, and row count — the numbers that decide whether
+    :func:`compact_small_files` is worth running. File metadata comes
+    from the Hadoop FileSystem listing (no data read except the count)."""
+    from gomrjob_spark.sources.fs import FsOps
+
+    files = [
+        f
+        for f in FsOps(spark).ls(resolve_path(path))
+        if not f.is_dir and not f.path.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    sizes = [f.size for f in files]
+    return {
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "avg_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+        "n_rows": spark.read.format(fmt).load(resolve_path(path)).count(),
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Compact a small-file-fragmented dataset in place: read, coalesce
+    to ``ceil(total_bytes / target_file_bytes)`` output files, and
+    atomically swap via a sibling temp dir + rename. The housekeeping
+    op every incremental 100 TB pipeline needs — streaming sinks and
+    per-batch appends produce thousands of KB-sized files whose open/
+    footer overhead eventually dominates scans (file count IS the task
+    count floor).
+
+    With ``cluster_by``, the rewrite range-clusters on those columns
+    (see write_range_clustered) so compaction also restores stats
+    pruning. Returns {before, after} dataset_stats. Not transactional
+    across concurrent writers — at production scale run it under the
+    table format's (Delta/Iceberg) own compaction or a path lock; the
+    rename itself is atomic per Hadoop FileSystem semantics."""
+    from gomrjob_spark.sources.fs import FsOps
+
+    rp = resolve_path(path)
+    before = dataset_stats(spark, rp, fmt)
+    n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
+    tmp = rp.rstrip("/") + "._compact_tmp"
+    df = spark.read.format(fmt).load(rp)
+    if cluster_by:
+        write_range_clustered(df, tmp, cluster_by, num_files=n_out, fmt=fmt)
+    else:
+        # coalesce, not repartition: merging files needs no shuffle
+        df.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    fs = FsOps(spark)
+    fs.rmr(rp)
+    fs.move(tmp, rp)
+    return {"before": before, "after": dataset_stats(spark, rp, fmt)}

@@ -19,9 +19,16 @@ def _oracle_names() -> list[str]:
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, sf_dir, name):
-    spark_df = plans.QUERIES[name](spark, sf_dir)
-    oracle_df = run_oracle(plans.ORACLES[name], sf_dir)
-    compare(spark_df, oracle_df, name=name)
+    from gomrjob_spark.cache import release_scoped
+
+    try:
+        spark_df = plans.QUERIES[name](spark, sf_dir)
+        oracle_df = run_oracle(plans.ORACLES[name], sf_dir)
+        compare(spark_df, oracle_df, name=name)
+    finally:
+        # ~115 queries share this session: release operator-scoped
+        # persists per query or they accumulate and evict each other
+        release_scoped()
 
 
 def test_rows_only_queries_run(spark, sf_dir):
@@ -32,6 +39,9 @@ def test_rows_only_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
+        from gomrjob_spark.cache import release_scoped
+
+        release_scoped()
 
 
 def test_entry_smoke(spark):

@@ -299,6 +299,10 @@ def test_operator_scoped_caches_released_between_queries(spark, sf_dir):
     lingering cached relations (the r03 bench-drift leak, closed)."""
     from gomrjob_spark.cache import release_scoped
 
+    # other test modules cache fixture tables in this shared session;
+    # establish a clean baseline so the assertion measures OUR lifecycle
+    release_scoped()
+    spark.catalog.clearCache()
     for name in ("dedup_minhash_md5", "dedup_ngram_jaccard"):
         plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         released = release_scoped()

@@ -232,3 +232,45 @@ def test_delete_prefix_contract(spark, tmp_path):
     for bad in ("", "/", "file:///"):
         with pytest.raises(ValueError, match="refusing"):
             fs.delete_prefix(bad)
+
+
+def test_compact_small_files_preserves_rows_and_merges(spark, tmp_path):
+    """The incremental-sink housekeeping op: a 64-file fragmented dataset
+    compacts to the byte-target file count with identical content; with
+    cluster_by, the rewrite is range-clustered."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources.tables import compact_small_files, dataset_stats
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    df.repartition(64).write.parquet(path)
+    before = dataset_stats(spark, path)
+    assert before["n_files"] == 64
+    want = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    stats = compact_small_files(spark, path, target_file_bytes=before["total_bytes"] // 4 + 1)
+    assert stats["after"]["n_files"] <= 4
+    assert stats["after"]["n_rows"] == stats["before"]["n_rows"] == 10_000
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == want
+
+    # clustered rewrite: files cover disjoint id ranges
+    compact_small_files(
+        spark, path, target_file_bytes=before["total_bytes"] // 8 + 1, cluster_by=["id"]
+    )
+    import pyarrow.parquet as pq
+    import os as _os
+
+    ranges = []
+    for f in sorted(_os.listdir(path)):
+        if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(_os.path.join(path, f))
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:])), ranges
