@@ -116,6 +116,62 @@ def jaccard_pairs(
     )
 
 
+def shingle_array(text_col: Column | str, n: int = 3) -> Column:
+    """Row-local distinct word-n-gram shingle array (no explode): the
+    streaming-safe form of word_shingles — a single document's shingle
+    set needs no aggregation, so it can be computed per row inside a
+    stateless streaming projection. Callers should project the token
+    array into a real column first when reusing it (lambda bodies get no
+    common-subexpression elimination; see word_shingles)."""
+    toks = tokens(normalized(text_col))
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0)
+
+
+def minhash_base_expr(shingles_col: Column | str, base_hash: str = "md5") -> Column:
+    """Row-local base-hash array for a shingle array (one hash per
+    shingle, reduced mod the Mersenne prime). PROJECT this into a real
+    column before feeding minhash_signature_expr: the num_hashes
+    permutation folds each reference it, and lambda bodies get no
+    common-subexpression elimination — inlining would recompute the md5
+    per permutation."""
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    if base_hash == "md5":
+        raw = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    elif base_hash == "xxhash64":
+        raw = F.xxhash64  # type: ignore[assignment]
+    else:
+        raise ValueError(f"base_hash must be 'xxhash64' or 'md5', got {base_hash!r}")
+    return F.transform(sh, lambda s: F.pmod(raw(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature_expr(
+    base_col: Column | str, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """Row-local MinHash signature (array<bigint>) from a projected
+    base-hash array column (see minhash_base_expr) — same hash family
+    and coefficients as the agg-based minhash_signatures, but computed
+    per row, so it runs inside a stateless streaming projection. Empty
+    shingle arrays yield NULL mins, which never match a band equi-join
+    (SQL null equality) — mirroring the agg path, where such docs simply
+    have no signature row."""
+    coeffs = minhash_coeffs(num_hashes, seed)
+    base = F.col(base_col) if isinstance(base_col, str) else base_col
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+            )
+            for a, b in coeffs
+        ]
+    )
+
+
 def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """The affine-permutation coefficients, deterministic per seed —
     shared by the Spark operator and any SQL mirror of it."""

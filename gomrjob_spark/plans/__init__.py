@@ -43,8 +43,10 @@ _VERIFY_FIRST = [
     "sessionize_windows",
     # zero/NULL token-total guard
     "mix_weights_equal_tokens",
-    # NEW r4: PNG/GIF compressed-raster decode under the oracle gate
+    # NEW r4: PNG/GIF/JPEG compressed-raster decode under the oracle gate
     "multimodal_compressed_pixel_stats",
+    # NEW r4: live streaming near-dup admission against a static corpus
+    "streaming_near_dup_probe",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -327,3 +327,84 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
     admitted = incremental_dedup_stream(batch, store)
     return _drain(spark, admitted, "append").orderBy("fp")
+
+
+def _near_dup_probe_sql(num_hashes: int, bands: int, seed: int, threshold: float, split: int) -> str:
+    """DuckDB mirror of streaming.ops.near_dup_probe_stream: md5-prefix
+    base hash + affine coefficients (shared generator with the Spark
+    side), cross-set band join (stream = doc_id >= split probing store =
+    doc_id < split), exact-Jaccard verify over distinct shingle sets.
+    First-shared-band dedup and DISTINCT candidate pairs produce the
+    same verified SET, so the oracle uses DISTINCT."""
+    from gomrjob_spark.operators.dedup import _MERSENNE, minhash_coeffs
+    from gomrjob_spark.plans.llm import _SQL_SHINGLES
+
+    rows = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes, seed)
+    base = f"(('0x' || substr(md5(shingle),1,15))::BIGINT % {_MERSENNE})"
+    mins = ",\n        ".join(
+        f"min(({base} * {a} + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {vals} FROM sig".format(
+            b=b,
+            vals=", ".join(f"h{b * rows + r} AS v{r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    vkeys = " AND ".join(f"x.v{r} = y.v{r}" for r in range(rows))
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh
+      GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS store_id
+      FROM banded x JOIN banded y ON x.band = y.band AND {vkeys}
+      WHERE x.doc_id >= {split} AND y.doc_id < {split}
+    ),
+    inter AS (
+      SELECT c.doc_id, c.store_id, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_id
+      JOIN sh sb ON sb.doc_id = c.store_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.store_id,
+           CAST(n_common AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_id
+    JOIN sizes zb ON zb.doc_id = i.store_id
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= {threshold}
+    ORDER BY i.doc_id, i.store_id
+    """
+
+
+@query("streaming_near_dup_probe", oracle=_near_dup_probe_sql(32, 16, 42, 0.6, 250))
+def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup admission (streaming.ops.near_dup_probe_stream):
+    documents 250+ arrive as a live stream, are MinHash-banded row-
+    locally (stateless — shingle/signature arrays via higher-order
+    functions, no streaming aggregation), and probe the banded store
+    built from docs 0-249; band collisions verify with exact Jaccard
+    from the carried shingle arrays. The fuzzy twin of
+    streaming_incremental_dedup: that gate stops exact re-crawls, this
+    one stops boilerplate near-duplicates of the existing corpus at
+    ingestion time. Output SET is a pure function of (stream, store),
+    so the full live topology sits under the DuckDB hash gate."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import near_dup_probe_stream, read_documents_stream
+
+    store = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    flagged = near_dup_probe_stream(stream, store, threshold=0.6)
+    return _drain(spark, flagged, "append").orderBy("doc_id", "store_id")

@@ -9,6 +9,7 @@ and arbitrary stateful operators via applyInPandasWithState.
 
 from gomrjob_spark.streaming.ops import (  # noqa: F401
     incremental_dedup_stream,
+    near_dup_probe_stream,
     read_documents_stream,
     read_events_stream,
     run_to_memory,

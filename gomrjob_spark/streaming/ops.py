@@ -301,3 +301,99 @@ def incremental_dedup_stream(
         .dropDuplicatesWithinWatermark(["fp"])
         .select("fp")
     )
+
+
+def near_dup_probe_stream(
+    docs: DataFrame,
+    store_docs: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    store_id_col: str = "store_id",
+) -> DataFrame:
+    """Streaming NEAR-dup admission: MinHash-band each arriving document
+    ROW-LOCALLY (shingle array -> md5 base hashes -> signature via array
+    folds — no aggregation, so the stream stays stateless) and probe a
+    static reference corpus banded the same way; band collisions verify
+    with exact Jaccard computed from the two carried shingle arrays
+    (array_intersect/array_union — again row-local). Emits
+    (doc_id, store_id, jaccard >= threshold) pairs.
+
+    This is the fuzzy twin of incremental_dedup_stream: that topology
+    rejects EXACT re-crawls against the fingerprint store; this one
+    catches boilerplate/near-duplicates of the existing corpus at
+    ingestion time, before they enter training data.
+
+    Scale shape: the stream side shuffles nothing until the band
+    equi-join (per-batch broadcast when the store's banded frame fits;
+    a shuffled hash join keyed on the band otherwise — both
+    stream-static-legal). A pair colliding in several bands is kept
+    exactly once by the first-shared-band filter over the two carried
+    signatures (the map-side dedup trick shared with the batch path) —
+    stateless, so no dropDuplicates state grows with the stream. The
+    output SET is a pure function of (stream content, store), hence
+    deterministic under any micro-batching — which is what lets the
+    full topology sit under the DuckDB oracle gate."""
+    from pyspark.sql import Column
+
+    from gomrjob_spark.operators.dedup import (
+        minhash_base_expr,
+        minhash_signature_expr,
+        shingle_array,
+    )
+
+    rows = num_hashes // bands
+
+    def banded(frame: DataFrame, ident: str, out_id: str, side: str) -> DataFrame:
+        prepped = (
+            frame.select(F.col(ident).alias(out_id), shingle_array("text", n).alias("_sh"))
+            .select(out_id, "_sh", minhash_base_expr("_sh").alias("_base"))
+            .select(
+                out_id,
+                "_sh",
+                minhash_signature_expr("_base", num_hashes, seed).alias("_sig"),
+            )
+        )
+        entries = [
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.element_at(F.col("_sig"), b * rows + r + 1).alias(f"v{r}")
+                    for r in range(rows)
+                ],
+            )
+            for b in range(bands)
+        ]
+        return prepped.select(
+            out_id,
+            F.col("_sh").alias(f"_sh_{side}"),
+            F.col("_sig").alias(f"_sig_{side}"),
+            F.explode(F.array(*entries)).alias("bk"),
+        ).select(out_id, f"_sh_{side}", f"_sig_{side}", "bk.*")
+
+    keys = ["band"] + [f"v{r}" for r in range(rows)]
+    stream_banded = banded(docs, id_col, id_col, "a")
+    store_banded = banded(store_docs, id_col, store_id_col, "b")
+
+    first: Column = F.lit(None).cast("int")
+    for t in range(bands - 1, -1, -1):
+        first = F.when(
+            F.slice(F.col("_sig_a"), t * rows + 1, rows)
+            == F.slice(F.col("_sig_b"), t * rows + 1, rows),
+            F.lit(t),
+        ).otherwise(first)
+
+    joined = stream_banded.join(store_banded, keys).filter(first == F.col("band"))
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        joined.select(
+            id_col,
+            store_id_col,
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -139,3 +139,45 @@ def test_incremental_dedup_stream_state_is_watermark_bounded(spark):
     plan = incremental_dedup_stream(docs, store)._jdf.queryExecution().analyzed().toString()
     assert "deduplicatewithinwatermark" in plan.lower().replace(" ", "")
     assert "eventtimewatermark" in plan.lower().replace(" ", "")
+
+
+def test_rowlocal_minhash_signature_matches_agg_path(spark, sf_dir):
+    """The streaming near-dup probe's row-local signature (array folds)
+    must be bit-identical to the batch groupBy signature for every doc
+    with at least one shingle — two independent formulations of the same
+    hash family cross-validate each other."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.dedup import (
+        minhash_base_expr,
+        minhash_signature_expr,
+        minhash_signatures,
+        shingle_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rowlocal = (
+        docs.select("doc_id", shingle_array("text").alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("doc_id", minhash_base_expr("_sh").alias("_b"))
+        .select("doc_id", minhash_signature_expr("_b", 32).alias("signature"))
+    )
+    agg = minhash_signatures(docs, num_hashes=32, base_hash="md5")
+    a = {r.doc_id: r.signature for r in rowlocal.collect()}
+    b = {r.doc_id: r.signature for r in agg.collect()}
+    assert a == b and len(a) > 100
+
+
+def test_near_dup_probe_stream_is_stateless(spark):
+    """The live topology must hold NO streaming state (no dedup/agg
+    state store): statelessness is what makes its cost per batch flat
+    and its output batching-invariant."""
+    from gomrjob_spark.streaming import near_dup_probe_stream
+
+    store = spark.createDataFrame([(1, "known text here okay")], "doc_id bigint, text string")
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    docs = stream.selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    plan = near_dup_probe_stream(docs, store)._jdf.queryExecution().analyzed().toString().lower()
+    for stateful in ("deduplicate", "eventtimewatermark", "stateful", "aggregate ["):
+        assert stateful not in plan, stateful
