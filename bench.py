@@ -61,6 +61,7 @@ HEADLINE = [
     "mr_combiner",
     "streaming_tumbling_agg",
     "streaming_interval_join",
+    "streaming_near_dup_probe",
 ]
 
 

@@ -163,6 +163,30 @@ class GcsClient(_RestClient):
             if not token:
                 return
 
+    def put_object(
+        self, bucket: str, name: str, data: bytes, content_type: str = "application/octet-stream"
+    ) -> dict:
+        """Simple media upload (storage.go Insert parity): one POST to
+        the upload endpoint with uploadType=media. For the multi-GB
+        binaries the reference shipped this way, production would use
+        the resumable protocol; the media path matches the reference's
+        single-shot semantics and the sizes it actually uploaded."""
+        url = (
+            "https://storage.googleapis.com/upload/storage/v1/b/"
+            f"{urllib.parse.quote(bucket)}/o?"
+            + urllib.parse.urlencode({"uploadType": "media", "name": name})
+        )
+        headers = {
+            "Authorization": f"Bearer {self._token()}",
+            "Content-Type": content_type,
+        }
+        status, raw = self._transport("POST", url, data, headers)
+        if status == 503:
+            raise DataprocUnavailableError(f"POST {url} -> 503")
+        if not 200 <= status < 300:
+            raise RuntimeError(f"POST {url} -> {status}: {raw[:500]!r}")
+        return json.loads(raw) if raw else {}
+
     def delete_object(self, bucket: str, name: str) -> None:
         self._request(
             "DELETE",

@@ -176,7 +176,11 @@ class _StubTransport:
     def __call__(self, method, url, body, headers):
         import json as _json
 
-        self.calls.append((method, url, _json.loads(body) if body else None, headers))
+        try:
+            parsed = _json.loads(body) if body else None
+        except (ValueError, UnicodeDecodeError):
+            parsed = body  # raw media upload bytes
+        self.calls.append((method, url, parsed, headers))
         status, resp = self.script.pop(0)
         return status, json.dumps(resp).encode() if isinstance(resp, dict) else resp
 
@@ -267,3 +271,19 @@ def test_gcp_non_2xx_raises_with_body():
     c = GcsClient(transport=t, token_provider=lambda: "tok")
     with pytest.raises(RuntimeError, match="403"):
         list(c.list_objects("bkt", "p/"))
+
+
+def test_gcs_put_object_media_upload():
+    """storage.go Insert parity: media upload hits the upload endpoint
+    with the raw bytes and the caller's content type."""
+    from gomrjob_spark.gcp import GcsClient
+
+    t = _StubTransport([(200, {"name": "dir/obj.bin", "size": "4"})])
+    c = GcsClient(transport=t, token_provider=lambda: "tok")
+    resp = c.put_object("bkt", "dir/obj.bin", b"\x01\x02\x03\x04")
+    assert resp["name"] == "dir/obj.bin"
+    method, url, body, headers = t.calls[0]
+    assert method == "POST"
+    assert url.startswith("https://storage.googleapis.com/upload/storage/v1/b/bkt/o?")
+    assert "uploadType=media" in url and "name=dir%2Fobj.bin" in url
+    assert headers["Content-Type"] == "application/octet-stream"
