@@ -550,6 +550,53 @@ def axis_sign_buckets(
     )
 
 
+def _lsh_depth_for_corpus(n_vectors: int, target_occupancy: int = 64) -> int:
+    """k0 = log2 of corpus size over target bucket occupancy: the depth
+    at which the EXPECTED occupancy n/2^k stays ≈ ``target_occupancy``
+    as n grows, which is what keeps the propose join's candidate volume
+    linear in n. Shared verbatim (floor(log2(greatest(2, n/occ)))) with
+    the DuckDB oracle's SQL derivation in plans/llm.py so both engines
+    pick identical parameters from the same corpus count."""
+    import math
+
+    return max(1, int(math.log2(max(2, n_vectors / max(1, target_occupancy)))))
+
+
+def _lsh_params_for_depth(
+    k0: int,
+    p: float,
+    target_recall: float = 0.95,
+    max_bits: int = 63,
+) -> tuple[int, int]:
+    """Resolve (n_planes, n_tables) from a desired depth ``k0`` and the
+    per-plane collision probability ``p``: the smallest table count L
+    reaching ``target_recall`` at depth k, shaving k while k*L exceeds
+    ``max_bits`` (the axis-sign coordinate budget: table t reads
+    coordinates [t*k, (t+1)*k), so k*L must fit the vector — shallower
+    buckets raise per-table recall, so the cap stays satisfiable)."""
+    import math
+
+    k = max(1, k0)
+    while k > 1:
+        l_needed = math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - p**k)
+        )
+        if k * l_needed <= max_bits:
+            return k, l_needed
+        k -= 1
+    return 1, min(max_bits, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+
+
+def _plane_collision_prob(threshold: float) -> float:
+    """P(one random hyperplane agrees) for a pair at cosine
+    ``threshold``: 1 - arccos(c)/π, clamped strictly below 1 so the
+    recall model's log(1-p^k) stays finite at threshold >= 1.0."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return min(p, 1.0 - 1e-12)
+
+
 def auto_lsh_params(
     n_vectors: int,
     threshold: float = 0.95,
@@ -562,27 +609,48 @@ def auto_lsh_params(
     showed matters: at fixed depth, bucket occupancy grows ∝ n and
     candidate pairs ∝ n², so the DEPTH must grow with log2(n) to keep
     the propose/verify join linear (measured: the fixture's (3,16) is
-    quadratic across sf0.1→0.4 while (8,7) stays flat — SCALING.md).
+    quadratic across sf0.1→0.4 while the auto-derived depth stays flat —
+    SCALING.md).
 
     Model: a pair at cosine c collides under one random hyperplane with
     p = 1 - arccos(c)/π; a k-plane bucket with p^k; any of L tables with
     1-(1-p^k)^L. Choose k so the EXPECTED bucket occupancy n/2^k ≈
     ``target_occupancy`` (bounded candidate blowup), then the smallest L
-    reaching ``target_recall`` at the threshold, capped by the packed-
-    signature budget k*L <= ``max_bits`` (shave k if needed — shallower
-    buckets raise per-table recall, so the cap stays satisfiable)."""
-    import math
+    reaching ``target_recall`` at the threshold, capped by the axis-sign
+    coordinate budget k*L <= ``max_bits`` (shave k if needed).
 
-    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-    k = max(1, int(math.log2(max(2, n_vectors / max(1, target_occupancy)))))
-    while k > 1:
-        l_needed = math.ceil(
-            math.log(1.0 - target_recall) / math.log(1.0 - p**k)
-        )
-        if k * l_needed <= max_bits:
-            return k, l_needed
-        k -= 1
-    return 1, min(max_bits, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+    The cap is the honest limit of AXIS-sign LSH: depth cannot outgrow
+    the embedding dimension. At the production threshold (0.95,
+    p≈0.90) the cap binds at k=9, i.e. corpora beyond ~64*2^9 vectors
+    per shard re-enter occupancy growth; beyond that, move to Gaussian
+    random hyperplanes (unbounded plane supply) — same plan shape.
+
+    The derivation is deliberately a pure function of (n, threshold,
+    recall, occupancy, cap): plans/llm.py embeds the k0→(k,L) table it
+    induces into the DuckDB oracle, so both engines derive identical
+    parameters from the corpus count and the hash gate holds at any
+    scale factor."""
+    p = _plane_collision_prob(threshold)
+    k0 = _lsh_depth_for_corpus(n_vectors, target_occupancy)
+    return _lsh_params_for_depth(k0, p, target_recall, max_bits)
+
+
+def lsh_param_lut(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bits: int = 63,
+    k0_max: int = 24,
+) -> list[tuple[int, int, int]]:
+    """(k0, n_planes, n_tables) for every depth 1..k0_max — the lookup
+    table the DuckDB oracle joins against ``floor(log2(n/occupancy))``
+    so its parameter choice is bit-identical to auto_lsh_params without
+    reproducing float recall arithmetic in SQL (libm log/pow can differ
+    in the last ulp across engines; a table of ints cannot)."""
+    p = _plane_collision_prob(threshold)
+    return [
+        (k0, *_lsh_params_for_depth(k0, p, target_recall, max_bits))
+        for k0 in range(1, k0_max + 1)
+    ]
 
 
 def embedding_dup_pairs_bucketed(
@@ -606,12 +674,14 @@ def embedding_dup_pairs_bucketed(
     tests/test_plan_quality.py).
 
     Pair dedup is shuffle-free ("first matching table wins"): every row
-    carries the packed n_planes*n_tables-bit sign signature, and a pair
-    colliding in several tables survives only in the lowest such
-    table_id — a bit test on sig_a XOR sig_b evaluated map-side right
-    after the join, replacing a distinct() exchange over the (large)
-    candidate stream. At 16 tables on a hot fixture this removes the
-    single most expensive shuffle in the query.
+    carries its length-L per-table bucket array, and a pair colliding in
+    several tables survives only in the lowest such table_id —
+    ``array_position(zip_with(bk_a, bk_b, eq), true)`` evaluated
+    map-side right after the join, replacing a distinct() exchange over
+    the (large) candidate stream. (r4 packed the signature into one
+    bigint; the array form removed that 63-bit cap so depth can follow
+    log2(n) up to the dimension budget — the real axis-LSH limit —
+    while keeping the identical plan shape.)
 
     Per-vector L2 norms are computed ONCE in the fetch frames and the
     per-pair score is dot/(norm_a*norm_b) — the same expression
@@ -624,37 +694,27 @@ def embedding_dup_pairs_bucketed(
     from gomrjob_spark.operators.similarity import dot, l2_norm
 
     nbits = n_planes * n_tables
-    if nbits > 63:
-        raise ValueError(f"n_planes*n_tables={nbits} exceeds 63 signature bits")
     if nbits > dim:
         raise ValueError(
             f"n_planes*n_tables={nbits} exceeds dim={dim}: "
             "coordinate slices would run past the vector"
         )
-    # packed signature: bit i = sign(vec[i]); folded high->low so the
-    # fold is acc*2+bit (no per-bit variable shift needed)
-    sig = F.aggregate(
-        F.sequence(F.lit(nbits - 1), F.lit(0), F.lit(-1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, i: acc * F.lit(2).cast("bigint")
-        + F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
-    )
-    mask = (1 << n_planes) - 1
-    entries = [
-        F.struct(
-            F.lit(t).alias("table_id"),
-            F.shiftrightunsigned(F.col("_sig"), t * n_planes).bitwiseAND(F.lit(mask)).alias(
-                "bucket"
-            ),
-        )
-        for t in range(n_tables)
-    ]
-    b = (
-        df.select(F.col(id_col), sig.alias("_sig"))
-        .select(F.col(id_col), "_sig", F.explode(F.array(*entries)).alias("_tb"))
-        .select(id_col, "_sig", F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket"))
+    # per-table bucket array: element t = the k sign bits of coordinates
+    # [t*k, (t+1)*k) packed little-endian (identical to axis_sign_buckets
+    # and to the oracle's list_transform in plans/llm.py)
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits: Column | None = None
+        for j in range(n_planes):
+            bit = F.when(
+                F.element_at(F.col(vec_col), t * n_planes + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        bucket_exprs.append(bits.cast("bigint"))
+    b = df.select(F.col(id_col), F.array(*bucket_exprs).alias("_bk")).select(
+        F.col(id_col),
+        "_bk",
+        F.posexplode("_bk").alias("table_id", "bucket"),
     )
     # The bucket join broadcasts one side, so downstream parallelism is
     # the streaming side's partitioning — which is the (tiny) source
@@ -666,18 +726,21 @@ def embedding_dup_pairs_bucketed(
     # but what GROWS out of it is not.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     a_side = b.repartition(n_parts, "table_id", "bucket").select(
-        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "table_id", "bucket"
+        F.col(id_col).alias("id_a"), F.col("_bk").alias("_bk_a"), "table_id", "bucket"
     )
-    b_side = b.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "table_id", "bucket")
-    xor = F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
-    first_match: Column = F.lit(None).cast("int")
-    for t in range(n_tables - 1, -1, -1):
-        first_match = F.when(
-            F.shiftrightunsigned(xor, t * n_planes).bitwiseAND(F.lit(mask)) == 0, F.lit(t)
-        ).otherwise(first_match)
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col("_bk").alias("_bk_b"), "table_id", "bucket"
+    )
+    # 1-based index of the first table where the two bucket arrays agree
+    first_shared = F.array_position(
+        F.zip_with(F.col("_bk_a"), F.col("_bk_b"), lambda x, y: x == y), True
+    )
     cand = (
         a_side.join(b_side, ["table_id", "bucket"])
-        .filter((F.col("id_a") < F.col("id_b")) & (first_match == F.col("table_id")))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (first_shared == F.col("table_id") + F.lit(1))
+        )
         .select("id_a", "id_b")
     )
     va = df.select(

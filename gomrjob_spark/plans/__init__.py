@@ -22,31 +22,19 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 4): every query whose plan changed this round goes
-# first so CORRECTNESS_r04 re-proves it (driver checks the first 50
+# Tier 1 (round 5): every query whose plan changed this round goes
+# first so CORRECTNESS_r05 re-proves it (driver checks the first 50
 # registry entries each round); the rest of the window backfills with
 # already-green queries (cheap re-confirmation).
 _VERIFY_FIRST = [
-    # plan changed r4: first-shared-band map-side candidate dedup
-    # replaced the distinct() exchange (xxhash path is rows-only; the
-    # md5 twin carries the oracle gate for the shared plan shape)
-    "dedup_minhash_md5",
-    "dedup_ngram_jaccard",
-    # plan changed r4: watermark-bounded dedup state
-    "streaming_incremental_dedup",
-    # flag now forwarded through decontaminate()
-    "decontaminate_ngrams",
-    # interval arithmetic rebuilt on make_dt_interval (fractional-minute
-    # tolerance fix)
-    "join_asof",
-    "join_asof_forward",
-    "sessionize_windows",
-    # zero/NULL token-total guard
-    "mix_weights_equal_tokens",
-    # NEW r4: PNG/GIF/JPEG compressed-raster decode under the oracle gate
-    "multimodal_compressed_pixel_stats",
-    # NEW r4: live streaming near-dup admission against a static corpus
-    "streaming_near_dup_probe",
+    # REDEFINED r5: production threshold (0.95) over corpus + sign-flip
+    # twins, (k, L) derived from count(*) via auto_lsh_params on BOTH
+    # engines (the r4 verdict's #1) — bucket-array representation
+    # replaced the packed 63-bit signature
+    "dedup_embedding_cosine",
+    # NEW r5: the r1-r4 0.4-threshold workload under its old
+    # fixture-calibrated (3,16), renamed
+    "dedup_embedding_cosine_lowsim",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

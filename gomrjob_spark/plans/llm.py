@@ -192,10 +192,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _axis_bucket_sql(n_planes: int, n_tables: int) -> str:
-    """DuckDB mirror of dedup.axis_sign_buckets: same sign tests, same
-    bit packing, table t over coordinates [t*n_planes, (t+1)*n_planes).
-    Sign tests involve no float arithmetic, so buckets are bit-identical
-    across engines by construction."""
+    """DuckDB mirror of dedup.axis_sign_buckets at FIXED (k, L): same
+    sign tests, same bit packing, table t over coordinates
+    [t*n_planes, (t+1)*n_planes). Sign tests involve no float
+    arithmetic, so buckets are bit-identical across engines by
+    construction. Used by knn_axis_lsh (a search query, where the
+    per-query work bound — not corpus-derived depth — sets the
+    parameters); the dedup queries derive (k, L) from count(*) via
+    _lsh_params_sql instead."""
     selects = []
     for t in range(n_tables):
         bits = " + ".join(
@@ -206,8 +210,122 @@ def _axis_bucket_sql(n_planes: int, n_tables: int) -> str:
     return "\n      UNION ALL ".join(selects)
 
 
+# Deterministic near-dup twins for the production-threshold dedup
+# query: the fixture's organic pair density tops out at cosine ~0.5, so
+# a 0.95-threshold dedup (the actual 100 TB near-duplicate regime)
+# would be vacuous on it. Flipping the sign of ONE coordinate yields a
+# twin at cosine 1 - 2*v_f^2/|v|^2 — ≈0.97 on average for 64-dim
+# vectors, per-vector data-dependent (≈22% of fixture twins fall BELOW
+# 0.95 and must be rejected by the verify step), and exactly
+# reproducible in any engine (sign flips are IEEE-exact).
+_TWIN_FLIP_COORD = 7  # 1-based
+_TWIN_ID_OFFSET = 1_000_000  # far above any (scaled-)fixture vec_id
+
+
+def _lsh_params_sql(threshold: float, occupancy: int = 64) -> str:
+    """SQL CTE bodies deriving (k, l) from count(*) exactly as
+    dedup.auto_lsh_params does from the same corpus: the Python-side
+    recall arithmetic is embedded as a k0->(k,l) LUT of ints (libm
+    log/pow may differ in the last ulp across engines; a table of ints
+    cannot), and SQL only computes k0 = floor(log2(greatest(2,
+    n/occupancy))) — mirroring dedup._lsh_depth_for_corpus."""
+    lut = dedup.lsh_param_lut(threshold)
+    vals = ", ".join(f"({a},{b},{c})" for a, b, c in lut)
+    return f"""nn AS (SELECT count(*) AS n FROM e),
+    lut(k0, k, l) AS (VALUES {vals}),
+    prm AS (
+      SELECT lut.k AS k, lut.l AS l FROM nn JOIN lut
+      ON lut.k0 = GREATEST(1, LEAST({len(lut)}, CAST(FLOOR(LOG2(GREATEST(2.0, nn.n / {occupancy}.0))) AS INT)))
+    ),
+    pt AS (SELECT k, UNNEST(generate_series(0, l - 1)) AS table_id FROM prm),
+    b AS (
+      SELECT e.vec_id, pt.table_id,
+             list_sum(list_transform(generate_series(0, pt.k - 1),
+               j -> CASE WHEN e.v[pt.table_id * pt.k + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS bucket
+      FROM e CROSS JOIN pt
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.table_id = c.table_id AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    )"""
+
+
+def _embedding_dedup_auto(
+    spark: SparkSession, sf_dir: str, threshold: float, with_twins: bool
+) -> DataFrame:
+    """Shared body: (optionally twin-augmented) corpus -> runtime count
+    -> auto_lsh_params -> bucketed propose/verify. The count is one
+    column-pruned parquet metadata job; its result parameterizes plan
+    CONSTRUCTION (depth/table unrolling), it never flows through the
+    data path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    n = emb.count()
+    if with_twins:
+        flipped = F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+        )
+        corpus = corpus.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(_TWIN_ID_OFFSET)).alias("vec_id"),
+                flipped.alias("embedding"),
+            )
+        )
+        n *= 2
+    k, tables = dedup.auto_lsh_params(n, threshold=threshold)
+    return dedup.embedding_dup_pairs_bucketed(
+        corpus, threshold=threshold, n_planes=k, n_tables=tables
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_ID_OFFSET},
+             list_transform(embedding::DOUBLE[],
+               (x, i) -> CASE WHEN i = {_TWIN_FLIP_COORD} THEN -x ELSE x END)
+      FROM embeddings
+    ),
+    {_lsh_params_sql(0.95)}
+    SELECT id_a, id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.id_a
+    JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup at the PRODUCTION threshold (cosine >=
+    0.95) with corpus-derived LSH depth — the r4 verdict's scale fix.
+
+    r4 registered this family at threshold 0.4 with hard-coded
+    (n_planes=3, n_tables=16); the sf-sweep measured that quadratic
+    (exponent 1.84: occupancy ∝ n/8 per table). Two things changed:
+
+    - (k, L) now comes from ``dedup.auto_lsh_params(count, threshold)``
+      — depth grows log2(n) holding bucket occupancy ≈64, so candidate
+      volume stays ∝ n·L with L growing ∝ (n/64)^0.156 at p(0.95)≈0.90:
+      total cost ≈ n^1.16, measured flat-ish in SCALING.md. The oracle
+      derives the SAME (k, L) from count(*) via an embedded integer
+      LUT, so the hash gate holds at every scale factor.
+    - the corpus is augmented with deterministic sign-flip twins
+      (cosine ≈0.97, ~22% legitimately below threshold) because the
+      fixture has no organic pairs above ~0.5 — a 0.95 dedup over it
+      alone would be vacuously green.
+
+    The 0.4-threshold workload survives as `dedup_embedding_cosine_lowsim`
+    with its fundamentally super-linear cost model documented there."""
+    return _embedding_dedup_auto(spark, sf_dir, threshold=0.95, with_twins=True)
+
+
+@query(
+    "dedup_embedding_cosine_lowsim",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (
@@ -226,13 +344,29 @@ def _axis_bucket_sql(n_planes: int, n_tables: int) -> str:
     ORDER BY id_a, id_b
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4 — fixture max is ~0.5/0.6;
-    real corpora use ~0.95) via the scale-safe bucketed path: axis-sign
-    LSH proposes candidates (equi-join on (table, bucket), ids only),
-    exact cosine verifies. The oracle mirrors the bucketing literally, so
-    the gate stays a full hash match; recall vs the all-pairs exact form
-    (1.0 on this fixture) is separately pytest-gated."""
+def dedup_embedding_cosine_lowsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1-r4 `dedup_embedding_cosine` workload (cosine >= 0.4, the
+    fixture's organic pair regime), renamed when the primary query moved
+    to the production threshold with corpus-derived depth.
+
+    Parameters stay the FIXTURE-CALIBRATED (3, 16) — full recall vs the
+    all-pairs exact form, pytest-gated — rather than auto_lsh_params,
+    deliberately:
+
+    - cost: with p(0.4) = 1 - arccos(0.4)/π ≈ 0.63, holding recall at
+      depth k needs L ≈ 3/p^k tables, so even with k = log2(n/64) the
+      candidate work is ∝ n·L ∝ n^(1+log2(1/p)) ≈ n^1.66 — SUPER-LINEAR
+      FOR ANY PARAMETERIZATION of single-probe hyperplane LSH. 0.4 is a
+      similarity-SEARCH regime (the kNN operators bound work per
+      query), not a dedup regime; flat dedup scaling needs threshold >=
+      ~0.92 (log2(1/p) <= 0.2).
+    - recall: the 1-arccos(c)/π collision model holds for GAUSSIAN
+      planes; axis-sign planes on this fixture measure far below it at
+      low thresholds (auto-derived (2, 6) recovered ~40% of the exact
+      pairs when tried), so corpus-derived depth would silently gut
+      recall here. Fixed fixture-calibrated parameters + a pinned
+      full-recall pytest are the honest configuration for a workload
+      that exists for result continuity, not scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs_bucketed(
         emb, threshold=0.4, n_planes=3, n_tables=16

@@ -146,6 +146,61 @@ def test_axis_sign_buckets_validates_dim():
         dedup.axis_sign_buckets(None, n_planes=16, n_tables=16, dim=64)
 
 
+def test_embedding_primary_dedup_recovers_all_twins(spark, sf_dir):
+    """The registered production-threshold query (corpus + sign-flip
+    twins, auto-derived depth) has recall EXACTLY 1.0 by construction:
+    a twin differs from its original only in one coordinate's sign, so
+    every LSH table whose coordinate slice avoids that coordinate
+    matches bit-identically. The result must therefore equal the
+    exact-cosine twin set at the threshold."""
+    from gomrjob_spark import plans
+    from gomrjob_spark.operators.similarity import cosine
+    from gomrjob_spark.plans.llm import _TWIN_FLIP_COORD, _TWIN_ID_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+    )
+    expected = {
+        (r.vec_id, r.vec_id + _TWIN_ID_OFFSET)
+        for r in emb.select(
+            "vec_id", cosine(F.col("embedding"), flipped).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.95)
+        .collect()
+    }
+    got = _pair_set(plans.QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_lsh_param_lut_matches_sql_derivation():
+    """The DuckDB oracle picks (k, L) by joining an embedded integer LUT
+    on floor(log2(greatest(2, n/occ))); that must agree with
+    auto_lsh_params for corpus sizes spanning the LUT, including the
+    driver (500/1000) and sweep (2k..16k) points."""
+    import duckdb
+
+    lut = dedup.lsh_param_lut(0.95)
+    vals = ", ".join(f"({a},{b},{c})" for a, b, c in lut)
+    for n in (1, 100, 500, 1000, 2000, 4000, 16000, 10**6, 10**9):
+        (k, l) = duckdb.sql(
+            f"""WITH nn AS (SELECT {n} AS n), lut(k0, k, l) AS (VALUES {vals})
+            SELECT lut.k, lut.l FROM nn JOIN lut
+            ON lut.k0 = GREATEST(1, LEAST({len(lut)},
+                 CAST(FLOOR(LOG2(GREATEST(2.0, nn.n / 64.0))) AS INT)))"""
+        ).fetchone()
+        assert (k, l) == dedup.auto_lsh_params(n, threshold=0.95), n
+
+
+def test_auto_lsh_params_threshold_one_is_clamped():
+    """threshold >= 1.0 must not raise a math domain error (ADVICE r4):
+    p clamps strictly below 1, giving the deepest/fewest-tables corner."""
+    k, tables = dedup.auto_lsh_params(10**6, threshold=1.0)
+    assert k >= 1 and tables >= 1
+
+
 def _png_bytes(w, h, color_type=2):
     import struct
 
