@@ -35,6 +35,9 @@ _VERIFY_FIRST = [
     # NEW r5: the r1-r4 0.4-threshold workload under its old
     # fixture-calibrated (3,16), renamed
     "dedup_embedding_cosine_lowsim",
+    # plan changed r5: ids-only persisted store banding + second
+    # candidate join for verification (r4 verdict #2)
+    "streaming_near_dup_probe",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

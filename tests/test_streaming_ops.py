@@ -181,3 +181,27 @@ def test_near_dup_probe_stream_is_stateless(spark):
     plan = near_dup_probe_stream(docs, store)._jdf.queryExecution().analyzed().toString().lower()
     for stateful in ("deduplicate", "eventtimewatermark", "stateful", "aggregate ["):
         assert stateful not in plan, stateful
+
+
+def test_near_dup_store_banded_frame_is_ids_only_and_persisted(spark):
+    """r4 verdict #2 pin: the store's banded probe frame carries
+    (store_id, band, v0..v_rows) ONLY — no shingle or signature arrays
+    ride the ×bands explode (at a 100 TB store that would be 16× the
+    corpus's shingle volume per micro-batch) — and both store frames
+    are persisted so micro-batches probe the cache instead of
+    re-deriving signatures per batch."""
+    from gomrjob_spark.cache import release_scoped
+    from gomrjob_spark.streaming.ops import near_dup_store_frames
+
+    store = spark.createDataFrame(
+        [(1, "known text here okay"), (2, "other reference doc text")],
+        "doc_id bigint, text string",
+    )
+    try:
+        payload, banded = near_dup_store_frames(store, num_hashes=32, bands=16)
+        assert set(banded.columns) == {"store_id", "band", "v0", "v1"}
+        assert not any(c.startswith("_sh") or c.startswith("_sig") for c in banded.columns)
+        assert payload.storageLevel.useMemory
+        assert banded.storageLevel.useMemory
+    finally:
+        release_scoped()
