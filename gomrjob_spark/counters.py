@@ -226,12 +226,13 @@ class ProgressWatch:
     def _run(self) -> None:
         tracker = self._sc.statusTracker()
         while not self._stop.is_set():
+            events = []
             try:
                 for sid in tracker.getActiveStageIds():
                     info = tracker.getStageInfo(sid)
                     if info is None:
                         continue
-                    self._fn(
+                    events.append(
                         {
                             "stage_id": int(info.stageId),
                             "name": info.name,
@@ -243,6 +244,19 @@ class ProgressWatch:
                     )
             except Exception:  # SparkContext stopping mid-poll
                 return
+            for ev in events:
+                # user callback OUTSIDE the tracker try: its exceptions
+                # must not be mistaken for a dying SparkContext and
+                # silently kill the watch (ADVICE r4) — log and keep
+                # polling instead
+                try:
+                    self._fn(ev)
+                except Exception:
+                    import logging
+
+                    logging.getLogger("gomrjob_spark.progress").exception(
+                        "on_progress callback raised; continuing to poll"
+                    )
             self._stop.wait(self._interval)
 
     def stop(self) -> None:

@@ -201,8 +201,10 @@ class GcsClient(_RestClient):
         typo'd empty prefix must not delete the bucket)."""
         if not prefix or prefix in ("/", "*"):
             raise ValueError(f"refusing to delete bucket-wide prefix {prefix!r}")
-        n = 0
-        for obj in self.list_objects(bucket, prefix):
-            self.delete_object(bucket, obj["name"])
-            n += 1
-        return n
+        # materialize the listing BEFORE deleting: mutating the bucket
+        # mid-pagination can skip objects whose page boundary shifted
+        # under a deletion-sensitive page token (ADVICE r4)
+        names = [obj["name"] for obj in self.list_objects(bucket, prefix)]
+        for name in names:
+            self.delete_object(bucket, name)
+        return len(names)

@@ -389,8 +389,17 @@ class _BitReader:
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by the MCU loop
-                raise _RestartMarker(nxt)
+            elif 0xD0 <= nxt <= 0xD7:
+                # expected RSTn markers are consumed byte-aligned by
+                # sync_restart; one showing up where the MCU loop is
+                # still reading entropy bits means the stream's restart
+                # cadence disagrees with the declared DRI interval (or
+                # the data is corrupt) — a decode error, not a private
+                # control-flow exception (ADVICE r4)
+                raise ValueError(
+                    f"unexpected JPEG restart marker RST{nxt - 0xD0} "
+                    "inside entropy data (DRI mismatch or corrupt stream)"
+                )
             else:
                 raise EOFError("marker inside entropy data")
         else:
@@ -427,11 +436,6 @@ class _BitReader:
         if d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + n:
             raise ValueError("missing JPEG restart marker")
         self.pos += 2
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
 
 
 def _jpeg_extend(v: int, size: int) -> int:

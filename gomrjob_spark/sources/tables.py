@@ -149,16 +149,26 @@ def compact_small_files(
 
     With ``cluster_by``, the rewrite range-clusters on those columns
     (see write_range_clustered) so compaction also restores stats
-    pruning. Returns {before, after} dataset_stats. Not transactional
-    across concurrent writers — at production scale run it under the
-    table format's (Delta/Iceberg) own compaction or a path lock; the
-    rename itself is atomic per Hadoop FileSystem semantics."""
+    pruning. Returns {before, after} dataset_stats.
+
+    Swap order (r4 verdict #2 fix — the old rmr-then-move sequence had
+    a window where a crash left NO copy at the canonical path): the
+    live dir is renamed aside to ``<path>._compact_old``, the compacted
+    tmp dir renamed into place, and only then is the old dir deleted.
+    Each rename is atomic per Hadoop FileSystem semantics but the
+    SEQUENCE is not a transaction: a crash between the two renames
+    leaves the dataset recoverable at ``._compact_old`` (worst case
+    both copies exist, never neither). Not safe against concurrent
+    writers — at production scale run it under the table format's
+    (Delta/Iceberg) own compaction or a path lock."""
     from gomrjob_spark.sources.fs import FsOps
 
     rp = resolve_path(path)
     before = dataset_stats(spark, rp, fmt)
     n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
-    tmp = rp.rstrip("/") + "._compact_tmp"
+    base = rp.rstrip("/")
+    tmp = base + "._compact_tmp"
+    old = base + "._compact_old"
     df = spark.read.format(fmt).load(rp)
     if cluster_by:
         write_range_clustered(df, tmp, cluster_by, num_files=n_out, fmt=fmt)
@@ -166,6 +176,12 @@ def compact_small_files(
         # coalesce, not repartition: merging files needs no shuffle
         df.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
     fs = FsOps(spark)
-    fs.rmr(rp)
+    if fs.exists(old):
+        raise RuntimeError(
+            f"{old} already exists — a previous compaction crashed mid-swap; "
+            "recover or remove it before compacting again"
+        )
+    fs.move(rp, old)
     fs.move(tmp, rp)
+    fs.rmr(old)
     return {"before": before, "after": dataset_stats(spark, rp, fmt)}

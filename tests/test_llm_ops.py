@@ -1250,6 +1250,28 @@ def test_jpeg_restart_markers():
     assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 1
 
 
+def test_jpeg_dri_mismatch_is_a_clean_decode_error():
+    """ADVICE r4: a stream whose restart markers disagree with the
+    declared DRI interval must raise ValueError, not a private
+    control-flow exception escaping the bit reader."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+
+    rng = np.random.RandomState(11)
+    h, w = 16, 32
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    payload = bytearray(
+        encode_jpeg_baseline(arr.tobytes(), w, h, channels=1, restart_interval=2)
+    )
+    i = payload.index(b"\xff\xdd")  # DRI segment: lie about the interval
+    assert payload[i + 4 : i + 6] == (2).to_bytes(2, "big")
+    payload[i + 4 : i + 6] = (5).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="restart marker"):
+        decode_image(bytes(payload))
+
+
 def test_jpeg_420_subsampling_decodes_through_upsample_path():
     import numpy as np
 

@@ -353,6 +353,33 @@ def test_on_progress_events_arrive_during_execution(spark):
     assert len(events) == n
 
 
+def test_on_progress_survives_callback_exceptions(spark):
+    """ADVICE r4: a raising user callback must not silently kill the
+    watch thread — later events still arrive (the blanket except used
+    to swallow callback errors as if the SparkContext were stopping)."""
+    import time
+
+    events: list[dict] = []
+    calls = {"n": 0}
+
+    def flaky(ev):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("user callback bug")
+        events.append(ev)
+
+    def slow(batches):
+        for b in batches:
+            time.sleep(0.15)
+            yield b
+
+    df = spark.range(64).repartition(16).mapInPandas(slow, schema="id long")
+    with Counters(spark).on_progress(flaky, interval_s=0.05):
+        df.write.format("noop").mode("overwrite").save()
+    assert calls["n"] > 1, "watch died after the first callback exception"
+    assert events, "no events delivered after the callback recovered"
+
+
 def test_stream_progress_listener_delivers_batch_events(spark):
     """Streaming half of the live-progress surface: per-micro-batch
     progress dicts arrive via the listener bus while the query runs."""

@@ -274,3 +274,66 @@ def test_compact_small_files_preserves_rows_and_merges(spark, tmp_path):
         ranges.append((lo, hi))
     ranges.sort()
     assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:])), ranges
+
+
+def test_compact_small_files_crash_mid_swap_never_loses_data(spark, tmp_path, monkeypatch):
+    """r4 verdict #3: the swap used to be rmr(live) then move(tmp) — a
+    crash between them lost the dataset. Now it is move-aside →
+    move-in → delete-old; interrupt the sequence at EVERY rename/delete
+    boundary and assert a full copy of the data always exists at the
+    canonical path or at the documented ._compact_old recovery path."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources import fs as fsmod
+    from gomrjob_spark.sources.tables import compact_small_files
+
+    def rows_at(p):
+        try:
+            return sorted(r.id for r in spark.read.parquet(p).collect())
+        except Exception:
+            return None
+
+    want = None
+    for fail_at in (1, 2, 3):  # 1: move-aside, 2: move-in, 3: delete-old
+        path = str(tmp_path / f"ds_{fail_at}")
+        df = spark.range(1_000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        df.repartition(16).write.parquet(path)
+        want = sorted(r.id for r in spark.read.parquet(path).collect())
+
+        calls = {"n": 0}
+        real_move, real_rmr = fsmod.FsOps.move, fsmod.FsOps.rmr
+
+        def crashing_move(self, src, dst, _real=real_move):
+            calls["n"] += 1
+            if calls["n"] == fail_at:
+                raise RuntimeError("simulated crash")
+            return _real(self, src, dst)
+
+        def crashing_rmr(self, p, _real=real_rmr):
+            calls["n"] += 1
+            if calls["n"] == fail_at:
+                raise RuntimeError("simulated crash")
+            return _real(self, p)
+
+        monkeypatch.setattr(fsmod.FsOps, "move", crashing_move)
+        monkeypatch.setattr(fsmod.FsOps, "rmr", crashing_rmr)
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                compact_small_files(spark, path, target_file_bytes=1 << 30)
+        finally:
+            monkeypatch.setattr(fsmod.FsOps, "move", real_move)
+            monkeypatch.setattr(fsmod.FsOps, "rmr", real_rmr)
+
+        live = rows_at(path)
+        old = rows_at(path + "._compact_old")
+        assert live == want or old == want, (
+            f"fail_at={fail_at}: no recoverable copy (live={live is not None}, "
+            f"old={old is not None})"
+        )
+
+    # a leftover ._compact_old blocks the next run with a clear error
+    path = str(tmp_path / "ds_guard")
+    spark.range(100).write.parquet(path)
+    spark.range(1).write.parquet(path + "._compact_old")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        compact_small_files(spark, path, target_file_bytes=1 << 30)

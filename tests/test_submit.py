@@ -246,18 +246,23 @@ def test_gcs_list_objects_follows_next_page_token():
 
 
 def test_gcs_delete_prefix_paginated_and_guarded():
+    """The listing is fully materialized BEFORE the first delete
+    (ADVICE r4: deleting mid-pagination can shift a deletion-sensitive
+    page token and skip objects), then every listed object is deleted."""
     from gomrjob_spark.gcp import GcsClient
 
     t = _StubTransport(
         [
             (200, {"items": [{"name": "tmp/x"}], "nextPageToken": "T"}),
-            (204, b""),
             (200, {"items": [{"name": "tmp/y"}]}),
+            (204, b""),
             (204, b""),
         ]
     )
     c = GcsClient(transport=t, token_provider=lambda: "tok")
     assert c.delete_prefix("bkt", "tmp/") == 2
+    methods = [m for m, _, _, _ in t.calls]
+    assert methods == ["GET", "GET", "DELETE", "DELETE"]
     deletes = [u for m, u, _, _ in t.calls if m == "DELETE"]
     assert [u.rsplit("/o/", 1)[1] for u in deletes] == ["tmp%2Fx", "tmp%2Fy"]
     with pytest.raises(ValueError):
