@@ -450,7 +450,16 @@ def simhash_pairs(
     Candidates via band equality (pigeonhole: distance <= max_hamming
     implies at least one of ``bands`` 16-bit slices equal when
     max_hamming < bands), then exact bit_count verification — same
-    propose/verify shape as MinHash-LSH, equi-join shuffle only."""
+    propose/verify shape as MinHash-LSH, equi-join shuffle only.
+
+    A pair whose signatures agree on several bands collides once per
+    shared band; it is kept exactly once by the first-shared-band test
+    on sig_a XOR sig_b ("lowest agreeing band wins"), evaluated
+    map-side right after the join — the same shuffle-free dedup the
+    minhash and embedding paths use (r4 removed their candidate
+    ``distinct()`` exchanges; r5 removes this one, the last of the
+    family). Both signatures already ride the join for the Hamming
+    verify, so the dedup costs zero extra bytes."""
     sig = simhash(df, text_col, id_col)
     width = 64 // bands
     banded = sig.select(
@@ -472,11 +481,17 @@ def simhash_pairs(
     ).select(id_col, "simhash", "bk.band", "bk.bval")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bval")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bval")
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    mask = F.lit((1 << width) - 1).cast("bigint")
+    first_shared: Column = F.lit(None).cast("int")
+    for t in range(bands - 1, -1, -1):
+        first_shared = F.when(
+            F.shiftrightunsigned(xor, t * width).bitwiseAND(mask) == 0, F.lit(t)
+        ).otherwise(first_shared)
     return (
         a.join(b, ["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (first_shared == F.col("band")))
         .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -294,6 +294,23 @@ def test_minhash_md5_pair_dedup_is_shuffle_free(spark, sf_dir):
     assert re.search(r"HashAggregate[^\n]*\[id_a[^\n]*id_b[^\n]*\],\s*\[id_a", plan) is None
 
 
+def test_simhash_pair_dedup_is_shuffle_free(spark, sf_dir):
+    """r5: the last candidate-pair distinct() in the dedup family is
+    gone — simhash_pairs dedups multi-band collisions with the
+    first-shared-band XOR test map-side. The only aggregate in the plan
+    is the signature groupBy (bit votes); nothing aggregates over
+    (id_a, id_b)."""
+    import re
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(simhash_pairs(docs, max_hamming=3))
+    assert re.search(r"HashAggregate[^\n]*\[id_a[^\n]*id_b[^\n]*\],\s*\[id_a", plan) is None
+    assert "Deduplicate" not in plan
+
+
 def test_operator_scoped_caches_released_between_queries(spark, sf_dir):
     """Back-to-back persisted-operator queries + release_scoped leave no
     lingering cached relations (the r03 bench-drift leak, closed)."""
