@@ -96,12 +96,16 @@ class DataprocClient(_RestClient):
         region: str,
         transport: Transport | None = None,
         token_provider: Callable[[], str] | None = None,
+        api_base: str = "https://dataproc.googleapis.com/v1",
     ):
         super().__init__(transport, token_provider)
         self.project = project
         self.region = region
+        # api_base is injectable so the REAL urllib transport can be
+        # exercised against a loopback http.server in tests (the sandbox
+        # has no external network); production leaves the default
         self._base = (
-            "https://dataproc.googleapis.com/v1/projects/"
+            f"{api_base}/projects/"
             f"{urllib.parse.quote(project)}/regions/{urllib.parse.quote(region)}"
         )
 
@@ -143,6 +147,21 @@ class GcsClient(_RestClient):
     mirrors semantically through the Hadoop connector."""
 
     _BASE = "https://storage.googleapis.com/storage/v1"
+    _UPLOAD_BASE = "https://storage.googleapis.com/upload/storage/v1"
+
+    def __init__(
+        self,
+        transport: Transport | None = None,
+        token_provider: Callable[[], str] | None = None,
+        api_base: str | None = None,
+        upload_base: str | None = None,
+    ):
+        super().__init__(transport, token_provider)
+        # injectable for loopback-socket tests (see DataprocClient)
+        if api_base is not None:
+            self._BASE = api_base
+        if upload_base is not None:
+            self._UPLOAD_BASE = upload_base
 
     def list_objects(self, bucket: str, prefix: str) -> Iterator[dict]:
         """Yield object resources under ``prefix``, following
@@ -172,7 +191,7 @@ class GcsClient(_RestClient):
         the resumable protocol; the media path matches the reference's
         single-shot semantics and the sizes it actually uploaded."""
         url = (
-            "https://storage.googleapis.com/upload/storage/v1/b/"
+            f"{self._UPLOAD_BASE}/b/"
             f"{urllib.parse.quote(bucket)}/o?"
             + urllib.parse.urlencode({"uploadType": "media", "name": name})
         )
