@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import SparkSession
 
 logger = logging.getLogger("gomrjob_spark")
@@ -155,6 +156,12 @@ class Counters:
         returned watch is stopped / its context exits."""
         return ProgressWatch(self._sc, fn, interval_s)
 
+    def worker_log(self) -> "WorkerLog":
+        """A log channel from Python worker code back to the driver —
+        the last piece of the reference's remote log surface (see
+        WorkerLog)."""
+        return WorkerLog(self._sc)
+
     def task_log_tail(self, n: int = 20) -> list[str]:
         """Formatted tail of recent task completions across stages —
         one human-readable line per task, newest last. The reference
@@ -176,6 +183,63 @@ class Counters:
                 )
         lines.sort()
         return [line for _, line in lines[-n:]]
+
+
+class _LinesAccumulatorParam(AccumulatorParam):
+    """AccumulatorParam for list-of-strings merging (module-level: the
+    param rides the accumulator's pickle to every worker)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+class WorkerLog:
+    """Task log lines shipped from Python workers to the driver over an
+    accumulator — the in-band replacement for the reference's UDP log
+    channel (/root/reference/remote_logging.go:26-56), which forwarded
+    the tasks' own output lines to the submitting process while the job
+    ran.
+
+    Mechanics and their honest caveats:
+
+    - ``log(msg)`` is called inside worker code (a mapInPandas batch
+      fn, a Pipeline mapper, a pandas UDF); the line is stamped with
+      host:pid and buffered in a list accumulator.
+    - Delivery granularity is TASK COMPLETION: Spark ships accumulator
+      updates with each task's status, so on a multi-task stage, lines
+      from finished tasks are readable driver-side (``lines()``/
+      ``tail()``, thread-safe) while later tasks still run — live at
+      the same granularity Hadoop surfaced counter/status updates.
+      Lines from a task that never finishes are lost with it.
+    - Like every accumulator (and Hadoop counters), retried tasks
+      re-add their lines: at-least-once, fine for logs.
+    - Each line costs driver memory; this is a log TAIL channel for
+      progress/diagnostics (the reference's use), not an event bus.
+      Cluster-wide stdout/stderr capture belongs to the platform's log
+      aggregation (YARN `yarn logs`, k8s pod logs), which is where the
+      full firehose lives in cluster mode.
+    """
+
+    def __init__(self, sc):
+        self._acc = sc.accumulator([], _LinesAccumulatorParam())
+
+    def log(self, msg: str) -> None:
+        """Worker-side: append one line, stamped host:pid."""
+        import os
+        import socket
+
+        self._acc.add([f"[{socket.gethostname()}:{os.getpid()}] {msg}"])
+
+    def lines(self) -> list[str]:
+        """Driver-side: every line shipped by completed tasks so far."""
+        return list(self._acc.value)
+
+    def tail(self, n: int = 20) -> list[str]:
+        return self.lines()[-n:]
 
 
 def status(spark: SparkSession, msg: str) -> None:
