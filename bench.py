@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_md5",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lowsim",
+    "dedup_embedding_cosine_rp",
     "dedup_cluster_survivors",
     "knn_bruteforce",
     "knn_axis_lsh",

@@ -706,8 +706,6 @@ def embedding_dup_pairs_bucketed(
     (A dim-unrolled flat expression tree was tried for the scoring and
     is ~4x SLOWER than the HOF fold: a 128-term nested Add chain blows
     up Catalyst's optimizer passes. The HOF fold is the right form.)"""
-    from gomrjob_spark.operators.similarity import dot, l2_norm
-
     nbits = n_planes * n_tables
     if nbits > dim:
         raise ValueError(
@@ -726,6 +724,24 @@ def embedding_dup_pairs_bucketed(
             ).otherwise(F.lit(0))
             bits = bit if bits is None else bits + bit
         bucket_exprs.append(bits.cast("bigint"))
+    return _bucket_array_dup_pairs(df, bucket_exprs, threshold, id_col, vec_col)
+
+
+def _bucket_array_dup_pairs(
+    df: DataFrame,
+    bucket_exprs: list[Column],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared propose/verify skeleton for bucket-array LSH dedup
+    (axis-sign and random-plane variants): explode the per-table bucket
+    array, equi-join on (table_id, bucket), dedup pairs map-side by
+    first shared table, fetch vectors for survivors only, verify exact
+    cosine. See embedding_dup_pairs_bucketed for the full plan-shape
+    rationale."""
+    from gomrjob_spark.operators.similarity import dot, l2_norm
+
     b = df.select(F.col(id_col), F.array(*bucket_exprs).alias("_bk")).select(
         F.col(id_col),
         "_bk",
@@ -778,6 +794,89 @@ def embedding_dup_pairs_bucketed(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def random_plane_signs(
+    n_planes: int, n_tables: int, dim: int = 64, seed: int = 7
+) -> list[list[list[int]]]:
+    """±1 sign patterns for random-hyperplane LSH, ``signs[t][j][d]``.
+
+    Each plane (t, j) is seeded INDEPENDENTLY (one Mersenne stream per
+    plane, seed mixed from (seed, t, j)), so the plane set for any
+    smaller (k, L) is a strict subset of a larger one — the property
+    that lets a corpus-size-derived parameterization share one
+    precomputed plane grid across scale factors (and lets the DuckDB
+    oracle embed the grid once as mask literals). Rademacher (±1)
+    entries rather than Gaussians: the random-projection guarantees
+    hold (Achlioptas 2001, "Database-friendly random projections"), and
+    the dot product stays in exact integer arithmetic after
+    quantization — the bit-identical-across-engines requirement."""
+    import random
+
+    return [
+        [
+            [
+                1 if (random.Random(seed * 1_000_003 + t * 1_009 + j).getrandbits(dim) >> d) & 1 else -1
+                for d in range(dim)
+            ]
+            for j in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def embedding_dup_pairs_rp(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH embedding dedup — the depth-UNBOUNDED twin
+    of embedding_dup_pairs_bucketed.
+
+    Axis-sign LSH reads disjoint coordinate slices, so its depth is
+    capped at k*L <= dim: beyond ~occupancy*2^(dim/L) vectors the
+    buckets re-enter occupancy growth. Random hyperplanes have no such
+    bound — every plane uses ALL coordinates — so k can keep following
+    log2(n/occupancy) to any corpus size; the cost of depth is compute
+    (k*L dot products per vector, embarrassingly parallel in the scan
+    projection), not recall or dimensionality.
+
+    Cross-engine determinism (what keeps this under the DuckDB hash
+    gate, where float random projections would drift): coordinates are
+    quantized to integers q_d = floor(v_d * 2^20) — float multiply and
+    floor are IEEE-identical everywhere — and each sign test is an
+    INTEGER dot product sum_d(±q_d) >= 0 (values < 2^40, exact in any
+    engine/arithmetic order). Plane signs come from
+    :func:`random_plane_signs`, embedded as literals in both plans.
+
+    Same skeleton as the axis variant: ids-only bucket equi-join,
+    first-shared-table map-side pair dedup, exact cosine verify."""
+    signs = random_plane_signs(n_planes, n_tables, dim, seed)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(1 << 20))).cast("long"),
+    )
+    qdf = df.select(F.col(id_col), F.col(vec_col), q.alias("_q"))
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits: Column | None = None
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(s) for s in signs[t][j]])
+            dotq = F.aggregate(
+                F.zip_with(plane, F.col("_q"), lambda s, x: s.cast("bigint") * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dotq >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        bucket_exprs.append(bits.cast("bigint"))
+    out = _bucket_array_dup_pairs(qdf, bucket_exprs, threshold, id_col, vec_col)
+    return out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

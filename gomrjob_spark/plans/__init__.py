@@ -38,6 +38,9 @@ _VERIFY_FIRST = [
     # plan changed r5: ids-only persisted store banding + second
     # candidate join for verification (r4 verdict #2)
     "streaming_near_dup_probe",
+    # NEW r5: random-hyperplane LSH dedup (depth unbounded by dim),
+    # integer-exact sign tests under the hash gate
+    "dedup_embedding_cosine_rp",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -324,6 +324,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_dedup_auto(spark, sf_dir, threshold=0.95, with_twins=True)
 
 
+def _rp_oracle_sql(threshold: float, seed: int = 7, dim: int = 64) -> str:
+    """DuckDB mirror of dedup.embedding_dup_pairs_rp with corpus-derived
+    (k, L): the plane-sign grid is embedded ONCE as bigint mask literals
+    (plane (t, j) is independently seeded, so every (k, L) the LUT can
+    select uses a prefix of the same grid), parameters come from the
+    same count(*)->LUT join as the axis oracle, and each sign test is
+    the exact integer dot product sum(±floor(v_d*2^20)) >= 0 — no float
+    comparisons anywhere in the bucketing."""
+    import random
+
+    lut = dedup.lsh_param_lut(threshold, max_bits=256)
+    kmax = max(k for _, k, _ in lut)
+    lmax = max(l for _, _, l in lut)
+    vals = ", ".join(f"({a},{b},{c})" for a, b, c in lut)
+    mask_rows = []
+    for t in range(lmax):
+        for j in range(kmax):
+            m = random.Random(seed * 1_000_003 + t * 1_009 + j).getrandbits(dim)
+            if m >= 1 << 63:
+                m -= 1 << 64
+            mask_rows.append(f"({t},{j},{m})")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_ID_OFFSET},
+             list_transform(embedding::DOUBLE[],
+               (x, i) -> CASE WHEN i = {_TWIN_FLIP_COORD} THEN -x ELSE x END)
+      FROM embeddings
+    ),
+    nn AS (SELECT count(*) AS n FROM e),
+    lut(k0, k, l) AS (VALUES {vals}),
+    prm AS (
+      SELECT lut.k AS k, lut.l AS l FROM nn JOIN lut
+      ON lut.k0 = GREATEST(1, LEAST({len(lut)}, CAST(FLOOR(LOG2(GREATEST(2.0, nn.n / 64.0))) AS INT)))
+    ),
+    masks(t, j, mask) AS (VALUES {", ".join(mask_rows)}),
+    qv AS (
+      SELECT vec_id, list_transform(v, x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS q
+      FROM e
+    ),
+    bits AS (
+      SELECT qv.vec_id, m.t AS table_id,
+             CASE WHEN list_sum(list_transform(generate_series(1, {dim}), d ->
+               (CASE WHEN (m.mask >> (d-1)) & 1 = 1 THEN 1 ELSE -1 END) * qv.q[d])) >= 0
+             THEN (1::BIGINT << m.j) ELSE 0::BIGINT END AS bit
+      FROM qv CROSS JOIN masks m CROSS JOIN prm
+      WHERE m.t < prm.l AND m.j < prm.k
+    ),
+    b AS (SELECT vec_id, table_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.table_id = c.table_id AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.id_a
+    JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_embedding_cosine_rp", oracle=_rp_oracle_sql(0.95))
+def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH dedup at the production threshold — the
+    depth-UNBOUNDED scale path past axis-sign LSH's k*L <= dim limit
+    (see dedup.embedding_dup_pairs_rp). Same corpus-derived (k, L)
+    derivation and twin-augmented workload as the primary query; the
+    oracle embeds the identical plane-sign grid as integer masks and
+    recomputes every sign test in exact integer arithmetic, so the full
+    random-projection pipeline sits under the hash gate. max_bits=256
+    here is a compute budget (k*L dot products per vector), not a
+    recall or dimensionality cliff."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_TWIN_ID_OFFSET)).alias("vec_id"),
+            flipped.alias("embedding"),
+        )
+    )
+    k, tables = dedup.auto_lsh_params(2 * emb.count(), threshold=0.95, max_bits=256)
+    return dedup.embedding_dup_pairs_rp(
+        corpus, threshold=0.95, n_planes=k, n_tables=tables
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "dedup_embedding_cosine_lowsim",
     oracle=f"""

@@ -175,6 +175,45 @@ def test_embedding_primary_dedup_recovers_all_twins(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_embedding_rp_dedup_high_recall_and_subset_of_exact(spark, sf_dir):
+    """Random-plane variant: recall on the twin set follows the
+    collision model (>= ~0.95 at these depths; exact-valued because the
+    seeded plane grid is deterministic) and the verify step makes false
+    positives impossible."""
+    from gomrjob_spark import plans
+    from gomrjob_spark.operators.similarity import cosine
+    from gomrjob_spark.plans.llm import _TWIN_FLIP_COORD, _TWIN_ID_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+    )
+    expected = {
+        (r.vec_id, r.vec_id + _TWIN_ID_OFFSET)
+        for r in emb.select(
+            "vec_id", cosine(F.col("embedding"), flipped).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.95)
+        .collect()
+    }
+    got = _pair_set(plans.QUERIES["dedup_embedding_cosine_rp"](spark, sf_dir))
+    assert got <= expected  # verify step: no false positives, ever
+    assert len(got) >= 0.9 * len(expected)
+    assert len(got) > 0
+
+
+def test_random_plane_signs_prefix_property():
+    """Plane (t, j) is independently seeded: the grid for a smaller
+    (k, L) must be a strict prefix of a larger one — what lets the
+    oracle embed ONE mask grid for every LUT-selectable depth."""
+    small = dedup.random_plane_signs(3, 2, dim=64, seed=7)
+    big = dedup.random_plane_signs(5, 4, dim=64, seed=7)
+    for t in range(2):
+        for j in range(3):
+            assert small[t][j] == big[t][j]
+
+
 def test_lsh_param_lut_matches_sql_derivation():
     """The DuckDB oracle picks (k, L) by joining an embedded integer LUT
     on floor(log2(greatest(2, n/occ))); that must agree with
