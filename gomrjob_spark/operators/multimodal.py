@@ -15,13 +15,16 @@ task decodes its own partition). Container headers (PNG/JPEG/GIF
 dimensions + channels) decode for REAL via ``decode_image_header``, and
 full pixel decode (``decode_image``) is REAL across the board — pure
 Python/numpy over bytes, no codec library: PPM/PGM/BMP rasters, PNG
-(stdlib-zlib inflate + inverse row filters + palette), GIF (full LZW +
-de-interlace), baseline JPEG (canonical Huffman + IDCT + chroma
-upsampling + YCbCr), and 16-bit PCM for WAV. Matching minimal writers
+(stdlib-zlib inflate + inverse row filters + palette, all bit depths
+1/2/4/8/16, non-interlaced + Adam7), GIF (full LZW + de-interlace),
+baseline JPEG (canonical Huffman + IDCT + chroma upsampling + YCbCr),
+and 16-bit PCM for WAV. Matching minimal writers
 (``encode_png``/``encode_gif``/``encode_jpeg_baseline``) serve as sink
-formats and the synthesis side of the oracle-gated decode queries. The
-only codings that still raise NotImplementedError are progressive /
-arithmetic JPEG, 16-bit/Adam7 PNG — named precisely at the raise sites.
+formats and the synthesis side of the oracle-gated decode queries, and
+``encode_jpeg_progressive`` writes real SOF2 scan scripts (spectral
+selection + successive approximation). The only coding that still
+raises NotImplementedError is arithmetic-coded JPEG — named precisely
+at the raise site.
 """
 
 from __future__ import annotations
@@ -64,19 +67,22 @@ def decode_image(payload: bytes) -> dict:
     - BMP (``BM``), BI_RGB 24/32 bpp: 4-byte-aligned rows stored
       bottom-up (or top-down when height is negative) in BGR(A) order —
       normalized here to top-down row-major RGB(A).
-    - PNG, 8-bit non-interlaced, all five color types: stdlib
-      ``zlib`` inflates the IDAT stream, then the five per-row filters
-      (None/Sub/Up/Average/Paeth) are reversed; palette images expand
-      through PLTE to RGB.
+    - PNG, all five color types across the spec's full depth matrix
+      (1/2/4/8/16-bit), non-interlaced and Adam7: stdlib ``zlib``
+      inflates the IDAT stream, then the five per-row filters
+      (None/Sub/Up/Average/Paeth) are reversed per (sub-)image; palette
+      images expand through PLTE to RGB, 16-bit samples scale to 8-bit.
     - GIF (87a/89a): first image frame via a full LZW decoder
       (variable code width, clear/EOI, 12-bit cap), palette-mapped to
       RGB, interlaced row order restored.
 
-    - JPEG baseline sequential (SOF0/1): full entropy decode — DHT
-      canonical Huffman, DC prediction + AC run-length, dequantize,
-      8x8 IDCT, sampling-factor upsampling, YCbCr->RGB, restart
-      markers. Progressive (SOF2) and arithmetic coding raise
-      NotImplementedError — the only remaining unimplemented codings.
+    - JPEG, baseline sequential (SOF0/1) AND progressive (SOF2): full
+      entropy decode — DHT canonical Huffman, DC prediction + AC
+      run-length, spectral-selection/successive-approximation scan
+      accumulation with EOB runs and correction bits (T.81 Annex G),
+      dequantize, 8x8 IDCT, sampling-factor upsampling, YCbCr->RGB,
+      restart markers. Arithmetic coding raises NotImplementedError —
+      the only remaining unimplemented coding.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -96,13 +102,105 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+#: valid (color_type -> allowed bit depths) per the PNG spec
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: bytes, offset: int, height: int, stride: int, bpp: int):
+    """Reverse the five per-row filters over ``height`` scanlines of
+    ``stride`` packed bytes each, starting at ``offset``. ``bpp`` is the
+    filter unit (bytes per complete pixel, min 1 — the spec's byte-wise
+    filtering works on packed bytes at any depth). Returns
+    ``(filtered bytes, next offset)``; each (sub-)image restarts with a
+    zero prior row, which is why Adam7 calls this once per pass."""
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        ftype = raw[offset]
+        src = raw[offset + 1 : offset + 1 + stride]
+        offset += 1 + stride
+        dst = y * stride
+        if ftype == 0:  # None
+            out[dst : dst + stride] = src
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[dst + x - bpp] if x >= bpp else 0
+                out[dst + x] = (src[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev_start + x] if y else 0
+                out[dst + x] = (src[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[dst + x - bpp] if x >= bpp else 0
+                b = out[prev_start + x] if y else 0
+                out[dst + x] = (src[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[dst + x - bpp] if x >= bpp else 0
+                b = out[prev_start + x] if y else 0
+                c = out[prev_start + x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[dst + x] = (src[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        prev_start = dst
+    return out, offset
+
+
+def _png_rows_to_samples(
+    rows: bytearray, width: int, height: int, stride: int, nch: int,
+    bit_depth: int, scale_sub8: bool,
+) -> bytearray:
+    """Unpack filtered scanline bytes into one 8-bit sample per channel
+    per pixel. 16-bit samples scale by round(v*255/65535) (exact inverse
+    of the writer's v*257 expansion); sub-8 grayscale scales by
+    255/(2^d-1) (an integer for d in 1/2/4); palette indices
+    (``scale_sub8=False``) stay raw for PLTE expansion."""
+    if bit_depth == 8:
+        return rows
+    out = bytearray(width * height * nch)
+    if bit_depth == 16:
+        for j in range(width * height * nch):
+            v = (rows[2 * j] << 8) | rows[2 * j + 1]
+            out[j] = (v * 255 + 32767) // 65535
+        return out
+    # 1/2/4-bit: one channel by spec (gray or palette), packed MSB-first
+    # per scanline — packing never crosses a row boundary.
+    per_byte = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    scale = 255 // mask if scale_sub8 else 1
+    for y in range(height):
+        base = y * stride
+        for x in range(width):
+            b = rows[base + x // per_byte]
+            shift = 8 - bit_depth * (x % per_byte + 1)
+            out[y * width + x] = ((b >> shift) & mask) * scale
+    return out
+
+
 def _decode_png(payload: bytes) -> dict:
     """PNG pixel decode per the spec's portable core: chunk walk ->
-    zlib-inflate concatenated IDAT -> reverse per-row filters. Scope:
-    8-bit samples, non-interlaced (the overwhelming production case for
-    web-scraped rasters); 16-bit/Adam7 raise with a precise message.
-    Palette (color type 3) expands through PLTE to RGB so every decoder
-    in this module emits interleaved RGB(A)/gray."""
+    zlib-inflate concatenated IDAT -> reverse per-row filters -> unpack
+    samples. Full coverage of the spec's coding matrix: all five color
+    types, bit depths 1/2/4/8/16, non-interlaced and Adam7 (each pass is
+    an independently filtered sub-image scattered onto the output grid).
+    Palette (color type 3) expands through PLTE to RGB, 16-bit samples
+    scale to 8-bit, so every decoder in this module emits interleaved
+    8-bit RGB(A)/gray."""
     import zlib
 
     if len(payload) < 33 or payload[12:16] != b"IHDR":
@@ -110,13 +208,14 @@ def _decode_png(payload: bytes) -> dict:
     width = int.from_bytes(payload[16:20], "big")
     height = int.from_bytes(payload[20:24], "big")
     bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlacing")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color_type}")
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"PNG bit depth {bit_depth} invalid for color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
     nch = _PNG_CHANNELS[color_type]
+    bpp = max(1, nch * bit_depth // 8)
 
     plte = b""
     idat = []
@@ -135,43 +234,36 @@ def _decode_png(payload: bytes) -> dict:
         i += 12 + clen  # len + type + data + crc
     raw = zlib.decompress(b"".join(idat))
 
-    stride = width * nch
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(f"PNG raster size {len(raw)} != {(stride + 1) * height}")
-    out = bytearray(stride * height)
-    prev_start = -1
-    for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        src = raw[row_off + 1 : row_off + 1 + stride]
-        dst = y * stride
-        if ftype == 0:  # None
-            out[dst : dst + stride] = src
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                a = out[dst + x - nch] if x >= nch else 0
-                out[dst + x] = (src[x] + a) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                b = out[prev_start + x] if y else 0
-                out[dst + x] = (src[x] + b) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                a = out[dst + x - nch] if x >= nch else 0
-                b = out[prev_start + x] if y else 0
-                out[dst + x] = (src[x] + ((a + b) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = out[dst + x - nch] if x >= nch else 0
-                b = out[prev_start + x] if y else 0
-                c = out[prev_start + x - nch] if (y and x >= nch) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[dst + x] = (src[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype}")
-        prev_start = dst
+    def pass_stride(pw: int) -> int:
+        return (pw * nch * bit_depth + 7) // 8
+
+    scale_sub8 = color_type != 3
+    if interlace == 0:
+        stride = pass_stride(width)
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(f"PNG raster size {len(raw)} != {(stride + 1) * height}")
+        rows, _ = _png_unfilter(raw, 0, height, stride, bpp)
+        out = _png_rows_to_samples(rows, width, height, stride, nch, bit_depth, scale_sub8)
+    else:  # Adam7
+        out = bytearray(width * height * nch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pass_stride(pw)
+            rows, off = _png_unfilter(raw, off, ph, pstride, bpp)
+            psamp = _png_rows_to_samples(rows, pw, ph, pstride, nch, bit_depth, scale_sub8)
+            for py in range(ph):
+                src = py * pw * nch
+                drow = (y0 + py * dy) * width
+                for px in range(pw):
+                    dst = (drow + x0 + px * dx) * nch
+                    out[dst : dst + nch] = psamp[src : src + nch]
+                    src += nch
+        if off != len(raw):
+            raise ValueError(f"PNG Adam7 raster size {len(raw)} != {off}")
 
     if color_type == 3:  # palette -> RGB
         if not plte:
@@ -193,45 +285,108 @@ def encode_png(
     color_type: int = 2,
     filters: list[int] | None = None,
     plte: bytes = b"",
+    bit_depth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
-    """Minimal spec-correct PNG writer (8-bit, non-interlaced): the
-    thumbnail/normalized-raster SINK format for image pipelines, and the
-    synthesis side of the oracle-gated compressed-decode query. By
-    default each row's filter type cycles 0..4 so a stream produced
-    here exercises every inverse filter in :func:`_decode_png`."""
+    """Minimal spec-correct PNG writer: the thumbnail/normalized-raster
+    SINK format for image pipelines, and the synthesis side of the
+    oracle-gated compressed-decode query. By default each scanline's
+    filter type cycles 0..4 so a stream produced here exercises every
+    inverse filter in :func:`_decode_png`.
+
+    Covers the full coding matrix the decoder accepts: ``bit_depth`` 16
+    takes big-endian 16-bit samples in ``pixels``; sub-8 depths (gray:
+    values must be multiples of 255/(2^d-1); palette: raw indices <
+    2^d) pack MSB-first per scanline; ``interlace=1`` writes Adam7 (each
+    pass filtered as an independent sub-image, the filter cycle running
+    across passes)."""
     import struct
     import zlib
 
     nch = _PNG_CHANNELS[color_type]
-    stride = width * nch
-    if len(pixels) != stride * height:
-        raise ValueError(f"pixel buffer {len(pixels)} != {stride * height}")
-    filters = filters if filters is not None else [y % 5 for y in range(height)]
-    raw = bytearray()
-    for y, ft in enumerate(filters):
-        row = pixels[y * stride : (y + 1) * stride]
-        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
-        raw.append(ft)
-        for x in range(stride):
-            a = row[x - nch] if x >= nch else 0
-            b = prev[x]
-            c = prev[x - nch] if x >= nch else 0
-            if ft == 0:
-                f = row[x]
-            elif ft == 1:
-                f = (row[x] - a) & 0xFF
-            elif ft == 2:
-                f = (row[x] - b) & 0xFF
-            elif ft == 3:
-                f = (row[x] - ((a + b) >> 1)) & 0xFF
-            elif ft == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                f = (row[x] - pred) & 0xFF
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"PNG bit depth {bit_depth} invalid for color type {color_type}")
+    n_samples = width * height * nch
+    expected = n_samples * 2 if bit_depth == 16 else n_samples
+    if len(pixels) != expected:
+        raise ValueError(f"pixel buffer {len(pixels)} != {expected}")
+    bpp = max(1, nch * bit_depth // 8)
+
+    def pack_pass(x0: int, y0: int, dx: int, dy: int) -> list[bytes]:
+        """Packed scanlines of the (x0,y0,dx,dy) sub-image."""
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            return []
+        rows = []
+        for py in range(ph):
+            y = y0 + py * dy
+            if bit_depth == 16:
+                row = bytearray()
+                for px in range(pw):
+                    s = (y * width + x0 + px * dx) * nch * 2
+                    row += pixels[s : s + nch * 2]
+            elif bit_depth == 8:
+                row = bytearray()
+                for px in range(pw):
+                    s = (y * width + x0 + px * dx) * nch
+                    row += pixels[s : s + nch]
             else:
-                raise ValueError(f"PNG filter type {ft}")
-            raw.append(f)
+                mask = (1 << bit_depth) - 1
+                scale = 255 // mask if color_type != 3 else 1
+                row = bytearray((pw * bit_depth + 7) // 8)
+                for px in range(pw):
+                    v = pixels[y * width + x0 + px * dx]
+                    if color_type != 3:
+                        if v % scale:
+                            raise ValueError(
+                                f"gray value {v} not representable at depth {bit_depth}"
+                            )
+                        v //= scale
+                    if v > mask:
+                        raise ValueError(f"sample {v} exceeds depth {bit_depth}")
+                    shift = 8 - bit_depth * (px % (8 // bit_depth) + 1)
+                    row[px * bit_depth // 8] |= v << shift
+            rows.append(bytes(row))
+        return rows
+
+    passes = [_ADAM7[i] for i in range(7)] if interlace else [(0, 0, 1, 1)]
+    all_rows = [pack_pass(*p) for p in passes]
+    total = sum(len(r) for r in all_rows)
+    filters = filters if filters is not None else [y % 5 for y in range(total)]
+    if len(filters) != total:
+        raise ValueError(f"{len(filters)} filter types for {total} scanlines")
+    fit = iter(filters)
+
+    raw = bytearray()
+    for rows in all_rows:
+        prev = b""
+        for row in rows:
+            ft = next(fit)
+            stride = len(row)
+            prv = prev if prev else bytes(stride)
+            raw.append(ft)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prv[x]
+                c = prv[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    f = row[x]
+                elif ft == 1:
+                    f = (row[x] - a) & 0xFF
+                elif ft == 2:
+                    f = (row[x] - b) & 0xFF
+                elif ft == 3:
+                    f = (row[x] - ((a + b) >> 1)) & 0xFF
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    f = (row[x] - pred) & 0xFF
+                else:
+                    raise ValueError(f"PNG filter type {ft}")
+                raw.append(f)
+            prev = row
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -241,7 +396,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
     out = _PNG_SIGNATURE + chunk(b"IHDR", ihdr)
     if plte:
         out += chunk(b"PLTE", plte)
@@ -317,14 +472,15 @@ def encode_gif(
 
 
 # ---------------------------------------------------------------- JPEG
-# Baseline sequential JPEG (SOF0), the dominant web-image coding: real
-# entropy decode — DHT canonical Huffman construction, bit-unstuffing,
-# DC prediction + AC run-length, dequantize/dezigzag, 8x8 IDCT (numpy
-# matrix form), sampling-factor upsampling, YCbCr->RGB. Progressive
-# (SOF2) and arithmetic coding raise NotImplementedError with a precise
-# message. All constants below are generated, not transcribed: the
-# zigzag order comes from the diagonal walk, the DCT basis from its
-# closed form — no copied tables to mistype.
+# Baseline sequential (SOF0) and progressive (SOF2) JPEG, the dominant
+# web-image codings: real entropy decode — DHT canonical Huffman
+# construction, bit-unstuffing, DC prediction + AC run-length,
+# spectral-selection/successive-approximation scans (T.81 Annex G),
+# dequantize/dezigzag, 8x8 IDCT (numpy matrix form), sampling-factor
+# upsampling, YCbCr->RGB. Arithmetic coding raises NotImplementedError
+# with a precise message. All constants below are generated, not
+# transcribed: the zigzag order comes from the diagonal walk, the DCT
+# basis from its closed form — no copied tables to mistype.
 
 
 def _zigzag_order() -> list[int]:
@@ -429,10 +585,14 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
     def sync_restart(self, n: int) -> None:
-        """Consume the expected RSTn marker and realign to a byte."""
+        """Consume the expected RSTn marker and realign to a byte. A
+        1-padded final entropy byte of 0xFF gets a stuffed 0x00 the
+        reader never consumed — skip such pairs before the marker."""
         self.acc = 0
         self.bits = 0
         d = self.data
+        while d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+            self.pos += 2
         if d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + n:
             raise ValueError("missing JPEG restart marker")
         self.pos += 2
@@ -454,6 +614,7 @@ def _decode_jpeg(payload: bytes) -> dict:
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None
+    coeff = None  # progressive: per-component coefficient accumulators
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -480,7 +641,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                 for s, b in enumerate(_ZIGZAG):
                     tbl[b] = vals[s]
                 qt[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (+ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -488,9 +649,7 @@ def _decode_jpeg(payload: bytes) -> dict:
             for k in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2); baseline only")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
         elif marker in (0xC9, 0xCA, 0xCB):
             raise NotImplementedError("arithmetic-coded JPEG; Huffman baseline only")
         elif marker == 0xC4:  # DHT
@@ -508,13 +667,26 @@ def _decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for k in range(ns):
                 cid, tabs = seg[1 + 2 * k : 3 + 2 * k]
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
-            return _jpeg_scan(
-                payload, i + 2 + seg_len, frame, scan, qt, huff, restart_interval
+                order.append(cid)
+            if not frame["progressive"]:
+                return _jpeg_scan(
+                    payload, i + 2 + seg_len, frame, scan, qt, huff, restart_interval
+                )
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if coeff is None:
+                coeff = _jpeg_alloc_coeff(frame)
+            i = _jpeg_progressive_scan(
+                payload, i + 2 + seg_len, frame, order, scan, huff,
+                restart_interval, coeff, (ss, se, a >> 4, a & 0x0F),
             )
+            continue
         i += 2 + seg_len
+    if coeff is not None:
+        return _jpeg_finish(frame, coeff, qt)
     raise ValueError("JPEG contains no scan")
 
 
@@ -574,6 +746,17 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+    return _jpeg_assemble(frame, planes, hmax, vmax)
+
+
+def _jpeg_assemble(frame, planes, hmax, vmax) -> dict:
+    """Shared final stage of baseline and progressive decode: upsample
+    each component plane by its sampling factors, crop to the frame
+    size, and convert (JFIF YCbCr -> RGB for 3 components, passthrough
+    for grayscale)."""
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
     full = []
     for ci, c in enumerate(comps):
         p = np.repeat(
@@ -594,23 +777,219 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
             "pixels": out.tobytes()}
 
 
-def encode_jpeg_baseline(
-    pixels: bytes,
-    width: int,
-    height: int,
-    channels: int = 1,
-    quant: int = 1,
-    restart_interval: int = 0,
-    subsampling: tuple[int, int] = (1, 1),
-) -> bytes:
-    """Minimal baseline JPEG writer: grayscale or YCbCr at 4:4:4
-    (``subsampling=(1,1)``) or 4:2:0 (``(2,2)``, chroma mean-pooled),
-    flat ``quant`` quantization (1 = near-lossless: the only loss is the
-    float DCT round-trip, within +/-1 per sample; flat 8x8 blocks are
-    bit-exact), single-length canonical Huffman tables emitted via DHT
-    (the decoder must run the real canonical construction — nothing is
-    implicit). The synthesis side of the oracle-gated JPEG decode query
-    and a usable thumbnail sink."""
+# ------------------------------------------------- progressive JPEG
+# ITU T.81 Annex G, Huffman coding: spectral selection (per-scan
+# coefficient bands) + successive approximation (per-scan bit planes).
+# Scans accumulate into per-component coefficient arrays; dequantize +
+# IDCT run once at EOI. The control flow below follows the spec's
+# decoder flowcharts (G.2); the successive-approximation correction-bit
+# arithmetic relies on Python ints being two's-complement for & and |=,
+# exactly like the spec's sample arithmetic.
+
+
+def _comp_block_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil(ceil(w*h_i/
+    hmax)/8) x ceil(ceil(h*v_i/vmax)/8) (T.81 A.1.1 sampling)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_alloc_coeff(frame) -> list:
+    """Per-component coefficient accumulators, sized to the interleaved
+    MCU grid (a superset of the non-interleaved grid): (bh, bw, 64)
+    int32 in natural (row-major block) order."""
+    import numpy as np
+
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _prog_ac_first(reader, ac_t, blk, ss, se, al, state) -> None:
+    """AC first scan (Ah=0): run/size with EOBn run-length codes; decoded
+    values enter at magnitude << Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            return
+        k += r
+        blk[_ZIGZAG[k]] = _jpeg_extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(reader, ac_t, blk, ss, se, p1, m1, state) -> None:
+    """AC refinement scan (Ah>0): newly-nonzero coefficients arrive as
+    +-1<<Al; every already-nonzero coefficient passed over reads one
+    correction bit (G.1.2.3)."""
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions below
+            else:
+                s_val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if blk[z] != 0:
+                    if reader.read_bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                blk[_ZIGZAG[k]] = s_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if blk[z] != 0:
+                if reader.read_bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _jpeg_progressive_scan(
+    payload, start, frame, order, scan, huff, restart_interval, coeff, band
+) -> int:
+    """Decode one progressive scan into ``coeff``; returns the offset of
+    the next marker. DC scans may be interleaved (MCU order); AC scans
+    carry exactly one component in its own block-raster order."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
+    byid = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    reader = _BitReader(payload, start)
+    members = [byid[cid] for cid in order]
+    p1, m1 = 1 << al, -1 << al
+    state = {"pred": [0] * len(comps), "eobrun": 0, "rst": 0}
+
+    def restart_if_due(count: int) -> None:
+        if restart_interval and count and count % restart_interval == 0:
+            reader.sync_restart(state["rst"])
+            state["rst"] = (state["rst"] + 1) % 8
+            state["pred"] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if ss == 0:  # DC scan
+        def dc_block(blk, ci, dc_t) -> None:
+            if ah == 0:
+                size = reader.decode_symbol(dc_t)
+                state["pred"][ci] += _jpeg_extend(reader.read_bits(size), size)
+                blk[0] = state["pred"][ci] << al
+            elif reader.read_bit():
+                blk[0] |= p1
+
+        if len(members) > 1:  # interleaved over MCUs
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    restart_if_due(unit)
+                    for ci, c in members:
+                        dc_t = huff[(0, scan[c["id"]][0])]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    coeff[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                    ci, dc_t,
+                                )
+                    unit += 1
+        else:
+            ci, c = members[0]
+            dc_t = huff[(0, scan[c["id"]][0])] if ah == 0 else None
+            nbw, nbh = _comp_block_grid(frame, c)
+            unit = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    restart_if_due(unit)
+                    dc_block(coeff[ci][by, bx], ci, dc_t)
+                    unit += 1
+    else:  # AC scan: single component by spec
+        if len(members) > 1:
+            raise ValueError("progressive AC scan with multiple components")
+        ci, c = members[0]
+        ac_t = huff[(1, scan[c["id"]][1])]
+        nbw, nbh = _comp_block_grid(frame, c)
+        unit = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                restart_if_due(unit)
+                blk = coeff[ci][by, bx]
+                if ah == 0:
+                    _prog_ac_first(reader, ac_t, blk, ss, se, al, state)
+                else:
+                    _prog_ac_refine(reader, ac_t, blk, ss, se, p1, m1, state)
+                unit += 1
+
+    # skip to the next marker (reader.pos sits just past the last
+    # consumed entropy byte; trailing pad bits stay in its accumulator)
+    j = reader.pos
+    n = len(payload)
+    while j + 1 < n and not (
+        payload[j] == 0xFF
+        and payload[j + 1] != 0x00
+        and not (0xD0 <= payload[j + 1] <= 0xD7)
+    ):
+        j += 1
+    return j
+
+
+def _jpeg_finish(frame, coeff, qt) -> dict:
+    """Dequantize + IDCT the accumulated progressive coefficients (all
+    blocks of a component in one einsum) and assemble pixels."""
+    import numpy as np
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    basis = _dct_basis()
+    planes = []
+    for ci, c in enumerate(comps):
+        arr = coeff[ci]
+        bh_, bw_ = arr.shape[:2]
+        blocks = arr.reshape(bh_, bw_, 8, 8).astype(np.float64) * qt[c["tq"]]
+        spatial = np.einsum("ab,ijbc,cd->ijad", basis.T, blocks, basis) + 128.0
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8))
+    return _jpeg_assemble(frame, planes, hmax, vmax)
+
+
+def _jpeg_prepare(pixels, width, height, channels, quant, subsampling):
+    """Shared encoder front half: color transform, pad to the MCU grid,
+    chroma mean-pooling, forward DCT, flat quantization, zigzag. Returns
+    ``(factors, mcux, mcuy, blocks)`` where ``blocks[ci]`` is an int64
+    array of shape (mcuy*v_i, mcux*h_i, 64) in ZIGZAG-STREAM order."""
     import numpy as np
 
     if channels not in (1, 3):
@@ -632,7 +1011,8 @@ def encode_jpeg_baseline(
     factors = [(hmax, vmax)] + [(1, 1)] * (len(planes) - 1)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    prepped = []
+    basis = _dct_basis()
+    blocks = []
     for p, (h_i, v_i) in zip(planes, factors):
         pool_y, pool_x = vmax // v_i, hmax // h_i
         full_h, full_w = mcuy * v_i * 8 * pool_y, mcux * h_i * 8 * pool_x
@@ -643,53 +1023,95 @@ def encode_jpeg_baseline(
             full = full.reshape(
                 full_h // pool_y, pool_y, full_w // pool_x, pool_x
             ).mean(axis=(1, 3))
-        prepped.append(full)
-    planes = prepped
-    basis = _dct_basis()
+        bh, bw = mcuy * v_i, mcux * h_i
+        sp = (full - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        co = np.einsum("ab,ijbc,cd->ijad", basis, sp, basis.T)
+        qz = np.rint(co / float(quant)).astype(np.int64).reshape(bh, bw, 64)
+        blocks.append(qz[:, :, _ZIGZAG])
+    return factors, mcux, mcuy, blocks
 
-    # single-length canonical tables: DC sizes 0..11 at 4 bits, AC
-    # symbols (EOB, ZRL, all run/size) at 9 bits (162 symbols < 2^9-1)
-    dc_syms = bytes(range(12))
-    dc_bits = [0] * 16
-    dc_bits[3] = 12  # 4-bit codes
-    ac_syms = bytes(
-        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-    )
-    ac_bits = [0] * 16
-    ac_bits[8] = len(ac_syms)  # 9-bit codes
 
-    def canonical(bits: list[int], syms: bytes) -> dict[int, tuple[int, int]]:
-        out = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                out[syms[k]] = (length, code)
-                code += 1
-                k += 1
-            code <<= 1
-        return out
+def _canonical_codes(bits: list[int], syms: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code) per the DHT canonical construction —
+    the encode-side mirror of :class:`_HuffTable`."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
 
-    dc_enc = canonical(dc_bits, dc_syms)
-    ac_enc = canonical(ac_bits, ac_syms)
 
-    bitbuf = bytearray()
-    acc = 0
-    nbits = 0
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF00 stuffing and 1-padding flush."""
 
-    def put(code: int, length: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << length) | code
-        nbits += length
-        while nbits >= 8:
-            nbits -= 8
-            byte = (acc >> nbits) & 0xFF
-            bitbuf.append(byte)
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
             if byte == 0xFF:
-                bitbuf.append(0x00)  # stuffing
+                self.buf.append(0x00)  # stuffing
+        self.acc &= (1 << self.nbits) - 1
 
-    q = np.full((8, 8), float(quant))
-    pred = [0] * len(planes)
+    def pad(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+#: single-length canonical tables shared by both JPEG writers: DC sizes
+#: 0..11 at 4 bits; baseline AC (EOB, ZRL, run/size) at 9 bits
+_JPEG_DC_SYMS = bytes(range(12))
+_JPEG_DC_BITS = [0] * 16
+_JPEG_DC_BITS[3] = 12  # 4-bit codes
+_JPEG_AC_SYMS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[8] = len(_JPEG_AC_SYMS)  # 9-bit codes
+
+
+def encode_jpeg_baseline(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: int = 1,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Minimal baseline JPEG writer: grayscale or YCbCr at 4:4:4
+    (``subsampling=(1,1)``) or 4:2:0 (``(2,2)``, chroma mean-pooled),
+    flat ``quant`` quantization (1 = near-lossless: the only loss is the
+    float DCT round-trip, within +/-1 per sample; flat 8x8 blocks are
+    bit-exact), single-length canonical Huffman tables emitted via DHT
+    (the decoder must run the real canonical construction — nothing is
+    implicit). The synthesis side of the oracle-gated JPEG decode query
+    and a usable thumbnail sink."""
+    factors, mcux, mcuy, blocks = _jpeg_prepare(
+        pixels, width, height, channels, quant, subsampling
+    )
+    dc_syms, dc_bits = _JPEG_DC_SYMS, _JPEG_DC_BITS
+    ac_syms, ac_bits = _JPEG_AC_SYMS, _JPEG_AC_BITS
+    dc_enc = _canonical_codes(dc_bits, dc_syms)
+    ac_enc = _canonical_codes(ac_bits, ac_syms)
+
+    wtr = _BitWriter()
+    put = wtr.put
+    bitbuf = wtr.buf
+
+    pred = [0] * len(blocks)
     rst = 0
     mcu_count = 0
     mcus = [(y, x) for y in range(mcuy) for x in range(mcux)]
@@ -698,23 +1120,16 @@ def encode_jpeg_baseline(
     ]
     for my, mx in mcus:
         if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-            # flush to byte boundary with 1-padding, emit RSTn
-            if nbits:
-                put((1 << (8 - nbits)) - 1, 8 - nbits)
+            wtr.pad()  # flush to byte boundary with 1-padding, emit RSTn
             bitbuf.extend((0xFF, 0xD0 + rst))
             rst = (rst + 1) % 8
-            pred = [0] * len(planes)
-        for ci, p in enumerate(planes):
+            pred = [0] * len(blocks)
+        for ci in range(len(blocks)):
           for by, bx in blocks_of[ci]:
             h_i, v_i = factors[ci]
-            y0, x0 = (my * v_i + by) * 8, (mx * h_i + bx) * 8
-            blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-            coeffs = basis @ blk @ basis.T
-            qz = np.rint(coeffs / q).astype(np.int64)
-            # zz[s] = coefficient at zigzag stream position s
-            zz = [int(qz.flat[b]) for b in _ZIGZAG]
-            diff = zz[0] - pred[ci]
-            pred[ci] = zz[0]
+            zz = blocks[ci][my * v_i + by, mx * h_i + bx]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
             size = abs(diff).bit_length()
             length, code = dc_enc[size]
             put(code, length)
@@ -723,7 +1138,7 @@ def encode_jpeg_baseline(
             run = 0
             last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
             for k in range(1, last_nz + 1):
-                v = zz[k]
+                v = int(zz[k])
                 if v == 0:
                     run += 1
                     continue
@@ -740,14 +1155,13 @@ def encode_jpeg_baseline(
                 length, code = ac_enc[0x00]
                 put(code, length)
         mcu_count += 1
-    if nbits:
-        put((1 << (8 - nbits)) - 1, 8 - nbits)
+    wtr.pad()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     dqt = seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
-    ncomp = len(planes)
+    ncomp = len(blocks)
     sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for cid in range(ncomp):
         h_i, v_i = factors[cid]
@@ -766,6 +1180,248 @@ def encode_jpeg_baseline(
     return (
         b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bitbuf) + b"\xff\xd9"
     )
+
+
+#: progressive AC table adds the EOBn run-length symbols (r<<4 | 0 for
+#: r in 1..14) to the baseline set: all (run, size 0..10) combinations,
+#: 176 symbols, single canonical length 9 (< 2^9 - 1)
+_JPEG_AC_PROG_SYMS = bytes((r << 4) | s for r in range(16) for s in range(11))
+_JPEG_AC_PROG_BITS = [0] * 16
+_JPEG_AC_PROG_BITS[8] = len(_JPEG_AC_PROG_SYMS)
+
+
+def encode_jpeg_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: int = 1,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive JPEG writer (SOF2, T.81 Annex G): the same
+    coefficients :func:`encode_jpeg_baseline` would emit, reordered into
+    a scan script — an interleaved DC first scan at ``Al=dc_al``, per
+    successive-approximation level DC refinement scans, then per
+    component and spectral ``bands`` an AC first scan at ``Al=ac_al``
+    followed by per-level AC refinement scans (EOB run-lengths, ZRL
+    folding, buffered correction bits). Because progressive coding is a
+    lossless reordering of the entropy layer, decoding this stream must
+    yield byte-identical pixels to the baseline stream of the same
+    image — which is exactly what the pytest gate asserts."""
+    factors, mcux, mcuy, blocks = _jpeg_prepare(
+        pixels, width, height, channels, quant, subsampling
+    )
+    ncomp = len(blocks)
+    dc_enc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_enc = _canonical_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_SYMS)
+    hmax, vmax = factors[0]
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        h_i, v_i = factors[ci]
+        cw = -(-width * h_i // hmax)
+        ch = -(-height * v_i // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, 0x00])  # DC table 0, AC table 0
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        h_i, v_i = factors[ci]
+        sof_body += bytes([ci + 1, (h_i << 4) | v_i, 0])
+    out += seg(0xC2, sof_body)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_SYMS
+        + bytes([0x10]) + bytes(_JPEG_AC_PROG_BITS) + _JPEG_AC_PROG_SYMS,
+    )
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        rst = 0
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    wtr.pad()
+                    wtr.buf.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                for ci in range(ncomp):
+                    h_i, v_i = factors[ci]
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            dc = int(blocks[ci][my * v_i + by, mx * h_i + bx, 0])
+                            if refine:
+                                wtr.put((dc >> al) & 1, 1)
+                                continue
+                            v = dc >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            size = abs(diff).bit_length()
+                            length, code = dc_enc[size]
+                            wtr.put(code, length)
+                            if size:
+                                wtr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                unit += 1
+        wtr.pad()
+        return bytes(wtr.buf)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        nbw, nbh = comp_grid(ci)
+        eobrun = 0
+        rst = 0
+        unit = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                length, code = ac_enc[r << 4]
+                wtr.put(code, length)
+                if r:
+                    wtr.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()
+                    wtr.pad()
+                    wtr.buf.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                zz = blocks[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = v >> al if v >= 0 else -((-v) >> al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        length, code = ac_enc[0xF0]
+                        wtr.put(code, length)
+                        r -= 16
+                    size = abs(t).bit_length()
+                    length, code = ac_enc[(r << 4) | size]
+                    wtr.put(code, length)
+                    wtr.put(t if t >= 0 else t + (1 << size) - 1, size)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                unit += 1
+        flush_eob()
+        wtr.pad()
+        return bytes(wtr.buf)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        nbw, nbh = comp_grid(ci)
+        eobrun = 0
+        pend: list[int] = []  # correction bits carried with the EOB run
+        rst = 0
+        unit = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pend
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                length, code = ac_enc[r << 4]
+                wtr.put(code, length)
+                if r:
+                    wtr.put(eobrun - (1 << r), r)
+                for b in pend:
+                    wtr.put(b, 1)
+                eobrun = 0
+                pend = []
+
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()
+                    wtr.pad()
+                    wtr.buf.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                zz = blocks[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = max(
+                    (k for k in range(ss, se + 1) if absv[k - ss] == 1),
+                    default=ss - 1,
+                )
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRL only when it can't fold into the EOB run
+                    while r > 15 and k <= eob:
+                        flush_eob()
+                        length, code = ac_enc[0xF0]
+                        wtr.put(code, length)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:  # history coefficient: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    length, code = ac_enc[(r << 4) | 1]
+                    wtr.put(code, length)
+                    wtr.put(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                unit += 1
+        flush_eob()
+        wtr.pad()
+        return bytes(wtr.buf)
+
+    # scan script: DC first -> DC refinements -> per (comp, band) AC
+    # first -> AC refinements, one bit plane per scan
+    out += sos_header(list(range(ncomp)), 0, 0, 0, dc_al)
+    out += dc_scan(dc_al, refine=False)
+    for a in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(ncomp)), 0, 0, a + 1, a)
+        out += dc_scan(a, refine=True)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, ac_al)
+            out += ac_first_scan(ci, ss, se, ac_al)
+    for a in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([ci], ss, se, a + 1, a)
+                out += ac_refine_scan(ci, ss, se, a)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
