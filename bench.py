@@ -49,6 +49,8 @@ HEADLINE = [
     "funnel_conversion",
     "text_token_stats",
     "text_chunks",
+    "search_tf_topk",
+    "search_bm25_topk",
     "sample_hash_split",
     "pack_token_batches",
     "cap_per_source",
@@ -59,6 +61,7 @@ HEADLINE = [
     "dedup_repeated_chunks",
     "multimodal_pixel_stats",
     "multimodal_compressed_pixel_stats",
+    "multimodal_progressive_pixel_stats",
     "mr_field_count",
     "mr_combiner",
     "streaming_tumbling_agg",

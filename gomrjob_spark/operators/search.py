@@ -1,0 +1,133 @@
+"""Inverted-index text retrieval: TF and fixed-point-BM25 top-k search.
+
+The retrieval side of a training-data pipeline: given a small query set
+(each query a bag of terms), return the best-matching documents. At
+100 TB the plan shape matters more than the scoring formula:
+
+- **Prune before aggregating.** Tokens are joined against the
+  (broadcast) query-term set BEFORE the term-frequency aggregation, so
+  the one real shuffle — partial-agg on (doc_id, term) — carries only
+  matching terms, not the whole corpus's token stream.
+- **Document length without an explode.** ``dl`` is ``size(split(...))``
+  — a scan-side column expression, no token explode, no shuffle.
+- **Global stats via broadcast.** N/avgdl are a one-row aggregate
+  cross-joined (broadcast) onto the scored frame; per-term document
+  frequencies are a tiny aggregate of the pruned posting frame,
+  broadcast back into the scoring join.
+- **Two-phase top-k.** Final per-query ranking reuses
+  :func:`gomrjob_spark.operators.sampling.cap_per_group` (local top-k
+  per partition, then global), so one hot query never funnels the whole
+  scored frame through a single window task.
+
+Scoring is EXACT integer arithmetic end to end, so the DuckDB oracle
+hash-matches bit-for-bit:
+
+- TF score: plain summed term frequency.
+- BM25: the classic shape ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+  with k1=1.2, b=0.75, quantized to fixed point — x100 length norm, x10
+  inner denominator, x1000 contribution — and ``idf`` as the integer
+  bit-length of N/df (an exact, monotone stand-in for log2(N/df); both
+  engines compute it from binary string length, no libm anywhere).
+  Every division is integer DIV on positive operands, which Spark and
+  DuckDB floor identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) token stream: whitespace split, empties dropped."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+        ).filter(F.col("term") != "")
+    )
+
+
+def pruned_term_frequencies(
+    docs: DataFrame, queries: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) for query terms only — one row per (doc,
+    term) regardless of how many queries share the term. The broadcast
+    join against the tiny query set prunes the token stream before the
+    (doc_id, term) partial-agg shuffle."""
+    return (
+        tokenize(docs, text_col)
+        .join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def search_tf_topk(
+    docs: DataFrame, queries: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Top-k docs per query by summed term frequency (exact integers).
+
+    Returns (query_id, doc_id, score, rank), rank 1-based by
+    (score desc, doc_id asc)."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    scored = (
+        F.broadcast(queries)
+        .join(pruned_term_frequencies(docs, queries, text_col), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("score"))
+    )
+    return cap_per_group(scored, "query_id", k, "score").select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def search_bm25_topk(
+    docs: DataFrame, queries: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Top-k docs per query under fixed-point BM25 (k1=1.2, b=0.75).
+
+    score = sum over matched terms of
+      bitlength(N DIV df) * ((22000 * tf) DIV (10*tf + (12 * norm_x100) DIV 10))
+    with norm_x100 = 25 + (7500 * dl) DIV avgdl_x100 and
+    avgdl_x100 = (100 * total_tokens) DIV N — all integer DIV on
+    positive values, bit-identical across engines. Returns
+    (query_id, doc_id, score, rank)."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    dl = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    stats = docs.select(dl.alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).withColumn("avgdl_x100", F.expr("100 * total_tokens DIV n_docs"))
+
+    # dl rides the token stream (constant per doc, F.first under the
+    # (doc_id, term) agg) so scoring needs no extra corpus-wide join
+    toks = docs.select(
+        "doc_id", dl.alias("dl"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        F.broadcast(queries)
+        .join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf_bits",
+            F.length(F.conv(F.expr("n_docs DIV df").cast("string"), 10, 2)),
+        )
+        .withColumn("norm_x100", F.expr("25 + (7500 * dl) DIV avgdl_x100"))
+        .withColumn(
+            "contrib",
+            F.expr("idf_bits * ((22000 * tf) DIV (10 * tf + (12 * norm_x100) DIV 10))"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score"))
+    )
+    return cap_per_group(scored, "query_id", k, "score").select(
+        "query_id", "doc_id", "score", "rank"
+    )

@@ -185,6 +185,51 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the sampled IVF seeds — the slot
+    :func:`ivf_centroids` documents. Each round is one broadcast
+    nearest-centroid assignment (cosine, ties to the lower cell id) and
+    one fixed-point mean (:func:`centroid_sums`'s 2^20-quantized bigint
+    accumulator), so the refined quantizer is DETERMINISTIC: the same
+    centroids bit-for-bit under any partitioning or execution order,
+    which keeps every downstream IVF search rerun-stable.
+
+    Scale: per round, the data-sized work is one scan (broadcast assign,
+    |corpus| x n_centroids map-side scores) plus one partial-agg shuffle
+    whose reduce side is |cells| x dim rows. The centroid frame is a
+    MODEL — O(cells x dim) — so it is collected to the driver each round
+    (the same bounded, documented driver read as the connected-components
+    convergence check) to truncate lineage: n_iters jobs total, not one
+    exponentially-nested plan. Cells that lose every member keep their
+    previous centroid."""
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+        sums = centroid_sums(assigned, group_col="cell", vec_col=vec_col)
+        refined = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("_pc")
+            )
+            .select(
+                "cell", F.transform("_pc", lambda s: s["centroid"]).alias("centroid")
+            )
+        )
+        kept = cents.select(
+            "cell", F.col("centroid").cast("array<double>").alias("centroid")
+        ).join(refined.select("cell"), "cell", "left_anti")
+        rows = refined.unionByName(kept).orderBy("cell").collect()
+        cents = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    return cents
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -193,13 +238,20 @@ def knn_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in exactly one coarse
     cell; each query probes its ``n_probe`` nearest cells and scores only
     those cells' members. The search join is an equi-join on the cell id
     — shuffle volume is |corpus| + n_probe x |queries|, no cross product.
-    Recall rises with n_probe (= exact when n_probe = n_centroids)."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    Recall rises with n_probe (= exact when n_probe = n_centroids).
+    ``kmeans_iters > 0`` trains the quantizer with that many Lloyd
+    rounds (:func:`ivf_centroids_kmeans`) instead of using raw sampled
+    seeds — tighter cells, better recall at the same probe count."""
+    if kmeans_iters > 0:
+        cents = ivf_centroids_kmeans(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
     )

@@ -41,6 +41,13 @@ _VERIFY_FIRST = [
     # NEW r5: random-hyperplane LSH dedup (depth unbounded by dim),
     # integer-exact sign tests under the hash gate
     "dedup_embedding_cosine_rp",
+    # NEW r5: progressive-JPEG (SOF2 scan scripts) + 16-bit/Adam7/
+    # 4-bit-palette PNG decode, all bit-exact under one hash gate
+    "multimodal_progressive_pixel_stats",
+    # NEW r5: inverted-index retrieval — exact-integer TF and
+    # fixed-point BM25 top-k (idf via bit-length, integer DIV parity)
+    "search_tf_topk",
+    "search_bm25_topk",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

@@ -665,6 +665,21 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("knn_ivf_kmeans")  # approximate: rows-only gate, recall-tested in pytest
+def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a TRAINED quantizer: 2 Lloyd rounds refine the
+    hash-sampled seeds (similarity.ivf_centroids_kmeans — broadcast
+    assignment + fixed-point deterministic means, so the trained cells
+    are bit-identical under any partitioning). Same cell-equi-join
+    search path as knn_ivf; recall >= the sampled-seed quantizer at the
+    same probe count, asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=8,
+        kmeans_iters=2,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1270,6 +1285,129 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
                     )
                     payloads.append(
                         multimodal.encode_jpeg_baseline(px, wpx, hpx, channels=1)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return multimodal.extract_pixel_stats(payloads).orderBy("doc_id")
+
+
+@query(
+    "multimodal_progressive_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 2 AS INT) AS w,
+             CAST(doc_id % 4 + 2 AS INT) AS h,
+             CAST(doc_id % 4 + 1 AS INT) AS wb,
+             CAST(doc_id % 3 + 1 AS INT) AS hb
+      FROM documents
+    ),
+    prog AS (
+      SELECT doc_id, 'jpeg' AS format, 8 * wb AS w, 8 * hb AS h,
+             1 AS channels, i,
+             (doc_id * 7
+              + (((i // (8 * wb)) // 8) * wb + ((i % (8 * wb)) // 8)) * 13
+             ) % 256 AS val
+      FROM d, unnest(generate_series(0, 64 * wb * hb - 1)) AS t(i)
+      WHERE doc_id % 4 = 0
+    ),
+    deep AS (
+      SELECT doc_id, 'png' AS format, w, h, 3 AS channels, i,
+             (doc_id * 7 + i * 13) % 256 AS val
+      FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+      WHERE doc_id % 4 = 1
+    ),
+    adam AS (
+      SELECT doc_id, 'png' AS format, w, h, 3 AS channels, i,
+             (doc_id * 11 + i * 5) % 256 AS val
+      FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+      WHERE doc_id % 4 = 2
+    ),
+    pal AS (
+      SELECT doc_id, 'png' AS format, w, h, 3 AS channels, 3 * j + c AS i,
+             (((doc_id * 3 + j) % 16) * 17 + c * 7) % 256 AS val
+      FROM d,
+           unnest(generate_series(0, w * h - 1)) AS t(j),
+           unnest(generate_series(0, 2)) AS u(c)
+      WHERE doc_id % 4 = 3
+    ),
+    v AS (
+      SELECT * FROM prog UNION ALL SELECT * FROM deep
+      UNION ALL SELECT * FROM adam UNION ALL SELECT * FROM pal
+    )
+    SELECT doc_id, format, w AS width, h AS height, CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 'What's missing #3' codings, closed and under the hash
+    gate: doc_id % 4 routes each doc to (0) a PROGRESSIVE JPEG — real
+    SOF2 scan scripts with spectral selection, successive approximation
+    (per-doc-varied Al levels), EOB runs and restart markers, built from
+    per-8x8-block-constant grayscale so quant=1 decode is BIT-exact;
+    (1) a 16-bit PNG whose samples are the 8-bit values expanded v*257
+    (the decoder's round(v*255/65535) scaling inverts it exactly);
+    (2) an Adam7-interlaced RGB PNG (7 independently filtered
+    sub-images, de-interlace scatter); (3) a 4-bit-palette Adam7 PNG
+    (packed sub-byte samples + PLTE expansion). Pixel values are pure
+    arithmetic in doc_id, so the DuckDB oracle recomputes all four
+    stats without understanding any container: a scan-script,
+    correction-bit, bit-unpack, or de-interlace bug breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 2, d % 4 + 2
+                if d % 4 == 0:
+                    wb, hb = d % 4 + 1, d % 3 + 1
+                    wpx, hpx = 8 * wb, 8 * hb
+                    px = bytes(
+                        (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
+                        for y in range(hpx)
+                        for x in range(wpx)
+                    )
+                    payloads.append(
+                        multimodal.encode_jpeg_progressive(
+                            px, wpx, hpx, channels=1,
+                            restart_interval=2 if d % 2 else 0,
+                            dc_al=d % 2 + 1, ac_al=(d // 2) % 2 + 1,
+                        )
+                    )
+                elif d % 4 == 1:
+                    px16 = b"".join(
+                        (((d * 7 + i * 13) % 256) * 257).to_bytes(2, "big")
+                        for i in range(w * h * 3)
+                    )
+                    payloads.append(
+                        multimodal.encode_png(px16, w, h, color_type=2, bit_depth=16)
+                    )
+                elif d % 4 == 2:
+                    px = bytes((d * 11 + i * 5) % 256 for i in range(w * h * 3))
+                    payloads.append(
+                        multimodal.encode_png(px, w, h, color_type=2, interlace=1)
+                    )
+                else:
+                    idx = bytes((d * 3 + j) % 16 for j in range(w * h))
+                    plte = bytes(
+                        (p * 17 + c * 7) % 256 for p in range(16) for c in range(3)
+                    )
+                    payloads.append(
+                        multimodal.encode_png(
+                            idx, w, h, color_type=3, bit_depth=4, plte=plte,
+                            interlace=1,
+                        )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -1902,3 +2040,121 @@ def mix_weights_equal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(
         t, token_col="n_tok", group_col="lang", target_per_group=50_000
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index retrieval (operators.search)
+# ---------------------------------------------------------------------------
+
+#: (query_id, term) bags shared by the Spark plans and the SQL oracles
+_SEARCH_QUERIES = [
+    (1, "hash"), (1, "join"), (1, "merge"),
+    (2, "window"), (2, "filter"), (2, "scan"),
+    (3, "spark"), (3, "stream"), (3, "batch"),
+    (4, "sort"), (4, "order"), (4, "key"),
+]
+
+_SEARCH_Q_SQL = "q(query_id, term) AS (VALUES " + ", ".join(
+    f"({qid}, '{t}')" for qid, t in _SEARCH_QUERIES
+) + ")"
+
+
+def _search_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_SEARCH_QUERIES, "query_id int, term string")
+
+
+@query(
+    "search_tf_topk",
+    oracle=f"""
+    WITH {_SEARCH_Q_SQL},
+    tok AS (
+      SELECT doc_id, t.term
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    s AS (
+      SELECT q.query_id, tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS score
+      FROM q JOIN tf USING (term) GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rnk FROM s
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rank
+    """,
+)
+def search_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index retrieval, exact-integer scoring: top-10 documents
+    per query by summed matched-term frequency
+    (operators.search.search_tf_topk). The plan is the 100 TB shape:
+    broadcast the tiny query-term set against the token stream BEFORE
+    the (doc_id, term) partial-agg shuffle, then two-phase top-k
+    (cap_per_group) so one hot query never funnels the scored frame
+    through a single window task."""
+    from gomrjob_spark.operators.search import search_tf_topk as _tf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _tf_topk(docs, _search_queries_df(spark), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH {_SEARCH_Q_SQL},
+    stats0 AS (
+      SELECT count(*) AS n_docs,
+             sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_tokens
+      FROM documents
+    ),
+    stats AS (
+      SELECT n_docs, (100 * total_tokens) // n_docs AS avgdl_x100 FROM stats0
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+             t.term
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM tok GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    s AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(sum(
+               length(bin(n_docs // df)) *
+               ((22000 * tf) //
+                (10 * tf + (12 * (25 + (7500 * dl) // avgdl_x100)) // 10))
+             ) AS BIGINT) AS score
+      FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rnk FROM s
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rank
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval under the hash gate — fixed-point integer BM25
+    (k1=1.2, b=0.75; idf as bit-length of N/df, x100 length norm, x1000
+    contributions; every division an integer DIV both engines floor
+    identically), so the classically-float scoring function becomes
+    bit-reproducible cross-engine (operators.search.search_bm25_topk).
+    Same pruned-posting plan shape as search_tf_topk, plus broadcast
+    one-row corpus stats and broadcast per-term document frequencies."""
+    from gomrjob_spark.operators.search import search_bm25_topk as _bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _bm25_topk(docs, _search_queries_df(spark), k=10).orderBy(
+        "query_id", "rank"
+    )

@@ -103,6 +103,39 @@ def test_knn_ivf_recall(emb):
     assert f == e, "probing all cells must equal brute force"
 
 
+def test_knn_ivf_kmeans_recall_and_deterministic_quantizer(emb):
+    """The Lloyd-trained quantizer (a) keeps recall at least at the
+    sampled-seed level at the same probe count, (b) stays exact at full
+    probe, and (c) is bit-identical under a different input
+    partitioning (the fixed-point accumulator + deterministic tie-break
+    make training order-free)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(queries, emb, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    seeded = similarity.knn_ivf(queries, emb, k=5, n_centroids=16, n_probe=8)
+    s = {(r.query_id, r.neighbor_id) for r in seeded.collect()}
+    trained = similarity.knn_ivf(
+        queries, emb, k=5, n_centroids=16, n_probe=8, kmeans_iters=2
+    )
+    t = {(r.query_id, r.neighbor_id) for r in trained.collect()}
+    assert len(e & t) / len(e) >= len(e & s) / len(e), (
+        "k-means quantizer must not lose recall vs sampled seeds"
+    )
+
+    full = similarity.knn_ivf(
+        queries, emb, k=5, n_centroids=16, n_probe=16, kmeans_iters=2
+    )
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert f == e, "probing all trained cells must equal brute force"
+
+    c1 = similarity.ivf_centroids_kmeans(emb, n_centroids=8, n_iters=2)
+    c2 = similarity.ivf_centroids_kmeans(emb.repartition(7), n_centroids=8, n_iters=2)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect())), (
+        "trained centroids must be partition-invariant"
+    )
+
+
 def test_knn_bruteforce_self_excluded(emb):
     out = similarity.knn_bruteforce(emb.filter(F.col("vec_id") < 3), emb, k=5)
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
@@ -1337,15 +1370,26 @@ def test_jpeg_420_subsampling_decodes_through_upsample_path():
     assert int(np.abs(dec.astype(int) - grad.astype(int)).max()) <= 6
 
 
-def test_jpeg_progressive_raises_not_implemented():
+def test_jpeg_arithmetic_raises_progressive_decodes():
+    """Progressive (SOF2) decodes for real as of r5 (see
+    tests/test_codec_properties.py for the full baseline-parity gate);
+    arithmetic coding (SOF9) remains the one documented raise."""
     import pytest as _pytest
 
-    from gomrjob_spark.operators.multimodal import decode_image, encode_jpeg_baseline
+    from gomrjob_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    px = bytes(range(64))
+    got = decode_image(encode_jpeg_progressive(px, 8, 8, channels=1))
+    assert got["pixels"] == decode_image(encode_jpeg_baseline(px, 8, 8, channels=1))["pixels"]
 
     payload = bytearray(encode_jpeg_baseline(bytes(64), 8, 8, channels=1))
-    i = payload.index(b"\xff\xc0")  # rewrite SOF0 -> SOF2
-    payload[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    i = payload.index(b"\xff\xc0")  # rewrite SOF0 -> SOF9 (arith. sequential)
+    payload[i + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
         decode_image(bytes(payload))
 
 
@@ -1369,3 +1413,47 @@ def test_auto_lsh_params_scale_with_corpus():
     # low thresholds (weak per-plane collision prob) still satisfiable
     k, tables = auto_lsh_params(10_000_000, threshold=0.4, target_recall=0.9)
     assert k * tables <= 63
+
+
+def test_search_bm25_semantics_and_shared_term_df(spark):
+    """Hand-checkable fixed-point BM25 on a 4-doc corpus; 'join' appears
+    in BOTH queries, pinning that document frequency counts each (doc,
+    term) once regardless of how many queries share the term (the
+    naive post-query-join df would double)."""
+    from gomrjob_spark.operators.search import search_bm25_topk, search_tf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join join join scan"),
+            (1, "join scan scan scan"),
+            (2, "merge merge merge merge"),
+            (3, "sort sort sort sort"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "join"), (1, "merge"), (2, "join")], "query_id int, term string"
+    )
+    tf = {(r.query_id, r.doc_id): (r.score, r.rank)
+          for r in search_tf_topk(docs, queries, k=10).collect()}
+    # q1: doc0 3x join, doc2 4x merge, doc1 1x join; rank by score desc
+    assert tf[(1, 2)] == (4, 1) and tf[(1, 0)] == (3, 2) and tf[(1, 1)] == (1, 3)
+    assert tf[(2, 0)] == (3, 1) and tf[(2, 1)] == (1, 2)
+
+    got = {(r.query_id, r.doc_id): r.score
+           for r in search_bm25_topk(docs, queries, k=10).collect()}
+
+    # mirror the documented fixed-point formula exactly
+    n_docs, total = 4, 16
+    avgdl_x100 = 100 * total // n_docs  # 400
+
+    def contrib(tf_, dl, df):
+        idf_bits = len(bin(n_docs // df)[2:])
+        norm = 25 + (7500 * dl) // avgdl_x100
+        return idf_bits * ((22000 * tf_) // (10 * tf_ + (12 * norm) // 10))
+
+    # df('join') must be 2 (docs 0 and 1) for BOTH queries
+    assert got[(1, 0)] == contrib(3, 4, 2)
+    assert got[(2, 0)] == contrib(3, 4, 2)
+    assert got[(2, 1)] == contrib(1, 4, 2)
+    assert got[(1, 2)] == contrib(4, 4, 1)

@@ -142,6 +142,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "knn_bruteforce",           # |Q|=10 broadcast x corpus, by design
         "knn_ivf",                  # 16-row centroid quantizer broadcast
         "funnel_conversion",        # three 1-row stage-count broadcasts
+        "search_bm25_topk",         # 1-row corpus-stats (N, avgdl) broadcast
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
@@ -163,6 +164,27 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"data-sized join products found: {offenders}"
+
+
+def test_search_queries_broadcast_terms_two_phase_topk(spark, sf_dir):
+    """Inverted-index retrieval at scale: the query-term set joins the
+    token stream as a BROADCAST hash join (pruning before the posting
+    agg shuffle), and the final ranking is cap_per_group's two-phase
+    shape — a (query_id, partition-id) local window before the global
+    per-query window, so a hot query never routes the whole scored
+    frame through one task."""
+    import re
+
+    for name in ("search_tf_topk", "search_bm25_topk"):
+        plan = _plan(plans.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # phase-1 local rank spec carries _pid next to query_id
+        assert re.search(r"windowspecdefinition\(query_id#\d+, _pid#\d+", plan), name
+        # the token stream must never sort-merge against the tiny
+        # query set: every SortMergeJoin key should be doc_id-shaped
+        for frag in plan.split("SortMergeJoin")[1:]:
+            assert "term" not in frag[:80], (name, frag[:120])
 
 
 def test_chunk_and_split_operators_shuffle_free(spark, sf_dir):
