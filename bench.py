@@ -67,6 +67,7 @@ HEADLINE = [
     "streaming_tumbling_agg",
     "streaming_interval_join",
     "streaming_near_dup_probe",
+    "streaming_search_score",
 ]
 
 

@@ -48,6 +48,9 @@ _VERIFY_FIRST = [
     # fixed-point BM25 top-k (idf via bit-length, integer DIV parity)
     "search_tf_topk",
     "search_bm25_topk",
+    # NEW r5: live retrieval tagging — stream docs scored row-locally
+    # against the store-frozen BM25 index model, full topology gated
+    "streaming_search_score",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

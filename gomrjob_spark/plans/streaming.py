@@ -416,3 +416,84 @@ def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = near_dup_probe_stream(stream, store, threshold=0.6)
     return _drain(spark, flagged, "append").orderBy("doc_id", "store_id")
+
+
+def _search_score_sql(split: int) -> str:
+    """DuckDB mirror of streaming.ops.search_score_stream: the index
+    model (N, avgdl_x100, per-term bit-length idf) derives from the
+    store partition (doc_id < split) exactly as the Spark side's
+    bounded driver reads do; arriving docs (doc_id >= split) score with
+    the same all-integer fixed-point BM25."""
+    from gomrjob_spark.plans.llm import _SEARCH_Q_SQL
+
+    return f"""
+    WITH {_SEARCH_Q_SQL},
+    store_stats0 AS (
+      SELECT count(*) AS n_docs,
+             sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_tokens
+      FROM documents WHERE doc_id < {split}
+    ),
+    store_stats AS (
+      SELECT n_docs, (100 * total_tokens) // n_docs AS avgdl_x100 FROM store_stats0
+    ),
+    store_df AS (
+      SELECT t.term, count(DISTINCT doc_id) AS df
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE doc_id < {split} AND t.term IN (SELECT term FROM q)
+      GROUP BY 1
+    ),
+    idf AS (
+      SELECT q.query_id, q.term,
+             length(bin(n_docs // greatest(coalesce(df, 0), 1))) AS idf_bits
+      FROM q LEFT JOIN store_df USING (term), store_stats
+    ),
+    stream_tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+             t.term
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE doc_id >= {split} AND t.term <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM stream_tok GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.query_id, tf.doc_id,
+             CAST(sum(
+               idf_bits *
+               ((22000 * tf) //
+                (10 * tf + (12 * (25 + (7500 * dl) // avgdl_x100)) // 10))
+             ) AS BIGINT) AS score
+      FROM idf i JOIN tf USING (term), store_stats
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(query_id AS INT) AS query_id, score
+    FROM scored WHERE score > 0 ORDER BY doc_id, query_id
+    """
+
+
+@query("streaming_search_score", oracle=_search_score_sql(250))
+def streaming_search_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE retrieval tagging (streaming.ops.search_score_stream):
+    documents 250+ arrive as a stream and are scored against the
+    standing query set with fixed-point BM25, the index model (N,
+    avgdl, per-term idf) frozen from the static store of docs 0-249 at
+    plan build. Every score is a row-local codegen'd expression — the
+    per-term tf is size(filter(tokens, ...)) over the plan-time literal
+    query terms — so the topology is stateless and batching-invariant,
+    and the emitted (doc_id, query_id, score) SET is a pure function of
+    (stream, store): the full live plan sits under the DuckDB hash
+    gate. The streaming twin of the batch search_bm25_topk."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.plans.llm import _SEARCH_QUERIES
+    from gomrjob_spark.streaming import read_documents_stream, search_score_stream
+
+    store = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    flagged = search_score_stream(stream, store, _SEARCH_QUERIES)
+    return _drain(spark, flagged, "append").orderBy("doc_id", "query_id")

@@ -14,6 +14,7 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     read_events_stream,
     run_to_memory,
     run_to_parquet,
+    search_score_stream,
     session_windows,
     sliding_counts,
     stateful_user_counts,

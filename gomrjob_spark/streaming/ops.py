@@ -472,3 +472,76 @@ def near_dup_probe_stream(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def search_score_stream(
+    docs: DataFrame,
+    store_docs: DataFrame,
+    query_terms: list[tuple[int, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Live retrieval scoring: tag each ARRIVING document with the
+    queries it matches, scored by the same fixed-point BM25 as
+    operators.search.search_bm25_topk — but with the index model (N,
+    avgdl, per-term idf) frozen from the STATIC reference corpus and
+    baked into row-local column expressions at plan-construction time.
+
+    That freezing is the point: scoring a stream against corpus-global
+    statistics would otherwise need a streaming aggregation (state,
+    watermarks, and an answer that changes as the stream runs). With the
+    store model fixed, every score is a pure function of the arriving
+    row — stateless, batching-invariant, and oracle-checkable. The
+    driver reads |query terms| df values + one stats row from the store
+    (bounded, same class as the CC convergence read); a production
+    refresh re-derives the model offline and redeploys the query.
+
+    Emits (doc_id, query_id, score > 0) in append mode. The per-term
+    term frequency is ``size(filter(tokens, t -> t = term))`` — the
+    query set is a plan-time literal, so the whole scoring matrix
+    unrolls into codegen'd expressions, no explode, no join, no state.
+    """
+    dl_expr = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    row = (
+        store_docs.select(
+            F.count("*").alias("n"), F.sum(dl_expr).alias("tot")
+        ).collect()
+    )[0]
+    n_docs, avgdl_x100 = int(row["n"]), (100 * int(row["tot"])) // int(row["n"])
+
+    terms = sorted({t for _, t in query_terms})
+    df_rows = (
+        store_docs.select(
+            "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    idf_bits = {t: (n_docs // max(df_map.get(t, 0), 1)).bit_length() for t in terms}
+
+    out = docs.withColumn("_dl", dl_expr).withColumn(
+        "_toks", F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    qids = sorted({qid for qid, _ in query_terms})
+    score_cols = []
+    for qid in qids:
+        parts = []
+        for t in (t for q, t in query_terms if q == qid):
+            tf = f"size(filter(_toks, x -> x = '{t}'))"
+            parts.append(
+                f"({idf_bits[t]} * ((22000 * {tf}) DIV "
+                f"(10 * {tf} + (12 * (25 + (7500 * _dl) DIV {avgdl_x100})) DIV 10)))"
+            )
+        score_cols.append(F.expr(" + ".join(parts)).cast("long").alias(f"_s{qid}"))
+    out = out.select("doc_id", *score_cols)
+    stack = ", ".join(f"{qid}, _s{qid}" for qid in qids)
+    return (
+        out.selectExpr(
+            "doc_id",
+            f"stack({len(qids)}, {stack}) as (query_id, score)",
+        )
+        .select("doc_id", F.col("query_id").cast("int").alias("query_id"), "score")
+        .filter(F.col("score") > 0)
+    )
