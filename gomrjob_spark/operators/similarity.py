@@ -417,3 +417,158 @@ def centroid_sums(
             ),
         )
     )
+
+
+# ------------------------------------------------ product quantization
+# The vector-COMPRESSION story for 100 TB embedding stores (Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+# split each vector into m subvectors, k-means each subspace into 2^b
+# cells, store only the m cell ids. At m=8 / 16 cells a 64-dim float
+# vector becomes 8 small ints — the difference between an embedding
+# table that fits executor memory and one that doesn't. Search uses
+# asymmetric distance (ADC): per query, precompute the 16 x m table of
+# query-subvector -> centroid distances ONCE, then each candidate costs
+# m table lookups instead of dim multiplies.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on L2-NORMALIZED vectors:
+    ``codebook[sub][cell]`` is a dim/m-length centroid. Reuses the
+    deterministic Lloyd trainer (:func:`ivf_centroids_kmeans` — hash-
+    ordered seeds, fixed-point means), once per subspace over the
+    sliced frame, so the codebook is bit-identical under any
+    partitioning. The result is a MODEL (m x cells x dim/m floats) —
+    small enough to live as plan literals."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
+    normalized = corpus.select(F.col(id_col), unit.alias(vec_col))
+    book = []
+    for sub in range(m):
+        sliced = normalized.select(
+            F.col(id_col), F.slice(F.col(vec_col), sub * sub_dim + 1, sub_dim).alias(vec_col)
+        )
+        cents = ivf_centroids_kmeans(sliced, n_centroids, n_iters, id_col, vec_col)
+        rows = {r["cell"]: list(r["centroid"]) for r in cents.collect()}
+        book.append([rows[c] for c in sorted(rows)])
+    return book
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the nearest codebook cell
+    of the L2-normalized subvector (ties to the lowest cell id via
+    array_position-of-min — deterministic). The codebook enters as plan
+    literals, so encoding is one shuffle-free codegen'd scan; at 100 TB
+    this runs once and the codes table (m small ints per vector)
+    replaces the float embeddings for all downstream search."""
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
+    out = corpus.select(F.col(id_col), unit.alias("_u"))
+    codes = []
+    for sub in range(m):
+        sv = F.slice(F.col("_u"), sub * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[_sq_dist(sv, F.array(*[F.lit(v) for v in cent])) for cent in codebook[sub]]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return out.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def knn_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k with asymmetric distance + exact rerank.
+
+    Per broadcast query row, the 16 x m ADC table (squared distance of
+    each query subvector to each centroid) is computed ONCE as an
+    array-of-arrays column; each candidate then costs
+    ``aggregate(zip_with(codes, qtab, (c, tab) -> tab[c + 1]))`` — m
+    integer lookups and adds, all inside codegen, no Python. The ADC
+    ``shortlist`` per query reranks with exact cosine (standard
+    compressed-then-exact pipeline), so recall is governed by the
+    shortlist depth, not the 8-byte code fidelity. Shuffle profile:
+    encode scan + broadcast-queries scan + two-phase top-k windows."""
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(
+                        F.slice(F.col("_qu"), sub * sub_dim + 1, sub_dim),
+                        F.array(*[F.lit(v) for v in cent]),
+                    )
+                    for cent in codebook[sub]
+                ]
+            )
+            for sub in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), unit.alias("_qu")
+    ).withColumn("_qtab", qtab).drop("_qu")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_qtab"),
+            lambda c, tab: F.element_at(tab, (c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        F.broadcast(q.select("query_id", "_qtab"))
+        .join(codes)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc.alias("_adc"))
+    )
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    short = cap_per_group(
+        cand, "query_id", shortlist, "_adc", id_col="neighbor_id", descending=False
+    ).drop("rank", "_adc")
+    rer = (
+        short.join(F.broadcast(q.select("query_id", "_qv")), "query_id")
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

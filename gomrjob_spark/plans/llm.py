@@ -680,6 +680,23 @@ def knn_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("knn_pq")  # approximate: rows-only gate, recall-tested in pytest
+def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-5 (similarity.pq_train/pq_encode/knn_pq):
+    8 subspaces x 16 Lloyd-trained cells compress each 64-dim embedding
+    to 8 small ints (32x), ADC scores candidates with m table lookups
+    per pair via zip_with over the per-query distance-table column, and
+    an exact-cosine rerank of the ADC shortlist restores recall — the
+    compressed-then-exact pipeline a 100 TB embedding store actually
+    runs. Codebook trained deterministically at plan build (bounded
+    model-sized driver reads); recall vs brute force gated in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = similarity.pq_train(emb, m=8, n_centroids=16, n_iters=2)
+    return similarity.knn_pq(
+        emb.filter(F.col("vec_id") < 10), emb, book, k=5, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1457,3 +1457,31 @@ def test_search_bm25_semantics_and_shared_term_df(spark):
     assert got[(2, 0)] == contrib(3, 4, 2)
     assert got[(2, 1)] == contrib(1, 4, 2)
     assert got[(1, 2)] == contrib(4, 4, 1)
+
+
+def test_knn_pq_compression_recall_and_determinism(emb):
+    """PQ pipeline gates: (a) codes really are the compressed form — m
+    ints in [0, 16); (b) ADC shortlist + exact rerank recovers recall@5
+    >= 0.6 vs brute force on the near-orthogonal fixture (the hard
+    case); (c) codebook training and encoding are partition-invariant."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    book = similarity.pq_train(emb, m=8, n_centroids=16, n_iters=2)
+    assert len(book) == 8 and all(len(sub) == 16 for sub in book)
+
+    codes = similarity.pq_encode(emb, book)
+    crows = codes.limit(50).collect()
+    assert all(len(r.codes) == 8 for r in crows)
+    assert all(0 <= c < 16 for r in crows for c in r.codes)
+
+    exact = similarity.knn_bruteforce(queries, emb, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = similarity.knn_pq(queries, emb, book, k=5, shortlist=50)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"PQ recall too low: {recall:.2f}"
+
+    book2 = similarity.pq_train(emb.repartition(7), m=8, n_centroids=16, n_iters=2)
+    assert book == book2, "PQ codebook must be partition-invariant"
+    c2 = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb.repartition(5), book).collect()}
+    c1 = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert c1 == c2, "PQ codes must be partition-invariant"

@@ -141,6 +141,8 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
         "knn_bruteforce",           # |Q|=10 broadcast x corpus, by design
         "knn_ivf",                  # 16-row centroid quantizer broadcast
+        "knn_ivf_kmeans",           # same quantizer broadcast, trained
+        "knn_pq",                   # |Q|=10 ADC-table broadcast x codes scan
         "funnel_conversion",        # three 1-row stage-count broadcasts
         "search_bm25_topk",         # 1-row corpus-stats (N, avgdl) broadcast
     }
