@@ -57,6 +57,7 @@ HEADLINE = [
     "decontaminate_ngrams",
     "text_repetition_stats",
     "text_pii_scrub",
+    "text_bigram_novelty",
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
     "multimodal_pixel_stats",

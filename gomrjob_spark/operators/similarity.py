@@ -321,6 +321,7 @@ def knn_axis_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k with axis-sign LSH buckets (the oracle-gated
     variant of :func:`knn_lsh` — see dedup.axis_sign_buckets: sign tests
@@ -329,12 +330,27 @@ def knn_axis_lsh(
     Plan: bucket both sides (ids + bucket keys only), equi-join on
     (table, bucket), dedup candidate pairs BEFORE fetching vectors, then
     exact cosine + per-query top-k window. Shuffle volume is
-    O(n_tables * (|Q| + |C|) + |candidates|)."""
+    O(n_tables * (|Q| + |C|) + |candidates|).
+
+    ``multiprobe=True`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's bucket (flip each of the
+    n_planes sign bits) — classic multi-probe LSH (Lv et al., VLDB'07):
+    near-misses where ONE coordinate sign test disagreed are recovered
+    without more tables. Cost: the QUERY side grows by x(n_planes+1) —
+    the corpus side (the data-sized one at 100 TB) is unchanged, which
+    is the whole point of multi-probe over adding tables."""
     from gomrjob_spark.operators.dedup import axis_sign_buckets
 
     qb = axis_sign_buckets(queries, n_planes, n_tables, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), "table_id", "bucket"
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.expr(f"bucket ^ {1 << j}") for j in range(n_planes)]
+        )
+        qb = qb.select(
+            "query_id", "table_id", F.explode(probes).alias("bucket")
+        )
     cb = axis_sign_buckets(corpus, n_planes, n_tables, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), "table_id", "bucket"
     )

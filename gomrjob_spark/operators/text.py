@@ -439,3 +439,70 @@ def scrub_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, PII_IPV4, "<IP>")
     c = F.regexp_replace(c, PII_DIGIT_RUN, "<NUM>")
     return c
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """Distinct word bigrams of the normalized text ("a b" strings);
+    empty array for docs under two words. Row-local (transform over
+    sequence) — no explode until the caller needs one."""
+    w = tokens(normalized(col))
+    return F.array_distinct(
+        F.transform(
+            F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        )
+    )
+
+
+def bigram_novelty(
+    candidates: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-candidate novelty vs a reference corpus: the fraction of the
+    doc's DISTINCT word bigrams never seen in the reference — the
+    diversity/quality dial of corpus curation (low novelty = boilerplate
+    restating the existing corpus; suspiciously high novelty on natural
+    text = garbled content). Returns (id, n_bigrams, n_novel, novelty)
+    for docs with at least one bigram; novelty is ONE IEEE division
+    over exact bigint counts, so it hash-matches cross-engine.
+
+    Plan: both sides explode to distinct (doc, bigram) / (bigram)
+    streams and meet in a bigram-keyed LEFT SEMI equi-join — the
+    reference side is DATA-sized (unlike decontamination's broadcast
+    benchmark set), so this is the big-big join class: one shuffle per
+    side on the join key, counts aggregate map-side. n_novel =
+    n_bigrams - n_seen, so only the SEEN pairs (bounded by the
+    reference vocabulary) survive the join."""
+    cand = candidates.select(
+        F.col(id_col), word_bigrams(text_col).alias("_bg")
+    ).withColumn("n_bigrams", F.size("_bg")).filter(F.col("n_bigrams") >= 1)
+    cand_pairs = cand.select(id_col, "n_bigrams", F.explode("_bg").alias("bigram"))
+    ref = (
+        reference.select(F.explode(word_bigrams(text_col)).alias("bigram")).distinct()
+    )
+    seen = (
+        cand_pairs.join(ref, "bigram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_seen"))
+    )
+    return (
+        cand.select(id_col, "n_bigrams")
+        .join(seen, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams").cast("int").alias("n_bigrams"),
+            (F.col("n_bigrams") - F.coalesce(F.col("n_seen"), F.lit(0)))
+            .cast("int")
+            .alias("n_novel"),
+            (
+                (F.col("n_bigrams") - F.coalesce(F.col("n_seen"), F.lit(0))).cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -51,6 +51,9 @@ _VERIFY_FIRST = [
     # NEW r5: live retrieval tagging — stream docs scored row-locally
     # against the store-frozen BM25 index model, full topology gated
     "streaming_search_score",
+    # NEW r5: corpus-novelty scoring — big-big bigram-keyed semi-join
+    # vs a data-sized reference (exact counts + one IEEE division)
+    "text_bigram_novelty",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

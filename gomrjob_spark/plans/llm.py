@@ -2175,3 +2175,48 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk(docs, _search_queries_df(spark), k=10).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "text_bigram_novelty",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+    ),
+    cbg AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+      FROM norm, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE doc_id >= 250
+    ),
+    rbg AS (
+      SELECT DISTINCT w[i] || ' ' || w[i+1] AS bigram
+      FROM norm, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE doc_id < 250
+    ),
+    n AS (SELECT doc_id, count(*) AS n_bigrams FROM cbg GROUP BY 1),
+    s AS (
+      SELECT c.doc_id, count(*) AS n_seen
+      FROM cbg c JOIN rbg USING (bigram) GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST(n_bigrams AS INT) AS n_bigrams,
+           CAST(n_bigrams - coalesce(n_seen, 0) AS INT) AS n_novel,
+           CAST(n_bigrams - coalesce(n_seen, 0) AS DOUBLE)
+             / CAST(n_bigrams AS DOUBLE) AS novelty
+    FROM n LEFT JOIN s USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty scoring (operators.text.bigram_novelty): for each
+    candidate doc (250+), the fraction of its distinct word bigrams
+    never seen in the reference corpus (docs 0-249) — the diversity /
+    boilerplate dial of curation. Unlike decontamination's broadcast
+    benchmark set, the reference side is DATA-sized: this is the
+    engine's big-big bigram-keyed semi-join class (one shuffle per side
+    on the join key, counts map-side partial). Exact bigint counts +
+    one IEEE division keep the ratio under the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_novelty(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    ).orderBy("doc_id")

@@ -14,6 +14,7 @@ tests/test_sources.py::test_partitioned_write_prunes_scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
 
 from gomrjob_spark.sources.paths import resolve_path
 
@@ -185,3 +186,93 @@ def compact_small_files(
     fs.move(tmp, rp)
     fs.rmr(old)
     return {"before": before, "after": dataset_stats(spark, rp, fmt)}
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    fmt: str = "parquet",
+    partition_col: str | None = None,
+    delete_col: str | None = None,
+) -> dict:
+    """Keyed MERGE for a plain-files dataset — the copy-on-write
+    equivalent of ``MERGE INTO`` without a table format: rows whose key
+    matches an update are replaced, unmatched update rows are inserted,
+    and (with ``delete_col``) updates flagged true delete their key
+    instead. ``updates`` must be key-unique.
+
+    Merge plan: ``target LEFT ANTI JOIN touched-keys`` then union the
+    upsert rows — the target flows through one anti-join probe
+    (broadcast when the touched-key set is small, Catalyst/AQE decides)
+    and is otherwise rewritten as-is; the rewrite IS the cost, exactly
+    as in any copy-on-write format.
+
+    Scale: with ``partition_col`` (a dataset laid out by
+    ``write_partitioned``), only the partition directories that contain
+    updated keys are read, merged, and swapped — the bounded driver
+    read is the list of touched partition VALUES, and an untouched
+    partition's files are never opened. That per-partition scoping is
+    what makes keyed merge viable at 100 TB; without it the whole
+    dataset rewrites. Each partition (or the whole dataset) swaps with
+    the same crash-safe aside-rename sequence as
+    :func:`compact_small_files` — a crash leaves the data recoverable
+    at ``._merge_old``, never missing. Not safe against concurrent
+    writers; under a transactional format use its native MERGE.
+
+    Returns ``{"partitions_rewritten": n, "rows_upserted": u,
+    "rows_deleted": d}``."""
+    from gomrjob_spark.sources.fs import FsOps
+
+    fs = FsOps(spark)
+    rp = resolve_path(path).rstrip("/")
+    if delete_col:
+        deletes = updates.filter(F.col(delete_col))
+        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+        touched = updates.select(*key_cols).distinct()
+        n_deleted = deletes.count()
+    else:
+        upserts = updates
+        touched = updates.select(*key_cols).distinct()
+        n_deleted = 0
+    n_upserted = upserts.count()
+
+    def swap_in(current: DataFrame, ups: DataFrame, target: str) -> None:
+        merged = current.join(touched, key_cols, "left_anti").unionByName(ups)
+        tmp, old = target + "._merge_tmp", target + "._merge_old"
+        if fs.exists(old):
+            raise RuntimeError(
+                f"{old} already exists — a previous merge crashed mid-swap; "
+                "recover or remove it before merging again"
+            )
+        merged.write.mode("overwrite").format(fmt).save(tmp)
+        fs.move(target, old)
+        fs.move(tmp, target)
+        fs.rmr(old)
+
+    if partition_col is None:
+        swap_in(spark.read.format(fmt).load(rp), upserts, rp)
+        return {
+            "partitions_rewritten": 1,
+            "rows_upserted": n_upserted,
+            "rows_deleted": n_deleted,
+        }
+
+    # partition-scoped: only directories holding touched keys rewrite
+    values = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    for v in sorted(values):
+        pdir = f"{rp}/{partition_col}={v}"
+        ups_v = upserts.filter(F.col(partition_col) == v).drop(partition_col)
+        if fs.exists(pdir):
+            cur = spark.read.format(fmt).load(pdir)
+            swap_in(cur, ups_v, pdir)
+        else:  # brand-new partition: plain insert
+            ups_v.write.mode("overwrite").format(fmt).save(pdir)
+    return {
+        "partitions_rewritten": len(values),
+        "rows_upserted": n_upserted,
+        "rows_deleted": n_deleted,
+    }

@@ -1485,3 +1485,25 @@ def test_knn_pq_compression_recall_and_determinism(emb):
     c2 = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb.repartition(5), book).collect()}
     c1 = {r.vec_id: list(r.codes) for r in codes.collect()}
     assert c1 == c2, "PQ codes must be partition-invariant"
+
+
+def test_knn_axis_lsh_multiprobe_dominates_single_probe(emb):
+    """Multi-probe (all Hamming-1 query buckets) must recover a
+    SUPERSET of single-probe's candidate pairs at the same table count
+    — and with HALF the tables must still beat single-probe-at-half
+    recall, which is the use case: query-side probes instead of
+    corpus-side tables."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(queries, emb, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(n_tables, mp):
+        out = similarity.knn_axis_lsh(
+            queries, emb, k=5, n_planes=3, n_tables=n_tables, multiprobe=mp
+        )
+        return len(e & {(r.query_id, r.neighbor_id) for r in out.collect()}) / len(e)
+
+    half_single = recall(8, False)
+    half_multi = recall(8, True)
+    assert half_multi >= half_single, (half_multi, half_single)
+    assert half_multi >= 0.9, f"multiprobe recall too low: {half_multi:.2f}"

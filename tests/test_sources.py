@@ -337,3 +337,118 @@ def test_compact_small_files_crash_mid_swap_never_loses_data(spark, tmp_path, mo
     spark.range(1).write.parquet(path + "._compact_old")
     with pytest.raises(RuntimeError, match="crashed mid-swap"):
         compact_small_files(spark, path, target_file_bytes=1 << 30)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE semantics on a plain-files dataset: matched keys replaced,
+    unmatched inserted, delete-flagged keys removed, everything else
+    untouched — and updates must be able to carry the same schema."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources.tables import merge_upsert
+
+    path = str(tmp_path / "ds")
+    spark.range(10).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(3, 999, False), (11, 111, False), (5, 0, True)],
+        "id long, v long, is_delete boolean",
+    )
+    out = merge_upsert(spark, path, updates, ["id"], delete_col="is_delete")
+    assert out == {"partitions_rewritten": 1, "rows_upserted": 2, "rows_deleted": 1}
+
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    want = {i: i * 10 for i in range(10)}
+    want[3] = 999       # replaced
+    want[11] = 111      # inserted
+    del want[5]         # deleted
+    assert got == want
+
+
+def test_merge_upsert_partition_scoped_rewrites_only_touched(spark, tmp_path):
+    """With partition_col, only directories holding updated keys are
+    rewritten: the untouched partition's files must be byte-identical
+    (same names, same mtimes) after the merge, and a brand-new
+    partition value becomes a plain insert."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources.tables import merge_upsert, write_partitioned
+
+    path = str(tmp_path / "pds")
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("src"), (F.col("id") * 10).alias("v")
+    )
+    write_partitioned(df, path, ["src"])
+
+    def listing(sub):
+        d = f"{path}/src={sub}"
+        return {f: os.path.getmtime(f"{d}/{f}") for f in os.listdir(d) if not f.startswith((".", "_"))}
+
+    before_untouched = listing("1")
+    updates = spark.createDataFrame(
+        [(2, "0", 999), (100, "7", 700)], "id long, src string, v long"
+    )
+    out = merge_upsert(spark, path, updates, ["id"], partition_col="src")
+    assert out["partitions_rewritten"] == 2 and out["rows_upserted"] == 2
+
+    assert listing("1") == before_untouched, "untouched partition was rewritten"
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got[2] == 999 and got[100] == 700 and got[3] == 30
+    assert len(got) == 21
+
+
+def test_merge_upsert_crash_mid_swap_never_loses_data(spark, tmp_path, monkeypatch):
+    """Same crash-safety posture as compact_small_files: interrupt the
+    aside-rename sequence at every boundary; a full copy of the data
+    must survive at the canonical path or at ._merge_old."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources import fs as fsmod
+    from gomrjob_spark.sources.tables import merge_upsert
+
+    def rows_at(p):
+        try:
+            return sorted(r.id for r in spark.read.parquet(p).collect())
+        except Exception:
+            return None
+
+    for fail_at in (1, 2, 3):
+        path = str(tmp_path / f"mds_{fail_at}")
+        spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")).write.parquet(path)
+        want = sorted(r.id for r in spark.read.parquet(path).collect())
+        updates = spark.createDataFrame([(1, 42)], "id long, v long")
+
+        calls = {"n": 0}
+        real_move, real_rmr = fsmod.FsOps.move, fsmod.FsOps.rmr
+
+        def crashing_move(self, src, dst, _real=real_move):
+            calls["n"] += 1
+            if calls["n"] == fail_at:
+                raise RuntimeError("simulated crash")
+            return _real(self, src, dst)
+
+        def crashing_rmr(self, p, _real=real_rmr):
+            calls["n"] += 1
+            if calls["n"] == fail_at:
+                raise RuntimeError("simulated crash")
+            return _real(self, p)
+
+        monkeypatch.setattr(fsmod.FsOps, "move", crashing_move)
+        monkeypatch.setattr(fsmod.FsOps, "rmr", crashing_rmr)
+        try:
+            with _pytest.raises(RuntimeError, match="simulated crash"):
+                merge_upsert(spark, path, updates, ["id"])
+        finally:
+            monkeypatch.setattr(fsmod.FsOps, "move", real_move)
+            monkeypatch.setattr(fsmod.FsOps, "rmr", real_rmr)
+
+        live, old = rows_at(path), rows_at(path + "._merge_old")
+        # the pre-merge key set must survive somewhere (the merge only
+        # replaced values for key 1, so the id set is unchanged)
+        assert live == want or old == want, f"fail_at={fail_at}: data lost"
