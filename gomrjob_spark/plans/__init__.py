@@ -54,6 +54,9 @@ _VERIFY_FIRST = [
     # NEW r5: corpus-novelty scoring — big-big bigram-keyed semi-join
     # vs a data-sized reference (exact counts + one IEEE division)
     "text_bigram_novelty",
+    # NEW r5: exact bounded-memory heavy hitters (2-pass Misra-Gries);
+    # oracle is a plain GROUP BY/HAVING — the sketch is execution only
+    "heavy_hitter_tokens",
 ]
 
 # r1/r2-era ordering, kept as the backfill sequence for the rest of the

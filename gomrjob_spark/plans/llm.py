@@ -2220,3 +2220,38 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_novelty(
         docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
     ).orderBy("doc_id")
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.term
+      FROM documents, unnest(string_split({_SQL_NORM}, ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT term AS token, CAST(count(*) AS BIGINT) AS n
+    FROM tok, tot
+    GROUP BY term, tot.n
+    HAVING 200 * count(*) > tot.n
+    ORDER BY token
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bounded-memory heavy hitters (operators.text.heavy_hitters):
+    every token whose occurrence count strictly exceeds 1/200 of all
+    token occurrences, found with the two-pass Misra-Gries scheme —
+    O(k) memory per task regardless of vocabulary size (pass 1:
+    per-partition MG candidate summaries, provably a superset of the
+    global answer; pass 2: exact recount of candidates only). The
+    threshold is the integer test 200*count > total, so the RESULT is
+    exact and the DuckDB oracle is a plain GROUP BY ... HAVING — the
+    sketch is purely an execution strategy. This is 'which
+    tokens/domains dominate the corpus' at a scale where the full
+    vocabulary fits nowhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.spread(docs).select(
+        F.explode(text.tokens(text.normalized("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return text.heavy_hitters(toks, "token", k=200).orderBy("token")

@@ -171,3 +171,29 @@ def test_pcm_decode_roundtrip_property(samples, junk_first):
         + b"data" + struct.pack("<I", len(data)) + data
     )
     assert decode_audio_samples(payload)["samples"] == samples
+
+
+def test_heavy_hitters_exact_under_spill_pressure(spark):
+    """Two-pass Misra-Gries must return EXACTLY the > total/k set even
+    when k is far smaller than the vocabulary (forcing many candidate
+    spills) and regardless of partitioning. Zipf-ish data: value v
+    appears v times."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.text import heavy_hitters
+
+    n = 200  # values 1..200, value v repeated v times; total = 20100
+    df = (
+        spark.range(1, n + 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("id"))).alias("_"), F.col("id").cast("string").alias("v"))
+        .select("v")
+    )
+    total = n * (n + 1) // 2
+    for k in (5, 16, 64):
+        want = {str(v): v for v in range(1, n + 1) if k * v > total}
+        for parts in (3, 17):
+            got = {
+                r["v"]: r["n"]
+                for r in heavy_hitters(df.repartition(parts), "v", k=k).collect()
+            }
+            assert got == want, (k, parts, len(got), len(want))
