@@ -58,6 +58,7 @@ HEADLINE = [
     "text_repetition_stats",
     "text_pii_scrub",
     "text_bigram_novelty",
+    "heavy_hitter_tokens",
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
     "multimodal_pixel_stats",

@@ -143,23 +143,48 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroid cells:
-    (id, vec, cell). The centroid frame is broadcast (a coarse quantizer
-    is a model — O(cells x dim), never data-sized), so assignment is a
-    map-side scan: |df| x n_centroids scored rows, argmin via window."""
-    c = centroids.select(
-        F.col("cell").alias("_cell"), F.col("centroid").alias("_cv")
-    )
-    scored = df.join(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cell"),
-        cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_cell"))
+    (id, vec, cell) — SHUFFLE-FREE. The centroid frame is a model
+    (O(cells x dim)), so it is collected (bounded driver read) and
+    baked into the plan as literals: per row, one array of
+    (-sim, cell) structs, array_sort, slice(n_probe), explode. The
+    r5 rewrite of the original broadcast-join + per-id window argmin,
+    which shuffled |df| x n_centroids scored rows per call — the
+    whole assignment now runs inside the scan (ties still resolve
+    sim desc, cell asc; the centroid norm is precomputed driver-side
+    with the same sequential fold, so scores are bit-identical)."""
+    import math
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    nv = l2_norm(F.col(vec_col))
+    staged = df.select(F.col(id_col), F.col(vec_col), nv.alias("_nv"))
+    entries = []
+    for r in rows:
+        cv = [float(x) for x in r["centroid"]]
+        # plain sequential left fold, NOT math.fsum: it must stay
+        # bit-identical with l2_norm()'s aggregate fold on the JVM
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cn = math.sqrt(acc)
+        entries.append(
+            "named_struct('negsim', "
+            f"-({_dot_sql(vec_col, cv)} / (_nv * CAST({cn!r} AS DOUBLE))), "
+            f"'cell', {int(r['cell'])})"
+        )
+    ranked = F.expr(f"array_sort(array({','.join(entries)}))")
+    if n_probe == 1:
+        # the common (corpus/training) case: straight row-local argmax,
+        # no explode — a Generate fused over this expensive array would
+        # re-evaluate all n_centroids scores per emitted probe
+        return staged.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(ranked, 1)["cell"].alias("cell"),
+        )
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_probe)
-        .select(id_col, vec_col, F.col("_cell").alias("cell"))
+        staged.select(F.col(id_col), F.col(vec_col), F.slice(ranked, 1, n_probe).alias("_probes"))
+        .select(F.col(id_col), F.col(vec_col), F.explode("_probes").alias("_p"))
+        .select(F.col(id_col), F.col(vec_col), F.col("_p.cell").alias("cell"))
     )
 
 
@@ -209,25 +234,33 @@ def ivf_centroids_kmeans(
     exponentially-nested plan. Cells that lose every member keep their
     previous centroid."""
     spark = corpus.sparkSession
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    quant = float(CENTROID_QUANT)
+    cur = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in ivf_centroids(corpus, n_centroids, id_col, vec_col).collect()
+    }
     for _ in range(n_iters):
-        assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
-        sums = centroid_sums(assigned, group_col="cell", vec_col=vec_col)
-        refined = (
-            sums.groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("_pc")
-            )
-            .select(
-                "cell", F.transform("_pc", lambda s: s["centroid"]).alias("centroid")
-            )
+        cents_df = spark.createDataFrame(
+            sorted(cur.items()), "cell int, centroid array<double>"
         )
-        kept = cents.select(
-            "cell", F.col("centroid").cast("array<double>").alias("centroid")
-        ).join(refined.select("cell"), "cell", "left_anti")
-        rows = refined.unionByName(kept).orderBy("cell").collect()
-        cents = spark.createDataFrame(rows, "cell int, centroid array<double>")
-    return cents
+        assigned = ivf_assign(corpus, cents_df, 1, id_col, vec_col)
+        # ONE job per round: the fixed-point component sums; the new
+        # centroids rebuild in plain Python over the model-sized result
+        # (qsum/(n*2^20) is a single IEEE division of exact integers —
+        # bit-identical to computing it JVM-side)
+        acc: dict = {}
+        for r in centroid_sums(assigned, group_col="cell", vec_col=vec_col).collect():
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                int(r["qsum"]), int(r["n"])
+            )
+        nxt = dict(cur)
+        for cell, poses in acc.items():
+            vec = list(cur[cell])
+            for pos, (qs, n) in poses.items():
+                vec[pos] = qs / (n * quant)
+            nxt[cell] = vec
+        cur = nxt
+    return spark.createDataFrame(sorted(cur.items()), "cell int, centroid array<double>")
 
 
 def knn_ivf(
@@ -447,6 +480,22 @@ def centroid_sums(
 # m table lookups instead of dim multiplies.
 
 
+def _unit_rows(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFrame:
+    """(id, out_col = L2-normalized vector). The norm is STAGED into its
+    own column before the per-element division: an l2_norm inside the
+    transform lambda would re-run the whole fold per element (no CSE in
+    higher-order-function lambdas), turning dim work into dim^2 —
+    measured as the dominant cost of the first pq_train/pq_encode."""
+    return df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nv")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("_nv")
+        ).alias(out_col),
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -457,33 +506,110 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks on L2-NORMALIZED vectors:
-    ``codebook[sub][cell]`` is a dim/m-length centroid. Reuses the
-    deterministic Lloyd trainer (:func:`ivf_centroids_kmeans` — hash-
-    ordered seeds, fixed-point means), once per subspace over the
-    sliced frame, so the codebook is bit-identical under any
-    partitioning. The result is a MODEL (m x cells x dim/m floats) —
-    small enough to live as plan literals."""
+    ``codebook[sub][cell]`` is a dim/m-length centroid (a MODEL — m x
+    cells x dim/m floats, small enough to live as plan literals).
+
+    All m subspaces train TOGETHER: the corpus posexplodes once into a
+    (sub, subvector) frame (same total volume as the input), seeds are
+    one hash-ordered window (the first n_centroids ids per sub — the
+    ivf_centroids convention), and each Lloyd round is ONE job — a
+    shuffle-free scan whose per-row CASE picks the row's own subspace
+    codebook (literals) and argmins by squared distance (the metric
+    pq_encode/ADC use), followed by the fixed-point (2^20-quantized
+    bigint) component-mean aggregate of m x cells x dim/m rows. The r5
+    rewrite of per-subspace ivf_centroids_kmeans loops: 8 x 2 window-
+    shuffle rounds became ``1 + n_iters`` jobs, and determinism is
+    unchanged — hash-ordered seeds, first-position tie-breaks,
+    order-free integer sums, so the codebook is bit-identical under
+    any partitioning. Empty cells keep their previous centroid."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
-    normalized = corpus.select(F.col(id_col), unit.alias(vec_col))
-    book = []
-    for sub in range(m):
-        sliced = normalized.select(
-            F.col(id_col), F.slice(F.col(vec_col), sub * sub_dim + 1, sub_dim).alias(vec_col)
+    quant = float(CENTROID_QUANT)
+    subs = F.array(
+        *[F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    frame = _unit_rows(corpus, id_col, vec_col, vec_col).select(
+        F.col(id_col), F.posexplode(subs).alias("sub", "v")
+    )
+    from gomrjob_spark.cache import scoped_persist
+
+    frame = scoped_persist(frame)
+    seeds = (
+        frame.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .withColumn(
+            "_r", F.row_number().over(W.partitionBy("sub").orderBy("_h"))
         )
-        cents = ivf_centroids_kmeans(sliced, n_centroids, n_iters, id_col, vec_col)
-        rows = {r["cell"]: list(r["centroid"]) for r in cents.collect()}
-        book.append([rows[c] for c in sorted(rows)])
-    return book
+        .filter(F.col("_r") <= n_centroids)
+        .select("sub", F.col("_r").alias("cell"), "v")
+    )
+    book = {
+        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["v"]]
+        for r in seeds.collect()
+    }
+    for _ in range(n_iters):
+        # row-local assignment: CASE on sub -> argmin over that sub's
+        # literal centroids by squared distance, ties to lowest cell.
+        # One F.expr for the whole matrix — per-element F.lit would be
+        # thousands of py4j calls (see _sq_dist_sql).
+        branches = []
+        for s in range(m):
+            dists = "array(" + ",".join(
+                _sq_dist_sql("v", book[(s, c)]) for c in range(1, n_centroids + 1)
+            ) + ")"
+            branches.append(
+                f"WHEN sub = {s} THEN "
+                f"CAST(array_position({dists}, array_min({dists})) AS INT)"
+            )
+        code = F.expr("CASE " + " ".join(branches) + " END")
+        sums = (
+            frame.select("sub", code.alias("cell"), F.posexplode("v").alias("pos", "val"))
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * quant).cast("bigint")).alias("qs"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        newbook = dict(book)
+        by_cell: dict = {}
+        for r in sums:
+            by_cell.setdefault((int(r["sub"]), int(r["cell"])), []).append(r)
+        for key, rows in by_cell.items():
+            cent = [0.0] * sub_dim
+            for r in rows:
+                cent[int(r["pos"])] = int(r["qs"]) / (int(r["n"]) * quant)
+            newbook[key] = cent
+        book = newbook
+    return [[book[(s, c)] for c in range(1, n_centroids + 1)] for s in range(m)]
 
 
-def _sq_dist(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _sql_arr(vals: list[float]) -> str:
+    """SQL double-array literal. repr() emits the shortest string that
+    round-trips the exact IEEE bits through Double.parseDouble."""
+    return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def _sq_dist_sql(vec_sql: str, vals: list[float]) -> str:
+    """Squared L2 distance of a vector expression to a literal centroid,
+    as ONE SQL string. Building this with per-element F.lit() costs a
+    py4j round-trip per literal — thousands of driver->JVM calls per
+    plan, which dominated the first pq/ivf implementations' wall clock
+    at small scale. One F.expr parse replaces them all."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_arr(vals)}, "
+        "(x, y) -> power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql(vec_sql: str, vals: list[float]) -> str:
+    """Dot product against a literal vector as one SQL string (same
+    sequential left fold as :func:`dot`)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_arr(vals)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -501,16 +627,15 @@ def pq_encode(
     replaces the float embeddings for all downstream search."""
     m = len(codebook)
     sub_dim = len(codebook[0][0])
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
-    out = corpus.select(F.col(id_col), unit.alias("_u"))
+    out = _unit_rows(corpus, id_col, vec_col, "_u")
     codes = []
     for sub in range(m):
-        sv = F.slice(F.col("_u"), sub * sub_dim + 1, sub_dim)
-        dists = F.array(
-            *[_sq_dist(sv, F.array(*[F.lit(v) for v in cent])) for cent in codebook[sub]]
-        )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return out.select(F.col(id_col), F.array(*codes).alias("codes"))
+        sv = f"slice(_u, {sub * sub_dim + 1}, {sub_dim})"
+        dists = "array(" + ",".join(
+            _sq_dist_sql(sv, cent) for cent in codebook[sub]
+        ) + ")"
+        codes.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
+    return out.selectExpr(id_col, "array(" + ",".join(codes) + ") AS codes")
 
 
 def knn_pq(
@@ -536,24 +661,29 @@ def knn_pq(
     m = len(codebook)
     sub_dim = len(codebook[0][0])
     codes = pq_encode(corpus, codebook, id_col, vec_col)
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(
-                        F.slice(F.col("_qu"), sub * sub_dim + 1, sub_dim),
-                        F.array(*[F.lit(v) for v in cent]),
-                    )
-                    for cent in codebook[sub]
-                ]
-            )
+    qtab = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                _sq_dist_sql(f"slice(_qu, {sub * sub_dim + 1}, {sub_dim})", cent)
+                for cent in codebook[sub]
+            ) + ")"
             for sub in range(m)
-        ]
+        ) + ")"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), unit.alias("_qu")
-    ).withColumn("_qtab", qtab).drop("_qu")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_nv"),
+        )
+        .select(
+            "query_id",
+            "_qv",
+            F.transform(F.col("_qv"), lambda x: x.cast("double") / F.col("_nv")).alias("_qu"),
+        )
+        .withColumn("_qtab", qtab)
+        .drop("_qu")
+    )
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
