@@ -109,14 +109,14 @@ def main() -> None:
             _materialize(plans.QUERIES[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             if r == 0:
-                first_run[name] = round(dt, 3)
+                first_run[name] = round(dt, 2)
             best = min(best, dt)
         # release operator-scoped persists AFTER a query's runs (not
         # between them: the warm second run is the best-of methodology,
         # pinned since r02) so MEMORY_AND_DISK entries never accumulate
         # ACROSS queries — the r03 cross-query cache pressure drift.
         release_scoped()
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
         print(f"# {name}: best {timings[name]:.3f}s first {first_run[name]:.3f}s", file=sys.stderr)
 
     # gzip text-protocol path end-to-end (runner.go:160-163 parity): the
@@ -153,9 +153,9 @@ def main() -> None:
             _materialize(pipe.run(lines))
             dt = time.perf_counter() - t0
             if r == 0:
-                first_run["mr_field_count_gzip"] = round(dt, 3)
+                first_run["mr_field_count_gzip"] = round(dt, 2)
             best = min(best, dt)
-        timings["mr_field_count_gzip"] = round(best, 3)
+        timings["mr_field_count_gzip"] = round(best, 2)
         print(f"# mr_field_count_gzip: {timings['mr_field_count_gzip']:.3f}s", file=sys.stderr)
     finally:
         shutil.rmtree(gz_dir, ignore_errors=True)
@@ -165,7 +165,7 @@ def main() -> None:
     # driver captures only a bounded tail of stdout, and r03's combined
     # line (~2.3 KB with both dicts) outgrew that window and failed to
     # parse. The graded stdout artifact is ONE compact line (best-of
-    # timings only, ≤ ~1.5 KB for the 36-query suite).
+    # timings only, 2-decimal: ~1.35 KB for the 46-query suite).
     print(
         json.dumps({"queries_first_run": first_run, "bench_runs": runs}),
         file=sys.stderr,
