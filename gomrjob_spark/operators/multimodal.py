@@ -245,14 +245,25 @@ def _decode_png(payload: bytes) -> dict:
         rows, _ = _png_unfilter(raw, 0, height, stride, bpp)
         out = _png_rows_to_samples(rows, width, height, stride, nch, bit_depth, scale_sub8)
     else:  # Adam7
-        out = bytearray(width * height * nch)
-        off = 0
+        # validate the expected total raster size UP FRONT (the
+        # non-interlaced path already does) so a truncated IDAT stream
+        # raises the module's ValueError contract instead of
+        # _png_unfilter indexing past the buffer mid-pass (ADVICE r5)
+        passes = []
+        expected = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
             pstride = pass_stride(pw)
+            passes.append((x0, y0, dx, dy, pw, ph, pstride))
+            expected += (pstride + 1) * ph
+        if len(raw) != expected:
+            raise ValueError(f"PNG Adam7 raster size {len(raw)} != {expected}")
+        out = bytearray(width * height * nch)
+        off = 0
+        for x0, y0, dx, dy, pw, ph, pstride in passes:
             rows, off = _png_unfilter(raw, off, ph, pstride, bpp)
             psamp = _png_rows_to_samples(rows, pw, ph, pstride, nch, bit_depth, scale_sub8)
             for py in range(ph):
@@ -262,8 +273,6 @@ def _decode_png(payload: bytes) -> dict:
                     dst = (drow + x0 + px * dx) * nch
                     out[dst : dst + nch] = psamp[src : src + nch]
                     src += nch
-        if off != len(raw):
-            raise ValueError(f"PNG Adam7 raster size {len(raw)} != {off}")
 
     if color_type == 3:  # palette -> RGB
         if not plte:
@@ -540,9 +549,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
-        b = d[self.pos]
+        try:
+            b = d[self.pos]
+            nxt = d[self.pos + 1] if b == 0xFF else 0x00
+        except IndexError:
+            raise ValueError("truncated JPEG entropy stream") from None
         if b == 0xFF:
-            nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
@@ -587,12 +599,17 @@ class _BitReader:
     def sync_restart(self, n: int) -> None:
         """Consume the expected RSTn marker and realign to a byte. A
         1-padded final entropy byte of 0xFF gets a stuffed 0x00 the
-        reader never consumed — skip such pairs before the marker."""
+        reader never consumed — skip such pairs before the marker.
+        Bounds-checked: a payload truncated mid-entropy raises the
+        module's ValueError contract, never a raw IndexError."""
         self.acc = 0
         self.bits = 0
         d = self.data
-        while d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+        end = len(d)
+        while self.pos + 1 < end and d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
             self.pos += 2
+        if self.pos + 1 >= end:
+            raise ValueError("truncated JPEG entropy stream at restart marker")
         if d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + n:
             raise ValueError("missing JPEG restart marker")
         self.pos += 2

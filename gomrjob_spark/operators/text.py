@@ -456,12 +456,14 @@ def bigram_novelty(
     over exact bigint counts, so it hash-matches cross-engine.
 
     Plan: both sides explode to distinct (doc, bigram) / (bigram)
-    streams and meet in a bigram-keyed LEFT SEMI equi-join — the
-    reference side is DATA-sized (unlike decontamination's broadcast
-    benchmark set), so this is the big-big join class: one shuffle per
-    side on the join key, counts aggregate map-side. n_novel =
-    n_bigrams - n_seen, so only the SEEN pairs (bounded by the
-    reference vocabulary) survive the join."""
+    streams; the candidate pairs LEFT OUTER join the distinct reference
+    bigram set (outer, not semi: unseen bigrams must survive the join
+    to be counted into n_bigrams — the output is semi-join-SIZED only
+    in that reference-vocabulary matches alone carry the ``_hit``
+    marker). The reference side is DATA-sized (unlike decontamination's
+    broadcast benchmark set), so this is the big-big join class: one
+    shuffle per side on the join key, counts aggregate map-side.
+    n_novel = n_bigrams - n_seen."""
     # Plan rules that took this from 47 s to ~1 s at sf0.1:
     # 1. stage the token array into a real column before any per-pair
     #    work (no CSE inside higher-order-function lambdas);

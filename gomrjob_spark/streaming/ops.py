@@ -529,7 +529,12 @@ def search_score_stream(
     for qid in qids:
         parts = []
         for t in (t for q, t in query_terms if q == qid):
-            tf = f"size(filter(_toks, x -> x = '{t}'))"
+            # terms are caller data, not trusted SQL — escape before
+            # interpolating into the expression text (a quote or
+            # backslash in a term must stay a literal character, not
+            # break plan parsing or alter the comparison)
+            lit = t.replace("\\", "\\\\").replace("'", "\\'")
+            tf = f"size(filter(_toks, x -> x = '{lit}'))"
             parts.append(
                 f"({idf_bits[t]} * ((22000 * {tf}) DIV "
                 f"(10 * {tf} + (12 * (25 + (7500 * _dl) DIV {avgdl_x100})) DIV 10)))"

@@ -200,3 +200,80 @@ def test_jpeg_progressive_single_band_and_deep_approximation():
     )
     assert one_band["pixels"] == base["pixels"]
     assert deep["pixels"] == base["pixels"]
+
+
+# ------------------------------------------------------- truncation paths
+# Malformed/truncated payloads must raise the module's ValueError
+# contract — never a raw IndexError from indexing past the buffer
+# (ADVICE r5: sync_restart's stuffed-pair skip loop and the Adam7
+# unfilter path validated only after decoding).
+
+
+def _idat_raw_and_rebuild(payload: bytes, new_raw: bytes) -> bytes:
+    """Reassemble a PNG payload with ``new_raw`` recompressed as its
+    single IDAT chunk (our decoder ignores chunk CRCs)."""
+    import zlib
+
+    comp = zlib.compress(new_raw)
+    out = bytearray(payload[:8])
+    i, wrote = 8, False
+    while i + 8 <= len(payload):
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            if not wrote:
+                out += len(comp).to_bytes(4, "big") + b"IDAT" + comp + b"\x00" * 4
+                wrote = True
+        else:
+            out += payload[i : i + 12 + clen]
+        i += 12 + clen
+    return bytes(out)
+
+
+def test_png_adam7_truncated_idat_raises_valueerror():
+    import zlib
+
+    import pytest
+
+    w, h = 16, 16
+    px = bytes(range(256))
+    payload = encode_png(px, w, h, 0, interlace=1)
+    # extract the original filtered raster, chop bytes off the end, and
+    # recompress — valid zlib, short raster
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        if payload[i + 4 : i + 8] == b"IDAT":
+            idat += payload[i + 8 : i + 8 + clen]
+        i += 12 + clen
+    raw = zlib.decompress(bytes(idat))
+    bad = _idat_raw_and_rebuild(payload, raw[:-7])
+    with pytest.raises(ValueError, match="Adam7 raster size"):
+        decode_image(bad)
+
+
+def test_jpeg_truncated_before_restart_marker_raises_valueerror():
+    import pytest
+
+    rng = np.random.RandomState(0)
+    w, h = 24, 24
+    px = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    payload = encode_jpeg_baseline(px, w, h, channels=3, restart_interval=1)
+    sos = payload.find(b"\xff\xda")
+    rst = payload.find(b"\xff\xd0", sos)
+    assert rst > sos > 0
+    with pytest.raises(ValueError):
+        decode_image(payload[:rst])
+
+
+def test_jpeg_truncated_mid_entropy_raises_valueerror():
+    import pytest
+
+    rng = np.random.RandomState(1)
+    w, h = 24, 24
+    px = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    payload = encode_jpeg_baseline(px, w, h, channels=3)
+    assert payload.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_image(payload[:-8])
