@@ -135,43 +135,102 @@ def lsh_bucket(
     return out
 
 
+#: literal-vs-broadcast dial for ivf_assign: bake the quantizer into
+#: the plan as literals only while cells x dim stays at or below this
+#: (plan size and codegen grow linearly with the literal count; 8192 ~
+#: 128 cells at dim 64, comfortably inside codegen limits — measured;
+#: see SCALING.md "IVF quantizer size dial"). Above it, assignment
+#: switches to the broadcast array path with identical results.
+IVF_MAX_LITERAL_TERMS = 8192
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_literal_terms: int = IVF_MAX_LITERAL_TERMS,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroid cells:
-    (id, vec, cell) — SHUFFLE-FREE. The centroid frame is a model
-    (O(cells x dim)), so it is collected (bounded driver read) and
-    baked into the plan as literals: per row, one array of
-    (-sim, cell) structs, array_sort, slice(n_probe), explode. The
-    r5 rewrite of the original broadcast-join + per-id window argmin,
-    which shuffled |df| x n_centroids scored rows per call — the
-    whole assignment now runs inside the scan (ties still resolve
-    sim desc, cell asc; the centroid norm is precomputed driver-side
-    with the same sequential fold, so scores are bit-identical)."""
+    (id, vec, cell) — SHUFFLE-FREE either way. Two physical paths,
+    bit-identical results, chosen by quantizer size (cells x dim vs
+    ``max_literal_terms``):
+
+    - LITERAL (model-sized quantizers, the common case): the centroid
+      frame is collected (bounded driver read) and baked into the plan
+      as literals — per row, one array of (-sim, cell) structs,
+      array_sort, slice(n_probe), explode. The r5 rewrite of the
+      original broadcast-join + per-id window argmin, which shuffled
+      |df| x n_centroids scored rows per call.
+    - BROADCAST (large quantizers, r6 — the r5 verdict's #4): plan and
+      codegen size grow with the literal count, so past the dial the
+      quantizer instead folds into ONE broadcast row holding the
+      sorted (cell, centroid, norm) struct array; every scan row scores
+      it with the same fold arithmetic via ``transform`` and ranks with
+      the same array_sort. Still no shuffle of ``df`` and no per-id
+      window — the only addition is a 1-row broadcast exchange.
+
+    Ties resolve sim desc, cell asc in both paths; centroid norms use
+    the same sequential fold as :func:`l2_norm` (driver-side float ==
+    JVM double arithmetic), so the two paths agree bit-for-bit —
+    pinned at n_centroids=256 by test_llm_ops'
+    test_ivf_assign_broadcast_path_matches_literal_path."""
     import math
 
-    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
     nv = l2_norm(F.col(vec_col))
     staged = df.select(F.col(id_col), F.col(vec_col), nv.alias("_nv"))
-    entries = []
-    for r in rows:
-        cv = [float(x) for x in r["centroid"]]
-        # plain sequential left fold, NOT math.fsum: it must stay
-        # bit-identical with l2_norm()'s aggregate fold on the JVM
-        acc = 0.0
-        for x in cv:
-            acc = acc + x * x
-        cn = math.sqrt(acc)
-        entries.append(
-            "named_struct('negsim', "
-            f"-({_dot_sql(vec_col, cv)} / (_nv * CAST({cn!r} AS DOUBLE))), "
-            f"'cell', {int(r['cell'])})"
+
+    # ONE bounded action decides the path (no separate count + head
+    # jobs): a limit(cap+1) collect returns every row iff the frame is
+    # within the cap, and dim comes off the first row. dim >= 1 means a
+    # literal-path quantizer can never exceed cap rows.
+    rows = centroids.limit(max_literal_terms + 1).collect()
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid frame")
+    dim = len(rows[0]["centroid"])
+
+    if len(rows) <= max_literal_terms and len(rows) * dim <= max_literal_terms:
+        rows = sorted(rows, key=lambda r: r["cell"])
+        entries = []
+        for r in rows:
+            cv = [float(x) for x in r["centroid"]]
+            # plain sequential left fold, NOT math.fsum: it must stay
+            # bit-identical with l2_norm()'s aggregate fold on the JVM
+            acc = 0.0
+            for x in cv:
+                acc = acc + x * x
+            cn = math.sqrt(acc)
+            entries.append(
+                "named_struct('negsim', "
+                f"-({_dot_sql(vec_col, cv)} / (_nv * CAST({cn!r} AS DOUBLE))), "
+                f"'cell', {int(r['cell'])})"
+            )
+        ranked = F.expr(f"array_sort(array({','.join(entries)}))")
+    else:
+        one = centroids.select(
+            "cell", "centroid", l2_norm(F.col("centroid")).alias("_cn")
+        ).agg(
+            F.array_sort(F.collect_list(F.struct("cell", "centroid", "_cn"))).alias(
+                "_cents"
+            )
         )
-    ranked = F.expr(f"array_sort(array({','.join(entries)}))")
+        staged = staged.crossJoin(F.broadcast(one))
+        ranked = F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        -(
+                            dot(F.col(vec_col), c["centroid"])
+                            / (F.col("_nv") * c["_cn"])
+                        )
+                    ).alias("negsim"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
+
     if n_probe == 1:
         # the common (corpus/training) case: straight row-local argmax,
         # no explode — a Generate fused over this expensive array would
@@ -496,6 +555,29 @@ def _unit_rows(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFr
     )
 
 
+def pq_seed_frame(frame: DataFrame, n_centroids: int, id_col: str) -> DataFrame:
+    """Deterministic codebook seeds from a posexploded (id, sub, v)
+    training frame: per sub, the ``n_centroids`` rows with the lowest
+    ``xxhash64(id)`` (the ivf_centroids convention), as (sub, cell, v).
+
+    Rank shape (r6, the r5 verdict's #1): the original single
+    ``Window.partitionBy("sub")`` funneled the FULL posexploded corpus
+    into m sort tasks — the exact single-hot-partition anti-pattern
+    cap_per_group exists to avoid. Now the seed pick IS cap_per_group:
+    a (sub, scan-partition-id) local top-n bounds every sort task, and
+    the global per-sub re-rank runs over <= n_centroids x partitions
+    survivors. Seeds are bit-identical to the old window whenever the
+    hash order is unambiguous (xxhash64 over distinct ids; the id
+    tiebreak cap_per_group adds only engages on a 64-bit collision),
+    pinned by test_op_properties' codebook determinism gates."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    hashed = frame.withColumn("_h", F.xxhash64(F.col(id_col)))
+    return cap_per_group(
+        hashed, "sub", n_centroids, "_h", id_col=id_col, descending=False
+    ).select("sub", F.col("rank").alias("cell"), "v")
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -511,8 +593,9 @@ def pq_train(
 
     All m subspaces train TOGETHER: the corpus posexplodes once into a
     (sub, subvector) frame (same total volume as the input), seeds are
-    one hash-ordered window (the first n_centroids ids per sub — the
-    ivf_centroids convention), and each Lloyd round is ONE job — a
+    the lowest-``xxhash64(id)`` rows per sub via the two-phase bounded
+    rank of :func:`pq_seed_frame` (no full-corpus m-partition sort —
+    see its docstring), and each Lloyd round is ONE job — a
     shuffle-free scan whose per-row CASE picks the row's own subspace
     codebook (literals) and argmins by squared distance (the metric
     pq_encode/ADC use), followed by the fixed-point (2^20-quantized
@@ -535,14 +618,7 @@ def pq_train(
     from gomrjob_spark.cache import scoped_persist
 
     frame = scoped_persist(frame)
-    seeds = (
-        frame.withColumn("_h", F.xxhash64(F.col(id_col)))
-        .withColumn(
-            "_r", F.row_number().over(W.partitionBy("sub").orderBy("_h"))
-        )
-        .filter(F.col("_r") <= n_centroids)
-        .select("sub", F.col("_r").alias("cell"), "v")
-    )
+    seeds = pq_seed_frame(frame, n_centroids, id_col)
     book = {
         (int(r["sub"]), int(r["cell"])): [float(x) for x in r["v"]]
         for r in seeds.collect()

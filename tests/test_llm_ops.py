@@ -1507,3 +1507,35 @@ def test_knn_axis_lsh_multiprobe_dominates_single_probe(emb):
     half_multi = recall(8, True)
     assert half_multi >= half_single, (half_multi, half_single)
     assert half_multi >= 0.9, f"multiprobe recall too low: {half_multi:.2f}"
+
+
+def test_ivf_assign_broadcast_path_matches_literal_path(emb):
+    """The r6 quantizer-size dial: past IVF_MAX_LITERAL_TERMS cells x
+    dim, ivf_assign swaps the baked-literal scoring array for a 1-row
+    broadcast of (cell, centroid, norm) structs. Both paths must agree
+    bit-for-bit — same fold arithmetic, same (negsim, cell) tie order —
+    at a 256-cell quantizer, for single-probe and multi-probe. Also
+    pins that the dial actually selects the broadcast path at 256x64
+    under the default threshold."""
+    cents = similarity.ivf_centroids(emb, n_centroids=256)
+    assert 256 * 64 > similarity.IVF_MAX_LITERAL_TERMS  # dial engages
+
+    for n_probe in (1, 3):
+        lit = similarity.ivf_assign(
+            emb, cents, n_probe=n_probe, max_literal_terms=10**9
+        )
+        bc = similarity.ivf_assign(emb, cents, n_probe=n_probe)  # default dial
+        l = sorted((r.vec_id, r.cell) for r in lit.collect())
+        b = sorted((r.vec_id, r.cell) for r in bc.collect())
+        assert l == b, f"paths disagree at n_probe={n_probe}"
+    # the broadcast plan must not shuffle the data side: no exchange
+    # keyed by the vector id, only the 1-row broadcast
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        similarity.ivf_assign(emb, cents, n_probe=1).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(vec_id" not in plan

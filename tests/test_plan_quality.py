@@ -349,3 +349,27 @@ def test_operator_scoped_caches_released_between_queries(spark, sf_dir):
         released = release_scoped()
         assert released >= 1, name
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pq_seed_rank_is_two_phase_bounded(spark, sf_dir):
+    """r5 verdict #1, pinned: pq_train's seed pick must never funnel
+    the full posexploded training frame into m sub-keyed sort tasks.
+    Phase 1 ranks within (sub, scan-partition-id) — every sort task is
+    bounded — and the sub-only global re-rank runs over the pruned
+    <= n_centroids x partitions survivors (cap_per_group's shape, same
+    pin as test_cap_per_source_two_phase_rank)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.similarity import pq_seed_frame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = F.array(*[F.slice(F.col("embedding"), s * 8 + 1, 8) for s in range(8)])
+    frame = emb.select(F.col("vec_id"), F.posexplode(subs).alias("sub", "v"))
+    plan = _plan(pq_seed_frame(frame, 16, "vec_id"))
+    # phase 1 spec carries the scan partition id next to the sub key
+    assert re.search(r"windowspecdefinition\(sub#\d+, _pid#\d+", plan)
+    # exactly one sub-only spec remains: the post-prune global re-rank
+    assert len(re.findall(r"windowspecdefinition\(sub#\d+, _h#\d+", plan)) == 1
