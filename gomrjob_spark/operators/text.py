@@ -530,15 +530,27 @@ def heavy_hitters(
     This is the operator for 'which tokens/domains/urls dominate a
     100 TB corpus' when the full value domain doesn't fit anywhere:
     memory is O(k) per task and the shuffle carries only candidates.
-    Returns (value, n) with exact counts, value column named ``col``."""
+    Returns (value, n) with exact counts, value column named ``col``.
+
+    TWO corpus passes total (r6, was three): the MG pass also rides the
+    corpus-total count — each task emits its candidates (``_pt`` NULL)
+    plus one marker row carrying the partition's row count (``v`` NULL,
+    nulls included, matching the old ``count()`` semantics; value_counts
+    never yields a NULL candidate, so the marker is unambiguous). The
+    small (<= (k+1) x partitions rows) output persists scoped; summing
+    the markers is the bounded driver read that sets the literal
+    threshold, and the only other corpus scan is the exact recount."""
     import pandas as pd  # noqa: PLC0415
 
+    from gomrjob_spark.cache import scoped_persist
+
     vals = df.select(F.col(col).alias("v"))
-    total = vals.count()  # one bounded driver scalar, sets the literal threshold
 
     def mg(batches):
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             vc = pdf["v"].value_counts()
             for value, cnt in vc.items():
                 counters[value] = counters.get(value, 0) + int(cnt)
@@ -549,9 +561,20 @@ def heavy_hitters(
                 items = sorted(counters.items(), key=lambda t: -t[1])
                 cut = items[k][1]
                 counters = {v: c - cut for v, c in items[:k] if c - cut > 0}
-        yield pd.DataFrame({"v": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "v": list(counters.keys()) + [None],
+                "_pt": [None] * len(counters) + [n_rows],
+            }
+        )
 
-    cands = vals.mapInPandas(mg, schema=f"v {df.schema[col].dataType.simpleString()}")
+    sketch = scoped_persist(
+        vals.mapInPandas(
+            mg, schema=f"v {df.schema[col].dataType.simpleString()}, _pt bigint"
+        )
+    )
+    total = int(sketch.agg(F.sum("_pt")).collect()[0][0] or 0)
+    cands = sketch.filter(F.col("_pt").isNull()).select("v")
     exact = (
         vals.join(F.broadcast(cands.distinct()), "v")
         .groupBy("v")

@@ -196,6 +196,7 @@ def merge_upsert(
     fmt: str = "parquet",
     partition_col: str | None = None,
     delete_col: str | None = None,
+    locate_existing: bool = True,
 ) -> dict:
     """Keyed MERGE for a plain-files dataset — the copy-on-write
     equivalent of ``MERGE INTO`` without a table format: rows whose key
@@ -210,16 +211,42 @@ def merge_upsert(
     as in any copy-on-write format.
 
     Scale: with ``partition_col`` (a dataset laid out by
-    ``write_partitioned``), only the partition directories that contain
-    updated keys are read, merged, and swapped — the bounded driver
-    read is the list of touched partition VALUES, and an untouched
-    partition's files are never opened. That per-partition scoping is
-    what makes keyed merge viable at 100 TB; without it the whole
-    dataset rewrites. Each partition (or the whole dataset) swaps with
-    the same crash-safe aside-rename sequence as
-    :func:`compact_small_files` — a crash leaves the data recoverable
-    at ``._merge_old``, never missing. Not safe against concurrent
-    writers; under a transactional format use its native MERGE.
+    ``write_partitioned``), only the partition directories that hold
+    touched KEYS are read, merged, and swapped; untouched partitions'
+    data files are never rewritten. Where those directories are comes
+    from ``locate_existing`` (r6, fixing the r5 silent assumption that
+    an update's partition value is where its key already lives):
+
+    - ``locate_existing=True`` (default, correct for arbitrary
+      updates): one column-pruned scan of (key_cols, partition_col)
+      over the stored dataset, semi-joined against the broadcast
+      touched-key set, finds each touched key's CURRENT partition. The
+      rewrite set is the union of update-claimed and stored locations,
+      so an update that MOVES a key across partitions (or a delete
+      whose stored row lives elsewhere) also rewrites the old
+      directory — no stale duplicate, no missed delete. The scan reads
+      only the key + partition columns (parquet column pruning), but
+      it does touch every partition's footers; skip it only when the
+      precondition below holds.
+    - ``locate_existing=False`` (partition-stable keys — the key
+      determines its partition value, a HARD precondition): only the
+      update-claimed partition values rewrite, and the anti-join's
+      touched keys are scoped per partition, so even a violated
+      precondition behaves deterministically (the stale row survives
+      in its old partition regardless of what else is in the batch —
+      it is never removed as a side effect of an unrelated update).
+
+    Each partition (or the whole dataset) swaps with the same
+    crash-safe aside-rename sequence as :func:`compact_small_files` — a
+    crash leaves that partition recoverable at ``._merge_old``, never
+    missing. The per-partition loop is NOT one transaction: a crash
+    mid-loop leaves earlier partitions merged and later ones not.
+    Recovery is to RE-RUN THE SAME MERGE — the merge is idempotent
+    (anti-join + union of the same updates converges to identical
+    content; pinned by test_merge_upsert_rerun_is_idempotent), so a
+    partially-applied merge completes on rerun. Not safe against
+    concurrent writers; under a transactional format use its native
+    MERGE.
 
     Returns ``{"partitions_rewritten": n, "rows_upserted": u,
     "rows_deleted": d}``."""
@@ -238,8 +265,8 @@ def merge_upsert(
         n_deleted = 0
     n_upserted = upserts.count()
 
-    def swap_in(current: DataFrame, ups: DataFrame, target: str) -> None:
-        merged = current.join(touched, key_cols, "left_anti").unionByName(ups)
+    def swap_in(current: DataFrame, ups: DataFrame, target: str, keys: DataFrame) -> None:
+        merged = current.join(keys, key_cols, "left_anti").unionByName(ups)
         tmp, old = target + "._merge_tmp", target + "._merge_old"
         if fs.exists(old):
             raise RuntimeError(
@@ -252,23 +279,40 @@ def merge_upsert(
         fs.rmr(old)
 
     if partition_col is None:
-        swap_in(spark.read.format(fmt).load(rp), upserts, rp)
+        swap_in(spark.read.format(fmt).load(rp), upserts, rp, touched)
         return {
             "partitions_rewritten": 1,
             "rows_upserted": n_upserted,
             "rows_deleted": n_deleted,
         }
 
-    # partition-scoped: only directories holding touched keys rewrite
-    values = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
+    # partition-scoped: only directories holding touched keys rewrite.
+    # Values normalize to their directory-string form (str(v)) because
+    # Hive partition discovery re-infers types — an update's "1" and a
+    # discovered 1 name the SAME src=1 directory and must dedup.
+    values = {str(r[0]) for r in updates.select(partition_col).distinct().collect()}
+    if locate_existing:
+        # where do the touched keys CURRENTLY live? column-pruned scan,
+        # broadcast semi-probe, bounded driver read of partition values
+        stored = spark.read.format(fmt).load(rp).select(*key_cols, partition_col)
+        values |= {
+            str(r[0])
+            for r in stored.join(F.broadcast(touched), key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
     for v in sorted(values):
         pdir = f"{rp}/{partition_col}={v}"
         ups_v = upserts.filter(F.col(partition_col) == v).drop(partition_col)
+        keys_v = (
+            touched
+            if locate_existing
+            else updates.filter(F.col(partition_col) == v).select(*key_cols).distinct()
+        )
         if fs.exists(pdir):
             cur = spark.read.format(fmt).load(pdir)
-            swap_in(cur, ups_v, pdir)
+            swap_in(cur, ups_v, pdir, keys_v)
         else:  # brand-new partition: plain insert
             ups_v.write.mode("overwrite").format(fmt).save(pdir)
     return {

@@ -452,3 +452,136 @@ def test_merge_upsert_crash_mid_swap_never_loses_data(spark, tmp_path, monkeypat
         # the pre-merge key set must survive somewhere (the merge only
         # replaced values for key 1, so the id set is unchanged)
         assert live == want or old == want, f"fail_at={fail_at}: data lost"
+
+
+def test_merge_upsert_locates_moved_and_deleted_keys(spark, tmp_path):
+    """ADVICE r5 (medium): an update's partition value is NOT where the
+    key necessarily lives. With the default locate_existing=True, a key
+    that moves partitions leaves no stale duplicate behind, and a
+    delete whose claimed partition is wrong still removes the stored
+    row — the stored locations come from the column-pruned semi-probe
+    scan, not from the updates' own partition values."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources.tables import merge_upsert, write_partitioned
+
+    path = str(tmp_path / "mv")
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_partitioned(df, path, ["src"])
+
+    # key 4 is stored in src=0; the update moves it to src=1.
+    # key 6 is stored in src=0; the delete claims src=1 (wrong).
+    updates = spark.createDataFrame(
+        [(4, "1", 444, False), (6, "1", 0, True)],
+        "id long, src string, v long, is_delete boolean",
+    )
+    out = merge_upsert(
+        spark, path, updates, ["id"], partition_col="src", delete_col="is_delete"
+    )
+    assert out["rows_upserted"] == 1 and out["rows_deleted"] == 1
+    # rewritten: src=1 (claimed) and src=0 (stored location of keys 4, 6)
+    assert out["partitions_rewritten"] == 2
+
+    rows = spark.read.parquet(path).collect()
+    got = {(r.id, str(r.src)): r.v for r in rows}
+    assert (4, "1") in got and got[(4, "1")] == 444
+    assert (4, "0") not in got, "stale row survived the cross-partition move"
+    assert all(r.id != 6 for r in rows), "mislocated delete missed the stored row"
+    assert len(rows) == 9  # 10 keys - 1 deleted; the move keeps its single row
+
+
+def test_merge_upsert_partition_stable_mode_is_deterministic(spark, tmp_path):
+    """locate_existing=False documents partition-stability as a hard
+    precondition; when the caller violates it anyway, the outcome must
+    not depend on what else is in the batch: the anti-join's touched
+    keys are scoped per partition, so the stale row always survives —
+    it is never removed as a side effect of an unrelated update that
+    happens to touch its directory."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources.tables import merge_upsert, write_partitioned
+
+    path = str(tmp_path / "stable")
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_partitioned(df, path, ["src"])
+
+    # key 4 "moves" to src=1 (precondition violation) WHILE an
+    # unrelated update (key 0) rewrites src=0, where key 4's old row is
+    updates = spark.createDataFrame(
+        [(4, "1", 444), (0, "0", 111)], "id long, src string, v long"
+    )
+    merge_upsert(
+        spark, path, updates, ["id"], partition_col="src", locate_existing=False
+    )
+    got = {(r.id, str(r.src)): r.v for r in spark.read.parquet(path).collect()}
+    assert got[(0, "0")] == 111
+    assert got[(4, "1")] == 444
+    # deterministic violation mode: the stale row SURVIVES even though
+    # its partition was rewritten in the same batch
+    assert got[(4, "0")] == 40
+
+
+def test_merge_upsert_rerun_is_idempotent(spark, tmp_path, monkeypatch):
+    """The partial-application window, pinned: the per-partition loop
+    is not one transaction — interrupt it between partitions, then
+    RE-RUN THE SAME MERGE; the rerun completes the unapplied partitions
+    and re-running yet again changes nothing (anti-join + union of the
+    same updates converges)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources import fs as fsmod
+    from gomrjob_spark.sources.tables import merge_upsert, write_partitioned
+
+    path = str(tmp_path / "ridem")
+    df = spark.range(20).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_partitioned(df, path, ["src"])
+    updates = spark.createDataFrame(
+        [(2, "0", 222), (3, "1", 333)], "id long, src string, v long"
+    )
+
+    # crash BEFORE partition src=1 is touched (its exists-probe): the
+    # loop has fully merged src=0, src=1 is still pre-merge
+    real_exists = fsmod.FsOps.exists
+
+    def crashing_exists(self, p, _real=real_exists):
+        if p.rstrip("/").endswith("src=1"):
+            raise RuntimeError("simulated crash")
+        return _real(self, p)
+
+    monkeypatch.setattr(fsmod.FsOps, "exists", crashing_exists)
+    try:
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            merge_upsert(spark, path, updates, ["id"], partition_col="src")
+    finally:
+        monkeypatch.setattr(fsmod.FsOps, "exists", real_exists)
+
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got[2] == 222 and got[3] == 30, "expected exactly src=0 merged"
+
+    # recovery = rerun the same merge
+    merge_upsert(spark, path, updates, ["id"], partition_col="src")
+    after_first = sorted(
+        (r.id, str(r.src), r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert (2, "0", 222) in after_first and (3, "1", 333) in after_first
+    assert len(after_first) == 20
+
+    # and a third run is a no-op on content
+    merge_upsert(spark, path, updates, ["id"], partition_col="src")
+    after_second = sorted(
+        (r.id, str(r.src), r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert after_second == after_first
