@@ -1161,6 +1161,24 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_features(payloads).orderBy("doc_id")
 
 
+
+
+def _sorted_stats(stats: DataFrame) -> DataFrame:
+    """orderBy for a Python-decoded stats frame, without re-running the
+    decode: a global sort's range-partitioner SAMPLES its child, so an
+    un-persisted mapInPandas chain executes twice (measured as half the
+    wall clock of the compressed pixel-stats query at sf0.1). The stats
+    frame is result-sized (one row per image), so the scoped persist is
+    bounded; combined with text.spread on the id side (the documents
+    table at small SF is ONE input split, which serialized the whole
+    Arrow-batched codec chain on a single task) the r5 bench drift on
+    this family resolves into a plan fix, not codec overhead — the
+    decode itself measured within 5% of the r4 code (SCALING.md)."""
+    from gomrjob_spark.cache import scoped_persist
+
+    return scoped_persist(stats).orderBy("doc_id")
+
+
 @query(
     "multimodal_pixel_stats",
     oracle="""
@@ -1209,8 +1227,13 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.format_string("P6\n%d %d\n255\n", width, height), "UTF-8"),
         F.unhex(pix_hex),
     )
+    # no spread here, unlike the compressed/progressive twins: PPM
+    # decode is header-parse + memoryview, so at small SF the 32-task
+    # dispatch overhead costs more than the single-split decode saves
+    # (measured 0.48 vs 0.33 s at sf0.1); on a real cluster the scan's
+    # own splits parallelize the decode and spread is a no-op anyway
     payloads = docs.select("doc_id", payload.alias("payload"))
-    return multimodal.extract_pixel_stats(payloads).orderBy("doc_id")
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
 @query(
@@ -1305,8 +1328,10 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
-    return multimodal.extract_pixel_stats(payloads).orderBy("doc_id")
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
 @query(
@@ -1428,8 +1453,10 @@ def multimodal_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> Data
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
-    return multimodal.extract_pixel_stats(payloads).orderBy("doc_id")
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
 @query(
