@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_cluster_survivors",
     "knn_bruteforce",
     "knn_axis_lsh",
+    "knn_ivf_kmeans",
+    "knn_pq",
     "funnel_conversion",
     "text_token_stats",
     "text_chunks",

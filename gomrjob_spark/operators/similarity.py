@@ -202,11 +202,25 @@ def ivf_assign(
                 acc = acc + x * x
             cn = math.sqrt(acc)
             entries.append(
-                "named_struct('negsim', "
-                f"-({_dot_sql(vec_col, cv)} / (_nv * CAST({cn!r} AS DOUBLE))), "
-                f"'cell', {int(r['cell'])})"
+                f"named_struct('cv', {_sql_arr(cv)}, "
+                f"'cn', CAST({cn!r} AS DOUBLE), 'cell', {int(r['cell'])})"
             )
-        ranked = F.expr(f"array_sort(array({','.join(entries)}))")
+        # literals carry only DATA (centroid arrays, norms, cell ids);
+        # the scoring fold is ONE transform lambda over them — r6
+        # compile-shape fix (a fold expression expanded per centroid
+        # made plan parse + codegen the dominant cost of every
+        # assignment, re-paid per Lloyd round in kmeans training).
+        # Same sequential fold -> same IEEE scores as the expanded form.
+        dot_fold = (
+            f"aggregate(zip_with({vec_col}, s.cv, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+        )
+        ranked = F.expr(
+            "array_sort(transform(array(" + ",".join(entries) + "), "
+            f"s -> named_struct('negsim', -({dot_fold} / (_nv * s.cn)), "
+            "'cell', s.cell)))"
+        )
     else:
         one = centroids.select(
             "cell", "centroid", l2_norm(F.col("centroid")).alias("_cn")
@@ -624,22 +638,27 @@ def pq_train(
         for r in seeds.collect()
     }
     for _ in range(n_iters):
-        # row-local assignment: CASE on sub -> argmin over that sub's
-        # literal centroids by squared distance, ties to lowest cell.
-        # One F.expr for the whole matrix — per-element F.lit would be
-        # thousands of py4j calls (see _sq_dist_sql).
-        branches = []
-        for s in range(m):
-            dists = "array(" + ",".join(
-                _sq_dist_sql("v", book[(s, c)]) for c in range(1, n_centroids + 1)
-            ) + ")"
-            branches.append(
-                f"WHEN sub = {s} THEN "
-                f"CAST(array_position({dists}, array_min({dists})) AS INT)"
-            )
-        code = F.expr("CASE " + " ".join(branches) + " END")
+        # row-local assignment: the WHOLE codebook enters as ONE 3-D
+        # literal array; the row's sub picks its slab via element_at
+        # and a single transform evaluates the fold per cell. The
+        # distance vector is STAGED into a column before the argmin —
+        # r6 rewrite of the per-(sub, cell) expanded CASE, whose 256
+        # separately-parsed folds (the argmin even duplicated the
+        # 16-fold array inside array_position(d, array_min(d))) made
+        # every Lloyd round compile-bound: plan parse + codegen
+        # dominated wall clock at small SF and re-ran per round.
+        # Distances, ties, and codes are bit-identical (same zip_with/
+        # aggregate fold per cell, same array_position-of-min).
+        mat = _book_matrix_sql(
+            [[book[(s, c)] for c in range(1, n_centroids + 1)] for s in range(m)]
+        )
+        dist_vec = F.expr(
+            f"transform(element_at({mat}, sub + 1), c -> {_sq_dist_fold('v', 'c')})"
+        )
+        staged = frame.select("sub", "v", dist_vec.alias("_d"))
+        code = F.expr("CAST(array_position(_d, array_min(_d)) AS INT)")
         sums = (
-            frame.select("sub", code.alias("cell"), F.posexplode("v").alias("pos", "val"))
+            staged.select("sub", code.alias("cell"), F.posexplode("v").alias("pos", "val"))
             .groupBy("sub", "cell", "pos")
             .agg(
                 F.sum(F.floor(F.col("val") * quant).cast("bigint")).alias("qs"),
@@ -666,16 +685,31 @@ def _sql_arr(vals: list[float]) -> str:
     return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
 
-def _sq_dist_sql(vec_sql: str, vals: list[float]) -> str:
-    """Squared L2 distance of a vector expression to a literal centroid,
-    as ONE SQL string. Building this with per-element F.lit() costs a
-    py4j round-trip per literal — thousands of driver->JVM calls per
-    plan, which dominated the first pq/ivf implementations' wall clock
-    at small scale. One F.expr parse replaces them all."""
+def _book_matrix_sql(book: list[list[list[float]]]) -> str:
+    """The full codebook as ONE SQL literal: array[sub][cell][component].
+    A single parsed literal replaces m x cells separately-parsed
+    per-centroid expressions — the r6 compile-time fix for the PQ
+    family (plan parse + codegen, re-run per Lloyd round, dominated
+    wall clock at small SF)."""
     return (
-        f"aggregate(zip_with({vec_sql}, {_sql_arr(vals)}, "
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_arr(cent) for cent in sub) + ")" for sub in book
+        )
+        + ")"
+    )
+
+
+def _sq_dist_fold(vec_sql: str, arr_sql: str) -> str:
+    """Squared L2 distance between two vector EXPRESSIONS as one SQL
+    fold. The centroid side is usually a transform lambda variable
+    ranging over the codebook matrix literal; the fold shape (and so
+    the IEEE result) is identical to scoring against a standalone
+    per-centroid literal, which is what the pre-r6 expanded form did."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, "
         "(x, y) -> power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
     )
 
 
@@ -704,14 +738,24 @@ def pq_encode(
     m = len(codebook)
     sub_dim = len(codebook[0][0])
     out = _unit_rows(corpus, id_col, vec_col, "_u")
-    codes = []
-    for sub in range(m):
-        sv = f"slice(_u, {sub * sub_dim + 1}, {sub_dim})"
-        dists = "array(" + ",".join(
-            _sq_dist_sql(sv, cent) for cent in codebook[sub]
-        ) + ")"
-        codes.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
-    return out.selectExpr(id_col, "array(" + ",".join(codes) + ") AS codes")
+    # one parsed codebook literal + one indexed transform per row: the
+    # r6 compile-time shape (see pq_train) — the distance vectors stage
+    # through a column so each 16-fold array is built once, not twice
+    # inside array_position(d, array_min(d))
+    subs = (
+        "array("
+        + ",".join(f"slice(_u, {s * sub_dim + 1}, {sub_dim})" for s in range(m))
+        + ")"
+    )
+    mat = _book_matrix_sql(codebook)
+    dists = (
+        f"transform({subs}, (sv, i) -> "
+        f"transform(element_at({mat}, i + 1), c -> {_sq_dist_fold('sv', 'c')}))"
+    )
+    return out.selectExpr(id_col, f"{dists} AS _ds").selectExpr(
+        id_col,
+        "transform(_ds, d -> CAST(array_position(d, array_min(d)) - 1 AS INT)) AS codes",
+    )
 
 
 def knn_pq(
@@ -737,14 +781,17 @@ def knn_pq(
     m = len(codebook)
     sub_dim = len(codebook[0][0])
     codes = pq_encode(corpus, codebook, id_col, vec_col)
+    # same compile-time shape as pq_encode: one codebook literal, one
+    # indexed transform (was m x cells separately-parsed fold exprs)
+    q_subs = (
+        "array("
+        + ",".join(f"slice(_qu, {s * sub_dim + 1}, {sub_dim})" for s in range(m))
+        + ")"
+    )
     qtab = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(
-                _sq_dist_sql(f"slice(_qu, {sub * sub_dim + 1}, {sub_dim})", cent)
-                for cent in codebook[sub]
-            ) + ")"
-            for sub in range(m)
-        ) + ")"
+        f"transform({q_subs}, (sv, i) -> "
+        f"transform(element_at({_book_matrix_sql(codebook)}, i + 1), "
+        f"c -> {_sq_dist_fold('sv', 'c')}))"
     )
     q = (
         queries.select(
