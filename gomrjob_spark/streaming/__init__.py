@@ -10,6 +10,9 @@ and arbitrary stateful operators via applyInPandasWithState.
 from gomrjob_spark.streaming.ops import (  # noqa: F401
     incremental_dedup_stream,
     near_dup_probe_stream,
+    near_dup_store_frames,
+    near_dup_store_load,
+    near_dup_store_write,
     read_documents_stream,
     read_events_stream,
     run_to_memory,
