@@ -22,104 +22,79 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 5): every query whose plan changed this round goes
-# first so CORRECTNESS_r05 re-proves it (driver checks the first 50
-# registry entries each round); the rest of the window backfills with
-# already-green queries (cheap re-confirmation).
+# Tier 1 (round 6): queries whose PLAN changed this round go first so
+# CORRECTNESS_r06 re-proves them, then the driver window (first 50
+# registry entries) rotates to the LONGEST-UNVERIFIED queries — the 44
+# oracle queries whose last green row is r01 plus the oldest r02 entry
+# (the r5 verdict's #7: three rounds of plan drift since their proof).
 _VERIFY_FIRST = [
-    # REDEFINED r5: production threshold (0.95) over corpus + sign-flip
-    # twins, (k, L) derived from count(*) via auto_lsh_params on BOTH
-    # engines (the r4 verdict's #1) — bucket-array representation
-    # replaced the packed 63-bit signature
-    "dedup_embedding_cosine",
-    # NEW r5: the r1-r4 0.4-threshold workload under its old
-    # fixture-calibrated (3,16), renamed
-    "dedup_embedding_cosine_lowsim",
-    # plan changed r5: ids-only persisted store banding + second
-    # candidate join for verification (r4 verdict #2)
-    "streaming_near_dup_probe",
-    # NEW r5: random-hyperplane LSH dedup (depth unbounded by dim),
-    # integer-exact sign tests under the hash gate
-    "dedup_embedding_cosine_rp",
-    # NEW r5: progressive-JPEG (SOF2 scan scripts) + 16-bit/Adam7/
-    # 4-bit-palette PNG decode, all bit-exact under one hash gate
-    "multimodal_progressive_pixel_stats",
-    # NEW r5: inverted-index retrieval — exact-integer TF and
-    # fixed-point BM25 top-k (idf via bit-length, integer DIV parity)
-    "search_tf_topk",
-    "search_bm25_topk",
-    # NEW r5: live retrieval tagging — stream docs scored row-locally
-    # against the store-frozen BM25 index model, full topology gated
-    "streaming_search_score",
-    # NEW r5: corpus-novelty scoring — big-big bigram-keyed semi-join
-    # vs a data-sized reference (exact counts + one IEEE division)
-    "text_bigram_novelty",
-    # NEW r5: exact bounded-memory heavy hitters (2-pass Misra-Gries);
-    # oracle is a plain GROUP BY/HAVING — the sketch is execution only
+    # plan changed r6: two-pass Misra-Gries (total fused into the MG
+    # scan as per-partition marker rows)
     "heavy_hitter_tokens",
+    # plan changed r6: persist-before-sampling-sort (+ spread for the
+    # codec-heavy pair) — the r5 bench-drift fix
+    "multimodal_pixel_stats",
+    "multimodal_compressed_pixel_stats",
+    "multimodal_progressive_pixel_stats",
+    # topology changed r6: store derived offline, written, loaded back
+    "streaming_near_dup_probe",
+    # oldest proven (r01), verbatim re-proof rotation
+    "agg_approx_distinct",
+    "agg_conditional",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "agg_stats",
+    "dedup_exact",
+    "distinct_pairs",
+    "join_anti",
+    "join_argmax",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range",
+    "join_semi",
+    "knn_bruteforce",
+    "mr_field_count",
+    "mr_multistep",
+    "mr_python_reducer",
+    "mr_sum_reducer",
+    "multimodal_features",
+    "multimodal_metadata",
+    "pivot_event_types",
+    "pivot_unpivot_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "scalar_array_map",
+    "scalar_date",
+    "scalar_json",
+    "scalar_math",
+    "scalar_string",
+    "set_ops",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "top_n_global",
+    "udtf_sentences",
+    "window_lag_lead",
+    "window_rank_ntile",
+    "window_running_total",
+    "window_topk_per_group",
+    # oldest r02 entry completes the 50-slot window
+    "funnel_conversion",
 ]
 
-# r1/r2-era ordering, kept as the backfill sequence for the rest of the
-# driver window (all of these already have a green row in r01 or r02).
+# next-oldest (r02) queries: first in line after the window above, and
+# the head of the r07 rotation
 _BACKFILL = [
-    # TPC-H family missed by the r01 window
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    # timeseries family missed by the r01 window
-    "join_asof",
-    "join_band_time",
-    "sessionize_windows",
-    "timeseries_rollup",
-    "session_window_batch",
-    # streaming family missed by the r01 window
-    "streaming_tumbling_agg",
-    "streaming_sliding_counts",
-    "streaming_session_window",
-    "streaming_dedup_counts",
-    "streaming_stateful_counts",
-    # relational stragglers missed by the r01 window
-    "case_when_bucketing",
-    # changed this round: now the LSH-bucketed scale-safe plan
-    "dedup_embedding_cosine",
-    # new this round
-    "mr_combiner",
-    "multimodal_decode_headers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_balances",
-    "q12_priority_lines",
-    "q21_waiting_suppliers",
-    "streaming_static_join",
-    "streaming_interval_join",
-    "multimodal_frame_sample",
-    "knn_axis_lsh",
-    "sql_passthrough_topn_revenue",
-    "dedup_cluster_survivors",
-    "corpus_clean_filter",
-    "text_winnow_fingerprint",
-    "dedup_minhash_md5",
-    # new/changed this round (2, continued): the last two TPC-H shapes
-    # and the de-vacuized q7/q22 predicates
-    "q2_min_cost_supplier",
-    "q20_potential_promotion",
-    "window_range_frame",
-    "text_chunks",
+    "multimodal_audio_headers",
+    "multimodal_resize",
     "sample_hash_split",
     "text_stopword_strip",
     "udaf_weighted_avg",
-    "join_asof_forward",
-    "multimodal_resize",
-    "multimodal_audio_headers",
-    "funnel_conversion",
 ]
 
 
