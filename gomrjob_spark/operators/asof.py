@@ -31,6 +31,52 @@ def _minutes_interval(minutes: float):
 
 
 
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None,
+):
+    """The union stream both as-of variants scan: left and right rows
+    interleaved with (_k, _ts, _side, _tb) sort keys and the right-side
+    carried values in one struct ``_r`` (non-null for every right row,
+    so NULL value fields surface as NULL instead of leaking older
+    values). Returns (unioned, left_cols, carried_struct_type)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if "_mts" in value_cols:
+        # the matched timestamp rides in the carried struct under this
+        # reserved name (same hazard class as the _k/_ts/_side scratch cols)
+        raise ValueError("'_mts' is reserved in value_cols (carries the matched timestamp)")
+    lcols = [c for c in left.columns]
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("_mts", right.schema[right_ts].dataType)]
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col(right_ts).alias("_mts")
+        ).alias("_r"),
+    )
+    return l_tagged.unionByName(r_tagged), lcols, r_struct_type
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -63,42 +109,15 @@ def asof_join(
     single window pass over the DESCENDING stream — still one shuffle,
     no self-join.
     """
-    from pyspark.sql.types import StructField, StructType
-
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-    if "_mts" in value_cols:
-        # the matched timestamp rides in the carried struct under this
-        # reserved name (same hazard class as the _k/_ts/_side scratch cols)
-        raise ValueError("'_mts' is reserved in value_cols (carries the matched timestamp)")
-    lcols = [c for c in left.columns]
-    r_struct_type = StructType(
-        [StructField(c, right.schema[c].dataType) for c in value_cols]
-        + [StructField("_mts", right.schema[right_ts].dataType)]
-    )
-    l_tagged = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tb"),
-        *[F.col(c) for c in lcols],
-        F.lit(None).cast(r_struct_type).alias("_r"),
-    )
-    r_tagged = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(
-            *[F.col(c) for c in value_cols], F.col(right_ts).alias("_mts")
-        ).alias("_r"),
+    unioned, lcols, _ = _tagged_union(
+        left, right, on, left_ts, right_ts, value_cols, tiebreak
     )
     # right rows sort before left rows at equal ts (inclusive match);
     # among right rows at the same ts the tiebreak's last row wins.
     # Backward scans the stream in ascending ts order; forward scans
     # descending, so "last right seen" is the nearest FUTURE row.
-    unioned = l_tagged.unionByName(r_tagged)
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy("_k")
@@ -119,6 +138,67 @@ def asof_join(
             else m.getField("_mts") - F.col("_ts")
         )
         m = F.when(gap <= _minutes_interval(tolerance_minutes), F.col("_m"))
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[m.getField(c).alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    tolerance_minutes: float | None = None,
+) -> DataFrame:
+    """Nearest-in-time as-of join (pandas ``merge_asof
+    direction='nearest'``): for each left row, the right row of the
+    same key minimizing ``|right_ts - left_ts|``; equal gaps resolve to
+    the BACKWARD (past) match, equal timestamps within a side to the
+    highest ``tiebreak``. With ``tolerance_minutes``, each side's
+    candidate is disqualified independently before the pick (so a
+    too-far past match never shadows an in-tolerance future one).
+    Unmatched left rows keep nulls.
+
+    Plan: the SAME union stream as :func:`asof_join`, windowed twice
+    over ONE hash exchange (both windows partition by the key; only
+    the sort direction differs): the ascending running
+    ``last(ignoreNulls)`` carries the nearest past right row, the
+    descending one the nearest future row, and the pick is a row-local
+    interval comparison. Still one shuffle, no self-join — the naive
+    formulation (join all pairs in key, rank by gap) shuffles
+    |left| x |right-per-key| rows and is what the DuckDB oracle runs."""
+    unioned, lcols, r_struct_type = _tagged_union(
+        left, right, on, left_ts, right_ts, value_cols, tiebreak
+    )
+    base = W.partitionBy("_k").rowsBetween(W.unboundedPreceding, 0)
+    w_b = base.orderBy(F.col("_ts"), F.col("_side"), F.col("_tb"))
+    w_f = base.orderBy(F.col("_ts").desc(), F.col("_side"), F.col("_tb"))
+    carried = unioned.select(
+        "*",
+        F.last("_r", ignorenulls=True).over(w_b).alias("_mb"),
+        F.last("_r", ignorenulls=True).over(w_f).alias("_mf"),
+    )
+    mb = F.col("_mb")
+    mf = F.col("_mf")
+    gb = F.col("_ts") - mb.getField("_mts")
+    gf = mf.getField("_mts") - F.col("_ts")
+    if tolerance_minutes is not None:
+        tol = _minutes_interval(tolerance_minutes)
+        mb = F.when(gb <= tol, mb)  # null when no match or out of tolerance
+        mf = F.when(gf <= tol, mf)
+        gb = F.col("_ts") - mb.getField("_mts")
+        gf = mf.getField("_mts") - F.col("_ts")
+    m = (
+        F.when(mb.isNull() & mf.isNull(), F.lit(None).cast(r_struct_type))
+        .when(mb.isNull(), mf)
+        .when(mf.isNull(), mb)
+        .when(gb <= gf, mb)
+        .otherwise(mf)
+    )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
         *[m.getField(c).alias(f"asof_{c}") for c in value_cols],

@@ -116,6 +116,66 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT near-dup pairs:
+    C(src -> dst) = |sh(src) ∩ sh(dst)| / |sh(src)| >= threshold,
+    emitted as (id_src, id_dst, containment), id_src != id_dst.
+
+    The sub-document signal Jaccard structurally misses (Broder's
+    resemblance-vs-containment distinction, SEQUENCES'97): a short
+    document quoted whole inside a long one has LOW Jaccard (the union
+    is the long doc) but containment 1.0 — the common shape of
+    boilerplate headers, syndicated excerpts, and quote-heavy pages in
+    a crawl. Containment is asymmetric, so pairs are directed.
+
+    Plan: identical candidate generation to :func:`jaccard_pairs` (one
+    shared-shingle equi-join computes each UNDIRECTED intersection
+    once, never all-pairs, same stop-shingle skew dial); both
+    directions then derive row-locally from the one (n_common, n_a,
+    n_b) row — no second join, no second shuffle. Exact bigint counts
+    + one IEEE division per direction -> cross-engine hash-stable."""
+    sh = scoped_persist(word_shingles(df, n, text_col, id_col))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "shingle", "left_anti"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = joined.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    bwd = joined.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(bwd).filter(F.col("containment") >= threshold)
+
+
 def shingle_array(text_col: Column | str, n: int = 3) -> Column:
     """Row-local distinct word-n-gram shingle array (no explode): the
     streaming-safe form of word_shingles — a single document's shingle

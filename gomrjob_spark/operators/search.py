@@ -131,3 +131,66 @@ def search_bm25_topk(
     return cap_per_group(scored, "query_id", k, "score").select(
         "query_id", "doc_id", "score", "rank"
     )
+
+
+def search_phrase_topk(
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs per phrase by EXACT phrase-occurrence count — the
+    consecutive-run signal bag-of-terms TF/BM25 cannot express
+    ("new york" must not match "york ... new"). Returns
+    (phrase_id, doc_id, score, rank), score = number of (possibly
+    overlapping) occurrences, rank by (score desc, doc_id asc), only
+    docs with score > 0.
+
+    Plan: the token array stages ONCE per row; each phrase's count is a
+    pure codegen'd expression — size(filter(sequence(1, n-L+1),
+    i -> toks[i]=p1 AND ... AND toks[i+L-1]=pL)) — so one corpus scan
+    evaluates the whole phrase set with no explode, no join, and no
+    positional-index shuffle; only (phrase_id, doc_id, score>0) rows
+    leave the scan, and ranking is the two-phase cap_per_group top-k.
+    This is the right shape while the phrase set is a plan-time literal
+    (the retrieval-query regime, like search_tf_topk's broadcast
+    prune); a phrase CORPUS would instead build a positional inverted
+    index keyed on each phrase's rarest term."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    staged = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("_toks"),
+    )
+    pids = sorted({pid for pid, _ in phrases})
+    by_pid = {pid: [p for q, p in phrases if q == pid] for pid in pids}
+
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "\\'")
+
+    cols = []
+    for pid in pids:
+        counts = []
+        for phrase in by_pid[pid]:
+            terms = [t for t in phrase.split(" ") if t]
+            L = len(terms)
+            conds = " AND ".join(
+                f"element_at(_toks, i + {j}) = '{esc(t)}'"
+                for j, t in enumerate(terms)
+            )
+            counts.append(
+                f"(CASE WHEN size(_toks) >= {L} THEN "
+                f"size(filter(sequence(1, size(_toks) - {L - 1}), i -> {conds})) "
+                "ELSE 0 END)"
+            )
+        cols.append(F.expr(" + ".join(counts)).cast("long").alias(f"_s{pid}"))
+    out = staged.select("doc_id", *cols)
+    stack = ", ".join(f"{pid}, _s{pid}" for pid in pids)
+    scored = (
+        out.selectExpr("doc_id", f"stack({len(pids)}, {stack}) as (phrase_id, score)")
+        .select(F.col("phrase_id").cast("int").alias("phrase_id"), "doc_id", "score")
+        .filter(F.col("score") > 0)
+    )
+    return cap_per_group(scored, "phrase_id", k, "score", id_col="doc_id").select(
+        "phrase_id", "doc_id", "score", "rank"
+    )

@@ -28,6 +28,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
 # oracle queries whose last green row is r01 plus the oldest r02 entry
 # (the r5 verdict's #7: three rounds of plan drift since their proof).
 _VERIFY_FIRST = [
+    # NEW r6: directed n-gram containment (sub-document near-dup)
+    "dedup_ngram_containment",
+    # NEW r6: exact consecutive-run phrase retrieval
+    "search_phrase_topk",
+    # NEW r6: nearest-direction as-of join (two windows, one exchange)
+    "join_asof_nearest",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -81,15 +87,15 @@ _VERIFY_FIRST = [
     "udtf_sentences",
     "window_lag_lead",
     "window_rank_ntile",
-    "window_running_total",
-    "window_topk_per_group",
-    # oldest r02 entry completes the 50-slot window
-    "funnel_conversion",
 ]
 
-# next-oldest (r02) queries: first in line after the window above, and
-# the head of the r07 rotation
+# next-oldest queries: first in line after the window above, and the
+# head of the r07 rotation (the three r6-new entries displaced the
+# last three r01/r02 rotation slots)
 _BACKFILL = [
+    "window_running_total",
+    "window_topk_per_group",
+    "funnel_conversion",
     "multimodal_audio_headers",
     "multimodal_resize",
     "sample_hash_split",

@@ -102,6 +102,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    directed AS (
+      SELECT id_a AS id_src, id_b AS id_dst,
+             CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      FROM joined
+      UNION ALL
+      SELECT id_b AS id_src, id_a AS id_dst,
+             CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+      FROM joined
+    )
+    SELECT id_src, id_dst, containment
+    FROM directed WHERE containment >= 0.6
+    ORDER BY id_src, id_dst
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed word-3-gram containment pairs (>= 0.6) — the
+    sub-document near-dup signal Jaccard misses: a short doc quoted
+    whole inside a long one has low Jaccard (union-dominated) but full
+    containment (operators.dedup.containment_pairs; Broder's
+    resemblance-vs-containment distinction). Same shared-shingle
+    candidate join as dedup_ngram_jaccard, one undirected intersection,
+    both directions derived row-locally; skew filter off for exact
+    oracle semantics (on by default in the operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, n=3, threshold=0.6, max_shingle_freq=None
+    ).orderBy("id_src", "id_dst")
+
+
 @query("dedup_minhash_lsh")  # approximate: rows-only gate, recall-tested in pytest
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs verified by exact Jaccard.
@@ -2144,6 +2189,65 @@ def search_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tf_topk(docs, _search_queries_df(spark), k=10).orderBy(
         "query_id", "rank"
     )
+
+
+#: phrase queries over the fixture vocabulary: 2- and 3-token runs
+_PHRASE_QUERIES = [
+    (1, "table table"),
+    (2, "fast sort"),
+    (3, "scan query"),
+    (4, "value table part"),
+]
+
+
+def _phrase_cnt_sql(phrase: str) -> str:
+    """DuckDB mirror of the Spark per-phrase count expression: same
+    token list, same 1-based consecutive-run test, same short-doc
+    guard."""
+    terms = [t for t in phrase.split(" ") if t]
+    n = len(terms)
+    conds = " AND ".join(f"w[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return (
+        f"(CASE WHEN len(w) >= {n} THEN "
+        f"len(list_filter(generate_series(1, len(w) - {n - 1}), i -> {conds})) "
+        "ELSE 0 END)"
+    )
+
+
+@query(
+    "search_phrase_topk",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    s AS (
+      {" UNION ALL ".join(
+        f"SELECT {pid} AS phrase_id, doc_id, CAST({_phrase_cnt_sql(ph)} AS BIGINT) AS score FROM norm"
+        for pid, ph in _PHRASE_QUERIES
+      )}
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY phrase_id ORDER BY score DESC, doc_id
+      ) AS rnk FROM s WHERE score > 0
+    )
+    SELECT phrase_id, doc_id, score, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 10 ORDER BY phrase_id, rank
+    """,
+)
+def search_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval: top-10 docs per phrase by consecutive-
+    token-run occurrence count (operators.search.search_phrase_topk) —
+    the positional signal the TF/BM25 bag queries cannot express. One
+    corpus scan evaluates the whole phrase set as codegen'd column
+    expressions over the staged token array (no explode, no join);
+    ranking is the two-phase cap_per_group top-k. Exact integer counts
+    -> cross-engine hash-stable."""
+    from gomrjob_spark.operators.search import search_phrase_topk as _ph_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _ph_topk(docs, _PHRASE_QUERIES, k=10).orderBy("phrase_id", "rank")
 
 
 @query(

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
-from gomrjob_spark.operators.asof import asof_join, sessionize
+from gomrjob_spark.operators.asof import asof_join, asof_join_nearest, sessionize
 from gomrjob_spark.operators.rangejoin import band_join
 from gomrjob_spark.plans.registry import query
 
@@ -217,6 +217,55 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         direction="forward",
         tolerance_minutes=360,
+    ).orderBy("event_id")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    cand AS (
+      SELECT p.event_id, v.ts AS vts, v.event_id AS vid,
+             CASE WHEN v.ts <= p.ts THEN p.ts - v.ts ELSE v.ts - p.ts END AS gap,
+             CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END AS dirn
+      FROM p JOIN v USING (user_id)
+    ),
+    best AS (
+      SELECT event_id, vts, vid,
+             row_number() OVER (
+               PARTITION BY event_id ORDER BY gap, dirn, vid DESC
+             ) AS rnk
+      FROM cand
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           b.vts AS asof_ts, b.vid AS asof_event_id
+    FROM p LEFT JOIN best b ON b.event_id = p.event_id AND b.rnk = 1
+    ORDER BY p.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase picks up the view of
+    the same user CLOSEST in time, past or future, backward winning
+    equal gaps (pandas merge_asof direction='nearest'). Engine path:
+    one union stream windowed twice over a single hash exchange
+    (ascending + descending running last), row-local gap pick
+    (operators/asof.py asof_join_nearest) — the oracle runs the naive
+    all-pairs-in-key rank, which is exactly the shuffle the plan
+    avoids."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join_nearest(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "event_id"],
+        tiebreak="event_id",
     ).orderBy("event_id")
 
 

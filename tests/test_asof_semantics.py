@@ -141,3 +141,65 @@ def test_asof_fractional_minute_tolerance(spark):
         ).collect()
     }
     assert got == {1: 10.0, 2: None}
+
+
+def test_asof_nearest_picks_closest_and_backward_on_ties(spark):
+    """Nearest semantics: closest right row in either direction wins;
+    exactly equal gaps resolve to the backward (past) row; a key with
+    no right rows keeps nulls; per-side tolerance disqualifies a near
+    past match without shadowing an in-tolerance future one."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, "k1", "2024-01-01 10:00:00"),  # past@9:50 future@10:03 -> future
+            (2, "k1", "2024-01-01 09:51:00"),  # past@9:50 future@10:03 -> past
+            (3, "k2", "2024-01-01 10:00:00"),  # equal 5-min gaps -> backward
+            (4, "k3", "2024-01-01 10:00:00"),  # no right rows -> nulls
+        ],
+        "event_id long, user_id string, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, "k1", "2024-01-01 09:50:00"),
+            (101, "k1", "2024-01-01 10:03:00"),
+            (200, "k2", "2024-01-01 09:55:00"),
+            (201, "k2", "2024-01-01 10:05:00"),
+        ],
+        "event_id long, user_id string, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join_nearest(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["event_id"], tiebreak="event_id",
+        ).collect()
+    }
+    assert got == {1: 101, 2: 100, 3: 200, 4: None}
+
+    # tolerance 5 min: row 2's past match (1 min) survives; row 1's
+    # nearest IS the future row (3 min) and stays; k2's both-at-5-min
+    # matches survive exactly at the boundary (inclusive)
+    got_tol = {
+        r.event_id: r.asof_event_id
+        for r in asof_join_nearest(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["event_id"], tiebreak="event_id", tolerance_minutes=5,
+        ).collect()
+    }
+    assert got_tol == {1: 101, 2: 100, 3: 200, 4: None}
+
+    # tolerance 2 min: row 1 keeps nothing in the past window but a
+    # 3-min future is ALSO out; row 2 keeps its 1-min past match; k2
+    # loses both
+    got_tight = {
+        r.event_id: r.asof_event_id
+        for r in asof_join_nearest(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["event_id"], tiebreak="event_id", tolerance_minutes=2,
+        ).collect()
+    }
+    assert got_tight == {1: None, 2: 100, 3: None, 4: None}

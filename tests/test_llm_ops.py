@@ -1539,3 +1539,48 @@ def test_ivf_assign_broadcast_path_matches_literal_path(emb):
     plan = buf.getvalue()
     assert "BroadcastExchange" in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_containment_pairs_catch_subdocument_quotes(spark):
+    """Containment vs Jaccard on the motivating shape: a short doc
+    quoted whole inside a much longer one — Jaccard is union-dominated
+    (low), containment of the short side is 1.0 and directed."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally unrelated content here today")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dedup.containment_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2): 1.0}, pairs  # directed: only short -> long
+
+    jac = dedup.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_freq=None)
+    assert jac.count() == 0, "Jaccard must miss the sub-document pair"
+
+
+def test_search_phrase_topk_counts_consecutive_runs_only(spark):
+    """Phrase counts: consecutive runs only (no bag matching), counts
+    overlap-aware via position enumeration, short docs guarded, docs
+    with zero matches excluded, rank by (score desc, doc_id)."""
+    from gomrjob_spark.operators.search import search_phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # "a b" occurs at positions 1 and 3 -> 2
+            (2, "b a b a b"),        # "a b" occurs at 2 and 4 -> 2
+            (3, "a x b a y b"),      # never consecutive -> 0 (bag would match)
+            (4, "a"),                # shorter than the phrase -> 0
+            (5, "a b"),              # exactly the phrase -> 1
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.phrase_id, r.doc_id, r.score, r.rank)
+        for r in search_phrase_topk(docs, [(7, "a b")], k=10)
+        .orderBy("phrase_id", "rank")
+        .collect()
+    ]
+    assert got == [(7, 1, 2, 1), (7, 2, 2, 2), (7, 5, 1, 3)], got
