@@ -34,6 +34,10 @@ _VERIFY_FIRST = [
     "search_phrase_topk",
     # NEW r6: nearest-direction as-of join (two windows, one exchange)
     "join_asof_nearest",
+    # NEW r6: streaming CDC apply (LWW merges into a plain-file dataset)
+    "streaming_upsert_apply",
+    # NEW r6: bloom runtime-prefiltered semi join (exact result)
+    "join_semi_bloom",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -85,14 +89,14 @@ _VERIFY_FIRST = [
     "text_token_stats",
     "top_n_global",
     "udtf_sentences",
-    "window_lag_lead",
-    "window_rank_ntile",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the three r6-new entries displaced the
-# last three r01/r02 rotation slots)
+# head of the r07 rotation (the five r6-new entries displaced the
+# last five r01/r02 rotation slots)
 _BACKFILL = [
+    "window_lag_lead",
+    "window_rank_ntile",
     "window_running_total",
     "window_topk_per_group",
     "funnel_conversion",

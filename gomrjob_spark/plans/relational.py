@@ -453,6 +453,47 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_semi_bloom",
+    oracle="""
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE EXISTS (
+      SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size = 1
+    )
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+    """,
+)
+def join_semi_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a Bloom runtime pre-filter
+    (operators.bloomfilter.bloom_semi_join): the selective dimension's
+    key set compresses into a broadcast bit array; the fact scan drops
+    non-members row-locally BEFORE the exact semi join, so the join
+    shuffle carries only probable matches. The result is EXACTLY the
+    plain semi join (no false negatives; the exact join removes false
+    positives) — the oracle is the plain EXISTS — which is what lets a
+    probabilistic structure sit under the hash gate. The 100 TB case is
+    a dimension too big to broadcast whole but whose key SET fits in
+    bits: the fact table is never shuffled unfiltered."""
+    from gomrjob_spark.operators.bloomfilter import bloom_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    matched = bloom_semi_join(lineitem, dim, on="l_partkey")
+    return (
+        matched.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@query(
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name

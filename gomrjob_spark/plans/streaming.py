@@ -441,6 +441,66 @@ def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, flagged, "append").orderBy("doc_id", "store_id")
 
 
+@query(
+    "streaming_upsert_apply",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           event_id AS last_event_id
+    FROM (
+      SELECT user_id, ts, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def streaming_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming.ops.upsert_sink): the live event
+    stream maintains a keyed plain-file dataset as its materialized
+    current state — per-user latest event by (ts, event_id) — through
+    per-batch last-writer-wins merges (tables.merge_upsert
+    keep_latest_by). The base dataset seeds with each user's EARLIEST
+    event, so batches exercise genuine updates, out-of-order no-ops,
+    and pure inserts; LWW makes the final table a pure function of
+    stream content (batching- and arrival-order-invariant), so the full
+    topology — stream, merges, copy-on-write swaps — sits under the
+    DuckDB hash gate as one argmax-per-key query."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import read_events_stream, upsert_sink
+
+    cols = ["user_id", "ts", "event_type", "event_id"]
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    root = tempfile.mkdtemp(prefix="gomrjob_upsert_")
+    path = root + "/state"
+    base.write.parquet(path)
+    stream = read_events_stream(spark, sf_dir).select(*cols)
+    upsert_sink(stream, path, ["user_id"], ["ts", "event_id"], checkpoint=root + "/ckpt")
+    return (
+        spark.read.parquet(path)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _search_score_sql(split: int) -> str:
     """DuckDB mirror of streaming.ops.search_score_stream: the index
     model (N, avgdl_x100, per-term bit-length idf) derives from the

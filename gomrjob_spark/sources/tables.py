@@ -197,12 +197,26 @@ def merge_upsert(
     partition_col: str | None = None,
     delete_col: str | None = None,
     locate_existing: bool = True,
+    keep_latest_by: list[str] | None = None,
 ) -> dict:
     """Keyed MERGE for a plain-files dataset — the copy-on-write
     equivalent of ``MERGE INTO`` without a table format: rows whose key
     matches an update are replaced, unmatched update rows are inserted,
     and (with ``delete_col``) updates flagged true delete their key
     instead. ``updates`` must be key-unique.
+
+    ``keep_latest_by`` (r6) switches matched keys from replace to
+    LAST-WRITER-WINS: each key keeps whichever of {stored row, update
+    row} has the greater ``keep_latest_by`` tuple (ties prefer the
+    update). That makes the merge COMMUTATIVE over delivery order — a
+    late-arriving older version never overwrites a newer stored row —
+    and IDEMPOTENT under replay, which is exactly the contract a
+    streaming CDC apply needs (see streaming.ops.upsert_sink).
+    Incompatible with ``delete_col`` (a delete would need its own
+    version ordering); with ``partition_col`` it requires
+    ``locate_existing=False`` and partition-stable keys (LWW resolution
+    is per-directory, so a key moving partitions would race its own
+    old row).
 
     Merge plan: ``target LEFT ANTI JOIN touched-keys`` then union the
     upsert rows — the target flows through one anti-join probe
@@ -252,6 +266,13 @@ def merge_upsert(
     "rows_deleted": d}``."""
     from gomrjob_spark.sources.fs import FsOps
 
+    if keep_latest_by and delete_col:
+        raise ValueError("keep_latest_by is incompatible with delete_col")
+    if keep_latest_by and partition_col and locate_existing:
+        raise ValueError(
+            "keep_latest_by with partition_col requires locate_existing=False "
+            "and partition-stable keys (LWW resolution is per-directory)"
+        )
     fs = FsOps(spark)
     rp = resolve_path(path).rstrip("/")
     if delete_col:
@@ -266,7 +287,22 @@ def merge_upsert(
     n_upserted = upserts.count()
 
     def swap_in(current: DataFrame, ups: DataFrame, target: str, keys: DataFrame) -> None:
-        merged = current.join(keys, key_cols, "left_anti").unionByName(ups)
+        if keep_latest_by:
+            from pyspark.sql import Window
+
+            pool = current.withColumn("_src", F.lit(0)).unionByName(
+                ups.withColumn("_src", F.lit(1))
+            )
+            w = Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c).desc() for c in keep_latest_by], F.col("_src").desc()
+            )
+            merged = (
+                pool.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+        else:
+            merged = current.join(keys, key_cols, "left_anti").unionByName(ups)
         tmp, old = target + "._merge_tmp", target + "._merge_old"
         if fs.exists(old):
             raise RuntimeError(

@@ -626,3 +626,64 @@ def search_score_stream(
         .select("doc_id", F.col("query_id").cast("int").alias("query_id"), "score")
         .filter(F.col("score") > 0)
     )
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    keep_latest_by: list[str],
+    checkpoint: str,
+    fmt: str = "parquet",
+):
+    """Streaming CDC apply: maintain a keyed plain-file dataset as the
+    stream's materialized CURRENT STATE. Each micro-batch reduces to
+    its per-key latest row (row_number over ``keep_latest_by`` desc —
+    merge_upsert requires key-unique updates), then merges via
+    ``merge_upsert(keep_latest_by=...)``: last-writer-wins against the
+    STORED row too, so the final table is a pure function of stream
+    CONTENT — invariant to micro-batch boundaries AND arrival order (a
+    late batch carrying an older version never clobbers a newer stored
+    row), which is what puts the whole live topology under the DuckDB
+    hash gate. foreachBatch is at-least-once; LWW merge is idempotent
+    under replay (re-merging the same rows ties on the ordering tuple
+    and rewrites identical content), so replays are safe. Drains with
+    trigger(availableNow) and returns the finished query handle.
+
+    Scale: per batch, the write amplification is merge_upsert's — the
+    base dataset rewrites (or, partitioned + partition-stable keys,
+    only touched directories); batch cadence should be sized so the
+    rewrite amortizes, exactly as with any copy-on-write MERGE sink."""
+    from pyspark.sql import Window as W
+
+    from gomrjob_spark.sources.tables import merge_upsert
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in keep_latest_by]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_upsert(
+            batch_df.sparkSession,
+            path,
+            latest,
+            key_cols,
+            fmt=fmt,
+            keep_latest_by=keep_latest_by,
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

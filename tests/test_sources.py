@@ -585,3 +585,43 @@ def test_merge_upsert_rerun_is_idempotent(spark, tmp_path, monkeypatch):
         (r.id, str(r.src), r.v) for r in spark.read.parquet(path).collect()
     )
     assert after_second == after_first
+
+
+def test_merge_upsert_keep_latest_is_lww_and_replay_idempotent(spark, tmp_path):
+    """keep_latest_by: a late-arriving OLDER version never overwrites a
+    newer stored row, a newer update does replace, inserts still land,
+    and replaying the same merge changes nothing (the CDC contract)."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.sources.tables import merge_upsert
+
+    path = str(tmp_path / "lww")
+    spark.createDataFrame(
+        [(1, 10, "v10"), (2, 20, "v20")], "id long, ver long, payload string"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [
+            (1, 5, "stale"),    # older than stored ver 10 -> must NOT apply
+            (2, 25, "fresh"),   # newer -> replaces
+            (3, 1, "insert"),   # new key -> inserts
+        ],
+        "id long, ver long, payload string",
+    )
+    merge_upsert(spark, path, updates, ["id"], keep_latest_by=["ver"])
+    got = {r.id: (r.ver, r.payload) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10, "v10"), 2: (25, "fresh"), 3: (1, "insert")}
+
+    # replay the SAME merge: content identical (idempotent)
+    merge_upsert(spark, path, updates, ["id"], keep_latest_by=["ver"])
+    again = {r.id: (r.ver, r.payload) for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+    # guard rails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delete_col"):
+        merge_upsert(
+            spark, path, updates.withColumn("d", F.lit(False)), ["id"],
+            delete_col="d", keep_latest_by=["ver"],
+        )

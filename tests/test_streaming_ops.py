@@ -109,6 +109,7 @@ def test_incremental_dedup_stream_state_spans_micro_batches(spark, tmp_path):
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
         .parquet(src)
     )
     q, name = run_to_memory(incremental_dedup_stream(stream, store), mode="append")
@@ -262,3 +263,36 @@ def test_near_dup_written_store_matches_in_memory_derivation(spark, tmp_path):
         assert from_disk == in_mem and from_disk, (from_disk, in_mem)
     finally:
         release_scoped()
+
+
+def test_upsert_sink_is_batching_and_arrival_order_invariant(spark, tmp_path):
+    """The CDC apply contract: stream three files as three SEPARATE
+    micro-batches (maxFilesPerTrigger=1) where a LATER batch carries an
+    OLDER version of a key; the final dataset must equal the global
+    per-key argmax — last-writer-wins by version, not by arrival."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.streaming.ops import upsert_sink
+
+    src = str(tmp_path / "src")
+    schema = "id long, ver long, payload string"
+    # lexicographic file order drives replay order: b0, b1, b2
+    # (plain subdirs, not hive k=v: partition discovery must not add cols)
+    spark.createDataFrame([(1, 10, "a10"), (2, 10, "b10")], schema).coalesce(1).write.parquet(src + "/b0")
+    spark.createDataFrame([(1, 30, "a30"), (3, 5, "c05")], schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(1, 20, "a20"), (2, 40, "b40")], schema).coalesce(1).write.parquet(src + "/b2")
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame([], schema).write.parquet(state)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    upsert_sink(stream, state, ["id"], ["ver"], checkpoint=str(tmp_path / "ckpt"))
+
+    got = {r.id: (r.ver, r.payload) for r in spark.read.parquet(state).collect()}
+    # key 1: ver 30 from the MIDDLE batch survives the later ver-20 batch
+    assert got == {1: (30, "a30"), 2: (40, "b40"), 3: (5, "c05")}, got
