@@ -23,6 +23,7 @@ from gomrjob_spark.sources.tables import (
     write_csv,
     write_partitioned,
     write_range_clustered,
+    write_zorder_clustered,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "write_csv",
     "write_partitioned",
     "write_range_clustered",
+    "write_zorder_clustered",
 ]

@@ -93,13 +93,16 @@ def write_range_clustered(
     so each output file covers a DISJOINT value range. Parquet then
     records tight min/max stats per file/row-group, and a point or range
     predicate on the cluster column prunes to the few files whose range
-    overlaps — the poor man's Z-order, and the difference between a
+    overlaps — the difference between a
     needle-in-haystack query scanning one file vs the whole dataset.
     Disjointness is pinned by tests/test_sources.py via the parquet
     footers.
 
     Use a timestamp or monotone id as the leading cluster column; skewed
-    columns still work (range partitioner samples the distribution)."""
+    columns still work (range partitioner samples the distribution).
+    Only the LEADING column gets tight per-file ranges; for pruning
+    along several independent columns use
+    :func:`write_zorder_clustered`."""
     parted = (
         df.repartitionByRange(num_files, *cluster_by)
         if num_files
@@ -108,6 +111,94 @@ def write_range_clustered(
     parted.sortWithinPartitions(*cluster_by).write.mode(mode).format(fmt).save(
         resolve_path(path)
     )
+
+
+def zorder_key(scaled: list, bits: int) -> "F.Column":
+    """Morton (Z-order) curve key: interleave the bits of the
+    rank-scaled cluster columns — bit j of column c lands at position
+    ``j * n_cols + c``, so consecutive key values alternate fastest
+    along every dimension at once. Pure shift/and/or column expressions,
+    codegen'd (bits × n_cols terms)."""
+    n = len(scaled)
+    key = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for ci, s in enumerate(scaled):
+            bit = F.shiftright(s, j).bitwiseAND(F.lit(1).cast("bigint"))
+            key = key.bitwiseOR(F.shiftleft(bit, j * n + ci))
+    return key
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Write with MULTI-dimensional clustering on a Z-order (Morton)
+    curve — the real version of :func:`write_range_clustered`'s "poor
+    man's Z-order": range clustering gives disjoint file ranges on ONE
+    leading column; interleaving the bits of several rank-scaled
+    columns gives locality along EVERY cluster column at once, so
+    parquet footer min/max stats prune scans on any of them
+    independently (the technique behind Delta/Iceberg ``OPTIMIZE
+    ZORDER``; Morton 1966). With 2 columns and F output files, each
+    file covers ~1/sqrt(F) of each column's range instead of 1/F of
+    one and 100% of the other.
+
+    Each cluster column linearly scales to a ``bits``-wide integer
+    against its global min/max — ONE bounded stats aggregate (2 scalars
+    per column) is the only extra pass; the write is then ordinary
+    range clustering on the interleaved key (one range-exchange
+    shuffle, same as write_range_clustered). Numeric and timestamp
+    columns (timestamps scale via epoch micros). Linear scaling is
+    skew-sensitive where a rank-based scale wouldn't be — for heavily
+    skewed columns, pre-transform (log, bucketed rank) before
+    clustering. Bit budget: bits × n_cols must stay <= 63.
+
+    Per-column pruning power is pinned by
+    tests/test_sources.py::test_zorder_write_prunes_on_both_columns."""
+    from gomrjob_spark.functions import epoch_us
+
+    if bits * len(cluster_by) > 63:
+        raise ValueError(f"bits*cols = {bits * len(cluster_by)} exceeds the 63-bit key")
+    dtypes = dict(df.dtypes)
+    work = df
+    zc = []
+    for i, c in enumerate(cluster_by):
+        col = F.col(c)
+        if dtypes[c].startswith("timestamp"):
+            col = epoch_us(col)
+        work = work.withColumn(f"_z{i}", col.cast("double"))
+        zc.append(f"_z{i}")
+    # bounded driver read: 2 scalars per cluster column
+    stats = work.agg(
+        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(zc)],
+        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(zc)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(zc):
+        lo, hi = float(stats[f"_lo{i}"]), float(stats[f"_hi{i}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top).cast("bigint"),
+                F.floor((F.col(c) - F.lit(lo)) * F.lit(top / span)).cast("bigint"),
+            )
+        )
+    keyed = work.withColumn("_zkey", zorder_key(scaled, bits))
+    parted = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    # the projection after the sort is order-preserving (no exchange)
+    parted.sortWithinPartitions("_zkey").drop("_zkey", *zc).write.mode(mode).format(
+        fmt
+    ).save(resolve_path(path))
 
 
 def dataset_stats(spark: SparkSession, path: str, fmt: str = "parquet") -> dict:

@@ -625,3 +625,61 @@ def test_merge_upsert_keep_latest_is_lww_and_replay_idempotent(spark, tmp_path):
             spark, path, updates.withColumn("d", F.lit(False)), ["id"],
             delete_col="d", keep_latest_by=["ver"],
         )
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering must give footer-stats pruning power on BOTH
+    cluster columns: with 16 files each file should cover roughly a
+    4x4-grid cell (~1/4 of each column's range), where single-column
+    range clustering covers 1/16 of the leading column but ~100% of the
+    other. Checked from the parquet footers, like the range-clustered
+    disjointness pin."""
+    import pyarrow.parquet as pq
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.sources.tables import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def file_spans(out, col):
+        spans, glo, ghi = [], None, None
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append((min(mins), max(maxs)))
+            glo = min(glo, min(mins)) if glo is not None else min(mins)
+            ghi = max(ghi, max(maxs)) if ghi is not None else max(maxs)
+        width = ghi - glo or 1
+        return [(hi - lo) / width for lo, hi in spans]
+
+    zout = str(tmp_path / "z")
+    write_zorder_clustered(events, zout, ["event_id", "user_id"], num_files=16)
+    z_ev = file_spans(zout, "event_id")
+    z_us = file_spans(zout, "user_id")
+    assert len(z_ev) >= 8  # the range partitioner actually fanned out
+    # each file covers a bounded window of BOTH dimensions
+    assert sum(z_ev) / len(z_ev) < 0.45, f"event_id spans too wide: {z_ev}"
+    assert sum(z_us) / len(z_us) < 0.45, f"user_id spans too wide: {z_us}"
+
+    # contrast: single-column range clustering leaves the OTHER column
+    # un-pruned (full-range files)
+    rout = str(tmp_path / "r")
+    write_range_clustered(events, rout, ["event_id"], num_files=16)
+    r_us = file_spans(rout, "user_id")
+    assert sum(r_us) / len(r_us) > 0.8, "fixture lost its independence assumption"
+
+    # and the data survives intact
+    assert spark.read.parquet(zout).count() == events.count()
