@@ -129,6 +129,79 @@ def quality_score(col: Column | str) -> Column:
     return (length_ok * 0.2 + tok_ok * 0.2 + punct_pen * 0.2 + digit_pen * 0.2 + stop_bonus * 0.2)
 
 
+#: default integer weights for linear_quality_gate (per-mille ratio
+#: features): reward stopword density and length, punish punctuation
+#: and digit soup. An offline-trained linear quality head deploys by
+#: replacing these numbers — data, not code.
+QUALITY_GATE_WEIGHTS = {
+    "bias": -700,
+    "r_stop": 8,
+    "r_punct": -6,
+    "r_digit": -6,
+    "len_cap": 1,
+}
+
+
+def linear_quality_gate(
+    df,
+    weights: dict[str, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Model-based quality filtering as a LINEAR head over fixed-point
+    ratio features — the distilled-classifier stage of corpus curation
+    (the role a fasttext/logistic quality model plays in public
+    pipeline recipes), expressed so the score is EXACT integer
+    arithmetic and therefore sits under the cross-engine hash gate:
+
+    - features are per-mille integer ratios (``(1000 * n) DIV d`` on
+      positive operands — Spark and DuckDB floor identically) plus a
+      capped token-length feature;
+    - the score is the integer dot product with ``weights`` (keep =
+      score > 0) — thresholding the LOGIT, which is order-equivalent
+      to thresholding a sigmoid without any transcendental math.
+
+    Zero shuffles: counts, ratios, score, and the keep flag are one
+    scan projection; the model rides as plan literals exactly like the
+    decontamination benchmark set rides a broadcast. Returns
+    (id, r_stop, r_punct, r_digit, len_cap, score, keep)."""
+    w = dict(QUALITY_GATE_WEIGHTS)
+    if weights:
+        w.update(weights)
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("_nc"),
+        token_count(c).cast("bigint").alias("_nt"),
+        stopword_hits(c, LANG_STOPWORDS["en"]).cast("bigint").alias("_ns"),
+        F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("_np"),
+        F.regexp_count(c, F.lit(r"[0-9]")).cast("bigint").alias("_nd"),
+    )
+    feats = staged.select(
+        F.col(id_col),
+        F.expr("coalesce((1000 * _ns) DIV nullif(_nt, 0), 0)").alias("r_stop"),
+        F.expr("coalesce((1000 * _np) DIV nullif(_nc, 0), 0)").alias("r_punct"),
+        F.expr("coalesce((1000 * _nd) DIV nullif(_nc, 0), 0)").alias("r_digit"),
+        F.least(F.col("_nt"), F.lit(1000).cast("bigint")).alias("len_cap"),
+    )
+    score = (
+        F.lit(int(w["bias"]))
+        + F.lit(int(w["r_stop"])) * F.col("r_stop")
+        + F.lit(int(w["r_punct"])) * F.col("r_punct")
+        + F.lit(int(w["r_digit"])) * F.col("r_digit")
+        + F.lit(int(w["len_cap"])) * F.col("len_cap")
+    ).cast("bigint")
+    return feats.select(
+        F.col(id_col),
+        "r_stop",
+        "r_punct",
+        "r_digit",
+        "len_cap",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form: lowercase, whitespace runs collapsed, trimmed."""
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))

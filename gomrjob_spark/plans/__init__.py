@@ -38,6 +38,8 @@ _VERIFY_FIRST = [
     "streaming_upsert_apply",
     # NEW r6: bloom runtime-prefiltered semi join (exact result)
     "join_semi_bloom",
+    # NEW r6: linear quality-classifier gate (exact integer logit)
+    "quality_model_gate",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -88,13 +90,13 @@ _VERIFY_FIRST = [
     "text_quality",
     "text_token_stats",
     "top_n_global",
-    "udtf_sentences",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the five r6-new entries displaced the
-# last five r01/r02 rotation slots)
+# head of the r07 rotation (the six r6-new entries displaced the
+# last six r01/r02 rotation slots)
 _BACKFILL = [
+    "udtf_sentences",
     "window_lag_lead",
     "window_rank_ntile",
     "window_running_total",

@@ -748,6 +748,46 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_model_gate",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT)                                   AS nc,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt,
+        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 t -> t IN ('the','and','of','to','in','is','a'))) AS BIGINT) AS ns,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS np,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)         AS nd
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+        coalesce((1000 * ns) // nullif(nt, 0), 0) AS r_stop,
+        coalesce((1000 * np) // nullif(nc, 0), 0) AS r_punct,
+        coalesce((1000 * nd) // nullif(nc, 0), 0) AS r_digit,
+        least(nt, 1000)                           AS len_cap
+      FROM f
+    )
+    SELECT doc_id, r_stop, r_punct, r_digit, len_cap,
+           CAST(-700 + 8 * r_stop - 6 * r_punct - 6 * r_digit + 1 * len_cap AS BIGINT) AS score,
+           (-700 + 8 * r_stop - 6 * r_punct - 6 * r_digit + 1 * len_cap) > 0 AS keep
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (text.linear_quality_gate): a linear
+    classifier head over per-mille integer ratio features — the
+    distilled-model curation stage, scored in exact integer arithmetic
+    (thresholding the logit, order-equivalent to the sigmoid) so the
+    whole model evaluation sits under the cross-engine hash gate. Zero
+    shuffles: the model is plan literals over one scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.linear_quality_gate(docs).orderBy("doc_id")
+
+
+
+@query(
     "text_token_stats",
     oracle=f"""
     SELECT

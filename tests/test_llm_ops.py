@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
-from gomrjob_spark.operators import dedup, multimodal, similarity
+from gomrjob_spark.operators import dedup, multimodal, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -1584,3 +1584,27 @@ def test_search_phrase_topk_counts_consecutive_runs_only(spark):
         .collect()
     ]
     assert got == [(7, 1, 2, 1), (7, 2, 2, 2), (7, 5, 1, 3)], got
+
+
+def test_linear_quality_gate_weights_are_data(spark):
+    """The model deploys as weights, not code: flipping the weights
+    flips verdicts; degenerate inputs (empty text, no tokens) score
+    without errors; arithmetic is exact integers."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house of the king"),  # stopword-rich
+            (2, "$$$ 123 456 789 !!! ### 000 %%% 111 ^^^"),           # symbol/digit soup
+            (3, ""),                                                   # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.score) for r in text.linear_quality_gate(docs).collect()}
+    assert got[1][0] is True and got[2][0] is False
+    assert got[3][1] is not None  # no division-by-zero blowup
+
+    inverted = {"bias": 700, "r_stop": -8, "r_punct": 6, "r_digit": 6, "len_cap": -1}
+    flipped = {
+        r.doc_id: r.keep
+        for r in text.linear_quality_gate(docs, weights=inverted).collect()
+    }
+    assert flipped[1] is False and flipped[2] is True
