@@ -230,6 +230,7 @@ def compact_small_files(
     target_file_bytes: int = 256 * 1024 * 1024,
     fmt: str = "parquet",
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Compact a small-file-fragmented dataset in place: read, coalesce
     to ``ceil(total_bytes / target_file_bytes)`` output files, and
@@ -241,7 +242,10 @@ def compact_small_files(
 
     With ``cluster_by``, the rewrite range-clusters on those columns
     (see write_range_clustered) so compaction also restores stats
-    pruning. Returns {before, after} dataset_stats.
+    pruning; ``zorder=True`` makes it Morton-curve clustering instead
+    (write_zorder_clustered — the OPTIMIZE ZORDER shape: compaction
+    and multi-column re-clustering in one pass). Returns
+    {before, after} dataset_stats.
 
     Swap order (r4 verdict #2 fix — the old rmr-then-move sequence had
     a window where a crash left NO copy at the canonical path): the
@@ -262,7 +266,9 @@ def compact_small_files(
     tmp = base + "._compact_tmp"
     old = base + "._compact_old"
     df = spark.read.format(fmt).load(rp)
-    if cluster_by:
+    if cluster_by and zorder:
+        write_zorder_clustered(df, tmp, cluster_by, num_files=n_out, fmt=fmt)
+    elif cluster_by:
         write_range_clustered(df, tmp, cluster_by, num_files=n_out, fmt=fmt)
     else:
         # coalesce, not repartition: merging files needs no shuffle

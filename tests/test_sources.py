@@ -683,3 +683,102 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
 
     # and the data survives intact
     assert spark.read.parquet(zout).count() == events.count()
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Runtime pruning, pinned: a fact table laid out by
+    write_partitioned, joined to a dimension filtered on a NON-join
+    column, must plan a dynamicpruningexpression inside the scan's
+    PartitionFilters — Catalyst derives the partition list from the dim
+    side at runtime, so at 100 TB the fact scan opens only partitions
+    that can match (static pruning can't see this: the filter is on the
+    dim, not the partition column)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.sources import write_partitioned
+
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    write_partitioned(events, out, partition_by=["event_type"])
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 2), ("signup", 2), ("logout", 3)],
+        "event_type string, tier int",
+    )
+    fact = spark.read.parquet(out)
+    j = fact.join(dim.filter(F.col("tier") == 2), "event_type").groupBy(
+        "event_type"
+    ).count()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower(), "DPP did not engage"
+    # and the result is right
+    got = {r.event_type: r["count"] for r in j.collect()}
+    want = {
+        r.event_type: r["count"]
+        for r in events.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_compact_with_zorder_restores_multicolumn_clustering(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER shape: compacting a fragmented dataset with
+    zorder=True merges small files AND re-clusters on the Morton curve
+    in the same rewrite (crash-safe swap unchanged)."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.sources.tables import compact_small_files
+
+    out = str(tmp_path / "frag")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    events.repartition(64).write.parquet(out)  # 64 tiny files
+
+    res = compact_small_files(
+        spark, out, target_file_bytes=64 * 1024,
+        cluster_by=["event_id", "user_id"], zorder=True,
+    )
+    assert res["after"]["n_files"] < res["before"]["n_files"]
+    assert res["after"]["n_rows"] == res["before"]["n_rows"]
+    # the rewrite is genuinely z-clustered: both columns' per-file spans
+    # are bounded fractions of the global range (reuse the zorder pin's
+    # analysis at a loose threshold — few files => coarser grid)
+    import pyarrow.parquet as pq
+
+    def spans(col):
+        vals, lo, hi = [], None, None
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            mn = min(
+                md.row_group(rg).column(i).statistics.min
+                for rg in range(md.num_row_groups)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mx = max(
+                md.row_group(rg).column(i).statistics.max
+                for rg in range(md.num_row_groups)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            vals.append((mn, mx))
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        w = (hi - lo) or 1
+        return [(b - a) / w for a, b in vals]
+
+    s_ev, s_us = spans("event_id"), spans("user_id")
+    if len(s_ev) >= 4:  # enough files for a 2x2 grid
+        assert sum(s_ev) / len(s_ev) < 0.75
+        assert sum(s_us) / len(s_us) < 0.75
