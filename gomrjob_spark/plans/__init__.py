@@ -40,6 +40,8 @@ _VERIFY_FIRST = [
     "join_semi_bloom",
     # NEW r6: linear quality-classifier gate (exact integer logit)
     "quality_model_gate",
+    # NEW r6: perceptual-hash image dedup (real decode under the gate)
+    "multimodal_phash_dedup",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -89,13 +91,13 @@ _VERIFY_FIRST = [
     "text_lang_id",
     "text_quality",
     "text_token_stats",
-    "top_n_global",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the six r6-new entries displaced the
-# last six r01/r02 rotation slots)
+# head of the r07 rotation (the seven r6-new entries displaced the
+# last seven r01/r02 rotation slots)
 _BACKFILL = [
+    "top_n_global",
     "udtf_sentences",
     "window_lag_lead",
     "window_rank_ntile",

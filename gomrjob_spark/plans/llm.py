@@ -1420,6 +1420,78 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 37 AS g FROM documents),
+    bits AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN (g*31 + (x+1)*7 + y*13) % 256 > (g*31 + x*7 + y*13) % 256
+             THEN (1::HUGEINT << (y*8 + x)) ELSE 0::HUGEINT END) AS HUGEINT) AS raw
+      FROM d, unnest(generate_series(0, 7)) AS tx(x), unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+        CAST(raw - CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS dhash
+      FROM bits
+    ),
+    grp AS (
+      SELECT dhash, CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical
+      FROM hashes GROUP BY dhash
+    )
+    SELECT h.doc_id, h.dhash, g.group_size, h.doc_id = g.canonical AS is_canonical
+    FROM hashes h JOIN grp g USING (dhash)
+    ORDER BY h.doc_id
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup via perceptual hashing — the multimodal
+    twin of text simhash, with the whole pipeline (synthesize container
+    -> REAL PGM decode -> grayscale -> 9x8 nearest-neighbor resample ->
+    dHash bit pack -> hash-group survivorship) under the cross-engine
+    hash gate: each doc renders its visual group (doc_id % 37) at a
+    doc-specific RESOLUTION, pixel values constant over each resample
+    cell, so the 64-bit dHash is resolution-invariant and the DuckDB
+    oracle recomputes it from the generator formula without any codec.
+    A sampling-index, grayscale, resample, or bit-order bug in the real
+    decode path breaks the hash. Scale shape: payloads never leave the
+    scanning task; everything downstream groups on an 8-byte key
+    (operators.multimodal.perceptual_dhash / extract_dhash)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    synth = docs.selectExpr(
+        "doc_id",
+        "doc_id % 37 AS g",
+        "CAST(doc_id % 6 + 9 AS INT) AS w",
+        "CAST(doc_id % 4 + 8 AS INT) AS h",
+    ).selectExpr(
+        "doc_id",
+        """concat(
+             encode(format_string('P5\n%d %d\n255\n', w, h), 'UTF-8'),
+             unhex(array_join(transform(sequence(0, w * h - 1), i ->
+               lpad(hex((g * 31
+                 + ((9 * ((i % w) + 1) + w - 1) DIV w - 1) * 7
+                 + ((8 * ((i DIV w) + 1) + h - 1) DIV h - 1) * 13) % 256), 2, '0')), ''))
+           ) AS payload""",
+    )
+    d = multimodal.extract_dhash(synth)
+    grp = d.groupBy("dhash").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.min("doc_id").alias("_canon"),
+    )
+    return (
+        d.join(F.broadcast(grp), "dhash")
+        .select(
+            "doc_id",
+            "dhash",
+            "group_size",
+            (F.col("doc_id") == F.col("_canon")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "multimodal_progressive_pixel_stats",
     oracle="""
     WITH d AS (

@@ -1608,3 +1608,38 @@ def test_linear_quality_gate_weights_are_data(spark):
         for r in text.linear_quality_gate(docs, weights=inverted).collect()
     }
     assert flipped[1] is False and flipped[2] is True
+
+
+def test_perceptual_dhash_invariances():
+    """dHash contract on REAL codec paths: (a) the same visual content
+    at different resolutions hashes identically (cell-constant images
+    under the documented inverse-sampling map); (b) a global brightness
+    shift that preserves gradient order hashes identically; (c) content
+    with an opposite gradient hashes differently; (d) container
+    invariance — the same pixels through PGM and PNG decode paths give
+    one hash."""
+    from gomrjob_spark.operators.multimodal import encode_png, perceptual_dhash
+
+    def cells(w, h, f):
+        def cx(px):
+            return (9 * (px + 1) + w - 1) // w - 1
+
+        def cy(py):
+            return (8 * (py + 1) + h - 1) // h - 1
+
+        return bytes(f(cx(x), cy(y)) % 256 for y in range(h) for x in range(w))
+
+    def pgm(w, h, f):
+        return b"P5\n%d %d\n255\n" % (w, h) + cells(w, h, f)
+
+    base = lambda x, y: 40 + x * 7 + y * 13  # noqa: E731
+    h1 = perceptual_dhash(pgm(11, 9, base))
+    assert h1 == perceptual_dhash(pgm(18, 13, base)), "resolution variance"
+    shifted = lambda x, y: 50 + x * 7 + y * 13  # noqa: E731
+    assert h1 == perceptual_dhash(pgm(11, 9, shifted)), "tone variance"
+    flipped = lambda x, y: 200 - x * 7 + y * 13  # noqa: E731
+    assert h1 != perceptual_dhash(pgm(11, 9, flipped)), "gradient blindness"
+
+    # container invariance: identical gray pixels via the PNG decoder
+    png = encode_png(cells(11, 9, base), 11, 9, color_type=0)
+    assert perceptual_dhash(png) == h1
