@@ -42,6 +42,8 @@ _VERIFY_FIRST = [
     "quality_model_gate",
     # NEW r6: perceptual-hash image dedup (real decode under the gate)
     "multimodal_phash_dedup",
+    # NEW r6: live image-dedup admission (streaming decode + hash probe)
+    "streaming_phash_admission",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -90,13 +92,13 @@ _VERIFY_FIRST = [
     "text_fingerprint",
     "text_lang_id",
     "text_quality",
-    "text_token_stats",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the seven r6-new entries displaced the
-# last seven r01/r02 rotation slots)
+# head of the r07 rotation (the eight r6-new entries displaced the
+# last eight r01/r02 rotation slots)
 _BACKFILL = [
+    "text_token_stats",
     "top_n_global",
     "udtf_sentences",
     "window_lag_lead",

@@ -1419,13 +1419,36 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
     return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
+def _phash_synth(docs: DataFrame, mod: int) -> DataFrame:
+    """(doc_id, payload): render each doc's visual group (doc_id % mod)
+    as a real PGM at a doc-specific resolution, pixel values constant
+    over each 9x8 resample cell (via the inverse-sampling map
+    cx = (9*(px+1)+w-1) DIV w - 1), so perceptual_dhash is exactly
+    recomputable from the generator formula at ANY resolution."""
+    return docs.selectExpr(
+        "doc_id",
+        f"doc_id % {mod} AS g",
+        "CAST(doc_id % 6 + 9 AS INT) AS w",
+        "CAST(doc_id % 4 + 8 AS INT) AS h",
+    ).selectExpr(
+        "doc_id",
+        """concat(
+             encode(format_string('P5\\n%d %d\\n255\\n', w, h), 'UTF-8'),
+             unhex(array_join(transform(sequence(0, w * h - 1), i ->
+               lpad(hex((g * 31
+                 + ((9 * ((i % w) + 1) + w - 1) DIV w - 1) * (7 + g % 11)
+                 + ((8 * ((i DIV w) + 1) + h - 1) DIV h - 1) * (13 + g % 5)) % 256), 2, '0')), ''))
+           ) AS payload""",
+    )
+
+
 @query(
     "multimodal_phash_dedup",
     oracle="""
     WITH d AS (SELECT doc_id, doc_id % 37 AS g FROM documents),
     bits AS (
       SELECT doc_id,
-        CAST(sum(CASE WHEN (g*31 + (x+1)*7 + y*13) % 256 > (g*31 + x*7 + y*13) % 256
+        CAST(sum(CASE WHEN (g*31 + (x+1)*(7 + g % 11) + y*(13 + g % 5)) % 256 > (g*31 + x*(7 + g % 11) + y*(13 + g % 5)) % 256
              THEN (1::HUGEINT << (y*8 + x)) ELSE 0::HUGEINT END) AS HUGEINT) AS raw
       FROM d, unnest(generate_series(0, 7)) AS tx(x), unnest(generate_series(0, 7)) AS ty(y)
       GROUP BY doc_id
@@ -1459,22 +1482,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning task; everything downstream groups on an 8-byte key
     (operators.multimodal.perceptual_dhash / extract_dhash)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    synth = docs.selectExpr(
-        "doc_id",
-        "doc_id % 37 AS g",
-        "CAST(doc_id % 6 + 9 AS INT) AS w",
-        "CAST(doc_id % 4 + 8 AS INT) AS h",
-    ).selectExpr(
-        "doc_id",
-        """concat(
-             encode(format_string('P5\n%d %d\n255\n', w, h), 'UTF-8'),
-             unhex(array_join(transform(sequence(0, w * h - 1), i ->
-               lpad(hex((g * 31
-                 + ((9 * ((i % w) + 1) + w - 1) DIV w - 1) * 7
-                 + ((8 * ((i DIV w) + 1) + h - 1) DIV h - 1) * 13) % 256), 2, '0')), ''))
-           ) AS payload""",
-    )
-    d = multimodal.extract_dhash(synth)
+    d = multimodal.extract_dhash(_phash_synth(docs, 37))
     grp = d.groupBy("dhash").agg(
         F.count("*").cast("long").alias("group_size"),
         F.min("doc_id").alias("_canon"),

@@ -501,6 +501,70 @@ def streaming_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_phash_admission",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 371 AS g FROM documents),
+    bits AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN (g*31 + (x+1)*(7 + g % 11) + y*(13 + g % 5)) % 256 > (g*31 + x*(7 + g % 11) + y*(13 + g % 5)) % 256
+             THEN (1::HUGEINT << (y*8 + x)) ELSE 0::HUGEINT END) AS HUGEINT) AS raw
+      FROM d, unnest(generate_series(0, 7)) AS tx(x), unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+        CAST(raw - CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS dhash
+      FROM bits
+    ),
+    store AS (SELECT DISTINCT dhash FROM hashes WHERE doc_id < 250)
+    SELECT h.doc_id, h.dhash, (s.dhash IS NOT NULL) AS is_known
+    FROM (SELECT * FROM hashes WHERE doc_id >= 250) h
+    LEFT JOIN store s USING (dhash)
+    ORDER BY h.doc_id
+    """,
+)
+def streaming_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live IMAGE-dedup admission: arriving documents render, REALLY
+    decode, and perceptually hash (multimodal.extract_dhash — an
+    Arrow-batched Python stage inside the streaming topology), then
+    probe the static corpus's hash set via a broadcast stream-static
+    left join. The multimodal twin of streaming_near_dup_probe: the
+    stream stays stateless (hashing is row-local; the store is an
+    8-byte-per-image broadcast), so output is a pure function of
+    (stream, store) and the full live pipeline sits under the DuckDB
+    hash gate via the generator-formula oracle. Uses doc_id % 371
+    visual groups so arrivals split into genuinely known AND novel
+    images at sf0.01."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators import multimodal
+    from gomrjob_spark.plans.llm import _phash_synth
+    from gomrjob_spark.streaming import read_documents_stream
+
+    store_docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 250
+    )
+    store = scoped_persist(
+        multimodal.extract_dhash(_phash_synth(store_docs, 371))
+        .select("dhash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    hashed = multimodal.extract_dhash(_phash_synth(stream, 371))
+    flagged = hashed.join(F.broadcast(store), "dhash", "left").select(
+        "doc_id", "dhash", F.col("_hit").isNotNull().alias("is_known")
+    )
+    return _drain(spark, flagged, "append").orderBy("doc_id")
+
+
 def _search_score_sql(split: int) -> str:
     """DuckDB mirror of streaming.ops.search_score_stream: the index
     model (N, avgdl_x100, per-term bit-length idf) derives from the
