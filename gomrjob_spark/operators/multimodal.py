@@ -2058,3 +2058,57 @@ def extract_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         run, schema=DHASH_SCHEMA
     )
+
+
+#: schema produced by extract_audio_fingerprint
+AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
+
+#: window count for audio_fingerprint (33 windows -> 32 contour bits)
+AUDIO_FP_WINDOWS = 33
+
+
+def audio_fingerprint(payload: bytes) -> int:
+    """32-bit loudness-contour fingerprint over REAL decoded PCM — the
+    audio twin of :func:`perceptual_dhash` (the public shape behind
+    echoprint/chromaprint-style fingerprints, reduced to its integer
+    core): decode the WAV, split the sample stream into 33 equal
+    windows (window w = samples [w*n//33, (w+1)*n//33)), take each
+    window's integer mean (floor), and set bit w when
+    ``mean[w+1] > mean[w]``. Invariant to duration/sample-rate for
+    content constant over the window cells, and to any gain change
+    preserving the contour ORDER. All-integer, so a SQL oracle that
+    knows the audio generator recomputes the exact fingerprint with no
+    audio stack."""
+    m = decode_audio_samples(payload)
+    s = m["samples"]
+    n = len(s)
+    if n < AUDIO_FP_WINDOWS:
+        raise ValueError(f"audio fingerprint needs >= {AUDIO_FP_WINDOWS} samples, got {n}")
+    means = []
+    for w in range(AUDIO_FP_WINDOWS):
+        lo = w * n // AUDIO_FP_WINDOWS
+        hi = (w + 1) * n // AUDIO_FP_WINDOWS
+        means.append(sum(s[lo:hi]) // (hi - lo))
+    bits = 0
+    for w in range(AUDIO_FP_WINDOWS - 1):
+        if means[w + 1] > means[w]:
+            bits |= 1 << w
+    return bits
+
+
+def extract_audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, afp) via Arrow-batched mapInPandas — payload bytes never
+    leave the scanning task; everything downstream (grouping, Hamming
+    banding) works on a 4-byte-per-clip key."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                ids.append(doc_id)
+                fps.append(audio_fingerprint(bytes(p)))
+            yield pd.DataFrame({"doc_id": ids, "afp": fps})
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        run, schema=AUDIO_FP_SCHEMA
+    )

@@ -44,6 +44,8 @@ _VERIFY_FIRST = [
     "multimodal_phash_dedup",
     # NEW r6: live image-dedup admission (streaming decode + hash probe)
     "streaming_phash_admission",
+    # NEW r6: audio contour-fingerprint dedup (real PCM decode)
+    "multimodal_audio_fingerprint_dedup",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -91,13 +93,13 @@ _VERIFY_FIRST = [
     "set_ops",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the eight r6-new entries displaced the
-# last eight r01/r02 rotation slots)
+# head of the r07 rotation (the nine r6-new entries displaced the
+# last nine r01/r02 rotation slots)
 _BACKFILL = [
+    "text_quality",
     "text_token_stats",
     "top_n_global",
     "udtf_sentences",

@@ -1691,6 +1691,98 @@ def multimodal_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_fingerprint_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 29 AS g FROM documents),
+    bits AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN (g*97 + (w+1)*19) % 256 > (g*97 + w*19) % 256
+             THEN (1::BIGINT << w) ELSE 0 END) AS BIGINT) AS afp
+      FROM d, unnest(generate_series(0, 31)) AS t(w)
+      GROUP BY doc_id
+    ),
+    grp AS (
+      SELECT afp, CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical
+      FROM bits GROUP BY afp
+    )
+    SELECT b.doc_id, b.afp, g.group_size, b.doc_id = g.canonical AS is_canonical
+    FROM bits b JOIN grp g USING (afp)
+    ORDER BY b.doc_id
+    """,
+)
+def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup dedup via loudness-contour fingerprinting — the
+    audio member of the perceptual-dedup family (images: dHash; text:
+    simhash): synthesize a real RIFF/WAVE per doc whose acoustic group
+    (doc_id % 29) renders at a doc-specific DURATION with samples
+    constant over each of the 33 fingerprint windows (inverse-sampling
+    cell map), REALLY decode the PCM
+    (multimodal.extract_audio_fingerprint -> decode_audio_samples),
+    window-mean it, and pack the 32 contour-direction bits. The
+    fingerprint is duration-invariant, so the DuckDB oracle recomputes
+    it from the generator formula; group survivorship keys on the
+    4-byte fingerprint. An endianness, window-boundary, or integer-mean
+    bug in the real decode path breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 29
+    n = (F.col("doc_id") % 300 + 40).cast("int")
+    data_size = (n * 2).cast("int")
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.concat(
+                F.lpad(F.hex(_afp_val(g, k, n) % 256), 2, "0"),
+                F.lpad(F.hex(F.shiftright(_afp_val(g, k, n), 8)), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    sr, ch, bits = F.lit(16000), F.lit(1), F.lit(16)
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le_bytes(data_size + 36, 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),
+        _le_bytes(ch, 2),
+        _le_bytes(sr, 4),
+        _le_bytes((sr * ch * bits / 8).cast("int"), 4),
+        _le_bytes((ch * bits / 8).cast("int"), 2),
+        _le_bytes(bits, 2),
+        F.encode(F.lit("data"), "UTF-8"),
+        _le_bytes(data_size, 4),
+        F.unhex(sample_hex),
+    )
+    d = multimodal.extract_audio_fingerprint(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+    grp = d.groupBy("afp").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.min("doc_id").alias("_canon"),
+    )
+    return (
+        d.join(F.broadcast(grp), "afp")
+        .select(
+            "doc_id",
+            "afp",
+            "group_size",
+            (F.col("doc_id") == F.col("_canon")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _afp_val(g, k, n):
+    """Sample value for the fingerprint fixture: constant over each of
+    the 33 fingerprint windows via the inverse cell map (the audio
+    analog of _phash_synth's pixel cells)."""
+    from pyspark.sql import functions as _F
+
+    cell = _F.floor((33 * (k + 1) + n - 1) / n).cast("int") - 1
+    return (g * 97 + cell * 19) % 256
+
+
+@query(
     "sample_stratified",
     oracle="""
     WITH b AS (

@@ -1643,3 +1643,34 @@ def test_perceptual_dhash_invariances():
     # container invariance: identical gray pixels via the PNG decoder
     png = encode_png(cells(11, 9, base), 11, 9, color_type=0)
     assert perceptual_dhash(png) == h1
+
+
+def test_audio_fingerprint_invariances():
+    """Contour fingerprint contract: duration-invariant for
+    window-cell-constant content, gain-order-invariant, and sensitive
+    to contour inversion."""
+    import struct
+
+    from gomrjob_spark.operators.multimodal import audio_fingerprint
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", v) for v in samples)
+        return (
+            b"RIFF" + struct.pack("<I", len(data) + 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def synth(n, f):
+        def cell(t):
+            return (33 * (t + 1) + n - 1) // n - 1
+
+        return wav([f(cell(t)) for t in range(n)])
+
+    base = lambda c: (40 + c * 19) % 256  # noqa: E731
+    h = audio_fingerprint(synth(40, base))
+    assert h == audio_fingerprint(synth(333, base)), "duration variance"
+    doubled = lambda c: 2 * ((40 + c * 19) % 256)  # noqa: E731
+    assert h == audio_fingerprint(synth(40, doubled)), "gain variance"
+    inverted = lambda c: 255 - (40 + c * 19) % 256  # noqa: E731
+    assert h != audio_fingerprint(synth(40, inverted)), "contour blindness"
