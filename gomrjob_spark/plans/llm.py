@@ -1726,13 +1726,18 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> Data
     docs = load_table(spark, sf_dir, "documents")
     g = F.col("doc_id") % 29
     n = (F.col("doc_id") % 300 + 40).cast("int")
-    data_size = (n * 2).cast("int")
+    data_size = (F.col("_n") * 2).cast("int")
+    # stage the sample-value array into a real column first: the hex
+    # lambda references the value twice (low/high byte) and HOF lambdas
+    # get no CSE — inlining _afp_val there would evaluate the cell map
+    # twice per sample (the plan rule from text.bigram_novelty)
+    vals = F.transform(F.sequence(F.lit(0), n - 1), lambda k: _afp_val(g, k, n))
     sample_hex = F.array_join(
         F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda k: F.concat(
-                F.lpad(F.hex(_afp_val(g, k, n) % 256), 2, "0"),
-                F.lpad(F.hex(F.shiftright(_afp_val(g, k, n), 8)), 2, "0"),
+            F.col("_vals"),
+            lambda v: F.concat(
+                F.lpad(F.hex(v % 256), 2, "0"),
+                F.lpad(F.hex(F.shiftright(v, 8)), 2, "0"),
             ),
         ),
         "",
@@ -1753,8 +1758,9 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> Data
         _le_bytes(data_size, 4),
         F.unhex(sample_hex),
     )
+    staged = docs.select("doc_id", vals.alias("_vals"), n.alias("_n"))
     d = multimodal.extract_audio_fingerprint(
-        docs.select("doc_id", payload.alias("payload"))
+        staged.select("doc_id", payload.alias("payload"))
     )
     grp = d.groupBy("afp").agg(
         F.count("*").cast("long").alias("group_size"),
