@@ -203,3 +203,65 @@ def test_asof_nearest_picks_closest_and_backward_on_ties(spark):
         ).collect()
     }
     assert got_tight == {1: None, 2: 100, 3: None, 4: None}
+
+
+def test_asof_all_directions_match_pandas_merge_asof(spark):
+    """Differential test against the reference implementation of the
+    semantics we claim: pandas.merge_asof backward/forward/nearest over
+    randomized keyed event times (with and without tolerance) must
+    match the engine's union-stream plans row for row. Duplicate right
+    timestamps are excluded from the generator because pandas breaks
+    those ties by input position while the engine breaks them by the
+    declared tiebreak column — both valid total orders, different
+    contracts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.asof import asof_join, asof_join_nearest
+
+    rng = np.random.RandomState(7)
+    keys = [f"k{i}" for i in range(6)]
+
+    def frame(n, id0):
+        rows = []
+        seen = set()
+        for i in range(n):
+            k = keys[rng.randint(len(keys))]
+            t = int(rng.randint(0, 10_000))
+            if (k, t) in seen:  # unique (key, ts): see docstring
+                continue
+            seen.add((k, t))
+            rows.append((id0 + i, k, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+        return pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+
+    lp, rp = frame(120, 0), frame(150, 1000)
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+
+    for direction, tol in [
+        ("backward", None), ("forward", None), ("nearest", None),
+        ("backward", 5), ("forward", 5), ("nearest", 5),
+    ]:
+        kwargs = dict(
+            on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["event_id"], tiebreak="event_id",
+            tolerance_minutes=tol / 60 if tol is not None else None,
+        )
+        if direction == "nearest":
+            got_df = asof_join_nearest(left, right, **kwargs)
+        else:
+            got_df = asof_join(left, right, direction=direction, **kwargs)
+        got = {r.event_id: r.asof_event_id for r in got_df.collect()}
+
+        want_pd = pd.merge_asof(
+            lp.sort_values("ts"),
+            rp.sort_values("ts").rename(columns={"event_id": "r_id"}),
+            on="ts", by="user_id", direction=direction,
+            tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.r_id) else int(r.r_id))
+            for r in want_pd.itertuples()
+        }
+        assert got == want, f"diverged from pandas at direction={direction} tol={tol}"
