@@ -1129,3 +1129,76 @@ def decontaminate(
         train, benchmark, n, min_common, text_col, id_col, broadcast_benchmark
     )
     return train.join(bad.select(id_col), id_col, "left_anti")
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic Hamming-banded near-pair join for ANY packed integer
+    signature — text simhash, image dHash, audio contour fingerprints:
+    split the signature into ``bands`` equal bit slices; pairs agreeing
+    on at least one slice are candidates (pigeonhole: a pair with
+    hamming <= bands-1 MUST share an unchanged band, so recall is EXACT
+    for ``max_hamming <= bands - 1``); verify with
+    ``bit_count(a XOR b)``. Emits (id_a < id_b, hamming).
+
+    Plan shape (the family convention): the ×bands explode carries
+    (id, signature, band, slice) — the signature is 8 bytes, so unlike
+    shingle arrays it rides the explode for free — candidates come from
+    one equi-join on (band, slice), and multi-band collisions dedup
+    MAP-SIDE by the first-shared-band filter over the two carried
+    signatures: no distinct() exchange over candidate pairs (the r5
+    simhash pin, generalized). Band values extract with an arithmetic
+    shift + mask, identical on Spark and DuckDB signed 64-bit, which is
+    what lets formula-hashed fixtures sit under the cross-engine gate."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"recall is only guaranteed for max_hamming <= bands-1 "
+            f"({bands - 1}), got {max_hamming}"
+        )
+    if bits % bands:
+        raise ValueError(f"bits {bits} not divisible by bands {bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def band_val(col: Column, b: int) -> Column:
+        return F.shiftright(col, b * width).bitwiseAND(F.lit(mask).cast("bigint"))
+
+    h = F.col(hash_col)
+    banded = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_val(h, b).alias("bv")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "_h", "bk.*")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "band", "bv"
+    )
+    b_side = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "band", "bv"
+    )
+    cand = a.join(b_side, ["band", "bv"]).filter(F.col("id_a") < F.col("id_b"))
+    first: Column = F.lit(None).cast("int")
+    for t in range(bands - 1, -1, -1):
+        first = F.when(
+            band_val(F.col("_ha"), t) == band_val(F.col("_hb"), t), F.lit(t)
+        ).otherwise(first)
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.filter(F.col("band") == first)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

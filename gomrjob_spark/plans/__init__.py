@@ -46,6 +46,8 @@ _VERIFY_FIRST = [
     "streaming_phash_admission",
     # NEW r6: audio contour-fingerprint dedup (real PCM decode)
     "multimodal_audio_fingerprint_dedup",
+    # NEW r6: image near-dup pairs at Hamming <= 3 (generic banded join)
+    "multimodal_phash_near_pairs",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -92,13 +94,13 @@ _VERIFY_FIRST = [
     "scalar_string",
     "set_ops",
     "text_fingerprint",
-    "text_lang_id",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the nine r6-new entries displaced the
-# last nine r01/r02 rotation slots)
+# head of the r07 rotation (the ten r6-new entries displaced the
+# last ten r01/r02 rotation slots)
 _BACKFILL = [
+    "text_lang_id",
     "text_quality",
     "text_token_stats",
     "top_n_global",

@@ -1500,6 +1500,57 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_phash_near_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 37 AS g FROM documents),
+    bits AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN (g*31 + (x+1)*(7 + g % 11) + y*(13 + g % 5)) % 256 > (g*31 + x*(7 + g % 11) + y*(13 + g % 5)) % 256
+             THEN (1::HUGEINT << (y*8 + x)) ELSE 0::HUGEINT END) AS HUGEINT) AS raw
+      FROM d, unnest(generate_series(0, 7)) AS tx(x), unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+        CAST(raw - CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS dhash
+      FROM bits
+    ),
+    banded AS (
+      SELECT doc_id, dhash, bd, (dhash >> (16 * bd)) & 65535 AS bv
+      FROM hashes, unnest(generate_series(0, 3)) AS t(bd)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM banded a JOIN banded b USING (bd, bv)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs at Hamming <= 3 over perceptual hashes —
+    the fuzzy companion of multimodal_phash_dedup's exact groups,
+    via the generic banded signature join (dedup.hamming_near_pairs:
+    4x16-bit bands, pigeonhole-exact recall at <= 3 bit flips,
+    first-shared-band map-side pair dedup — no distinct() exchange).
+    The real decode path produces the hashes; the oracle recomputes
+    them from the generator formula and mirrors band extraction with
+    the same arithmetic-shift-and-mask both engines evaluate
+    identically on signed 64-bit."""
+    from gomrjob_spark.operators.dedup import hamming_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = multimodal.extract_dhash(_phash_synth(docs, 37))
+    return hamming_near_pairs(
+        d, hash_col="dhash", bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "multimodal_progressive_pixel_stats",
     oracle="""
     WITH d AS (

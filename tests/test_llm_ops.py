@@ -1674,3 +1674,55 @@ def test_audio_fingerprint_invariances():
     assert h == audio_fingerprint(synth(40, doubled)), "gain variance"
     inverted = lambda c: 255 - (40 + c * 19) % 256  # noqa: E731
     assert h != audio_fingerprint(synth(40, inverted)), "contour blindness"
+
+
+def test_hamming_near_pairs_exact_recall_and_no_pair_distinct(spark):
+    """The generic banded signature join: (a) EXACT recall vs the
+    brute-force O(n^2) Hamming enumeration at max_hamming <= bands-1
+    (pigeonhole guarantee), (b) each pair emitted ONCE despite
+    multi-band collisions, (c) the plan dedups pairs map-side — no
+    aggregate/distinct keyed by (id_a, id_b)."""
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    rng = random.Random(13)
+    base = rng.getrandbits(64)
+
+    def flip(h, k):
+        for b in rng.sample(range(64), k):
+            h ^= 1 << b
+        return h
+
+    vals = [base]
+    for _ in range(40):
+        vals.append(flip(vals[rng.randrange(len(vals))], rng.randrange(0, 6)))
+    signed = [v - (1 << 64) if v >= 1 << 63 else v for v in vals]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(signed)], "doc_id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_near_pairs(df, "h", bands=4, max_hamming=3).collect()
+    }
+    want = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            d = bin(vals[i] ^ vals[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want and want, "banded join diverged from brute force"
+
+    import re
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dedup.hamming_near_pairs(df, "h", bands=4, max_hamming=3).explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"HashAggregate[^\n]*\[id_a[^\n]*id_b[^\n]*\],\s*\[id_a", plan) is None
+    assert "Deduplicate" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="recall"):
+        dedup.hamming_near_pairs(df, "h", bands=4, max_hamming=4)
