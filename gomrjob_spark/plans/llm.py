@@ -1419,7 +1419,7 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
     return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
-def _phash_synth(docs: DataFrame, mod: int) -> DataFrame:
+def _phash_synth(docs: DataFrame, mod: int, sa: int = 11, sb: int = 5) -> DataFrame:
     """(doc_id, payload): render each doc's visual group (doc_id % mod)
     as a real PGM at a doc-specific resolution, pixel values constant
     over each 9x8 resample cell (via the inverse-sampling map
@@ -1436,9 +1436,9 @@ def _phash_synth(docs: DataFrame, mod: int) -> DataFrame:
              encode(format_string('P5\\n%d %d\\n255\\n', w, h), 'UTF-8'),
              unhex(array_join(transform(sequence(0, w * h - 1), i ->
                lpad(hex((g * 31
-                 + ((9 * ((i % w) + 1) + w - 1) DIV w - 1) * (7 + g % 11)
-                 + ((8 * ((i DIV w) + 1) + h - 1) DIV h - 1) * (13 + g % 5)) % 256), 2, '0')), ''))
-           ) AS payload""",
+                 + ((9 * ((i % w) + 1) + w - 1) DIV w - 1) * (7 + g % {sa})
+                 + ((8 * ((i DIV w) + 1) + h - 1) DIV h - 1) * (13 + g % {sb})) % 256), 2, '0')), ''))
+           ) AS payload""".format(sa=sa, sb=sb),
     )
 
 
@@ -1502,10 +1502,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_phash_near_pairs",
     oracle="""
-    WITH d AS (SELECT doc_id, doc_id % 37 AS g FROM documents),
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % greatest(37, (SELECT count(*) FROM documents) // 14) AS g
+      FROM documents
+    ),
     bits AS (
       SELECT doc_id,
-        CAST(sum(CASE WHEN (g*31 + (x+1)*(7 + g % 11) + y*(13 + g % 5)) % 256 > (g*31 + x*(7 + g % 11) + y*(13 + g % 5)) % 256
+        CAST(sum(CASE WHEN (g*31 + (x+1)*(7 + g % 101) + y*(13 + g % 83)) % 256 > (g*31 + x*(7 + g % 101) + y*(13 + g % 83)) % 256
              THEN (1::HUGEINT << (y*8 + x)) ELSE 0::HUGEINT END) AS HUGEINT) AS raw
       FROM d, unnest(generate_series(0, 7)) AS tx(x), unnest(generate_series(0, 7)) AS ty(y)
       GROUP BY doc_id
@@ -1540,11 +1544,24 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The real decode path produces the hashes; the oracle recomputes
     them from the generator formula and mirrors band extraction with
     the same arithmetic-shift-and-mask both engines evaluate
-    identically on signed 64-bit."""
+    identically on signed 64-bit. The visual-group modulus derives
+    from count(*) on BOTH engines, keeping dup-group sizes ~constant
+    under scale-up (pair output linear, not quadratic)."""
     from gomrjob_spark.operators.dedup import hamming_near_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = multimodal.extract_dhash(_phash_synth(docs, 37))
+    # visual-group count derives from corpus size (bounded driver read;
+    # the oracle derives the same modulus from count(*)) so dup-group
+    # sizes stay ~constant under scale-up and the pair OUTPUT grows
+    # linearly — the auto_lsh_params lesson: a near-dup-enumeration
+    # workload whose group sizes grow with N is quadratic for ANY plan
+    mod = max(37, docs.count() // 14)
+    # high-entropy slope moduli (101/83): the visual-hash family must
+    # stay ~injective in g as mod grows, or saturated hash buckets
+    # re-merge groups and the pair output (hence candidate volume) goes
+    # quadratic again — measured 1.78 sweep exponent with the (11, 5)
+    # family vs linear with this one
+    d = multimodal.extract_dhash(_phash_synth(docs, mod, sa=101, sb=83))
     return hamming_near_pairs(
         d, hash_col="dhash", bands=4, max_hamming=3
     ).orderBy("id_a", "id_b")
