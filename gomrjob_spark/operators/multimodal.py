@@ -2112,3 +2112,59 @@ def extract_audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFram
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         run, schema=AUDIO_FP_SCHEMA
     )
+
+
+#: schema produced by extract_frame_dhash
+FRAME_DHASH_SCHEMA = "doc_id bigint, frame_idx int, dhash bigint"
+
+
+def extract_frame_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(video id, frame_idx, dhash) — :func:`perceptual_dhash` per
+    FRAME for video pipelines: frame payloads never leave the scanning
+    task, and downstream shot analytics work on 8 bytes per frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, hashes = [], [], []
+            for doc_id, fi, p in zip(pdf[id_col], pdf["frame_idx"], pdf["payload"]):
+                ids.append(doc_id)
+                frames.append(fi)
+                hashes.append(perceptual_dhash(bytes(p)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": frames, "dhash": hashes}
+            )
+
+    return df.select(F.col(id_col), F.col("frame_idx"), F.col("payload")).mapInPandas(
+        run, schema=FRAME_DHASH_SCHEMA
+    )
+
+
+def video_scene_cuts(
+    frames: DataFrame,
+    min_hamming: int = 1,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_idx",
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over really-decoded frames:
+    dHash each frame, order frames within the video, and emit the
+    frames whose perceptual distance to the PREVIOUS frame reaches
+    ``min_hamming`` — the standard cheap shot detector (consecutive
+    frames of one shot hash near-identically; a cut jumps the hash).
+    Returns (id, frame_idx, hamming) for detected cuts; frame 0 never
+    emits (no predecessor).
+
+    Scale: decode + hash are row-local in the scan; the only shuffle is
+    ONE hash exchange on the video id for the lag window — per-video
+    frame counts bound each task, and the windowed frame is 8 bytes per
+    frame regardless of resolution."""
+    from pyspark.sql import Window as W
+
+    hashed = extract_frame_dhash(frames, id_col)
+    w = W.partitionBy(id_col).orderBy(frame_col)
+    ham = F.bit_count(
+        F.col("dhash").bitwiseXOR(F.lag("dhash").over(w))
+    ).cast("int")
+    return (
+        hashed.select(F.col(id_col), F.col(frame_col), ham.alias("hamming"))
+        .filter(F.col("hamming") >= min_hamming)
+    )

@@ -48,6 +48,8 @@ _VERIFY_FIRST = [
     "multimodal_audio_fingerprint_dedup",
     # NEW r6: image near-dup pairs at Hamming <= 3 (generic banded join)
     "multimodal_phash_near_pairs",
+    # NEW r6: video shot-boundary detection over decoded frame hashes
+    "multimodal_scene_cuts",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -93,13 +95,13 @@ _VERIFY_FIRST = [
     "scalar_math",
     "scalar_string",
     "set_ops",
-    "text_fingerprint",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the ten r6-new entries displaced the
-# last ten r01/r02 rotation slots)
+# head of the r07 rotation (the eleven r6-new entries displaced the
+# last eleven r01/r02 rotation slots)
 _BACKFILL = [
+    "text_fingerprint",
     "text_lang_id",
     "text_quality",
     "text_token_stats",

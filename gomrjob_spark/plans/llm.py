@@ -1419,27 +1419,31 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
     return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
-def _phash_synth(docs: DataFrame, mod: int, sa: int = 11, sb: int = 5) -> DataFrame:
-    """(doc_id, payload): render each doc's visual group (doc_id % mod)
-    as a real PGM at a doc-specific resolution, pixel values constant
-    over each 9x8 resample cell (via the inverse-sampling map
-    cx = (9*(px+1)+w-1) DIV w - 1), so perceptual_dhash is exactly
-    recomputable from the generator formula at ANY resolution."""
-    return docs.selectExpr(
-        "doc_id",
-        f"doc_id % {mod} AS g",
-        "CAST(doc_id % 6 + 9 AS INT) AS w",
-        "CAST(doc_id % 4 + 8 AS INT) AS h",
-    ).selectExpr(
-        "doc_id",
-        """concat(
+def _phash_payload_sql(sa: int, sb: int) -> str:
+    """SQL for a real PGM payload rendering visual group column ``g``
+    at resolution (w, h), pixel values constant over each 9x8 resample
+    cell (inverse-sampling map cx = (9*(px+1)+w-1) DIV w - 1) — so
+    perceptual_dhash of the payload equals the pure (g, x, y) formula
+    at ANY resolution. ``sa``/``sb`` are the gradient slope moduli (the
+    family's entropy dial)."""
+    return """concat(
              encode(format_string('P5\\n%d %d\\n255\\n', w, h), 'UTF-8'),
              unhex(array_join(transform(sequence(0, w * h - 1), i ->
                lpad(hex((g * 31
                  + ((9 * ((i % w) + 1) + w - 1) DIV w - 1) * (7 + g % {sa})
                  + ((8 * ((i DIV w) + 1) + h - 1) DIV h - 1) * (13 + g % {sb})) % 256), 2, '0')), ''))
-           ) AS payload""".format(sa=sa, sb=sb),
-    )
+           ) AS payload""".format(sa=sa, sb=sb)
+
+
+def _phash_synth(docs: DataFrame, mod: int, sa: int = 11, sb: int = 5) -> DataFrame:
+    """(doc_id, payload): each doc's visual group is doc_id % mod; see
+    :func:`_phash_payload_sql`."""
+    return docs.selectExpr(
+        "doc_id",
+        f"doc_id % {mod} AS g",
+        "CAST(doc_id % 6 + 9 AS INT) AS w",
+        "CAST(doc_id % 4 + 8 AS INT) AS h",
+    ).selectExpr("doc_id", _phash_payload_sql(sa, sb))
 
 
 @query(
@@ -1496,6 +1500,75 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("_canon")).alias("is_canonical"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 8 + 12 AS INT) AS n_frames FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             CAST((doc_id * 3 + len(list_filter(generate_series(1, f),
+                    x -> (doc_id * 7 + x * 13) % 5 = 0))) % 53 AS BIGINT) AS g
+      FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    bits AS (
+      SELECT doc_id, frame_idx,
+        CAST(sum(CASE WHEN (g*31 + (x+1)*(7 + g % 101) + y*(13 + g % 83)) % 256 > (g*31 + x*(7 + g % 101) + y*(13 + g % 83)) % 256
+             THEN (1::HUGEINT << (y*8 + x)) ELSE 0::HUGEINT END) AS HUGEINT) AS raw
+      FROM fr, unnest(generate_series(0, 7)) AS tx(x), unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id, frame_idx
+    ),
+    hashes AS (
+      SELECT doc_id, frame_idx,
+        CAST(raw - CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS dhash
+      FROM bits
+    ),
+    diffs AS (
+      SELECT doc_id, frame_idx,
+             CAST(bit_count(xor(dhash,
+               lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS INT) AS hamming
+      FROM hashes
+    )
+    SELECT doc_id, frame_idx, hamming
+    FROM diffs WHERE hamming >= 1
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO shot-boundary detection over really-decoded frames
+    (multimodal.video_scene_cuts): each document becomes a short video
+    whose frames render the current SCENE's visual group — scene
+    changes at formula-determined frames ((doc_id*7 + f*13) % 5 == 0),
+    frames within a scene are identical images — then every frame
+    REALLY decodes and perceptually hashes, and a per-video lag window
+    emits frames whose dHash jumped (hamming >= 1). The full pipeline —
+    frame synth, PGM decode, resample, hash, shot windowing — sits
+    under the generator-formula oracle. Scale shape: decode+hash are
+    scan-local; the only shuffle is one exchange on the video id for
+    the 8-bytes-per-frame lag window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.selectExpr(
+        "doc_id", "CAST(doc_id % 8 + 12 AS INT) AS n_frames"
+    ).selectExpr(
+        "doc_id", "explode(sequence(0, n_frames - 1)) AS frame_idx"
+    ).selectExpr(
+        "doc_id",
+        "frame_idx",
+        # scene id = number of cut frames <= frame_idx (guard frame 0:
+        # Spark's sequence(1, 0) is DESCENDING, not empty)
+        """CAST((doc_id * 3 + (CASE WHEN frame_idx >= 1 THEN
+             size(filter(sequence(1, frame_idx), x -> (doc_id * 7 + x * 13) % 5 = 0))
+           ELSE 0 END)) % 53 AS BIGINT) AS g""",
+        "CAST(doc_id % 6 + 9 AS INT) AS w",
+        "CAST(doc_id % 4 + 8 AS INT) AS h",
+    ).selectExpr("doc_id", "frame_idx", _phash_payload_sql(101, 83))
+    return multimodal.video_scene_cuts(frames, min_hamming=1).orderBy(
+        "doc_id", "frame_idx"
     )
 
 

@@ -1726,3 +1726,35 @@ def test_hamming_near_pairs_exact_recall_and_no_pair_distinct(spark):
 
     with _pytest.raises(ValueError, match="recall"):
         dedup.hamming_near_pairs(df, "h", bands=4, max_hamming=4)
+
+
+def test_video_scene_cuts_semantics(spark):
+    """Shot detection contract: identical consecutive frames emit
+    nothing; a visually-changed frame emits with the exact Hamming
+    jump; the first frame never emits (no predecessor); videos are
+    windowed independently."""
+    from gomrjob_spark.operators.multimodal import (
+        perceptual_dhash,
+        video_scene_cuts,
+    )
+
+    def pgm(seed):
+        w, h = 11, 9
+
+        def cx(px):
+            return (9 * (px + 1) + w - 1) // w - 1
+
+        def cy(py):
+            return (8 * (py + 1) + h - 1) // h - 1
+
+        px = bytes((seed * 31 + cx(x) * 7 + cy(y) * 13) % 256 for y in range(h) for x in range(w))
+        return b"P5\n%d %d\n255\n" % (w, h) + px
+
+    rows = [
+        (1, 0, pgm(5)), (1, 1, pgm(5)), (1, 2, pgm(9)), (1, 3, pgm(9)),
+        (2, 0, pgm(7)), (2, 1, pgm(7)),
+    ]
+    frames = spark.createDataFrame(rows, "doc_id long, frame_idx int, payload binary")
+    got = {(r.doc_id, r.frame_idx): r.hamming for r in video_scene_cuts(frames).collect()}
+    expected_ham = bin(perceptual_dhash(pgm(5)) ^ perceptual_dhash(pgm(9))).count("1")
+    assert got == {(1, 2): expected_ham}, got
