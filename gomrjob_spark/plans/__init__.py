@@ -50,6 +50,8 @@ _VERIFY_FIRST = [
     "multimodal_phash_near_pairs",
     # NEW r6: video shot-boundary detection over decoded frame hashes
     "multimodal_scene_cuts",
+    # NEW r6: fixed-point integer PageRank (iterative, hash-gated)
+    "graph_pagerank",
     # plan changed r6: two-pass Misra-Gries (total fused into the MG
     # scan as per-partition marker rows)
     "heavy_hitter_tokens",
@@ -94,13 +96,13 @@ _VERIFY_FIRST = [
     "scalar_json",
     "scalar_math",
     "scalar_string",
-    "set_ops",
 ]
 
 # next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the eleven r6-new entries displaced the
-# last eleven r01/r02 rotation slots)
+# head of the r07 rotation (the twelve r6-new entries displaced the
+# last twelve r01/r02 rotation slots)
 _BACKFILL = [
+    "set_ops",
     "text_fingerprint",
     "text_lang_id",
     "text_quality",

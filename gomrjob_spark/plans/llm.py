@@ -742,6 +742,67 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM raw UNION ALL SELECT b, a FROM raw),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes),
+    pr1 AS (
+      SELECT n.node, CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    ),
+    pr2 AS (
+      SELECT n.node, CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    ),
+    pr3 AS (
+      SELECT n.node, CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )
+    SELECT node, pr FROM pr3 ORDER BY node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank under the hash gate (operators.graph
+    .pagerank_fixedpoint): 3 power-iteration rounds over the bipartite
+    part-supplier graph derived from lineitem (nodes part*2 /
+    supplier*2+1, edges both directions), in fixed-point integer
+    arithmetic — per-source shares and the 0.85 damping both integer
+    DIVs, sums order-free bigints — so the classically-float algorithm
+    is bit-identical across engines and partitionings. The iterative
+    companion of dedup_cluster_survivors' connected components: that
+    one proves reachability fixpoints, this one proves numeric power
+    iteration."""
+    from gomrjob_spark.operators.graph import pagerank_fixedpoint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_fixedpoint(edges, n_iters=3).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1758,3 +1758,36 @@ def test_video_scene_cuts_semantics(spark):
     got = {(r.doc_id, r.frame_idx): r.hamming for r in video_scene_cuts(frames).collect()}
     expected_ham = bin(perceptual_dhash(pgm(5)) ^ perceptual_dhash(pgm(9))).count("1")
     assert got == {(1, 2): expected_ham}, got
+
+
+def test_pagerank_fixedpoint_reference_and_partition_invariance(spark):
+    """Exact-integer PageRank: matches a hand-computed reference on a
+    tiny graph (star: 1->2, 2->1, 3->1 — node 1 accumulates), and is
+    bit-identical under a different input partitioning (order-free
+    integer arithmetic)."""
+    from gomrjob_spark.operators.graph import pagerank_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in pagerank_fixedpoint(edges, n_iters=2).collect()}
+
+    # reference: scale 1e6, base 150000, damping 85/100
+    def step(pr):
+        # outdeg: 1->1, 2->1, 3->1; in(1) = {2, 3}, in(2) = {1}, in(3) = {}
+        return {
+            1: 150000 + (85 * (pr[2] // 1 + pr[3] // 1)) // 100,
+            2: 150000 + (85 * (pr[1] // 1)) // 100,
+            3: 150000,
+        }
+
+    pr = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    for _ in range(2):
+        pr = step(pr)
+    assert got == pr, (got, pr)
+
+    again = {
+        r.node: r.pr
+        for r in pagerank_fixedpoint(edges.repartition(7), n_iters=2).collect()
+    }
+    assert again == got
