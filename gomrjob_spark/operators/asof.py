@@ -245,3 +245,45 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def scd2_build(
+    log: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: collapse
+    a per-key event stream into versioned validity intervals — one row
+    per (key, attr-run) with ``valid_from`` / ``valid_to`` (NULL = still
+    current) and a 1-based ``version``. Consecutive repeats of the same
+    attribute value merge into one interval; ``tiebreak`` orders same-
+    instant updates deterministically (each surviving change opens a
+    version, so same-instant flips yield zero-duration versions rather
+    than nondeterministic drops).
+
+    Plan: one hash exchange on ``key`` feeds every window (lag for the
+    change flag, lead + row_number on the filtered change rows) — the
+    sort rides the single exchange, nothing re-shuffles. This is the
+    streaming-CDC companion shape: `streaming_upsert_apply` maintains
+    the CURRENT row per key live; this builds the full HISTORY table in
+    batch.
+    """
+    w = W.partitionBy(key).orderBy(ts, tiebreak)
+    changed = (
+        log.select(key, attr, ts, tiebreak)
+        .withColumn("_prev", F.lag(attr).over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | ~F.col(attr).eqNullSafe(F.col("_prev"))
+        )
+    )
+    w2 = W.partitionBy(key).orderBy(ts, tiebreak)
+    return changed.select(
+        F.col(key),
+        F.col(attr).alias("state"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )

@@ -655,3 +655,64 @@ def heavy_hitters(
         .filter(F.lit(k) * F.col("n") > F.lit(total))
     )
     return exact.select(F.col("v").alias(col), F.col("n").cast("long").alias("n"))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Top-k adjacent-word collocations ranked by fixed-point PMI lift
+    ``P(xy) / (P(x)P(y)) = c_xy * N / (c_x * c_y)`` — the corpus-level
+    phrase detector (tokenizer merge candidates, boilerplate phrases).
+    The lift is computed in staged bigint floor division
+    ``((c_xy * scale) DIV c_x) * N DIV c_y`` — every operand positive,
+    every division a floor both engines take identically, so the score
+    is bit-reproducible without floats. Staging keeps intermediates
+    under 9.2e18 for scale * N < 9.2e18 (~9e13 tokens at the default
+    scale — a ~100 TB text corpus; past that, drop ``scale`` a decade
+    or switch to bit-length log scoring as in operators/search.py).
+
+    Plan: two codegen token passes over the pruned text scan (unigram
+    counts; adjacent pairs via the cheap position-sequence explode —
+    NEVER explode an array built by an expensive transform, see
+    bigram_novelty's plan rules). ``min_count`` prunes the bigram tail
+    BEFORE the two vocabulary equi-joins, so the joins carry only
+    recurring pairs; the vocabulary side is data-sized (no broadcast
+    assumption). The grand total N is a 1-row broadcast, same class as
+    the q11/q22 global scalars.
+    """
+    staged = spread(docs).select(tokens(normalized(text_col)).alias("_toks"))
+    uni = (
+        staged.select(F.explode("_toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").alias("n"))
+    idx = F.when(
+        F.size("_toks") >= 2, F.sequence(F.lit(1), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = staged.select("_toks", F.explode(idx).alias("_i")).select(
+        F.element_at("_toks", F.col("_i")).alias("w1"),
+        F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+    )
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("_cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("_cy")), "w2")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "lift_fp",
+            F.expr(f"(((n_pair * {scale}) DIV _cx) * n) DIV _cy").cast("bigint"),
+        )
+    )
+    return scored.select(
+        "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), "lift_fp"
+    ).orderBy(F.desc("lift_fp"), "w1", "w2").limit(k)

@@ -28,6 +28,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
 # oracle queries whose last green row is r01 plus the oldest r02 entry
 # (the r5 verdict's #7: three rounds of plan drift since their proof).
 _VERIFY_FIRST = [
+    # NEW r6: sweep-line concurrency via distributed prefix sum
+    "concurrency_profile",
+    # NEW r6: SCD type-2 history build from a change log
+    "scd2_build",
+    # NEW r6: fixed-point PMI collocation mining
+    "text_pmi_collocations",
     # NEW r6: directed n-gram containment (sub-document near-dup)
     "dedup_ngram_containment",
     # NEW r6: exact consecutive-run phrase retrieval

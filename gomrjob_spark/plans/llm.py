@@ -2806,3 +2806,40 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(text.tokens(text.normalized("text"))).alias("token")
     ).filter(F.col("token") != "")
     return text.heavy_hitters(toks, "token", k=200).orderBy("token")
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH norm AS (
+      SELECT string_split({_SQL_NORM}, ' ') AS w FROM documents
+    ),
+    uni AS (
+      SELECT t.tok, count(*) AS c
+      FROM norm, unnest(w) AS t(tok)
+      WHERE t.tok <> '' GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS n_pair
+      FROM norm, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST((((n_pair * 100000) // ux.c) * tot.n) // uy.c AS BIGINT)
+             AS lift_fp
+    FROM bg JOIN uni ux ON ux.tok = bg.w1
+            JOIN uni uy ON uy.tok = bg.w2, tot
+    ORDER BY lift_fp DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by fixed-point PMI lift
+    (operators.text.pmi_collocations) — the corpus phrase detector
+    (tokenizer merge candidates, boilerplate phrase mining). The lift
+    c_xy*N/(c_x*c_y) evaluates in staged bigint floor divisions both
+    engines take identically, so a classically-float association score
+    sits under the hash gate. min_count prunes the bigram tail BEFORE
+    the two data-sized vocabulary equi-joins; N is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_count=5, k=50)

@@ -348,3 +348,93 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+@query(
+    "concurrency_profile",
+    oracle=f"""
+    WITH {_SQL_ISLANDS},
+    sess AS (
+      SELECT user_id, session_id, min(ts) AS s,
+             max(ts) + INTERVAL 30 MINUTE AS e
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT e AS ts, -1 AS delta FROM sess
+    ),
+    run AS (
+      SELECT ts, delta,
+             sum(delta) OVER (ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM deltas
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(max(conc) AS INT) AS peak_concurrent,
+           CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_started
+    FROM run GROUP BY 1 ORDER BY day
+    """,
+)
+def concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep line: sessions
+    become +1/-1 boundary events, a DISTRIBUTED prefix sum (range
+    partition -> per-partition cumsum -> broadcast per-partition
+    offsets; operators/sweepline.py) replaces both the naive interval
+    range-join AND the single-task global window Spark would otherwise
+    plan for ``ORDER BY ts``. Ends sort before starts at equal instants
+    (delta ascending), giving half-open [start, end) semantics. The
+    oracle runs the exact single-threaded window the operator
+    re-derives distributively — per-row running values form a
+    deterministic multiset under equal-delta ties, so the per-day max
+    is hash-exact."""
+    events = load_table(spark, sf_dir, "events")
+    from gomrjob_spark.operators.sweepline import interval_concurrency
+
+    sessions = sessionize(events, key="user_id", ts="ts", gap_minutes=30)
+    conc = interval_concurrency(sessions)
+    return (
+        conc.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.max("concurrent").cast("int").alias("peak_concurrent"),
+            F.count(F.when(F.col("delta") == 1, F.lit(1))).alias("n_started"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "scd2_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+    FROM changes
+    ORDER BY user_id, version
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build from a change log
+    (operators.asof.scd2_build): per-user event_type runs become
+    versioned validity intervals with valid_from/valid_to (NULL = still
+    current). ONE hash exchange on user_id carries every window (change
+    flag, lead, version rank) — the batch HISTORY companion to
+    streaming_upsert_apply's live CURRENT-row view."""
+    from gomrjob_spark.operators.asof import scd2_build as _scd2
+
+    events = load_table(spark, sf_dir, "events")
+    return _scd2(
+        events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    ).orderBy("user_id", "version")

@@ -146,6 +146,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "funnel_conversion",        # three 1-row stage-count broadcasts
         "search_bm25_topk",         # 1-row corpus-stats (N, avgdl) broadcast
         "join_semi_bloom",          # 1-row bloom bit-array broadcast (prefilter)
+        "text_pmi_collocations",    # 1-row token-grand-total broadcast
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
