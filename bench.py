@@ -61,17 +61,32 @@ HEADLINE = [
     "text_pii_scrub",
     "text_bigram_novelty",
     "heavy_hitter_tokens",
+    "dedup_ngram_containment",
+    "search_phrase_topk",
+    "text_pmi_collocations",
+    "concurrency_profile",
+    "scd2_build",
+    "join_asof_nearest",
+    "join_semi_bloom",
+    "quality_model_gate",
+    "graph_pagerank",
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
     "multimodal_pixel_stats",
     "multimodal_compressed_pixel_stats",
     "multimodal_progressive_pixel_stats",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near_pairs",
+    "multimodal_audio_fingerprint_dedup",
+    "multimodal_scene_cuts",
     "mr_field_count",
     "mr_combiner",
     "streaming_tumbling_agg",
     "streaming_interval_join",
     "streaming_near_dup_probe",
     "streaming_search_score",
+    "streaming_upsert_apply",
+    "streaming_phash_admission",
 ]
 
 
@@ -167,7 +182,9 @@ def main() -> None:
     # driver captures only a bounded tail of stdout, and r03's combined
     # line (~2.3 KB with both dicts) outgrew that window and failed to
     # parse. The graded stdout artifact is ONE compact line (best-of
-    # timings only, 2-decimal: ~1.35 KB for the 46-query suite).
+    # timings only, 2-decimal: ~1.85 KB for the 59-query suite — the
+    # window is 2000 bytes, so adding a query costs len(name)+9 bytes
+    # of headroom; check before growing this list).
     print(
         json.dumps({"queries_first_run": first_run, "bench_runs": runs}),
         file=sys.stderr,
