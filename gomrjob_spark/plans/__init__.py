@@ -28,6 +28,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
 # oracle queries whose last green row is r01 plus the oldest r02 entry
 # (the r5 verdict's #7: three rounds of plan drift since their proof).
 _VERIFY_FIRST = [
+    # NEW r6: exact Jaccard pairs via prefix filtering (ppjoin twin of LSH)
+    "dedup_jaccard_prefix",
+    # NEW r6: degree-oriented triangle counting
+    "graph_triangles",
+    # NEW r6: one-pass multi-column table profiling
+    "profile_table_stats",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

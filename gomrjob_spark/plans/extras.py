@@ -290,3 +290,40 @@ def agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _profile_oracle_col(c: str) -> str:
+    return f"""
+      SELECT '{c}' AS "column",
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             min(CAST({c} AS VARCHAR)) AS min_value,
+             max(CAST({c} AS VARCHAR)) AS max_value
+      FROM documents"""
+
+
+@query(
+    "profile_table_stats",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_col(c)
+        for c in ("doc_id", "lang", "n_chars", "source", "text")
+    )
+    + ' ORDER BY "column"',
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE in one pass (operators.profile.profile_columns):
+    per-column nulls, EXACT distinct counts, and min/max for every
+    profiled column of ``documents`` from ONE scan and ONE shuffle —
+    Spark plans the multi-column exact COUNT(DISTINCT) set through a
+    single Expand into a partial/final aggregate, vs the oracle's five
+    separate full-table aggregates. The Expand multiplies scan rows by
+    the column count: the documented price of exactness (the sketch
+    alternative is agg_approx_distinct). Doubles are refused by
+    contract — float string-rendering is engine-specific."""
+    from gomrjob_spark.operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "lang", "n_chars", "source", "text"]
+    ).orderBy("column")

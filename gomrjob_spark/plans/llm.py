@@ -2843,3 +2843,91 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two data-sized vocabulary equi-joins; N is a 1-row broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     return text.pmi_collocations(docs, min_count=5, k=50)
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 9 * n_common >= 4 * (sa.n_sh + sb.n_sh)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard >= 4/5 pairs via prefix filtering
+    (operators.dedup.jaccard_prefix_pairs) — the ppjoin-style
+    deterministic twin of MinHash LSH: zero missed pairs by theorem,
+    not by probability. The candidate join runs over each doc's
+    rarest-first canonical PREFIX only (~20% of each doc at t=4/5 —
+    the production dedup regime where the pruning pays; the exact 0.6
+    regime stays covered by dedup_ngram_jaccard's full join), which
+    caps shared-key fan-out exactly where the full shared-shingle join
+    explodes on stop-shingles; the oracle runs that full join.
+    Threshold is the integer test 9*i >= 4*(na+nb) — exact both
+    engines; the jaccard column is one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(
+        docs, n=3, threshold_num=4, threshold_den=5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM big l1 JOIN big l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey < l2.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM corners GROUP BY node ORDER BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the high-quantity co-order part
+    graph (parts are adjacent when some order ships >= 40 units of
+    both; per-order fan-out is bounded by order size, and the quantity
+    restriction keeps the graph's edge density analysis-shaped rather
+    than quadratic-dense), via DEGREE-ORIENTED wedge enumeration
+    (operators.graph.triangle_counts): out-degrees are arboricity-
+    bounded O(sqrt(E)) after orientation, so the wedge join survives
+    power-law hubs that explode the naive deg^2 enumeration — which is
+    exactly the plan the oracle runs (the unoriented triple self-join,
+    each triangle found once via a<b<c). Counts are exact integers;
+    every step is a keyed equi-join."""
+    from gomrjob_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "ok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return triangle_counts(edges).orderBy("node")

@@ -1,0 +1,69 @@
+"""Prefix-filtered exact Jaccard join: zero-miss differential vs
+brute force, exact-boundary inclusion, and prune behavior."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Row
+
+from gomrjob_spark.cache import release_scoped
+from gomrjob_spark.catalog import load_table
+from gomrjob_spark.operators.dedup import jaccard_prefix_pairs, word_shingles
+
+
+def _brute_pairs(spark, docs, tn, td):
+    """Driver-side exact reference over the SAME shingle sets."""
+    sh = word_shingles(docs, 3).collect()
+    sets: dict[int, set[str]] = {}
+    for r in sh:
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and Fraction(inter, union) >= Fraction(tn, td):
+                want.add((a, b, inter, len(sets[a]), len(sets[b])))
+    return want
+
+
+def test_prefix_join_matches_brute_force_on_real_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"])
+        for r in jaccard_prefix_pairs(docs, n=3).collect()
+    }
+    release_scoped()
+    want = _brute_pairs(spark, docs, 3, 5)
+    assert want, "fixture must produce at least one qualifying pair"
+    assert got == want, (
+        f"missed={sorted(want - got)[:5]} spurious={sorted(got - want)[:5]}"
+    )
+
+
+def test_prefix_join_exact_boundary_pair_included(spark):
+    # A: tokens t1..t6 -> shingles {s1..s4}; B shares s2,s3,s4 plus one
+    # new shingle: |A|=|B|=4, i=3 -> J = 3/(4+4-3) = 3/5 EXACTLY.
+    a = "t1 t2 t3 t4 t5 t6"
+    b = "t2 t3 t4 t5 t6 t7"
+    docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    rows = jaccard_prefix_pairs(docs, n=3).collect()
+    release_scoped()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["n_common"]) == (1, 2, 3)
+    assert r["jaccard"] == 3 / 5
+
+
+def test_prefix_join_size_prune_excludes_disproportionate_docs(spark):
+    # B contains all of A's shingles but is far larger: containment is
+    # 1.0 yet Jaccard is small — the size prune must drop the pair
+    # before verification, and the result must (correctly) be empty.
+    a = "t1 t2 t3 t4"  # 2 shingles
+    b = " ".join(f"t{i}" for i in range(1, 40))  # 37 shingles, superset
+    docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    rows = jaccard_prefix_pairs(docs, n=3).collect()
+    release_scoped()
+    assert rows == []

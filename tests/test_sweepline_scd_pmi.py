@@ -130,3 +130,25 @@ def test_pmi_collocations_exact_counts(spark):
     xz = got[("x", "z")]
     assert xz["n_pair"] == 5
     assert xz["lift_fp"] == ((5 * 100000) // 11) * 26 // 5
+
+
+def test_profile_columns_exact_and_typed(spark):
+    from gomrjob_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [Row(a="x", b=1, c=0.5), Row(a=None, b=1, c=0.5), Row(a="y", b=None, c=0.5)]
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"]["n_rows"] == 3
+    assert got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 2
+    assert (got["a"]["min_value"], got["a"]["max_value"]) == ("x", "y")
+    assert got["b"]["n_nulls"] == 1
+    assert got["b"]["n_distinct"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="float string-rendering"):
+        profile_columns(df, ["c"])
+    with _pytest.raises(ValueError, match="no such column"):
+        profile_columns(df, ["zz"])
