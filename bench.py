@@ -61,6 +61,7 @@ HEADLINE = [
     "text_repetition_stats",
     "text_pii_scrub",
     "text_bigram_novelty",
+    "text_bpe_merges",
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
@@ -185,13 +186,15 @@ def main() -> None:
     # driver captures only a bounded tail of stdout, and r03's combined
     # line (~2.3 KB with both dicts) outgrew that window and failed to
     # parse. The graded stdout artifact is ONE compact line (best-of
-    # timings only, 2-decimal: ~1.85 KB for the 59-query suite — the
+    # timings only, 2-decimal, compact separators: ~1.87 KB for the 66-query suite - the
     # window is 2000 bytes, so adding a query costs len(name)+9 bytes
     # of headroom; check before growing this list).
     print(
         json.dumps({"queries_first_run": first_run, "bench_runs": runs}),
         file=sys.stderr,
     )
+    # compact separators: at 60+ entries the default ", "/": " padding
+    # alone is ~200 bytes of the 2000-byte tail window
     print(
         json.dumps(
             {
@@ -200,7 +203,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

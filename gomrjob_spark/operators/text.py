@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gomrjob_spark.cache import scoped_persist
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -716,3 +718,88 @@ def pmi_collocations(
     return scored.select(
         "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), "lift_fp"
     ).orderBy(F.desc("lift_fp"), "w1", "w2").limit(k)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training ON the corpus, distributed:
+    ``n_merges`` rounds of (count adjacent symbol pairs) -> (merge the
+    most frequent pair everywhere, greedy left-to-right non-overlapping)
+    -> repeat, starting from whitespace tokens. Returns the learned
+    merge table (round, w1, w2, n_pair) — the core artifact of tokenizer
+    training (Sennrich et al. 2016), here as a Spark job whose every
+    round is exact and engine-reproducible.
+
+    Determinism contract: the winning pair orders by (count desc, w1,
+    w2); the merge applies greedily left-to-right without overlap (in
+    [a,a,a] with pair (a,a), positions 1-2 merge, 3 stays) via a
+    row-local ``F.aggregate`` fold — [a,b,a,b] merges BOTH (a,b)
+    occurrences, which plain string replace() would miss after
+    consuming the shared separator. Merged symbols concatenate with a
+    0x02 marker (stripped from input tokens first), and tokens are
+    identified by surface string exactly as in standard BPE.
+
+    Scale shape per round: one pair-count aggregation over the
+    scoped-persisted symbol arrays (position explode of a cheap
+    sequence — never of an expensive transform), a 1-ROW broadcast of
+    the winning pair (no driver read: the fold's lambda references the
+    joined row's columns), and one row-local fold rewriting each doc's
+    array. Per-round state is the rewritten corpus, persisted so round
+    r+1 reads round r's output once instead of recomputing the whole
+    fold chain (without it the lineage doubles per round).
+    """
+    toks0 = spread(docs).select(
+        F.filter(
+            F.transform(
+                tokens(normalized(text_col)),
+                lambda x: F.replace(x, F.lit("\x02"), F.lit("")),
+            ),
+            lambda x: x != "",
+        ).alias("toks")
+    )
+    cur = scoped_persist(toks0)
+    merges = None
+    for r in range(1, n_merges + 1):
+        idx = F.when(
+            F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select("toks", F.explode(idx).alias("_i")).select(
+            F.element_at("toks", F.col("_i")).alias("w1"),
+            F.element_at("toks", F.col("_i") + 1).alias("w2"),
+        )
+        top1 = scoped_persist(
+            pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_pair"))
+            .orderBy(F.desc("n_pair"), "w1", "w2")
+            .limit(1)
+        )
+        round_row = top1.select(
+            F.lit(r).cast("int").alias("round"),
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+        )
+        merges = round_row if merges is None else merges.unionByName(round_row)
+        merged_tok = F.concat(F.col("w1"), F.lit("\x02"), F.col("w2"))
+        folded = (
+            cur.join(F.broadcast(top1))
+            .select(
+                F.aggregate(
+                    "toks",
+                    F.array().cast("array<string>"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.col("w1"))
+                        & (x == F.col("w2")),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(merged_tok)
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("toks")
+            )
+        )
+        cur = scoped_persist(folded)
+    return merges.orderBy("round")

@@ -34,6 +34,8 @@ _VERIFY_FIRST = [
     "graph_triangles",
     # NEW r6: one-pass multi-column table profiling
     "profile_table_stats",
+    # NEW r6: distributed BPE tokenizer training (iterative, hash-gated)
+    "text_bpe_merges",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -2931,3 +2931,90 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.join(l2, "ok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
     return triangle_counts(edges).orderBy("node")
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One BPE round as chained CTEs: count pairs, pick the winner,
+    select greedy non-overlapping merge sites via the window-island
+    parity trick, rebuild each doc's symbol list."""
+    prev = f"c{i - 1}"
+    return f"""
+    p{i} AS MATERIALIZED (
+      SELECT t.toks[s.i] AS w1, t.toks[s.i + 1] AS w2, count(*) AS n
+      FROM {prev} t, unnest(generate_series(1, len(t.toks) - 1)) AS s(i)
+      GROUP BY 1, 2
+    ),
+    top{i} AS MATERIALIZED (SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1),
+    m{i} AS MATERIALIZED (
+      SELECT t.doc_id, s.i AS pos, t.toks[s.i] AS tok,
+             CASE WHEN t.toks[s.i] = (SELECT w1 FROM top{i})
+                   AND t.toks[s.i + 1] = (SELECT w2 FROM top{i})
+                  THEN 1 ELSE 0 END AS mt
+      FROM {prev} t, unnest(generate_series(1, len(t.toks))) AS s(i)
+    ),
+    isl{i} AS MATERIALIZED (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM m{i} WHERE mt = 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               (pos - min(pos) OVER (PARTITION BY doc_id, isl)) % 2 AS par
+        FROM isl{i}
+      ) WHERE par = 0
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT doc_id, list(newtok ORDER BY pos) AS toks
+      FROM (
+        SELECT m.doc_id, m.pos,
+               CASE WHEN st.pos IS NOT NULL
+                      THEN (SELECT w1 || chr(2) || w2 FROM top{i})
+                    WHEN sn.pos IS NOT NULL THEN NULL
+                    ELSE m.tok END AS newtok
+        FROM m{i} m
+        LEFT JOIN sel{i} st ON st.doc_id = m.doc_id AND st.pos = m.pos
+        LEFT JOIN sel{i} sn ON sn.doc_id = m.doc_id AND sn.pos + 1 = m.pos
+      ) WHERE newtok IS NOT NULL
+      GROUP BY doc_id
+    )"""
+
+
+_BPE_ROUNDS = 5
+_BPE_ORACLE = (
+    f"""
+    WITH c0 AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split({_SQL_NORM}, ' '),
+                              x -> replace(x, chr(2), '')),
+               x -> x <> ''
+             ) AS toks
+      FROM documents
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, w1, w2, CAST(n AS BIGINT) AS n_pair FROM top{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round"
+)
+
+
+@query("text_bpe_merges", oracle=_BPE_ORACLE)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training ON the corpus, distributed and hash-gated
+    (operators.text.bpe_train_merges): 5 rounds of exact global
+    pair-count -> merge-everywhere (greedy left-to-right,
+    non-overlapping), the core loop of Sennrich-style tokenizer
+    training as a Spark job. Per round: one pair-count aggregation over
+    persisted symbol arrays, a 1-ROW broadcast of the winning pair (no
+    driver read — the merge fold references the joined row), one
+    row-local array fold. The oracle replays every round in SQL, with
+    greedy merge-site selection via window-island parity — if Spark's
+    fold and the window formulation ever disagree on one doc in one
+    round, every later round's counts diverge and the gate fails, so
+    the iterative pipeline is verified end-to-end, not per-stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, n_merges=_BPE_ROUNDS).orderBy("round")
