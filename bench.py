@@ -71,6 +71,7 @@ HEADLINE = [
     "scd2_build",
     "join_asof_nearest",
     "join_semi_bloom",
+    "join_interval_lookup",
     "quality_model_gate",
     "graph_pagerank",
     "graph_triangles",

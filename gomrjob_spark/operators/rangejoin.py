@@ -76,3 +76,52 @@ def band_join(
     delta: Column = epoch_us(r_b[right_ts]) - epoch_us(l_b[left_ts])
     residual: Column = (delta >= lower_us) & (delta <= upper_us)
     return l_b.join(r_b, keys, how).filter(residual).drop("_bucket")
+
+
+def interval_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Point-in-interval dimension lookup (ip-geo / tier-table shape):
+    each fact row picks up the dim row whose half-open ``[lo, hi)``
+    interval contains its value; facts in no interval keep NULL dim
+    columns (LEFT semantics). Intervals must be non-overlapping (the
+    static-config contract of tier tables; overlap would make the
+    lookup ambiguous).
+
+    The naive predicate join (``f.v >= d.lo AND f.v < d.hi``) is a
+    BroadcastNestedLoopJoin — O(|facts| x |dim|) predicate evaluations
+    through the join machinery. This shape instead ranks each value
+    into its candidate interval ROW-LOCALLY against a 1-row broadcast
+    of the sorted lo-boundaries (codegen'd array scan, no join until
+    the interval id is known), then resolves dim attributes with a
+    plain broadcast HASH equi-join on ``lo`` and keeps the ``hi`` bound
+    as a row-local residual. No driver read: the boundary array is
+    built with one dim-sized aggregation and crossed in as a 1-row
+    broadcast, the same class as the q11/q22 global scalars.
+    """
+    bounds = dim.agg(F.sort_array(F.collect_list(F.col(lo_col))).alias("_bnds"))
+    v = F.col(value_col)
+    with_idx = (
+        facts.join(F.broadcast(bounds))
+        .withColumn("_idx", F.size(F.filter(F.col("_bnds"), lambda b: b <= v)))
+        .withColumn(
+            "_lo_key",
+            F.when(F.col("_idx") >= 1, F.element_at("_bnds", F.col("_idx"))),
+        )
+        .drop("_bnds")
+    )
+    dimr = dim.withColumnRenamed(lo_col, "_lo_key")
+    joined = with_idx.join(F.broadcast(dimr), "_lo_key", "left")
+    dim_cols = [c for c in dim.columns if c != lo_col]
+    keep_dim = [
+        F.when(v < F.col(hi_col), F.col(c)).alias(c) for c in dim_cols
+    ]
+    return joined.select(
+        *[F.col(c) for c in facts.columns],
+        F.when(v < F.col(hi_col), F.col("_lo_key")).alias(lo_col),
+        *keep_dim,
+    )

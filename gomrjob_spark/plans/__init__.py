@@ -36,6 +36,8 @@ _VERIFY_FIRST = [
     "profile_table_stats",
     # NEW r6: distributed BPE tokenizer training (iterative, hash-gated)
     "text_bpe_merges",
+    # NEW r6: point-in-interval dim lookup without a nested-loop join
+    "join_interval_lookup",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -438,3 +438,57 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2(
         events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
     ).orderBy("user_id", "version")
+
+
+@query(
+    "join_interval_lookup",
+    oracle="""
+    WITH tiers(lo, hi, tier) AS (
+      VALUES (0.0, 25.0, 'nano'), (25.0, 100.0, 'small'),
+             (100.0, 250.0, 'mid'), (300.0, 450.0, 'large')
+    ),
+    tagged AS (
+      SELECT e.value, t.tier
+      FROM events e LEFT JOIN tiers t
+        ON e.value >= t.lo AND e.value < t.hi
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM tagged GROUP BY tier ORDER BY tier NULLS FIRST
+    """,
+)
+def join_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval dimension lookup (operators.rangejoin
+    .interval_lookup): events bucket into half-open value tiers — with
+    a deliberate coverage GAP [250, 300) exercising the no-match NULL
+    path — then aggregate per tier. The plan ranks each value
+    row-locally against a 1-row broadcast of the sorted lo boundaries
+    and resolves tier attributes with a broadcast HASH equi-join; the
+    oracle runs the naive non-equi predicate join the shape avoids
+    (which Spark would plan as a BroadcastNestedLoopJoin evaluating
+    |facts| x |dim| predicates through the join machinery)."""
+    from gomrjob_spark.operators.rangejoin import interval_lookup
+
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            (0.0, 25.0, "nano"),
+            (25.0, 100.0, "small"),
+            (100.0, 250.0, "mid"),
+            (300.0, 450.0, "large"),
+        ],
+        "lo double, hi double, tier string",
+    )
+    tagged = interval_lookup(events.select("value"), dim, "value")
+    return (
+        tagged.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy(F.asc_nulls_first("tier"))
+    )

@@ -82,3 +82,50 @@ def test_band_join_rejects_outer(spark):
     left = _df(spark, [0], "lid", "lts")
     with pytest.raises(ValueError, match="inner"):
         band_join(left, left, "lts", "lts", 0, 10, how="left")
+
+
+def test_interval_lookup_boundary_semantics(spark):
+    from pyspark.sql import Row
+
+    from gomrjob_spark.operators.rangejoin import interval_lookup
+
+    dim = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 20.0, "b"), (30.0, 40.0, "c")],
+        "lo double, hi double, tier string",
+    )
+    facts = spark.createDataFrame(
+        [Row(value=v) for v in [-1.0, 0.0, 9.99, 10.0, 25.0, 30.0, 40.0]]
+    )
+    got = {
+        r["value"]: r["tier"]
+        for r in interval_lookup(facts, dim, "value").collect()
+    }
+    assert got == {
+        -1.0: None,   # below the first interval
+        0.0: "a",     # lo inclusive
+        9.99: "a",
+        10.0: "b",    # hi exclusive / next lo inclusive
+        25.0: None,   # gap
+        30.0: "c",
+        40.0: None,   # past the last hi
+    }
+
+
+def test_interval_lookup_resolves_via_hash_join(spark):
+    from gomrjob_spark.operators.rangejoin import interval_lookup
+
+    dim = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 20.0, "b")],
+        "lo double, hi double, tier string",
+    )
+    facts = spark.range(100).select((F.col("id") * 0.3).alias("value"))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        interval_lookup(facts, dim, "value").explain("formatted")
+    plan = buf.getvalue()
+    # the dim resolve must be a hash equi-join; the only nested-loop is
+    # the 1-row boundary-array broadcast
+    assert "BroadcastHashJoin" in plan

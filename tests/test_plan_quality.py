@@ -147,6 +147,9 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "search_bm25_topk",         # 1-row corpus-stats (N, avgdl) broadcast
         "join_semi_bloom",          # 1-row bloom bit-array broadcast (prefilter)
         "text_pmi_collocations",    # 1-row token-grand-total broadcast
+        "join_interval_lookup",     # 1-row boundary-array broadcast; the
+                                    # dim resolve itself is a hash join
+                                    # (pinned in test_band_join)
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
