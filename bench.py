@@ -65,6 +65,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
+    "dedup_title_edit1",
     "search_phrase_topk",
     "text_pmi_collocations",
     "concurrency_profile",

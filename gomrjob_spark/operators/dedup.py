@@ -1320,3 +1320,93 @@ def jaccard_prefix_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def token_edit1_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """All pairs within TOKEN edit distance <= 1 (one substitution,
+    insertion, or deletion), exactly — the SymSpell/FastSS deletion-
+    neighborhood join, the entity-resolution/spell-match shape. Each
+    row emits its full token key plus its m delete-one keys; any two
+    sequences at edit distance <= 1 provably share a key (substitution
+    at i: both delete i; indel: the longer's delete hits the shorter's
+    full key), so candidates come from a plain equi-join — no
+    all-pairs, no similarity scan. Sharing a key is necessary but NOT
+    sufficient (A.del(0)==B.del(1) can pair distance-2 sequences), so
+    candidates verify exactly with the prefix/suffix rule:
+
+      equal lengths:  #position mismatches <= 1
+      lengths off 1:  common_prefix + common_suffix >= shorter length
+
+    both row-local array expressions. Returns (id_a, id_b, dist).
+
+    Scale shape: signature fan-out is m+1 ids-only rows per input row
+    (keys are space-joined tokens — collision-free: tokens cannot
+    contain spaces); candidate dedup is the partial-aggregated groupBy
+    (map-side combine); verification joins the token arrays for
+    DEDUPED candidates only. Never quadratic unless the TRUE result is
+    (every emitted pair is within distance 1 of sharing a key's
+    pigeonhole bound).
+    """
+    toked = scoped_persist(
+        df.select(F.col(id_col), F.col(toks_col).alias("_t")).withColumn(
+            "_m", F.size("_t")
+        )
+    )
+    t = F.col("_t")
+    del_keys = F.transform(
+        F.sequence(F.lit(1), F.col("_m")),
+        lambda i: F.concat_ws(
+            " ", F.concat(F.slice(t, 1, i - 1), F.slice(t, i + 1, F.col("_m") - i))
+        ),
+    )
+    keys = F.concat(F.array(F.concat_ws(" ", t)), del_keys)
+    # stage the key array into a real column BEFORE exploding (the fused
+    # Generate would re-run the whole builder per emitted element)
+    sigs = toked.withColumn("_keys", keys).select(
+        F.col(id_col), F.explode("_keys").alias("_k")
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), "_k")
+    b = sigs.select(F.col(id_col).alias("id_b"), "_k")
+    cands = (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    ga = toked.select(
+        F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"), F.col("_m").alias("_ma")
+    )
+    gb = toked.select(
+        F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"), F.col("_m").alias("_mb")
+    )
+    j = cands.join(ga, "id_a").join(gb, "id_b")
+    mn = F.least(F.col("_ma"), F.col("_mb"))
+    ta, tb = F.col("_ta"), F.col("_tb")
+    eq_pre = F.zip_with(
+        F.slice(ta, 1, mn), F.slice(tb, 1, mn), lambda x, y: x == y
+    )
+    eq_suf = F.zip_with(
+        F.slice(F.reverse(ta), 1, mn),
+        F.slice(F.reverse(tb), 1, mn),
+        lambda x, y: x == y,
+    )
+    staged = j.withColumn("_pre", eq_pre).withColumn("_suf", eq_suf)
+    fm = F.array_position(F.col("_pre"), F.lit(False))
+    fs = F.array_position(F.col("_suf"), F.lit(False))
+    p = F.when(fm == 0, mn).otherwise(fm - 1)
+    s = F.when(fs == 0, mn).otherwise(fs - 1)
+    n_mismatch = F.size(F.filter(F.col("_pre"), lambda v: ~v))
+    dist = F.when(F.col("_ma") == F.col("_mb"), n_mismatch).otherwise(F.lit(1))
+    ok = F.when(
+        F.col("_ma") == F.col("_mb"), n_mismatch <= 1
+    ).otherwise(
+        (F.abs(F.col("_ma") - F.col("_mb")) == 1) & ((p + s) >= mn)
+    )
+    return staged.filter(ok).select(
+        "id_a", "id_b", dist.cast("int").alias("dist")
+    )

@@ -38,6 +38,8 @@ _VERIFY_FIRST = [
     "text_bpe_merges",
     # NEW r6: point-in-interval dim lookup without a nested-loop join
     "join_interval_lookup",
+    # NEW r6: SymSpell deletion-neighborhood fuzzy join (token edit <= 1)
+    "dedup_title_edit1",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

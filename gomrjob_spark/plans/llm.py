@@ -3018,3 +3018,50 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative pipeline is verified end-to-end, not per-stage."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, n_merges=_BPE_ROUNDS).orderBy("round")
+
+
+@query(
+    "dedup_title_edit1",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, string_split({_SQL_NORM}, ' ')[1:6] AS toks
+      FROM documents
+    ),
+    tt AS (SELECT id, toks, len(toks) AS m FROM t)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(CASE WHEN a.m = b.m
+                THEN list_sum(list_transform(range(1, a.m + 1),
+                       i -> CASE WHEN a.toks[i] <> b.toks[i] THEN 1 ELSE 0 END))
+                ELSE 1 END AS INT) AS dist
+    FROM tt a JOIN tt b ON a.id < b.id AND abs(a.m - b.m) <= 1
+    WHERE CASE
+      WHEN a.m = b.m THEN
+        list_sum(list_transform(range(1, a.m + 1),
+          i -> CASE WHEN a.toks[i] <> b.toks[i] THEN 1 ELSE 0 END)) <= 1
+      ELSE (
+        coalesce(list_position(list_transform(range(1, least(a.m, b.m) + 1),
+            i -> a.toks[i] = b.toks[i]), false) - 1, least(a.m, b.m))
+        + coalesce(list_position(list_transform(range(1, least(a.m, b.m) + 1),
+            i -> a.toks[a.m + 1 - i] = b.toks[b.m + 1 - i]), false) - 1,
+            least(a.m, b.m))
+      ) >= least(a.m, b.m)
+    END
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_title_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy title matching at TOKEN edit distance <= 1 (operators.dedup
+    .token_edit1_pairs) over each document's first-6-token title — the
+    SymSpell/FastSS deletion-neighborhood join: every sequence emits
+    its full key plus m delete-one keys, distance-<=1 pairs provably
+    share a key, candidates come from a plain equi-join and verify
+    with the exact row-local prefix/suffix rule. The oracle runs the
+    all-pairs comparison the signature scheme avoids. The entity-
+    resolution / spell-match shape, exact (no phonetic or similarity
+    approximation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    titles = text.spread(docs).select(
+        "doc_id",
+        F.slice(text.tokens(text.normalized("text")), 1, 6).alias("toks"),
+    )
+    return dedup.token_edit1_pairs(titles).orderBy("id_a", "id_b")

@@ -67,3 +67,80 @@ def test_prefix_join_size_prune_excludes_disproportionate_docs(spark):
     rows = jaccard_prefix_pairs(docs, n=3).collect()
     release_scoped()
     assert rows == []
+
+
+def test_token_edit1_exact_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.operators.dedup import token_edit1_pairs
+
+    rows = [
+        (1, ["a", "b", "c"]),
+        (2, ["a", "x", "c"]),      # substitution of 1 -> dist 1
+        (3, ["a", "b"]),           # deletion of 1 -> dist 1
+        (4, ["a", "b", "c", "d"]), # insertion on 1 -> dist 1
+        (5, ["a", "b", "c"]),      # identical to 1 -> dist 0
+        (6, ["x", "c"]),           # shares del-keys with nothing <=1
+        (7, ["q", "r", "s"]),      # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, toks array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in token_edit1_pairs(df).collect()
+    }
+    release_scoped()
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert got[(2, 5)] == 1
+    assert got[(3, 5)] == 1
+    assert got[(4, 5)] == 1
+    # distance-2 pair sharing a delete key must be verified away:
+    # [x,c] vs [a,b] etc never appear; and no pair involving 7
+    assert not any(7 in k for k in got)
+    # [a,x,c] vs [a,b] is distance 2 (sub + del): must be absent
+    assert (2, 3) not in got
+
+
+def test_token_edit1_matches_brute_force_on_real_titles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators import text
+    from gomrjob_spark.operators.dedup import token_edit1_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.slice(text.tokens(text.normalized("text")), 1, 6).alias("toks")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in token_edit1_pairs(titles).collect()
+    }
+    release_scoped()
+
+    def dist_le1(a, b):
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b))
+        if abs(len(a) - len(b)) != 1:
+            return None
+        mn = min(len(a), len(b))
+        p = 0
+        while p < mn and a[p] == b[p]:
+            p += 1
+        s = 0
+        while s < mn and a[-1 - s] == b[-1 - s]:
+            s += 1
+        return 1 if p + s >= mn else None
+
+    rows = titles.collect()
+    want = set()
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            x, y = sorted([ra, rb], key=lambda r: r["doc_id"])
+            d = dist_le1(x["toks"], y["toks"])
+            if d is not None and d <= 1:
+                want.add((x["doc_id"], y["doc_id"], d))
+    assert want, "fixture must yield at least one pair"
+    assert got == want
