@@ -262,3 +262,94 @@ def mixture_weights(
             )
         ),
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: each row draws the
+    uniform 60-bit md5 key of its id (the module's cross-engine hash
+    idiom) and ranks by ``key DIV weight`` — heavier rows get
+    proportionally smaller priorities, so the k smallest form a
+    weight-biased sample that is a pure function of (ids, weights,
+    salt): rerun-, engine-, and partitioning-reproducible, which is
+    what lets a curation pipeline audit WHY a row was sampled. (The
+    integer scheme approximates A-ES exponential jittering without
+    transcendental floats — the documented trade for bit-exactness.)
+    Rows with non-positive weight are excluded by contract.
+
+    Scale: the priority is one md5 + one DIV in the scan projection;
+    the k smallest resolve via TakeOrdered (per-partition top-k, then
+    a k×partitions driver merge) — no global sort, no shuffle of the
+    data side."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    staged = df.filter(F.col(weight_col) > 0).withColumns(
+        {"_h": h, "_w": F.col(weight_col).cast("bigint")}
+    )
+    return (
+        staged.withColumn("priority", F.expr("_h DIV _w"))
+        .drop("_h", "_w")
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def zscore_outlier_counts(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    z_num: int = 3,
+) -> DataFrame:
+    """Per-group outlier audit with EXACT integer arithmetic: counts
+    rows whose value lies more than ``z_num`` population standard
+    deviations from their group mean, without ever computing a float
+    mean or stddev — the data-cleaning gate of a curation pipeline,
+    hash-reproducible across engines.
+
+    The z-test |c - S/n| > z*sigma squares to the pure-integer form
+
+        (n*c - S)^2 > z^2 * (n*Q - S^2)
+
+    with S = sum(c), Q = sum(c^2) (population variance sigma^2 =
+    (n*Q - S^2)/n^2). Products evaluate in DECIMAL(38,0) — bigint
+    overflows at (n*c)^2 for group sizes past ~1e5 at cent scale, the
+    exact trap the 8x sweep hits (DuckDB mirror: HUGEINT).
+
+    Scale: one partial-agg shuffle for the (n, S, Q) moments, a
+    group-count-sized broadcast back onto the scan, one row-local
+    integer test. Returns (group, n, n_outliers)."""
+    g = F.col(group_col)
+    c = F.col(cents_col).cast("bigint")
+    stats = (
+        df.select(g.alias("_g"), c.alias("_c"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_c").alias("_s"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+        )
+    )
+    d = "decimal(38,0)"
+    joined = df.select(g.alias("_g"), c.alias("_c")).join(
+        F.broadcast(stats), "_g"
+    )
+    lhs_root = F.col("_n").cast(d) * F.col("_c").cast(d) - F.col("_s").cast(d)
+    rhs = F.lit(z_num * z_num).cast(d) * (
+        F.col("_n").cast(d) * F.col("_q").cast(d)
+        - F.col("_s").cast(d) * F.col("_s").cast(d)
+    )
+    flagged = joined.withColumn(
+        "_out", F.when(lhs_root * lhs_root > rhs, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        flagged.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_out").cast("bigint").alias("n_outliers"),
+        )
+    )

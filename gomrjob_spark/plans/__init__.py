@@ -40,6 +40,10 @@ _VERIFY_FIRST = [
     "join_interval_lookup",
     # NEW r6: SymSpell deletion-neighborhood fuzzy join (token edit <= 1)
     "dedup_title_edit1",
+    # NEW r6: deterministic weighted sampling
+    "sample_weighted",
+    # NEW r6: exact-integer z-score outlier audit
+    "events_outlier_audit",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -3065,3 +3065,79 @@ def dedup_title_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(text.tokens(text.normalized("text")), 1, 6).alias("toks"),
     )
     return dedup.token_edit1_pairs(titles).orderBy("id_a", "id_b")
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                // n_chars AS BIGINT) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators.sampling
+    .weighted_priority_sample): 50 docs drawn with probability biased
+    by length — priority = 60-bit-md5(id) DIV n_chars, the k smallest
+    win. A pure function of (ids, weights, salt): engine-, rerun-, and
+    partitioning-reproducible, so a curation pipeline can AUDIT why a
+    row entered the sample (the documented integer trade vs float A-ES
+    jittering). TakeOrdered resolves the top-k; the data side never
+    shuffles."""
+    from gomrjob_spark.operators.sampling import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=50, salt="w1:"
+    )
+
+
+@query(
+    "events_outlier_audit",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(count(CASE WHEN
+                  (CAST(s.n AS HUGEINT) * c.c - s.s)
+                * (CAST(s.n AS HUGEINT) * c.c - s.s)
+                > 9 * (CAST(s.n AS HUGEINT) * s.q - s.s * s.s)
+                THEN 1 END) AS BIGINT) AS n_outliers
+    FROM c JOIN s USING (event_type)
+    GROUP BY c.event_type, s.n
+    ORDER BY c.event_type
+    """,
+)
+def events_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier audit in EXACT integer arithmetic
+    (operators.sampling.zscore_outlier_counts): rows more than 3
+    population standard deviations from their group mean, with the
+    z-test squared into the pure-integer form (n*c - S)^2 >
+    9*(n*Q - S^2) — no float mean or stddev anywhere, so the
+    data-cleaning gate is hash-reproducible. Products evaluate in
+    DECIMAL(38,0) (DuckDB: HUGEINT) because (n*c)^2 overflows bigint
+    past ~1e5-row groups at cent scale — the trap the 8x sweep hits.
+    One moment-aggregation shuffle + a group-count-sized broadcast back
+    onto the scan."""
+    from gomrjob_spark.operators.sampling import zscore_outlier_counts
+
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    return zscore_outlier_counts(cents, "event_type", "cents").orderBy(
+        "event_type"
+    )

@@ -150,6 +150,8 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "join_interval_lookup",     # 1-row boundary-array broadcast; the
                                     # dim resolve itself is a hash join
                                     # (pinned in test_band_join)
+        "text_bpe_merges",          # 1-row winning-pair broadcast per
+                                    # BPE round (the merge fold reads it)
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",

@@ -152,3 +152,36 @@ def test_profile_columns_exact_and_typed(spark):
         profile_columns(df, ["c"])
     with _pytest.raises(ValueError, match="no such column"):
         profile_columns(df, ["zz"])
+
+
+def test_weighted_priority_sample_deterministic_and_biased(spark):
+    from gomrjob_spark.operators.sampling import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 if i < 500 else 1000) for i in range(600)], "id int, w int"
+    )
+    a = [r["id"] for r in weighted_priority_sample(df, "id", "w", k=50).collect()]
+    b = [r["id"] for r in weighted_priority_sample(df, "id", "w", k=50).collect()]
+    assert a == b, "sample must be rerun-deterministic"
+    # 100 heavy rows (w=1000) vs 500 light (w=1): heavy dominate the top
+    heavy = sum(1 for i in a if i >= 500)
+    assert heavy >= 45, f"weight bias too weak: {heavy}/50 heavy"
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], "id int, w int")
+    got = [r["id"] for r in weighted_priority_sample(df2, "id", "w", k=10).collect()]
+    assert got == [3]
+
+
+def test_zscore_outlier_counts_exact(spark):
+    from gomrjob_spark.operators.sampling import zscore_outlier_counts
+
+    # group g: 99 values of 100 plus one of 10000 -> the spike is the
+    # only point beyond 3 sigma
+    rows = [("g", 100)] * 99 + [("g", 10000)]
+    df = spark.createDataFrame(rows, "grp string, cents long")
+    got = zscore_outlier_counts(df, "grp", "cents").collect()[0]
+    assert (got["n"], got["n_outliers"]) == (100, 1)
+    # uniform group: no outliers (variance 0, strict inequality)
+    df2 = spark.createDataFrame([("u", 7)] * 20, "grp string, cents long")
+    got2 = zscore_outlier_counts(df2, "grp", "cents").collect()[0]
+    assert (got2["n"], got2["n_outliers"]) == (20, 0)
