@@ -51,6 +51,7 @@ HEADLINE = [
     "knn_axis_lsh",
     "knn_ivf_kmeans",
     "knn_pq",
+    "knn_sq8",
     "funnel_conversion",
     "text_token_stats",
     "search_tf_topk",

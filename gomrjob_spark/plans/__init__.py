@@ -44,6 +44,8 @@ _VERIFY_FIRST = [
     "sample_weighted",
     # NEW r6: exact-integer z-score outlier audit
     "events_outlier_audit",
+    # NEW r6: scalar-quantized search (hash-gated quantized metric)
+    "knn_sq8",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -3141,3 +3141,53 @@ def events_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outlier_counts(cents, "event_type", "cents").orderBy(
         "event_type"
     )
+
+
+@query(
+    "knn_sq8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    st AS (
+      SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY 1
+    ),
+    codes AS (
+      SELECT vec_id,
+             list(CAST(CASE WHEN mx = mn THEN 0
+                       ELSE round((v[pos] - mn) * 255 / (mx - mn), 0)
+                       END AS BIGINT) ORDER BY pos) AS code
+      FROM e, st AS s(pos, mn, mx)
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(q.code) + 1),
+               i -> (q.code[i] - c.code[i]) * (q.code[i] - c.code[i])))
+               AS BIGINT) AS dist
+      FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-5 search (operators.similarity
+    .knn_sq8) — the third compression point of the ANN family next to
+    PQ's trained codebooks: one corpus pass learns per-dimension
+    min/max (pure selections, no float accumulation), an affine
+    row-level-IEEE encode yields 8-bit codes 4x smaller than float32,
+    and distances are EXACT bigint sums — so the whole quantized search
+    sits under the full hash gate (the oracle recomputes identical
+    codes and distances; recall vs the float metric is pytest-gated).
+    Broadcast queries x integer-only codes scan, per-query window
+    top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_sq8(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    ).orderBy("query_id", "rank")

@@ -144,3 +144,43 @@ def test_token_edit1_matches_brute_force_on_real_titles(spark, sf_dir):
                 want.add((x["doc_id"], y["doc_id"], d))
     assert want, "fixture must yield at least one pair"
     assert got == want
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.similarity import knn_bruteforce, knn_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(q, emb, k=5).collect()
+    }
+    sq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_sq8(q, emb, k=5).collect()
+    }
+    release_scoped()
+    recall = len(exact & sq) / len(exact)
+    assert recall >= 0.7, f"SQ8 recall vs float cosine too low: {recall}"
+
+
+def test_sq8_codes_bounded_and_deterministic(spark):
+    from gomrjob_spark.operators.similarity import sq8_encode, sq8_stats
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.5, -1.0 + i]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = sq8_stats(df)
+    a = sorted(sq8_encode(df, stats).collect(), key=lambda r: r["vec_id"])
+    b = sorted(sq8_encode(df, stats).collect(), key=lambda r: r["vec_id"])
+    assert [r["code"] for r in a] == [r["code"] for r in b]
+    for r in a:
+        assert all(0 <= c <= 255 for c in r["code"])
+    # constant dimension encodes 0 for every row
+    assert all(r["code"][1] == 0 for r in a)
+    # extremes hit the rails
+    assert a[0]["code"][0] == 0 and a[-1]["code"][0] == 255
