@@ -24,11 +24,13 @@ from gomrjob_spark.session import get_session  # noqa: E402
 
 #: One representative per operator family (SURVEY.md §2 / §7 P6). Streaming
 #: queries drive a full Structured Streaming topology; the rest are batch.
-#: r6 rotation: set_ops, dedup_exact, text_chunks, sample_hash_split and
-#: cap_per_source (five flat sub-0.4 s scan/agg shapes, benched
-#: unchanged since r01-r02) rotated OUT to keep the grown suite inside
-#: the 2000-byte stdout tail window; their plan shapes stay pinned by
-#: tests/test_plan_quality.py and they can rotate back any round.
+#: r6 rotation: set_ops, dedup_exact, text_chunks, sample_hash_split,
+#: cap_per_source, pack_token_batches, funnel_conversion and join_asof
+#: (flat sub-1 s shapes benched unchanged since r01-r02; join_asof's
+#: union-stream plan is still covered by join_asof_nearest) rotated OUT
+#: to keep the grown suite inside the 2000-byte stdout tail window;
+#: their plan shapes stay pinned by tests/test_plan_quality.py and any
+#: can rotate back in a later round.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -39,7 +41,6 @@ HEADLINE = [
     "window_topk_per_group",
     "join_range",
     "join_band_time",
-    "join_asof",
     "sessionize_windows",
     "dedup_minhash_lsh",
     "dedup_minhash_md5",
@@ -52,14 +53,13 @@ HEADLINE = [
     "knn_ivf_kmeans",
     "knn_pq",
     "knn_sq8",
-    "funnel_conversion",
     "text_token_stats",
     "search_tf_topk",
     "search_bm25_topk",
     "sample_weighted",
     "events_outlier_audit",
+    "feature_decile_stats",
     "profile_table_stats",
-    "pack_token_batches",
     "decontaminate_ngrams",
     "text_repetition_stats",
     "text_pii_scrub",
@@ -96,6 +96,7 @@ HEADLINE = [
     "streaming_search_score",
     "streaming_upsert_apply",
     "streaming_phash_admission",
+    "streaming_outlier_flags",
 ]
 
 

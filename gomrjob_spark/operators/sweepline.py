@@ -104,3 +104,44 @@ def interval_concurrency(
         value_col="delta",
         out_col="concurrent",
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number in ``order_cols`` order WITHOUT the
+    single-task global window (``Window.orderBy`` with no partition key
+    collapses the stream into one task — the plan that dies first at
+    100 TB). Same two-phase scan as :func:`prefix_sum`: range partition
+    (ids ordered by range), per-partition local row_number, bounded
+    per-partition counts prefix-summed and broadcast back as offsets.
+    ``order_cols`` must be a total order (include a unique tiebreaker)
+    for the result to be deterministic — this is row_number, not rank.
+
+    This is how global ntile / percent_rank / CDF feature transforms
+    run at scale: derive the quantile/decile label from ``rn`` and the
+    total count (``offsets`` already materializes per-partition counts,
+    so the total is a bounded aggregate, not an extra corpus scan)."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = scoped_persist(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )

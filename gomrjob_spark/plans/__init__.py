@@ -46,6 +46,10 @@ _VERIFY_FIRST = [
     "events_outlier_audit",
     # NEW r6: scalar-quantized search (hash-gated quantized metric)
     "knn_sq8",
+    # NEW r6: distributed global ranking / decile binning
+    "feature_decile_stats",
+    # NEW r6: live outlier quarantine vs store-frozen moments
+    "streaming_outlier_flags",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -644,3 +644,44 @@ def streaming_search_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = search_score_stream(stream, store, _SEARCH_QUERIES)
     return _drain(spark, flagged, "append").orderBy("doc_id", "query_id")
+
+
+@query(
+    "streaming_outlier_flags",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      FROM c WHERE event_id < 5000 GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           ( (CAST(s.n AS HUGEINT) * c.c - s.s)
+           * (CAST(s.n AS HUGEINT) * c.c - s.s)
+           > 9 * (CAST(s.n AS HUGEINT) * s.q - s.s * s.s) ) AS is_outlier
+    FROM c JOIN s USING (event_type)
+    WHERE c.event_id >= 5000
+    ORDER BY event_id
+    """,
+)
+def streaming_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE outlier quarantine (streaming.ops.outlier_flag_stream):
+    events 5000+ arrive as a stream and are flagged against per-type
+    moments frozen from the static store (events < 5000), the z-test in
+    exact DECIMAL(38,0) integer arithmetic — no float mean/stddev, so
+    the full live topology is batching-invariant and sits under the
+    hash gate. Stream-static broadcast join + row-local test: stateless,
+    per-batch cost flat forever. The streaming twin of the batch
+    events_outlier_audit."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import outlier_flag_stream, read_events_stream
+
+    store = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    stream = read_events_stream(spark, sf_dir).filter(F.col("event_id") >= 5000)
+    flagged = outlier_flag_stream(stream, store)
+    return _drain(spark, flagged, "append").orderBy("event_id")

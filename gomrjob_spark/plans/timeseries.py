@@ -492,3 +492,52 @@ def join_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("tier"))
     )
+
+
+@query(
+    "feature_decile_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST(((rn - 1) * 10) // n AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents
+    FROM ranked GROUP BY 1 ORDER BY decile
+    """,
+)
+def feature_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile (ntile-style) feature binning via DISTRIBUTED
+    ranking (operators.sweepline.global_row_number): the CDF/quantile
+    transform ML feature pipelines run over full columns, computed
+    WITHOUT the single-task ``ORDER BY`` window the oracle uses — range
+    partition, per-partition row_number, bounded per-partition counts
+    prefix-summed and broadcast back. decile = ((rn-1)*10) DIV n, all
+    integers, so bucket boundaries are exact (no percentile float
+    interpolation) and the per-decile (count, min, max) row set is
+    hash-identical. The (value, event_id) order key is total, making
+    row_number deterministic."""
+    from gomrjob_spark.operators.sweepline import global_row_number
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    ranked = global_row_number(base, ["value", "event_id"])
+    n_total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_total))
+        .withColumn("decile", F.expr("((rn - 1) * 10) DIV _n").cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("decile")
+    )

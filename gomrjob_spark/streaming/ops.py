@@ -687,3 +687,43 @@ def upsert_sink(
     )
     q.processAllAvailable()
     return q
+
+
+def outlier_flag_stream(
+    stream_events: DataFrame,
+    store_events: DataFrame,
+    z_num: int = 3,
+) -> DataFrame:
+    """LIVE data-quality gating: arriving events are flagged when their
+    value lies more than ``z_num`` population standard deviations from
+    their event-type's mean — with the moments (n, S=sum c, Q=sum c^2)
+    frozen from the static store and the z-test squared into the exact
+    integer form ``(n*c - S)^2 > z^2 (n*Q - S^2)`` (DECIMAL(38,0)
+    products; see operators.sampling.zscore_outlier_counts for the
+    bigint-overflow rationale). The model joins in as a stream-static
+    broadcast on event_type and the test is row-local, so the topology
+    is stateless, batching-invariant, and a pure function of (stream,
+    store) — the streaming twin of the batch events_outlier_audit, and
+    the live form of a curation pipeline's outlier quarantine."""
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    stats = (
+        store_events.select("event_type", c.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_c").alias("_s"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+        )
+    )
+    d = "decimal(38,0)"
+    staged = stream_events.withColumn("_c", c).join(
+        F.broadcast(stats), "event_type"
+    )
+    lhs_root = F.col("_n").cast(d) * F.col("_c").cast(d) - F.col("_s").cast(d)
+    rhs = F.lit(z_num * z_num).cast(d) * (
+        F.col("_n").cast(d) * F.col("_q").cast(d)
+        - F.col("_s").cast(d) * F.col("_s").cast(d)
+    )
+    return staged.select(
+        "event_id", "event_type", (lhs_root * lhs_root > rhs).alias("is_outlier")
+    )

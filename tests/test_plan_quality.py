@@ -152,6 +152,10 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # (pinned in test_band_join)
         "text_bpe_merges",          # 1-row winning-pair broadcast per
                                     # BPE round (the merge fold reads it)
+        "feature_decile_stats",     # 1-row total-count broadcast
+        "knn_sq8",                  # 1-row min/max model broadcast +
+                                    # the |Q|=10 query broadcast (same
+                                    # class as knn_bruteforce)
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",

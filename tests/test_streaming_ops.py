@@ -296,3 +296,29 @@ def test_upsert_sink_is_batching_and_arrival_order_invariant(spark, tmp_path):
     got = {r.id: (r.ver, r.payload) for r in spark.read.parquet(state).collect()}
     # key 1: ver 30 from the MIDDLE batch survives the later ver-20 batch
     assert got == {1: (30, "a30"), 2: (40, "b40"), 3: (5, "c05")}, got
+
+
+def test_streaming_outlier_flags_match_batch_test(spark, sf_dir):
+    """The live per-event flags must agree with the batch integer
+    z-test computed over the same frozen store moments."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.plans.streaming import _drain
+    from gomrjob_spark.streaming import outlier_flag_stream, read_events_stream
+
+    events = load_table(spark, sf_dir, "events")
+    store = events.filter(F.col("event_id") < 500)
+    stream = read_events_stream(spark, sf_dir).filter(F.col("event_id") >= 500)
+    live = {
+        r["event_id"]: r["is_outlier"]
+        for r in _drain(spark, outlier_flag_stream(stream, store), "append").collect()
+    }
+    batch = {
+        r["event_id"]: r["is_outlier"]
+        for r in outlier_flag_stream(
+            events.filter(F.col("event_id") >= 500), store
+        ).collect()
+    }
+    assert live == batch
+    assert any(live.values()), "fixture must flag at least one outlier"

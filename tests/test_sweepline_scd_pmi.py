@@ -185,3 +185,17 @@ def test_zscore_outlier_counts_exact(spark):
     df2 = spark.createDataFrame([("u", 7)] * 20, "grp string, cents long")
     got2 = zscore_outlier_counts(df2, "grp", "cents").collect()[0]
     assert (got2["n"], got2["n_outliers"]) == (20, 0)
+
+
+def test_global_row_number_matches_serial(spark):
+    from gomrjob_spark.operators.sweepline import global_row_number
+
+    vals = [(i * 53) % 200 for i in range(200)]
+    df = spark.createDataFrame([Row(k=v, uid=i) for i, v in enumerate(vals)])
+    for parts in (1, 7):
+        out = global_row_number(df, ["k", "uid"], num_partitions=parts).collect()
+        release_scoped()
+        got = [ (r["k"], r["uid"]) for r in sorted(out, key=lambda r: r["rn"]) ]
+        want = sorted(zip(vals, range(200)))
+        assert got == want, f"ranking mismatch at {parts} partitions"
+        assert sorted(r["rn"] for r in out) == list(range(1, 201))
