@@ -30,7 +30,8 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: union-stream plan is still covered by join_asof_nearest) rotated OUT
 #: to keep the grown suite inside the 2000-byte stdout tail window;
 #: their plan shapes stay pinned by tests/test_plan_quality.py and any
-#: can rotate back in a later round.
+#: can rotate back in a later round. join_range rotated out likewise
+#: (the harder inequality class stays measured via join_band_time).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -39,7 +40,6 @@ HEADLINE = [
     "q18_large_volume_customer",
     "agg_cube",
     "window_topk_per_group",
-    "join_range",
     "join_band_time",
     "sessionize_windows",
     "dedup_minhash_lsh",
@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_embedding_cosine_lowsim",
     "dedup_embedding_cosine_rp",
     "dedup_cluster_survivors",
+    "entity_resolution_pipeline",
     "knn_bruteforce",
     "knn_axis_lsh",
     "knn_ivf_kmeans",

@@ -50,6 +50,9 @@ _VERIFY_FIRST = [
     "feature_decile_stats",
     # NEW r6: live outlier quarantine vs store-frozen moments
     "streaming_outlier_flags",
+    # NEW r6: multi-channel entity-resolution composite (prefix-Jaccard
+    # UNION title-edit1 -> connected components)
+    "entity_resolution_pipeline",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

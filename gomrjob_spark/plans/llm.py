@@ -3191,3 +3191,89 @@ def knn_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_sq8(
         emb.filter(F.col("vec_id") < 10), emb, k=5
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "entity_resolution_pipeline",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM norm, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 9 * n_common >= 4 * (sa.n_sh + sb.n_sh)
+    ),
+    tt AS (SELECT doc_id AS id, w[1:6] AS toks, len(w[1:6]) AS m FROM norm),
+    te AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM tt a JOIN tt b ON a.id < b.id AND abs(a.m - b.m) <= 1
+      WHERE CASE
+        WHEN a.m = b.m THEN
+          list_sum(list_transform(range(1, a.m + 1),
+            i -> CASE WHEN a.toks[i] <> b.toks[i] THEN 1 ELSE 0 END)) <= 1
+        ELSE (
+          coalesce(list_position(list_transform(range(1, least(a.m, b.m) + 1),
+              i -> a.toks[i] = b.toks[i]), false) - 1, least(a.m, b.m))
+          + coalesce(list_position(list_transform(range(1, least(a.m, b.m) + 1),
+              i -> a.toks[a.m + 1 - i] = b.toks[b.m + 1 - i]), false) - 1,
+              least(a.m, b.m))
+        ) >= least(a.m, b.m)
+      END
+    ),
+    edges AS (SELECT * FROM jp UNION SELECT * FROM te),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.dst AS node, r.label AS label
+      FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component HAVING count(*) >= 2
+    ORDER BY component
+    """,
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end in ONE plan: two independent
+    blocking-and-verification channels — prefix-filtered exact Jaccard
+    >= 4/5 (content) UNION title token-edit-<=1 (SymSpell deletion
+    neighborhood) — feed one edge set, large-star/small-star connected
+    components cluster the matches, and clusters of >= 2 report
+    (component, n_members). The composition pattern of a production
+    match-merge pipeline: every stage is the engine's own operator, and
+    the whole multi-channel pipeline sits under a single recursive-CTE
+    oracle. Scale: both channels are bucketed propose->verify (no
+    all-pairs anywhere), CC is O(log n) rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    jp = dedup.jaccard_prefix_pairs(
+        docs, n=3, threshold_num=4, threshold_den=5
+    ).select("id_a", "id_b")
+    titles = text.spread(docs).select(
+        "doc_id",
+        F.slice(text.tokens(text.normalized("text")), 1, 6).alias("toks"),
+    )
+    te = dedup.token_edit1_pairs(titles).select("id_a", "id_b")
+    edges = jp.unionByName(te).distinct()
+    comp = dedup.connected_components(edges, docs.select("doc_id"))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy("component")
+    )
