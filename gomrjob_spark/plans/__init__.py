@@ -53,6 +53,8 @@ _VERIFY_FIRST = [
     # NEW r6: multi-channel entity-resolution composite (prefix-Jaccard
     # UNION title-edit1 -> connected components)
     "entity_resolution_pipeline",
+    # NEW r6: time-weighted average (irregular-sampling TWAP)
+    "timeseries_twap",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

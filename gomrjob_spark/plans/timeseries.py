@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
@@ -540,4 +540,60 @@ def feature_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
         .orderBy("decile")
+    )
+
+
+@query(
+    "timeseries_twap",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(date_diff('second', ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS BIGINT) AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(dur_s) AS BIGINT) AS n_segments,
+           CAST(sum(dur_s) AS BIGINT) AS total_s,
+           CAST(sum(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+           CAST(sum(cents * dur_s) AS DOUBLE) / sum(dur_s) AS twap_cents
+    FROM seg WHERE dur_s IS NOT NULL
+    GROUP BY user_id HAVING sum(dur_s) > 0
+    ORDER BY user_id
+    """,
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the billing /
+    irregular-sampling aggregate where plain AVG is wrong): each
+    observation holds until the user's next event, so its weight is
+    the segment duration. One lead() window rides ONE hash exchange on
+    user_id; weights and the numerator are exact bigints (cents x
+    whole seconds), the final ratio one IEEE division — hash-exact.
+    Last-known-value (step-function) semantics; a user's final event
+    carries no duration and is excluded on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        (
+            (F.lead("ts").over(w).cast("timestamp").cast("long"))
+            - F.col("ts").cast("timestamp").cast("long")
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_s").alias("total_s"),
+            F.sum(F.col("cents") * F.col("dur_s")).alias("weighted_cents_s"),
+            (
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s")
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("total_s") > 0)
+        .orderBy("user_id")
     )
