@@ -55,6 +55,8 @@ _VERIFY_FIRST = [
     "entity_resolution_pipeline",
     # NEW r6: time-weighted average (irregular-sampling TWAP)
     "timeseries_twap",
+    # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
+    "timeseries_gapfill_locf",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -597,3 +597,83 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_s") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE user_id < 30
+    ),
+    span AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g.t AS grid_ts
+      FROM span, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g(t)
+    ),
+    u AS (
+      SELECT user_id, ts AS t, 0 AS g, event_id, cents FROM e
+      UNION ALL
+      SELECT user_id, grid_ts, 1, 4611686018427387904, NULL FROM grid
+    ),
+    f AS (
+      SELECT user_id, t, g,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, g, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+      FROM u
+    )
+    SELECT user_id, t AS grid_ts, cents
+    FROM f WHERE g = 1 AND cents IS NOT NULL
+    ORDER BY user_id, grid_ts
+    """,
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resampling: gap-fill each user's irregular
+    events onto a regular 1-hour grid with last-observation-carried-
+    forward (the time_bucket_gapfill + locf pattern). The naive
+    formulation is an as-of join of every grid instant against the
+    event stream; this plan instead UNIONS grid points into the event
+    stream and takes ONE running last(ignoreNulls) window per user —
+    one hash exchange total, no join. Grid rows sort after same-instant
+    events ((t, is_grid, event_id) total order, grid sentinel id), so
+    an event exactly on the hour is included in that hour's value on
+    both engines. Grid points before a user's first event carry no
+    value and drop."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.filter(F.col("user_id") < 30).select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("t"),
+        F.lit(1).alias("g"),
+        F.lit(4611686018427387904).alias("event_id"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    u = e.select(
+        "user_id", F.col("ts").alias("t"), F.lit(0).alias("g"), "event_id", "cents"
+    ).unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "g", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_locf", F.last("cents", ignorenulls=True).over(w))
+    return (
+        filled.filter((F.col("g") == 1) & F.col("_locf").isNotNull())
+        .select("user_id", F.col("t").alias("grid_ts"), F.col("_locf").alias("cents"))
+        .orderBy("user_id", "grid_ts")
+    )
