@@ -803,3 +803,47 @@ def bpe_train_merges(
         )
         cur = scoped_persist(folded)
     return merges.orderBy("round")
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the entropy-proxy curation
+    signal regex statistics can't see (boilerplate and near-random
+    noise both slip length/punctuation gates; their compression ratios
+    don't). Returns (id, raw_bytes, comp_bytes, ratio_permille) with
+    ``ratio_permille = 1000*comp DIV max(raw, 1)`` — low = repetitive/
+    templated, ~1000+ = high-entropy noise.
+
+    This is the engine's one intentionally-Python text operator: DEFLATE
+    has no SQL form, so the query is rows-only (no DuckDB oracle) and
+    the exactness gate is a pytest twin recomputing the identical bytes
+    with the same zlib level driver-side. Arrow-batched mapInPandas,
+    row-local, scales like the scan; output is integers, deterministic
+    for a fixed zlib build (the container pins one)."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, raw_bytes long, comp_bytes long, ratio_permille long"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            rb = raw.map(len)
+            cb = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": rb,
+                    "comp_bytes": cb,
+                    "ratio_permille": (1000 * cb) // rb.clip(lower=1),
+                }
+            )
+
+    return spread(docs).select(id_col, text_col).mapInPandas(batches, schema)

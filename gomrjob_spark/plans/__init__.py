@@ -57,6 +57,8 @@ _VERIFY_FIRST = [
     "timeseries_twap",
     # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
     "timeseries_gapfill_locf",
+    # NEW r6: zlib compressibility signal (rows-only by design)
+    "text_compression_ratio",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log

@@ -3277,3 +3277,17 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("component")
     )
+
+
+@query("text_compression_ratio")  # rows-only BY DESIGN: DEFLATE has no SQL
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (operators.text
+    .compression_ratio) — the entropy-proxy curation signal: templated
+    boilerplate compresses far below natural text, random noise barely
+    compresses at all; both slip the regex quality gates. Rows-only by
+    design (DEFLATE has no SQL form — same class as the sketch
+    queries); the exactness gate is the pytest twin recomputing the
+    identical bytes with driver-side zlib, and determinism is pinned
+    by a double-run test."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compression_ratio(docs).orderBy("doc_id")

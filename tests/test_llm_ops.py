@@ -1791,3 +1791,44 @@ def test_pagerank_fixedpoint_reference_and_partition_invariance(spark):
         for r in pagerank_fixedpoint(edges.repartition(7), n_iters=2).collect()
     }
     assert again == got
+
+
+def test_compression_ratio_exact_twin_and_determinism(spark, sf_dir):
+    """The Spark zlib ratios must byte-match a driver-side recompute
+    with the same level (the rows-only query's exactness gate)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["comp_bytes"], r["ratio_permille"])
+        for r in compression_ratio(docs).collect()
+    }
+    got2 = {
+        r["doc_id"]: (r["raw_bytes"], r["comp_bytes"], r["ratio_permille"])
+        for r in compression_ratio(docs).collect()
+    }
+    assert got == got2, "zlib signal must be rerun-deterministic"
+    for r in docs.select("doc_id", "text").collect():
+        raw = (r["text"] or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        want = (len(raw), comp, (1000 * comp) // max(len(raw), 1))
+        assert got[r["doc_id"]] == want, f"doc {r['doc_id']}"
+    # the signal separates repetitive from high-entropy text
+    import hashlib
+
+    noise = []
+    seed = b"x"
+    while len(noise) < 1600:
+        seed = hashlib.sha256(seed).digest()
+        noise.extend(chr(33 + b % 90) for b in seed)
+    probe = spark.createDataFrame(
+        [(1, "spam ham " * 200), (2, "".join(noise[:1600]))],
+        "doc_id long, text string",
+    )
+    p = {r["doc_id"]: r["ratio_permille"] for r in compression_ratio(probe).collect()}
+    assert p[1] < 100 < p[2]
