@@ -1100,3 +1100,96 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), davg("o_totalprice").alias("avg_price"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    WITH y96 AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)
+    UNION ALL
+    SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM y96 UNION ALL SELECT * FROM y97)
+    ORDER BY op
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations (the ALL variants `set_ops`' distinct
+    forms don't cover): EXCEPT ALL keeps max(c1-c2, 0) copies per key,
+    INTERSECT ALL keeps min(c1, c2) — bag semantics Spark implements
+    with a count-difference aggregate (one shuffle per side, no
+    row-by-row matching). Counts per op, exact bigints."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(y0: str, y1: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select("o_custkey")
+
+    y96 = cohort("1996-01-01", "1997-01-01")
+    y97 = cohort("1997-01-01", "1998-01-01")
+    rows = [
+        ("except_all", y96.exceptAll(y97)),
+        ("intersect_all", y96.intersectAll(y97)),
+        ("union_all", y96.unionAll(y97)),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op")
+
+
+@query(
+    "timeseries_mom_change",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+             / lag(rev_cents) OVER (ORDER BY month) AS mom_change
+    FROM m ORDER BY month
+    """,
+)
+def timeseries_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change — the period-over-period KPI
+    shape: one monthly partial-agg shuffle, then lag over the
+    MONTH-COUNT-sized aggregate (the unpartitioned window runs over
+    ~tens of rows post-aggregation — bounded, the same class as the
+    per-partition offset windows — never over the raw fact stream).
+    Exact cents; the change ratio is one IEEE division."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    w = W.orderBy("month")
+    return (
+        m.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .withColumn(
+            "mom_change",
+            (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents"),
+        )
+        .orderBy("month")
+    )
