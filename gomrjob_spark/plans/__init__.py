@@ -57,8 +57,6 @@ _VERIFY_FIRST = [
     "timeseries_twap",
     # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
     "timeseries_gapfill_locf",
-    # NEW r6: zlib compressibility signal (rows-only by design)
-    "text_compression_ratio",
     # NEW r6: multiset set operations (ALL variants)
     "set_ops_all",
     # NEW r6: period-over-period KPI window
