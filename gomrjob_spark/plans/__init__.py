@@ -57,6 +57,10 @@ _VERIFY_FIRST = [
     "timeseries_twap",
     # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
     "timeseries_gapfill_locf",
+    # NEW r6: market-basket association rules (fixed-point lift)
+    "basket_rules",
+    # NEW r6: robust MAD outlier audit
+    "events_mad_audit",
     # NEW r6: multiset set operations (ALL variants)
     "set_ops_all",
     # NEW r6: period-over-period KPI window

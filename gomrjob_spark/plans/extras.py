@@ -327,3 +327,65 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         docs, ["doc_id", "lang", "n_chars", "source", "text"]
     ).orderBy("column")
+
+
+@query(
+    "events_mad_audit",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m FROM c GROUP BY 1
+    ),
+    dev AS (
+      SELECT c.event_type, c.v, abs(c.v - med.m) AS d
+      FROM c JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN d.d > 3 * mad.mad THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_mad_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier audit: per-type counts beyond 3 median absolute
+    deviations — the robust-statistics companion to the moment-based
+    events_outlier_audit (a mean/stddev gate is itself dragged by the
+    outliers it hunts; median/MAD are not). Exactness rides the
+    engines' bit-identical type-7 percentile interpolation (the
+    agg_quantile_exact precedent): median and MAD are exact selections/
+    interpolations over doubles, |v - m| and the 3*mad comparison are
+    row-local IEEE — no accumulated float anywhere, hash-exact raw.
+
+    Scale: two grouped exact percentiles (per-group executor sorts on
+    a bounded group key) + a group-count-sized broadcast back per
+    stage; the GK-sketch variant is the recommended path when groups
+    stop being bounded."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.select("event_type", F.col("value").cast("double").alias("v"))
+    med = c.groupBy("event_type").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("m")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("d"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("d") > 3 * F.col("mad"), F.lit(1))).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -3291,3 +3291,66 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a double-run test."""
     docs = load_table(spark, sf_dir, "documents")
     return text.compression_ratio(docs).orderBy("doc_id")
+
+
+@query(
+    "basket_rules",
+    oracle="""
+    WITH tx AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+      FROM lineitem WHERE l_quantity >= 40
+    ),
+    n AS (SELECT count(DISTINCT ok) AS n_tx FROM tx),
+    item_c AS (SELECT item, count(*) AS c FROM tx GROUP BY item),
+    pair_c AS (
+      SELECT a.item AS x, b.item AS y, count(*) AS c_xy
+      FROM tx a JOIN tx b ON a.ok = b.ok AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT x, y, CAST(c_xy AS BIGINT) AS n_pair,
+           CAST((1000000 * c_xy) // n_tx AS BIGINT) AS support_ppm,
+           CAST((1000000 * c_xy) // cx.c AS BIGINT) AS confidence_ppm,
+           CAST((((c_xy * 1000000) // cx.c) * n_tx) // cy.c AS BIGINT)
+             AS lift_fp
+    FROM pair_c
+    JOIN item_c cx ON cx.item = x
+    JOIN item_c cy ON cy.item = y, n
+    ORDER BY lift_fp DESC, x, y LIMIT 40
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over high-quantity order baskets
+    — the transactional analog of text_pmi_collocations: per item-pair
+    support, confidence, and lift in staged bigint floor divisions
+    (parts-per-million fixed point), so the classically-float
+    association measures sit under the hash gate. The pair join is
+    bounded by basket size (orders hold few items — the same bounded
+    fan-out as the triangle edges); min-support prunes BEFORE the two
+    item-count equi-joins; the transaction total is a 1-row
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    tx = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    n = tx.agg(F.count_distinct("ok").alias("n_tx"))
+    item_c = tx.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = tx.select("ok", F.col("item").alias("x"))
+    b = tx.select("ok", F.col("item").alias("y"))
+    pair_c = (
+        a.join(b, "ok")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    scored = (
+        pair_c.join(item_c.select(F.col("item").alias("x"), F.col("c").alias("_cx")), "x")
+        .join(item_c.select(F.col("item").alias("y"), F.col("c").alias("_cy")), "y")
+        .join(F.broadcast(n))
+        .select(
+            "x", "y",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.expr("(1000000 * n_pair) DIV n_tx").cast("bigint").alias("support_ppm"),
+            F.expr("(1000000 * n_pair) DIV _cx").cast("bigint").alias("confidence_ppm"),
+            F.expr("(((n_pair * 1000000) DIV _cx) * n_tx) DIV _cy").cast("bigint").alias("lift_fp"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_fp"), "x", "y").limit(40)
