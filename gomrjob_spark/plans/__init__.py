@@ -57,6 +57,9 @@ _VERIFY_FIRST = [
     "timeseries_twap",
     # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
     "timeseries_gapfill_locf",
+    # NEW r6: referential-integrity + functional-dependency audits
+    "integrity_audit",
+    "fd_audit",
     # NEW r6: market-basket association rules (fixed-point lift)
     "basket_rules",
     # NEW r6: robust MAD outlier audit

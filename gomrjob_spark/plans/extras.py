@@ -389,3 +389,113 @@ def events_mad_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "integrity_audit",
+    oracle="""
+    SELECT 'customer_no_nation' AS relation, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem_no_order', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_no_part', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'orders_no_customer', CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ORDER BY relation
+    """,
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan-row
+    counts for every fact->dim edge (lineitem->orders, lineitem->part,
+    orders->customer, customer->nation) in ONE result — the data-
+    quality gate a pipeline runs after every load. Each edge is a LEFT
+    ANTI join: key-only shuffles (or broadcast for dim-sized sides),
+    counts partial-aggregated; no fact row ever carries payload
+    columns through the join."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "nation", "lineitem", "orders", "part")}
+
+    def orphans(name, fact, fk, dim, pk):
+        n = (
+            fact.select(F.col(fk).alias("_k"))
+            .join(dim.select(F.col(pk).alias("_k")), "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(name).alias("relation"), "n_orphans")
+
+    parts = [
+        orphans("customer_no_nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        orphans("lineitem_no_order", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        orphans("lineitem_no_part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        orphans("orders_no_customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")
+
+
+@query(
+    "fd_audit",
+    oracle="""
+    WITH pairs(lhs, rhs) AS (
+      VALUES ('event_id', 'user_id'), ('event_id', 'event_type'),
+             ('user_id', 'event_type'), ('event_type', 'user_id')
+    ),
+    stats AS (
+      SELECT 'event_id' AS lhs, 'user_id' AS rhs,
+             count(DISTINCT event_id) AS n_lhs,
+             count(DISTINCT (event_id, user_id)) AS n_pairs FROM events
+      UNION ALL
+      SELECT 'event_id', 'event_type',
+             count(DISTINCT event_id),
+             count(DISTINCT (event_id, event_type)) FROM events
+      UNION ALL
+      SELECT 'user_id', 'event_type',
+             count(DISTINCT user_id),
+             count(DISTINCT (user_id, event_type)) FROM events
+      UNION ALL
+      SELECT 'event_type', 'user_id',
+             count(DISTINCT event_type),
+             count(DISTINCT (event_type, user_id)) FROM events
+    )
+    SELECT lhs, rhs, CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           n_lhs = n_pairs AS fd_holds
+    FROM stats ORDER BY lhs, rhs
+    """,
+)
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (profiling family): does column
+    A determine column B? FD holds iff ``count(distinct A) ==
+    count(distinct (A, B))`` — exact distincts, one aggregation per
+    candidate pair over the pruned two-column scan (the profiling
+    follow-up to profile_table_stats: that one measures columns in
+    isolation, this one their determinism relations — key discovery,
+    denormalization checks). event_id is expected to determine
+    everything; event_type to determine nothing."""
+    events = load_table(spark, sf_dir, "events")
+    cand = [
+        ("event_id", "user_id"), ("event_id", "event_type"),
+        ("user_id", "event_type"), ("event_type", "user_id"),
+    ]
+    out = None
+    for lhs, rhs in cand:
+        one = events.agg(
+            F.count_distinct(F.col(lhs)).alias("n_lhs"),
+            F.count_distinct(F.col(lhs), F.col(rhs)).alias("n_pairs"),
+        ).select(
+            F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
+            "n_lhs", "n_pairs",
+            (F.col("n_lhs") == F.col("n_pairs")).alias("fd_holds"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("lhs", "rhs")
