@@ -949,3 +949,71 @@ def knn_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def nearest_centroid_confusion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid classification with a confusion matrix — the
+    classical-ML evaluation loop (train per-class centroids, assign
+    every vector to its nearest, cross-tabulate vs truth), made
+    engine-exact: centroid components are fixed-point integer means
+    (``floor(v * 2^20)`` summed in bigint, one integer DIV — the
+    centroid_sums discipline), vectors quantize with the same floor,
+    and distances are exact bigint sums of squared differences, so
+    assignments (argmin, label asc tie-break) and the confusion counts
+    are bit-identical on any engine or partitioning.
+
+    Plan: the centroid model is |labels| x dim partial-agg rows folded
+    into ONE broadcast row of (label, qmean[]) structs; each vector
+    scores all labels row-locally (transform + fold over the struct
+    array) and argmin picks via array_sort — no shuffle of the data
+    side, one final (label, pred) count aggregation. Returns
+    (label, pred, n)."""
+    q = F.floor(F.col("val").cast("double") * CENTROID_QUANT).cast("bigint")
+    cents = (
+        emb.select(
+            F.col(label_col).alias("_lbl"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        .groupBy("_lbl", "pos")
+        .agg(F.sum(q).alias("qsum"), F.count("*").alias("n"))
+        .select("_lbl", "pos", F.expr("qsum DIV n").cast("bigint").alias("qm"))
+    )
+    model = cents.groupBy("_lbl").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "qm"))).alias("_s")
+    ).select(
+        F.struct(
+            F.col("_lbl").alias("lbl"),
+            F.transform("_s", lambda s: s["qm"]).alias("qs"),
+        ).alias("_c")
+    ).agg(F.array_sort(F.collect_list("_c")).alias("_model"))
+    staged = emb.join(F.broadcast(model)).withColumn(
+        "_qv",
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * F.lit(CENTROID_QUANT)).cast("bigint"),
+        ),
+    )
+    scored = staged.withColumn(
+        "_dists",
+        F.transform(
+            F.col("_model"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"), c["qs"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["lbl"].alias("lbl"),
+            ),
+        ),
+    ).withColumn("pred", F.element_at(F.array_sort("_dists"), 1)["lbl"])
+    return (
+        scored.groupBy(F.col(label_col).alias("label"), "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

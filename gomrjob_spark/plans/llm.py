@@ -3354,3 +3354,55 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift_fp"), "x", "y").limit(40)
+
+
+@query(
+    "embedding_centroid_confusion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cc AS (
+      SELECT label AS lbl, i AS pos,
+             CAST(sum(CAST(floor(v[i] * 1048576) AS BIGINT))
+                  // count(*) AS BIGINT) AS qm
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT lbl, list(qm ORDER BY pos) AS qs FROM cc GROUP BY lbl
+    ),
+    qv AS (
+      SELECT vec_id, label,
+             list(CAST(floor(v[pos] * 1048576) AS BIGINT) ORDER BY pos) AS q
+      FROM e, unnest(generate_series(1, len(v))) AS t(pos)
+      GROUP BY vec_id, label
+    ),
+    scored AS (
+      SELECT qv.vec_id, qv.label, c.lbl,
+             CAST(list_sum(list_transform(range(1, len(qv.q) + 1),
+               i -> (qv.q[i] - c.qs[i]) * (qv.q[i] - c.qs[i]))) AS BIGINT)
+               AS dist
+      FROM qv, cents c
+    ),
+    best AS (
+      SELECT vec_id, label, lbl AS pred,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, lbl) AS rn
+      FROM scored
+    )
+    SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+    FROM best WHERE rn = 1
+    GROUP BY label, pred ORDER BY label, pred
+    """,
+)
+def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier + confusion matrix (operators
+    .similarity.nearest_centroid_confusion) — the classical-ML eval
+    loop under the full hash gate: per-class fixed-point centroid
+    means, exact bigint distances, argmin assignment with label
+    tie-break, (truth, prediction) cross-tab. The centroid model folds
+    into ONE broadcast row; every vector scores all classes row-locally
+    — no shuffle of the data side, one final count aggregation. The
+    supervised companion to the k-means IVF training path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.nearest_centroid_confusion(emb).orderBy("label", "pred")

@@ -157,6 +157,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # the |Q|=10 query broadcast (same
                                     # class as knn_bruteforce)
         "basket_rules",             # 1-row transaction-total broadcast
+        "embedding_centroid_confusion",  # 1-row centroid-model broadcast
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
