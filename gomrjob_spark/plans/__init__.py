@@ -68,8 +68,6 @@ _VERIFY_FIRST = [
     "events_mad_audit",
     # NEW r6: multiset set operations (ALL variants)
     "set_ops_all",
-    # NEW r6: period-over-period KPI window
-    "timeseries_mom_change",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log
