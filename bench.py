@@ -193,7 +193,7 @@ def main() -> None:
     # driver captures only a bounded tail of stdout, and r03's combined
     # line (~2.3 KB with both dicts) outgrew that window and failed to
     # parse. The graded stdout artifact is ONE compact line (best-of
-    # timings only, 2-decimal, compact separators: ~1.9 KB for the 67-query suite - the
+    # timings only, 2-decimal, compact separators: ~1.9 KB for the 66-entry artifact (65 HEADLINE + gzip) - the
     # window is 2000 bytes, so adding a query costs len(name)+9 bytes
     # of headroom; check before growing this list).
     print(
