@@ -194,3 +194,58 @@ def search_phrase_topk(
     return cap_per_group(scored, "phrase_id", k, "score", id_col="doc_id").select(
         "phrase_id", "doc_id", "score", "rank"
     )
+
+
+def search_proximity_topk(
+    docs: DataFrame,
+    pair_queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity search for term PAIRS: per (query, doc), the minimal
+    token distance between an occurrence of ``term_a`` and one of
+    ``term_b`` — the "terms near each other" retrieval mode TF/BM25's
+    bag scoring can't express and exact-phrase matching is too strict
+    for. Exact integers under the hash gate.
+
+    The naive score is min over the cross product of the two position
+    lists; the plan instead uses the classic merged-stream argument —
+    the optimal pair is always CONSECUTIVE in the position-sorted
+    union of both terms' occurrences (anything between them would be a
+    closer opposite-role match) — so one lag() window over the tagged
+    position stream computes it in linear work. Positions join the
+    broadcast query-term set BEFORE the (query, doc) exchange (the
+    module's prune-early discipline), and the final ranking is the
+    two-phase cap_per_group (ascending: smaller gap = better).
+    ``term_a != term_b`` per query by contract. Returns
+    (query_id, doc_id, min_gap, rank)."""
+    from pyspark.sql import Window
+
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    terms = pair_queries.select(
+        F.col("term_a").alias("term"), "query_id", F.lit(0).alias("role")
+    ).unionByName(
+        pair_queries.select(
+            F.col("term_b").alias("term"), "query_id", F.lit(1).alias("role")
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    tagged = toks.join(F.broadcast(terms), "term")
+    w = Window.partitionBy("query_id", "doc_id").orderBy("pos")
+    gap = F.when(
+        F.lag("role").over(w) != F.col("role"),
+        F.col("pos") - F.lag("pos").over(w),
+    )
+    scored = (
+        tagged.withColumn("_gap", gap)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("_gap").cast("long").alias("min_gap"))
+        .filter(F.col("min_gap").isNotNull())
+    )
+    return cap_per_group(
+        scored, "query_id", k, "min_gap", descending=False
+    ).select("query_id", "doc_id", "min_gap", "rank")

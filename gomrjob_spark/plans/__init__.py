@@ -57,6 +57,8 @@ _VERIFY_FIRST = [
     "timeseries_twap",
     # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
     "timeseries_gapfill_locf",
+    # NEW r6: proximity (minimal-window) retrieval
+    "search_proximity_topk",
     # NEW r6: nearest-centroid classifier + confusion matrix
     "embedding_centroid_confusion",
     # NEW r6: referential-integrity + functional-dependency audits

@@ -3406,3 +3406,70 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     supervised companion to the k-means IVF training path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.nearest_centroid_confusion(emb).orderBy("label", "pred")
+
+
+_PAIR_QUERIES = [
+    (1, "hash", "join"), (2, "window", "scan"),
+    (3, "spark", "stream"), (4, "sort", "key"),
+]
+
+
+@query(
+    "search_proximity_topk",
+    oracle="""
+    WITH pq(query_id, term_a, term_b) AS (VALUES
+      (1, 'hash', 'join'), (2, 'window', 'scan'),
+      (3, 'spark', 'stream'), (4, 'sort', 'key')
+    ),
+    terms AS (
+      SELECT query_id, term_a AS term, 0 AS role FROM pq
+      UNION ALL SELECT query_id, term_b, 1 FROM pq
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(generate_series(1, len(w))) AS t(i)
+      WHERE w[i] <> ''
+    ),
+    tagged AS (
+      SELECT t.doc_id, tm.query_id, t.pos, tm.role
+      FROM tok t JOIN terms tm USING (term)
+    ),
+    g AS (
+      SELECT query_id, doc_id,
+             CASE WHEN lag(role) OVER
+                    (PARTITION BY query_id, doc_id ORDER BY pos) <> role
+                  THEN pos - lag(pos) OVER
+                    (PARTITION BY query_id, doc_id ORDER BY pos)
+             END AS gap
+      FROM tagged
+    ),
+    s AS (
+      SELECT query_id, doc_id, CAST(min(gap) AS BIGINT) AS min_gap
+      FROM g GROUP BY 1, 2 HAVING min(gap) IS NOT NULL
+    )
+    SELECT query_id, doc_id, min_gap, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY min_gap, doc_id) AS INT) AS rank
+      FROM s
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def search_proximity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (operators.search.search_proximity_topk):
+    top-10 docs per query pair by MINIMAL token distance between the
+    two terms — the "near each other" mode between bag scoring (too
+    loose) and exact phrase (too strict). The optimal pair is always
+    consecutive in the merged position stream, so one lag() window
+    computes it in linear work over broadcast-pruned positions; the
+    oracle runs the identical formulation (the shared insight IS the
+    semantics — the naive cross-product of position lists is what both
+    sides avoid). Completes the retrieval family: TF, BM25, exact
+    phrase, proximity."""
+    from gomrjob_spark.operators.search import search_proximity_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    pq = spark.createDataFrame(
+        _PAIR_QUERIES, "query_id int, term_a string, term_b string"
+    )
+    return search_proximity_topk(docs, pq, k=10).orderBy("query_id", "rank")

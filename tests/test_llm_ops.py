@@ -1832,3 +1832,31 @@ def test_compression_ratio_exact_twin_and_determinism(spark, sf_dir):
     )
     p = {r["doc_id"]: r["ratio_permille"] for r in compression_ratio(probe).collect()}
     assert p[1] < 100 < p[2]
+
+
+def test_proximity_semantics_minimal_window(spark):
+    """min_gap must be the true minimal pair distance, including when
+    the optimal pair straddles interleaved repeats."""
+    from pyspark.sql import Row
+
+    from gomrjob_spark.operators.search import search_proximity_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a x x x b"),          # gap 4
+            Row(doc_id=2, text="a x b x x a b"),      # best is a..b at 5->6? no: pos5 'a', pos6 'b' -> 1
+            Row(doc_id=3, text="b a"),                # order-insensitive -> 1
+            Row(doc_id=4, text="a x x"),              # only one term -> excluded
+            Row(doc_id=5, text="b b b"),              # only one term -> excluded
+        ]
+    )
+    pq = spark.createDataFrame(
+        [(9, "a", "b")], "query_id int, term_a string, term_b string"
+    )
+    got = {r["doc_id"]: r["min_gap"] for r in search_proximity_topk(docs, pq).collect()}
+    assert got == {1: 4, 2: 1, 3: 1}
+    # ranking: ascending gap, doc_id tiebreak
+    ranks = {
+        r["doc_id"]: r["rank"] for r in search_proximity_topk(docs, pq).collect()
+    }
+    assert ranks == {2: 1, 3: 2, 1: 3}
