@@ -68,8 +68,6 @@ _VERIFY_FIRST = [
     "basket_rules",
     # NEW r6: robust MAD outlier audit
     "events_mad_audit",
-    # NEW r6: multiset set operations (ALL variants)
-    "set_ops_all",
     # NEW r6: sweep-line concurrency via distributed prefix sum
     "concurrency_profile",
     # NEW r6: SCD type-2 history build from a change log
