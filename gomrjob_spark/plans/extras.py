@@ -499,3 +499,56 @@ def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("lhs", "rhs")
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+    top AS (
+      SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rnk FROM c
+    )
+    SELECT CAST(rnk AS INT) AS rank, k AS key, CAST(n AS BIGINT) AS n,
+           CAST((1000000 * n) // tot.total AS BIGINT) AS share_ppm,
+           CAST(tot.n_keys AS BIGINT) AS n_keys
+    FROM top, tot WHERE rnk <= 10 ORDER BY rank
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for a prospective shuffle key (user_id): the
+    top-10 hottest keys with exact ppm shares of all rows plus the
+    total key count — the diagnostic that decides whether a join/agg
+    on this key needs salting or AQE skew handling BEFORE the job
+    runs at 100 TB (operators/skew.py is the remedy; this is the
+    thermometer). One partial-agg shuffle on the key; the top-10
+    resolves via TakeOrdered over the key-count-sized aggregate; the
+    totals are a 1-row broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    from pyspark.sql import Window as _W
+
+    # rank rides a window over the POST-limit 10-row frame (TakeOrdered
+    # resolves the limit; the unpartitioned window is bounded)
+    top = (
+        c.orderBy(F.desc("n"), "key")
+        .limit(10)
+        .withColumn(
+            "rank", F.row_number().over(_W.orderBy(F.desc("n"), "key")).cast("int")
+        )
+    )
+    return (
+        top.join(F.broadcast(tot))
+        .select(
+            "rank", "key", F.col("n").cast("bigint").alias("n"),
+            F.expr("(1000000 * n) DIV total").cast("bigint").alias("share_ppm"),
+            "n_keys",
+        )
+        .orderBy("rank")
+    )
