@@ -677,3 +677,75 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("t").alias("grid_ts"), F.col("_locf").alias("cents"))
         .orderBy("user_id", "grid_ts")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST((1000000 * count(*)) // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM active a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the product-analytics staple: users
+    cohorted by the week of their FIRST event; for each (cohort week,
+    week offset), how many cohort members were active, and the exact
+    ppm retention rate. Plan: one per-user min aggregation (the cohort
+    map, user-keyed — joins back onto the event stream as a user-keyed
+    equi-join, broadcastable when the user dimension allows), one
+    distinct per (user, offset), one counting aggregation; retention is
+    an integer ppm DIV. Week arithmetic uses date_trunc + whole-week
+    difference, identical on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.expr("(1000000 * n_active) DIV cohort_size")
+            .cast("bigint")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
