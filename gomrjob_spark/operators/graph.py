@@ -132,3 +132,47 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionByName(closed.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").cast("bigint").alias("n_tri"))
+
+
+def common_neighbors_topk(
+    edges: DataFrame,
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by common-neighbor count: for node pairs NOT
+    currently adjacent, how many shared neighbors — the classic local
+    link-prediction score (Liben-Nowell & Kleinberg). Input is the
+    undirected distinct edge list (a, b), a < b; returns the top-k
+    predicted links (x, y, n_common) by (count desc, x, y).
+
+    Wedge enumeration from the symmetric adjacency is Σ deg(v)^2 —
+    unlike the triangle counter, link prediction needs EVERY wedge, so
+    the arboricity orientation bound does not apply and the hub valve
+    is ``max_degree``: drop apexes above it before the self-join (the
+    same skew-valve role max_shingle_freq plays for Jaccard — hubs
+    contribute near-zero signal per pair anyway, their neighborhoods
+    are everything). The registered query keeps it off for exact
+    oracle semantics; production callers set it. The final anti-join
+    removes existing edges; top-k resolves via TakeOrdered."""
+    sym = edges.select(F.col("a").alias("apex"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("apex"), F.col("a").alias("n"))
+    )
+    if max_degree is not None:
+        deg = sym.groupBy("apex").agg(F.count("*").alias("_d"))
+        sym = sym.join(
+            F.broadcast(deg.filter(F.col("_d") > max_degree)), "apex", "left_anti"
+        )
+    s1 = sym.select("apex", F.col("n").alias("x"))
+    s2 = sym.select("apex", F.col("n").alias("y"))
+    wedges = (
+        s1.join(s2, "apex")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    non_edges = wedges.join(
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return non_edges.orderBy(F.desc("n_common"), "x", "y").limit(k)

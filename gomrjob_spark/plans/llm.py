@@ -3473,3 +3473,54 @@ def search_proximity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIR_QUERIES, "query_id int, term_a string, term_b string"
     )
     return search_proximity_topk(docs, pq, k=10).orderBy("query_id", "rank")
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM big l1 JOIN big l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey < l2.l_partkey
+    ),
+    sym AS (
+      SELECT a AS apex, b AS n FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    wedges AS (
+      SELECT s1.n AS x, s2.n AS y, CAST(count(*) AS BIGINT) AS n_common
+      FROM sym s1 JOIN sym s2 ON s1.apex = s2.apex AND s1.n < s2.n
+      GROUP BY 1, 2
+    ),
+    non_edges AS (
+      SELECT w.* FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.a = w.x AND p.b = w.y)
+    )
+    SELECT x, y, n_common
+    FROM non_edges ORDER BY n_common DESC, x, y LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the high-quantity co-order
+    part graph (operators.graph.common_neighbors_topk): the top-20
+    non-adjacent part pairs ranked by shared-neighbor count — the
+    classic local link-prediction score, here as 'parts likely to be
+    ordered together next'. Exact integer counts, anti-join removes
+    existing edges, TakeOrdered resolves top-k; the max_degree hub
+    valve (off here for oracle exactness) is the documented skew
+    control for Σ deg^2 wedge enumeration at scale."""
+    from gomrjob_spark.operators.graph import common_neighbors_topk
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "ok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return common_neighbors_topk(edges, k=20).orderBy(
+        F.desc("n_common"), "x", "y"
+    )

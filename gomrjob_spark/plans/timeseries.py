@@ -749,3 +749,50 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_total FROM t GROUP BY src)
+    SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+           CAST((1000000 * t.n) // r.row_total AS BIGINT) AS p_ppm
+    FROM t JOIN r USING (src)
+    ORDER BY src, dst
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-flow (Markov transition) matrix: per-user
+    consecutive event-type pairs counted and row-normalized to exact
+    ppm probabilities — the user-flow analysis behind funnel and
+    drop-off dashboards. One lead() window on the user_id exchange
+    (the same single-exchange discipline as scd2/sessionize), one
+    transition count agg, a row-total join sized by the type
+    vocabulary; every probability an integer ppm DIV."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = t.groupBy("src").agg(F.sum("n").cast("bigint").alias("row_total"))
+    return (
+        t.join(F.broadcast(r), "src")
+        .select(
+            "src", "dst", F.col("n").cast("bigint").alias("n"),
+            F.expr("(1000000 * n) DIV row_total").cast("bigint").alias("p_ppm"),
+        )
+        .orderBy("src", "dst")
+    )
