@@ -796,3 +796,67 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "timeseries_cusum_drift",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS daily_cents
+      FROM events GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT event_type,
+             CAST(sum(daily_cents) AS BIGINT) AS total,
+             count(*) AS n_days
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT d.event_type, d.day, d.daily_cents,
+             CAST(sum(d.daily_cents - (e.total // e.n_days)) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum
+      FROM d JOIN e USING (event_type)
+    )
+    SELECT event_type, day, daily_cents, cusum
+    FROM c ORDER BY event_type, day
+    """,
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift series per event type: the cumulative sum of each
+    day's deviation from the type's expected daily total (integer DIV
+    mean) — the classic change-point/drift detector (a sustained shift
+    shows as a monotone cusum ramp; noise cancels). All arithmetic is
+    exact bigint cents, so the full series is hash-identical. One
+    daily partial-agg shuffle, a type-sized expected-value join, and a
+    per-type window over ~days rows (bounded partitions — the window
+    never sees the raw event stream)."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("daily_cents")
+    )
+    e = d.groupBy("event_type").agg(
+        F.sum("daily_cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(e), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("daily_cents") - F.expr("total DIV n_days")
+            ).over(w).cast("bigint"),
+        )
+        .select("event_type", "day", "daily_cents", "cusum")
+        .orderBy("event_type", "day")
+    )
