@@ -860,3 +860,69 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "daily_cents", "cusum")
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "timeseries_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT c AS x, lead(c) OVER (ORDER BY day) AS y FROM d
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM p WHERE y IS NOT NULL
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS lag1_autocorr
+    FROM m
+    """,
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — is today
+    predictive of tomorrow? Pearson r over (day, next-day) pairs with
+    every MOMENT an exact integer (bigint cents; DECIMAL(38,0) /
+    HUGEINT products — the (n*sxx) class overflows bigint at scale)
+    and the final r assembled from those exact moments in one fixed
+    double expression: IEEE division and sqrt are correctly-rounded,
+    so even the square roots are bit-identical cross-engine — the same
+    discipline that makes the engine's float aggregates hashable
+    (exact integer accumulation, row-local IEEE finish)."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c")
+    )
+    w = Window.orderBy("day")
+    p = d.select(F.col("c").alias("x"), F.lead("c").over(w).alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    nd = F.col("n").cast(dec)
+    return m.select(
+        "n",
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("lag1_autocorr"),
+    )
