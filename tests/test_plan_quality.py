@@ -158,6 +158,8 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # class as knn_bruteforce)
         "basket_rules",             # 1-row transaction-total broadcast
         "embedding_centroid_confusion",  # 1-row centroid-model broadcast
+        "profile_key_skew",         # 1-row key-total broadcast onto the
+                                    # post-limit 10-row frame
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
