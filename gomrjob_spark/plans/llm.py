@@ -3524,3 +3524,69 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbors_topk(edges, k=20).orderBy(
         F.desc("n_common"), "x", "y"
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT i AS pos, CAST(floor(v[i] * 1048576) AS BIGINT) AS qv
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)
+    )
+    SELECT CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qv) AS BIGINT) AS qsum,
+           CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT)::VARCHAR AS qsumsq,
+           CAST(sum(qv) AS DOUBLE) / (count(*) * 1048576.0) AS mean,
+           (CAST(sum(CAST(qv AS HUGEINT) * qv) AS DOUBLE)
+              / (count(*) * 1048576.0 * 1048576.0))
+             - (CAST(sum(qv) AS DOUBLE) / (count(*) * 1048576.0))
+               * (CAST(sum(qv) AS DOUBLE) / (count(*) * 1048576.0)) AS variance
+    FROM q GROUP BY pos ORDER BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding normalization stats — the feature-
+    scaling table (mean, population variance per dimension) every
+    training pipeline derives before standardizing vectors, computed
+    with the engine's exact-accumulation discipline: components
+    quantize to fixed point (floor(v*2^20), exact for power-of-two
+    scales), sums and sums-of-squares accumulate as exact integers
+    (DECIMAL(38,0)/HUGEINT for the squares; qsumsq is carried as a
+    string column because the 128-bit value exceeds bigint), and
+    mean/variance assemble from those moments in one fixed double
+    expression — order-free, partition-invariant, hash-exact. One
+    posexplode into a (pos)-keyed partial agg: dim-sized output from
+    one corpus pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val") * 1048576).cast("bigint").alias("qv"),
+    )
+    d = "decimal(38,0)"
+    return (
+        q.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qv").cast("bigint").alias("qsum"),
+            F.sum(F.col("qv").cast(d) * F.col("qv")).cast(d).alias("_qq"),
+        )
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n",
+            "qsum",
+            F.col("_qq").cast("string").alias("qsumsq"),
+            (
+                F.col("qsum").cast("double") / (F.col("n") * F.lit(1048576.0))
+            ).alias("mean"),
+            (
+                F.col("_qq").cast("double")
+                / (F.col("n") * F.lit(1048576.0) * F.lit(1048576.0))
+                - (F.col("qsum").cast("double") / (F.col("n") * F.lit(1048576.0)))
+                * (F.col("qsum").cast("double") / (F.col("n") * F.lit(1048576.0)))
+            ).alias("variance"),
+        )
+        .orderBy("pos")
+    )
