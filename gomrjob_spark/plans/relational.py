@@ -1193,3 +1193,129 @@ def timeseries_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "revenue_share_hierarchy",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents
+            FROM base GROUP BY 1),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM base)
+    SELECT b.region, b.nation, b.cents,
+           CAST((1000000 * b.cents) // r.region_cents AS BIGINT)
+             AS share_of_region_ppm,
+           CAST((1000000 * r.region_cents) // t.total_cents AS BIGINT)
+             AS region_share_ppm
+    FROM base b JOIN reg r USING (region), tot t
+    ORDER BY region, nation
+    """,
+)
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup (the ratio-to-report BI shape): nation
+    revenue as an exact ppm share of its region, and each region as a
+    share of the grand total — one star-join aggregate, then parent
+    totals join back (region-count-sized broadcast; grand total a
+    1-row broadcast). Exact cents + integer ppm DIVs throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    reg = base.groupBy("region").agg(
+        F.sum("cents").cast("bigint").alias("region_cents")
+    )
+    tot = base.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    return (
+        base.join(F.broadcast(reg), "region")
+        .join(F.broadcast(tot))
+        .select(
+            "region", "nation", "cents",
+            F.expr("(1000000 * cents) DIV region_cents").cast("bigint").alias(
+                "share_of_region_ppm"
+            ),
+            F.expr("(1000000 * region_cents) DIV total_cents").cast("bigint").alias(
+                "region_share_ppm"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "dataset_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'UPDATED'
+                  ELSE o_orderstatus END AS v
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    j AS (
+      SELECT coalesce(old.k, new.k) AS k, old.v AS ov, new.v AS nv,
+             old.k IS NULL AS only_new, new.k IS NULL AS only_old
+      FROM old FULL OUTER JOIN new ON old.k = new.k
+    )
+    SELECT CASE WHEN only_new THEN 'added'
+                WHEN only_old THEN 'removed'
+                WHEN ov = nv THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY 1 ORDER BY status
+    """,
+)
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation — the diff report between two
+    dataset versions (here: order cohorts with an overlapping date
+    window standing in for old/new loads): added / removed / changed /
+    unchanged counts from ONE full-outer key join with row-local
+    classification — the audit a pipeline runs after every merge_upsert
+    / CDC apply to prove the delta did what it claimed. Key-only
+    shuffles; payload restricted to the compared column."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("ov"))
+    new = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("UPDATED"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("nv"),
+    )
+    j = old.join(new, "k", "full_outer")
+    status = (
+        F.when(F.col("ov").isNull(), F.lit("added"))
+        .when(F.col("nv").isNull(), F.lit("removed"))
+        .when(F.col("ov") == F.col("nv"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("status")
+    )
