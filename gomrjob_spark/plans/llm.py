@@ -3590,3 +3590,58 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS BIGINT) AS n_words,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words AS BIGINT)
+             AS fre_x1000
+    FROM f WHERE n_words >= 1
+    ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring as a curation signal: fixed-point Flesch
+    reading ease (x1000) from integer counts — words (nonempty
+    tokens), sentences (terminal-punctuation runs, min 1), syllables
+    approximated by vowel-group runs (the standard regex heuristic).
+    All three counts are regex/array expressions in the Java/RE2
+    dialect intersection, the two inner divisions are integer DIVs on
+    positive operands, so the classically-float score is hash-exact.
+    Pure scan projection: zero shuffles, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "bigint"
+    )
+    f = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    return f.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.expr(
+            "206835 - (1015 * n_words) DIV n_sentences"
+            " - (84600 * n_syllables) DIV n_words"
+        ).cast("bigint").alias("fre_x1000"),
+    ).orderBy("doc_id")

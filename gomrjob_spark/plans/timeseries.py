@@ -926,3 +926,50 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "burst_detection",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS burst
+      FROM e
+    )
+    SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_60s
+    FROM w GROUP BY user_id
+    HAVING max(burst) >= 2
+    ORDER BY user_id
+    """,
+)
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / rate-limit detection: each user's maximum event count in
+    any trailing 60-second window — the abuse/anomaly shape behind rate
+    limiting, scraping detection, and bot triage. A RANGE window frame
+    over epoch seconds counts the trailing window in one pass per user
+    (one user_id exchange) — no self-join of the event stream against
+    itself, which is the naive O(n^2-per-user) formulation. Exact
+    integer counts; users with a burst >= 2 report."""
+    events = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-60, Window.currentRow)
+    )
+    bursts = events.select("user_id", sec.alias("sec")).withColumn(
+        "burst", F.count(F.lit(1)).over(w)
+    )
+    return (
+        bursts.groupBy("user_id")
+        .agg(F.max("burst").cast("bigint").alias("max_burst_60s"))
+        .filter(F.col("max_burst_60s") >= 2)
+        .orderBy("user_id")
+    )
