@@ -3645,3 +3645,88 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (84600 * n_syllables) DIV n_words"
         ).cast("bigint").alias("fre_x1000"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_impact_report",
+    oracle="""
+    WITH f AS (
+      SELECT source, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST((1000000 * (count(*) - count(DISTINCT fp))) // count(*)
+                AS BIGINT) AS dup_ppm
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the curation dashboard number
+    that decides WHERE dedup effort goes: docs, distinct normalized-
+    text fingerprints, and the exact ppm duplicate rate per source.
+    One aggregation (count + exact distinct per group) over the scan;
+    the fingerprint is the engine's standard md5 of normalized text
+    (dedup_exact's key), so the report agrees with what exact dedup
+    would actually remove."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", text.fingerprint("text").alias("fp"))
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("fp").cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            F.expr("(1000000 * (n_docs - n_unique)) DIV n_docs")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_weighted_per_source",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               // n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY source ORDER BY priority, doc_id) AS INT) AS rank
+      FROM w
+    )
+    SELECT source, doc_id, n_chars, CAST(priority AS BIGINT) AS priority, rank
+    FROM r WHERE rank <= 3 ORDER BY source, rank
+    """,
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling: the 3 length-biased picks PER
+    SOURCE (sample_weighted's global top-k, partitioned by stratum) —
+    the per-domain quota draw of corpus curation, deterministic and
+    auditable for the same reasons (priority is a pure function of
+    (id, weight, salt)). Ranking reuses the two-phase cap_per_group
+    (ascending on priority), so one hot source never funnels the frame
+    through a single window task."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    w = (
+        docs.filter(F.col("n_chars") > 0)
+        .withColumns({"_h": h})
+        .withColumn("priority", F.expr("_h DIV n_chars"))
+        .select("source", "doc_id", "n_chars", "priority")
+    )
+    return cap_per_group(
+        w, "source", 3, "priority", descending=False
+    ).select("source", "doc_id", "n_chars", "priority", "rank").orderBy(
+        "source", "rank"
+    )
