@@ -3730,3 +3730,79 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_chars", "priority", "rank").orderBy(
         "source", "rank"
     )
+
+
+@query(
+    "dedup_best_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 9 * n_common >= 4 * (sa.n_sh + sb.n_sh)
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS quality FROM documents),
+    ranked AS (
+      SELECT c.component, c.node AS doc_id, q.quality,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY q.quality DESC, c.node) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.node
+    )
+    SELECT component, doc_id AS survivor_id, quality,
+           CAST((SELECT count(*) FROM comp c2
+                 WHERE c2.component = ranked.component) AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 AND
+          (SELECT count(*) FROM comp c3
+           WHERE c3.component = ranked.component) >= 2
+    ORDER BY component
+    """,
+)
+def dedup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor POLICY as a first-class dial: near-dup clusters (exact
+    prefix-Jaccard >= 4/5 pairs -> connected components) keep their
+    BEST-quality member (longest doc, deterministic id tie-break)
+    rather than dedup_cluster_survivors' minimum id — what a curation
+    pipeline actually wants when duplicates differ in truncation or
+    boilerplate. One quality join + per-component argmax window over
+    cluster-sized partitions; clusters of >= 2 report (component,
+    survivor, quality, size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.jaccard_prefix_pairs(
+        docs, n=3, threshold_num=4, threshold_den=5
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(edges, docs.select("doc_id"))
+    q = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("quality"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    ranked = comp.join(q, "doc_id")
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(sizes.filter(F.col("n_members") >= 2)), "component")
+        .select(
+            "component", F.col("doc_id").alias("survivor_id"), "quality",
+            "n_members",
+        )
+        .orderBy("component")
+    )

@@ -169,6 +169,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "streaming_interval_join",
         "dedup_cluster_survivors",  # fixpoint loop runs at construction
         "entity_resolution_pipeline",  # same CC fixpoint at construction
+        "dedup_best_quality_survivors",  # same CC fixpoint at construction
     }
     offenders = {}
     for name, fn in plans.QUERIES.items():
