@@ -973,3 +973,53 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_burst_60s") >= 2)
         .orderBy("user_id")
     )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    contrib AS (
+      SELECT day + to_days(CAST(o.off AS INTEGER)) AS window_day, user_id
+      FROM du, unnest(generate_series(0, 6)) AS o(off)
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT c.window_day AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days d ON d.day = c.window_day
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per observed day — the
+    engagement KPI whose naive form is a per-day DISTINCT over a
+    sliding self-join. The scalable shape inverts it: each (day, user)
+    pair CONTRIBUTES to the 7 window-days it falls in (a bounded x7
+    explode of the deduplicated day-user frame, not of the raw event
+    stream), then one exact count-distinct per window day. Restricted
+    to days that actually occur (join vs the observed-day set), so
+    both engines window over the same day domain."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_day"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    return (
+        contrib.join(days, contrib["window_day"] == days["day"])
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("window_day").alias("day"), "wau")
+        .orderBy("day")
+    )
