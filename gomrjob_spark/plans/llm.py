@@ -3806,3 +3806,76 @@ def dedup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "corpus_composition_report",
+    oracle="""
+    WITH lid AS (
+      SELECT doc_id, n_chars,
+        CASE WHEN greatest(en, es, de, fr, zh) <= 0 THEN 'und'
+             WHEN en = greatest(en, es, de, fr, zh) THEN 'en'
+             WHEN es = greatest(en, es, de, fr, zh) THEN 'es'
+             WHEN de = greatest(en, es, de, fr, zh) THEN 'de'
+             WHEN fr = greatest(en, es, de, fr, zh) THEN 'fr'
+             ELSE 'zh' END AS lang
+      FROM (
+        SELECT doc_id, n_chars,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('the','and','of','to','in','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('el','la','de','que','y','en','los'))) AS es,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('der','die','und','das','ist','von','ein'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('le','la','et','les','des','un','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('的','是','了','在','我','有','和'))) AS zh
+        FROM documents
+      )
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total FROM lid)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * count(*)) // tot.n_total AS BIGINT) AS doc_ppm,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST((1000000 * sum(n_chars)) // tot.chars_total AS BIGINT)
+             AS char_ppm
+    FROM lid, tot
+    GROUP BY lang, tot.n_total, tot.chars_total
+    ORDER BY lang
+    """,
+)
+def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition table every curation run publishes:
+    per detected language (the engine's own stopword-argmax lang_id),
+    document and character counts with exact ppm shares of the corpus.
+    A pure composition — lang_id is a scan projection, one grouped
+    count/sum, totals a 1-row broadcast, integer ppm DIVs. The
+    language-id tie-break order (declaration order of LANG_STOPWORDS)
+    replays as the oracle's CASE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    lid = docs.select(
+        text.lang_id("text").alias("lang"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = lid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    return (
+        lid.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("nc"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "lang", "n_docs",
+            F.expr("(1000000 * n_docs) DIV n_total").cast("bigint").alias("doc_ppm"),
+            F.col("nc").alias("n_chars"),
+            F.expr("(1000000 * nc) DIV chars_total").cast("bigint").alias("char_ppm"),
+        )
+        .orderBy("lang")
+    )

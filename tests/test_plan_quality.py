@@ -161,6 +161,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "profile_key_skew",         # 1-row key-total broadcast onto the
                                     # post-limit 10-row frame
         "revenue_share_hierarchy",  # 1-row grand-total broadcast
+        "corpus_composition_report",  # 1-row corpus-totals broadcast
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
