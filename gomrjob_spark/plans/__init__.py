@@ -22,103 +22,43 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 6): queries whose PLAN changed this round go first so
-# CORRECTNESS_r06 re-proves them, then the driver window (first 50
-# registry entries) rotates to the LONGEST-UNVERIFIED queries — the 44
-# oracle queries whose last green row is r01 plus the oldest r02 entry
-# (the r5 verdict's #7: three rounds of plan drift since their proof).
+# Tier 1 (round 7): NEW r7 queries first (their first shot at a driver
+# row), then the 18 late-r6 queries that were registered after the r6
+# window filled and have NEVER had a driver CORRECTNESS row (r6 verdict
+# item #1 — they pass the local parity suite, but the driver's hash row
+# is the hard signal), then the LONGEST-UNVERIFIED backfill (last green
+# row r01-r02).
 _VERIFY_FIRST = [
-    # NEW r6: exact Jaccard pairs via prefix filtering (ppjoin twin of LSH)
-    "dedup_jaccard_prefix",
-    # NEW r6: degree-oriented triangle counting
-    "graph_triangles",
-    # NEW r6: one-pass multi-column table profiling
-    "profile_table_stats",
-    # NEW r6: distributed BPE tokenizer training (iterative, hash-gated)
-    "text_bpe_merges",
-    # NEW r6: point-in-interval dim lookup without a nested-loop join
-    "join_interval_lookup",
-    # NEW r6: SymSpell deletion-neighborhood fuzzy join (token edit <= 1)
-    "dedup_title_edit1",
-    # NEW r6: deterministic weighted sampling
-    "sample_weighted",
-    # NEW r6: exact-integer z-score outlier audit
-    "events_outlier_audit",
-    # NEW r6: scalar-quantized search (hash-gated quantized metric)
-    "knn_sq8",
-    # NEW r6: distributed global ranking / decile binning
-    "feature_decile_stats",
-    # NEW r6: live outlier quarantine vs store-frozen moments
-    "streaming_outlier_flags",
-    # NEW r6: multi-channel entity-resolution composite (prefix-Jaccard
-    # UNION title-edit1 -> connected components)
-    "entity_resolution_pipeline",
-    # NEW r6: time-weighted average (irregular-sampling TWAP)
-    "timeseries_twap",
-    # NEW r6: hypertable gap-fill + LOCF resampling (union + one window)
-    "timeseries_gapfill_locf",
-    # NEW r6: proximity (minimal-window) retrieval
-    "search_proximity_topk",
-    # NEW r6: nearest-centroid classifier + confusion matrix
-    "embedding_centroid_confusion",
-    # NEW r6: referential-integrity + functional-dependency audits
-    "integrity_audit",
-    "fd_audit",
-    # NEW r6: market-basket association rules (fixed-point lift)
-    "basket_rules",
-    # NEW r6: robust MAD outlier audit
-    "events_mad_audit",
-    # NEW r6: sweep-line concurrency via distributed prefix sum
-    "concurrency_profile",
-    # NEW r6: SCD type-2 history build from a change log
-    "scd2_build",
-    # NEW r6: fixed-point PMI collocation mining
-    "text_pmi_collocations",
-    # NEW r6: directed n-gram containment (sub-document near-dup)
-    "dedup_ngram_containment",
-    # NEW r6: exact consecutive-run phrase retrieval
-    "search_phrase_topk",
-    # NEW r6: nearest-direction as-of join (two windows, one exchange)
-    "join_asof_nearest",
-    # NEW r6: streaming CDC apply (LWW merges into a plain-file dataset)
-    "streaming_upsert_apply",
-    # NEW r6: bloom runtime-prefiltered semi join (exact result)
-    "join_semi_bloom",
-    # NEW r6: linear quality-classifier gate (exact integer logit)
-    "quality_model_gate",
-    # NEW r6: perceptual-hash image dedup (real decode under the gate)
-    "multimodal_phash_dedup",
-    # NEW r6: live image-dedup admission (streaming decode + hash probe)
-    "streaming_phash_admission",
-    # NEW r6: audio contour-fingerprint dedup (real PCM decode)
-    "multimodal_audio_fingerprint_dedup",
-    # NEW r6: image near-dup pairs at Hamming <= 3 (generic banded join)
-    "multimodal_phash_near_pairs",
-    # NEW r6: video shot-boundary detection over decoded frame hashes
-    "multimodal_scene_cuts",
-    # NEW r6: fixed-point integer PageRank (iterative, hash-gated)
-    "graph_pagerank",
-    # plan changed r6: two-pass Misra-Gries (total fused into the MG
-    # scan as per-partition marker rows)
-    "heavy_hitter_tokens",
-    # plan changed r6: persist-before-sampling-sort (+ spread for the
-    # codec-heavy pair) — the r5 bench-drift fix
-    "multimodal_pixel_stats",
-    "multimodal_compressed_pixel_stats",
-    "multimodal_progressive_pixel_stats",
-    # topology changed r6: store derived offline, written, loaded back
-    "streaming_near_dup_probe",
-    # oldest proven (r01), verbatim re-proof rotation
-    "agg_approx_distinct",
-    "agg_conditional",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "agg_stats",
-    "dedup_exact",
-    "distinct_pairs",
-    "join_anti",
+    # NEW r7: BPE apply — corpus encoded with the trained merge table
+    "text_bpe_encode",
+    # NEW r7: token packing driven by REAL BPE counts (not regex proxy)
+    "pack_bpe_batches",
+    # NEW r7: bigram LM perplexity gate (fixed-point log-prob)
+    "text_ngram_perplexity",
+    # NEW r7: embedding-level decontamination (LSH bucket + cosine verify)
+    "decontaminate_semantic",
+    # late r6, never driver-proven (registered after the 50-slot window
+    # filled; r6 verdict item #1 lists these 18 by name)
+    "profile_key_skew",
+    "graph_link_prediction",
+    "embedding_dim_stats",
+    "text_readability",
+    "dedup_impact_report",
+    "sample_weighted_per_source",
+    "dedup_best_quality_survivors",
+    "corpus_composition_report",
+    "set_ops_all",
+    "timeseries_mom_change",
+    "revenue_share_hierarchy",
+    "dataset_diff",
+    "cohort_retention",
+    "event_transitions",
+    "timeseries_cusum_drift",
+    "timeseries_autocorr",
+    "burst_detection",
+    "rolling_active_users",
+    # longest-unverified backfill (last proven r01): the r6 rotation
+    # re-proved agg_* .. join_anti; these are the next-oldest in line
     "join_argmax",
     "join_full_outer",
     "join_left_outer",
@@ -142,17 +82,18 @@ _VERIFY_FIRST = [
     "scalar_json",
     "scalar_math",
     "scalar_string",
-]
-
-# next-oldest queries: first in line after the window above, and the
-# head of the r07 rotation (the twelve r6-new entries displaced the
-# last twelve r01/r02 rotation slots)
-_BACKFILL = [
     "set_ops",
     "text_fingerprint",
     "text_lang_id",
     "text_quality",
     "text_token_stats",
+]
+
+# next-oldest queries: first in line after the window above, and the
+# head of the r08 rotation. Debt ledger (r6 verdict item #7): 40
+# r01-r02 queries awaited re-proof entering r7; 28 rotate through the
+# r7 window above, leaving these 12 for r8.
+_BACKFILL = [
     "top_n_global",
     "udtf_sentences",
     "window_lag_lead",
