@@ -1410,3 +1410,45 @@ def token_edit1_pairs(
     return staged.filter(ok).select(
         "id_a", "id_b", dist.cast("int").alias("dist")
     )
+
+
+def cap_pair_fanout(
+    pairs: DataFrame,
+    k: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Production valve for mega-cluster pair explosions: keep, for
+    every node, only its ``k`` smallest-id partners on EITHER side of
+    the pair stream. Near-dup clusters of size s carry s(s-1)/2
+    verified pairs — quadratic in s — but connected components only
+    needs a connected subgraph. Under this cap each clique of size s
+    keeps <= 2ks edges (the per-dst rule alone retains the full star
+    around the clique minimum), so downstream CC cost is linear in
+    cluster size while the component assignment is UNCHANGED whenever
+    clusters are cliques — exactly the replica/mirror-duplication shape
+    that produces mega-clusters in web corpora (measured on the 8x
+    sweep fixture: 156,704 pairs -> linear, identical components; see
+    SCALING.md round-7 entity_resolution analysis).
+
+    NOT components-preserving on arbitrary graphs (a long path whose
+    interior node outranks k partners on both sides can split), so the
+    exact hash-gated queries leave it OFF; it is the same bounded-loss
+    dial as graph.link_prediction's ``max_degree`` hub valve.
+
+    Plan: two row_number windows over the ids-only pair stream (8-byte
+    keys, 16-byte rows), one exchange per side. A mega-cluster makes a
+    heavy window key; the rows are ids-only and the sort spills, which
+    is precisely the regime the valve exists for.
+    """
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy(src_col).orderBy(dst_col)
+    wb = Window.partitionBy(dst_col).orderBy(src_col)
+    return (
+        pairs.select(src_col, dst_col)
+        .withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter((F.col("_ra") <= k) | (F.col("_rb") <= k))
+        .drop("_ra", "_rb")
+    )
