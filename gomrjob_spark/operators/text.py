@@ -324,6 +324,7 @@ def pack_token_batches(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 64,
+    n_tokens_col: str | None = None,
 ):
     """Concat-and-chunk sequence packing: within each shard, documents
     are laid end-to-end in (hash_bucket(id), id) order and assigned to
@@ -344,10 +345,19 @@ def pack_token_batches(
     cannot reshuffle batches; the hash scatter additionally decorrelates
     adjacent ids within a batch (a mild bonus for training).
 
-    Returns (id, shard, n_tokens, start_offset, batch_id)."""
+    Returns (id, shard, n_tokens, start_offset, batch_id).
+
+    ``n_tokens_col`` switches the packed quantity from the default
+    whitespace ``token_count(text_col)`` proxy to a precomputed count
+    column — REAL tokenizer counts from ``bpe_apply`` (r7: the regex
+    proxy under-budgets batches wherever BPE splits rare words)."""
     from gomrjob_spark.operators.sampling import hash_bucket
 
-    n_tok = token_count(text_col).cast("bigint")
+    n_tok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col is not None
+        else token_count(text_col).cast("bigint")
+    )
     base = df.select(
         F.col(id_col),
         F.col(shard_col),
@@ -783,26 +793,80 @@ def bpe_train_merges(
             F.col("n_pair").cast("bigint").alias("n_pair"),
         )
         merges = round_row if merges is None else merges.unionByName(round_row)
-        merged_tok = F.concat(F.col("w1"), F.lit("\x02"), F.col("w2"))
-        folded = (
-            cur.join(F.broadcast(top1))
-            .select(
-                F.aggregate(
-                    "toks",
-                    F.array().cast("array<string>"),
-                    lambda acc, x: F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.col("w1"))
-                        & (x == F.col("w2")),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1), F.array(merged_tok)
-                        ),
-                    ).otherwise(F.concat(acc, F.array(x))),
-                ).alias("toks")
-            )
+        folded = cur.join(F.broadcast(top1)).select(
+            _greedy_merge_fold("toks", F.col("w1"), F.col("w2")).alias("toks")
         )
         cur = scoped_persist(folded)
     return merges.orderBy("round")
+
+
+def _greedy_merge_fold(arr, w1, w2):
+    """One BPE merge applied greedily left-to-right, non-overlapping,
+    as a row-local array fold: whenever the accumulator's last symbol
+    is ``w1`` and the incoming symbol is ``w2``, replace the tail with
+    the 0x02-joined merged symbol (so in [a,a,a] positions 1-2 merge
+    and 3 stays; [a,b,a,b] merges both occurrences). Shared by the
+    trainer round and ``bpe_apply`` so train and encode pin the SAME
+    merge semantics by construction."""
+    merged_tok = F.concat(w1, F.lit("\x02"), w2)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == w1) & (x == w2),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_tok)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a TRAINED merge table — the inference
+    half of the tokenizer loop (train -> encode -> count/pack) that a
+    training pipeline actually runs over 100 TB. Returns (id, toks)
+    where ``toks`` is the BPE symbol array after replaying every merge
+    in round order with the exact greedy left-to-right non-overlapping
+    semantics the trainer pins (shared ``_greedy_merge_fold``).
+
+    Scale shape: the merge table is MODEL-sized, so it collapses to a
+    ONE-ROW broadcast (sorted struct array — round number first, so
+    replay order is the training order) crossed into the corpus scan;
+    encoding is then a single row-local nested fold, O(rounds x tokens)
+    per document with NO per-round corpus passes, no shuffle, and no
+    driver read. The generated code is merge-table-invariant (merges
+    are DATA in the broadcast row, not plan literals), so a 50k-merge
+    production vocabulary compiles to the same plan as the 5-merge
+    test table — the knn_pq round-invariant-codegen lesson."""
+    mrow = merges.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("round", "w1", "w2"))).alias(
+            "_bpe_merges"
+        )
+    )
+    toked = spread(docs).select(
+        F.col(id_col),
+        F.coalesce(
+            F.filter(
+                F.transform(
+                    tokens(normalized(text_col)),
+                    lambda x: F.replace(x, F.lit("\x02"), F.lit("")),
+                ),
+                lambda x: x != "",
+            ),
+            F.array().cast("array<string>"),  # NULL text encodes to []
+        ).alias("_toks"),
+    )
+    return toked.join(F.broadcast(mrow)).select(
+        F.col(id_col),
+        F.aggregate(
+            "_bpe_merges",
+            F.col("_toks"),
+            lambda acc, m: _greedy_merge_fold(acc, m["w1"], m["w2"]),
+        ).alias("toks"),
+    )
 
 
 def compression_ratio(

@@ -33,6 +33,8 @@ _VERIFY_FIRST = [
     "text_bpe_encode",
     # NEW r7: token packing driven by REAL BPE counts (not regex proxy)
     "pack_bpe_batches",
+    # NEW r7: mixture weights on REAL BPE token budgets
+    "mixture_bpe_weights",
     # NEW r7: bigram LM perplexity gate (fixed-point log-prob)
     "text_ngram_perplexity",
     # NEW r7: embedding-level decontamination (LSH bucket + cosine verify)

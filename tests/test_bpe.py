@@ -55,3 +55,70 @@ def test_marker_bytes_stripped_from_input(spark):
     got = _train(spark, ["x\x02y x\x02y", "x\x02y xy"], 1)
     # 0x02 stripped: tokens are xy; top pair (xy, xy)
     assert got == [(1, "xy", "xy", 2)]
+
+
+def _apply(spark, texts, n):
+    from gomrjob_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    merges = bpe_train_merges(docs, n_merges=n)
+    out = {
+        r["doc_id"]: r["toks"]
+        for r in bpe_apply(docs, merges).collect()
+    }
+    release_scoped()
+    return out
+
+
+def _replay(text, merge_rows):
+    """Driver-side greedy left-to-right replay — the semantics twin."""
+    toks = [
+        t.replace("\x02", "")
+        for t in " ".join((text or "").lower().split()).split(" ")
+        if t.replace("\x02", "") != ""
+    ]
+    for w1, w2 in merge_rows:
+        out = []
+        for x in toks:
+            if out and out[-1] == w1 and x == w2:
+                out[-1] = w1 + "\x02" + w2
+            else:
+                out.append(x)
+        toks = out
+    return toks
+
+
+def test_bpe_apply_matches_driver_replay(spark):
+    texts = ["a b a b c", "a b a b a b", "x", "", None, "a a a", "b a b"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    merges_df = bpe_train_merges(docs, n_merges=3)
+    rows = [(r["w1"], r["w2"]) for r in merges_df.orderBy("round").collect()]
+    got = _apply(spark, texts, 3)
+    for i, t in enumerate(texts):
+        assert got[i] == _replay(t, rows), (i, t)
+
+
+def test_bpe_apply_null_and_empty_encode_to_empty(spark):
+    got = _apply(spark, ["", None, "   "], 1)
+    assert got == {0: [], 1: [], 2: []}
+
+
+def test_bpe_apply_merge_order_is_round_order(spark):
+    # round 1 merges (a,b); round 2 merges (ab, c). Applying in round
+    # order yields [abc]; reversed order would leave [ab, c] split.
+    from gomrjob_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b c a b c")])
+    merges = spark.createDataFrame(
+        [
+            Row(round=1, w1="a", w2="b"),
+            Row(round=2, w1="a\x02b", w2="c"),
+        ]
+    )
+    out = bpe_apply(docs, merges).collect()[0]["toks"]
+    release_scoped()
+    assert out == ["a\x02b\x02c", "a\x02b\x02c"]
