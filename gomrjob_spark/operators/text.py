@@ -911,3 +911,105 @@ def compression_ratio(
             )
 
     return spread(docs).select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def ngram_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_bits: int = 4,
+    oov_bits: int = 8,
+) -> DataFrame:
+    """Bigram language-model perplexity gate — the KenLM-class
+    probabilistic curation signal (score every document by how
+    surprising its token sequence is under an LM trained on a trusted
+    reference slice; gibberish, boilerplate soup, and wrong-language
+    text all score high where regex gates pass them). All arithmetic
+    is exact integers so the score sits under the full hash gate:
+    per-bigram surprisal is the BIT LENGTH of an integer count ratio
+    (the BM25 idf trick, operators/search.py) —
+
+      seen bigram:   bits = bitlen(c1(w1) DIV c2(w1, w2))   ~ log2 1/P
+      unigram backoff: bits = bitlen(T DIV c1(w2)) + backoff_bits
+      OOV:             bits = bitlen(T) + oov_bits
+
+    and a document reports (n_bigrams, total_bits, mbits_per_bigram =
+    (1000 * total_bits) DIV n_bigrams) — fixed-point cross-entropy in
+    milli-bits/bigram. Documents with < 2 tokens have no bigrams and
+    drop out (no probability mass to evaluate).
+
+    Scale shape: training is two partial-agg shuffles over the
+    reference slice (unigram + bigram counts — the pmi_collocations
+    class); T is a 1-row broadcast. Scoring folds c1(w1) INTO the
+    bigram table on the vocabulary side first (vocab-sized join), so
+    the corpus-sized pair stream pays exactly TWO key shuffles (the
+    (w1, w2) model join + the w2 backoff join) plus the per-doc
+    aggregate; no broadcast assumption on the vocabulary (a web-scale
+    bigram table outgrows any executor)."""
+    def _toks(df):
+        return spread(df).select(
+            F.col(id_col),
+            F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
+                "_toks"
+            ),
+        )
+
+    def _pairs(staged):
+        idx = F.when(
+            F.size("_toks") >= 2, F.sequence(F.lit(1), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return staged.select(
+            F.col(id_col), "_toks", F.explode(idx).alias("_i")
+        ).select(
+            F.col(id_col),
+            F.element_at("_toks", F.col("_i")).alias("w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+        )
+
+    tr = _toks(train)
+    uni = (
+        tr.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    total = uni.agg(F.sum("_c1").alias("_t"))
+    bi = (
+        _pairs(tr)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        # vocab-side fold: c1(w1) rides the bigram row so the scoring
+        # stream never joins on w1 separately
+        .join(uni.select(F.col("w").alias("w1"), F.col("_c1").alias("_c1w1")), "w1")
+    )
+    scored = (
+        _pairs(_toks(docs))
+        .join(bi, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("_c1").alias("_c1w2")),
+            "w2",
+            "left",
+        )
+        .join(F.broadcast(total))
+    )
+    bitlen = lambda e: F.length(F.conv(F.expr(e).cast("string"), 10, 2))  # noqa: E731
+    bits = (
+        F.when(F.col("_c2").isNotNull(), bitlen("_c1w1 DIV _c2"))
+        .when(
+            F.col("_c1w2").isNotNull(),
+            bitlen("_t DIV _c1w2") + F.lit(backoff_bits),
+        )
+        .otherwise(bitlen("_t") + F.lit(oov_bits))
+    )
+    return (
+        scored.select(F.col(id_col), bits.cast("bigint").alias("_bits"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_bits").cast("bigint").alias("total_bits"),
+        )
+        .withColumn(
+            "mbits_per_bigram",
+            F.expr("(1000 * total_bits) DIV n_bigrams").cast("bigint"),
+        )
+    )
