@@ -606,6 +606,23 @@ def axis_sign_buckets(
     fixture's adversarially low 0.4 threshold needs shallow buckets +
     many tables (3 x 16 = full recall on the fixture, pytest-gated).
     Returns one row per (vector, table): (id, table_id, bucket)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            _axis_bucket_entries(vec_col, n_planes, n_tables, dim)
+        ).alias("_tb"),
+    ).select(
+        id_col, F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
+def _axis_bucket_entries(
+    vec_col: str, n_planes: int, n_tables: int, dim: int = 64
+) -> Column:
+    """The (table_id, bucket) struct array behind axis_sign_buckets as a
+    row-local column expression — cheap sign tests, safe to explode
+    (never an expensive-transform Generate), reusable where the caller
+    wants other columns (the vector itself) to ride the explode."""
     if n_planes * n_tables > dim:
         raise ValueError(
             f"n_planes*n_tables={n_planes * n_tables} exceeds dim={dim}: "
@@ -620,8 +637,84 @@ def axis_sign_buckets(
             ).otherwise(F.lit(0))
             bits = bit if bits is None else bits + bit
         entries.append(F.struct(F.lit(t).alias("table_id"), bits.alias("bucket")))
-    return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("_tb")).select(
-        id_col, F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket")
+    return F.array(*entries)
+
+
+def semantic_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-level decontamination detector — the eval-set leak that
+    SURVIVES paraphrase, which n-gram overlap (contaminated_ids) cannot
+    see: flag corpus vectors whose cosine against any benchmark/eval
+    embedding reaches ``threshold``. Returns (id, n_bench_hits,
+    max_cos) for the flagged ids; survivors are the caller's anti-join.
+
+    Scale contract (the decontaminate shape): eval suites are tiny next
+    to a 100 TB corpus, so the ENTIRE bench side — axis-sign buckets
+    with vectors and norms attached — is a broadcast, and the corpus is
+    probed IN PLACE: each corpus row computes its bucket keys row-
+    locally (sign tests), the vector rides the explode (never leaves
+    the scan stage), matches score exact cosine right there, and the
+    only exchange in the whole detector is the final ids+scalars
+    partial aggregate. The corpus is NEVER shuffled (plan-pinned).
+
+    Bucketing is axis-sign LSH at query-side depth (default 8x8 — the
+    per-bench-probe work bound sets the parameters, the knn_axis_lsh
+    convention): recall at cosine 0.95 is 1-(1-p^8)^8 ≈ 0.99 with
+    p = 1 - acos(0.95)/pi ≈ 0.90, and the sign tests are float-free so
+    a SQL oracle reproduces the candidate set bit-identically.
+    Duplicate (corpus, bench) hits across tables rescore the same
+    IEEE-identical cosine rather than paying an ids-only dedup shuffle
+    + a vector re-join — the threshold filter prunes the stream before
+    the aggregate, and count_distinct inside the agg collapses the
+    table multiplicity exactly."""
+    from gomrjob_spark.operators.similarity import dot, l2_norm
+
+    bvec = benchmark.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    bench_side = (
+        axis_sign_buckets(benchmark, n_planes, n_tables, id_col, vec_col, dim)
+        .select(F.col(id_col).alias("_bid"), "table_id", "bucket")
+        .join(bvec, "_bid")
+    )
+    probe = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_nc"),  # staged: no CSE in lambdas
+        F.explode(_axis_bucket_entries(vec_col, n_planes, n_tables, dim)).alias(
+            "_tb"
+        ),
+    ).select(
+        id_col,
+        vec_col,
+        "_nc",
+        F.col("_tb.table_id").alias("table_id"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+    hits = probe.join(F.broadcast(bench_side), ["table_id", "bucket"]).select(
+        F.col(id_col),
+        F.col("_bid"),
+        (dot(F.col(vec_col), F.col("_bv")) / (F.col("_nc") * F.col("_nb"))).alias(
+            "_cos"
+        ),
+    )
+    return (
+        hits.filter(F.col("_cos") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("_bid").cast("bigint").alias("n_bench_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
     )
 
 

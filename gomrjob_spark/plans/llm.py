@@ -236,7 +236,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
-def _axis_bucket_sql(n_planes: int, n_tables: int) -> str:
+def _axis_bucket_sql(n_planes: int, n_tables: int, src: str = "e") -> str:
     """DuckDB mirror of dedup.axis_sign_buckets at FIXED (k, L): same
     sign tests, same bit packing, table t over coordinates
     [t*n_planes, (t+1)*n_planes). Sign tests involve no float
@@ -251,7 +251,9 @@ def _axis_bucket_sql(n_planes: int, n_tables: int) -> str:
             f"(CASE WHEN v[{t * n_planes + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
             for j in range(n_planes)
         )
-        selects.append(f"SELECT {t} AS table_id, vec_id, {bits} AS bucket FROM e")
+        selects.append(
+            f"SELECT {t} AS table_id, vec_id, {bits} AS bucket FROM {src}"
+        )
     return "\n      UNION ALL ".join(selects)
 
 
@@ -2284,6 +2286,70 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "doc_id", F.col("n_hit").cast("bigint").alias("n_hit")
     ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    bm AS MATERIALIZED (
+      SELECT vec_id + {_TWIN_ID_OFFSET} AS vec_id,
+             list_transform(v,
+               (x, i) -> CASE WHEN i = {_TWIN_FLIP_COORD} THEN -x ELSE x END) AS v
+      FROM e WHERE vec_id % 25 = 0
+    ),
+    cb AS MATERIALIZED ({_axis_bucket_sql(8, 8, src="e")}),
+    qb AS MATERIALIZED ({_axis_bucket_sql(8, 8, src="bm")}),
+    hit AS (
+      SELECT DISTINCT cb.vec_id AS cid
+      FROM cb
+      JOIN qb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+      JOIN e ec ON ec.vec_id = cb.vec_id
+      JOIN bm eb ON eb.vec_id = qb.vec_id
+      WHERE list_cosine_similarity(ec.v, eb.v) >= 0.95
+    )
+    SELECT e.vec_id, e.label FROM e
+    WHERE e.vec_id NOT IN (SELECT cid FROM hit)
+    ORDER BY e.vec_id
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (operators.dedup
+    .semantic_contaminated_ids) — the eval-set leak that survives
+    paraphrase, which decontaminate_ngrams' shingle overlap cannot see.
+    The benchmark set is the sign-flip twin of every 25th embedding
+    (the dedup_embedding_cosine production-threshold fixture device:
+    cosine ≈0.97 to its source, data-dependently ~22% of twins fall
+    BELOW the 0.95 threshold and must survive) — a stand-in for eval
+    questions paraphrased into crawl pages. Composition: axis-sign-LSH
+    bucket the tiny bench side (8 planes x 8 tables, recall ≈0.99 at
+    the threshold), BROADCAST it with vectors+norms attached, probe
+    the corpus stream in place (bucket sign tests + exact cosine are
+    row-local in the scan stage), one ids+scalars partial aggregate,
+    then the broadcast anti-join keeps survivors. The corpus is NEVER
+    shuffled — plan-pinned; the oracle mirrors buckets, twins, and
+    cosine literally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+    )
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(_TWIN_ID_OFFSET)).alias("vec_id"),
+        flipped.alias("embedding"),
+    )
+    flagged = dedup.semantic_contaminated_ids(
+        emb.select("vec_id", "label", "embedding"),
+        bench,
+        threshold=0.95,
+        n_planes=8,
+        n_tables=8,
+    )
+    return (
+        emb.join(F.broadcast(flagged.select("vec_id")), "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
 
 
 @query(

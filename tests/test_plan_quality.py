@@ -424,3 +424,18 @@ def test_distributed_rank_offset_window_is_bounded(spark, sf_dir):
     partitioned = [s for s in specs if "_pid" in s]
     assert partitioned, "local per-partition window missing"
     assert len(unpartitioned) <= 1, unpartitioned
+
+
+def test_decontaminate_semantic_corpus_never_shuffled(spark, sf_dir):
+    """The r7 semantic decontamination contract: the corpus embedding
+    stream is probed in place by a BROADCAST of the bucketed benchmark
+    side and the only hash exchange in the whole plan is the flagged
+    ids+scalars aggregate; survivors come from a broadcast anti-join.
+    No sort-merge join, no nested loop, no corpus exchange."""
+    plan = _plan(plans.QUERIES["decontaminate_semantic"](spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1  # flagged partial agg only
+    assert plan.count("rangepartitioning(") == 1  # presentation ORDER BY
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
