@@ -32,6 +32,12 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: their plan shapes stay pinned by tests/test_plan_quality.py and any
 #: can rotate back in a later round. join_range rotated out likewise
 #: (the harder inequality class stays measured via join_band_time).
+#: r7 rotation: IN text_bpe_encode (the new encode pass; pack/mixture
+#: twins share its dominant cost and carry sweep rows instead),
+#: text_ngram_perplexity, decontaminate_semantic; OUT flat shapes
+#: window_topk_per_group (r01, plan-pinned), search_tf_topk (bm25
+#: keeps the retrieval class measured), sample_weighted (0.17 s flat,
+#: sweep row -0.07) — byte budget stays ~1.9 KB of the 2000-byte tail.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -39,7 +45,6 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "agg_cube",
-    "window_topk_per_group",
     "join_band_time",
     "sessionize_windows",
     "dedup_minhash_lsh",
@@ -55,9 +60,7 @@ HEADLINE = [
     "knn_pq",
     "knn_sq8",
     "text_token_stats",
-    "search_tf_topk",
     "search_bm25_topk",
-    "sample_weighted",
     "events_outlier_audit",
     "feature_decile_stats",
     "profile_table_stats",
@@ -66,6 +69,9 @@ HEADLINE = [
     "text_pii_scrub",
     "text_bigram_novelty",
     "text_bpe_merges",
+    "text_bpe_encode",
+    "text_ngram_perplexity",
+    "decontaminate_semantic",
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
