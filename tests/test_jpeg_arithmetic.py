@@ -1,0 +1,122 @@
+"""Arithmetic-coded JPEG (SOF9, QM coder + Annex F statistics model):
+the entropy layer is lossless, so decoding the arithmetic stream must
+yield BYTE-IDENTICAL pixels to decoding the baseline Huffman stream of
+the same image — the progressive gate's contract, now for the QM path.
+Plus QM-coder round-trip properties and byte-layer edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gomrjob_spark.operators.multimodal import (
+    _ArithBits,
+    _pack_arith_bits,
+    _QMDecoder,
+    _QMEncoder,
+    decode_image,
+    encode_jpeg_arithmetic,
+    encode_jpeg_baseline,
+)
+
+dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 112), st.booleans()), max_size=400),
+       st.integers(0, 2**31 - 1))
+def test_qm_coder_roundtrips_any_decision_sequence(ctx_bits, seed):
+    """Encode an arbitrary (context, decision) sequence through shared
+    adaptive bins, decode it back bit-exactly. Contexts index a small
+    bin pool so adaptation paths interleave."""
+    rng = np.random.RandomState(seed % 2**31)
+    enc = _QMEncoder()
+    bins = [[c % 8, 0] for c in range(8)]
+    # seed the bin pool's starting states from the sampled indices
+    for i, (c, _) in enumerate(ctx_bits[:8]):
+        bins[i % 8][0] = c
+    start = [list(b) for b in bins]
+    decisions = [(rng.randint(0, 8), int(d)) for (_, d) in ctx_bits]
+    for b, d in decisions:
+        enc.encode(bins[b], d)
+    data = _pack_arith_bits(enc.flush()) + b"\xff\xd9"
+    dec = _QMDecoder(_ArithBits(data, 0))
+    rbins = [list(b) for b in start]
+    for b, d in decisions:
+        assert dec.decode(rbins[b]) == d
+
+
+def test_pack_arith_bits_stuffs_after_ff():
+    # 16 one-bits -> 0xFF then a stuffed byte whose MSB is 0
+    out = _pack_arith_bits([1] * 16)
+    assert out[0] == 0xFF
+    assert out[1] & 0x80 == 0
+    # and no 0xFF byte is ever followed by > 0x8F inside the data
+    for i in range(len(out) - 1):
+        if out[i] == 0xFF:
+            assert out[i + 1] <= 0x8F
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, st.sampled_from([1, 3]), st.integers(0, 2**31 - 1),
+       st.sampled_from([0, 2]), st.sampled_from([1, 4]))
+def test_arith_jpeg_decodes_identical_to_baseline(wh, channels, seed, restart, quant):
+    w, h = wh
+    rng = np.random.RandomState(seed % 2**31)
+    arr = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+    base = decode_image(
+        encode_jpeg_baseline(
+            arr.tobytes(), w, h, channels=channels,
+            restart_interval=restart, quant=quant,
+        )
+    )
+    got = decode_image(
+        encode_jpeg_arithmetic(
+            arr.tobytes(), w, h, channels=channels,
+            restart_interval=restart, quant=quant,
+        )
+    )
+    assert (got["width"], got["height"], got["channels"]) == (w, h, channels)
+    assert got["pixels"] == base["pixels"]
+
+
+def test_arith_jpeg_420_subsampling_matches_baseline():
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    kw = dict(channels=3, subsampling=(2, 2), restart_interval=3)
+    base = decode_image(encode_jpeg_baseline(arr.tobytes(), 47, 33, **kw))
+    got = decode_image(encode_jpeg_arithmetic(arr.tobytes(), 47, 33, **kw))
+    assert got["pixels"] == base["pixels"]
+
+
+def test_arith_jpeg_compresses_below_baseline_on_natural_content():
+    # adaptive contexts should beat the single-length Huffman tables
+    arr = np.fromfunction(
+        lambda y, x: (x * 3 + y * 2) % 256, (64, 64)
+    ).astype(np.uint8)
+    nb = len(encode_jpeg_baseline(arr.tobytes(), 64, 64, channels=1))
+    na = len(encode_jpeg_arithmetic(arr.tobytes(), 64, 64, channels=1))
+    assert na < nb
+
+
+def test_arith_progressive_still_raises_precisely():
+    # SOF10 (arithmetic progressive) keeps an honest contract raise
+    payload = bytearray(encode_jpeg_arithmetic(bytes(64), 8, 8, channels=1))
+    i = payload.index(b"\xff\xc9")
+    payload[i + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="arithmetic progressive"):
+        decode_image(bytes(payload))
+
+
+def test_truncated_arith_stream_fails_cleanly():
+    payload = encode_jpeg_arithmetic(
+        np.random.RandomState(3).randint(0, 256, 16 * 16, dtype=np.uint8).tobytes(),
+        16, 16, channels=1, restart_interval=1,
+    )
+    # drop the tail including the second restart marker: the scan loop
+    # must surface a decode-contract ValueError, not an IndexError
+    cut = payload[: payload.index(b"\xff\xd0") + 1]
+    with pytest.raises(ValueError):
+        decode_image(cut)
