@@ -606,11 +606,10 @@ def axis_sign_buckets(
     fixture's adversarially low 0.4 threshold needs shallow buckets +
     many tables (3 x 16 = full recall on the fixture, pytest-gated).
     Returns one row per (vector, table): (id, table_id, bucket)."""
+    entries = _axis_bucket_entries(vec_col, n_planes, n_tables, dim)  # validates first
     return df.select(
         F.col(id_col),
-        F.explode(
-            _axis_bucket_entries(vec_col, n_planes, n_tables, dim)
-        ).alias("_tb"),
+        F.explode(entries).alias("_tb"),
     ).select(
         id_col, F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket")
     )

@@ -86,6 +86,63 @@ def knn_bruteforce(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training data:
+    for every query vector, the top-k most-similar corpus vectors whose
+    LABEL differs — the near-misses a contrastive loss learns the most
+    from (random negatives are trivially separable; the hard ones sit
+    just across the decision boundary). Returns (query_id, query_label,
+    neighbor_id, neighbor_label, score, rank).
+
+    Plan: the knn_bruteforce shape — the query set is a model-sized
+    broadcast over the corpus scan (the corpus never shuffles for the
+    join; the label filter prunes row-locally in the scan stage), then
+    one per-query window exchange for the top-k. At production scale
+    the same label-mismatch filter composes with the bucketed ANN
+    variants (knn_axis_lsh/IVF) instead of the brute-force scan."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "score", "rank",
+        )
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-free hyperplanes (Gaussian entries, fixed seed)."""
     rng = random.Random(seed)

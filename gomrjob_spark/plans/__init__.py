@@ -41,6 +41,10 @@ _VERIFY_FIRST = [
     "decontaminate_semantic",
     # NEW r7: arithmetic-coded JPEG (SOF9 QM coder) real decode
     "multimodal_arith_pixel_stats",
+    # NEW r7: contrastive hard-negative mining (different-label top-k)
+    "embedding_hard_negatives",
+    # NEW r7: near-dup-leakage-proof train/val/test split
+    "split_cluster_aware",
     # late r6, never driver-proven (registered after the 50-slot window
     # filled; r6 verdict item #1 lists these 18 by name)
     "profile_key_skew",

@@ -560,6 +560,79 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_cluster_aware",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.6
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.dst AS node, r.label AS label
+      FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           CAST((('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                 % 100) AS INT) AS bucket,
+           CASE WHEN (('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                      % 100) < 80 THEN 'train'
+                WHEN (('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                      % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp ORDER BY doc_id
+    """,
+)
+def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: near-dup CLUSTERS stay whole
+    within one split, so a duplicate of a training document can never
+    land in the eval set — the split-time twin of decontamination
+    (hash_split on doc_id alone leaks through every near-dup pair that
+    straddles the boundary). Composition: jaccard >= 0.6 pair graph ->
+    connected components -> the standard md5 bucket split keyed on the
+    COMPONENT id (the cluster minimum) instead of the doc id; splits
+    stay deterministic, rerun-stable, and consistent with every other
+    hash_bucket consumer. Returns (doc_id, component, bucket, split)
+    under the full hash gate (recursive-CTE closure + md5 mirror); the
+    no-straddling property is pytest-pinned over all near-dup pairs."""
+    from gomrjob_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.6, max_shingle_freq=None)
+    comp = dedup.connected_components(pairs, docs)
+    b = hash_bucket(F.col("component"), 100, "split")
+    return (
+        comp.withColumn("bucket", b)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_clean_filter",
     oracle=f"""
     WITH q AS (
@@ -644,6 +717,42 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_bruteforce(
         emb.filter(F.col("vec_id") < 10), emb, k=5
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_cosine_similarity(q.v, c.v) AS score
+      FROM q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, score, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives) — the
+    contrastive-training-data step: for each query vector, the top-10
+    most-similar corpus vectors with a DIFFERENT label (the near-misses
+    a contrastive loss learns the most from; random negatives are
+    trivially separable). knn_bruteforce's plan shape — model-sized
+    query broadcast over the corpus scan, label mismatch pruned
+    row-locally, one per-query window exchange — with the exact cosine
+    under the full hash gate (the knn_axis_lsh scoring precedent). At
+    scale the same filter composes with the bucketed ANN paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb.filter(F.col("vec_id") < 10), emb, k=10
     ).orderBy("query_id", "rank")
 
 

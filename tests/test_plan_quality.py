@@ -152,6 +152,16 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # (pinned in test_band_join)
         "text_bpe_merges",          # 1-row winning-pair broadcast per
                                     # BPE round (the merge fold reads it)
+        "text_bpe_encode",          # same per-round winners + the 1-row
+                                    # merge-TABLE broadcast bpe_apply
+                                    # folds over (model-sized by def.)
+        "pack_bpe_batches",         # same (trains + applies, then the
+                                    # pack's broadcast is an equi join)
+        "mixture_bpe_weights",      # same
+        "text_ngram_perplexity",    # 1-row token-grand-total broadcast
+                                    # (the pmi_collocations class)
+        "embedding_hard_negatives", # |Q|=10 broadcast x corpus scan —
+                                    # the knn_bruteforce class, by design
         "feature_decile_stats",     # 1-row total-count broadcast
         "knn_sq8",                  # 1-row min/max model broadcast +
                                     # the |Q|=10 query broadcast (same
@@ -171,6 +181,7 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "dedup_cluster_survivors",  # fixpoint loop runs at construction
         "entity_resolution_pipeline",  # same CC fixpoint at construction
         "dedup_best_quality_survivors",  # same CC fixpoint at construction
+        "split_cluster_aware",      # same CC fixpoint at construction
     }
     offenders = {}
     for name, fn in plans.QUERIES.items():
