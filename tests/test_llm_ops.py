@@ -1373,11 +1373,14 @@ def test_jpeg_420_subsampling_decodes_through_upsample_path():
 def test_jpeg_arithmetic_raises_progressive_decodes():
     """Progressive (SOF2) decodes for real as of r5 (see
     tests/test_codec_properties.py for the full baseline-parity gate);
-    arithmetic coding (SOF9) remains the one documented raise."""
+    since r7 sequential arithmetic (SOF9) DECODES (see
+    test_jpeg_arithmetic.py) and the documented raises are arithmetic
+    progressive/lossless (SOF10/11)."""
     import pytest as _pytest
 
     from gomrjob_spark.operators.multimodal import (
         decode_image,
+        encode_jpeg_arithmetic,
         encode_jpeg_baseline,
         encode_jpeg_progressive,
     )
@@ -1385,11 +1388,14 @@ def test_jpeg_arithmetic_raises_progressive_decodes():
     px = bytes(range(64))
     got = decode_image(encode_jpeg_progressive(px, 8, 8, channels=1))
     assert got["pixels"] == decode_image(encode_jpeg_baseline(px, 8, 8, channels=1))["pixels"]
+    # SOF9 decodes for real now, byte-identical to the baseline pixels
+    got_ar = decode_image(encode_jpeg_arithmetic(px, 8, 8, channels=1))
+    assert got_ar["pixels"] == got["pixels"]
 
-    payload = bytearray(encode_jpeg_baseline(bytes(64), 8, 8, channels=1))
-    i = payload.index(b"\xff\xc0")  # rewrite SOF0 -> SOF9 (arith. sequential)
-    payload[i + 1] = 0xC9
-    with _pytest.raises(NotImplementedError, match="arithmetic"):
+    payload = bytearray(encode_jpeg_arithmetic(bytes(64), 8, 8, channels=1))
+    i = payload.index(b"\xff\xc9")  # rewrite SOF9 -> SOF11 (arith. lossless)
+    payload[i + 1] = 0xCB
+    with _pytest.raises(NotImplementedError, match="arithmetic progressive/lossless"):
         decode_image(bytes(payload))
 
 
