@@ -154,7 +154,8 @@ def main() -> None:
                 warm.append(dt)
             best = min(best, dt)
         if len(warm) >= 2:
-            warm_extra += sum(warm) - min(warm)
+            # excess of the non-best warm runs over the best warm run
+            warm_extra += sum(warm) - min(warm) * len(warm)
             warm_best += min(warm) * (len(warm) - 1)
         # release operator-scoped persists AFTER a query's runs (not
         # between them: the warm second run is the best-of methodology,
