@@ -45,6 +45,8 @@ _VERIFY_FIRST = [
     "embedding_hard_negatives",
     # NEW r7: near-dup-leakage-proof train/val/test split
     "split_cluster_aware",
+    # NEW r7: per-shard batch-utilization (padding waste) report
+    "pack_efficiency_report",
     # late r6, never driver-proven (registered after the 50-slot window
     # filled; r6 verdict item #1 lists these 18 by name)
     "profile_key_skew",

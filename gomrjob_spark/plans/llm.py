@@ -2392,6 +2392,77 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_efficiency_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 64 AS INT) AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS local_off
+      FROM t
+    ),
+    b AS (
+      SELECT lang, bucket, CAST(sum(n_tokens) AS BIGINT) AS btotal
+      FROM t GROUP BY lang, bucket
+    ),
+    o AS (
+      SELECT lang, bucket,
+             CAST(COALESCE(sum(btotal) OVER (PARTITION BY lang ORDER BY bucket
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS BIGINT)
+               AS bucket_off
+      FROM b
+    ),
+    packed AS (
+      SELECT c.doc_id, c.lang, c.n_tokens,
+             CAST((o.bucket_off + c.local_off) // 2048 AS BIGINT) AS batch_id
+      FROM c JOIN o ON c.lang = o.lang AND c.bucket = o.bucket
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(batch_id) + 1 AS BIGINT) AS n_batches,
+           CAST((1000000 * sum(n_tokens)) // (2048 * (max(batch_id) + 1)) AS BIGINT)
+             AS util_ppm
+    FROM packed GROUP BY lang ORDER BY lang
+    """,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report — the padding-waste metric a training
+    loader watches: per language shard, how full the fixed-2048-token
+    batches produced by pack_token_batches actually are (util_ppm =
+    1e6 * total_tokens DIV (2048 * n_batches); the shortfall is
+    padding the GPU burns). Pure composition: the packing layout's
+    hierarchical prefix sum (unchanged, skew-safe) plus one per-lang
+    aggregate; exact bigint arithmetic keeps the classically-float
+    utilization under the full hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = text.pack_token_batches(docs, budget=2048)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.max("batch_id") + 1).cast("bigint").alias("n_batches"),
+        )
+        .withColumn(
+            "util_ppm",
+            F.expr("(1000000 * total_tokens) DIV (2048 * n_batches)").cast("bigint"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "cap_per_source",
     oracle="""
     WITH r AS (

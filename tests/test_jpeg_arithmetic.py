@@ -120,3 +120,28 @@ def test_truncated_arith_stream_fails_cleanly():
     cut = payload[: payload.index(b"\xff\xd0") + 1]
     with pytest.raises(ValueError):
         decode_image(cut)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.sampled_from([0.5, 0.7, 0.9, 0.98]), st.integers(0, 2**31 - 1))
+def test_qm_adaptation_approaches_entropy(p, seed):
+    """Round-trip tests cannot catch a mis-transcribed Qe state table
+    (encoder and decoder share it, so a wrong NMPS/NLPS graph still
+    round-trips) — but it WOULD degrade compression. Pin adaptation
+    quality instead: a single adaptive bin coding iid Bernoulli(p)
+    decisions must approach the binary entropy H(p) bits/symbol."""
+    import math
+
+    rng = np.random.RandomState(seed % 2**31)
+    n = 20000
+    decisions = (rng.random_sample(n) < p).astype(int)
+    enc = _QMEncoder()
+    bin_ = [0, 0]
+    for d in decisions:
+        enc.encode(bin_, int(d))
+    nbits = len(enc.flush())
+    hp = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+    # QM's table granularity + adaptation ramp cost a few percent;
+    # a broken transition graph costs far more (measured: shuffling
+    # NMPS pointers pushes 0.9 from ~0.50 to >0.75 bits/sym)
+    assert nbits / n <= hp * 1.10 + 0.02, (p, nbits / n, hp)
