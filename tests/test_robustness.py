@@ -48,6 +48,16 @@ MIN_ROWS = {
     "multimodal_audio_headers": 100,
     "funnel_conversion": 1,
     "pack_token_batches": 100,
+    # r7 additions — each would vacuously "match" an empty oracle
+    "text_bpe_encode": 50,
+    "pack_bpe_batches": 50,
+    "mixture_bpe_weights": 2,
+    "text_ngram_perplexity": 50,
+    "decontaminate_semantic": 10,
+    "multimodal_arith_pixel_stats": 50,
+    "embedding_hard_negatives": 25,
+    "split_cluster_aware": 50,
+    "pack_efficiency_report": 2,
 }
 
 
