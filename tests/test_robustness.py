@@ -68,7 +68,14 @@ def test_results_non_trivial(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["q3_shipping_priority", "join_asof", "dedup_minhash_lsh", "dedup_embedding_cosine", "knn_axis_lsh"],
+    [
+        "q3_shipping_priority", "join_asof", "dedup_minhash_lsh",
+        "dedup_embedding_cosine", "knn_axis_lsh",
+        # r7: iterative training + arithmetic entropy coding are the
+        # two shapes where nondeterminism would be most surprising
+        "text_bpe_encode", "multimodal_arith_pixel_stats",
+        "split_cluster_aware",
+    ],
 )
 def test_deterministic_across_runs(spark, sf_dir, name):
     a = plans.QUERIES[name](spark, sf_dir).collect()
