@@ -47,6 +47,8 @@ _VERIFY_FIRST = [
     "split_cluster_aware",
     # NEW r7: per-shard batch-utilization (padding waste) report
     "pack_efficiency_report",
+    # NEW r7: exact fixed-point EWMA (recursive smoother under the gate)
+    "timeseries_ewma",
     # late r6, never driver-proven (registered after the 50-slot window
     # filled; r6 verdict item #1 lists these 18 by name)
     "profile_key_skew",

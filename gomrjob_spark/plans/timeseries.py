@@ -1023,3 +1023,69 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window_day").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries_ewma",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    ser AS (
+      SELECT user_id, list(cents ORDER BY ts, event_id) AS cs
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(cs) AS BIGINT) AS n_events,
+           CAST(cs[len(cs)] AS BIGINT) AS last_cents,
+           CAST(list_reduce(cs, (acc, v) -> (7 * acc + v) // 8) AS BIGINT)
+             AS ewma_cents
+    FROM ser ORDER BY user_id
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exponential smoothing (EWMA, alpha = 1/8) — the
+    classic monitoring baseline (load smoothing, anomaly reference
+    level) that plain window aggregates cannot express because each
+    step depends on the previous RESULT, not the previous rows. Exact
+    fixed-point recurrence s_t = (7*s_{t-1} + c_t) >> 3 over positive
+    integer cents: a shift is floor-division by 8 on both engines, so
+    the whole recursive smoother sits under the full hash gate (the
+    oracle replays the identical fold with list_reduce).
+
+    Plan: ONE hash exchange on user_id (partial-agg collect_list),
+    then the fold is a row-local F.aggregate over the sorted series —
+    the same bounded-per-series shape as sessionize/gapfill (a user's
+    history fits a row; for pathological series an applyInPandas twin
+    is the escape hatch). Struct array_sort orders by (ts, event_id)
+    exactly like the TWAP window."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.col("ts"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("_c"),
+    )
+    ser = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "_c"))).alias("_s")
+    )
+    staged = ser.select(
+        "user_id",
+        F.transform("_s", lambda s: s["_c"]).alias("_cs"),  # staged: no CSE in lambdas
+    )
+    fold = F.aggregate(
+        F.expr("slice(_cs, 2, greatest(size(_cs) - 1, 0))"),
+        F.element_at("_cs", 1),
+        lambda acc, v: F.shiftright(F.lit(7) * acc + v, 3),
+    )
+    return (
+        staged.select(
+            "user_id",
+            F.size("_cs").cast("bigint").alias("n_events"),
+            F.element_at("_cs", -1).cast("bigint").alias("last_cents"),
+            fold.cast("bigint").alias("ewma_cents"),
+        )
+        .orderBy("user_id")
+    )

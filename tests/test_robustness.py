@@ -58,6 +58,7 @@ MIN_ROWS = {
     "embedding_hard_negatives": 25,
     "split_cluster_aware": 50,
     "pack_efficiency_report": 2,
+    "timeseries_ewma": 50,
 }
 
 
