@@ -58,7 +58,7 @@ MIN_ROWS = {
     "embedding_hard_negatives": 25,
     "split_cluster_aware": 50,
     "pack_efficiency_report": 2,
-    "timeseries_ewma": 50,
+    "timeseries_ewma": 10,  # one row per user; sf0.001 has ~15 users
 }
 
 
