@@ -23,9 +23,11 @@ and 16-bit PCM for WAV. Matching minimal writers
 formats and the synthesis side of the oracle-gated decode queries, and
 ``encode_jpeg_progressive`` writes real SOF2 scan scripts (spectral
 selection + successive approximation), and ``encode_jpeg_arithmetic``
-/ the SOF9 decode path implement the QM arithmetic coder (r7). The
-only codings still raising NotImplementedError are arithmetic
-progressive/lossless JPEG — named precisely at the raise site.
+/ ``encode_jpeg_arith_progressive`` plus the SOF9/SOF10 decode paths
+implement the QM arithmetic coder (r7) — the full DCT coding matrix
+(Huffman/arithmetic x sequential/progressive). The only coding still
+raising NotImplementedError is arithmetic LOSSLESS JPEG (SOF11, a
+different compression family) — named precisely at the raise site.
 """
 
 from __future__ import annotations
@@ -82,9 +84,10 @@ def decode_image(payload: bytes) -> dict:
       run-length, spectral-selection/successive-approximation scan
       accumulation with EOB runs and correction bits (T.81 Annex G),
       dequantize, 8x8 IDCT, sampling-factor upsampling, YCbCr->RGB,
-      restart markers, and sequential arithmetic coding (SOF9: QM
-      coder + Annex F statistics, r7). Arithmetic progressive/lossless
-      raise NotImplementedError — the only remaining codings.
+      restart markers, and arithmetic coding — sequential SOF9 and
+      progressive SOF10 (QM coder + Annex F statistics, r7).
+      Arithmetic lossless (SOF11) raises NotImplementedError — the
+      only remaining coding.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -488,9 +491,10 @@ def encode_gif(
 # construction, bit-unstuffing, DC prediction + AC run-length,
 # spectral-selection/successive-approximation scans (T.81 Annex G),
 # dequantize/dezigzag, 8x8 IDCT (numpy matrix form), sampling-factor
-# upsampling, YCbCr->RGB. Sequential arithmetic coding (SOF9) lives in
-# its own section further down (r7); arithmetic progressive/lossless
-# raise NotImplementedError with a precise message. The constants
+# upsampling, YCbCr->RGB. Arithmetic coding (SOF9 sequential + SOF10
+# progressive, QM coder) lives in its own sections further down (r7);
+# only arithmetic LOSSLESS (SOF11, a different compression family)
+# raises NotImplementedError with a precise message. The constants
 # below are generated, not transcribed: the zigzag order comes from
 # the diagonal walk, the DCT basis from its closed form — no copied
 # tables to mistype (the QM Qe table is the one spec-table exception,
@@ -665,9 +669,9 @@ def _decode_jpeg(payload: bytes) -> dict:
                 for s, b in enumerate(_ZIGZAG):
                     tbl[b] = vals[s]
                 qt[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 Huffman sequential, SOF2 Huffman progressive,
-            # SOF9 arithmetic sequential (QM coder, r7)
+            # SOF9/SOF10 arithmetic sequential/progressive (QM coder, r7)
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -679,13 +683,13 @@ def _decode_jpeg(payload: bytes) -> dict:
                 "w": w,
                 "h": h,
                 "comps": comps,
-                "progressive": marker == 0xC2,
-                "arith": marker == 0xC9,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
             }
-        elif marker in (0xCA, 0xCB):
+        elif marker == 0xCB:
             raise NotImplementedError(
-                "arithmetic progressive/lossless JPEG; sequential arithmetic "
-                "(SOF9) and both Huffman paths are implemented"
+                "arithmetic lossless JPEG; all DCT paths (Huffman/arithmetic "
+                "x sequential/progressive) are implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning bounds
             j = 0
@@ -717,11 +721,21 @@ def _decode_jpeg(payload: bytes) -> dict:
                 cid, tabs = seg[1 + 2 * k : 3 + 2 * k]
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
                 order.append(cid)
-            if frame.get("arith"):
+            if frame.get("arith") and not frame["progressive"]:
                 return _jpeg_arith_scan(
                     payload, i + 2 + seg_len, frame, scan, qt,
                     dc_cond, ac_cond, restart_interval,
                 )
+            if frame.get("arith"):  # SOF10: arithmetic progressive
+                ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                if coeff is None:
+                    coeff = _jpeg_alloc_coeff(frame)
+                i = _jpeg_arith_progressive_scan(
+                    payload, i + 2 + seg_len, frame, order, scan,
+                    dc_cond, ac_cond, restart_interval, coeff,
+                    (ss, se, a >> 4, a & 0x0F),
+                )
+                continue
             if not frame["progressive"]:
                 return _jpeg_scan(
                     payload, i + 2 + seg_len, frame, scan, qt, huff, restart_interval
@@ -1475,8 +1489,9 @@ def encode_jpeg_progressive(
 
 
 # ------------------------------------------- arithmetic-coded JPEG
-# Sequential DCT with arithmetic entropy coding (SOF9) — the last
-# named codec gap (r6 verdict stretch item). Structure:
+# DCT with arithmetic entropy coding — sequential (SOF9) here, and
+# progressive (SOF10) in the section after it — the last named codec
+# gap (r6 verdict stretch item). Structure:
 #
 # - the probability state machine is Table D.3 of ITU-T T.81 (Qe,
 #   NMPS, NLPS, SWITCH — spec constants, like the Annex-K Huffman
@@ -2081,6 +2096,445 @@ def encode_jpeg_arithmetic(
     sos_body += bytes([0, 63, 0])
     sos = seg(0xDA, sos_body)
     return b"\xff\xd8" + dqt + sof + dac + dri + sos + bytes(entropy) + b"\xff\xd9"
+
+
+# -------------------------------- arithmetic progressive JPEG (SOF10)
+# T.81 Annex G.2 with arithmetic entropy coding: the same spectral-
+# selection / successive-approximation scan scripts as the Huffman
+# progressive path, with the QM coder + per-scan-reset Annex F
+# statistics in place of the EOBn run-length codes (arithmetic
+# progressive has NO EOB runs — the per-K SE bins carry the
+# end-of-band decision block by block, and DC/AC correction bits code
+# through the fixed 0.5 state / SP bins). Statistics re-initialize at
+# every scan and every restart.
+
+
+def _arith_next_marker(payload: bytes, bits: _ArithBits) -> int:
+    """Position of the marker terminating the current entropy segment
+    (same unambiguous scan as _arith_sync_restart)."""
+    d = payload
+    p = bits.marker_pos if bits.marker_pos is not None else bits.pos
+    while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] > 0x8F):
+        p += 1
+    return p
+
+
+def _arith_decode_dc_first(dec, dstats, ctx, pred, ci, cond, al, blk) -> None:
+    """Progressive DC first scan: the sequential DC difference decode in
+    the Al-shifted domain; the accumulated prediction enters the block
+    at magnitude << Al."""
+    _arith_decode_dc(dec, dstats, ctx, pred, ci, cond)
+    blk[0] = pred[ci] << al
+
+
+def _arith_decode_ac_band(dec, astats, fixed, blk, ss, se, al, kx) -> None:
+    """Progressive AC first scan (Ah=0) over band [ss, se]: sequential
+    AC decode bounded to the band, values entering at magnitude << Al,
+    positions dezigzagged into the natural-order block."""
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(astats[base]):
+            return  # EOB
+        while dec.decode(astats[base + 1]) == 0:
+            k += 1
+            base += 3
+            if k > se:
+                raise ValueError("JPEG arithmetic AC run past band end")
+        sign = dec.decode(fixed)
+        sp = astats[base + 2]
+        m = dec.decode(sp)
+        xb = None
+        if m and dec.decode(sp):
+            m = 2
+            xb = 189 if k <= kx else 217
+            while dec.decode(astats[xb]):
+                m <<= 1
+                xb += 1
+                if m == 0x8000:
+                    raise ValueError("JPEG arithmetic AC magnitude overflow")
+        v = m
+        if m >= 2:
+            mbin = astats[xb + 14]
+            mm = m >> 1
+            while mm:
+                if dec.decode(mbin):
+                    v |= mm
+                mm >>= 1
+        v += 1
+        blk[_ZIGZAG[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_decode_ac_refine(dec, astats, fixed, blk, ss, se, p1, m1) -> None:
+    """Progressive AC refinement (Ah>0), T.81 G.2 decode flow: EOB
+    decisions become legal past the previous scans' last nonzero
+    position (kex); zero-history positions consume S0 decisions until a
+    correction (SP bin) or a newly-nonzero (+-1<<Al, sign via the fixed
+    state) lands."""
+    kex = 0
+    for j in range(se, 0, -1):
+        if blk[_ZIGZAG[j]]:
+            kex = j
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(astats[base]):
+            return  # EOB
+        while True:
+            z = _ZIGZAG[k]
+            cur = int(blk[z])
+            if cur:
+                if dec.decode(astats[base + 2]):
+                    blk[z] = cur + (m1 if cur < 0 else p1)
+                break
+            if dec.decode(astats[base + 1]):
+                blk[z] = m1 if dec.decode(fixed) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC refine ran past band end")
+        k += 1
+
+
+def _jpeg_arith_progressive_scan(
+    payload, start, frame, order, scan, dc_cond, ac_cond,
+    restart_interval, coeff, band,
+) -> int:
+    """Decode one arithmetic progressive scan into ``coeff``; returns
+    the offset of the terminating marker. Mirrors the Huffman
+    _jpeg_progressive_scan walk; statistics/coder reset per restart."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
+    byid = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    members = [byid[cid] for cid in order]
+    p1, m1 = 1 << al, -1 << al
+    dc_tables = {scan[c["id"]][0] for _, c in members}
+    ac_tables = {scan[c["id"]][1] for _, c in members}
+
+    state = {"rst": 0}
+
+    def fresh(pos):
+        bits = _ArithBits(payload, pos)
+        dec = _QMDecoder(bits)
+        dc_stats, ac_stats = _fresh_arith_stats(dc_tables, ac_tables)
+        return bits, dec, dc_stats, ac_stats, [0] * len(comps), [0] * len(comps)
+
+    bits, dec, dc_stats, ac_stats, pred, ctx = fresh(start)
+    fixed = [113, 0]
+
+    def restart_if_due(count: int):
+        nonlocal bits, dec, dc_stats, ac_stats, pred, ctx
+        if restart_interval and count and count % restart_interval == 0:
+            nxt = _arith_sync_restart(payload, bits, state["rst"])
+            state["rst"] = (state["rst"] + 1) % 8
+            bits, dec, dc_stats, ac_stats, pred, ctx = fresh(nxt)
+
+    if ss == 0:  # DC scan
+        def dc_block(blk, ci, tdc) -> None:
+            if ah == 0:
+                _arith_decode_dc_first(
+                    dec, dc_stats[tdc], ctx, pred, ci,
+                    dc_cond.get(tdc, (0, 1)), al, blk,
+                )
+            elif dec.decode(fixed):
+                blk[0] |= p1
+
+        if len(members) > 1:  # interleaved over MCUs
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    restart_if_due(unit)
+                    for ci, c in members:
+                        tdc = scan[c["id"]][0]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    coeff[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                    ci, tdc,
+                                )
+                    unit += 1
+        else:
+            ci, c = members[0]
+            tdc = scan[c["id"]][0]
+            nbw, nbh = _comp_block_grid(frame, c)
+            unit = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    restart_if_due(unit)
+                    dc_block(coeff[ci][by, bx], ci, tdc)
+                    unit += 1
+    else:  # AC scan: single component by spec
+        if len(members) > 1:
+            raise ValueError("progressive AC scan with multiple components")
+        ci, c = members[0]
+        tac = scan[c["id"]][1]
+        kx = ac_cond.get(tac, 5)
+        nbw, nbh = _comp_block_grid(frame, c)
+        unit = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                restart_if_due(unit)
+                blk = coeff[ci][by, bx]
+                if ah == 0:
+                    _arith_decode_ac_band(
+                        dec, ac_stats[tac], fixed, blk, ss, se, al, kx
+                    )
+                else:
+                    _arith_decode_ac_refine(
+                        dec, ac_stats[tac], fixed, blk, ss, se, p1, m1
+                    )
+                unit += 1
+    return _arith_next_marker(payload, bits)
+
+
+def encode_jpeg_arith_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: int = 1,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Arithmetic progressive JPEG writer (SOF10): the Huffman
+    progressive writer's exact scan script — interleaved DC first at
+    ``Al=dc_al``, DC refinement levels, per-component spectral ``bands``
+    AC first at ``Al=ac_al``, then AC refinement levels — entropy-coded
+    through the QM coder with per-scan-fresh Annex F statistics.
+    Progressive coding is a lossless reordering of the entropy layer,
+    so decoding must yield BYTE-IDENTICAL pixels to the baseline/
+    sequential-arithmetic streams of the same image (the pytest
+    gate)."""
+    factors, mcux, mcuy, blocks = _jpeg_prepare(
+        pixels, width, height, channels, quant, subsampling
+    )
+    ncomp = len(blocks)
+    tids = [0] + [1] * (ncomp - 1)
+    cond = (0, 1)
+    kx = 5
+    hmax, vmax = factors[0]
+    fixed = [113, 0]
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        h_i, v_i = factors[ci]
+        cw = -(-width * h_i // hmax)
+        ch = -(-height * v_i // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, (tids[cid] << 4) | tids[cid]])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    class _Scan:
+        """Per-scan coder + statistics lifecycle (restart-aware)."""
+
+        def __init__(self, dc_t, ac_t):
+            self.dc_t, self.ac_t = dc_t, ac_t
+            self.out = bytearray()
+            self.rst = 0
+            self._fresh()
+
+        def _fresh(self):
+            self.enc = _QMEncoder()
+            self.dc_stats, self.ac_stats = _fresh_arith_stats(self.dc_t, self.ac_t)
+            self.pred = [0] * ncomp
+            self.ctx = [0] * ncomp
+
+        def restart_if_due(self, unit: int):
+            if restart_interval and unit and unit % restart_interval == 0:
+                self.out += _pack_arith_bits(self.enc.flush())
+                self.out += bytes((0xFF, 0xD0 + self.rst))
+                self.rst = (self.rst + 1) % 8
+                self._fresh()
+
+        def finish(self) -> bytes:
+            self.out += _pack_arith_bits(self.enc.flush())
+            return bytes(self.out)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        sc = _Scan(set(tids), set(tids))
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                sc.restart_if_due(unit)
+                for ci in range(ncomp):
+                    h_i, v_i = factors[ci]
+                    dstats = sc.dc_stats[tids[ci]]
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            dc = int(blocks[ci][my * v_i + by, mx * h_i + bx, 0])
+                            if refine:
+                                sc.enc.encode(fixed, (dc >> al) & 1)
+                                continue
+                            v = dc >> al
+                            _arith_encode_dc(
+                                sc.enc, dstats, sc.ctx, ci, v - sc.pred[ci], cond
+                            )
+                            sc.pred[ci] = v
+                unit += 1
+        return sc.finish()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        sc = _Scan(set(tids), set(tids))
+        astats = sc.ac_stats[tids[ci]]
+        nbw, nbh = comp_grid(ci)
+        unit = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                sc.restart_if_due(unit)
+                if restart_interval:
+                    astats = sc.ac_stats[tids[ci]]
+                zz = blocks[ci][by, bx]
+                t_of = [
+                    (int(zz[k]) >> al) if zz[k] >= 0 else -((-int(zz[k])) >> al)
+                    for k in range(64)
+                ]
+                last_nz = 0
+                for j in range(se, ss - 1, -1):
+                    if t_of[j]:
+                        last_nz = j
+                        break
+                k = ss
+                while k <= last_nz:
+                    base = 3 * (k - 1)
+                    sc.enc.encode(astats[base], 0)  # not EOB
+                    while t_of[k] == 0:
+                        sc.enc.encode(astats[base + 1], 0)
+                        k += 1
+                        base += 3
+                    sc.enc.encode(astats[base + 1], 1)
+                    v = t_of[k]
+                    sign = 1 if v < 0 else 0
+                    sc.enc.encode(fixed, sign)
+                    sz = (v if v > 0 else -v) - 1
+                    sp = astats[base + 2]
+                    m = 0
+                    xb = None
+                    if sz == 0:
+                        sc.enc.encode(sp, 0)
+                    else:
+                        sc.enc.encode(sp, 1)
+                        if sz == 1:
+                            sc.enc.encode(sp, 0)
+                            m = 1
+                        else:
+                            sc.enc.encode(sp, 1)
+                            m = 2
+                            xb = 189 if k <= kx else 217
+                            msb = 1 << (sz.bit_length() - 1)
+                            while m < msb:
+                                sc.enc.encode(astats[xb], 1)
+                                m <<= 1
+                                xb += 1
+                            sc.enc.encode(astats[xb], 0)
+                    if m >= 2:
+                        mbin = astats[xb + 14]
+                        mm = m >> 1
+                        while mm:
+                            sc.enc.encode(mbin, 1 if sz & mm else 0)
+                            mm >>= 1
+                    k += 1
+                if last_nz < se:
+                    sc.enc.encode(astats[3 * (k - 1)], 1)  # EOB
+                unit += 1
+        return sc.finish()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        sc = _Scan(set(tids), set(tids))
+        astats = sc.ac_stats[tids[ci]]
+        nbw, nbh = comp_grid(ci)
+        unit = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                sc.restart_if_due(unit)
+                if restart_interval:
+                    astats = sc.ac_stats[tids[ci]]
+                zz = blocks[ci][by, bx]
+                t_of = [abs(int(zz[k])) >> al for k in range(64)]
+                # kex: last position with nonzero PREVIOUS-scan history
+                kex = 0
+                for j in range(se, 0, -1):
+                    if t_of[j] >= 2:
+                        kex = j
+                        break
+                # last position with anything left to code this scan
+                last = 0
+                for j in range(se, ss - 1, -1):
+                    if t_of[j] != 0:
+                        last = j
+                        break
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if k > kex:
+                        if k > last:
+                            sc.enc.encode(astats[base], 1)  # EOB
+                            break
+                        sc.enc.encode(astats[base], 0)
+                    while True:
+                        t = t_of[k]
+                        if t >= 2:  # previously nonzero: correction bit
+                            sc.enc.encode(astats[base + 2], t & 1)
+                            break
+                        if t == 1:  # newly nonzero this scan
+                            sc.enc.encode(astats[base + 1], 1)
+                            sc.enc.encode(fixed, 1 if zz[k] < 0 else 0)
+                            break
+                        sc.enc.encode(astats[base + 1], 0)
+                        base += 3
+                        k += 1
+                    k += 1
+                unit += 1
+        return sc.finish()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    sof_body = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    )
+    for ci in range(ncomp):
+        h_i, v_i = factors[ci]
+        sof_body += bytes([ci + 1, (h_i << 4) | v_i, 0])
+    out += seg(0xCA, sof_body)
+    dac_body = b""
+    for t in sorted(set(tids)):
+        dac_body += bytes([t, (cond[1] << 4) | cond[0]])
+        dac_body += bytes([0x10 | t, kx])
+    out += seg(0xCC, dac_body)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    out += sos_header(list(range(ncomp)), 0, 0, 0, dc_al)
+    out += dc_scan(dc_al, refine=False)
+    for a in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(ncomp)), 0, 0, a + 1, a)
+        out += dc_scan(a, refine=True)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, ac_al)
+            out += ac_first_scan(ci, ss, se, ac_al)
+    for a in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([ci], ss, se, a + 1, a)
+                out += ac_refine_scan(ci, ss, se, a)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:

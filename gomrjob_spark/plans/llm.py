@@ -1620,15 +1620,18 @@ def multimodal_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
 )
 def multimodal_arith_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL arithmetic-coded JPEG decode under the oracle gate (r6
-    verdict stretch item, closed): every doc synthesizes an SOF9
-    stream — QM coder + Annex F adaptive statistics, ``doc_id % 3``
-    restart cadence so the restart resync/statistics-reset path runs
-    under the gate too — from per-8x8-block-constant grayscale, which
-    decodes BIT-EXACT at quant=1 (DC-only blocks, the
-    multimodal_compressed_pixel_stats device). Pixel values are pure
-    arithmetic in doc_id, so the DuckDB oracle recomputes all four
-    stats including the position-weighted checksum; a Qe-table,
-    conditioning, carry, stuffing, or restart bug breaks the hash."""
+    verdict stretch item, closed): even docs synthesize a SEQUENTIAL
+    SOF9 stream, odd docs a PROGRESSIVE SOF10 stream (spectral bands +
+    successive approximation replayed through the QM coder with
+    per-scan statistics), both with ``doc_id % 3`` restart cadence so
+    the restart resync/statistics-reset paths run under the gate too —
+    from per-8x8-block-constant grayscale, which decodes BIT-EXACT at
+    quant=1 (DC-only blocks, the multimodal_compressed_pixel_stats
+    device; the SOF10 script still exercises the AC band/refinement
+    machinery on the EOB decisions). Pixel values are pure arithmetic
+    in doc_id, so the DuckDB oracle recomputes all four stats including
+    the position-weighted checksum; a Qe-table, conditioning, carry,
+    stuffing, restart, or scan-script bug breaks the hash."""
     import pandas as pd  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1645,11 +1648,18 @@ def multimodal_arith_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for y in range(hpx)
                     for x in range(wpx)
                 )
-                payloads.append(
-                    multimodal.encode_jpeg_arithmetic(
-                        px, wpx, hpx, channels=1, restart_interval=d % 3
+                if d % 2 == 0:
+                    payloads.append(
+                        multimodal.encode_jpeg_arithmetic(
+                            px, wpx, hpx, channels=1, restart_interval=d % 3
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        multimodal.encode_jpeg_arith_progressive(
+                            px, wpx, hpx, channels=1, restart_interval=d % 3
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = text.spread(docs).mapInPandas(

@@ -101,13 +101,57 @@ def test_arith_jpeg_compresses_below_baseline_on_natural_content():
     assert na < nb
 
 
-def test_arith_progressive_still_raises_precisely():
-    # SOF10 (arithmetic progressive) keeps an honest contract raise
+def test_arith_lossless_still_raises_precisely():
+    # SOF11 (arithmetic lossless) keeps an honest contract raise;
+    # SOF10 (arithmetic progressive) decodes since late r7
     payload = bytearray(encode_jpeg_arithmetic(bytes(64), 8, 8, channels=1))
     i = payload.index(b"\xff\xc9")
-    payload[i + 1] = 0xCA
-    with pytest.raises(NotImplementedError, match="arithmetic progressive"):
+    payload[i + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="arithmetic lossless"):
         decode_image(bytes(payload))
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims, st.sampled_from([1, 3]), st.integers(0, 2**31 - 1),
+       st.sampled_from([0, 2]), st.integers(0, 2), st.integers(0, 2))
+def test_arith_progressive_decodes_identical_to_baseline(
+    wh, channels, seed, restart, dc_al, ac_al
+):
+    """SOF10: progressive scan scripts + QM entropy are a lossless
+    reordering — pixels must match the baseline Huffman decode exactly,
+    across SA depths, restart cadences, and spectral bands."""
+    from gomrjob_spark.operators.multimodal import encode_jpeg_arith_progressive
+
+    w, h = wh
+    rng = np.random.RandomState(seed % 2**31)
+    arr = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+    base = decode_image(
+        encode_jpeg_baseline(
+            arr.tobytes(), w, h, channels=channels, restart_interval=restart
+        )
+    )
+    got = decode_image(
+        encode_jpeg_arith_progressive(
+            arr.tobytes(), w, h, channels=channels, restart_interval=restart,
+            dc_al=dc_al, ac_al=ac_al,
+        )
+    )
+    assert got["pixels"] == base["pixels"]
+
+
+def test_arith_progressive_single_band_and_deep_approximation():
+    from gomrjob_spark.operators.multimodal import encode_jpeg_arith_progressive
+
+    rng = np.random.RandomState(21)
+    arr = rng.randint(0, 256, size=(24, 31, 1), dtype=np.uint8)
+    base = decode_image(encode_jpeg_baseline(arr.tobytes(), 31, 24, channels=1))
+    got = decode_image(
+        encode_jpeg_arith_progressive(
+            arr.tobytes(), 31, 24, channels=1,
+            dc_al=3, ac_al=3, bands=((1, 63),),
+        )
+    )
+    assert got["pixels"] == base["pixels"]
 
 
 def test_truncated_arith_stream_fails_cleanly():

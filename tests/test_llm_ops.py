@@ -1395,7 +1395,7 @@ def test_jpeg_arithmetic_raises_progressive_decodes():
     payload = bytearray(encode_jpeg_arithmetic(bytes(64), 8, 8, channels=1))
     i = payload.index(b"\xff\xc9")  # rewrite SOF9 -> SOF11 (arith. lossless)
     payload[i + 1] = 0xCB
-    with _pytest.raises(NotImplementedError, match="arithmetic progressive/lossless"):
+    with _pytest.raises(NotImplementedError, match="arithmetic lossless"):
         decode_image(bytes(payload))
 
 
