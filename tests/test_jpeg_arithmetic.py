@@ -189,3 +189,31 @@ def test_qm_adaptation_approaches_entropy(p, seed):
     # a broken transition graph costs far more (measured: shuffling
     # NMPS pointers pushes 0.9 from ~0.50 to >0.75 bits/sym)
     assert nbits / n <= hp * 1.10 + 0.02, (p, nbits / n, hp)
+
+
+def test_arith_progressive_420_subsampling_matches_baseline():
+    from gomrjob_spark.operators.multimodal import encode_jpeg_arith_progressive
+
+    rng = np.random.RandomState(31)
+    arr = rng.randint(0, 256, size=(34, 46, 3), dtype=np.uint8)
+    kw = dict(channels=3, subsampling=(2, 2), restart_interval=2)
+    base = decode_image(encode_jpeg_baseline(arr.tobytes(), 46, 34, **kw))
+    got = decode_image(
+        encode_jpeg_arith_progressive(
+            arr.tobytes(), 46, 34, dc_al=2, ac_al=1, **kw
+        )
+    )
+    assert got["pixels"] == base["pixels"]
+
+
+def test_truncated_arith_progressive_fails_cleanly():
+    from gomrjob_spark.operators.multimodal import encode_jpeg_arith_progressive
+
+    payload = encode_jpeg_arith_progressive(
+        np.random.RandomState(9).randint(0, 256, 24 * 24, dtype=np.uint8).tobytes(),
+        24, 24, channels=1, restart_interval=1,
+    )
+    # cut inside the first scan's restart cadence
+    cut = payload[: payload.index(b"\xff\xd0") + 1]
+    with pytest.raises(ValueError):
+        decode_image(cut)
