@@ -1013,3 +1013,130 @@ def ngram_perplexity(
             F.expr("(1000 * total_bits) DIV n_bigrams").cast("bigint"),
         )
     )
+
+
+def trigram_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_bits: int = 4,
+    oov_bits: int = 8,
+) -> DataFrame:
+    """Trigram LM perplexity gate — ngram_perplexity's higher-order
+    sibling (the r6 verdict named "bigram/trigram"; production KenLM
+    filters run 3-5-gram models). Same exact-integer surprisal ladder,
+    one more backoff level:
+
+      seen trigram:    bits = bitlen(c2(w1,w2) DIV c3(w1,w2,w3))
+      bigram backoff:  bits = bitlen(c1(w2) DIV c2(w2,w3)) + backoff
+      unigram backoff: bits = bitlen(T DIV c1(w3)) + 2*backoff
+      OOV:             bits = bitlen(T) + oov_bits
+
+    Documents need >= 3 tokens (>= 1 trigram) to be scored. Scale
+    shape: three training partial-aggs on the reference slice; the
+    context counts fold into the model tables VOCAB-side (c2(w1,w2)
+    onto the trigram table, c1(w2) onto the bigram table), so the
+    corpus-sized triple stream pays exactly three key shuffles (the
+    trigram, backoff-bigram, and unigram joins) plus the per-doc
+    aggregate. Same hash-gate-exact bit-length arithmetic as the
+    bigram gate."""
+    def _toks(df):
+        return spread(df).select(
+            F.col(id_col),
+            F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
+                "_toks"
+            ),
+        )
+
+    def _triples(staged):
+        idx = F.when(
+            F.size("_toks") >= 3, F.sequence(F.lit(1), F.size("_toks") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return staged.select(
+            F.col(id_col), "_toks", F.explode(idx).alias("_i")
+        ).select(
+            F.col(id_col),
+            F.element_at("_toks", F.col("_i")).alias("w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+            F.element_at("_toks", F.col("_i") + 2).alias("w3"),
+        )
+
+    def _pairs(staged):
+        idx = F.when(
+            F.size("_toks") >= 2, F.sequence(F.lit(1), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return staged.select(
+            F.col(id_col), "_toks", F.explode(idx).alias("_i")
+        ).select(
+            F.element_at("_toks", F.col("_i")).alias("wa"),
+            F.element_at("_toks", F.col("_i") + 1).alias("wb"),
+        )
+
+    tr = _toks(train)
+    uni = (
+        tr.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    total = uni.agg(F.sum("_c1").alias("_t"))
+    bi = (
+        _pairs(tr)
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    tri = (
+        _triples(tr)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c3"))
+        # vocab-side fold: the trigram's CONTEXT count c2(w1,w2)
+        .join(
+            bi.select(
+                F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                F.col("_c2").alias("_c2ctx"),
+            ),
+            ["w1", "w2"],
+        )
+    )
+    bi_backoff = bi.select(
+        F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+        F.col("_c2").alias("_c2bo"),
+    ).join(
+        uni.select(F.col("w").alias("w2"), F.col("_c1").alias("_c1ctx")), "w2"
+    )
+    scored = (
+        _triples(_toks(docs))
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi_backoff, ["w2", "w3"], "left")
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("_c1").alias("_c1w3")),
+            "w3",
+            "left",
+        )
+        .join(F.broadcast(total))
+    )
+    bitlen = lambda e: F.length(F.conv(F.expr(e).cast("string"), 10, 2))  # noqa: E731
+    bits = (
+        F.when(F.col("_c3").isNotNull(), bitlen("_c2ctx DIV _c3"))
+        .when(
+            F.col("_c2bo").isNotNull(),
+            bitlen("_c1ctx DIV _c2bo") + F.lit(backoff_bits),
+        )
+        .when(
+            F.col("_c1w3").isNotNull(),
+            bitlen("_t DIV _c1w3") + F.lit(2 * backoff_bits),
+        )
+        .otherwise(bitlen("_t") + F.lit(oov_bits))
+    )
+    return (
+        scored.select(F.col(id_col), bits.cast("bigint").alias("_bits"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("_bits").cast("bigint").alias("total_bits"),
+        )
+        .withColumn(
+            "mbits_per_trigram",
+            F.expr("(1000 * total_bits) DIV n_trigrams").cast("bigint"),
+        )
+    )

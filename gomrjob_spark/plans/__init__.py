@@ -37,6 +37,8 @@ _VERIFY_FIRST = [
     "mixture_bpe_weights",
     # NEW r7: bigram LM perplexity gate (fixed-point log-prob)
     "text_ngram_perplexity",
+    # NEW r7: trigram LM gate (3-level exact backoff ladder)
+    "text_trigram_perplexity",
     # NEW r7: embedding-level decontamination (LSH bucket + cosine verify)
     "decontaminate_semantic",
     # NEW r7: arithmetic-coded JPEG (SOF9 QM coder) real decode

@@ -3560,6 +3560,69 @@ def text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_trigram_perplexity",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, w FROM norm WHERE doc_id % 5 = 0),
+    uni AS (
+      SELECT t.w[i] AS tok, count(*) AS c1
+      FROM tr t, unnest(generate_series(1, len(t.w))) s(i)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+    bi AS (
+      SELECT t.w[i] AS wa, t.w[i+1] AS wb, count(*) AS c2
+      FROM tr t, unnest(generate_series(1, len(t.w) - 1)) s(i)
+      GROUP BY 1, 2
+    ),
+    tg AS (
+      SELECT t.w[i] AS w1, t.w[i+1] AS w2, t.w[i+2] AS w3, count(*) AS c3
+      FROM tr t, unnest(generate_series(1, len(t.w) - 2)) s(i)
+      GROUP BY 1, 2, 3
+    ),
+    prs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+      FROM norm, unnest(generate_series(1, len(w) - 2)) s(i)
+    ),
+    sc AS (
+      SELECT p.doc_id,
+             CASE WHEN t3.c3 IS NOT NULL THEN length(bin(bctx.c2 // t3.c3))
+                  WHEN b2.c2 IS NOT NULL THEN length(bin(u2.c1 // b2.c2)) + 4
+                  WHEN u3.c1 IS NOT NULL THEN length(bin(tt.t // u3.c1)) + 8
+                  ELSE length(bin(tt.t)) + 8 END AS bits
+      FROM prs p
+      LEFT JOIN tg t3 ON t3.w1 = p.w1 AND t3.w2 = p.w2 AND t3.w3 = p.w3
+      LEFT JOIN bi bctx ON bctx.wa = p.w1 AND bctx.wb = p.w2
+      LEFT JOIN bi b2 ON b2.wa = p.w2 AND b2.wb = p.w3
+      LEFT JOIN uni u2 ON u2.tok = p.w2
+      LEFT JOIN uni u3 ON u3.tok = p.w3, tot tt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mbits_per_trigram
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM perplexity gate (operators.text.trigram_perplexity) —
+    the higher-order half of the r6 verdict's "bigram/trigram" ask
+    (production KenLM filters run 3-5-gram models; trigram context
+    sharpens the separation between fluent text and locally-plausible
+    n-gram soup the bigram gate scores alike). Three-level exact
+    backoff ladder (trigram -> bigram +4 bits -> unigram +8 bits ->
+    OOV), every surprisal a bit-length of integer count ratios, so the
+    full model evaluation hash-matches. Context counts fold into the
+    model tables vocab-side, so the corpus triple stream pays exactly
+    three key shuffles plus the per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.trigram_perplexity(docs, train).orderBy("doc_id")
+
+
+@query(
     "dedup_title_edit1",
     oracle=f"""
     WITH t AS (

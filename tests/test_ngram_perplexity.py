@@ -77,3 +77,37 @@ def test_short_docs_drop_out(spark):
     )
     got = {r["doc_id"] for r in ngram_perplexity(docs, train).collect()}
     assert got == {4}
+
+
+def test_trigram_natural_scores_below_shuffled(spark):
+    from gomrjob_spark.operators.text import trigram_perplexity
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=_natural(i)) for i in range(10)]
+    )
+    score_rows = [Row(doc_id=100 + i, text=_natural(20 + i)) for i in range(5)]
+    score_rows += [Row(doc_id=200 + i, text=_shuffled(20 + i)) for i in range(5)]
+    docs = spark.createDataFrame(score_rows)
+    out = {
+        r["doc_id"]: r["mbits_per_trigram"]
+        for r in trigram_perplexity(docs, train).collect()
+    }
+    nat = [out[100 + i] for i in range(5)]
+    shuf = [out[200 + i] for i in range(5)]
+    assert min(shuf) > max(nat), (nat, shuf)
+    # trigram context separates at least as sharply as the bigram gate
+    assert sum(shuf) / len(shuf) > 1.5 * (sum(nat) / len(nat))
+
+
+def test_trigram_short_docs_drop_out(spark):
+    from gomrjob_spark.operators.text import trigram_perplexity
+
+    train = spark.createDataFrame([Row(doc_id=0, text=_natural(0))])
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two"),
+            Row(doc_id=2, text="the quick brown fox"),
+        ]
+    )
+    got = {r["doc_id"] for r in trigram_perplexity(docs, train).collect()}
+    assert got == {2}

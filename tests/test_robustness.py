@@ -59,6 +59,7 @@ MIN_ROWS = {
     "split_cluster_aware": 50,
     "pack_efficiency_report": 2,
     "timeseries_ewma": 10,  # one row per user; sf0.001 has ~15 users
+    "text_trigram_perplexity": 50,
 }
 
 
