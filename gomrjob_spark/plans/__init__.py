@@ -22,78 +22,25 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 7): NEW r7 queries first (their first shot at a driver
-# row), then the 18 late-r6 queries that were registered after the r6
-# window filled and have NEVER had a driver CORRECTNESS row (r6 verdict
-# item #1 — they pass the local parity suite, but the driver's hash row
-# is the hard signal), then the LONGEST-UNVERIFIED backfill (last green
-# row r01-r02).
+# Tier 1 (round 8): NEW r8 queries first (their first shot at a driver
+# row), then ALL 19 debt queries — every query whose newest green
+# driver row is r01-r02 (the r7 verdict item #2 "zero the debt" list:
+# 7 named + the 12-name r7 _BACKFILL) — then the longest-proven
+# rotation (last green row r03-r04, plus the 4 oldest r05 heads) to
+# fill the 50-slot window.
 _VERIFY_FIRST = [
-    # NEW r7: BPE apply — corpus encoded with the trained merge table
-    "text_bpe_encode",
-    # NEW r7: token packing driven by REAL BPE counts (not regex proxy)
-    "pack_bpe_batches",
-    # NEW r7: mixture weights on REAL BPE token budgets
-    "mixture_bpe_weights",
-    # NEW r7: bigram LM perplexity gate (fixed-point log-prob)
-    "text_ngram_perplexity",
-    # NEW r7: trigram LM gate (3-level exact backoff ladder)
-    "text_trigram_perplexity",
-    # NEW r7: embedding-level decontamination (LSH bucket + cosine verify)
-    "decontaminate_semantic",
-    # NEW r7: arithmetic-coded JPEG (SOF9 QM coder) real decode
-    "multimodal_arith_pixel_stats",
-    # NEW r7: contrastive hard-negative mining (different-label top-k)
-    "embedding_hard_negatives",
-    # NEW r7: near-dup-leakage-proof train/val/test split
-    "split_cluster_aware",
-    # NEW r7: per-shard batch-utilization (padding waste) report
-    "pack_efficiency_report",
-    # NEW r7: exact fixed-point EWMA (recursive smoother under the gate)
-    "timeseries_ewma",
-    # late r6, never driver-proven (registered after the 50-slot window
-    # filled; r6 verdict item #1 lists these 18 by name)
-    "profile_key_skew",
-    "graph_link_prediction",
-    "embedding_dim_stats",
-    "text_readability",
-    "dedup_impact_report",
-    "sample_weighted_per_source",
-    "dedup_best_quality_survivors",
-    "corpus_composition_report",
-    "set_ops_all",
-    "timeseries_mom_change",
-    "revenue_share_hierarchy",
-    "dataset_diff",
-    "cohort_retention",
-    "event_transitions",
-    "timeseries_cusum_drift",
-    "timeseries_autocorr",
-    "burst_detection",
-    "rolling_active_users",
-    # longest-unverified backfill (last proven r01): the r6 rotation
-    # re-proved agg_* .. join_anti; these are the next-oldest in line
-    "join_argmax",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range",
-    "join_semi",
-    "knn_bruteforce",
-    "mr_field_count",
-    "mr_multistep",
-    "mr_python_reducer",
-    "mr_sum_reducer",
-    "multimodal_features",
-    "multimodal_metadata",
-    "pivot_event_types",
-    "pivot_unpivot_roundtrip",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "scalar_array_map",
-    "scalar_date",
-    "scalar_json",
+    # NEW r8: SemDeDup-style semantic diversity dedup (k-means cells +
+    # within-cell cosine survivorship)
+    "dedup_semantic_diversity",
+    # NEW r8: unigram-LM (SentencePiece-style) tokenizer EM training
+    "text_unigram_lm_train",
+    # NEW r8: Viterbi encode against the trained unigram vocab
+    "text_unigram_encode",
+    # NEW r8: paragraph-grain containment dedup with doc-level rollup
+    "dedup_paragraph_containment",
+    # NEW r8 stretch: arithmetic LOSSLESS JPEG (SOF11) real decode
+    "multimodal_lossless_pixel_stats",
+    # debt: last driver-proven r01 (r7 verdict item #2)
     "scalar_math",
     "scalar_string",
     "set_ops",
@@ -101,25 +48,67 @@ _VERIFY_FIRST = [
     "text_lang_id",
     "text_quality",
     "text_token_stats",
-]
-
-# next-oldest queries: first in line after the window above, and the
-# head of the r08 rotation. Debt ledger (r6 verdict item #7): 40
-# r01-r02 queries awaited re-proof entering r7; 28 rotate through the
-# r7 window above, leaving these 12 for r8.
-_BACKFILL = [
     "top_n_global",
     "udtf_sentences",
     "window_lag_lead",
     "window_rank_ntile",
     "window_running_total",
     "window_topk_per_group",
+    # debt: last driver-proven r02
     "funnel_conversion",
     "multimodal_audio_headers",
     "multimodal_resize",
     "sample_hash_split",
     "text_stopword_strip",
     "udaf_weighted_avg",
+    # longest-proven rotation: last green row r03
+    "pack_token_batches",
+    "agg_quantile_exact",
+    "multimodal_audio_samples",
+    "sample_stratified",
+    "embedding_centroids",
+    "quality_percentile_filter",
+    "streaming_mr_sum",
+    "dedup_incremental",
+    "select_token_budget",
+    "cap_per_source",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "corpus_curation_pipeline",
+    "dedup_repeated_chunks",
+    "corpus_vocab_topk",
+    # last green row r04
+    "dedup_ngram_jaccard",
+    "window_range_frame",
+    "text_chunks",
+    "join_asof_forward",
+    "decontaminate_ngrams",
+    "streaming_incremental_dedup",
+    "mix_weights_equal_tokens",
+    # oldest r05 heads (fills the window to 50)
+    "dedup_embedding_cosine",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+]
+
+# next-oldest queries: first in line after the window above, and the
+# head of the r09 rotation (last green row r05). Debt ledger: ZERO
+# r01-r02 queries remain after the r8 window above — from r9 onward the
+# invariant is "every registered query driver-green <= 3 rounds old".
+_BACKFILL = [
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "join_asof",
+    "join_band_time",
+    "sessionize_windows",
+    "timeseries_rollup",
 ]
 
 

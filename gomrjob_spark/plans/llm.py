@@ -4481,3 +4481,126 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------ SemDeDup (round 8)
+
+
+def _kmeans_round_sql(prev: str, assign: str, nxt: str) -> str:
+    """One Lloyd round as chained MATERIALIZED CTEs: argmax-cosine
+    assignment (ties to the lower cell — mirrors ivf_assign's
+    (negsim, cell) array_sort) and the fixed-point 2^20-quantized
+    integer mean (the embedding_centroids oracle form, bit-identical
+    to similarity.centroid_sums); cells that lose every member keep
+    the previous centroid (the trainer's per-component update touches
+    only cells present in the round's accumulator)."""
+    return f"""
+    {assign} AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+                 AS rn
+        FROM e CROSS JOIN {prev} c) s
+      WHERE rn = 1
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(m.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN (
+        SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
+          SELECT cell, pos,
+                 CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576)
+                   AS comp
+          FROM (
+            SELECT a.cell,
+                   CAST(generate_subscripts(a.v, 1) - 1 AS INT) AS pos,
+                   CAST(floor(unnest(a.v) * 1048576) AS BIGINT) AS qv
+            FROM {assign} a) q
+          GROUP BY cell, pos) g
+        GROUP BY cell) m ON m.cell = p.cell
+    )"""
+
+
+@query(
+    "dedup_semantic_diversity",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_ID_OFFSET},
+             list_transform(embedding::DOUBLE[],
+               (x, i) -> CASE WHEN i = {_TWIN_FLIP_COORD} THEN -x ELSE x END)
+      FROM embeddings
+    ),
+    par AS MATERIALIZED (SELECT GREATEST(8, count(*) // 128) AS k FROM e),
+    c0 AS MATERIALIZED (
+      SELECT CAST(rn AS INT) AS cell, v AS centroid FROM (
+        SELECT v, row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e) s
+      WHERE rn <= (SELECT k FROM par)
+    ),
+    {_kmeans_round_sql("c0", "a1", "c1")},
+    {_kmeans_round_sql("c1", "a2", "c2")},
+    af AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+                 AS rn
+        FROM e CROSS JOIN c2 c) s
+      WHERE rn = 1
+    ),
+    drp AS MATERIALIZED (
+      SELECT DISTINCT b.vec_id
+      FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+    FROM af a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM drp)
+    ORDER BY a.vec_id
+    """,
+)
+def dedup_semantic_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the r7 verdict's
+    item #3): k-means the embedding space, then drop near-duplicates
+    WITHIN each cluster cell at cosine >= 0.95, keeping the lowest id —
+    the semantic-redundancy curation step no lexical dedup can see.
+
+    The ENTIRE trained pipeline sits under the full hash gate — seeds
+    (md5-ordered, engine-portable: similarity.kmeans_seeds_md5), two
+    Lloyd rounds (cosine argmax + fixed-point integer means, both
+    bit-identical across engines), final cell assignment, and the
+    within-cell survivorship — upgrading the knn_ivf_kmeans rows-only
+    precedent as the verdict suggested. k derives from count(*) on both
+    sides (GREATEST(8, n DIV 128)) so the gate holds at every scale
+    factor. The corpus carries the deterministic sign-flip twins
+    (cosine ~0.97; ~22% legitimately below threshold) because organic
+    fixture pairs top out near 0.5 — without them a 0.95 dedup is
+    vacuously green.
+
+    Plan: assignment is scan-local against the model-sized quantizer
+    (the corpus is never shuffled by the model); within-cell pairs come
+    from a cell-keyed equi self-join (no cross product — the cell
+    scoping IS the paper's scale device: with target cell size held
+    constant, pair volume is ~n*128/2, linear), then one broadcast
+    anti-join keeps survivors. Returns (vec_id, cell) so the hash gate
+    also pins the CLUSTERING, not just the drop set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_TWIN_ID_OFFSET)).alias("vec_id"),
+            flipped.alias("embedding"),
+        )
+    )
+    surv = similarity.semantic_diversity_survivors(
+        corpus, threshold=0.95, target_cell=128, min_cells=8, n_iters=2
+    )
+    return surv.select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    ).orderBy("vec_id")

@@ -160,6 +160,10 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "mixture_bpe_weights",      # same
         "text_ngram_perplexity",    # 1-row token-grand-total broadcast
                                     # (the pmi_collocations class)
+        "text_trigram_perplexity",  # same 1-row token-grand-total
+                                    # broadcast (operators/text.py total
+                                    # agg); identical class to the
+                                    # bigram gate one entry up
         "embedding_hard_negatives", # |Q|=10 broadcast x corpus scan —
                                     # the knn_bruteforce class, by design
         "feature_decile_stats",     # 1-row total-count broadcast

@@ -1,0 +1,98 @@
+"""SemDeDup (dedup_semantic_diversity) unit gates: deterministic
+md5-seeded k-means, within-cell survivorship semantics, and the
+cell-scoped plan shape. The full DuckDB hash gate runs in
+test_oracle_parity; these pin the operator-level contracts the gate
+can't articulate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gomrjob_spark.operators import similarity
+
+
+def _toy_corpus(spark, n=64, dim=8, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)
+    ]
+    # append exact-scaled twins of the first 8 vectors (cosine == 1.0
+    # to their source up to rounding: scaling by 2 is IEEE-exact)
+    rows += [(1000 + i, [2.0 * x for x in rows[i][1]]) for i in range(8)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_seeds_are_md5_ordered_and_numbered(spark):
+    corpus = _toy_corpus(spark)
+    seeds = similarity.kmeans_seeds_md5(corpus, 5).collect()
+    assert [r["cell"] for r in seeds] == [1, 2, 3, 4, 5]
+    expect = [
+        r["vec_id"]
+        for r in corpus.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(5)
+        .collect()
+    ]
+    got_vecs = {tuple(r["centroid"]) for r in seeds}
+    src = {
+        tuple(float(x) for x in r["embedding"])
+        for r in corpus.filter(F.col("vec_id").isin(expect)).collect()
+    }
+    assert got_vecs == src
+
+
+def test_exact_twins_dropped_lowest_id_survives(spark):
+    corpus = _toy_corpus(spark)
+    surv = similarity.semantic_diversity_survivors(
+        corpus, threshold=0.999, target_cell=16, min_cells=4, n_iters=2
+    )
+    kept = {r["vec_id"] for r in surv.collect()}
+    # a scaled twin has cosine 1.0 to its source: same argmax cell by
+    # construction (identical score vector), so the higher id drops
+    for i in range(8):
+        assert i in kept, f"source {i} must survive"
+        assert 1000 + i not in kept, f"twin {1000 + i} must drop"
+
+
+def test_survivors_deterministic_rerun(spark):
+    corpus = _toy_corpus(spark)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.semantic_diversity_survivors(
+            corpus, threshold=0.9, target_cell=16, min_cells=4
+        ).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.semantic_diversity_survivors(
+            corpus, threshold=0.9, target_cell=16, min_cells=4
+        ).collect()
+    )
+    assert a == b
+
+
+def test_cells_cover_1_to_k_and_survivor_plan_is_equi_joined(spark):
+    corpus = _toy_corpus(spark)
+    surv = similarity.semantic_diversity_survivors(
+        corpus, threshold=0.999, target_cell=16, min_cells=4
+    )
+    rows = surv.collect()
+    cells = {r["cell"] for r in rows}
+    assert cells <= set(range(1, 5)), cells
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the pair stage must be the cell-keyed equi join, never a product
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_1_drops_nothing_but_exact_rays(spark):
+    corpus = _toy_corpus(spark).filter(F.col("vec_id") < 1000)
+    surv = similarity.semantic_diversity_survivors(
+        corpus, threshold=0.9999999, target_cell=16, min_cells=4
+    )
+    assert surv.count() == 64
