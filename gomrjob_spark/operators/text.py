@@ -1140,3 +1140,282 @@ def trigram_perplexity(
             F.expr("(1000 * total_bits) DIV n_trigrams").cast("bigint"),
         )
     )
+
+
+# ------------------------------------------------ unigram LM tokenizer
+# SentencePiece-style unigram language-model tokenizer (Kudo 2018,
+# arXiv:1804.10959) — the OTHER production tokenizer family next to
+# BPE: a vocabulary of substring pieces with unigram log-probs,
+# segmentation by Viterbi (min total surprisal), trained by EM over
+# the corpus. Everything here is exact integer arithmetic (piece cost
+# = bit length of a count ratio — the ngram_perplexity trick), so the
+# trained vocabulary AND every segmentation sit under the full DuckDB
+# hash gate; the oracle replays the same EM rounds with a recursive-CTE
+# Viterbi.
+
+#: Viterbi candidate window == longest vocabulary piece considered.
+UNIGRAM_MAX_PIECE = 4
+
+
+def _viterbi_struct(w, vm, oov, max_piece_len: int):
+    """Row-local Viterbi over one word against a broadcast piece-cost
+    map: struct(bits, seg). dp is a left fold over character positions
+    j = 1..len(w); the accumulator carries the dp bit table AND the
+    best segmentation per prefix (word-length arrays — words are
+    short; documents never fold through this). Candidate pieces are
+    the <= max_piece_len suffixes ending at j; cost is the map's
+    integer bits, with the ``oov`` penalty for single UNSEEN chars
+    (k=1 always yields a candidate, so dp never dead-ends). Ties pick
+    the LONGEST piece (array_max over the argmin set) — deterministic
+    and mirrored literally by the oracle's recursive CTE."""
+    init = F.struct(
+        F.array(F.lit(0).cast("bigint")).alias("bs"),
+        F.array(F.array().cast("array<string>")).alias("sg"),
+    )
+
+    def step(acc, j):
+        ks = F.sequence(F.lit(1), F.least(F.lit(max_piece_len), j))
+        cands = F.transform(
+            ks,
+            lambda k: F.struct(
+                (
+                    F.element_at(acc["bs"], (j - k + 1).cast("int"))
+                    + F.coalesce(
+                        F.try_element_at(vm, F.substr(w, j - k + 1, k)),
+                        F.when(k == 1, oov),
+                    )
+                ).alias("b"),
+                k.alias("k"),
+            ),
+        )
+        valid = F.filter(cands, lambda c: c["b"].isNotNull())
+        minb = F.array_min(F.transform(valid, lambda c: c["b"]))
+        bk = F.array_max(
+            F.transform(
+                F.filter(valid, lambda c: c["b"] == minb), lambda c: c["k"]
+            )
+        )
+        piece = F.substr(w, j - bk + 1, bk)
+        seg = F.concat(
+            F.element_at(acc["sg"], (j - bk + 1).cast("int")), F.array(piece)
+        )
+        return F.struct(
+            F.concat(acc["bs"], F.array(minb)).alias("bs"),
+            F.concat(acc["sg"], F.array(seg)).alias("sg"),
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+    return F.struct(
+        F.element_at(folded["bs"], -1).alias("bits"),
+        F.element_at(folded["sg"], -1).alias("seg"),
+    )
+
+
+
+
+def _bitlen(c):
+    return F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+
+
+def _idiv(a, b):
+    """Exact integer division as column arithmetic usable INSIDE a
+    higher-order-function lambda (F.expr strings can't reference lambda
+    variables): (a - a % b) / b is an exact double division (the
+    numerator is an exact multiple), cast back to bigint."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+def _unigram_vocab_row(vocab: DataFrame, oov_bits: int):
+    """Collapse a (piece, q) count frame to the ONE-ROW broadcast the
+    Viterbi fold reads: ``_vm`` piece -> cost_bits map (cost =
+    bitlen(T DIV q), T = sum of counts) and ``_oov`` = bitlen(T) +
+    oov_bits for single unseen characters. The vocabulary is a MODEL:
+    one row, no driver read, vocabulary-invariant codegen (the
+    bpe_apply lesson — a 50k-piece production vocab compiles to the
+    same plan as the toy one)."""
+    return (
+        vocab.groupBy()
+        .agg(
+            F.collect_list(F.struct("piece", "q")).alias("_es"),
+            F.sum("q").cast("bigint").alias("_t"),
+        )
+        .select(
+            F.map_from_entries(
+                F.transform(
+                    "_es",
+                    lambda e: F.struct(
+                        e["piece"].alias("key"),
+                        _bitlen(_idiv(F.col("_t"), e["q"])).alias("value"),
+                    ),
+                )
+            ).alias("_vm"),
+            (_bitlen(F.col("_t")) + F.lit(oov_bits)).cast("bigint").alias("_oov"),
+        )
+    )
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, wn) distinct whitespace words with occurrence counts over the
+    normalized corpus — the unit of unigram-LM work: each DISTINCT word
+    is Viterbi-segmented once per round and its pieces weighted by wn
+    (a 100 TB corpus has a bounded distinct-word set; this is the
+    standard SentencePiece efficiency shape)."""
+    return (
+        spread(docs)
+        .select(
+            F.explode(
+                F.filter(tokens(normalized(text_col)), lambda x: x != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+    )
+
+
+def unigram_lm_train(
+    train: DataFrame,
+    n_rounds: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+    seed_min: int = 4,
+    prune_min: int = 4,
+    text_col: str = "text",
+    oov_bits: int = 8,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training: seed the
+    vocabulary with frequent substrings, then ``n_rounds`` of hard-EM —
+    E: Viterbi-segment every distinct word against the current piece
+    costs (row-local nested fold over a 1-row broadcast vocab map);
+    M: one partial-agg shuffle of frequency-weighted piece counts,
+    pruning pieces under ``prune_min`` (single characters are never
+    pruned, so segmentation always exists). Returns the trained
+    vocabulary (piece, n, cost_bits) — exact integer costs
+    (bitlen(T DIV n)), so the whole trajectory is engine-reproducible
+    under the hash gate.
+
+    Scale shape per round: the corpus-sized work was paid ONCE in
+    :func:`_word_freqs` (the distinct-word frame is persisted); each
+    EM round is |distinct words| row-local folds + one (piece) key
+    shuffle; the vocabulary crosses as a 1-row broadcast (the
+    bpe_train_merges loop shape — remember the BNLJ allowlist)."""
+    wf = scoped_persist(_word_freqs(train, text_col))
+    # seed counts: every substring of length 1..max_piece_len (all
+    # positions, overlapping), weighted by word frequency
+    sub = (
+        wf.select(
+            "w",
+            "wn",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.length("w")))
+            ).alias("_k"),
+        )
+        .select(
+            "w",
+            "wn",
+            "_k",
+            F.explode(F.sequence(F.lit(1), F.length("w") - F.col("_k") + 1)).alias(
+                "_i"
+            ),
+        )
+        .select(F.substr("w", F.col("_i"), F.col("_k")).alias("piece"), "wn")
+        .groupBy("piece")
+        .agg(F.sum("wn").cast("bigint").alias("q"))
+    )
+    vocab = scoped_persist(
+        sub.filter((F.col("q") >= seed_min) | (F.length("piece") == 1))
+    )
+    # the seed's single characters: kept forever (coverage guarantee)
+    chars = scoped_persist(vocab.filter(F.length("piece") == 1).select("piece"))
+    for _ in range(n_rounds):
+        vrow = _unigram_vocab_row(vocab, oov_bits)
+        seg = wf.join(F.broadcast(vrow)).select(
+            "wn",
+            _viterbi_struct(F.col("w"), F.col("_vm"), F.col("_oov"), max_piece_len)[
+                "seg"
+            ].alias("_seg"),
+        )
+        counts = (
+            seg.select(F.explode("_seg").alias("piece"), "wn")
+            .groupBy("piece")
+            .agg(F.sum("wn").cast("bigint").alias("q"))
+        )
+        multi = counts.filter(
+            (F.length("piece") > 1) & (F.col("q") >= prune_min)
+        ).select("piece", "q")
+        kept_chars = chars.join(counts, "piece", "left").select(
+            "piece", F.greatest(F.coalesce(F.col("q"), F.lit(0)), F.lit(1)).cast(
+                "bigint"
+            ).alias("q")
+        )
+        vocab = scoped_persist(multi.unionByName(kept_chars))
+    # published cost: bitlen(T DIV n) under the FINAL counts (1-row
+    # total broadcast — the ngram_perplexity allowlist class), so the
+    # returned table is self-contained for unigram_encode
+    return vocab.join(
+        F.broadcast(vocab.agg(F.sum("q").cast("bigint").alias("_t")))
+    ).select(
+        "piece",
+        F.col("q").cast("bigint").alias("n"),
+        _bitlen(F.expr("_t DIV q")).alias("cost_bits"),
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+    oov_bits: int = 8,
+) -> DataFrame:
+    """Viterbi-encode the corpus with a TRAINED unigram vocabulary
+    (piece, n, ...) — the inference half of the tokenizer loop.
+    Returns (id, n_pieces, total_bits, mbits_per_piece, pieces_str):
+    per document, the piece count, total integer surprisal, fixed-point
+    bits/piece, and the full space-joined segmentation (so the hash
+    gate pins every segment boundary, not just totals). Documents with
+    zero tokens drop out (nothing to encode).
+
+    Scale shape: ONE row-local pass — the vocab map is a 1-row
+    broadcast; the outer transform walks the token array and the inner
+    Viterbi fold segments each token (nested HOF lambdas — the
+    bpe_apply capability); one per-doc projection, no shuffle beyond
+    the scan, no driver read, vocabulary-invariant generated code."""
+    vrow = _unigram_vocab_row(
+        vocab.select("piece", F.col("n").cast("bigint").alias("q")), oov_bits
+    )
+    toked = spread(docs).select(
+        F.col(id_col),
+        F.filter(tokens(normalized(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    segd = (
+        toked.filter(F.size("_toks") >= 1)
+        .join(F.broadcast(vrow))
+        .select(
+            F.col(id_col),
+            F.transform(
+                "_toks",
+                lambda t: _viterbi_struct(
+                    t, F.col("_vm"), F.col("_oov"), max_piece_len
+                ),
+            ).alias("_vs"),
+        )
+    )
+    return segd.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform("_vs", lambda v: F.size(v["seg"]).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_pieces"),
+        F.aggregate(
+            F.transform("_vs", lambda v: v["bits"]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_bits"),
+        F.array_join(F.flatten(F.transform("_vs", lambda v: v["seg"])), " ").alias(
+            "pieces_str"
+        ),
+    ).withColumn(
+        "mbits_per_piece",
+        F.expr("(1000 * total_bits) DIV n_pieces").cast("bigint"),
+    )

@@ -4604,3 +4604,193 @@ def dedup_semantic_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------ unigram LM tokenizer (round 8)
+
+_UNI_L = 4          # max piece length (text.UNIGRAM_MAX_PIECE)
+_UNI_SEED_MIN = 4   # seed substring count floor
+_UNI_PRUNE_MIN = 4  # per-round piece count floor
+_UNI_OOV = 8        # OOV penalty bits
+
+
+def _uni_vm_sql(vocab_cte: str, vm: str) -> str:
+    """1-row piece->cost map + OOV penalty from a (piece, q) CTE —
+    mirrors text._unigram_vocab_row: cost = bitlen(T DIV q), oov =
+    bitlen(T) + penalty. DuckDB map extraction m[key] returns a LIST
+    (empty when absent), so lookups below read m[piece][1]."""
+    return f"""{vm} AS MATERIALIZED (
+      SELECT MAP(list(piece ORDER BY piece),
+                 list(CAST(length(bin(tt.t // q)) AS BIGINT) ORDER BY piece)) AS m,
+             CAST(length(bin(MAX(tt.t)) ) + {_UNI_OOV} AS BIGINT) AS oov
+      FROM {vocab_cte}, (SELECT CAST(sum(q) AS BIGINT) AS t FROM {vocab_cte}) tt
+    )"""
+
+
+def _uni_viterbi_sql(words_cte: str, vm: str, out: str) -> str:
+    """Recursive-CTE Viterbi mirroring text._viterbi_struct literally:
+    state = (word, position j, dp bit table, dp best-segmentation
+    table); each step appends entry j+1 = min over the <= L suffix
+    pieces (ties -> the LONGEST piece, list_max over the argmin set);
+    unseen single chars cost the OOV penalty so dp never dead-ends."""
+    return f"""{out}_dp AS (
+      SELECT w, 0 AS j, [0]::BIGINT[] AS dpb, [[]]::VARCHAR[][] AS dps
+      FROM {words_cte}
+      UNION ALL
+      SELECT w, j+1, list_append(dpb, minb),
+             list_append(dps, list_append(dps[j+2-bk], substr(w, j+2-bk, bk)))
+      FROM (
+        SELECT w, j, dpb, dps,
+          list_filter(list_transform(generate_series(1, LEAST({_UNI_L}, j+1)),
+            k -> struct_pack(b := dpb[j+2-k] +
+                   COALESCE(m[substr(w, j+2-k, k)][1],
+                            CASE WHEN k = 1 THEN oov END),
+                 k := k)),
+            c -> c.b IS NOT NULL) AS valid,
+          list_min(list_transform(valid, c -> c.b)) AS minb,
+          list_max(list_transform(list_filter(valid, c -> c.b = minb),
+                   c -> c.k)) AS bk
+        FROM {out}_dp, {vm} WHERE j < length(w)
+      ) stp
+    ),
+    {out} AS MATERIALIZED (
+      SELECT w, dpb[length(w)+1] AS bits, dps[length(w)+1] AS seg
+      FROM {out}_dp WHERE j = length(w)
+    )"""
+
+
+def _uni_round_sql(r: int, prev_vocab: str) -> str:
+    """One hard-EM round: price the previous vocab, Viterbi-segment the
+    distinct train words, count frequency-weighted pieces, prune multis
+    under the floor, keep every seed char (count floored at 1)."""
+    return f"""{_uni_vm_sql(prev_vocab, f"vm{r}")},
+    {_uni_viterbi_sql("wrds", f"vm{r}", f"vit{r}")},
+    cnt{r} AS MATERIALIZED (
+      SELECT piece, CAST(sum(wn) AS BIGINT) AS q FROM (
+        SELECT unnest(v.seg) AS piece, wr.wn
+        FROM vit{r} v JOIN wrds wr USING (w)) u
+      GROUP BY piece
+    ),
+    voc{r} AS MATERIALIZED (
+      SELECT piece, q FROM cnt{r}
+      WHERE length(piece) > 1 AND q >= {_UNI_PRUNE_MIN}
+      UNION ALL
+      SELECT c.piece, CAST(GREATEST(COALESCE(n.q, 0), 1) AS BIGINT) AS q
+      FROM chars c LEFT JOIN cnt{r} n USING (piece)
+    )"""
+
+
+_UNI_TRAIN_SQL = f"""
+    WITH RECURSIVE
+    wrds AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
+        SELECT unnest(list_filter(string_split({_SQL_NORM}, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 5 = 0) u
+      GROUP BY w
+    ),
+    sub AS MATERIALIZED (
+      SELECT substr(w, i, k) AS piece, CAST(sum(wn) AS BIGINT) AS q
+      FROM wrds,
+           unnest(generate_series(1, LEAST({_UNI_L}, length(w)))) sk(k),
+           unnest(generate_series(1, length(w) - k + 1)) si(i)
+      GROUP BY 1
+    ),
+    voc0 AS MATERIALIZED (
+      SELECT piece, q FROM sub WHERE q >= {_UNI_SEED_MIN} OR length(piece) = 1
+    ),
+    chars AS MATERIALIZED (SELECT piece FROM voc0 WHERE length(piece) = 1),
+    {_uni_round_sql(1, "voc0")},
+    {_uni_round_sql(2, "voc1")}
+"""
+
+
+@query(
+    "text_unigram_lm_train",
+    oracle=_UNI_TRAIN_SQL + f"""
+    SELECT v.piece, v.q AS n,
+           CAST(length(bin(t.t // v.q)) AS BIGINT) AS cost_bits
+    FROM voc2 v, (SELECT CAST(sum(q) AS BIGINT) AS t FROM voc2) t
+    ORDER BY piece
+    """,
+)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING
+    (operators.text.unigram_lm_train) — the r7 verdict's item #4 and
+    the production tokenizer family BPE doesn't cover: seed vocabulary
+    from frequent substrings (len <= 4, count >= 4, plus all single
+    chars), then two hard-EM rounds — E: Viterbi-segment every
+    distinct train word against the current integer piece costs
+    (row-local nested fold over a 1-row broadcast vocab map; ties
+    prefer the longest piece); M: one frequency-weighted piece-count
+    shuffle, pruning multi-char pieces under 4 (chars never prune, so
+    segmentation always exists). Costs are bitlen(T DIV n) — exact
+    integers, so the ENTIRE EM trajectory sits under the hash gate:
+    the oracle replays it with a recursive-CTE Viterbi whose tie rule
+    mirrors the fold literally. Trains on the doc_id%5 reference slice
+    (the perplexity-gate convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.unigram_lm_train(
+        train,
+        n_rounds=2,
+        max_piece_len=_UNI_L,
+        seed_min=_UNI_SEED_MIN,
+        prune_min=_UNI_PRUNE_MIN,
+        oov_bits=_UNI_OOV,
+    ).orderBy("piece")
+
+
+@query(
+    "text_unigram_encode",
+    oracle=_UNI_TRAIN_SQL + f""",
+    {_uni_vm_sql("voc2", "vmf")},
+    ctoks AS MATERIALIZED (
+      SELECT doc_id, i, w[i] AS tok FROM (
+        SELECT doc_id,
+               list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
+        FROM documents) d,
+        unnest(generate_series(1, len(w))) s(i)
+    ),
+    cw AS MATERIALIZED (SELECT DISTINCT tok AS w FROM ctoks),
+    {_uni_viterbi_sql("cw", "vmf", "vitf")}
+    SELECT t.doc_id,
+           CAST(sum(len(v.seg)) AS BIGINT) AS n_pieces,
+           CAST(sum(v.bits) AS BIGINT) AS total_bits,
+           string_agg(array_to_string(v.seg, ' '), ' ' ORDER BY t.i)
+             AS pieces_str,
+           CAST((1000 * sum(v.bits)) // sum(len(v.seg)) AS BIGINT)
+             AS mbits_per_piece
+    FROM ctoks t JOIN vitf v ON v.w = t.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi ENCODE of the whole corpus with the trained unigram
+    vocabulary (operators.text.unigram_encode) — the inference half of
+    the tokenizer loop, closing train -> encode exactly as
+    text_bpe_encode does for BPE. Per document: piece count, total
+    integer surprisal, fixed-point milli-bits/piece, and the FULL
+    space-joined segmentation string, so the hash gate pins every
+    segment boundary. One row-local pass: the vocab map is a 1-row
+    broadcast; an outer transform walks the token array and the inner
+    Viterbi fold segments each token (nested HOF lambdas — the
+    bpe_apply capability); vocabulary-invariant generated code. The
+    oracle segments each DISTINCT corpus token once via the recursive
+    CTE and reassembles per doc in token order."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    vocab = text.unigram_lm_train(
+        train,
+        n_rounds=2,
+        max_piece_len=_UNI_L,
+        seed_min=_UNI_SEED_MIN,
+        prune_min=_UNI_PRUNE_MIN,
+        oov_bits=_UNI_OOV,
+    )
+    return text.unigram_encode(
+        docs, vocab, max_piece_len=_UNI_L, oov_bits=_UNI_OOV
+    ).select(
+        "doc_id", "n_pieces", "total_bits", "pieces_str", "mbits_per_piece"
+    ).orderBy("doc_id")

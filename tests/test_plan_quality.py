@@ -164,6 +164,13 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # broadcast (operators/text.py total
                                     # agg); identical class to the
                                     # bigram gate one entry up
+        "text_unigram_lm_train",    # 1-row vocab-map broadcast per EM
+                                    # round + the 1-row final-total
+                                    # cost broadcast (model-sized by
+                                    # definition — the bpe_encode class)
+        "text_unigram_encode",      # same EM-round broadcasts + the
+                                    # 1-row trained-vocab map the
+                                    # encode fold reads
         "embedding_hard_negatives", # |Q|=10 broadcast x corpus scan —
                                     # the knn_bruteforce class, by design
         "feature_decile_stats",     # 1-row total-count broadcast

@@ -1,0 +1,71 @@
+"""Unigram-LM tokenizer unit gates (operators.text.unigram_lm_train /
+unigram_encode): Viterbi optimality and tie semantics, OOV coverage,
+EM pruning invariants, determinism. The full DuckDB hash gate (train
+trajectory + every segment boundary) runs in test_oracle_parity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gomrjob_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_learns_frequent_pieces_and_segments_compounds(spark):
+    docs = _docs(spark, ["the cat sat on the mat " * 3 + "catmat " * 2] * 6)
+    vocab = text.unigram_lm_train(docs, n_rounds=2, seed_min=3, prune_min=3)
+    pieces = {r["piece"] for r in vocab.collect()}
+    assert {"cat", "mat", "the"} <= pieces
+    enc = text.unigram_encode(docs, vocab).collect()
+    # "catmat" must split on the learned piece boundary
+    assert all(" cat mat" in r["pieces_str"] for r in enc)
+
+
+def test_single_chars_never_pruned_and_oov_covered(spark):
+    docs = _docs(spark, ["aaa bbb aaa bbb aaa"] * 4)
+    vocab = text.unigram_lm_train(docs, n_rounds=2, seed_min=3, prune_min=3)
+    pieces = {r["piece"] for r in vocab.collect()}
+    # chars survive even when every occurrence is swallowed by 'aaa'/'bbb'
+    assert {"a", "b"} <= pieces
+    # encoding a word with chars never seen in training must not fail:
+    # unseen chars fall back to the OOV penalty, one char per piece
+    enc = text.unigram_encode(
+        _docs(spark, ["zzq aaa"]), vocab
+    ).collect()[0]
+    assert enc["pieces_str"] == "z z q aaa"
+
+
+def test_viterbi_prefers_cheaper_total_then_longest_piece(spark):
+    # vocab hand-built: 'abcd' cheap beats any split; for equal-cost
+    # splits the LONGEST piece at each dp step must win
+    vocab = spark.createDataFrame(
+        [("abcd", 40, 2), ("ab", 10, 4), ("cd", 10, 4), ("a", 1, 8),
+         ("b", 1, 8), ("c", 1, 8), ("d", 1, 8)],
+        "piece string, n long, cost_bits long",
+    )
+    enc = text.unigram_encode(_docs(spark, ["abcd"]), vocab).collect()[0]
+    assert enc["pieces_str"] == "abcd"
+    assert enc["n_pieces"] == 1
+
+
+def test_encode_totals_are_consistent(spark):
+    docs = _docs(spark, ["the cat sat", "on the mat", None, ""])
+    vocab = text.unigram_lm_train(docs, n_rounds=1, seed_min=2, prune_min=2)
+    rows = text.unigram_encode(docs, vocab).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {0, 1}  # null/empty text drops out
+    for r in rows:
+        assert r["n_pieces"] == len(r["pieces_str"].split(" "))
+        assert r["mbits_per_piece"] == (1000 * r["total_bits"]) // r["n_pieces"]
+
+
+def test_train_deterministic_rerun(spark):
+    docs = _docs(spark, ["alpha beta gamma delta " * 2] * 5)
+    a = sorted(map(tuple, text.unigram_lm_train(docs, n_rounds=2).collect()))
+    b = sorted(map(tuple, text.unigram_lm_train(docs, n_rounds=2).collect()))
+    assert a == b
