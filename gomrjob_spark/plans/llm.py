@@ -4794,3 +4794,44 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_pieces", "total_bits", "pieces_str", "mbits_per_piece"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_paragraph_containment",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 256)) AS fp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) t(i)
+      WHERE len(text) > 0
+    ),
+    f AS (SELECT fp, min(doc_id) AS first FROM ch GROUP BY fp)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_par,
+           CAST(sum(CASE WHEN f.first < c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contained,
+           CAST((1000000 * sum(CASE WHEN f.first < c.doc_id THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS contained_ppm,
+           (1000000 * sum(CASE WHEN f.first < c.doc_id THEN 1 ELSE 0 END))
+                // count(*) < 300000 AS keep
+    FROM ch c JOIN f USING (fp)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def dedup_paragraph_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain containment dedup with doc-level rollup
+    (operators.dedup.paragraph_containment) — the r7 verdict's item #5
+    (RefinedWeb/Gopher-style): 256-char paragraph fingerprints, a
+    paragraph is contained when its fingerprint occurs in a lower-id
+    document, and a document drops when >= 30% of its paragraphs are
+    contained — the sub-document pass that catches partial boilerplate
+    doc-level MinHash misses (the fixture's near-dup docs share their
+    aligned prefix chunks, putting ~12 docs at sf0.01 over the line).
+    Exact containment under the full hash gate; ids-only streams
+    (one min-per-fingerprint partial agg + one fp join + the rollup) —
+    linear at every scale, no pair materialization anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_containment(
+        docs, size=256, drop_ppm=300_000
+    ).orderBy("doc_id")

@@ -96,3 +96,32 @@ def test_threshold_1_drops_nothing_but_exact_rays(spark):
         corpus, threshold=0.9999999, target_cell=16, min_cells=4
     )
     assert surv.count() == 64
+
+
+# ---- paragraph containment (sibling r8 dedup family) ----
+
+
+def test_paragraph_containment_semantics(spark):
+    from gomrjob_spark.operators import dedup
+
+    boiler = "B" * 256
+    fresh_a = "x" * 256
+    fresh_b = "y" * 256
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + fresh_a),          # first owner of boiler: 0 contained
+            (2, boiler + boiler + fresh_b), # 2 of 3 contained -> dropped
+            (3, fresh_b),                   # 1 of 1 contained -> dropped
+            (4, "z" * 100),                 # unique, short: kept
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_containment(docs, size=256, drop_ppm=500_000).collect()
+    }
+    assert rows[1]["n_contained"] == 0 and rows[1]["keep"]
+    assert rows[2]["n_par"] == 3 and rows[2]["n_contained"] == 2
+    assert not rows[2]["keep"]
+    assert rows[3]["contained_ppm"] == 1_000_000 and not rows[3]["keep"]
+    assert rows[4]["n_par"] == 1 and rows[4]["keep"]
