@@ -25,9 +25,11 @@ formats and the synthesis side of the oracle-gated decode queries, and
 selection + successive approximation), and ``encode_jpeg_arithmetic``
 / ``encode_jpeg_arith_progressive`` plus the SOF9/SOF10 decode paths
 implement the QM arithmetic coder (r7) — the full DCT coding matrix
-(Huffman/arithmetic x sequential/progressive). The only coding still
-raising NotImplementedError is arithmetic LOSSLESS JPEG (SOF11, a
-different compression family) — named precisely at the raise site.
+(Huffman/arithmetic x sequential/progressive). Round 8 closes the
+last cell: LOSSLESS JPEG, both Huffman (SOF3) and arithmetic (SOF11,
+Annex H predictors + the QM coder), with ``encode_jpeg_lossless`` as
+the twin. Only hierarchical/differential JPEG (a multi-frame pyramid
+mode, SOF5-7/13-15) still raises — named precisely at the raise site.
 """
 
 from __future__ import annotations
@@ -85,9 +87,10 @@ def decode_image(payload: bytes) -> dict:
       accumulation with EOB runs and correction bits (T.81 Annex G),
       dequantize, 8x8 IDCT, sampling-factor upsampling, YCbCr->RGB,
       restart markers, and arithmetic coding — sequential SOF9 and
-      progressive SOF10 (QM coder + Annex F statistics, r7).
-      Arithmetic lossless (SOF11) raises NotImplementedError — the
-      only remaining coding.
+      progressive SOF10 (QM coder + Annex F statistics, r7), plus
+      LOSSLESS SOF3/SOF11 (Annex H predictors, r8). Hierarchical
+      JPEG (SOF5-7/13-15) raises NotImplementedError — the only
+      remaining mode.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -492,8 +495,8 @@ def encode_gif(
 # spectral-selection/successive-approximation scans (T.81 Annex G),
 # dequantize/dezigzag, 8x8 IDCT (numpy matrix form), sampling-factor
 # upsampling, YCbCr->RGB. Arithmetic coding (SOF9 sequential + SOF10
-# progressive, QM coder) lives in its own sections further down (r7);
-# only arithmetic LOSSLESS (SOF11, a different compression family)
+# progressive, QM coder) lives in its own sections further down (r7),
+# lossless SOF3/SOF11 below those (r8); only hierarchical JPEG
 # raises NotImplementedError with a precise message. The constants
 # below are generated, not transcribed: the zigzag order comes from
 # the diagonal walk, the DCT basis from its closed form — no copied
@@ -643,6 +646,8 @@ def _decode_jpeg(payload: bytes) -> dict:
     ac_cond: dict[int, int] = {}  # DAC: AC Kx per table
     frame = None
     coeff = None  # progressive: per-component coefficient accumulators
+    ll_planes = None  # lossless: per-component sample planes
+    ll_pt = 0
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -669,9 +674,10 @@ def _decode_jpeg(payload: bytes) -> dict:
                 for s, b in enumerate(_ZIGZAG):
                     tbl[b] = vals[s]
                 qt[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0/1 Huffman sequential, SOF2 Huffman progressive,
-            # SOF9/SOF10 arithmetic sequential/progressive (QM coder, r7)
+            # SOF9/SOF10 arithmetic sequential/progressive (QM coder,
+            # r7), SOF3/SOF11 Huffman/arithmetic LOSSLESS (Annex H, r8)
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -682,14 +688,17 @@ def _decode_jpeg(payload: bytes) -> dict:
             frame = {
                 "w": w,
                 "h": h,
+                "prec": seg[0],
                 "comps": comps,
                 "progressive": marker in (0xC2, 0xCA),
-                "arith": marker in (0xC9, 0xCA),
+                "arith": marker in (0xC9, 0xCA, 0xCB),
+                "lossless": marker in (0xC3, 0xCB),
             }
-        elif marker == 0xCB:
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "arithmetic lossless JPEG; all DCT paths (Huffman/arithmetic "
-                "x sequential/progressive) are implemented"
+                "hierarchical (differential) JPEG; every non-hierarchical "
+                "mode — Huffman/arithmetic x sequential/progressive/lossless "
+                "— is implemented"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning bounds
             j = 0
@@ -721,6 +730,17 @@ def _decode_jpeg(payload: bytes) -> dict:
                 cid, tabs = seg[1 + 2 * k : 3 + 2 * k]
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
                 order.append(cid)
+            if frame.get("lossless"):
+                ss, _se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                if ll_planes is None:
+                    ll_planes = {}
+                ll_pt = a & 0x0F
+                i = _jpeg_lossless_scan(
+                    payload, i + 2 + seg_len, frame, order, scan,
+                    dc_cond, huff, restart_interval, ll_planes,
+                    ss, ll_pt,
+                )
+                continue
             if frame.get("arith") and not frame["progressive"]:
                 return _jpeg_arith_scan(
                     payload, i + 2 + seg_len, frame, scan, qt,
@@ -749,6 +769,8 @@ def _decode_jpeg(payload: bytes) -> dict:
             )
             continue
         i += 2 + seg_len
+    if ll_planes is not None:
+        return _jpeg_ll_assemble(frame, ll_planes, ll_pt)
     if coeff is not None:
         return _jpeg_finish(frame, coeff, qt)
     raise ValueError("JPEG contains no scan")
@@ -2533,6 +2555,437 @@ def encode_jpeg_arith_progressive(
             for ss, se in bands:
                 out += sos_header([ci], ss, se, a + 1, a)
                 out += ac_refine_scan(ci, ss, se, a)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------ lossless JPEG (SOF3 / SOF11)
+# ITU T.81 Annex H: no DCT — each sample is predicted from its decoded
+# neighbors (one of seven predictors, selected per scan via the Ss
+# field) and the prediction DIFFERENCE is entropy-coded, modulo-2^16.
+# SOF3 codes the difference with a DC Huffman table (category SSSS +
+# raw magnitude bits, EXTEND; SSSS=16 means exactly 32768, no bits);
+# SOF11 codes it through the SAME QM coder as the DCT paths with a
+# DC-style decision tree conditioned on the classified differences at
+# the LEFT and ABOVE positions (5x5 = 25 contexts, two magnitude
+# ladders selected by the above-neighbor's class — T.81 H.1.2.2's
+# statistical model, reusing Annex F's zero/sign/magnitude/mantissa
+# tree shape verbatim). Boundary rules (H.1.1): the first sample codes
+# against 2^(P - Pt - 1); the rest of the first line predicts from Ra,
+# a line start predicts from Rb. After a restart marker the coder,
+# statistics, and context classes reset and the next sample of each
+# component codes against the default prediction (the spec's
+# start-of-scan state); later samples resume positional rules over the
+# already-reconstructed neighborhood. Encoder twins share the exact
+# state machine, so decode(encode(px)) == px is structural — and the
+# whole path is LOSSLESS, so the pixel-stats oracle needs no
+# block-constant fixture trick: arbitrary per-pixel formulas survive.
+
+_LL_LADDER1 = 100  # X1 of the small-|Db| magnitude ladder (M at +14)
+_LL_LADDER2 = 129  # X1 of the large-|Db| ladder
+_LL_BINS = 158  # 25 contexts x 4 decision bins + two 29-bin ladders
+
+
+def _ll_fresh_stats(tables) -> dict:
+    return {t: [[0, 0] for _ in range(_LL_BINS)] for t in tables}
+
+
+def _ll_predict_sel(psel: int, ra: int, rb: int, rc: int) -> int:
+    """T.81 Table H.1 predictors 1..7."""
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    if psel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor selector {psel} not in 1..7")
+
+
+def _ll_class(diff_is_zero: bool, m: int, sign: int, cond) -> int:
+    """5-way (zero / ±small / ±large) classification of a coded
+    difference from its decoded MSB magnitude ``m`` — the identical
+    rule the sequential-DC model applies to its conditioning context
+    (same (L, U) DAC bounds), reused here to classify Da and Db."""
+    low, up = cond
+    if diff_is_zero or m < (1 << low):
+        return 0
+    if m > (1 << up):
+        return 3 + sign
+    return 1 + sign
+
+
+class _LLCompState:
+    """Per-component lossless scan state: reconstructed rows for the
+    positional predictors, plus the (left, above) difference classes
+    that form the arithmetic conditioning context. Shared verbatim by
+    decoder and encoder so the two walks cannot diverge."""
+
+    def __init__(self, width: int, height: int, default: int):
+        self.w = width
+        self.h = height
+        self.default = default
+        self.prev: list | None = None
+        self.cur: list = []
+        self.rows: list = []
+        self.cls_above = [0] * width
+        self.cls_left = 0
+        self.y = 0
+        self.fresh = True  # next sample codes against the default
+
+    def context(self, x: int) -> tuple[int, bool]:
+        da = self.cls_left if x > 0 else 0
+        db = self.cls_above[x]
+        return 5 * da + db, db >= 3
+
+    def predict(self, x: int, psel: int) -> int:
+        if self.fresh:
+            return self.default
+        if self.y == 0:
+            return self.cur[x - 1]  # first line: Ra
+        if x == 0:
+            return self.prev[0]  # line start: Rb
+        return _ll_predict_sel(
+            psel, self.cur[x - 1], self.prev[x], self.prev[x - 1]
+        )
+
+    def push(self, x: int, sample: int, cls: int) -> None:
+        self.fresh = False
+        self.cur.append(sample)
+        self.cls_left = cls
+        self.cls_above[x] = cls
+        if x == self.w - 1:
+            self.rows.append(self.cur)
+            self.prev = self.cur
+            self.cur = []
+            self.y += 1
+            self.cls_left = 0
+
+    def reset_restart(self) -> None:
+        self.cls_above = [0] * self.w
+        self.cls_left = 0
+        self.fresh = True
+
+
+def _ll_decode_diff(dec, st, ci25: int, big_db: bool):
+    """One lossless difference off the QM decoder: zero/sign/Sz>0 in
+    the (Da, Db) context's 4-bin group, magnitude up the Db-selected
+    ladder, mantissa from the matching M bin. Returns (diff, is_zero,
+    m, sign) — the last three feed _ll_class."""
+    base = 4 * ci25
+    if dec.decode(st[base]) == 0:
+        return 0, True, 0, 0
+    sign = dec.decode(st[base + 1])
+    m = dec.decode(st[base + 2 + sign])
+    xb = _LL_LADDER2 if big_db else _LL_LADDER1
+    if m:
+        while dec.decode(st[xb]):
+            m <<= 1
+            xb += 1
+            if m == 0x8000:
+                raise ValueError("JPEG lossless magnitude overflow")
+    v = m
+    if m:
+        mbin = st[xb + 14]
+        mm = m >> 1
+        while mm:
+            if dec.decode(mbin):
+                v |= mm
+            mm >>= 1
+    v += 1
+    return (-v if sign else v), False, m, sign
+
+
+def _ll_encode_diff(enc, st, ci25: int, big_db: bool, diff: int):
+    base = 4 * ci25
+    if diff == 0:
+        enc.encode(st[base], 0)
+        return True, 0, 0
+    enc.encode(st[base], 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st[base + 1], sign)
+    sz = (diff if diff > 0 else -diff) - 1
+    spb = st[base + 2 + sign]
+    xb = _LL_LADDER2 if big_db else _LL_LADDER1
+    m = 0
+    if sz == 0:
+        enc.encode(spb, 0)
+    else:
+        enc.encode(spb, 1)
+        m = 1
+        msb = 1 << (sz.bit_length() - 1)
+        while m < msb:
+            enc.encode(st[xb], 1)
+            m <<= 1
+            xb += 1
+        enc.encode(st[xb], 0)
+    if m:
+        mbin = st[xb + 14]
+        mm = m >> 1
+        while mm:
+            enc.encode(mbin, 1 if sz & mm else 0)
+            mm >>= 1
+    return False, m, sign
+
+
+def _ll_scan_geometry(frame, order):
+    """Scan-component indices and per-component plane dims. Interleaved
+    lossless MCUs with sampling factors would group h x v samples per
+    component per MCU — pointless without a DCT and absent in practice;
+    a named contract raise keeps the desync impossible."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    idxs = [next(i for i, c in enumerate(comps) if c["id"] == cid) for cid in order]
+    if len(order) > 1 and (hmax != 1 or vmax != 1):
+        raise NotImplementedError("subsampled interleaved lossless JPEG scan")
+    dims = []
+    for ci in idxs:
+        c = comps[ci]
+        dims.append(
+            (-(-frame["w"] * c["h"] // hmax), -(-frame["h"] * c["v"] // vmax))
+        )
+    return idxs, dims
+
+
+def _jpeg_lossless_scan(
+    payload, start, frame, order, scan, dc_cond, huff,
+    restart_interval, planes, psel, pt,
+):
+    """One lossless scan (arithmetic SOF11 or Huffman SOF3, chosen by
+    frame['arith']) into ``planes[comp_index]``; returns the payload
+    position of the next marker. Differences live modulo 2^16 (signed
+    window [-32768, 32767]); reconstruction adds back modulo 2^16."""
+    import numpy as np
+
+    comps = frame["comps"]
+    prec = frame.get("prec", 8)
+    default = 1 << (prec - pt - 1)
+    idxs, dims = _ll_scan_geometry(frame, order)
+    wdt, hgt = dims[0]
+    states = [_LLCompState(w_, h_, default) for (w_, h_) in dims]
+    conds = [dc_cond.get(scan[cid][0], (0, 1)) for cid in order]
+    arith = frame.get("arith")
+    if arith:
+        tabs = {scan[cid][0] for cid in order}
+        bits = _ArithBits(payload, start)
+        dec = _QMDecoder(bits)
+        stats = _ll_fresh_stats(tabs)
+    else:
+        reader = _BitReader(payload, start)
+        tables = [huff[(0, scan[cid][0])] for cid in order]
+    rst = 0
+    mcu = 0
+    for y in range(hgt):
+        for x in range(wdt):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if arith:
+                    nxt = _arith_sync_restart(payload, bits, rst)
+                    bits = _ArithBits(payload, nxt)
+                    dec = _QMDecoder(bits)
+                    stats = _ll_fresh_stats(tabs)
+                else:
+                    reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                for s in states:
+                    s.reset_restart()
+            for k, cid in enumerate(order):
+                s = states[k]
+                if arith:
+                    ci25, big = s.context(x)
+                    diff, dz, m, sign = _ll_decode_diff(
+                        dec, stats[scan[cid][0]], ci25, big
+                    )
+                    cls = _ll_class(dz, m, sign, conds[k])
+                else:
+                    ssss = reader.decode_symbol(tables[k])
+                    if ssss == 16:  # spec special case: no extra bits
+                        diff = 32768
+                    else:
+                        diff = _jpeg_extend(reader.read_bits(ssss), ssss)
+                    cls = 0
+                sample = (s.predict(x, psel) + diff) & 0xFFFF
+                s.push(x, sample, cls)
+            mcu += 1
+    for k, ci in enumerate(idxs):
+        planes[ci] = np.array(states[k].rows, dtype=np.int64)
+    if arith:
+        return _arith_next_marker(payload, bits)
+    # Huffman: skip any unconsumed stuffed pairs, land on the marker
+    p = reader.pos
+    while p + 1 < len(payload) and payload[p] == 0xFF and payload[p + 1] == 0x00:
+        p += 2
+    while p + 1 < len(payload) and payload[p] != 0xFF:
+        p += 1
+    return p
+
+
+def _jpeg_ll_assemble(frame, planes, pt: int) -> dict:
+    """Final lossless stage: shift the point transform back in, upsample
+    subsampled components (non-interleaved scans only), crop, emit.
+    T.81 defines no color transform for lossless — 3 components are
+    emitted as-is (RGB by convention); precision > 8 packs big-endian
+    16-bit samples."""
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    prec = frame.get("prec", 8)
+    full = []
+    for ci, c in enumerate(comps):
+        if ci not in planes:
+            raise ValueError("lossless JPEG frame is missing a component scan")
+        p = planes[ci] << pt
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    arr = full[0] if len(comps) == 1 else np.stack(full, axis=-1)
+    pix = arr.astype(np.uint8) if prec <= 8 else arr.astype(">u2")
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": len(comps),
+        "pixels": pix.tobytes(),
+    }
+
+
+#: canonical DC Huffman table covering difference categories 0..16 —
+#: 2 codes of length 3, one per length 4..15, 3 at the spec's 16-bit
+#: ceiling (Kraft sum 0.375 + 2^-16: a valid canonical layout; encoder
+#: and DHT segment share it, the decoder reads whatever DHT declares)
+_LL_HUFF_BITS = [0, 0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 3]
+_LL_HUFF_SYMS = bytes(range(17))
+
+
+def encode_jpeg_lossless(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    arith: bool = True,
+    interleave: bool = True,
+) -> bytes:
+    """Lossless JPEG writer — SOF11 (QM arithmetic, default) or SOF3
+    (Huffman) — the synthesis twin closing the codec matrix's last
+    cell: decode(encode(px)) must be BYTE-IDENTICAL for arbitrary
+    8-bit samples (pytest gate), no block-constant fixture needed.
+    ``interleave=False`` writes one scan per component (the
+    non-interleaved path real multi-component lossless files use).
+    Restart intervals flush + byte-align the entropy coder, emit RSTn,
+    and reset statistics and prediction exactly as the decoder does."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    n = width * height
+    if len(pixels) != n * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    plane_rows = []
+    for c in range(channels):
+        rows = [
+            [pixels[(y * width + x) * channels + c] >> point_transform
+             for x in range(width)]
+            for y in range(height)
+        ]
+        plane_rows.append(rows)
+
+    default = 1 << (8 - point_transform - 1)
+    hcodes = _canonical_codes(_LL_HUFF_BITS, _LL_HUFF_SYMS)
+
+    def scan_entropy(comp_ids: list[int]) -> bytes:
+        states = [_LLCompState(width, height, default) for _ in comp_ids]
+        entropy = bytearray()
+        if arith:
+            enc = _QMEncoder()
+            stats = _ll_fresh_stats({0})
+        else:
+            writer = _BitWriter()
+        rst = 0
+        mcu = 0
+        for y in range(height):
+            for x in range(width):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    if arith:
+                        entropy += _pack_arith_bits(enc.flush())
+                        enc = _QMEncoder()
+                        stats = _ll_fresh_stats({0})
+                    else:
+                        writer.pad()
+                        entropy += writer.buf
+                        writer = _BitWriter()
+                    entropy += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    for s in states:
+                        s.reset_restart()
+                for k, c in enumerate(comp_ids):
+                    s = states[k]
+                    sample = plane_rows[c][y][x]
+                    dm = (sample - s.predict(x, predictor)) & 0xFFFF
+                    diff = dm - 0x10000 if dm >= 0x8000 else dm
+                    if arith:
+                        ci25, big = s.context(x)
+                        dz, m, sign = _ll_encode_diff(
+                            enc, stats[0], ci25, big, diff
+                        )
+                        cls = _ll_class(dz, m, sign, (0, 1))
+                    else:
+                        if diff == 32768:
+                            ssss = 16
+                        else:
+                            ssss = abs(diff).bit_length()
+                        length, code = hcodes[ssss]
+                        writer.put(code, length)
+                        if 0 < ssss < 16:
+                            v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                            writer.put(v & ((1 << ssss) - 1), ssss)
+                        cls = 0
+                    s.push(x, sample, cls)
+                mcu += 1
+        if arith:
+            entropy += _pack_arith_bits(enc.flush())
+        else:
+            writer.pad()
+            entropy += writer.buf
+        return bytes(entropy)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    sof_body = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([channels])
+    )
+    for c in range(channels):
+        sof_body += bytes([c + 1, 0x11, 0])  # hv = 1x1, Tq = 0 (unused)
+    out += seg(0xCB if arith else 0xC3, sof_body)
+    if arith:
+        out += seg(0xCC, bytes([0, 0x10]))  # DC conditioning (L=0, U=1)
+    else:
+        out += seg(
+            0xC4, bytes([0x00]) + bytes(_LL_HUFF_BITS) + _LL_HUFF_SYMS
+        )
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    scans = (
+        [list(range(channels))] if interleave else [[c] for c in range(channels)]
+    )
+    for comp_ids in scans:
+        sos_body = bytes([len(comp_ids)])
+        for c in comp_ids:
+            sos_body += bytes([c + 1, 0x00])  # Td = 0 (Ta unused)
+        sos_body += bytes([predictor, 0, point_transform])  # Ss, Se, Ah<<4|Al
+        out += seg(0xDA, sos_body)
+        out += scan_entropy(comp_ids)
     out += b"\xff\xd9"
     return bytes(out)
 

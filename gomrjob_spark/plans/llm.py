@@ -4835,3 +4835,70 @@ def dedup_paragraph_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_containment(
         docs, size=256, drop_ppm=300_000
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_lossless_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 2 AS INT) AS w,
+             CAST(doc_id % 4 + 2 AS INT) AS h
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, w, h, 1 AS channels, i,
+             (doc_id * 7 + i * 13) % 256 AS val
+      FROM d, unnest(generate_series(0, w * h - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_lossless_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-JPEG decode under the oracle gate (the r7 verdict's
+    stretch item #8, closed — the codec matrix's last cell): even docs
+    synthesize an ARITHMETIC lossless stream (SOF11: Annex H predictors
+    + the QM coder over 25 (Da, Db)-classified conditioning contexts),
+    odd docs a HUFFMAN lossless stream (SOF3: category + EXTEND bits),
+    with the predictor selector rotating doc_id % 7 + 1 through all
+    seven Annex H predictors and a doc_id % 3 restart cadence
+    exercising the resync/reset paths. Lossless decode is BIT-EXACT on
+    arbitrary samples, so — unlike the DCT queries' block-constant
+    fixture device — every pixel is an independent per-pixel formula
+    value, and the DuckDB oracle recomputes all four stats including
+    the position-weighted checksum directly from the formula. A
+    predictor, context-classification, ladder-selection, carry,
+    stuffing, or restart bug breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 2, d % 4 + 2
+                px = bytes((d * 7 + i * 13) % 256 for i in range(w * h))
+                payloads.append(
+                    multimodal.encode_jpeg_lossless(
+                        px, w, h, channels=1,
+                        predictor=d % 7 + 1,
+                        restart_interval=d % 3,
+                        arith=d % 2 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))

@@ -101,13 +101,14 @@ def test_arith_jpeg_compresses_below_baseline_on_natural_content():
     assert na < nb
 
 
-def test_arith_lossless_still_raises_precisely():
-    # SOF11 (arithmetic lossless) keeps an honest contract raise;
-    # SOF10 (arithmetic progressive) decodes since late r7
+def test_hierarchical_still_raises_precisely():
+    # SOF11 (arithmetic lossless) DECODES since r8 (test_jpeg_lossless);
+    # the honest contract raise moved to hierarchical/differential JPEG
+    # (SOF5-7/13-15), the one remaining mode
     payload = bytearray(encode_jpeg_arithmetic(bytes(64), 8, 8, channels=1))
     i = payload.index(b"\xff\xc9")
-    payload[i + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="arithmetic lossless"):
+    payload[i + 1] = 0xCD  # SOF13: differential sequential, arithmetic
+    with pytest.raises(NotImplementedError, match="hierarchical"):
         decode_image(bytes(payload))
 
 

@@ -1393,9 +1393,9 @@ def test_jpeg_arithmetic_raises_progressive_decodes():
     assert got_ar["pixels"] == got["pixels"]
 
     payload = bytearray(encode_jpeg_arithmetic(bytes(64), 8, 8, channels=1))
-    i = payload.index(b"\xff\xc9")  # rewrite SOF9 -> SOF11 (arith. lossless)
-    payload[i + 1] = 0xCB
-    with _pytest.raises(NotImplementedError, match="arithmetic lossless"):
+    i = payload.index(b"\xff\xc9")  # rewrite SOF9 -> SOF15 (differential)
+    payload[i + 1] = 0xCF
+    with _pytest.raises(NotImplementedError, match="hierarchical"):
         decode_image(bytes(payload))
 
 
