@@ -38,11 +38,21 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: window_topk_per_group (r01, plan-pinned), search_tf_topk (bm25
 #: keeps the retrieval class measured), sample_weighted (0.17 s flat,
 #: sweep row -0.07) — byte budget stays ~1.9 KB of the 2000-byte tail.
+#: r8 rotation: IN dedup_semantic_diversity (SemDeDup: trained k-means
+#: + cell-scoped survivorship), text_unigram_encode (carries the
+#: unigram-LM trainer + one-pass Viterbi encode; the train twin has a
+#: sweep row), dedup_paragraph_containment (sub-doc containment
+#: rollup), multimodal_lossless_pixel_stats (SOF3/SOF11 decode); OUT
+#: flat r01-era shapes whose cost class stays measured elsewhere:
+#: multimodal_pixel_stats (0.18 s; compressed/progressive variants
+#: carry the decode class), q6_forecast_revenue (0.36 s scan-agg; q1
+#: carries it), events_outlier_audit (0.49 s; streaming_outlier_flags
+#: keeps the outlier class), search_phrase_topk (0.56 s; bm25 keeps
+#: retrieval). 62 shared entries vs r7; ~1.93 KB of the 2000-byte tail.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
-    "q6_forecast_revenue",
     "q18_large_volume_customer",
     "agg_cube",
     "join_band_time",
@@ -61,7 +71,6 @@ HEADLINE = [
     "knn_sq8",
     "text_token_stats",
     "search_bm25_topk",
-    "events_outlier_audit",
     "feature_decile_stats",
     "profile_table_stats",
     "decontaminate_ngrams",
@@ -72,11 +81,14 @@ HEADLINE = [
     "text_bpe_encode",
     "text_ngram_perplexity",
     "decontaminate_semantic",
+    "text_unigram_encode",
+    "dedup_semantic_diversity",
+    "dedup_paragraph_containment",
+    "multimodal_lossless_pixel_stats",
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
     "dedup_title_edit1",
-    "search_phrase_topk",
     "text_pmi_collocations",
     "concurrency_profile",
     "scd2_build",
@@ -88,7 +100,6 @@ HEADLINE = [
     "graph_triangles",
     "corpus_curation_pipeline",
     "dedup_repeated_chunks",
-    "multimodal_pixel_stats",
     "multimodal_compressed_pixel_stats",
     "multimodal_progressive_pixel_stats",
     "multimodal_phash_dedup",

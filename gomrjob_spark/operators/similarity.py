@@ -1165,7 +1165,20 @@ def semantic_diversity_survivors(
     uses tens of thousands of clusters for billions of vectors), making
     assignment linear model-scan work — the fixture derives k from the
     count only so the oracle's hash gate holds at every scale factor.
-    """
+
+    Parallelism notes (measured, r8): the corpus is SPREAD + persisted
+    once up front — the small-SF fixture is one parquet split, which
+    would serialize every per-row assignment fold into one task AND
+    re-run the twin-flip projection per Lloyd round; and both the
+    assignment scans and the pair join are tiny-bytes/heavy-compute
+    stages that AQE's byte-based coalescing squeezes to 2 tasks, so
+    the pair stage reads from an explicitly cell-partitioned frame
+    (both join sides share it — no extra exchange) sized by the
+    session's shuffle parallelism. 8.9 s -> ~2 s at sf0.1."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.text import spread
+
+    corpus = scoped_persist(spread(corpus))
     n = corpus.count()
     k = max(min_cells, n // target_cell)
     seeds = kmeans_seeds_md5(corpus, k, id_col, vec_col)
@@ -1173,9 +1186,12 @@ def semantic_diversity_survivors(
         corpus, k, n_iters, id_col, vec_col, seeds=seeds
     )
     assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    nparts = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     sided = assigned.select(
         F.col(id_col), F.col(vec_col), "cell", l2_norm(F.col(vec_col)).alias("_nv")
-    )
+    ).repartition(nparts, "cell")
     a = sided.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),

@@ -69,3 +69,11 @@ def test_train_deterministic_rerun(spark):
     a = sorted(map(tuple, text.unigram_lm_train(docs, n_rounds=2).collect()))
     b = sorted(map(tuple, text.unigram_lm_train(docs, n_rounds=2).collect()))
     assert a == b
+
+
+def test_memoized_and_rowlocal_encode_agree(spark):
+    docs = _docs(spark, ["the cat sat on the mat catmat", "on the mat zz"])
+    vocab = text.unigram_lm_train(docs, n_rounds=1, seed_min=2, prune_min=2)
+    a = sorted(map(tuple, text.unigram_encode(docs, vocab, memoize=True).collect()))
+    b = sorted(map(tuple, text.unigram_encode(docs, vocab, memoize=False).collect()))
+    assert a == b
