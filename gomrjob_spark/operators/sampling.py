@@ -353,3 +353,103 @@ def zscore_outlier_counts(
             F.sum("_out").cast("bigint").alias("n_outliers"),
         )
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every RAW document by how target-like its hashed n-gram
+    profile is under bag-of-ngrams models of the target vs the raw
+    corpus — the published method for tilting a crawl toward a quality
+    domain without training a classifier. Returns (id, n_feats,
+    imp_mbits): feature count and fixed-point importance in
+    milli-bits/feature.
+
+    Exact-integer formulation (the hash-gate discipline): features are
+    unigrams plus adjacent bigrams, hashed into ``n_buckets`` via the
+    engine-portable md5-prefix bucket (:func:`hash_bucket`); each
+    bucket's weight is the quantized log-ratio
+
+        w(b) = bitlen( ((ct(b)+1) * 2^20) DIV (cr(b)+1) )
+
+    (add-one smoothing on both sides; ~20 bits = neutral, higher =
+    target-enriched), and a document's importance is the mean weight
+    of its feature OCCURRENCES in milli-bits. bitlen of an exact
+    integer ratio is the same trick the BM25/perplexity gates use, so
+    the classically-float log-importance is bit-identical on any
+    engine.
+
+    Scale shape: two feature-stream partial aggs (target + raw) land
+    on ``n_buckets`` rows — the weight table is a MODEL (a fixed dial,
+    4096 rows regardless of corpus size), so it broadcasts; the raw
+    feature stream then pays ZERO extra shuffles (broadcast join +
+    the per-doc aggregate). The hashing trick is the paper's own
+    scale device."""
+    from gomrjob_spark.operators.text import normalized, spread, tokens
+
+    def feats(df):
+        staged = spread(df).select(
+            F.col(id_col),
+            F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
+                "_toks"
+            ),
+        )
+        uni = staged.select(
+            F.col(id_col), F.explode("_toks").alias("_f")
+        )
+        idx = F.when(
+            F.size("_toks") >= 2, F.sequence(F.lit(1), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bi = staged.select(
+            F.col(id_col), F.explode(idx).alias("_i"), "_toks"
+        ).select(
+            F.col(id_col),
+            F.concat(
+                F.element_at("_toks", F.col("_i")),
+                F.lit(" "),
+                F.element_at("_toks", F.col("_i") + 1),
+            ).alias("_f"),
+        )
+        return uni.unionByName(bi).select(
+            F.col(id_col), hash_bucket(F.col("_f"), n_buckets, salt).alias("_b")
+        )
+
+    ct = feats(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    cr_stream = feats(raw)
+    cr = cr_stream.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    weights = (
+        ct.join(cr, "_b", "full_outer")
+        .select(
+            "_b",
+            F.length(
+                F.conv(
+                    F.expr(
+                        "((coalesce(_ct, 0) + 1) * 1048576) "
+                        "DIV (coalesce(_cr, 0) + 1)"
+                    ).cast("string"),
+                    10,
+                    2,
+                )
+            ).cast("bigint").alias("_w"),
+        )
+    )
+    return (
+        cr_stream.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("_w").cast("bigint").alias("_tw"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.expr("(1000 * _tw) DIV n_feats").cast("bigint").alias("imp_mbits"),
+        )
+    )

@@ -40,6 +40,8 @@ _VERIFY_FIRST = [
     "dedup_paragraph_containment",
     # NEW r8 stretch: arithmetic LOSSLESS JPEG (SOF11) real decode
     "multimodal_lossless_pixel_stats",
+    # NEW r8: DSIR hashed-ngram importance resampling
+    "sample_dsir_importance",
     # debt: last driver-proven r01 (r7 verdict item #2)
     "scalar_math",
     "scalar_string",
@@ -89,7 +91,6 @@ _VERIFY_FIRST = [
     "dedup_embedding_cosine",
     "q4_order_priority",
     "q7_volume_shipping",
-    "q10_returned_items",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -97,6 +98,7 @@ _VERIFY_FIRST = [
 # r01-r02 queries remain after the r8 window above — from r9 onward the
 # invariant is "every registered query driver-green <= 3 rounds old".
 _BACKFILL = [
+    "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",

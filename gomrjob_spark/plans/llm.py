@@ -4902,3 +4902,79 @@ def multimodal_lossless_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
         synth, schema="doc_id bigint, payload binary"
     )
     return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '),
+                                 x -> x <> '') AS w
+      FROM documents
+    ),
+    fe AS MATERIALIZED (
+      SELECT doc_id,
+             (('0x' || substr(md5('dsir' || f), 1, 15))::BIGINT % 4096) AS b
+      FROM (
+        SELECT doc_id, w[i] AS f
+        FROM norm, unnest(generate_series(1, len(w))) s(i)
+        UNION ALL
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+        FROM norm, unnest(generate_series(1, len(w) - 1)) s(i)
+      ) u
+    ),
+    tgt AS (SELECT b, count(*) AS ct FROM fe WHERE doc_id % 25 = 0 GROUP BY b),
+    rawf AS MATERIALIZED (SELECT doc_id, b FROM fe WHERE doc_id % 25 <> 0),
+    crw AS (SELECT b, count(*) AS cr FROM rawf GROUP BY b),
+    wts AS MATERIALIZED (
+      SELECT b,
+             CAST(length(bin(((COALESCE(t.ct, 0) + 1) * 1048576)
+                             // (COALESCE(c.cr, 0) + 1))) AS BIGINT) AS w
+      FROM crw c FULL OUTER JOIN tgt t USING (b)
+    ),
+    sc AS MATERIALIZED (
+      SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST((1000 * sum(w.w)) // count(*) AS BIGINT) AS imp_mbits
+      FROM rawf r JOIN wts w USING (b) GROUP BY r.doc_id
+    )
+    SELECT doc_id, n_feats, imp_mbits,
+           imp_mbits >= (SELECT quantile_cont(CAST(imp_mbits AS DOUBLE), 0.8)
+                         FROM sc) AS kept
+    FROM sc ORDER BY doc_id
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169 —
+    operators.sampling.dsir_importance): score every raw document by
+    the mean quantized log-ratio of target-vs-raw hashed n-gram bucket
+    counts (unigrams + bigrams into 4096 md5-prefix buckets, add-one
+    smoothing, bitlen of the 2^20-scaled integer ratio), then keep the
+    top 20% (imp_mbits >= the exact 0.8 percentile — Spark exact
+    percentile and DuckDB quantile_cont share type-7 interpolation,
+    the quality_percentile_filter precedent). Target = the doc_id%25
+    slice (the decontamination convention — a stand-in for the curated
+    quality domain). The published classifier-free data-selection
+    method, fully under the hash gate. Plan: two feature-stream
+    partial aggs onto the FIXED 4096-bucket model table (broadcast),
+    zero extra shuffles on the raw stream beyond the per-doc
+    aggregate, 1-row percentile broadcast."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 25 == 0)
+    raw = docs.filter(F.col("doc_id") % 25 != 0)
+    scores = scoped_persist(dsir_importance(raw, target, n_buckets=4096))
+    thr = scores.agg(
+        F.expr("percentile(imp_mbits, 0.8)").alias("_thr")
+    )
+    return (
+        scores.join(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_feats",
+            "imp_mbits",
+            (F.col("imp_mbits") >= F.col("_thr")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

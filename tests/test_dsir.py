@@ -1,0 +1,48 @@
+"""DSIR importance resampling unit gates (operators.sampling
+.dsir_importance): target-enriched documents must outscore
+target-disjoint ones; scores are deterministic and length-normalized.
+The full DuckDB hash gate runs in test_oracle_parity."""
+
+from __future__ import annotations
+
+from gomrjob_spark.operators.sampling import dsir_importance
+
+
+def _frames(spark):
+    target = spark.createDataFrame(
+        [(1000 + i, "quantum flux capacitor resonance " * 4) for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance tuning"),  # target-like
+            (2, "cheap pills casino bonus click here now"),  # disjoint
+            (3, "quantum flux something else entirely here"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    return raw, target
+
+
+def test_target_like_docs_outscore_disjoint(spark):
+    raw, target = _frames(spark)
+    rows = {r["doc_id"]: r for r in dsir_importance(raw, target).collect()}
+    assert rows[1]["imp_mbits"] > rows[3]["imp_mbits"] > rows[2]["imp_mbits"]
+
+
+def test_scores_deterministic_and_normalized(spark):
+    raw, target = _frames(spark)
+    a = sorted(map(tuple, dsir_importance(raw, target).collect()))
+    b = sorted(map(tuple, dsir_importance(raw, target).collect()))
+    assert a == b
+    # repeating a doc's text doubles features but not its mean score
+    raw2 = spark.createDataFrame(
+        [(1, "quantum flux capacitor resonance tuning"),
+         (9, "quantum flux capacitor resonance tuning " * 2)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_importance(raw2, target).collect()}
+    assert rows[9]["n_feats"] > rows[1]["n_feats"]
+    # mean stays in the same ballpark (the doubled text adds one
+    # cross-boundary bigram, so allow a small wobble)
+    assert abs(rows[9]["imp_mbits"] - rows[1]["imp_mbits"]) < 2000

@@ -171,6 +171,8 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "text_unigram_encode",      # same EM-round broadcasts + the
                                     # 1-row trained-vocab map the
                                     # encode fold reads
+        "sample_dsir_importance",   # 1-row 0.8-percentile threshold
+                                    # broadcast (the q22 class)
         "embedding_hard_negatives", # |Q|=10 broadcast x corpus scan —
                                     # the knn_bruteforce class, by design
         "feature_decile_stats",     # 1-row total-count broadcast
