@@ -1600,3 +1600,63 @@ def paragraph_containment(
         )
         .withColumn("keep", F.col("contained_ppm") < drop_ppm)
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated token-span statistics at the Lee et al. grain
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — production pipelines use ~50-char / 13-token
+    spans): every OVERLAPPING n-token window is fingerprinted, a
+    window occurrence is DUPLICATED when its fingerprint occurs >= 2
+    times anywhere in the corpus (other docs or elsewhere in the same
+    doc — the paper removes all but one occurrence of any such span),
+    and each document reports (n_win, n_dup, dup_ppm). This is the
+    span-exact signal between dedup_paragraph_containment's aligned
+    256-char chunks (misses shifted boilerplate) and
+    dedup_ngram_jaccard's whole-doc similarity.
+
+    Documents with < n tokens have no windows and drop out.
+
+    Scale shape: the window explode happens in the scan projection
+    (positions exploded from a cheap sequence, the window string built
+    per emitted row — never explode an expensive transform); the
+    fingerprint stream carries (fp, id) ONLY through one count-per-fp
+    partial agg and one fp-keyed join back, then the per-doc rollup —
+    linear at every corpus size, no pair materialization (the same
+    no-quadratic-regime argument as paragraph_containment)."""
+    from gomrjob_spark.operators.text import normalized, spread, tokens
+
+    staged = spread(docs).select(
+        F.col(id_col),
+        F.filter(tokens(normalized(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = staged.select(
+        F.col(id_col), "_toks", F.explode(idx).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(F.slice("_toks", F.col("_i"), n), " ")
+        ).alias("fp"),
+    )
+    counts = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        wins.join(counts, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_win"),
+            F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0)).cast("bigint").alias(
+                "n_dup"
+            ),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("(1000000 * n_dup) DIV n_win").cast("bigint")
+        )
+    )

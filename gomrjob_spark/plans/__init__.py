@@ -42,6 +42,8 @@ _VERIFY_FIRST = [
     "multimodal_lossless_pixel_stats",
     # NEW r8: DSIR hashed-ngram importance resampling
     "sample_dsir_importance",
+    # NEW r8: Lee-et-al exact repeated 13-token-span dedup signal
+    "dedup_repeated_ngram_spans",
     # debt: last driver-proven r01 (r7 verdict item #2)
     "scalar_math",
     "scalar_string",
@@ -90,7 +92,6 @@ _VERIFY_FIRST = [
     # oldest r05 heads (fills the window to 50)
     "dedup_embedding_cosine",
     "q4_order_priority",
-    "q7_volume_shipping",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -98,6 +99,7 @@ _VERIFY_FIRST = [
 # r01-r02 queries remain after the r8 window above — from r9 onward the
 # invariant is "every registered query driver-green <= 3 rounds old".
 _BACKFILL = [
+    "q7_volume_shipping",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_effect",

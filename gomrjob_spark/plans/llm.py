@@ -4978,3 +4978,43 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '),
+                                 x -> x <> '') AS w
+      FROM documents
+    ),
+    wins AS MATERIALIZED (
+      SELECT doc_id,
+             md5(array_to_string(w[i:i+12], ' ')) AS fp
+      FROM norm, unnest(generate_series(1, len(w) - 12)) s(i)
+      WHERE len(w) >= 13
+    ),
+    cnt AS (SELECT fp, count(*) AS n FROM wins GROUP BY fp)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_win,
+           CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST((1000000 * sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM wins w JOIN cnt c USING (fp)
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated 13-token-span statistics (operators.dedup
+    .repeated_ngram_spans) — the Lee et al. 2022 span-grain dedup
+    signal production pipelines act on (remove all but one occurrence
+    of any ~13-token span appearing twice anywhere): per document, the
+    overlapping window count, duplicated-window count, and coverage
+    ppm. Catches SHIFTED boilerplate the aligned 256-char chunk pass
+    misses and within-doc template repetition the cross-doc passes
+    skip. Ids-only streams (count-per-fingerprint partial agg +
+    fp-keyed join + rollup) — linear at every scale, no pair
+    materialization. Full hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_ngram_spans(docs, n=13).orderBy("doc_id")

@@ -46,3 +46,35 @@ def test_scores_deterministic_and_normalized(spark):
     # mean stays in the same ballpark (the doubled text adds one
     # cross-boundary bigram, so allow a small wobble)
     assert abs(rows[9]["imp_mbits"] - rows[1]["imp_mbits"]) < 2000
+
+
+# ---- repeated token-span dedup (sibling r8 addition) ----
+
+
+def test_repeated_ngram_spans_semantics(spark):
+    from gomrjob_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(13))  # one exact 13-token span
+    docs = spark.createDataFrame(
+        [
+            (1, base + " unique1 tail1 here1"),
+            (2, base + " other2 words2 go2"),      # shares the prefix span
+            (3, "totally different thirteen token document body " 
+                "alpha beta gamma delta eps zeta eta"),
+            (4, "short doc"),                      # < 13 tokens: drops out
+            (5, base + " " + base),                # within-doc repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.repeated_ngram_spans(docs, n=13).collect()}
+    assert 4 not in rows
+    # docs 1 and 2 share exactly the w0..w12 window (their tails differ)
+    assert rows[1]["n_dup"] >= 1 and rows[2]["n_dup"] >= 1
+    assert rows[3]["n_dup"] == 0 and rows[3]["dup_ppm"] == 0
+    # within-doc repeats count: doc 5's two aligned copies of the span
+    # duplicate each other (the 12 boundary-straddling windows between
+    # them are each unique -> not counted)
+    assert rows[5]["n_win"] == 14
+    assert rows[5]["n_dup"] == 2
+    for r in rows.values():
+        assert r["dup_ppm"] == (1_000_000 * r["n_dup"]) // r["n_win"]
