@@ -44,6 +44,8 @@ _VERIFY_FIRST = [
     "sample_dsir_importance",
     # NEW r8: Lee-et-al exact repeated 13-token-span dedup signal
     "dedup_repeated_ngram_spans",
+    # NEW r8: live paragraph-containment admission (streaming twin)
+    "streaming_paragraph_quarantine",
     # debt: last driver-proven r01 (r7 verdict item #2)
     "scalar_math",
     "scalar_string",
@@ -89,9 +91,8 @@ _VERIFY_FIRST = [
     "decontaminate_ngrams",
     "streaming_incremental_dedup",
     "mix_weights_equal_tokens",
-    # oldest r05 heads (fills the window to 50)
+    # oldest r05 head (fills the window to 50)
     "dedup_embedding_cosine",
-    "q4_order_priority",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -99,6 +100,7 @@ _VERIFY_FIRST = [
 # r01-r02 queries remain after the r8 window above — from r9 onward the
 # invariant is "every registered query driver-green <= 3 rounds old".
 _BACKFILL = [
+    "q4_order_priority",
     "q7_volume_shipping",
     "q10_returned_items",
     "q13_customer_distribution",

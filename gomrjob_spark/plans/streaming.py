@@ -685,3 +685,58 @@ def streaming_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).filter(F.col("event_id") >= 5000)
     flagged = outlier_flag_stream(stream, store)
     return _drain(spark, flagged, "append").orderBy("event_id")
+
+
+@query(
+    "streaming_paragraph_quarantine",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT md5(substr(text, CAST(i AS INT) + 1, 256)) AS fp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) t(i)
+      WHERE len(text) > 0 AND doc_id < 250
+    ),
+    ch AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 256)) AS fp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) t(i)
+      WHERE len(text) > 0 AND doc_id >= 250
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_par,
+           CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contained,
+           CAST((1000000 * sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS contained_ppm,
+           (1000000 * sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) >= 300000 AS quarantined
+    FROM ch c LEFT JOIN store s USING (fp)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def streaming_paragraph_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-containment ADMISSION as a live topology
+    (streaming.ops.paragraph_quarantine_stream) — the streaming twin of
+    dedup_paragraph_containment: documents 250+ arrive as a stream,
+    their 256-char paragraph fingerprints probe the static store built
+    from docs 0-249 (per-batch broadcast), and the per-doc rollup
+    quarantines anything >= 30% contained before it reaches the batch
+    passes — the boilerplate gate a continuous ingest applies at the
+    door. Complete-mode aggregate over the finite replay; the oracle
+    recomputes the identical rollup in SQL."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.text import chunk_text
+    from gomrjob_spark.streaming import (
+        paragraph_quarantine_stream,
+        read_documents_stream,
+    )
+
+    store = chunk_text(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
+        size=256,
+        overlap=0,
+    ).select(F.md5(F.col("chunk")).alias("fp")).distinct()
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    rolled = paragraph_quarantine_stream(batch, store, drop_ppm=300_000)
+    return _drain(spark, rolled, "complete").orderBy("doc_id")

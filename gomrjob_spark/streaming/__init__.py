@@ -14,6 +14,7 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     near_dup_store_load,
     near_dup_store_write,
     outlier_flag_stream,
+    paragraph_quarantine_stream,
     read_documents_stream,
     read_events_stream,
     run_to_memory,

@@ -727,3 +727,54 @@ def outlier_flag_stream(
     return staged.select(
         "event_id", "event_type", (lhs_root * lhs_root > rhs).alias("is_outlier")
     )
+
+
+def paragraph_quarantine_stream(
+    docs: DataFrame, known_par_fps: DataFrame, drop_ppm: int = 300_000
+) -> DataFrame:
+    """Continuous-ingestion PARAGRAPH-containment admission — the
+    streaming twin of operators.dedup.paragraph_containment: each
+    arriving document is chunked into 256-char paragraphs row-locally
+    (pure column expressions, stream-safe), every paragraph probes the
+    static corpus fingerprint store (per-batch broadcast, the
+    dimension-table pattern), and the per-document rollup emits
+    (doc_id, n_par, n_contained, contained_ppm, quarantined) — the
+    admission decision a live ingest makes before a document ever
+    reaches the batch dedup passes.
+
+    State: one aggregate row per streamed document (all of a doc's
+    paragraphs arrive in its file batch, so rows retire as soon as the
+    sink sees them; a production deployment keys the same rollup by
+    (ingest window, doc) under a watermark to bound state on an
+    endless feed — the tumbling_counts posture). The store probe
+    shuffles nothing: fingerprints are computed in the scan projection
+    and the join side is broadcast."""
+    from gomrjob_spark.operators.text import chunk_text
+
+    chunks = chunk_text(docs, size=256, overlap=0).select(
+        "doc_id", F.md5(F.col("chunk")).alias("fp")
+    )
+    store = F.broadcast(known_par_fps.select(F.col("fp").alias("_known")))
+    probed = chunks.join(
+        store, chunks["fp"] == store["_known"], "left_outer"
+    ).select("doc_id", F.col("_known").isNotNull().alias("_hit"))
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_par"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("bigint").alias(
+                "n_contained"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_par",
+            "n_contained",
+            F.expr("(1000000 * n_contained) DIV n_par").cast("bigint").alias(
+                "contained_ppm"
+            ),
+            (
+                F.expr("(1000000 * n_contained) DIV n_par") >= F.lit(drop_ppm)
+            ).alias("quarantined"),
+        )
+    )

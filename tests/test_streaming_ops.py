@@ -322,3 +322,47 @@ def test_streaming_outlier_flags_match_batch_test(spark, sf_dir):
     }
     assert live == batch
     assert any(live.values()), "fixture must flag at least one outlier"
+
+
+def test_streaming_paragraph_quarantine_matches_batch(spark, sf_dir):
+    """The live admission rollup must agree with the batch
+    paragraph-containment semantics computed over the same store split:
+    a streamed doc's contained count equals the count of its paragraph
+    fps present in the static store."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.text import chunk_text
+    from gomrjob_spark.plans.streaming import _drain
+    from gomrjob_spark.streaming import (
+        paragraph_quarantine_stream,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = (
+        chunk_text(docs.filter(F.col("doc_id") < 250), size=256, overlap=0)
+        .select(F.md5(F.col("chunk")).alias("fp"))
+        .distinct()
+    )
+    live = _drain(
+        spark,
+        paragraph_quarantine_stream(
+            read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250),
+            store,
+            drop_ppm=300_000,
+        ),
+        "complete",
+    )
+    batch_fps = {r["fp"] for r in store.collect()}
+    chunks = chunk_text(docs.filter(F.col("doc_id") >= 250), size=256, overlap=0)
+    exp = {}
+    for r in chunks.select(
+        "doc_id", F.md5(F.col("chunk")).alias("fp")
+    ).collect():
+        n, c = exp.get(r["doc_id"], (0, 0))
+        exp[r["doc_id"]] = (n + 1, c + (1 if r["fp"] in batch_fps else 0))
+    got = {r["doc_id"]: (r["n_par"], r["n_contained"]) for r in live.collect()}
+    assert got == exp
+    for r in live.collect():
+        assert r["quarantined"] == (r["contained_ppm"] >= 300_000)
