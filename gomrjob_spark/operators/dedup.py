@@ -1660,3 +1660,83 @@ def repeated_ngram_spans(
             "dup_ppm", F.expr("(1000000 * n_dup) DIV n_win").cast("bigint")
         )
     )
+
+
+#: paragraph-id packing for sub-document dedup: par_id = doc_id *
+#: _PAR_STRIDE + chunk_index. 100k 256-char paragraphs = a 25 MB
+#: document — far past any fixture or sane crawl page; the id stays
+#: well inside bigint for any doc_id the fixtures (or their scaled
+#: replicas) carry.
+_PAR_STRIDE = 100_000
+
+
+def paragraph_minhash_rollup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    size: int = 256,
+    drop_ppm: int = 300_000,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Paragraph-grain NEAR-dup rollup — the probabilistic sibling of
+    :func:`paragraph_containment` (RefinedWeb-style): paragraphs are
+    256-char chunks, near-duplicate paragraph PAIRS come from the
+    md5-minhash banded propose + exact-Jaccard verify pipeline
+    (:func:`minhash_md5_dedup_pairs` at paragraph grain — so lightly
+    EDITED boilerplate matches, not just byte-identical chunks), and a
+    document drops when >= ``drop_ppm`` of its paragraphs near-dup a
+    LOWER-id document's paragraph. Returns (id, n_par, n_near,
+    near_ppm, keep).
+
+    Paragraph ids pack as doc_id * _PAR_STRIDE + chunk_index, so the
+    lower-id-doc ordering is the par-id ordering and the whole
+    pipeline stays single-key. Same-document paragraph matches are
+    excluded from the rollup (within-doc repetition is
+    dedup_repeated_ngram_spans' signal).
+
+    Scale: everything is the measured minhash_md5 shape (banded
+    equi-join, no cross product, ids-only verify streams) at ~len/256x
+    the row count; the rollup adds one left join + one per-doc
+    aggregate, both ids-only."""
+    from gomrjob_spark.operators.text import chunk_text
+
+    chunks = chunk_text(
+        docs, size=size, overlap=0, text_col=text_col, id_col=id_col
+    )
+    pars = chunks.select(
+        (F.col(id_col) * _PAR_STRIDE + F.col("chunk_index")).alias("par_id"),
+        "chunk",
+    )
+    pairs = minhash_md5_dedup_pairs(
+        pars, threshold, num_hashes, bands, n,
+        text_col="chunk", id_col="par_id", seed=seed,
+    )
+    covered = (
+        pairs.filter(
+            F.expr(f"id_a DIV {_PAR_STRIDE}") < F.expr(f"id_b DIV {_PAR_STRIDE}")
+        )
+        .select(F.col("id_b").alias("par_id"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        pars.select("par_id")
+        .join(covered, "par_id", "left")
+        .select(
+            F.expr(f"par_id DIV {_PAR_STRIDE}").alias(id_col),
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_hit"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_par"),
+            F.sum("_hit").cast("bigint").alias("n_near"),
+        )
+        .withColumn(
+            "near_ppm", F.expr("(1000000 * n_near) DIV n_par").cast("bigint")
+        )
+        .withColumn("keep", F.col("near_ppm") < drop_ppm)
+    )

@@ -46,6 +46,9 @@ _VERIFY_FIRST = [
     "dedup_repeated_ngram_spans",
     # NEW r8: live paragraph-containment admission (streaming twin)
     "streaming_paragraph_quarantine",
+    # NEW r8: paragraph-grain MINHASH near-dup rollup (edited
+    # boilerplate the exact-containment pass misses)
+    "dedup_paragraph_minhash_rollup",
     # debt: last driver-proven r01 (r7 verdict item #2)
     "scalar_math",
     "scalar_string",
@@ -91,8 +94,6 @@ _VERIFY_FIRST = [
     "decontaminate_ngrams",
     "streaming_incremental_dedup",
     "mix_weights_equal_tokens",
-    # oldest r05 head (fills the window to 50)
-    "dedup_embedding_cosine",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -100,6 +101,7 @@ _VERIFY_FIRST = [
 # r01-r02 queries remain after the r8 window above — from r9 onward the
 # invariant is "every registered query driver-green <= 3 rounds old".
 _BACKFILL = [
+    "dedup_embedding_cosine",
     "q4_order_priority",
     "q7_volume_shipping",
     "q10_returned_items",

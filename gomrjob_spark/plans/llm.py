@@ -5018,3 +5018,117 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization. Full hash gate."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.repeated_ngram_spans(docs, n=13).orderBy("doc_id")
+
+
+def _par_minhash_rollup_sql(
+    num_hashes: int, bands: int, seed: int, threshold: float, drop_ppm: int
+) -> str:
+    """DuckDB mirror of dedup.paragraph_minhash_rollup: 256-char
+    paragraphs, md5-prefix base hash + the shared affine coefficients,
+    banding as a raw-slice equi-join (DISTINCT candidate pairs — same
+    verified SET as the Spark side's first-shared-band dedup, the
+    streaming_near_dup_probe precedent), exact-Jaccard verify over
+    DISTINCT paragraph shingles, lower-doc coverage, per-doc rollup."""
+    from gomrjob_spark.operators.dedup import _MERSENNE, _PAR_STRIDE, minhash_coeffs
+
+    rows = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes, seed)
+    base = f"(('0x' || substr(md5(shingle),1,15))::BIGINT % {_MERSENNE})"
+    mins = ",\n             ".join(
+        f"min(({base} * {a} + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT par_id, {b} AS band, {vals} FROM sig".format(
+            b=b,
+            vals=", ".join(f"h{b * rows + r} AS v{r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    vkeys = " AND ".join(f"x.v{r} = y.v{r}" for r in range(rows))
+    return f"""
+    WITH par AS MATERIALIZED (
+      SELECT doc_id * {_PAR_STRIDE} + (i // 256) AS par_id,
+             substr(text, CAST(i AS INT) + 1, 256) AS chunk
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) t(i)
+      WHERE len(text) > 0
+    ),
+    nw AS (
+      SELECT par_id,
+             string_split(trim(regexp_replace(lower(chunk), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM par
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT par_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM nw, unnest(generate_series(1, len(w) - 2)) s(i)
+    ),
+    sig AS MATERIALIZED (
+      SELECT par_id,
+             {mins}
+      FROM sh GROUP BY par_id
+    ),
+    bd AS MATERIALIZED (
+      {band_selects}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.par_id AS id_a, y.par_id AS id_b
+      FROM bd x JOIN bd y ON x.band = y.band AND {vkeys}
+      WHERE x.par_id < y.par_id
+    ),
+    sz AS (SELECT par_id, count(*) AS n_sh FROM sh GROUP BY par_id),
+    ver AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.par_id = c.id_a
+        JOIN sh b ON b.par_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+      ) c
+      JOIN sz sa ON sa.par_id = c.id_a
+      JOIN sz sb ON sb.par_id = c.id_b
+      WHERE CAST(c.n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= {threshold}
+    ),
+    cov AS MATERIALIZED (
+      SELECT DISTINCT id_b AS par_id FROM ver
+      WHERE id_a // {_PAR_STRIDE} < id_b // {_PAR_STRIDE}
+    )
+    SELECT p.par_id // {_PAR_STRIDE} AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_par,
+           CAST(sum(CASE WHEN c.par_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near,
+           CAST((1000000 * sum(CASE WHEN c.par_id IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS near_ppm,
+           (1000000 * sum(CASE WHEN c.par_id IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) < {drop_ppm} AS keep
+    FROM par p LEFT JOIN cov c USING (par_id)
+    GROUP BY 1
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "dedup_paragraph_minhash_rollup",
+    oracle=_par_minhash_rollup_sql(32, 16, 42, 0.8, 300_000),
+)
+def dedup_paragraph_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain NEAR-dup rollup (operators.dedup
+    .paragraph_minhash_rollup) — the probabilistic sibling completing
+    the r7 verdict's item-#5 sketch: where dedup_paragraph_containment
+    needs byte-identical 256-char chunks, this runs the md5-minhash
+    banded propose + exact-Jaccard (>= 0.8) verify at PARAGRAPH grain,
+    so lightly edited boilerplate (tracking tokens, dates, typo fixes)
+    still matches; a document drops when >= 30% of its paragraphs
+    near-dup a lower-id document's paragraph. Everything is the
+    measured dedup_minhash_md5 plan shape at ~len/256x rows (banded
+    equi-join, no cross product, ids-only verify and rollup streams);
+    md5-derived hashes keep the complete propose/verify/rollup
+    computation under the full DuckDB hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_minhash_rollup(
+        docs, threshold=0.8, size=256, drop_ppm=300_000,
+        num_hashes=32, bands=16, seed=42,
+    ).orderBy("doc_id")

@@ -78,3 +78,36 @@ def test_repeated_ngram_spans_semantics(spark):
     assert rows[5]["n_dup"] == 2
     for r in rows.values():
         assert r["dup_ppm"] == (1_000_000 * r["n_dup"]) // r["n_win"]
+
+
+def test_paragraph_minhash_rollup_catches_edited_boilerplate(spark):
+    from gomrjob_spark.operators import dedup
+
+    # 256-char boilerplate with a tiny edit in the copy: exact chunk
+    # fingerprints differ, minhash-at-0.8 still matches
+    words = " ".join(f"tok{i:03d}" for i in range(36))  # 36*7-1=251 chars
+    boiler = (words + " x" * 40)[:256]
+    edited = boiler.replace("tok017", "tok917")
+    fresh = " ".join(f"zz{i:03d}" for i in range(40))[:256]
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, edited), (3, fresh)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_minhash_rollup(
+            docs, threshold=0.8, drop_ppm=500_000
+        ).collect()
+    }
+    assert rows[1]["n_near"] == 0 and rows[1]["keep"]  # first owner
+    assert rows[2]["n_near"] == 1 and not rows[2]["keep"]  # edited copy drops
+    assert rows[3]["n_near"] == 0 and rows[3]["keep"]
+    # the EXACT variant must miss the edited copy (the complementarity
+    # this operator exists for)
+    ex = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_containment(
+            docs, size=256, drop_ppm=500_000
+        ).collect()
+    }
+    assert ex[2]["n_contained"] == 0 and ex[2]["keep"]
