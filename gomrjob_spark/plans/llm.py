@@ -5132,3 +5132,124 @@ def dedup_paragraph_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         docs, threshold=0.8, size=256, drop_ppm=300_000,
         num_hashes=32, bands=16, seed=42,
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_triage_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, md5({_SQL_NORM}) AS fp FROM documents
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS thr
+      FROM documents GROUP BY lang
+    ),
+    own AS (SELECT fp, min(doc_id) AS owner FROM t GROUP BY fp),
+    ch AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 256)) AS pfp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) s(i)
+      WHERE len(text) > 0
+    ),
+    chf AS (SELECT pfp, min(doc_id) AS first FROM ch GROUP BY pfp),
+    par AS (
+      SELECT c.doc_id,
+             CAST((1000000 * sum(CASE WHEN f.first < c.doc_id THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS contained_ppm
+      FROM ch c JOIN chf f USING (pfp) GROUP BY c.doc_id
+    ),
+    norm AS (
+      SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '),
+                                 x -> x <> '') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, md5(array_to_string(w[i:i+12], ' ')) AS wfp
+      FROM norm, unnest(generate_series(1, len(w) - 12)) s(i)
+      WHERE len(w) >= 13
+    ),
+    wc AS (SELECT wfp, count(*) AS n FROM wins GROUP BY wfp),
+    spn AS (
+      SELECT w.doc_id,
+             CAST((1000000 * sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS span_dup_ppm
+      FROM wins w JOIN wc c USING (wfp) GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_chars AS DOUBLE) >= thr.thr AS len_ok,
+           own.owner <> t.doc_id AS is_exact_dup,
+           COALESCE(par.contained_ppm, 0) AS contained_ppm,
+           COALESCE(spn.span_dup_ppm, 0) AS span_dup_ppm,
+           (CAST(t.n_chars AS DOUBLE) >= thr.thr
+            AND own.owner = t.doc_id
+            AND COALESCE(par.contained_ppm, 0) < 300000
+            AND COALESCE(spn.span_dup_ppm, 0) < 500000) AS keep
+    FROM t
+    JOIN thr USING (lang)
+    JOIN own USING (fp)
+    LEFT JOIN par ON par.doc_id = t.doc_id
+    LEFT JOIN spn ON spn.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def corpus_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal curation TRIAGE — every r8-era sub-document signal
+    joined into ONE per-document decision row, the table a production
+    corpus build actually publishes before dropping anything: own-lang
+    length-percentile gate (filter_above_group_quantile), exact-dup
+    ownership (min-id fingerprint survivorship), paragraph-containment
+    ppm (dedup.paragraph_containment's rollup), repeated-13-token-span
+    ppm (dedup.repeated_ngram_spans), and the composed keep verdict
+    (len_ok AND owner AND containment < 30% AND span-dup < 50%).
+
+    Composition is column dependencies only — Catalyst fuses the
+    percentile broadcast, two fingerprint partial-aggs with their
+    joins, and the rollups into one DAG; every stream is ids+counters.
+    Docs with no paragraphs/windows coalesce to 0 ppm (nothing to
+    contain). Full hash gate over all five columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the same exact-percentile + broadcast-threshold shape as
+    # filter_above_group_quantile, kept as a FLAG (the triage table
+    # reports failures, it doesn't drop them)
+    thr = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.25)).alias("_thr")
+    )
+    gated = docs.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        (F.col("n_chars").cast("double") >= F.col("_thr")).alias("len_ok"),
+    )
+    fp = docs.select("doc_id", text.fingerprint("text").alias("fp"))
+    own = fp.groupBy("fp").agg(F.min("doc_id").alias("_owner"))
+    exact = fp.join(own, "fp").select(
+        "doc_id", (F.col("_owner") != F.col("doc_id")).alias("is_exact_dup")
+    )
+    par = dedup.paragraph_containment(docs, size=256, drop_ppm=300_000).select(
+        "doc_id", "contained_ppm"
+    )
+    spn = dedup.repeated_ngram_spans(docs, n=13).select(
+        "doc_id", F.col("dup_ppm").alias("span_dup_ppm")
+    )
+    return (
+        gated.join(exact, "doc_id")
+        .join(par, "doc_id", "left")
+        .join(spn, "doc_id", "left")
+        .select(
+            "doc_id",
+            "len_ok",
+            "is_exact_dup",
+            F.coalesce("contained_ppm", F.lit(0)).cast("bigint").alias(
+                "contained_ppm"
+            ),
+            F.coalesce("span_dup_ppm", F.lit(0)).cast("bigint").alias(
+                "span_dup_ppm"
+            ),
+        )
+        .withColumn(
+            "keep",
+            F.col("len_ok")
+            & ~F.col("is_exact_dup")
+            & (F.col("contained_ppm") < 300_000)
+            & (F.col("span_dup_ppm") < 500_000),
+        )
+        .orderBy("doc_id")
+    )

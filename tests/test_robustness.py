@@ -60,6 +60,17 @@ MIN_ROWS = {
     "pack_efficiency_report": 2,
     "timeseries_ewma": 10,  # one row per user; sf0.001 has ~15 users
     "text_trigram_perplexity": 50,
+    # r8 additions
+    "dedup_semantic_diversity": 100,
+    "text_unigram_lm_train": 20,
+    "text_unigram_encode": 50,
+    "dedup_paragraph_containment": 50,
+    "multimodal_lossless_pixel_stats": 50,
+    "sample_dsir_importance": 50,
+    "dedup_repeated_ngram_spans": 50,
+    "streaming_paragraph_quarantine": 50,
+    "dedup_paragraph_minhash_rollup": 50,
+    "corpus_triage_report": 50,
 }
 
 
@@ -77,6 +88,10 @@ def test_results_non_trivial(spark, sf_dir, name):
         # two shapes where nondeterminism would be most surprising
         "text_bpe_encode", "multimodal_arith_pixel_stats",
         "split_cluster_aware",
+        # r8: trained k-means + EM tokenizer are the new iterative
+        # shapes; lossless arithmetic the new entropy coder
+        "dedup_semantic_diversity", "text_unigram_encode",
+        "multimodal_lossless_pixel_stats",
     ],
 )
 def test_deterministic_across_runs(spark, sf_dir, name):
