@@ -5253,3 +5253,83 @@ def corpus_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pack_unigram_batches",
+    oracle=_UNI_TRAIN_SQL + f""",
+    {_uni_vm_sql("voc2", "vmf")},
+    ctoks AS MATERIALIZED (
+      SELECT doc_id, i, w[i] AS tok FROM (
+        SELECT doc_id,
+               list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
+        FROM documents) d,
+        unnest(generate_series(1, len(w))) s(i)
+    ),
+    cw AS MATERIALIZED (SELECT DISTINCT tok AS w FROM ctoks),
+    {_uni_viterbi_sql("cw", "vmf", "vitf")},
+    uc AS MATERIALIZED (
+      SELECT t.doc_id, CAST(sum(len(v.seg)) AS BIGINT) AS n_tokens
+      FROM ctoks t JOIN vitf v ON v.w = t.tok GROUP BY t.doc_id
+    ),
+    t AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 64 AS INT) AS bucket
+      FROM uc
+    ),
+    td AS (
+      SELECT t.doc_id, d.lang, t.n_tokens, t.bucket
+      FROM t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    cum AS (
+      SELECT doc_id, lang, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS local_off
+      FROM td
+    ),
+    b AS (
+      SELECT lang, bucket, CAST(sum(n_tokens) AS BIGINT) AS btotal
+      FROM td GROUP BY lang, bucket
+    ),
+    o AS (
+      SELECT lang, bucket,
+             CAST(COALESCE(sum(btotal) OVER (PARTITION BY lang ORDER BY bucket
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS BIGINT)
+               AS bucket_off
+      FROM b
+    )
+    SELECT cum.doc_id, cum.lang, cum.n_tokens,
+           CAST(o.bucket_off + cum.local_off AS BIGINT) AS start_offset,
+           CAST((o.bucket_off + cum.local_off) // 2048 AS BIGINT) AS batch_id
+    FROM cum JOIN o ON cum.lang = o.lang AND cum.bucket = o.bucket
+    ORDER BY cum.lang, cum.doc_id
+    """,
+)
+def pack_unigram_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL unigram-LM piece counts — the r8
+    tokenizer loop closed end-to-end exactly as pack_bpe_batches closed
+    the BPE loop in r7: train (text.unigram_lm_train on the %5 slice)
+    -> Viterbi-encode the corpus (memoized distinct-token pass) -> pack
+    each document's TRUE piece count into fixed-2048 budgets with the
+    unchanged hierarchical-prefix-sum layout (per-(lang, bucket) cumsum
+    + broadcast exclusive bucket-offset prefix — skew-safe). The regex
+    proxy under-budgets exactly where the unigram vocab splits rare
+    words into chars. The oracle replays training, the recursive-CTE
+    Viterbi, and the packing arithmetic in one materialized chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    vocab = text.unigram_lm_train(
+        train, n_rounds=2, max_piece_len=_UNI_L,
+        seed_min=_UNI_SEED_MIN, prune_min=_UNI_PRUNE_MIN, oov_bits=_UNI_OOV,
+    )
+    counted = text.unigram_encode(
+        docs, vocab, max_piece_len=_UNI_L, oov_bits=_UNI_OOV
+    ).select("doc_id", F.col("n_pieces").alias("n_uni"))
+    base = docs.select("doc_id", "lang").join(counted, "doc_id")
+    return text.pack_token_batches(
+        base, budget=2048, n_tokens_col="n_uni"
+    ).orderBy("lang", "doc_id")

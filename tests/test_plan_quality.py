@@ -173,6 +173,10 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # encode fold reads
         "sample_dsir_importance",   # 1-row 0.8-percentile threshold
                                     # broadcast (the q22 class)
+        "pack_unigram_batches",     # the unigram EM-round vocab-map
+                                    # broadcasts + the pack's bucket-
+                                    # offset broadcast (the
+                                    # pack_bpe_batches class)
         "embedding_hard_negatives", # |Q|=10 broadcast x corpus scan —
                                     # the knn_bruteforce class, by design
         "feature_decile_stats",     # 1-row total-count broadcast

@@ -71,6 +71,7 @@ MIN_ROWS = {
     "streaming_paragraph_quarantine": 50,
     "dedup_paragraph_minhash_rollup": 50,
     "corpus_triage_report": 50,
+    "pack_unigram_batches": 50,
 }
 
 
