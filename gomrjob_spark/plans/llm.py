@@ -5333,3 +5333,85 @@ def pack_unigram_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_token_batches(
         base, budget=2048, n_tokens_col="n_uni"
     ).orderBy("lang", "doc_id")
+
+
+@query(
+    "curriculum_difficulty_buckets",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, w FROM norm WHERE doc_id % 5 = 0),
+    uni AS (
+      SELECT t.w[i] AS tok, count(*) AS c1
+      FROM tr t, unnest(generate_series(1, len(t.w))) s(i)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+    bi AS (
+      SELECT t.w[i] AS w1, t.w[i+1] AS w2, count(*) AS c2
+      FROM tr t, unnest(generate_series(1, len(t.w) - 1)) s(i)
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM norm, unnest(generate_series(1, len(w) - 1)) s(i)
+    ),
+    sc AS (
+      SELECT p.doc_id,
+             CASE WHEN b.c2 IS NOT NULL THEN length(bin(u1.c1 // b.c2))
+                  WHEN u2.c1 IS NOT NULL THEN length(bin(t.t // u2.c1)) + 4
+                  ELSE length(bin(t.t)) + 8 END AS bits
+      FROM prs p
+      LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.tok = p.w1
+      LEFT JOIN uni u2 ON u2.tok = p.w2, tot t
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mbits_per_bigram
+      FROM sc GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, mbits_per_bigram,
+             row_number() OVER (ORDER BY mbits_per_bigram, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM doc
+    )
+    SELECT doc_id, mbits_per_bigram,
+           CAST(((rn - 1) * 10) // n AS INT) AS decile
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def curriculum_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning difficulty buckets: every document's bigram
+    LM perplexity (the text_ngram_perplexity gate — fixed-point
+    milli-bits/bigram) ranked corpus-wide into exact integer deciles
+    via DISTRIBUTED ranking — decile 0 is the easiest (most
+    reference-like) tenth, decile 9 the hardest; the ordering table an
+    easy-to-hard training schedule consumes. No percentile float
+    interpolation: decile = ((rn-1)*10) DIV n over the total
+    (mbits, doc_id) order key (the feature_decile_stats device), so the
+    whole assignment is hash-exact. The scored frame is scoped-persisted
+    before ranking — the range partitioner samples its child, and an
+    unpersisted perplexity chain would run twice (r6 lesson)."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.sweepline import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    scores = scoped_persist(
+        text.ngram_perplexity(docs, train).select("doc_id", "mbits_per_bigram")
+    )
+    ranked = global_row_number(scores, ["mbits_per_bigram", "doc_id"])
+    n_total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "mbits_per_bigram",
+            F.expr("((rn - 1) * 10) DIV _n").cast("int").alias("decile"),
+        )
+        .orderBy("doc_id")
+    )

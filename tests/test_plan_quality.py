@@ -177,6 +177,10 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # broadcasts + the pack's bucket-
                                     # offset broadcast (the
                                     # pack_bpe_batches class)
+        "curriculum_difficulty_buckets",  # the perplexity gate's 1-row
+                                    # token-grand-total broadcast + the
+                                    # ranker's 1-row corpus-count
+                                    # broadcast (both model-sized)
         "embedding_hard_negatives", # |Q|=10 broadcast x corpus scan —
                                     # the knn_bruteforce class, by design
         "feature_decile_stats",     # 1-row total-count broadcast

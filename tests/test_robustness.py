@@ -72,6 +72,7 @@ MIN_ROWS = {
     "dedup_paragraph_minhash_rollup": 50,
     "corpus_triage_report": 50,
     "pack_unigram_batches": 50,
+    "curriculum_difficulty_buckets": 50,
 }
 
 
