@@ -424,22 +424,7 @@ def dsir_importance(
     ct = feats(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     cr_stream = feats(raw)
     cr = cr_stream.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-    weights = (
-        ct.join(cr, "_b", "full_outer")
-        .select(
-            "_b",
-            F.length(
-                F.conv(
-                    F.expr(
-                        "((coalesce(_ct, 0) + 1) * 1048576) "
-                        "DIV (coalesce(_cr, 0) + 1)"
-                    ).cast("string"),
-                    10,
-                    2,
-                )
-            ).cast("bigint").alias("_w"),
-        )
-    )
+    weights = _dsir_weight_table(ct, cr)
     return (
         cr_stream.join(F.broadcast(weights), "_b")
         .groupBy(id_col)
@@ -453,3 +438,68 @@ def dsir_importance(
             F.expr("(1000 * _tw) DIV n_feats").cast("bigint").alias("imp_mbits"),
         )
     )
+
+
+def _dsir_weight_table(ct: DataFrame, cr: DataFrame) -> DataFrame:
+    """(_b, _w) bucket-weight MODEL from target/raw bucket counts:
+    w = bitlen(((ct+1) * 2^20) DIV (cr+1)) — add-one smoothing both
+    sides, exact integers. Shared by the batch scorer and the
+    streaming gate (dsir_weights is the public trainer)."""
+    return ct.join(cr, "_b", "full_outer").select(
+        "_b",
+        F.length(
+            F.conv(
+                F.expr(
+                    "((coalesce(_ct, 0) + 1) * 1048576) "
+                    "DIV (coalesce(_cr, 0) + 1)"
+                ).cast("string"),
+                10,
+                2,
+            )
+        ).cast("bigint").alias("_w"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Train ONLY the DSIR bucket-weight table (_b, _w) — the offline
+    half a live ingest deploys: two feature-stream partial aggs onto
+    the fixed n_buckets-row model (see :func:`dsir_importance` for the
+    scoring math), handed to streaming.ops.dsir_gate_stream as a
+    per-batch broadcast."""
+    from gomrjob_spark.operators.text import normalized, spread, tokens
+
+    def feats(df):
+        staged = spread(df).select(
+            F.col(id_col),
+            F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
+                "_toks"
+            ),
+        )
+        uni = staged.select(F.col(id_col), F.explode("_toks").alias("_f"))
+        idx = F.when(
+            F.size("_toks") >= 2, F.sequence(F.lit(1), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bi = staged.select(
+            F.col(id_col), F.explode(idx).alias("_i"), "_toks"
+        ).select(
+            F.col(id_col),
+            F.concat(
+                F.element_at("_toks", F.col("_i")),
+                F.lit(" "),
+                F.element_at("_toks", F.col("_i") + 1),
+            ).alias("_f"),
+        )
+        return uni.unionByName(bi).select(
+            F.col(id_col), hash_bucket(F.col("_f"), n_buckets, salt).alias("_b")
+        )
+
+    ct = feats(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    cr = feats(raw).groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    return _dsir_weight_table(ct, cr)

@@ -740,3 +740,72 @@ def streaming_paragraph_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
     rolled = paragraph_quarantine_stream(batch, store, drop_ppm=300_000)
     return _drain(spark, rolled, "complete").orderBy("doc_id")
+
+
+@query(
+    "streaming_dsir_gate",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    fe AS MATERIALIZED (
+      SELECT doc_id,
+             (('0x' || substr(md5('dsir' || f), 1, 15))::BIGINT % 4096) AS b
+      FROM (
+        SELECT doc_id, w[i] AS f
+        FROM norm, unnest(generate_series(1, len(w))) s(i)
+        UNION ALL
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+        FROM norm, unnest(generate_series(1, len(w) - 1)) s(i)
+      ) u
+    ),
+    tgt AS (SELECT b, count(*) AS ct FROM fe
+            WHERE doc_id < 250 AND doc_id % 25 = 0 GROUP BY b),
+    crw AS (SELECT b, count(*) AS cr FROM fe
+            WHERE doc_id < 250 AND doc_id % 25 <> 0 GROUP BY b),
+    wts AS MATERIALIZED (
+      SELECT COALESCE(t.b, c.b) AS b,
+             CAST(length(bin(((COALESCE(t.ct, 0) + 1) * 1048576)
+                             // (COALESCE(c.cr, 0) + 1))) AS BIGINT) AS w
+      FROM crw c FULL OUTER JOIN tgt t ON t.b = c.b
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST((1000 * sum(COALESCE(w.w, 21))) // count(*) AS BIGINT)
+             AS imp_mbits,
+           (1000 * sum(COALESCE(w.w, 21))) // count(*) >= 16500 AS admitted
+    FROM fe f LEFT JOIN wts w ON w.b = f.b
+    WHERE f.doc_id >= 250
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance gating as a LIVE topology
+    (streaming.ops.dsir_gate_stream) — exactly how the paper's method
+    deploys on a continuous ingest: the bucket-weight table is trained
+    OFFLINE on the batch side (docs 0-249; target = the %25 reference
+    slice — sampling.dsir_weights), then every streamed document
+    (250+) scores statelessly against the per-batch-broadcast model;
+    features hashing into never-trained buckets take the
+    smoothed-default 21-bit weight. The admission threshold is a
+    serving-time CONSTANT (16500 milli-bits, inside the fixture's
+    score IQR so both verdicts occur) — a live stream has no stable
+    corpus percentile to rank against. Complete-mode rollup over the
+    finite replay; oracle recomputes training + scoring in SQL."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.sampling import dsir_weights
+    from gomrjob_spark.streaming import dsir_gate_stream, read_documents_stream
+
+    hist = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    weights = dsir_weights(
+        hist.filter(F.col("doc_id") % 25 != 0),
+        hist.filter(F.col("doc_id") % 25 == 0),
+        n_buckets=4096,
+    )
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    gated = dsir_gate_stream(batch, weights, n_buckets=4096, min_mbits=16500)
+    return _drain(spark, gated, "complete").orderBy("doc_id")

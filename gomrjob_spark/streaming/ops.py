@@ -778,3 +778,72 @@ def paragraph_quarantine_stream(
             ).alias("quarantined"),
         )
     )
+
+
+def dsir_gate_stream(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    min_mbits: int = 0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Live DSIR importance gating — the streaming twin of
+    operators.sampling.dsir_importance: each arriving document's hashed
+    unigram+bigram features look up the PRE-TRAINED bucket-weight table
+    (a fixed ``n_buckets``-row model, per-batch broadcast, zero state),
+    and the per-doc rollup emits (doc_id, n_feats, imp_mbits, admitted)
+    — the target-likeness gate a continuous ingest applies at the door
+    with a model trained offline on the batch side (exactly how DSIR
+    deploys: weights come from a reference corpus, scoring is
+    stateless per document).
+
+    ``min_mbits`` is the admission threshold — a CONSTANT at serving
+    time (chosen offline from the batch percentile), because a live
+    stream has no stable corpus percentile to rank against. Feature
+    hashing happens in the scan projection; the only aggregate keys on
+    doc_id, whose rows retire with their file batch (the
+    paragraph_quarantine_stream state posture)."""
+    from gomrjob_spark.operators.sampling import hash_bucket
+    from gomrjob_spark.operators.text import normalized, tokens
+
+    staged = docs.select(
+        "doc_id",
+        F.filter(tokens(normalized("text")), lambda x: x != "").alias("_toks"),
+    ).filter(F.size("_toks") >= 1)
+    uni = staged.select("doc_id", F.explode("_toks").alias("_f"))
+    idx = F.when(
+        F.size("_toks") >= 2, F.sequence(F.lit(1), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = staged.select("doc_id", F.explode(idx).alias("_i"), "_toks").select(
+        "doc_id",
+        F.concat(
+            F.element_at("_toks", F.col("_i")),
+            F.lit(" "),
+            F.element_at("_toks", F.col("_i") + 1),
+        ).alias("_f"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id", hash_bucket(F.col("_f"), n_buckets, salt).alias("_b")
+    )
+    w = F.broadcast(weights.select(F.col("_b"), F.col("_w")))
+    # LEFT join: a live feature can hash into a bucket the offline
+    # training never saw — it takes the smoothed-default weight
+    # bitlen((0+1)*2^20 DIV (0+1)) = 21 bits, exactly what the batch
+    # trainer would have assigned an empty bucket
+    return (
+        feats.join(w, "_b", "left_outer")
+        .withColumn("_w", F.coalesce(F.col("_w"), F.lit(21).cast("bigint")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("_w").cast("bigint").alias("_tw"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr("(1000 * _tw) DIV n_feats").cast("bigint").alias("imp_mbits"),
+            (
+                F.expr("(1000 * _tw) DIV n_feats") >= F.lit(int(min_mbits))
+            ).alias("admitted"),
+        )
+    )

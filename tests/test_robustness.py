@@ -73,6 +73,7 @@ MIN_ROWS = {
     "corpus_triage_report": 50,
     "pack_unigram_batches": 50,
     "curriculum_difficulty_buckets": 50,
+    "streaming_dsir_gate": 50,
 }
 
 
