@@ -1455,3 +1455,88 @@ def unigram_encode(
         "mbits_per_piece",
         F.expr("(1000 * total_bits) DIV n_pieces").cast("bigint"),
     )
+
+
+def top_ngram_char_fractions(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """The other half of Gopher's repetition checklist (Rae et al.
+    2021, arXiv:2112.11446, Table A1): for each n in ``ns``, the
+    fraction of the document's characters covered by its single MOST
+    FREQUENT word n-gram — templated/generator pages repeat one long
+    phrase, which token-level top_token_frac under-reports (a 6-word
+    slogan repeated 30 times is 30/600 tokens but half the characters).
+    Coverage is the exact integer definition the paper uses:
+    occurrences x n-gram character length (tokens + separating spaces)
+    over the normalized document length, reported in ppm —
+    (id, n_tokens, top{n}_ppm...). Ties choose the lexicographically
+    smallest n-gram (deterministic; coverage only needs the count and
+    length, but the tie rule makes reruns and engines agree when
+    lengths differ). Docs under ``min_tokens`` drop out with
+    repetition_stats' rationale.
+
+    Scale: the n-gram streams explode cheap position sequences in the
+    scan projection; each n pays one (id, ngram) partial-agg count and
+    one per-id max-struct aggregate (no window, no join among branches
+    until the final |docs|-row joins) — the repetition_stats shuffle
+    class, x|ns|."""
+    toked = spread(df).select(
+        F.col(id_col),
+        F.filter(tokens(normalized(text_col)), lambda x: x != "").alias("_toks"),
+        F.length(normalized(text_col)).cast("bigint").alias("_nchars"),
+    ).filter(F.size("_toks") >= min_tokens)
+    from gomrjob_spark.cache import scoped_persist
+
+    toked = scoped_persist(toked)
+    base = toked.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        "_nchars",
+    )
+    out = base
+    for n in ns:
+        idx = F.when(
+            F.size("_toks") >= n,
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        grams = toked.select(
+            F.col(id_col), "_toks", F.explode(idx).alias("_i")
+        ).select(
+            F.col(id_col),
+            F.array_join(F.slice("_toks", F.col("_i"), n), " ").alias("_g"),
+        )
+        counts = grams.groupBy(id_col, "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # per-doc argmax by (count desc, gram asc): max of the
+        # (count, negated-order-free) struct — struct max compares
+        # fields in order, so carry (-?) no: max on (c, g) prefers the
+        # LARGEST gram at equal counts; invert by taking min over
+        # (-c, g)
+        top = (
+            counts.select(
+                F.col(id_col),
+                F.struct(
+                    (-F.col("_c")).alias("negc"), F.col("_g").alias("g")
+                ).alias("_s"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("_s").alias("_t"))
+            .select(
+                F.col(id_col),
+                (-F.col("_t.negc")).cast("bigint").alias(f"_c{n}"),
+                F.length(F.col("_t.g")).cast("bigint").alias(f"_l{n}"),
+            )
+        )
+        out = out.join(top, id_col, "left")
+        out = out.withColumn(
+            f"top{n}_ppm",
+            F.coalesce(
+                F.expr(f"(1000000 * _c{n} * _l{n}) DIV _nchars"), F.lit(0)
+            ).cast("bigint"),
+        ).drop(f"_c{n}", f"_l{n}")
+    return out.drop("_nchars")

@@ -22,12 +22,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 8): the 13 NEW r8 queries first (their first shot at a
+# Tier 1 (round 8): the 14 NEW r8 queries first (their first shot at a
 # driver row), then ALL 19 debt queries — every query whose newest
 # green driver row is r01-r02 (the r7 verdict item #2 "zero the debt"
 # list: 7 named + the 12-name r7 _BACKFILL) — then the longest-proven
-# rotation (all 15 r03 rows + 3 of the 7 r04 rows) to fill the 50-slot
-# window exactly; the four remaining r04 rows head _BACKFILL.
+# rotation (all 15 r03 rows + 2 of the 7 r04 rows) to fill the 50-slot
+# window exactly; the five remaining r04 rows head _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r8: SemDeDup-style semantic diversity dedup (k-means cells +
     # within-cell cosine survivorship)
@@ -58,6 +58,8 @@ _VERIFY_FIRST = [
     "curriculum_difficulty_buckets",
     # NEW r8: live DSIR admission gate (offline-trained weight model)
     "streaming_dsir_gate",
+    # NEW r8: Gopher top-ngram character-coverage repetition signals
+    "text_gopher_ngram_fractions",
     # debt: last driver-proven r01 (r7 verdict item #2)
     "scalar_math",
     "scalar_string",
@@ -98,7 +100,6 @@ _VERIFY_FIRST = [
     # last green row r04
     "dedup_ngram_jaccard",
     "window_range_frame",
-    "text_chunks",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -106,6 +107,7 @@ _VERIFY_FIRST = [
 # r01-r02 queries remain after the r8 window above — from r9 onward the
 # invariant is "every registered query driver-green <= 3 rounds old".
 _BACKFILL = [
+    "text_chunks",
     "join_asof_forward",
     "decontaminate_ngrams",
     "streaming_incremental_dedup",

@@ -5415,3 +5415,72 @@ def curriculum_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_gopher_ngram_fractions",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ),
+    el AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w,
+             CAST(length(t) AS BIGINT) AS nchars
+      FROM nrm
+    ),
+    elg AS (SELECT * FROM el WHERE len(w) >= 20),
+    t2 AS (
+      SELECT doc_id, c, CAST(length(g) AS BIGINT) AS l FROM (
+        SELECT doc_id, g, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+              FROM elg, unnest(generate_series(1, len(w) - 1)) s(i)) q
+        GROUP BY doc_id, g) r WHERE rn = 1
+    ),
+    t3 AS (
+      SELECT doc_id, c, CAST(length(g) AS BIGINT) AS l FROM (
+        SELECT doc_id, g, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM elg, unnest(generate_series(1, len(w) - 2)) s(i)) q
+        GROUP BY doc_id, g) r WHERE rn = 1
+    ),
+    t4 AS (
+      SELECT doc_id, c, CAST(length(g) AS BIGINT) AS l FROM (
+        SELECT doc_id, g, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+              FROM elg, unnest(generate_series(1, len(w) - 3)) s(i)) q
+        GROUP BY doc_id, g) r WHERE rn = 1
+    )
+    SELECT e.doc_id, CAST(len(e.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE((1000000 * t2.c * t2.l) // e.nchars, 0) AS BIGINT)
+             AS top2_ppm,
+           CAST(COALESCE((1000000 * t3.c * t3.l) // e.nchars, 0) AS BIGINT)
+             AS top3_ppm,
+           CAST(COALESCE((1000000 * t4.c * t4.l) // e.nchars, 0) AS BIGINT)
+             AS top4_ppm
+    FROM elg e
+    LEFT JOIN t2 ON t2.doc_id = e.doc_id
+    LEFT JOIN t3 ON t3.doc_id = e.doc_id
+    LEFT JOIN t4 ON t4.doc_id = e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def text_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of Gopher's repetition checklist
+    (operators.text.top_ngram_char_fractions — Rae et al. 2021 Table
+    A1): per document, the character-coverage ppm of the single most
+    frequent word 2-, 3-, and 4-gram. Catches the long-phrase
+    templating top_token_frac under-reports (a repeated slogan is few
+    tokens but many characters); together with text_repetition_stats
+    this completes the published Gopher repetition battery the engine
+    expresses. Exact integer coverage (occurrences x n-gram char
+    length over normalized doc length); each n pays one (id, ngram)
+    partial-agg count + a per-id max-struct argmax — no windows over
+    data-sized frames, no joins until the |docs|-row assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_ngram_char_fractions(docs, ns=(2, 3, 4)).orderBy("doc_id")

@@ -74,6 +74,7 @@ MIN_ROWS = {
     "pack_unigram_batches": 50,
     "curriculum_difficulty_buckets": 50,
     "streaming_dsir_gate": 50,
+    "text_gopher_ngram_fractions": 50,
 }
 
 

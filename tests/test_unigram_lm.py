@@ -77,3 +77,24 @@ def test_memoized_and_rowlocal_encode_agree(spark):
     a = sorted(map(tuple, text.unigram_encode(docs, vocab, memoize=True).collect()))
     b = sorted(map(tuple, text.unigram_encode(docs, vocab, memoize=False).collect()))
     assert a == b
+
+
+# ---- Gopher top-ngram char fractions (sibling r8 text signal) ----
+
+
+def test_top_ngram_char_fractions_slogan_case(spark):
+    # a 5-token slogan repeated 10x: few distinct tokens but most of
+    # the characters — top4 coverage must dwarf the fresh doc's
+    slogan = "call now for best deals " * 10
+    fresh = " ".join(f"w{i}" for i in range(50))
+    docs = _docs(spark, [slogan, fresh])
+    rows = {
+        r["doc_id"]: r
+        for r in text.top_ngram_char_fractions(docs, ns=(2, 3, 4)).collect()
+    }
+    assert rows[0]["top4_ppm"] > 500_000  # repeated 4-gram covers most chars
+    assert rows[1]["top4_ppm"] < 200_000  # every 4-gram unique
+    # coverage is exact: top2 for the fresh doc = one 2-gram's chars
+    import re
+    norm = re.sub(r"\s+", " ", fresh.strip())
+    assert rows[1]["top2_ppm"] == (1_000_000 * len("w0 w1")) // len(norm)
