@@ -1540,3 +1540,106 @@ def top_ngram_char_fractions(
             ).cast("bigint"),
         ).drop(f"_c{n}", f"_l{n}")
     return out.drop("_nchars")
+
+
+def dup_ngram_char_coverage(
+    df: DataFrame,
+    n: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Gopher's duplicate-n-gram CHARACTER coverage (Rae et al. 2021
+    Table A1 rows "fraction of characters in duplicate n-grams",
+    n = 5..10 — ``n`` is the dial; this implements the exact
+    POSITION-UNION semantics, not the occurrences x length
+    over-count): a character is covered when it lies inside at least
+    one occurrence of an n-gram that appears >= 2 times WITHIN the
+    document. Returns (id, n_tokens, dup_chars, coverage_ppm).
+
+    Exactness device: every duplicated occurrence becomes a character
+    interval [start, end) on the normalized text (token offsets from a
+    row-local prefix-length fold; single separating spaces), and the
+    union length is the classic gaps-and-islands computation — running
+    max of interval ends per doc, a new island when start passes it,
+    island length = max(end) - min(start) — ALL integer window
+    arithmetic both engines execute identically, so the classically
+    fiddly overlap accounting sits under the full hash gate.
+
+    Scale: one (id, gram) partial-agg count for the within-doc
+    duplicate set, one join back on (id, gram) — ids/positions only —
+    then the island windows keyed by doc (bounded per doc). The
+    interval stream is at most one row per token."""
+    toked = spread(df).select(
+        F.col(id_col),
+        F.filter(tokens(normalized(text_col)), lambda x: x != "").alias("_toks"),
+        F.length(normalized(text_col)).cast("bigint").alias("_nchars"),
+    ).filter(F.size("_toks") >= min_tokens)
+    from gomrjob_spark.cache import scoped_persist
+
+    toked = scoped_persist(toked)
+    base = toked.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        "_nchars",
+    )
+    # token start offsets on the single-spaced normalized text: a
+    # prefix fold over token lengths (off_1 = 0; off_{j+1} = off_j +
+    # len(tok_j) + 1)
+    offs = F.aggregate(
+        F.slice("_toks", 1, F.size("_toks") - 1),
+        F.array(F.lit(0).cast("bigint")),
+        lambda acc, t: F.concat(
+            acc,
+            F.array(
+                F.element_at(acc, -1) + F.length(t).cast("bigint") + 1
+            ),
+        ),
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toked.select(
+        F.col(id_col), "_toks", offs.alias("_offs"), F.explode(idx).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.array_join(F.slice("_toks", F.col("_i"), n), " ").alias("_g"),
+        F.element_at("_offs", F.col("_i")).alias("_start"),
+        (
+            F.element_at("_offs", F.col("_i"))
+            + F.length(F.array_join(F.slice("_toks", F.col("_i"), n), " ")).cast(
+                "bigint"
+            )
+        ).alias("_end"),
+    )
+    dup = occ.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    ivals = occ.join(
+        dup.filter(F.col("_c") >= 2).select(id_col, "_g"), [id_col, "_g"]
+    ).select(F.col(id_col), "_start", "_end")
+    w_ord = Window.partitionBy(id_col).orderBy("_start", "_end")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    marked = ivals.withColumn(
+        "_pmax", F.max("_end").over(w_prev)
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_start") > F.coalesce(F.col("_pmax"), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w_ord))
+    covered = (
+        marked.groupBy(id_col, "_isl")
+        .agg((F.max("_end") - F.min("_start")).alias("_len"))
+        .groupBy(id_col)
+        .agg(F.sum("_len").cast("bigint").alias("dup_chars"))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.expr(
+                "(1000000 * coalesce(dup_chars, 0)) DIV _nchars"
+            ).cast("bigint").alias("coverage_ppm"),
+        )
+    )
