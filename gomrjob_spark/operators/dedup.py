@@ -1666,8 +1666,39 @@ def repeated_ngram_spans(
 #: _PAR_STRIDE + chunk_index. 100k 256-char paragraphs = a 25 MB
 #: document — far past any fixture or sane crawl page; the id stays
 #: well inside bigint for any doc_id the fixtures (or their scaled
-#: replicas) carry.
+#: replicas) carry. Both bounds are ENFORCED at pack time (_pack_par_id
+#: raises mid-scan rather than silently aliasing into a neighbouring
+#: document's paragraph space or overflowing bigint).
 _PAR_STRIDE = 100_000
+#: largest doc_id whose packed par_id stays inside bigint
+_MAX_PACK_DOC_ID = (2**63 - 1) // _PAR_STRIDE - 1
+
+
+def _pack_par_id(doc_id: Column, chunk_index: Column) -> Column:
+    """doc_id * _PAR_STRIDE + chunk_index, failing LOUDLY (raise_error
+    in the scan projection) when a document exceeds _PAR_STRIDE
+    paragraphs or doc_id would overflow bigint — a silent alias would
+    corrupt keep verdicts; an error surfaces the need for a wider
+    stride or a struct key."""
+    ok = (
+        (chunk_index >= 0)
+        & (chunk_index < F.lit(_PAR_STRIDE))
+        & (doc_id >= 0)
+        & (doc_id <= F.lit(_MAX_PACK_DOC_ID))
+    )
+    return F.when(
+        ok, doc_id.cast("bigint") * _PAR_STRIDE + chunk_index.cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("par_id pack out of range (doc_id="),
+                doc_id.cast("string"),
+                F.lit(", chunk_index="),
+                chunk_index.cast("string"),
+                F.lit(f", stride={_PAR_STRIDE})"),
+            )
+        ).cast("bigint")
+    )
 
 
 def paragraph_minhash_rollup(
@@ -1708,7 +1739,7 @@ def paragraph_minhash_rollup(
         docs, size=size, overlap=0, text_col=text_col, id_col=id_col
     )
     pars = chunks.select(
-        (F.col(id_col) * _PAR_STRIDE + F.col("chunk_index")).alias("par_id"),
+        _pack_par_id(F.col(id_col), F.col("chunk_index")).alias("par_id"),
         "chunk",
     )
     pairs = minhash_md5_dedup_pairs(

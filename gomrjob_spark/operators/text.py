@@ -1221,7 +1221,14 @@ def _idiv(a, b):
     """Exact integer division as column arithmetic usable INSIDE a
     higher-order-function lambda (F.expr strings can't reference lambda
     variables): (a - a % b) / b is an exact double division (the
-    numerator is an exact multiple), cast back to bigint."""
+    numerator is an exact multiple), cast back to bigint.
+
+    Bound: exact only while the numerator ``a - a % b`` stays below
+    2^53 (a double's integer-exact range). The unigram vocab-map cost
+    divides the corpus piece TOTAL by a per-piece count, so T must stay
+    under ~9e15 — about 9 quadrillion piece occurrences (~several PB of
+    text), comfortably past 100 TB; past that, route the quotient
+    through a decimal cast instead of double."""
     return ((a - a % b) / b).cast("bigint")
 
 
@@ -1512,11 +1519,10 @@ def top_ngram_char_fractions(
         counts = grams.groupBy(id_col, "_g").agg(
             F.count(F.lit(1)).alias("_c")
         )
-        # per-doc argmax by (count desc, gram asc): max of the
-        # (count, negated-order-free) struct — struct max compares
-        # fields in order, so carry (-?) no: max on (c, g) prefers the
-        # LARGEST gram at equal counts; invert by taking min over
-        # (-c, g)
+        # per-doc argmax by (count desc, gram asc): ties resolve to the
+        # lexicographically smallest gram by taking min over the
+        # (-count, gram) struct (struct ordering compares fields left
+        # to right)
         top = (
             counts.select(
                 F.col(id_col),

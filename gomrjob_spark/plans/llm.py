@@ -5484,3 +5484,80 @@ def text_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized frames, no joins until the |docs|-row assembly."""
     docs = load_table(spark, sf_dir, "documents")
     return text.top_ngram_char_fractions(docs, ns=(2, 3, 4)).orderBy("doc_id")
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ),
+    el AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w,
+             CAST(length(t) AS BIGINT) AS nchars
+      FROM nrm
+    ),
+    elg AS MATERIALIZED (SELECT * FROM el WHERE len(w) >= 20),
+    occ AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(w[i:i+5], ' ') AS g,
+             CAST(CASE WHEN i = 1 THEN 0
+                  ELSE length(array_to_string(w[1:i-1], ' ')) + 1
+                  END AS BIGINT) AS s,
+             CAST(CASE WHEN i = 1 THEN 0
+                  ELSE length(array_to_string(w[1:i-1], ' ')) + 1
+                  END AS BIGINT)
+               + CAST(length(array_to_string(w[i:i+5], ' ')) AS BIGINT) AS f
+      FROM elg, unnest(generate_series(1, len(w) - 5)) u(i)
+    ),
+    dup AS (
+      SELECT doc_id, g FROM occ GROUP BY doc_id, g HAVING count(*) >= 2
+    ),
+    ival AS (
+      SELECT o.doc_id, o.s, o.f FROM occ o JOIN dup d USING (doc_id, g)
+    ),
+    marked AS (
+      SELECT doc_id, s, f,
+             CASE WHEN s > COALESCE(max(f) OVER (
+                 PARTITION BY doc_id ORDER BY s, f
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM ival
+    ),
+    isl AS (
+      SELECT doc_id, s, f,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY s, f) AS grp
+      FROM marked
+    ),
+    cov AS (
+      SELECT doc_id, CAST(sum(l) AS BIGINT) AS dup_chars FROM (
+        SELECT doc_id, grp, max(f) - min(s) AS l FROM isl GROUP BY doc_id, grp
+      ) q GROUP BY doc_id
+    )
+    SELECT e.doc_id, CAST(len(e.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST((1000000 * COALESCE(c.dup_chars, 0)) // e.nchars AS BIGINT)
+             AS coverage_ppm
+    FROM elg e LEFT JOIN cov c ON c.doc_id = e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram CHARACTER coverage
+    (operators.text.dup_ngram_char_coverage — Rae et al. 2021 Table A1
+    "fraction of characters in duplicate n-grams" rows): per document,
+    the ppm of normalized characters lying inside at least one
+    occurrence of a word 6-gram that repeats WITHIN the document —
+    exact POSITION-UNION semantics (each character counted once, via
+    the gaps-and-islands running-max window), not the occurrences x
+    length over-count. Completes the Gopher repetition battery next to
+    text_repetition_stats (token fractions) and
+    text_gopher_ngram_fractions (top-ngram coverage). All integer
+    arithmetic; the oracle replays the same interval-union windows.
+
+    Scale: one (id, gram) partial-agg count for the within-doc
+    duplicate set, one ids+positions join back, then island windows
+    keyed (and bounded) per doc — the repetition_stats shuffle class
+    plus one bounded window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dup_ngram_char_coverage(docs, n=6).orderBy("doc_id")

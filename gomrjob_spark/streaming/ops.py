@@ -754,7 +754,12 @@ def paragraph_quarantine_stream(
     chunks = chunk_text(docs, size=256, overlap=0).select(
         "doc_id", F.md5(F.col("chunk")).alias("fp")
     )
-    store = F.broadcast(known_par_fps.select(F.col("fp").alias("_known")))
+    # distinct INSIDE the operator: a store with duplicate fingerprints
+    # would multiply probe rows through the left join (inflating both
+    # n_par and n_contained) — don't rely on every caller deduping
+    store = F.broadcast(
+        known_par_fps.select(F.col("fp").alias("_known")).distinct()
+    )
     probed = chunks.join(
         store, chunks["fp"] == store["_known"], "left_outer"
     ).select("doc_id", F.col("_known").isNotNull().alias("_hit"))

@@ -98,3 +98,36 @@ def test_top_ngram_char_fractions_slogan_case(spark):
     import re
     norm = re.sub(r"\s+", " ", fresh.strip())
     assert rows[1]["top2_ppm"] == (1_000_000 * len("w0 w1")) // len(norm)
+
+
+# ---- Gopher duplicate-ngram char coverage (position-union) ----
+
+
+def test_dup_ngram_coverage_disjoint_union(spark):
+    # "a b c" duplicates at token positions 1 and 4: two disjoint
+    # 5-char intervals -> 10 covered chars of the 17-char doc
+    docs = _docs(spark, ["a b c a b c d e f"])
+    r = text.dup_ngram_char_coverage(docs, n=3, min_tokens=3).collect()[0]
+    assert (r["n_tokens"], r["dup_chars"]) == (9, 10)
+    assert r["coverage_ppm"] == (1_000_000 * 10) // 17
+
+
+def test_dup_ngram_coverage_overlap_counts_chars_once(spark):
+    # "x y x"@{1,3} and "y x y"@{2,4} overlap: the interval union is
+    # [0, 11) = 11 chars, NOT the 4x5=20 occurrences-times-length count
+    docs = _docs(spark, ["x y x y x y z"])
+    r = text.dup_ngram_char_coverage(docs, n=3, min_tokens=3).collect()[0]
+    assert r["dup_chars"] == 11
+    assert r["coverage_ppm"] == (1_000_000 * 11) // 13
+
+
+def test_dup_ngram_coverage_no_dups_and_min_tokens(spark):
+    docs = _docs(spark, ["a b c d e f g h", "a b"])
+    rows = {
+        r["doc_id"]: r
+        for r in text.dup_ngram_char_coverage(
+            docs, n=3, min_tokens=5
+        ).collect()
+    }
+    assert set(rows) == {0}  # doc 1 is under min_tokens
+    assert rows[0]["dup_chars"] == 0 and rows[0]["coverage_ppm"] == 0
