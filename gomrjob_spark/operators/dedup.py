@@ -1662,6 +1662,126 @@ def repeated_ngram_spans(
     )
 
 
+def span_removal_rewrite(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499, the ExactSubstr
+    pass production pipelines actually run): emit the CLEANED corpus
+    with all-but-one occurrence of every duplicated ``n``-token span
+    spliced out. :func:`repeated_ngram_spans` measures these spans;
+    this operator rewrites the text. Returns (id, n_tokens, n_removed,
+    text_rewritten) — n_removed is the count of deleted token
+    positions, text_rewritten the surviving tokens of the NORMALIZED
+    text space-joined (so the hash gate pins every splice boundary).
+
+    Winner rule: the occurrence with the smallest (doc_id, position)
+    per duplicated fingerprint survives; every other occurrence's
+    token range [i, i+n) is deleted. Overlapping loser ranges within a
+    document union before splicing (each token deleted once), via a
+    row-local fold over the sorted span starts that merges
+    overlapping/adjacent intervals — the survivor can still lose
+    tokens to a DIFFERENT duplicated span overlapping it, exactly as
+    byte-range removal behaves in the paper's implementation.
+
+    Scale shape: windows explode from a cheap position sequence in the
+    scan projection; the fingerprint stream carries (fp, id, pos) ONLY
+    through one partial-agg shuffle (min-struct winner + count per fp)
+    and one fp-keyed equi join back — NO pair materialization, so like
+    paragraph_containment there is no quadratic regime even on
+    boilerplate-heavy corpora. The rebuild is one doc-keyed join of
+    the (id, sorted starts) frame against the persisted token frame
+    plus a row-local interval-merge fold + position filter."""
+    from gomrjob_spark.operators.text import normalized, spread, tokens
+
+    staged = scoped_persist(
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.filter(
+                tokens(normalized(text_col)), lambda x: x != ""
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 1)
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = staged.select(
+        F.col(id_col), "_toks", F.explode(idx).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.col("_i").cast("bigint").alias("_i"),
+        F.md5(F.array_join(F.slice("_toks", F.col("_i"), n), " ")).alias("fp"),
+    )
+    dupw = wins.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_i").alias("i"))).alias(
+            "_w"
+        ),
+        F.count(F.lit(1)).alias("_c"),
+    ).filter(F.col("_c") >= 2)
+    losers = (
+        wins.join(dupw, "fp")
+        .filter(
+            F.struct(F.col(id_col).alias("d"), F.col("_i").alias("i"))
+            != F.col("_w")
+        )
+        .select(id_col, "_i")
+    )
+    rem = losers.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_i")).alias("_starts")
+    )
+    # row-local splice: fold the sorted starts into merged half-open
+    # intervals [s, s+n) (overlap OR adjacency extends the last one),
+    # then keep the tokens whose position no interval covers
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    last = lambda acc: F.try_element_at(acc, F.lit(-1))  # noqa: E731
+    ivals = F.aggregate(
+        F.coalesce(F.col("_starts"), F.array().cast("array<bigint>")),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], s + n).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(s.alias("s"), (s + n).alias("e"))))
+        ),
+    )
+    staged_iv = staged.join(rem, id_col, "left").select(
+        F.col(id_col), "_toks", ivals.alias("_iv")
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1).cast("bigint"), F.size("_toks").cast("bigint")),
+        lambda j: ~F.exists(
+            F.col("_iv"), lambda iv: (j >= iv["s"]) & (j < iv["e"])
+        ),
+    )
+    # stage the filtered position array as a real column (CSE across a
+    # projection is not guaranteed; the r5 HOF lesson)
+    with_kept = staged_iv.select(F.col(id_col), "_toks", kept.alias("_kept"))
+    return with_kept.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (
+            F.size("_toks").cast("bigint") - F.size("_kept").cast("bigint")
+        ).alias("n_removed"),
+        F.array_join(
+            F.transform("_kept", lambda j: F.element_at("_toks", j.cast("int"))),
+            " ",
+        ).alias("text_rewritten"),
+    )
+
+
 #: paragraph-id packing for sub-document dedup: par_id = doc_id *
 #: _PAR_STRIDE + chunk_index. 100k 256-char paragraphs = a 25 MB
 #: document — far past any fixture or sane crawl page; the id stays

@@ -5020,6 +5020,65 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_ngram_spans(docs, n=13).orderBy("doc_id")
 
 
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ),
+    el AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+      FROM nrm
+    ),
+    elg AS MATERIALIZED (SELECT doc_id, w FROM el WHERE len(w) >= 1),
+    win AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(w[i:i+12], ' ')) AS fp
+      FROM elg, unnest(generate_series(1, len(w) - 12)) u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+      FROM win
+    ),
+    removed AS MATERIALIZED (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+      FROM ranked, unnest(generate_series(i, i + 12)) s(p)
+      WHERE rn >= 2
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS wd
+      FROM elg, unnest(generate_series(1, len(w))) u(j)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE r.p IS NOT NULL) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(t.wd, ' ' ORDER BY t.j)
+                    FILTER (WHERE r.p IS NULL), '') AS text_rewritten
+    FROM tok t
+    LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.p = t.j
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL rewrite (operators.dedup
+    .span_removal_rewrite — the other half of Lee et al.
+    arXiv:2107.06499, the ExactSubstr pass production pipelines run):
+    emits the CLEANED corpus with all-but-one occurrence of every
+    duplicated 13-token span spliced out — winner is the smallest
+    (doc_id, position) occurrence per fingerprint; loser token ranges
+    union per document (overlaps merged by a row-local fold) before
+    the splice. The hash gate pins the REWRITTEN text of every
+    document, not just counts. One partial-agg shuffle (winner+count
+    per fingerprint) + one fp-keyed ids-only join + one doc-keyed
+    rebuild join — no pair materialization, linear at every corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_removal_rewrite(docs, n=13).orderBy("doc_id")
+
+
 def _par_minhash_rollup_sql(
     num_hashes: int, bands: int, seed: int, threshold: float, drop_ppm: int
 ) -> str:

@@ -340,6 +340,18 @@ def test_repetition_stats_single_scan_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2
 
 
+def test_span_removal_ids_only_no_pairs(spark, sf_dir):
+    """dedup_span_removal: winner selection is ONE partial aggregation
+    over the window fingerprints (map-side partial + final around one
+    exchange) and the splice path joins ids/positions only — no pair
+    materialization, no nested-loop fallback, so no quadratic regime
+    exists even on fully-replicated fixtures."""
+    plan = _plan(plans.QUERIES["dedup_span_removal"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_lsh_candidate_pair_dedup_is_shuffle_free(spark, sf_dir):
     """r3 fix, pinned: the candidate-pair stream out of the band join
     must NOT end in a distinct() — the first-shared-band filter dedups
