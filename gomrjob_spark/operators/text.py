@@ -1464,6 +1464,346 @@ def unigram_encode(
     )
 
 
+def _wp_word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, wn) distinct words for WordPiece work, with literal '#'
+    characters stripped first so the '##' continuation marker is
+    unambiguous (the trainer's \\x02-strip convention from BPE)."""
+    return (
+        spread(docs)
+        .select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        tokens(normalized(text_col)),
+                        lambda x: F.replace(x, F.lit("#"), F.lit("")),
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+    )
+
+
+def _wp_init_syms(w):
+    """Initial WordPiece symbols of a word: first char bare, every
+    later char '##'-prefixed ([a, ##b, ##c] for 'abc')."""
+    tail = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.length(w)),
+            lambda j: F.concat(F.lit("##"), F.substr(w, j, F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.array(F.substr(w, F.lit(1), F.lit(1))), tail)
+
+
+def _wp_merge_fold(arr, w1, w2):
+    """One WordPiece merge applied greedily left-to-right,
+    non-overlapping (the shared _greedy_merge_fold semantics); the
+    merged symbol concatenates with the continuation marker of the
+    right side stripped: merge(a, ##b) = ab, merge(##b, ##c) = ##bc."""
+    merged_tok = F.concat(w1, F.regexp_replace(w2, "^##", ""))
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == w1) & (x == w2),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_tok)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+#: fixed-point scale for the WordPiece likelihood score — two staged
+#: floor divisions keep every operand under bigint for corpora up to
+#: ~9.2e12 weighted symbol occurrences (~40 TB of text at 4 B/token);
+#: past that, switch to bit-length log scoring as in operators/search.py
+WP_SCORE_SCALE = 1_000_000
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    tokenizer, Devlin et al. 2018): like BPE, but each round merges the
+    adjacent symbol pair maximizing the LIKELIHOOD score
+    ``count(pair) / (count(left) * count(right))`` — the pair whose
+    merge most increases corpus likelihood under a unigram LM — instead
+    of the raw pair count. Returns the merge table
+    (round, w1, w2, n_pair, score_fp).
+
+    Exactness: the score is staged fixed-point floor division
+    ``((n_pair * S) DIV c_left * S) DIV c_right`` with S = 10^6 —
+    every operand positive, every division a floor both engines take
+    identically, so the winner (score desc, w1, w2) is
+    engine-reproducible and the whole trajectory sits under the hash
+    gate. Words run over the DISTINCT-word frame weighted by frequency
+    (the SentencePiece efficiency shape — corpus-sized work is paid
+    once in the word-count shuffle); initial symbols are the word's
+    first char plus '##'-prefixed continuations, and merges apply
+    greedily left-to-right non-overlapping exactly as in BPE.
+
+    Scale shape per round: one weighted symbol-count aggregate + one
+    weighted pair-count aggregate over the persisted distinct-word
+    symbol arrays, two vocabulary-sized equi-joins to attach the
+    left/right counts, a 1-ROW broadcast of the winner (the
+    bpe_train_merges device — remember the BNLJ allowlist), and one
+    row-local fold rewriting each word's array. Each round's rewritten
+    symbol frame is lazily ``localCheckpoint``ed (the connected-
+    components fixpoint device): a round references its predecessor
+    THREE times (symbol counts, pair counts, the rewrite join), so
+    without the lineage barrier the logical plan grows ~4^rounds and
+    the 5-round plan string alone overflows the driver heap; the
+    checkpointed frame is the DISTINCT-WORD table — vocabulary-sized
+    (Heaps-bounded), never corpus-sized."""
+    wf = scoped_persist(_wp_word_freqs(docs, text_col))
+    cur = scoped_persist(
+        wf.select(_wp_init_syms(F.col("w")).alias("syms"), "wn")
+    )
+    merges = None
+    for r in range(1, n_merges + 1):
+        cnt = (
+            cur.select(F.explode("syms").alias("s"), "wn")
+            .groupBy("s")
+            .agg(F.sum("wn").cast("bigint").alias("c"))
+        )
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            cur.select("syms", "wn", F.explode(idx).alias("_i"))
+            .select(
+                F.element_at("syms", F.col("_i")).alias("w1"),
+                F.element_at("syms", F.col("_i") + 1).alias("w2"),
+                "wn",
+            )
+            .groupBy("w1", "w2")
+            .agg(F.sum("wn").cast("bigint").alias("n_pair"))
+        )
+        scored = (
+            pairs.join(cnt.select(F.col("s").alias("w1"), F.col("c").alias("_cl")), "w1")
+            .join(cnt.select(F.col("s").alias("w2"), F.col("c").alias("_cr")), "w2")
+            .withColumn(
+                "score_fp",
+                F.expr(
+                    f"(((n_pair * {WP_SCORE_SCALE}) DIV _cl) * {WP_SCORE_SCALE})"
+                    " DIV _cr"
+                ).cast("bigint"),
+            )
+        )
+        top1 = scoped_persist(
+            scored.orderBy(F.desc("score_fp"), "w1", "w2").limit(1)
+        )
+        round_row = top1.select(
+            F.lit(r).cast("int").alias("round"),
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            "score_fp",
+        )
+        merges = round_row if merges is None else merges.unionByName(round_row)
+        cur = cur.join(F.broadcast(top1.select("w1", "w2"))).select(
+            _wp_merge_fold("syms", F.col("w1"), F.col("w2")).alias("syms"),
+            "wn",
+        ).localCheckpoint(eager=False)
+    return merges.orderBy("round")
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The vocabulary a trained merge table induces: every initial
+    symbol of the training corpus (first chars + '##' continuations)
+    plus the merged piece of each round — the (piece) set
+    wordpiece_encode's greedy longest-match scans."""
+    seeds = (
+        _wp_word_freqs(docs, text_col)
+        .select(F.explode(_wp_init_syms(F.col("w"))).alias("piece"))
+        .distinct()
+    )
+    merged = merges.select(
+        F.concat(
+            F.col("w1"), F.regexp_replace(F.col("w2"), "^##", "")
+        ).alias("piece")
+    )
+    return seeds.unionByName(merged).distinct()
+
+
+def _wordpiece_vocab_row(vocab: DataFrame):
+    """Collapse a (piece) vocabulary to the ONE-ROW broadcast the
+    greedy fold reads: ``_wm`` piece -> 1 membership map and ``_mk`` =
+    the longest piece BODY (chars consumed — '##' stripped), which
+    bounds the per-position candidate scan. Model-sized by definition;
+    vocabulary-invariant codegen (the bpe_apply lesson)."""
+    body_len = F.when(
+        F.col("piece").startswith("##"), F.length("piece") - 2
+    ).otherwise(F.length("piece")).cast("bigint")
+    return vocab.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece").alias("key"),
+                                    F.lit(1).alias("value")))
+        ).alias("_wm"),
+        F.max(body_len).alias("_mk"),
+    )
+
+
+def _wp_greedy_struct(w, wm, mk):
+    """Greedy longest-match-first WordPiece segmentation of one word as
+    a row-local fold (the nested-HOF _viterbi_struct shape): iterate
+    len(w) steps carrying (pos, seg, failed); each active step scans
+    candidate lengths 1..min(mk, remaining) DESCENDING by taking the
+    max matching k — piece = substr at pos, '##'-prefixed beyond
+    position 1 — advances pos by the match, or fails the whole word
+    (the standard [UNK] rule) when no length matches. Returns
+    struct(seg array<string>, unk boolean)."""
+    init = F.struct(
+        F.lit(1).cast("bigint").alias("pos"),
+        F.array().cast("array<string>").alias("seg"),
+        F.lit(False).alias("failed"),
+    )
+
+    def cand(pos, k):
+        p, n = pos.cast("int"), k.cast("int")
+        return F.when(pos == 1, F.substr(w, p, n)).otherwise(
+            F.concat(F.lit("##"), F.substr(w, p, n))
+        )
+
+    def step(acc, _):
+        active = (~acc["failed"]) & (acc["pos"] <= F.length(w).cast("bigint"))
+        bound = F.when(
+            active, F.least(mk, F.length(w).cast("bigint") - acc["pos"] + 1)
+        ).otherwise(F.lit(0).cast("bigint"))
+        ks = F.when(
+            bound >= 1,
+            F.filter(
+                F.sequence(F.lit(1).cast("bigint"), bound),
+                lambda k: F.try_element_at(wm, cand(acc["pos"], k)).isNotNull(),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        bk = F.array_max(ks)
+        return F.when(~active, acc).otherwise(
+            F.when(
+                bk.isNull(),
+                F.struct(
+                    acc["pos"].alias("pos"),
+                    acc["seg"].alias("seg"),
+                    F.lit(True).alias("failed"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["pos"] + bk).alias("pos"),
+                    F.concat(acc["seg"], F.array(cand(acc["pos"], bk))).alias(
+                        "seg"
+                    ),
+                    F.lit(False).alias("failed"),
+                )
+            )
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+    return F.struct(
+        F.when(folded["failed"], F.array(F.lit("[UNK]")))
+        .otherwise(folded["seg"])
+        .alias("seg"),
+        folded["failed"].alias("unk"),
+    )
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    memoize: bool = True,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece ENCODE with a trained
+    vocabulary — the inference half (BERT's WordPieceTokenizer): per
+    word, repeatedly take the LONGEST vocabulary piece matching at the
+    cursor ('##'-prefixed beyond the first position); a word with no
+    match at any cursor becomes the single piece [UNK]. Returns
+    (id, n_pieces, n_unk, pieces_str) — the full space-joined
+    segmentation, so the hash gate pins every piece boundary.
+    Documents with zero tokens drop out.
+
+    Two plans, identical results (the unigram_encode twins):
+    ``memoize=True`` segments each DISTINCT token once and reassembles
+    per doc (Heaps-bounded Viterbi-class work; three key shuffles);
+    ``memoize=False`` is ONE row-local pass — outer transform over the
+    token array, inner greedy fold (nested HOF lambdas), no shuffle
+    beyond the scan, the shape the streaming twin needs. The vocab
+    crosses as a 1-row broadcast (map + max-body-length) with
+    vocabulary-invariant generated code."""
+    vrow = _wordpiece_vocab_row(vocab)
+    toked = spread(docs).select(
+        F.col(id_col),
+        F.filter(
+            F.transform(
+                tokens(normalized(text_col)),
+                lambda x: F.replace(x, F.lit("#"), F.lit("")),
+            ),
+            lambda x: x != "",
+        ).alias("_toks"),
+    ).filter(F.size("_toks") >= 1)
+    if memoize:
+        pos = toked.select(F.col(id_col), F.posexplode("_toks").alias("_i", "_w"))
+        seg1 = (
+            pos.select("_w")
+            .distinct()
+            .join(F.broadcast(vrow))
+            .select(
+                "_w",
+                _wp_greedy_struct(
+                    F.col("_w"), F.col("_wm"), F.col("_mk")
+                ).alias("_v"),
+            )
+        )
+        segd = (
+            pos.join(seg1, "_w")
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_i").alias("i"), F.col("_v").alias("v"))
+                    )
+                ).alias("_s")
+            )
+            .select(
+                F.col(id_col), F.transform("_s", lambda s: s["v"]).alias("_vs")
+            )
+        )
+    else:
+        segd = toked.join(F.broadcast(vrow)).select(
+            F.col(id_col),
+            F.transform(
+                "_toks",
+                lambda t: _wp_greedy_struct(t, F.col("_wm"), F.col("_mk")),
+            ).alias("_vs"),
+        )
+    return segd.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform("_vs", lambda v: F.size(v["seg"]).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_pieces"),
+        F.aggregate(
+            F.transform("_vs", lambda v: F.when(v["unk"], F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_unk"),
+        F.array_join(
+            F.flatten(F.transform("_vs", lambda v: v["seg"])), " "
+        ).alias("pieces_str"),
+    )
+
+
 def top_ngram_char_fractions(
     df: DataFrame,
     ns: tuple[int, ...] = (2, 3, 4),

@@ -4796,6 +4796,221 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ------------------------------------------------ WordPiece tokenizer (round 9)
+
+_WP_ROUNDS = 5
+_WP_SCALE = 1_000_000  # text.WP_SCORE_SCALE
+
+
+def _wp_round_sql(i: int) -> str:
+    """One WordPiece round as chained CTEs over the DISTINCT-word
+    symbol frame: frequency-weighted symbol and pair counts, the
+    likelihood-scored winner (staged fixed-point floor divisions —
+    text.wordpiece_train's exact rule), greedy non-overlapping merge
+    sites via the BPE oracle's window-island parity trick (keyed by
+    word instead of doc), and the rebuilt symbol lists."""
+    prev = f"s{i - 1}"
+    return f"""
+    cnt{i} AS MATERIALIZED (
+      SELECT s AS sym, CAST(sum(wn) AS BIGINT) AS c FROM (
+        SELECT unnest(syms) AS s, wn FROM {prev}) u GROUP BY 1
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT t.syms[g.i] AS w1, t.syms[g.i + 1] AS w2,
+             CAST(sum(t.wn) AS BIGINT) AS n_pair
+      FROM {prev} t, unnest(generate_series(1, len(t.syms) - 1)) g(i)
+      GROUP BY 1, 2
+    ),
+    top{i} AS MATERIALIZED (
+      SELECT p.w1, p.w2, p.n_pair,
+             CAST((((p.n_pair * {_WP_SCALE}) // cl.c) * {_WP_SCALE}) // cr.c
+                  AS BIGINT) AS score_fp
+      FROM p{i} p
+      JOIN cnt{i} cl ON cl.sym = p.w1
+      JOIN cnt{i} cr ON cr.sym = p.w2
+      ORDER BY score_fp DESC, p.w1, p.w2 LIMIT 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT t.w, g.i AS pos, t.syms[g.i] AS tok,
+             CASE WHEN t.syms[g.i] = (SELECT w1 FROM top{i})
+                   AND t.syms[g.i + 1] = (SELECT w2 FROM top{i})
+                  THEN 1 ELSE 0 END AS mt
+      FROM {prev} t, unnest(generate_series(1, len(t.syms))) g(i)
+    ),
+    isl{i} AS MATERIALIZED (
+      SELECT w, pos,
+             pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+      FROM m{i} WHERE mt = 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos,
+               (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 AS par
+        FROM isl{i}) q WHERE par = 0
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT q.w, q.wn, list(newtok ORDER BY pos) AS syms FROM (
+        SELECT m.w, t.wn, m.pos,
+               CASE WHEN st.pos IS NOT NULL
+                      THEN (SELECT w1 || regexp_replace(w2, '^##', '')
+                            FROM top{i})
+                    WHEN sn.pos IS NOT NULL THEN NULL
+                    ELSE m.tok END AS newtok
+        FROM m{i} m JOIN {prev} t ON t.w = m.w
+        LEFT JOIN sel{i} st ON st.w = m.w AND st.pos = m.pos
+        LEFT JOIN sel{i} sn ON sn.w = m.w AND sn.pos + 1 = m.pos
+      ) q WHERE newtok IS NOT NULL GROUP BY q.w, q.wn
+    )"""
+
+
+#: shared WordPiece round-replay chain over the doc_id%5 train slice:
+#: s0 = initial per-word symbol lists ('#' stripped so '##' markers
+#: are unambiguous), s{i} = after merge round i.
+_WP_CHAIN = (
+    f"""
+    WITH RECURSIVE w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
+        SELECT unnest(list_filter(
+                 list_transform(string_split({_SQL_NORM}, ' '),
+                                x -> replace(x, '#', '')),
+                 x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 5 = 0) u
+      GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, wn,
+             list_prepend(substr(w, 1, 1),
+               CASE WHEN length(w) >= 2
+                    THEN list_transform(generate_series(2, length(w)),
+                                        j -> '##' || substr(w, j, 1))
+                    ELSE []::VARCHAR[] END) AS syms
+      FROM w0
+    ),"""
+    + ",".join(_wp_round_sql(i) for i in range(1, _WP_ROUNDS + 1))
+)
+
+
+@query(
+    "text_wordpiece_train",
+    oracle=_WP_CHAIN
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, w1, w2, n_pair, score_fp FROM top{i}"
+        for i in range(1, _WP_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round",
+)
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (operators.text.wordpiece_train —
+    Schuster & Nakajima 2012, the BERT tokenizer): 5 rounds of merging
+    the adjacent symbol pair with the highest LIKELIHOOD score
+    n_pair/(c_left * c_right) — computed in staged fixed-point floor
+    divisions so the winner ordering is engine-exact — over the
+    DISTINCT-word symbol frame weighted by word frequency. Completes
+    the production tokenizer triad next to BPE (raw-count merges) and
+    unigram-LM (EM pruning). Trains on the doc_id%5 reference slice;
+    the oracle replays every round with the window-island parity
+    greedy-merge device, so one divergent merge site in one round
+    fails the gate. Per round: two weighted partial-agg shuffles +
+    two vocabulary-sized count joins + a 1-ROW winner broadcast the
+    merge fold reads (BNLJ allowlist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.wordpiece_train(train, n_merges=_WP_ROUNDS).orderBy("round")
+
+
+@query(
+    "text_wordpiece_encode",
+    oracle=_WP_CHAIN
+    + f""",
+    wpvoc AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT unnest(syms) AS piece FROM s0
+        """
+    + "".join(
+        f"""UNION ALL
+        SELECT w1 || regexp_replace(w2, '^##', '') FROM top{i}
+        """
+        for i in range(1, _WP_ROUNDS + 1)
+    )
+    + f""") u
+    ),
+    wvm AS MATERIALIZED (
+      SELECT MAP(list(piece ORDER BY piece), list(1 ORDER BY piece)) AS m,
+             CAST(MAX(CASE WHEN piece LIKE '##%' THEN length(piece) - 2
+                           ELSE length(piece) END) AS BIGINT) AS mk
+      FROM wpvoc
+    ),
+    ctoks AS MATERIALIZED (
+      SELECT doc_id, i, w[i] AS tok FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split({_SQL_NORM}, ' '),
+                                          x -> replace(x, '#', '')),
+                           x -> x <> '') AS w
+        FROM documents) d, unnest(generate_series(1, len(w))) s(i)
+    ),
+    cw AS MATERIALIZED (SELECT DISTINCT tok AS w FROM ctoks),
+    enc_dp AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos, []::VARCHAR[] AS seg,
+             FALSE AS failed
+      FROM cw
+      UNION ALL
+      SELECT w,
+             CASE WHEN bk IS NULL THEN pos ELSE pos + bk END,
+             CASE WHEN bk IS NULL THEN seg
+                  ELSE list_append(seg,
+                         CASE WHEN pos = 1 THEN substr(w, pos, bk)
+                              ELSE '##' || substr(w, pos, bk) END) END,
+             bk IS NULL
+      FROM (
+        SELECT w, pos, seg,
+               list_max(list_filter(
+                 generate_series(1, LEAST(mk, length(w) - pos + 1)),
+                 k -> m[CASE WHEN pos = 1 THEN substr(w, pos, k)
+                             ELSE '##' || substr(w, pos, k) END][1]
+                      IS NOT NULL)) AS bk
+        FROM enc_dp, wvm WHERE pos <= length(w) AND NOT failed
+      ) stp
+    ),
+    encf AS MATERIALIZED (
+      SELECT w,
+             CASE WHEN failed THEN ['[UNK]'] ELSE seg END AS seg,
+             CASE WHEN failed THEN 1 ELSE 0 END AS unk
+      FROM enc_dp WHERE failed OR pos = length(w) + 1
+    )
+    SELECT t.doc_id,
+           CAST(sum(len(e.seg)) AS BIGINT) AS n_pieces,
+           CAST(sum(e.unk) AS BIGINT) AS n_unk,
+           string_agg(array_to_string(e.seg, ' '), ' ' ORDER BY t.i)
+             AS pieces_str
+    FROM ctoks t JOIN encf e ON e.w = t.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece ENCODE of the whole corpus
+    with the trained vocabulary (operators.text.wordpiece_encode) —
+    the inference half, closing train -> encode for the third
+    tokenizer family. Per document: piece count, [UNK] word count (a
+    word with no match at any cursor becomes one [UNK] — genuinely
+    exercised here, because the vocab comes from the doc_id%5 slice
+    and held-out documents carry unseen characters), and the FULL
+    space-joined segmentation, so the hash gate pins every piece
+    boundary and every [UNK] decision. The vocab crosses as a 1-row
+    broadcast (membership map + max body length bounding the
+    descending-length scan); each DISTINCT token segments once
+    (Heaps-bounded — the unigram_encode memoize lesson) and the
+    oracle replays the greedy scan with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    merges = text.wordpiece_train(train, n_merges=_WP_ROUNDS)
+    vocab = text.wordpiece_vocab(train, merges)
+    return text.wordpiece_encode(docs, vocab).select(
+        "doc_id", "n_pieces", "n_unk", "pieces_str"
+    ).orderBy("doc_id")
+
+
 @query(
     "dedup_paragraph_containment",
     oracle="""

@@ -171,6 +171,13 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "text_unigram_encode",      # same EM-round broadcasts + the
                                     # 1-row trained-vocab map the
                                     # encode fold reads
+        "text_wordpiece_train",     # 1-row winning-pair broadcast per
+                                    # WordPiece round (the
+                                    # text_bpe_merges class)
+        "text_wordpiece_encode",    # same per-round winners + the
+                                    # 1-row vocab membership-map
+                                    # broadcast the greedy fold reads
+                                    # (model-sized by definition)
         "sample_dsir_importance",   # 1-row 0.8-percentile threshold
                                     # broadcast (the q22 class)
         "pack_unigram_batches",     # the unigram EM-round vocab-map
