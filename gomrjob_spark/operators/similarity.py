@@ -1175,6 +1175,30 @@ def semantic_diversity_survivors(
     the pair stage reads from an explicitly cell-partitioned frame
     (both join sides share it — no extra exchange) sized by the
     session's shuffle parallelism. 8.9 s -> ~2 s at sf0.1."""
+    _, survivors = semantic_diversity_model(
+        corpus, threshold, target_cell, min_cells, n_iters, id_col, vec_col
+    )
+    return survivors
+
+
+def semantic_diversity_model(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    target_cell: int = 128,
+    min_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The SemDeDup pipeline with its trained artifacts exposed:
+    returns (centroids, survivors) — ``centroids`` is the (cell,
+    centroid) quantizer after the Lloyd rounds, ``survivors`` the
+    (id, cell) frame :func:`semantic_diversity_survivors` documents.
+    The split exists so a LIVE admission topology
+    (streaming.ops.semdedup_gate_stream) can broadcast the SAME
+    trained model + survivor store the batch pass produced — the
+    offline-train / online-score deployment every other dedup family
+    has."""
     from gomrjob_spark.cache import scoped_persist
     from gomrjob_spark.operators.text import spread
 
@@ -1214,6 +1238,7 @@ def semantic_diversity_survivors(
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
-    return assigned.join(dropped, id_col, "left_anti").select(
+    survivors = assigned.join(dropped, id_col, "left_anti").select(
         F.col(id_col), F.col("cell")
     )
+    return cents, survivors

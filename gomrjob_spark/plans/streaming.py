@@ -809,3 +809,106 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
     gated = dsir_gate_stream(batch, weights, n_buckets=4096, min_mbits=16500)
     return _drain(spark, gated, "complete").orderBy("doc_id")
+
+
+def _semdedup_gate_oracle() -> str:
+    from gomrjob_spark.plans.llm import (
+        _TWIN_FLIP_COORD,
+        _TWIN_ID_OFFSET,
+        _kmeans_round_sql,
+    )
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    par AS MATERIALIZED (SELECT GREATEST(8, count(*) // 128) AS k FROM e),
+    c0 AS MATERIALIZED (
+      SELECT CAST(rn AS INT) AS cell, v AS centroid FROM (
+        SELECT v, row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e) s
+      WHERE rn <= (SELECT k FROM par)
+    ),
+    {_kmeans_round_sql("c0", "a1", "c1")},
+    {_kmeans_round_sql("c1", "a2", "c2")},
+    af AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+                 AS rn
+        FROM e CROSS JOIN c2 c) s
+      WHERE rn = 1
+    ),
+    drp AS MATERIALIZED (
+      SELECT DISTINCT b.vec_id
+      FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ),
+    store AS MATERIALIZED (
+      SELECT cell, v FROM af WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+    ),
+    arr AS MATERIALIZED (
+      SELECT vec_id + {_TWIN_ID_OFFSET} AS vec_id,
+             list_transform(embedding::DOUBLE[],
+               (x, i) -> CASE WHEN i = {_TWIN_FLIP_COORD} THEN -x ELSE x END)
+               AS v
+      FROM embeddings
+    ),
+    arrassign AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT a.vec_id, a.v, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.cell)
+                 AS rn
+        FROM arr a CROSS JOIN c2 c) s
+      WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell,
+           CAST(count(s.v) AS BIGINT) AS n_same_cell,
+           COALESCE(bool_or(list_cosine_similarity(a.v, s.v) >= 0.95), FALSE)
+             AS quarantined
+    FROM arrassign a LEFT JOIN store s ON s.cell = a.cell
+    GROUP BY a.vec_id, a.cell
+    ORDER BY a.vec_id
+    """
+
+
+@query("streaming_semdedup_gate", oracle=_semdedup_gate_oracle())
+def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup admission as a LIVE topology
+    (streaming.ops.semdedup_gate_stream) — the streaming twin of
+    dedup_semantic_diversity, closing the offline-train/online-score
+    pattern for the semantic family: the k-means quantizer AND the
+    per-cell survivor store are trained on the static embeddings table
+    (operators.similarity.semantic_diversity_model — the exact batch
+    pipeline, md5 seeds + 2 Lloyd rounds), then the sign-flip twins
+    arrive as a stream (cosine ~0.97 to their originals, the proven
+    falsifiability device: most quarantine, a deterministic minority
+    legitimately passes), each assigned scan-locally and tested
+    row-locally against the broadcast cell store — STATELESS
+    append-mode, LEFT-join semantics for history-free cells. The
+    oracle replays the whole trained pipeline plus the admission
+    decision, so the hash gate pins clustering, store membership, and
+    every quarantine verdict."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.similarity import semantic_diversity_model
+    from gomrjob_spark.plans.llm import _TWIN_FLIP_COORD, _TWIN_ID_OFFSET
+    from gomrjob_spark.streaming import read_embeddings_stream, semdedup_gate_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, surv = semantic_diversity_model(
+        emb, threshold=0.95, target_cell=128, min_cells=8, n_iters=2
+    )
+    store = surv.join(emb, "vec_id").select("cell", "embedding")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == F.lit(_TWIN_FLIP_COORD - 1), -x).otherwise(x),
+    )
+    arrivals = read_embeddings_stream(spark, sf_dir).select(
+        (F.col("vec_id") + F.lit(_TWIN_ID_OFFSET)).alias("vec_id"),
+        flipped.alias("embedding"),
+    )
+    gated = semdedup_gate_stream(arrivals, cents, store, threshold=0.95)
+    return _drain(spark, gated, "append").orderBy("vec_id")

@@ -17,7 +17,9 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     outlier_flag_stream,
     paragraph_quarantine_stream,
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
+    semdedup_gate_stream,
     run_to_memory,
     run_to_parquet,
     search_score_stream,

@@ -257,6 +257,81 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay stream of the embeddings table (schema from a static
+    read, same convention as read_events_stream)."""
+    from gomrjob_spark.catalog import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def semdedup_gate_stream(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    survivors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LIVE SemDeDup admission — the streaming twin of
+    operators.similarity.semantic_diversity_survivors (Abbas et al.
+    2023): each arriving vector is assigned to its nearest trained
+    k-means cell SCAN-LOCALLY (ivf_assign's literal/broadcast scoring —
+    a pure projection, stream-safe), probes the per-cell SURVIVOR store
+    the batch pass produced, and is quarantined when any same-cell
+    stored survivor sits at cosine >= ``threshold`` — the semantic gate
+    a continuous ingest applies before a vector ever reaches the batch
+    dedup. Emits (id, cell, n_same_cell, quarantined).
+
+    The store collapses to ONE row per cell (vector + staged norm
+    struct array, bounded by the trainer's target cell size) and joins
+    the stream as a per-batch broadcast — LEFT join, because an
+    arriving vector can land in a cell whose survivors all fell to the
+    batch dedup or that holds no history yet: such vectors take
+    n_same_cell = 0 and pass (an inner join would silently DROP them —
+    the streaming_dsir_gate lesson). The cosine test is a row-local
+    ``exists`` over the cell's array, so the topology is STATELESS:
+    batching-invariant, append-mode, per-batch cost flat forever."""
+    from gomrjob_spark.operators.similarity import dot, ivf_assign, l2_norm
+
+    assigned = ivf_assign(vecs, centroids, 1, id_col, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell",
+        l2_norm(F.col(vec_col)).alias("_nv"),
+    )
+    store = F.broadcast(
+        survivors.select(
+            "cell",
+            F.struct(
+                F.col(vec_col).cast("array<double>").alias("v"),
+                l2_norm(F.col(vec_col)).alias("n"),
+            ).alias("_s"),
+        )
+        .groupBy("cell")
+        .agg(F.collect_list("_s").alias("_ss"))
+    )
+    probed = assigned.join(store, "cell", "left_outer")
+    arr = F.coalesce(
+        F.col("_ss"), F.array().cast("array<struct<v:array<double>,n:double>>")
+    )
+    return probed.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.size(arr).cast("bigint").alias("n_same_cell"),
+        F.exists(
+            arr,
+            lambda s: dot(F.col(vec_col), s["v"]) / (F.col("_nv") * s["n"])
+            >= F.lit(float(threshold)),
+        ).alias("quarantined"),
+    )
+
+
 def incremental_dedup_stream(
     docs: DataFrame, known_fps: DataFrame, dedup_window: str = "1 hour"
 ) -> DataFrame:

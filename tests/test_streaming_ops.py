@@ -366,3 +366,58 @@ def test_streaming_paragraph_quarantine_matches_batch(spark, sf_dir):
     assert got == exp
     for r in live.collect():
         assert r["quarantined"] == (r["contained_ppm"] >= 300_000)
+
+
+def test_semdedup_gate_stream_quarantines_known_neighbors(spark, sf_dir):
+    """The live SemDeDup gate must agree with a driver-side replay:
+    hand-built 2-cell model (unit axis vectors), survivors on one cell
+    only — arrivals near the stored survivor quarantine, arrivals in
+    the history-free cell pass with n_same_cell=0 (LEFT-join
+    semantics), and an orthogonal arrival in the stored cell passes."""
+    from gomrjob_spark.plans.streaming import _drain
+    from gomrjob_spark.streaming import semdedup_gate_stream
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+    # survivors only in cell 1
+    store = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0])], "cell int, embedding array<double>"
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.01, 0.0],   # cell 1, cos ~1 to survivor -> quarantined
+                     [0.0, 1.0, 0.05],   # cell 1 or 2? dot with c1=0, c2=0.05 -> cell 2, empty store -> pass
+                     [0.01, 1.0, 0.0]],  # cell 1 (cos tie? c1: 0.01, c2: 0) -> cell 1, cos to survivor ~0.01 -> pass
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(tmp, "embeddings.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(tmp)
+    )
+    got = {
+        r["vec_id"]: r
+        for r in _drain(
+            spark, semdedup_gate_stream(stream, cents, store, 0.95), "append"
+        ).collect()
+    }
+    assert got[10]["cell"] == 1 and got[10]["quarantined"]
+    assert got[10]["n_same_cell"] == 1
+    assert got[11]["cell"] == 2 and not got[11]["quarantined"]
+    assert got[11]["n_same_cell"] == 0
+    assert got[12]["cell"] == 1 and not got[12]["quarantined"]
