@@ -49,6 +49,20 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: carries it), events_outlier_audit (0.49 s; streaming_outlier_flags
 #: keeps the outlier class), search_phrase_topk (0.56 s; bm25 keeps
 #: retrieval). 62 shared entries vs r7; ~1.93 KB of the 2000-byte tail.
+#: r9 rotation: IN dedup_span_removal (the ExactSubstr corpus rewrite —
+#: winner agg + ids-only joins + row-local splice) and
+#: text_wordpiece_encode (carries the 5-round likelihood trainer + the
+#: greedy longest-match encode; the train twin has a sweep row); OUT
+#: flat shapes whose cost class stays measured elsewhere:
+#: mr_field_count (0.52 s flat since r01 — mr_combiner runs the same
+#: Step graph and mr_field_count_gzip keeps the text-protocol path
+#: end-to-end) and dedup_repeated_chunks (0.28 s, the suite's flattest
+#: entry — dedup_paragraph_containment measures the same 256-char
+#: chunk-fingerprint shuffle class plus its rollup). 64 shared entries
+#: vs r8; ~1.93 KB of the 2000-byte tail. multimodal_caption_alignment,
+#: streaming_semdedup_gate and text_dup_ngram_coverage stay tier 2
+#: with sweep rows (scan-linear / the already-benched semdedup trainer
+#: class / the repetition_stats shuffle class).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -85,6 +99,8 @@ HEADLINE = [
     "dedup_semantic_diversity",
     "dedup_paragraph_containment",
     "multimodal_lossless_pixel_stats",
+    "dedup_span_removal",
+    "text_wordpiece_encode",
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
@@ -99,14 +115,12 @@ HEADLINE = [
     "graph_pagerank",
     "graph_triangles",
     "corpus_curation_pipeline",
-    "dedup_repeated_chunks",
     "multimodal_compressed_pixel_stats",
     "multimodal_progressive_pixel_stats",
     "multimodal_phash_dedup",
     "multimodal_phash_near_pairs",
     "multimodal_audio_fingerprint_dedup",
     "multimodal_scene_cuts",
-    "mr_field_count",
     "mr_combiner",
     "streaming_tumbling_agg",
     "streaming_interval_join",

@@ -1121,6 +1121,46 @@ def nearest_centroid_confusion(
 # between members of one cell, never across the corpus.
 
 
+def crossmodal_alignment(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "pair_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal PAIR filtering (the LAION/CLIP curation gate,
+    Schuhmann et al. 2021, arXiv:2111.02114): per paired id, the
+    cosine between modality A's embedding (image) and modality B's
+    (caption/audio transcript); pairs below ``threshold`` are the
+    mismatched scrapes a multimodal training set drops. Returns
+    (id, align_sim, aligned).
+
+    Scale shape: ONE equi-join on the pair id (both sides pre-project
+    to id + vector + STAGED norm — the r5 no-CSE-in-lambdas lesson)
+    and a row-local dot/(na*nb) gate; no window, no second shuffle —
+    scan-linear at any corpus size, and the join key is the already-
+    unique pair id, so no skew exists by construction."""
+    sa = side_a.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("_na"),
+    )
+    sb = side_b.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("_nb"),
+    )
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # stage the cosine as a real column before thresholding (CSE across
+    # a projection is not guaranteed; the r5 HOF lesson)
+    scored = sa.join(sb, id_col).select(F.col(id_col), sim.alias("align_sim"))
+    return scored.select(
+        F.col(id_col),
+        "align_sim",
+        (F.col("align_sim") >= F.lit(float(threshold))).alias("aligned"),
+    )
+
+
 def semantic_diversity_survivors(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -22,96 +22,32 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 8): the 14 NEW r8 queries first (their first shot at a
-# driver row), then ALL 19 debt queries — every query whose newest
-# green driver row is r01-r02 (the r7 verdict item #2 "zero the debt"
-# list: 7 named + the 12-name r7 _BACKFILL) — then the longest-proven
-# rotation (all 15 r03 rows + 2 of the 7 r04 rows) to fill the 50-slot
-# window exactly; the five remaining r04 rows head _BACKFILL.
+# Tier 1 (round 9): the 6 NEW r9 queries first (their first shot at a
+# driver row), then ALL 21 names the r8 _BACKFILL carried (last green
+# row r04-r05 — the r8 verdict's item #2 rotation), then the oldest 23
+# of the remaining r05 rows to fill the 50-slot window exactly. The 8
+# r05 rows that didn't fit head the r10 _BACKFILL.
 _VERIFY_FIRST = [
-    # NEW r8: SemDeDup-style semantic diversity dedup (k-means cells +
-    # within-cell cosine survivorship)
-    "dedup_semantic_diversity",
-    # NEW r8: unigram-LM (SentencePiece-style) tokenizer EM training
-    "text_unigram_lm_train",
-    # NEW r8: Viterbi encode against the trained unigram vocab
-    "text_unigram_encode",
-    # NEW r8: paragraph-grain containment dedup with doc-level rollup
-    "dedup_paragraph_containment",
-    # NEW r8 stretch: arithmetic LOSSLESS JPEG (SOF11) real decode
-    "multimodal_lossless_pixel_stats",
-    # NEW r8: DSIR hashed-ngram importance resampling
-    "sample_dsir_importance",
-    # NEW r8: Lee-et-al exact repeated 13-token-span dedup signal
-    "dedup_repeated_ngram_spans",
-    # NEW r8: live paragraph-containment admission (streaming twin)
-    "streaming_paragraph_quarantine",
-    # NEW r8: paragraph-grain MINHASH near-dup rollup (edited
-    # boilerplate the exact-containment pass misses)
-    "dedup_paragraph_minhash_rollup",
-    # NEW r8: multi-signal per-doc triage table (quality + exact-dup +
-    # containment + span signals composed into one keep verdict)
-    "corpus_triage_report",
-    # NEW r8: packing on REAL unigram piece counts (the loop closer)
-    "pack_unigram_batches",
-    # NEW r8: perplexity-ranked exact-decile curriculum buckets
-    "curriculum_difficulty_buckets",
-    # NEW r8: live DSIR admission gate (offline-trained weight model)
-    "streaming_dsir_gate",
-    # NEW r8: Gopher top-ngram character-coverage repetition signals
-    "text_gopher_ngram_fractions",
-    # debt: last driver-proven r01 (r7 verdict item #2)
-    "scalar_math",
-    "scalar_string",
-    "set_ops",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "top_n_global",
-    "udtf_sentences",
-    "window_lag_lead",
-    "window_rank_ntile",
-    "window_running_total",
-    "window_topk_per_group",
-    # debt: last driver-proven r02
-    "funnel_conversion",
-    "multimodal_audio_headers",
-    "multimodal_resize",
-    "sample_hash_split",
-    "text_stopword_strip",
-    "udaf_weighted_avg",
-    # longest-proven rotation: last green row r03
-    "pack_token_batches",
-    "agg_quantile_exact",
-    "multimodal_audio_samples",
-    "sample_stratified",
-    "embedding_centroids",
-    "quality_percentile_filter",
-    "streaming_mr_sum",
-    "dedup_incremental",
-    "select_token_budget",
-    "cap_per_source",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "corpus_curation_pipeline",
-    "dedup_repeated_chunks",
-    "corpus_vocab_topk",
-    # last green row r04
-    "dedup_ngram_jaccard",
-    "window_range_frame",
-]
-
-# next-oldest queries: first in line after the window above, and the
-# head of the r09 rotation (last green row r05). Debt ledger: ZERO
-# r01-r02 queries remain after the r8 window above — from r9 onward the
-# invariant is "every registered query driver-green <= 3 rounds old".
-_BACKFILL = [
+    # NEW r9: exact-substring REMOVAL rewrite (Lee et al. ExactSubstr —
+    # emits the cleaned corpus, hash gate pins the rewritten text)
+    "dedup_span_removal",
+    # NEW r9: WordPiece likelihood-scored merge training
+    "text_wordpiece_train",
+    # NEW r9: greedy longest-match-first WordPiece encode (+[UNK])
+    "text_wordpiece_encode",
+    # NEW r9: live SemDeDup admission gate (19th streaming topology)
+    "streaming_semdedup_gate",
+    # NEW r9: LAION-style cross-modal (image, caption) pair filtering
+    "multimodal_caption_alignment",
+    # NEW r9: Gopher duplicate-ngram character coverage (position-union)
+    "text_dup_ngram_coverage",
+    # r8 _BACKFILL rotation: last green row r04
     "text_chunks",
     "join_asof_forward",
     "decontaminate_ngrams",
     "streaming_incremental_dedup",
     "mix_weights_equal_tokens",
+    # r8 _BACKFILL rotation: last green row r05
     "dedup_embedding_cosine",
     "q4_order_priority",
     "q7_volume_shipping",
@@ -128,6 +64,46 @@ _BACKFILL = [
     "join_band_time",
     "sessionize_windows",
     "timeseries_rollup",
+    # longest-proven fill: the oldest 23 of the remaining r05 rows
+    "dedup_minhash_md5",
+    "dedup_embedding_cosine_rp",
+    "dedup_embedding_cosine_lowsim",
+    "dedup_cluster_survivors",
+    "corpus_clean_filter",
+    "knn_axis_lsh",
+    "text_winnow_fingerprint",
+    "multimodal_decode_headers",
+    "multimodal_frame_sample",
+    "search_tf_topk",
+    "search_bm25_topk",
+    "text_bigram_novelty",
+    "mr_combiner",
+    "case_when_bucketing",
+    "sql_passthrough_topn_revenue",
+    "streaming_tumbling_agg",
+    "streaming_sliding_counts",
+    "streaming_session_window",
+    "streaming_dedup_counts",
+    "streaming_stateful_counts",
+    "streaming_static_join",
+    "streaming_interval_join",
+    "streaming_search_score",
+]
+
+# next-oldest queries: first in line after the window above, and the
+# head of the r10 rotation (last green row r05; everything else is
+# r06+). Ledger note: the oldest driver row after the r9 window is r05
+# for these 8 names — the ">= every query re-proven within the last 4
+# windows" cadence a 211-query registry sustains with a 50-slot window.
+_BACKFILL = [
+    "q11_important_balances",
+    "q21_waiting_suppliers",
+    "session_window_batch",
+    "q8_market_share",
+    "q9_product_profit",
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
+    "q12_priority_lines",
 ]
 
 

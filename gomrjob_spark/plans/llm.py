@@ -5120,6 +5120,59 @@ def multimodal_lossless_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "multimodal_caption_alignment",
+    oracle="""
+    WITH img AS (
+      SELECT vec_id AS pair_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cap AS (
+      SELECT vec_id AS pair_id,
+             list_transform(embedding::DOUBLE[],
+               (x, i) -> CASE WHEN (vec_id + i) % 4 = 0 THEN -x ELSE x END)
+               AS v
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT i.pair_id, list_cosine_similarity(i.v, c.v) AS align_sim
+      FROM img i JOIN cap c USING (pair_id)
+    )
+    SELECT pair_id, align_sim, align_sim >= 0.5 AS aligned
+    FROM sc ORDER BY pair_id
+    """,
+)
+def multimodal_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal (image, caption) pair filtering
+    (operators.similarity.crossmodal_alignment — the LAION/CLIP-score
+    curation gate, arXiv:2111.02114): per pair id, the cosine between
+    the image embedding and the caption embedding; pairs under 0.5 are
+    the mismatched alt-text scrapes a multimodal training set drops.
+    Caption embeddings are SYNTHESIZED as a deterministic per-pair
+    formula (the _phash_synth device): the image vector with every
+    coordinate where (pair_id + i) % 4 = 0 sign-flipped — an
+    id-dependent quarter of the mass moves, spreading alignment
+    continuously across [0.005, 0.85] at sf0.01 (250 aligned / 250
+    dropped at the 0.5 gate), so the DuckDB oracle recomputes every
+    cosine bit-exactly (list_cosine_similarity == the staged
+    dot/(na*nb) fold — the established device). One pair-id equi-join
+    with staged norms + a row-local gate: scan-linear, skew-free by
+    key uniqueness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    imgs = emb.select(F.col("vec_id").alias("pair_id"), "embedding")
+    caps = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(
+                (F.col("vec_id") + i + 1) % 4 == 0, -x
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    return similarity.crossmodal_alignment(
+        imgs, caps, threshold=0.5
+    ).orderBy("pair_id")
+
+
+@query(
     "sample_dsir_importance",
     oracle=f"""
     WITH norm AS (

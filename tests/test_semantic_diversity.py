@@ -125,3 +125,24 @@ def test_paragraph_containment_semantics(spark):
     assert not rows[2]["keep"]
     assert rows[3]["contained_ppm"] == 1_000_000 and not rows[3]["keep"]
     assert rows[4]["n_par"] == 1 and rows[4]["keep"]
+
+
+def test_crossmodal_alignment_gate(spark):
+    """Alignment semantics: identical pair -> 1.0 aligned; negated ->
+    -1.0 dropped; orthogonal -> 0.0 dropped; only shared pair ids
+    survive the equi-join."""
+    from gomrjob_spark.operators.similarity import crossmodal_alignment
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]), (9, [1.0, 0.0])],
+        "pair_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 5.0])],
+        "pair_id long, embedding array<double>",
+    )
+    rows = {r["pair_id"]: r for r in crossmodal_alignment(a, b, 0.5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["align_sim"] == 1.0 and rows[1]["aligned"]
+    assert rows[2]["align_sim"] == -1.0 and not rows[2]["aligned"]
+    assert rows[3]["align_sim"] == 0.0 and not rows[3]["aligned"]
