@@ -25,11 +25,13 @@ formats and the synthesis side of the oracle-gated decode queries, and
 selection + successive approximation), and ``encode_jpeg_arithmetic``
 / ``encode_jpeg_arith_progressive`` plus the SOF9/SOF10 decode paths
 implement the QM arithmetic coder (r7) — the full DCT coding matrix
-(Huffman/arithmetic x sequential/progressive). Round 8 closes the
-last cell: LOSSLESS JPEG, both Huffman (SOF3) and arithmetic (SOF11,
-Annex H predictors + the QM coder), with ``encode_jpeg_lossless`` as
-the twin. Only hierarchical/differential JPEG (a multi-frame pyramid
-mode, SOF5-7/13-15) still raises — named precisely at the raise site.
+(Huffman/arithmetic x sequential/progressive). Round 8 adds LOSSLESS
+JPEG, both Huffman (SOF3) and arithmetic (SOF11, Annex H predictors +
+the QM coder), with ``encode_jpeg_lossless`` as the twin. Round 9 adds
+HIERARCHICAL JPEG (Annex J): DHP/EXP frame sequencing with the
+J.1.1.2 bilinear reference expansion and differential lossless frames
+(SOF7/SOF15), ``encode_jpeg_hierarchical`` as the twin; DCT-based
+differential frames (SOF5/6/13/14) remain a named contract raise.
 """
 
 from __future__ import annotations
@@ -88,9 +90,10 @@ def decode_image(payload: bytes) -> dict:
       dequantize, 8x8 IDCT, sampling-factor upsampling, YCbCr->RGB,
       restart markers, and arithmetic coding — sequential SOF9 and
       progressive SOF10 (QM coder + Annex F statistics, r7), plus
-      LOSSLESS SOF3/SOF11 (Annex H predictors, r8). Hierarchical
-      JPEG (SOF5-7/13-15) raises NotImplementedError — the only
-      remaining mode.
+      LOSSLESS SOF3/SOF11 (Annex H predictors, r8) and HIERARCHICAL
+      lossless pyramids (Annex J DHP/EXP + differential SOF7/SOF15,
+      r9). DCT-based differential frames (SOF5/6/13/14) raise
+      NotImplementedError — the only remaining family.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -694,11 +697,17 @@ def _decode_jpeg(payload: bytes) -> dict:
                 "arith": marker in (0xC9, 0xCA, 0xCB),
                 "lossless": marker in (0xC3, 0xCB),
             }
+        elif marker == 0xDE:  # DHP: hierarchical mode (Annex J, r9)
+            return _decode_jpeg_hierarchical(payload)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # differential frames are only valid after a DHP segment
+            # (handled above); a bare one is a malformed stream, except
+            # that the DCT-based differential families remain a named
+            # contract raise even inside a DHP walk
             raise NotImplementedError(
-                "hierarchical (differential) JPEG; every non-hierarchical "
-                "mode — Huffman/arithmetic x sequential/progressive/lossless "
-                "— is implemented"
+                "differential JPEG frame outside a DHP (hierarchical) "
+                "stream; hierarchical lossless pyramids (SOF3/11 base + "
+                "SOF7/15 differential) decode via the DHP path"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning bounds
             j = 0
@@ -2626,12 +2635,22 @@ class _LLCompState:
     """Per-component lossless scan state: reconstructed rows for the
     positional predictors, plus the (left, above) difference classes
     that form the arithmetic conditioning context. Shared verbatim by
-    decoder and encoder so the two walks cannot diverge."""
+    decoder and encoder so the two walks cannot diverge.
 
-    def __init__(self, width: int, height: int, default: int):
+    ``differential=True`` is the hierarchical-mode variant (T.81 Annex
+    J frames SOF7/SOF15): no spatial prediction at all — every sample
+    codes its value directly (the value IS the difference against the
+    upsampled reference frame, added back outside the scan), while the
+    (Da, Db) arithmetic conditioning classes work unchanged over the
+    coded differences."""
+
+    def __init__(
+        self, width: int, height: int, default: int, differential: bool = False
+    ):
         self.w = width
         self.h = height
         self.default = default
+        self.differential = differential
         self.prev: list | None = None
         self.cur: list = []
         self.rows: list = []
@@ -2646,6 +2665,8 @@ class _LLCompState:
         return 5 * da + db, db >= 3
 
     def predict(self, x: int, psel: int) -> int:
+        if self.differential:
+            return 0  # Annex J: no prediction in differential frames
         if self.fresh:
             return self.default
         if self.y == 0:
@@ -2762,15 +2783,19 @@ def _jpeg_lossless_scan(
     """One lossless scan (arithmetic SOF11 or Huffman SOF3, chosen by
     frame['arith']) into ``planes[comp_index]``; returns the payload
     position of the next marker. Differences live modulo 2^16 (signed
-    window [-32768, 32767]); reconstruction adds back modulo 2^16."""
+    window [-32768, 32767]); reconstruction adds back modulo 2^16.
+    ``frame['differential']`` decodes a hierarchical SOF7/SOF15 scan:
+    same entropy machinery, zero prediction, and the stored plane IS
+    the mod-2^16 difference signal the caller adds to its reference."""
     import numpy as np
 
     comps = frame["comps"]
     prec = frame.get("prec", 8)
     default = 1 << (prec - pt - 1)
+    diff_mode = bool(frame.get("differential"))
     idxs, dims = _ll_scan_geometry(frame, order)
     wdt, hgt = dims[0]
-    states = [_LLCompState(w_, h_, default) for (w_, h_) in dims]
+    states = [_LLCompState(w_, h_, default, diff_mode) for (w_, h_) in dims]
     conds = [dc_cond.get(scan[cid][0], (0, 1)) for cid in order]
     arith = frame.get("arith")
     if arith:
@@ -2865,6 +2890,357 @@ _LL_HUFF_BITS = [0, 0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 3]
 _LL_HUFF_SYMS = bytes(range(17))
 
 
+def _ll_encode_scan(
+    plane_rows,
+    width: int,
+    height: int,
+    comp_ids,
+    predictor: int,
+    restart_interval: int,
+    arith: bool,
+    default: int,
+    differential: bool = False,
+) -> bytes:
+    """Entropy bytes of ONE lossless scan over ``plane_rows`` (indexed
+    by ``comp_ids``) — the encoder half of _jpeg_lossless_scan's state
+    machine, shared by :func:`encode_jpeg_lossless` and the
+    hierarchical writer. ``differential=True`` codes mod-2^16
+    difference planes with zero prediction (Annex J SOF7/SOF15)."""
+    hcodes = _canonical_codes(_LL_HUFF_BITS, _LL_HUFF_SYMS)
+    states = [
+        _LLCompState(width, height, default, differential) for _ in comp_ids
+    ]
+    entropy = bytearray()
+    if arith:
+        enc = _QMEncoder()
+        stats = _ll_fresh_stats({0})
+    else:
+        writer = _BitWriter()
+    rst = 0
+    mcu = 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if arith:
+                    entropy += _pack_arith_bits(enc.flush())
+                    enc = _QMEncoder()
+                    stats = _ll_fresh_stats({0})
+                else:
+                    writer.pad()
+                    entropy += writer.buf
+                    writer = _BitWriter()
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                for s in states:
+                    s.reset_restart()
+            for k, c in enumerate(comp_ids):
+                s = states[k]
+                sample = plane_rows[c][y][x]
+                dm = (sample - s.predict(x, predictor)) & 0xFFFF
+                diff = dm - 0x10000 if dm >= 0x8000 else dm
+                if arith:
+                    ci25, big = s.context(x)
+                    dz, m, sign = _ll_encode_diff(
+                        enc, stats[0], ci25, big, diff
+                    )
+                    cls = _ll_class(dz, m, sign, (0, 1))
+                else:
+                    if diff == 32768:
+                        ssss = 16
+                    else:
+                        ssss = abs(diff).bit_length()
+                    length, code = hcodes[ssss]
+                    writer.put(code, length)
+                    if 0 < ssss < 16:
+                        v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                        writer.put(v & ((1 << ssss) - 1), ssss)
+                    cls = 0
+                s.push(x, sample, cls)
+            mcu += 1
+    if arith:
+        entropy += _pack_arith_bits(enc.flush())
+    else:
+        writer.pad()
+        entropy += writer.buf
+    return bytes(entropy)
+
+
+# --------------------------- hierarchical JPEG (Annex J, SOF7 / SOF15)
+# T.81 hierarchical mode: a DHP segment (SOF syntax) declares the
+# full-resolution geometry, the FIRST frame is a non-differential frame
+# at reduced resolution, and each following EXP + differential frame
+# doubles the reference with the J.1.1.2 bilinear filter and adds a
+# coded difference signal. The LOSSLESS pyramid (SOF3/SOF11 base +
+# SOF7/SOF15 differential refinements) is implemented end to end —
+# bit-exact on arbitrary samples, so per-pixel-formula fixtures hash-
+# gate the whole pyramid; DCT-based frames inside a DHP stream
+# (SOF0-2/5-6/9-10/13-14) raise a named contract error, as does a
+# nonzero point transform (the spec allows both; nothing in the wild
+# needs them and a silent wrong decode would be worse).
+
+
+def _jpeg_hier_upsample(plane, eh: int, ev: int):
+    """T.81 J.1.1.2 reference expansion: x2 per flagged dimension —
+    even output samples copy the input, odd ones interpolate
+    ``(left + right + 1) >> 1`` with the final odd sample replicating
+    the edge; vertical expansion applies the same filter to columns.
+    Integer-exact and shared by encoder and decoder, so the two
+    pyramids cannot diverge."""
+    import numpy as np
+
+    p = np.asarray(plane, dtype=np.int64)
+    if eh:
+        h_, w_ = p.shape
+        out = np.empty((h_, 2 * w_), dtype=np.int64)
+        out[:, 0::2] = p
+        if w_ > 1:
+            out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        h_, w_ = p.shape
+        out = np.empty((2 * h_, w_), dtype=np.int64)
+        out[0::2, :] = p
+        if h_ > 1:
+            out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _decode_jpeg_hierarchical(payload: bytes) -> dict:
+    """Hierarchical (Annex J) JPEG decode — the lossless pyramid: walks
+    the post-DHP marker stream, decodes the non-differential base
+    frame with the ordinary lossless machinery, applies each EXP
+    expansion to the reference, adds each differential frame's
+    mod-2^16 difference planes, and assembles the final full-
+    resolution image from the DHP geometry."""
+    import numpy as np
+
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    hier = None
+    frame = None
+    planes: dict = {}
+    restart_interval = 0
+    ref: dict[int, "np.ndarray"] = {}  # component id -> reference plane
+    pending_exp = (0, 0)
+
+    def parse_sof(seg: bytes) -> dict:
+        h = int.from_bytes(seg[1:3], "big")
+        w = int.from_bytes(seg[3:5], "big")
+        comps = []
+        for k in range(seg[5]):
+            cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
+            comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+        return {"w": w, "h": h, "prec": seg[0], "comps": comps}
+
+    def fold_frame() -> None:
+        nonlocal frame, planes, ref, pending_exp
+        if frame is None:
+            return
+        comps = frame["comps"]
+        for ci in range(len(comps)):
+            if ci not in planes:
+                raise ValueError("hierarchical frame is missing a component scan")
+        if not frame.get("differential"):
+            ref = {c["id"]: planes[ci] for ci, c in enumerate(comps)}
+        else:
+            eh, ev = pending_exp
+            for ci, c in enumerate(comps):
+                if c["id"] not in ref:
+                    raise ValueError(
+                        "differential frame before any reference frame"
+                    )
+                base = ref[c["id"]]
+                if eh or ev:
+                    base = _jpeg_hier_upsample(base, eh, ev)
+                hgt, wdt = planes[ci].shape
+                if base.shape[0] < hgt or base.shape[1] < wdt:
+                    raise ValueError(
+                        "hierarchical reference smaller than differential frame"
+                    )
+                ref[c["id"]] = (base[:hgt, :wdt] + planes[ci]) & 0xFFFF
+        pending_exp = (0, 0)
+        frame = None
+        planes = {}
+
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDE:  # DHP
+            hier = parse_sof(seg)
+        elif marker == 0xDF:  # EXP: applies to the NEXT frame's reference
+            fold_frame()
+            pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker in (0xC3, 0xCB, 0xC7, 0xCF):
+            fold_frame()
+            frame = parse_sof(seg)
+            frame["lossless"] = True
+            frame["arith"] = marker in (0xCB, 0xCF)
+            frame["differential"] = marker in (0xC7, 0xCF)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6,
+                        0xC9, 0xCA, 0xCD, 0xCE):
+            raise NotImplementedError(
+                "hierarchical JPEG with DCT-based frames (SOF0-2/5-6/"
+                "9-10/13-14 inside a DHP stream); the lossless pyramid "
+                "(SOF3/11 base + SOF7/15 differential) is implemented"
+            )
+        elif marker == 0xCC:  # DAC
+            j = 0
+            while j + 1 < len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (seg[j + 1] & 0x0F, seg[j + 1] >> 4)
+                j += 2
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nsym = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, seg[j + 17 : j + 17 + nsym])
+                j += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("hierarchical SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            order = []
+            for k in range(ns):
+                cid, tabs = seg[1 + 2 * k : 3 + 2 * k]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
+                order.append(cid)
+            ss, a = seg[1 + 2 * ns], seg[3 + 2 * ns]
+            if a & 0x0F:
+                raise NotImplementedError(
+                    "hierarchical lossless JPEG with a nonzero point transform"
+                )
+            i = _jpeg_lossless_scan(
+                payload, i + 2 + seg_len, frame, order, scan,
+                dc_cond, huff, restart_interval, planes, ss, 0,
+            )
+            continue
+        i += 2 + seg_len
+    fold_frame()
+    if hier is None or not ref:
+        raise ValueError("hierarchical JPEG without DHP geometry or frames")
+    w, h, comps = hier["w"], hier["h"], hier["comps"]
+    full = []
+    for c in comps:
+        if c["id"] not in ref:
+            raise ValueError("hierarchical stream is missing a component")
+        p = ref[c["id"]]
+        if p.shape[0] < h or p.shape[1] < w:
+            raise ValueError("hierarchical pyramid never reached full resolution")
+        full.append(p[:h, :w])
+    arr = full[0] if len(comps) == 1 else np.stack(full, axis=-1)
+    prec = hier.get("prec", 8)
+    pix = arr.astype(np.uint8) if prec <= 8 else arr.astype(">u2")
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": len(comps),
+        "pixels": pix.tobytes(),
+    }
+
+
+def encode_jpeg_hierarchical(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    levels: int = 2,
+    predictor: int = 4,
+    restart_interval: int = 0,
+    arith: bool = True,
+) -> bytes:
+    """Hierarchical lossless JPEG writer (Annex J): decimate the image
+    ``levels`` times (every other sample — the downsampling filter is
+    the encoder's choice per the spec), code the coarsest level as a
+    non-differential lossless frame (SOF11/SOF3), then per level emit
+    EXP (x2 both dimensions) + a differential lossless frame
+    (SOF15/SOF7) carrying source − upsampled-reference mod 2^16 —
+    decode(encode(px)) is BYTE-IDENTICAL for arbitrary samples because
+    encoder and decoder share the upsampling filter and the scan state
+    machine (the encode_jpeg_lossless twin contract)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if levels < 1:
+        raise ValueError("hierarchical coding needs at least one level")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    import numpy as np
+
+    base = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
+    base = base.reshape(height, width, channels)
+    pyr = [[base[:, :, c] for c in range(channels)]]
+    for _ in range(levels):
+        pyr.append([p[::2, ::2] for p in pyr[-1]])
+    pyr.reverse()  # coarsest first
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sof_body(w: int, h: int) -> bytes:
+        body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        body += bytes([channels])
+        for c in range(channels):
+            body += bytes([c + 1, 0x11, 0])
+        return body
+
+    def sos(psel: int) -> bytes:
+        body = bytes([channels])
+        for c in range(channels):
+            body += bytes([c + 1, 0x00])
+        return seg(0xDA, body + bytes([psel, 0, 0]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDE, sof_body(width, height))  # DHP: full geometry
+    if arith:
+        out += seg(0xCC, bytes([0, 0x10]))
+    else:
+        out += seg(0xC4, bytes([0x00]) + bytes(_LL_HUFF_BITS) + _LL_HUFF_SYMS)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    comp_ids = list(range(channels))
+    cur = pyr[0]
+    h0, w0 = cur[0].shape
+    out += seg(0xCB if arith else 0xC3, sof_body(w0, h0))
+    out += sos(predictor)
+    out += _ll_encode_scan(
+        [p.tolist() for p in cur], w0, h0, comp_ids, predictor,
+        restart_interval, arith, 1 << 7,
+    )
+    for level in pyr[1:]:
+        hk, wk = level[0].shape
+        diffs = []
+        for c in range(channels):
+            up = _jpeg_hier_upsample(cur[c], 1, 1)[:hk, :wk]
+            diffs.append(((level[c] - up) & 0xFFFF).tolist())
+        out += seg(0xDF, bytes([0x11]))  # EXP: x2 both dimensions
+        out += seg(0xCF if arith else 0xC7, sof_body(wk, hk))
+        out += sos(0)
+        out += _ll_encode_scan(
+            diffs, wk, hk, comp_ids, 1, restart_interval, arith,
+            1 << 7, differential=True,
+        )
+        cur = level
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_lossless(
     pixels: bytes,
     width: int,
@@ -2899,63 +3275,12 @@ def encode_jpeg_lossless(
         plane_rows.append(rows)
 
     default = 1 << (8 - point_transform - 1)
-    hcodes = _canonical_codes(_LL_HUFF_BITS, _LL_HUFF_SYMS)
 
     def scan_entropy(comp_ids: list[int]) -> bytes:
-        states = [_LLCompState(width, height, default) for _ in comp_ids]
-        entropy = bytearray()
-        if arith:
-            enc = _QMEncoder()
-            stats = _ll_fresh_stats({0})
-        else:
-            writer = _BitWriter()
-        rst = 0
-        mcu = 0
-        for y in range(height):
-            for x in range(width):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    if arith:
-                        entropy += _pack_arith_bits(enc.flush())
-                        enc = _QMEncoder()
-                        stats = _ll_fresh_stats({0})
-                    else:
-                        writer.pad()
-                        entropy += writer.buf
-                        writer = _BitWriter()
-                    entropy += bytes((0xFF, 0xD0 + rst))
-                    rst = (rst + 1) % 8
-                    for s in states:
-                        s.reset_restart()
-                for k, c in enumerate(comp_ids):
-                    s = states[k]
-                    sample = plane_rows[c][y][x]
-                    dm = (sample - s.predict(x, predictor)) & 0xFFFF
-                    diff = dm - 0x10000 if dm >= 0x8000 else dm
-                    if arith:
-                        ci25, big = s.context(x)
-                        dz, m, sign = _ll_encode_diff(
-                            enc, stats[0], ci25, big, diff
-                        )
-                        cls = _ll_class(dz, m, sign, (0, 1))
-                    else:
-                        if diff == 32768:
-                            ssss = 16
-                        else:
-                            ssss = abs(diff).bit_length()
-                        length, code = hcodes[ssss]
-                        writer.put(code, length)
-                        if 0 < ssss < 16:
-                            v = diff if diff >= 0 else diff + (1 << ssss) - 1
-                            writer.put(v & ((1 << ssss) - 1), ssss)
-                        cls = 0
-                    s.push(x, sample, cls)
-                mcu += 1
-        if arith:
-            entropy += _pack_arith_bits(enc.flush())
-        else:
-            writer.pad()
-            entropy += writer.buf
-        return bytes(entropy)
+        return _ll_encode_scan(
+            plane_rows, width, height, comp_ids, predictor,
+            restart_interval, arith, default,
+        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body

@@ -41,6 +41,8 @@ _VERIFY_FIRST = [
     "multimodal_caption_alignment",
     # NEW r9: Gopher duplicate-ngram character coverage (position-union)
     "text_dup_ngram_coverage",
+    # NEW r9 stretch: hierarchical (Annex J) lossless-pyramid JPEG decode
+    "multimodal_hierarchical_pixel_stats",
     # r8 _BACKFILL rotation: last green row r04
     "text_chunks",
     "join_asof_forward",
@@ -87,7 +89,6 @@ _VERIFY_FIRST = [
     "streaming_stateful_counts",
     "streaming_static_join",
     "streaming_interval_join",
-    "streaming_search_score",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -96,6 +97,7 @@ _VERIFY_FIRST = [
 # for these 8 names — the ">= every query re-proven within the last 4
 # windows" cadence a 211-query registry sustains with a 50-slot window.
 _BACKFILL = [
+    "streaming_search_score",
     "q11_important_balances",
     "q21_waiting_suppliers",
     "session_window_batch",

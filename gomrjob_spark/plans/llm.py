@@ -5120,6 +5120,72 @@ def multimodal_lossless_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "multimodal_hierarchical_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 7 + 2 AS INT) AS w,
+             CAST(doc_id % 5 + 2 AS INT) AS h
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, w, h, 1 AS channels, i,
+             (doc_id * 11 + i * 17) % 256 AS val
+      FROM d, unnest(generate_series(0, w * h - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_hierarchical_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical-JPEG decode under the oracle gate (the r8
+    verdict's stretch item #8, closed — Annex J pyramids): every doc
+    synthesizes a DHP/EXP multi-frame stream — lossless base frame
+    (SOF11 arithmetic on even docs, SOF3 Huffman on odd) at 1 or 2
+    decimation levels (doc_id % 2 + 1), refined by differential
+    lossless frames (SOF15/SOF7) through the J.1.1.2 bilinear
+    reference expansion, with a doc_id % 3 restart cadence exercising
+    the per-frame resync paths. The pyramid is LOSSLESS end to end, so
+    every pixel is an independent per-pixel formula value and the
+    DuckDB oracle recomputes all four stats including the
+    position-weighted checksum directly from the formula — an
+    expansion-filter, frame-sequencing, fold, or EXP-cropping bug
+    breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 7 + 2, d % 5 + 2
+                px = bytes((d * 11 + i * 17) % 256 for i in range(w * h))
+                payloads.append(
+                    multimodal.encode_jpeg_hierarchical(
+                        px, w, h, channels=1,
+                        levels=d % 2 + 1,
+                        restart_interval=d % 3,
+                        arith=d % 2 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
+@query(
     "multimodal_caption_alignment",
     oracle="""
     WITH img AS (

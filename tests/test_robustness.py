@@ -75,6 +75,14 @@ MIN_ROWS = {
     "curriculum_difficulty_buckets": 50,
     "streaming_dsir_gate": 50,
     "text_gopher_ngram_fractions": 50,
+    # r9 additions
+    "dedup_span_removal": 50,
+    "text_wordpiece_train": 5,
+    "text_wordpiece_encode": 50,
+    "streaming_semdedup_gate": 50,
+    "multimodal_caption_alignment": 50,
+    "text_dup_ngram_coverage": 50,
+    "multimodal_hierarchical_pixel_stats": 50,
 }
 
 
@@ -96,6 +104,11 @@ def test_results_non_trivial(spark, sf_dir, name):
         # shapes; lossless arithmetic the new entropy coder
         "dedup_semantic_diversity", "text_unigram_encode",
         "multimodal_lossless_pixel_stats",
+        # r9: the corpus rewrite, the likelihood trainer, and the
+        # multi-frame pyramid are the new shapes where nondeterminism
+        # would be most surprising
+        "dedup_span_removal", "text_wordpiece_encode",
+        "multimodal_hierarchical_pixel_stats",
     ],
 )
 def test_deterministic_across_runs(spark, sf_dir, name):
