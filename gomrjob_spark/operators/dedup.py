@@ -1662,6 +1662,99 @@ def repeated_ngram_spans(
     )
 
 
+def cross_source_overlap(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-SOURCE contamination matrix — corpus forensics at the Lee
+    et al. span grain: for every pair of sources, how many distinct
+    ``n``-token window fingerprints they share, and that count as ppm
+    of the smaller source's distinct-fingerprint inventory (a
+    containment-style score: 1e6 means the smaller source's spans are
+    entirely carried by the larger). The table a corpus build reads
+    before mixing crawls: two "independent" dumps sharing half their
+    spans are one dump counted twice, and an eval-set source
+    overlapping a train source is a leak. Returns (source_a, source_b,
+    n_shared, min_total, overlap_ppm), a < b.
+
+    Scale shape: window fingerprints explode in the scan projection;
+    ONE (fp, source) distinct + one fp-keyed partial agg collect the
+    per-fingerprint source SET — bounded by the source catalog (an
+    operator dial: tens to hundreds of sources in production, never
+    corpus-sized), so the pair explode is row-local C(|sources|, 2)
+    work per fingerprint and no doc-pair is ever materialized; the
+    final matrix aggregate keys on (a, b) <= |sources|^2 rows."""
+    from gomrjob_spark.operators.text import normalized, spread, tokens
+
+    staged = spread(docs).select(
+        F.col(group_col).alias("_src"),
+        F.filter(tokens(normalized(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    fps = (
+        staged.select("_src", "_toks", F.explode(idx).alias("_i"))
+        .select(
+            "_src",
+            F.md5(F.array_join(F.slice("_toks", F.col("_i"), n), " ")).alias("fp"),
+        )
+        .distinct()
+    )
+    fps = scoped_persist(fps)
+    totals = fps.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tot")
+    )
+    srcsets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("_src")).alias("_ss"))
+        .filter(F.size("_ss") >= 2)
+    )
+    pairs = (
+        srcsets.select(
+            "_ss", F.explode(F.sequence(F.lit(1), F.size("_ss") - 1)).alias("_i")
+        )
+        .select(
+            "_ss",
+            "_i",
+            F.explode(
+                F.sequence(F.col("_i") + 1, F.size("_ss"))
+            ).alias("_j"),
+        )
+        .select(
+            F.element_at("_ss", F.col("_i")).alias("source_a"),
+            F.element_at("_ss", F.col("_j")).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            totals.select(
+                F.col("_src").alias("source_a"), F.col("_tot").alias("_ta")
+            ),
+            "source_a",
+        )
+        .join(
+            totals.select(
+                F.col("_src").alias("source_b"), F.col("_tot").alias("_tb")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.least("_ta", "_tb").cast("bigint").alias("min_total"),
+            F.expr("(1000000 * n_shared) DIV least(_ta, _tb)")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+    )
+
+
 def span_removal_rewrite(
     docs: DataFrame,
     n: int = 13,

@@ -43,6 +43,8 @@ _VERIFY_FIRST = [
     "text_dup_ngram_coverage",
     # NEW r9 stretch: hierarchical (Annex J) lossless-pyramid JPEG decode
     "multimodal_hierarchical_pixel_stats",
+    # NEW r9: cross-source span-overlap contamination matrix
+    "dedup_cross_source_overlap",
     # r8 _BACKFILL rotation: last green row r04
     "text_chunks",
     "join_asof_forward",
@@ -88,7 +90,6 @@ _VERIFY_FIRST = [
     "streaming_dedup_counts",
     "streaming_stateful_counts",
     "streaming_static_join",
-    "streaming_interval_join",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -97,6 +98,7 @@ _VERIFY_FIRST = [
 # for these 8 names — the ">= every query re-proven within the last 4
 # windows" cadence a 211-query registry sustains with a 50-slot window.
 _BACKFILL = [
+    "streaming_interval_join",
     "streaming_search_score",
     "q11_important_balances",
     "q21_waiting_suppliers",

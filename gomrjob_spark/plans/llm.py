@@ -5413,6 +5413,55 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_removal_rewrite(docs, n=13).orderBy("doc_id")
 
 
+@query(
+    "dedup_cross_source_overlap",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT source, list_filter(string_split({_SQL_NORM}, ' '),
+                                 x -> x <> '') AS w
+      FROM documents
+    ),
+    fps AS MATERIALIZED (
+      SELECT DISTINCT source,
+             md5(array_to_string(w[i:i+12], ' ')) AS fp
+      FROM nrm, unnest(generate_series(1, len(w) - 12)) u(i)
+    ),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+            FROM fps GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           CAST(LEAST(ta.t, tb.t) AS BIGINT) AS min_total,
+           CAST((1000000 * s.n_shared) // LEAST(ta.t, tb.t) AS BIGINT)
+             AS overlap_ppm
+    FROM shared s
+    JOIN tot ta ON ta.source = s.source_a
+    JOIN tot tb ON tb.source = s.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix
+    (operators.dedup.cross_source_overlap) — the forensics table a
+    corpus build reads BEFORE mixing crawls: per source pair, the
+    distinct shared 13-token window fingerprints and that count as ppm
+    of the smaller source's span inventory (containment-style — 1e6
+    means the smaller source is entirely carried by the larger). Two
+    'independent' dumps sharing half their spans are one dump counted
+    twice; an eval source overlapping a train source is a leak. The
+    per-fingerprint source SET is bounded by the source catalog, so
+    the pair explode is row-local and no doc pair is ever
+    materialized; full hash gate on the whole matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_source_overlap(docs, n=13).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def _par_minhash_rollup_sql(
     num_hashes: int, bands: int, seed: int, threshold: float, drop_ppm: int
 ) -> str:

@@ -69,3 +69,42 @@ def test_deterministic_rerun(spark):
     a = sorted(map(tuple, dedup.span_removal_rewrite(docs, n=3).collect()))
     b = sorted(map(tuple, dedup.span_removal_rewrite(docs, n=3).collect()))
     assert a == b
+
+
+# ---- cross-source overlap matrix (r9 forensics sibling) ----
+
+
+def test_cross_source_overlap_matrix(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c x y z", "srcA"),
+            (1, "p a b c q", "srcB"),
+            (2, "m n o", "srcC"),
+            (3, "a b c again here", "srcA"),  # within-source dup: counts once
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.cross_source_overlap(docs, n=3).collect()
+    }
+    # only the (A, B) pair shares a span ("a b c")
+    assert set(rows) == {("srcA", "srcB")}
+    r = rows[("srcA", "srcB")]
+    assert r["n_shared"] == 1
+    # srcB has 3 distinct 3-gram fingerprints (pab, abc, bcq) and is
+    # the smaller inventory, so it is the containment denominator
+    assert r["min_total"] == 3
+    assert r["overlap_ppm"] == (1_000_000 * 1) // 3
+
+
+def test_cross_source_overlap_symmetric_input_order(spark):
+    # source naming order must not matter: a < b in the output key
+    docs = spark.createDataFrame(
+        [(0, "q w e r t y", "zz"), (1, "q w e o p u", "aa")],
+        "doc_id long, text string, source string",
+    )
+    rows = dedup.cross_source_overlap(docs, n=3).collect()
+    assert len(rows) == 1
+    assert (rows[0]["source_a"], rows[0]["source_b"]) == ("aa", "zz")
+    assert rows[0]["n_shared"] == 1  # "q w e"
