@@ -45,6 +45,8 @@ _VERIFY_FIRST = [
     "multimodal_hierarchical_pixel_stats",
     # NEW r9: cross-source span-overlap contamination matrix
     "dedup_cross_source_overlap",
+    # NEW r9: live tokenizer-drift monitor (20th streaming topology)
+    "streaming_wordpiece_drift",
     # r8 _BACKFILL rotation: last green row r04
     "text_chunks",
     "join_asof_forward",
@@ -89,7 +91,6 @@ _VERIFY_FIRST = [
     "streaming_session_window",
     "streaming_dedup_counts",
     "streaming_stateful_counts",
-    "streaming_static_join",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -98,6 +99,7 @@ _VERIFY_FIRST = [
 # for these 8 names — the ">= every query re-proven within the last 4
 # windows" cadence a 211-query registry sustains with a 50-slot window.
 _BACKFILL = [
+    "streaming_static_join",
     "streaming_interval_join",
     "streaming_search_score",
     "q11_important_balances",

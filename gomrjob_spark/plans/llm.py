@@ -4919,21 +4919,22 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.wordpiece_train(train, n_merges=_WP_ROUNDS).orderBy("round")
 
 
-@query(
-    "text_wordpiece_encode",
-    oracle=_WP_CHAIN
-    + f""",
-    wpvoc AS MATERIALIZED (
-      SELECT DISTINCT piece FROM (
-        SELECT unnest(syms) AS piece FROM s0
-        """
-    + "".join(
+def _wp_encode_ctes(doc_filter: str = "") -> str:
+    """The greedy-encode CTE chain shared by text_wordpiece_encode and
+    the streaming drift monitor: trained vocab + membership map,
+    corpus tokens (optionally filtered), recursive-CTE greedy
+    longest-match per DISTINCT token. Appends to _WP_CHAIN."""
+    merged = "".join(
         f"""UNION ALL
         SELECT w1 || regexp_replace(w2, '^##', '') FROM top{i}
         """
         for i in range(1, _WP_ROUNDS + 1)
     )
-    + f""") u
+    return f""",
+    wpvoc AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT unnest(syms) AS piece FROM s0
+        {merged}) u
     ),
     wvm AS MATERIALIZED (
       SELECT MAP(list(piece ORDER BY piece), list(1 ORDER BY piece)) AS m,
@@ -4947,7 +4948,8 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_filter(list_transform(string_split({_SQL_NORM}, ' '),
                                           x -> replace(x, '#', '')),
                            x -> x <> '') AS w
-        FROM documents) d, unnest(generate_series(1, len(w))) s(i)
+        FROM documents {doc_filter}) d,
+        unnest(generate_series(1, len(w))) s(i)
     ),
     cw AS MATERIALIZED (SELECT DISTINCT tok AS w FROM ctoks),
     enc_dp AS (
@@ -4977,7 +4979,14 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN failed THEN ['[UNK]'] ELSE seg END AS seg,
              CASE WHEN failed THEN 1 ELSE 0 END AS unk
       FROM enc_dp WHERE failed OR pos = length(w) + 1
-    )
+    )"""
+
+
+@query(
+    "text_wordpiece_encode",
+    oracle=_WP_CHAIN
+    + _wp_encode_ctes()
+    + """
     SELECT t.doc_id,
            CAST(sum(len(e.seg)) AS BIGINT) AS n_pieces,
            CAST(sum(e.unk) AS BIGINT) AS n_unk,
@@ -4993,11 +5002,13 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the trained vocabulary (operators.text.wordpiece_encode) —
     the inference half, closing train -> encode for the third
     tokenizer family. Per document: piece count, [UNK] word count (a
-    word with no match at any cursor becomes one [UNK] — genuinely
-    exercised here, because the vocab comes from the doc_id%5 slice
-    and held-out documents carry unseen characters), and the FULL
+    word with no match at any cursor becomes one [UNK]; on THIS
+    fixture the doc_id%5 training slice covers the full character set,
+    so n_unk is pinned at its true all-zero value — the [UNK] paths
+    are exercised by the wordpiece unit tests and by
+    streaming_wordpiece_drift's engineered-drift stream), and the FULL
     space-joined segmentation, so the hash gate pins every piece
-    boundary and every [UNK] decision. The vocab crosses as a 1-row
+    boundary. The vocab crosses as a 1-row
     broadcast (membership map + max body length bounding the
     descending-length scan); each DISTINCT token segments once
     (Heaps-bounded — the unigram_encode memoize lesson) and the

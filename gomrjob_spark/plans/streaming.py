@@ -912,3 +912,76 @@ def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = semdedup_gate_stream(arrivals, cents, store, threshold=0.95)
     return _drain(spark, gated, "append").orderBy("vec_id")
+
+
+def _wordpiece_drift_oracle() -> str:
+    from gomrjob_spark.plans.llm import _WP_CHAIN, _wp_encode_ctes
+
+    # the streamed side mutates docs %4==0 with an appended ' zz' token
+    # ('z' is outside the fixture charset) — mirror the mutation in the
+    # ctoks source by rewriting the documents reference
+    ctes = _wp_encode_ctes("WHERE doc_id >= 250").replace(
+        "FROM documents WHERE doc_id >= 250",
+        "FROM (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' zz'"
+        " ELSE text END AS text FROM documents WHERE doc_id >= 250) m",
+    )
+    return _WP_CHAIN + ctes + """
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(e.seg)) AS BIGINT) AS n_pieces,
+           CAST(sum(e.unk) AS BIGINT) AS n_unk,
+           CAST((1000000 * sum(e.unk)) // count(*) AS BIGINT) AS unk_ppm,
+           CAST((1000 * sum(len(e.seg))) // count(*) AS BIGINT)
+             AS fertility_mppw,
+           (1000000 * sum(e.unk)) // count(*) >= 8000 AS drifted
+    FROM ctoks t JOIN encf e ON e.w = t.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@query("streaming_wordpiece_drift", oracle=_wordpiece_drift_oracle())
+def streaming_wordpiece_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-DRIFT monitoring as a live topology
+    (streaming.ops.wordpiece_drift_stream) — the 20th registered
+    topology and the tokenizer family's online half: the WordPiece
+    vocabulary trains OFFLINE on the doc_id%5 batch slice, then every
+    arriving document (250+) encodes ROW-LOCALLY against the per-batch
+    1-row vocab broadcast (the memoize=False greedy fold — no distinct
+    over an unbounded stream) and emits its word/piece/[UNK] counts,
+    fertility (milli-pieces/word, the published tokenizer-quality
+    metric), and a drift verdict at >= 8000 ppm [UNK] words — the
+    signal that pages a tokenizer retrain when the ingest's script
+    distribution leaves the training distribution. Drift is
+    ENGINEERED deterministically (the sign-flip-twin device): streamed
+    docs with doc_id % 4 = 0 carry one appended out-of-charset token
+    (' zz' — 'z' never occurs in the fixture), so 63 of 250 documents
+    genuinely drift and the rest genuinely pass; the oracle replays
+    training, the mutation, and the greedy encode, so the hash gate
+    pins every verdict. Stateless scan projection: flat per-batch
+    cost forever."""
+    from gomrjob_spark.operators import text
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import (
+        read_documents_stream,
+        wordpiece_drift_stream,
+    )
+
+    from gomrjob_spark.plans.llm import _WP_ROUNDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    merges = text.wordpiece_train(train, n_merges=_WP_ROUNDS)
+    vocab = text.wordpiece_vocab(train, merges)
+    batch = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" zz"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    monitored = wordpiece_drift_stream(batch, vocab, max_unk_ppm=8000)
+    return _drain(spark, monitored, "append").orderBy("doc_id")

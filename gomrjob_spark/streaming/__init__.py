@@ -32,4 +32,5 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     streaming_dedup_within_watermark,
     tumbling_counts,
     upsert_sink,
+    wordpiece_drift_stream,
 )

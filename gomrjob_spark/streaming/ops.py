@@ -332,6 +332,84 @@ def semdedup_gate_stream(
     )
 
 
+def wordpiece_drift_stream(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_unk_ppm: int = 100_000,
+) -> DataFrame:
+    """LIVE tokenizer-drift monitor — the streaming twin of
+    operators.text.wordpiece_encode: each arriving document encodes
+    ROW-LOCALLY against the offline-trained WordPiece vocabulary (the
+    memoize=False greedy fold — no distinct over an unbounded stream;
+    the vocab is a 1-row per-batch broadcast with vocabulary-invariant
+    generated code) and emits (doc_id, n_words, n_pieces, n_unk,
+    unk_ppm, fertility_mppw, drifted): fertility = milli-pieces/word
+    (the published tokenizer-quality metric), and ``drifted`` fires
+    when the [UNK]-word rate reaches ``max_unk_ppm`` — a spike means
+    the ingest's character/script distribution left the tokenizer's
+    training distribution, the signal that pages a retrain BEFORE the
+    downstream batch counts silently degrade. Stateless: one scan
+    projection per batch, no aggregate, flat per-batch cost forever."""
+    from gomrjob_spark.operators.text import (
+        _wordpiece_vocab_row,
+        _wp_greedy_struct,
+        normalized,
+        tokens,
+    )
+
+    vrow = _wordpiece_vocab_row(vocab)
+    toked = docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                tokens(normalized("text")),
+                lambda x: F.replace(x, F.lit("#"), F.lit("")),
+            ),
+            lambda x: x != "",
+        ).alias("_toks"),
+    ).filter(F.size("_toks") >= 1)
+    segd = toked.join(F.broadcast(vrow)).select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_words"),
+        F.transform(
+            "_toks",
+            lambda t: _wp_greedy_struct(t, F.col("_wm"), F.col("_mk")),
+        ).alias("_vs"),
+    )
+    staged = segd.select(
+        "doc_id",
+        "n_words",
+        F.aggregate(
+            F.transform("_vs", lambda v: F.size(v["seg"]).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_pieces"),
+        F.aggregate(
+            F.transform(
+                "_vs",
+                lambda v: F.when(v["unk"], F.lit(1)).otherwise(F.lit(0)).cast(
+                    "bigint"
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_unk"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "n_unk",
+        F.expr("(1000000 * n_unk) DIV n_words").cast("bigint").alias("unk_ppm"),
+        F.expr("(1000 * n_pieces) DIV n_words").cast("bigint").alias(
+            "fertility_mppw"
+        ),
+        (
+            F.expr("(1000000 * n_unk) DIV n_words") >= F.lit(int(max_unk_ppm))
+        ).alias("drifted"),
+    )
+
+
 def incremental_dedup_stream(
     docs: DataFrame, known_fps: DataFrame, dedup_window: str = "1 hour"
 ) -> DataFrame:

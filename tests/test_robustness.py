@@ -84,6 +84,7 @@ MIN_ROWS = {
     "text_dup_ngram_coverage": 50,
     "multimodal_hierarchical_pixel_stats": 50,
     "dedup_cross_source_overlap": 10,  # <= C(20,2) pairs; 23 at sf0.001
+    "streaming_wordpiece_drift": 20,
 }
 
 

@@ -421,3 +421,55 @@ def test_semdedup_gate_stream_quarantines_known_neighbors(spark, sf_dir):
     assert got[11]["cell"] == 2 and not got[11]["quarantined"]
     assert got[11]["n_same_cell"] == 0
     assert got[12]["cell"] == 1 and not got[12]["quarantined"]
+
+
+def test_wordpiece_drift_stream_flags_out_of_vocab_scripts(spark):
+    """The live tokenizer monitor must agree with a hand replay: docs
+    made only of trained pieces pass with unk_ppm 0; a doc carrying an
+    out-of-charset word counts ONE [UNK] and drifts past the ppm gate;
+    fertility reports milli-pieces/word."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gomrjob_spark.plans.streaming import _drain
+    from gomrjob_spark.streaming import wordpiece_drift_stream
+
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("c",), ("##a",), ("##t",), ("m",)],
+        "piece string",
+    )
+    tmp = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["the cat cat", "the zz cat mat"], pa.string()
+                ),
+            }
+        ),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(tmp, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(tmp)
+    )
+    got = {
+        r["doc_id"]: r
+        for r in _drain(
+            spark, wordpiece_drift_stream(stream, vocab, max_unk_ppm=200_000),
+            "append",
+        ).collect()
+    }
+    # doc 1: 3 words, 3 pieces, no unk
+    assert (got[1]["n_words"], got[1]["n_pieces"], got[1]["n_unk"]) == (3, 3, 0)
+    assert got[1]["fertility_mppw"] == 1000 and not got[1]["drifted"]
+    # doc 2: 'zz' has no piece at the cursor -> [UNK]; 'mat' segments
+    # m ##a ##t -> 4 words, 6 pieces, 1 unk, 250000 ppm >= gate
+    assert (got[2]["n_words"], got[2]["n_pieces"], got[2]["n_unk"]) == (4, 6, 1)
+    assert got[2]["unk_ppm"] == 250_000 and got[2]["drifted"]
