@@ -264,6 +264,65 @@ def mixture_weights(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    token_col: str,
+    group_col: str = "lang",
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual sampling
+    rule published with mBERT/XLM (Conneau & Lample 2019, exponent
+    smoothing): sample each group proportionally to ``n_tokens^0.5``
+    instead of ``n_tokens``, flattening the head so dominant languages
+    stop drowning rare ones without equalizing outright. Returns
+    (group, n_docs, n_tokens, raw_ppm, temp_ppm): each group's share
+    of the mixture in ppm under raw-proportional and under
+    temperature-0.5 sampling.
+
+    Exactness: the weight is the EXACT integer square root of
+    ``n_tokens * scale^2`` (floor(sqrt) as a double, then a +-1
+    integer-square comparison correction — exact at ANY magnitude,
+    immune to the double's rounding boundary), so weights, totals, and
+    ppm shares are all bigint arithmetic both engines floor
+    identically. Other temperatures alpha = k/2^m compose from
+    iterated isqrt; a general float pow is NOT cross-engine
+    bit-stable, which is why 0.5 — the published default — is the
+    exact dial here.
+
+    Scale: one partial-agg shuffle keyed by the group; the totals
+    cross as a 1-ROW broadcast (the q22 global-scalar class — BNLJ
+    allowlist)."""
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    x = (F.col("n_tokens") * (scale * scale)).cast("bigint")
+    w0 = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    staged = totals.select(
+        group_col, "n_docs", "n_tokens", x.alias("_x"), w0.alias("_w0")
+    )
+    w_fp = (
+        F.when((F.col("_w0") + 1) * (F.col("_w0") + 1) <= F.col("_x"),
+               F.col("_w0") + 1)
+        .when(F.col("_w0") * F.col("_w0") > F.col("_x"), F.col("_w0") - 1)
+        .otherwise(F.col("_w0"))
+    ).cast("bigint")
+    weighted = staged.select(
+        group_col, "n_docs", "n_tokens", w_fp.alias("_w")
+    )
+    tot = weighted.agg(
+        F.sum("_w").cast("bigint").alias("_tw"),
+        F.sum("n_tokens").cast("bigint").alias("_tn"),
+    )
+    return weighted.join(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) DIV _tn").cast("bigint").alias("raw_ppm"),
+        F.expr("(1000000 * _w) DIV _tw").cast("bigint").alias("temp_ppm"),
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     id_col: str,

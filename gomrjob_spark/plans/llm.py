@@ -2874,6 +2874,59 @@ def mix_weights_equal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+@query(
+    "mix_weights_temperature",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_docs, n_tokens,
+             n_tokens * 1000000 AS x,
+             CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT)
+               AS w0
+      FROM t
+    ),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             CASE WHEN (w0 + 1) * (w0 + 1) <= x THEN w0 + 1
+                  WHEN w0 * w0 > x THEN w0 - 1
+                  ELSE w0 END AS wf
+      FROM s
+    ),
+    tot AS (SELECT CAST(sum(wf) AS BIGINT) AS tw,
+                   CAST(sum(n_tokens) AS BIGINT) AS tn FROM w)
+    SELECT lang, n_docs, n_tokens,
+           CAST((1000000 * n_tokens) // tn AS BIGINT) AS raw_ppm,
+           CAST((1000000 * wf) // tw AS BIGINT) AS temp_ppm
+    FROM w, tot ORDER BY lang
+    """,
+)
+def mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning
+    (operators.sampling.temperature_mixture_weights — the exponent-
+    smoothing sampling rule published with mBERT/XLM, Conneau & Lample
+    2019): each language's mixture share goes as n_tokens^0.5,
+    flattening the head (en stops drowning zh) without equalizing
+    outright — the third mixture policy next to raw-proportional and
+    equal-token capping. The weight is the EXACT integer square root
+    of n_tokens * 10^6 (floor(sqrt) double seed + a +-1 integer-square
+    correction, exact at any magnitude), so every share is bigint
+    floor arithmetic under the full hash gate. One group-keyed partial
+    agg + a 1-row totals broadcast."""
+    from gomrjob_spark.operators.sampling import temperature_mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", text.token_count("text").cast("bigint").alias("n_tok"))
+    return temperature_mixture_weights(
+        t, token_col="n_tok", group_col="lang", scale=1000
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Inverted-index retrieval (operators.search)
 # ---------------------------------------------------------------------------

@@ -1866,3 +1866,42 @@ def test_proximity_semantics_minimal_window(spark):
         r["doc_id"]: r["rank"] for r in search_proximity_topk(docs, pq).collect()
     }
     assert ranks == {2: 1, 3: 2, 1: 3}
+
+
+def test_temperature_mixture_flattens_head_exactly(spark):
+    """alpha=0.5 shares by hand: token totals 100 vs 400 give sqrt
+    weights 10k vs 20k (scale 1000) -> 333333/666666 ppm, where raw
+    proportional is 200000/800000 — the head flattens, exactly."""
+    from gomrjob_spark.operators.sampling import temperature_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 400)], "lang string, n_tok long"
+    )
+    rows = {
+        r["lang"]: r
+        for r in temperature_mixture_weights(df, "n_tok").collect()
+    }
+    assert rows["a"]["raw_ppm"] == 200_000 and rows["b"]["raw_ppm"] == 800_000
+    assert rows["a"]["temp_ppm"] == 333_333 and rows["b"]["temp_ppm"] == 666_666
+
+
+def test_temperature_mixture_isqrt_correction_is_exact(spark):
+    """The +-1 integer-square correction: a perfect square (k^2) and
+    its predecessor (k^2 - 1) must produce isqrt weights k*1000-exact
+    and (k*1000 - 1)-adjacent, never off by the double's rounding."""
+    from gomrjob_spark.operators.sampling import temperature_mixture_weights
+
+    k = 123_456
+    df = spark.createDataFrame(
+        [("sq", k * k), ("sqm1", k * k - 1)], "lang string, n_tok long"
+    )
+    rows = {
+        r["lang"]: r
+        for r in temperature_mixture_weights(df, "n_tok").collect()
+    }
+    # isqrt((k^2) * 1e6) = k * 1000 exactly; isqrt((k^2-1) * 1e6) is
+    # k*1000 - 1 (the true sqrt is just under k*1000) — shares differ
+    # by at most 1 ppm from a perfect half split
+    assert abs(rows["sq"]["temp_ppm"] - 500_000) <= 1
+    assert abs(rows["sqm1"]["temp_ppm"] - 500_000) <= 1
+    assert rows["sq"]["temp_ppm"] + rows["sqm1"]["temp_ppm"] <= 1_000_000

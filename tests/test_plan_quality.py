@@ -171,6 +171,8 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "text_unigram_encode",      # same EM-round broadcasts + the
                                     # 1-row trained-vocab map the
                                     # encode fold reads
+        "mix_weights_temperature",  # 1-row mixture-totals broadcast
+                                    # (the q22 global-scalar class)
         "text_wordpiece_train",     # 1-row winning-pair broadcast per
                                     # WordPiece round (the
                                     # text_bpe_merges class)
