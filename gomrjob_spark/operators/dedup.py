@@ -1824,6 +1824,18 @@ def span_removal_rewrite(
         )
         .select(id_col, "_i")
     )
+    return _splice_spans(staged, losers, n, id_col)
+
+
+def _splice_spans(
+    staged: DataFrame, losers: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Shared splice stage of the span rewriters: given the persisted
+    (id, _toks) token frame and an (id, _i) frame of span starts to
+    delete (each covering tokens [_i, _i + n)), merge overlapping/
+    adjacent spans per document with a row-local fold over the sorted
+    starts and rebuild the text from the surviving positions. Returns
+    (id, n_tokens, n_removed, text_rewritten)."""
     rem = losers.groupBy(id_col).agg(
         F.array_sort(F.collect_list("_i")).alias("_starts")
     )
@@ -1873,6 +1885,65 @@ def span_removal_rewrite(
             " ",
         ).alias("text_rewritten"),
     )
+
+
+def decontaminate_span_scrub(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SURGICAL decontamination — the rewrite companion to
+    :func:`decontaminate` (which drops whole documents): excise every
+    ``n``-token span of a training document that appears ANYWHERE in
+    the benchmark suite, keeping the rest of the document — the
+    published middle ground for pages that merely QUOTE an eval item
+    (dropping them wastes good tokens; keeping them leaks the answer).
+    Unlike span_removal_rewrite there is no winner: every matching
+    occurrence goes. Returns (id, n_tokens, n_removed, text_rewritten)
+    over the training side.
+
+    Scale shape: the benchmark fingerprint set is MODEL-sized (eval
+    suites are thousands of items) and broadcasts; training windows
+    explode in the scan projection and probe it map-side — the corpus
+    is never shuffled by the benchmark (the decontaminate plan
+    contract) — then the shared splice pays one doc-keyed rebuild."""
+    from gomrjob_spark.operators.text import normalized, spread, tokens
+
+    def _stage(df):
+        return (
+            spread(df)
+            .select(
+                F.col(id_col),
+                F.filter(
+                    tokens(normalized(text_col)), lambda x: x != ""
+                ).alias("_toks"),
+            )
+            .filter(F.size("_toks") >= 1)
+        )
+
+    def _wins(staged):
+        idx = F.when(
+            F.size("_toks") >= n,
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return staged.select(
+            F.col(id_col), "_toks", F.explode(idx).alias("_i")
+        ).select(
+            F.col(id_col),
+            F.col("_i").cast("bigint").alias("_i"),
+            F.md5(
+                F.array_join(F.slice("_toks", F.col("_i"), n), " ")
+            ).alias("fp"),
+        )
+
+    staged = scoped_persist(_stage(train))
+    bench_fps = _wins(_stage(benchmark)).select("fp").distinct()
+    losers = _wins(staged).join(F.broadcast(bench_fps), "fp").select(
+        id_col, "_i"
+    )
+    return _splice_spans(staged, losers, n, id_col)
 
 
 #: paragraph-id packing for sub-document dedup: par_id = doc_id *

@@ -49,6 +49,8 @@ _VERIFY_FIRST = [
     "streaming_wordpiece_drift",
     # NEW r9: temperature-0.5 mixture shares (exact integer sqrt)
     "mix_weights_temperature",
+    # NEW r9: surgical decontamination (benchmark spans excised)
+    "decontaminate_span_scrub",
     # r8 _BACKFILL rotation: last green row r04
     "text_chunks",
     "join_asof_forward",
@@ -91,7 +93,6 @@ _VERIFY_FIRST = [
     "streaming_tumbling_agg",
     "streaming_sliding_counts",
     "streaming_session_window",
-    "streaming_dedup_counts",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -100,6 +101,7 @@ _VERIFY_FIRST = [
 # for these 8 names — the ">= every query re-proven within the last 4
 # windows" cadence a 211-query registry sustains with a 50-slot window.
 _BACKFILL = [
+    "streaming_dedup_counts",
     "streaming_stateful_counts",
     "streaming_static_join",
     "streaming_interval_join",

@@ -5478,6 +5478,70 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_span_scrub",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ),
+    el AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+      FROM nrm
+    ),
+    elg AS MATERIALIZED (SELECT doc_id, w FROM el WHERE len(w) >= 1),
+    win AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(w[i:i+12], ' ')) AS fp
+      FROM elg, unnest(generate_series(1, len(w) - 12)) u(i)
+    ),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT fp FROM win WHERE doc_id % 25 = 0
+    ),
+    removed AS MATERIALIZED (
+      SELECT DISTINCT w.doc_id, CAST(p AS BIGINT) AS p
+      FROM win w JOIN bench USING (fp),
+           unnest(generate_series(w.i, w.i + 12)) s(p)
+      WHERE w.doc_id % 25 <> 0
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS wd
+      FROM elg, unnest(generate_series(1, len(w))) u(j)
+      WHERE doc_id % 25 <> 0
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE r.p IS NOT NULL) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(t.wd, ' ' ORDER BY t.j)
+                    FILTER (WHERE r.p IS NULL), '') AS text_rewritten
+    FROM tok t
+    LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.p = t.j
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def decontaminate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination (operators.dedup
+    .decontaminate_span_scrub) — the rewrite companion to
+    decontaminate_ngrams' whole-document drop: every 13-token span of
+    a training document (doc_id %25 != 0) that appears anywhere in the
+    benchmark suite (%25 == 0, the established split) is excised —
+    EVERY occurrence, no winner — and the rest of the document
+    survives: the published middle ground for pages that merely quote
+    an eval item. The hash gate pins the rewritten text of ALL 480
+    training documents: the fixture leaks 13 windows in one document
+    across the split (genuinely spliced), and the other 479 must come
+    back byte-identical — a single false-positive excision anywhere
+    breaks the gate. The benchmark fingerprint set is model-sized and
+    broadcasts; training windows probe it map-side (the corpus is
+    never shuffled by the benchmark), then the shared splice
+    (_splice_spans) pays one doc-keyed rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return dedup.decontaminate_span_scrub(train, bench, n=13).orderBy("doc_id")
+
+
+@query(
     "dedup_cross_source_overlap",
     oracle=f"""
     WITH nrm AS (

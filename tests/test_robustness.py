@@ -86,6 +86,7 @@ MIN_ROWS = {
     "dedup_cross_source_overlap": 10,  # <= C(20,2) pairs; 23 at sf0.001
     "streaming_wordpiece_drift": 20,
     "mix_weights_temperature": 4,  # one row per language
+    "decontaminate_span_scrub": 40,  # all train docs pass through
 }
 
 

@@ -108,3 +108,41 @@ def test_cross_source_overlap_symmetric_input_order(spark):
     assert len(rows) == 1
     assert (rows[0]["source_a"], rows[0]["source_b"]) == ("aa", "zz")
     assert rows[0]["n_shared"] == 1  # "q w e"
+
+
+# ---- surgical decontamination (the scrub companion) ----
+
+
+def test_span_scrub_excises_every_benchmark_occurrence(spark):
+    bench = _docs(spark, ["secret eval answer"])
+    train = spark.createDataFrame(
+        [
+            (10, "intro secret eval answer outro"),
+            (11, "secret eval answer secret eval answer"),  # BOTH go
+            (12, "totally unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_span_scrub(train, bench, n=3).collect()
+    }
+    assert rows[10]["text_rewritten"] == "intro outro"
+    assert rows[10]["n_removed"] == 3
+    # no winner survives: surgical scrub removes ALL occurrences
+    assert rows[11]["text_rewritten"] == ""
+    assert rows[11]["n_removed"] == 6
+    assert rows[12]["text_rewritten"] == "totally unrelated text here"
+    assert rows[12]["n_removed"] == 0
+
+
+def test_span_scrub_overlapping_hits_merge(spark):
+    # benchmark spans "a b c" and "b c d" overlap in the train doc:
+    # positions 1..4 union, not 6 removals
+    bench = _docs(spark, ["a b c d"])
+    train = spark.createDataFrame(
+        [(10, "a b c d x y")], "doc_id long, text string"
+    )
+    r = dedup.decontaminate_span_scrub(train, bench, n=3).collect()[0]
+    assert r["text_rewritten"] == "x y"
+    assert r["n_removed"] == 4
