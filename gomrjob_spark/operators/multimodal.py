@@ -29,9 +29,11 @@ implement the QM arithmetic coder (r7) — the full DCT coding matrix
 JPEG, both Huffman (SOF3) and arithmetic (SOF11, Annex H predictors +
 the QM coder), with ``encode_jpeg_lossless`` as the twin. Round 9 adds
 HIERARCHICAL JPEG (Annex J): DHP/EXP frame sequencing with the
-J.1.1.2 bilinear reference expansion and differential lossless frames
-(SOF7/SOF15), ``encode_jpeg_hierarchical`` as the twin; DCT-based
-differential frames (SOF5/6/13/14) remain a named contract raise.
+J.1.1.2 bilinear reference expansion, differential lossless frames
+(SOF7/SOF15) AND differential sequential DCT frames (SOF5/SOF13 over
+SOF0/SOF9 bases, grayscale pyramids, closed-loop encoder), with
+``encode_jpeg_hierarchical`` as the twin; only differential
+PROGRESSIVE frames (SOF6/SOF14) remain a named contract raise.
 """
 
 from __future__ import annotations
@@ -91,9 +93,10 @@ def decode_image(payload: bytes) -> dict:
       restart markers, and arithmetic coding — sequential SOF9 and
       progressive SOF10 (QM coder + Annex F statistics, r7), plus
       LOSSLESS SOF3/SOF11 (Annex H predictors, r8) and HIERARCHICAL
-      lossless pyramids (Annex J DHP/EXP + differential SOF7/SOF15,
-      r9). DCT-based differential frames (SOF5/6/13/14) raise
-      NotImplementedError — the only remaining family.
+      pyramids (Annex J DHP/EXP, r9): differential lossless SOF7/
+      SOF15 at any channel count, differential sequential DCT SOF5/
+      SOF13 for grayscale. Differential PROGRESSIVE frames (SOF6/14)
+      raise NotImplementedError — the only remaining family.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -785,10 +788,18 @@ def _decode_jpeg(payload: bytes) -> dict:
     raise ValueError("JPEG contains no scan")
 
 
-def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
+def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval,
+               as_planes: bool = False):
+    """Interleaved sequential Huffman scan. Default: decode to the
+    final image dict. ``as_planes=True`` (the hierarchical walk)
+    instead returns ``(planes, end_pos)`` — the raw per-component
+    float planes and the payload position of the terminating marker —
+    and honours ``frame['differential']`` (no level shift: the decoded
+    planes are the DIFFERENCE signal added to the reference outside)."""
     import numpy as np
 
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    shift = 0.0 if frame.get("differential") else 128.0
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -836,11 +847,18 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
                         for s, b in enumerate(_ZIGZAG):
                             blk.flat[b] = coeffs[s]
                         blk *= q
-                        spatial = basis.T @ blk @ basis + 128.0
+                        spatial = basis.T @ blk @ basis + shift
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+    if as_planes:
+        p = reader.pos
+        while p + 1 < len(payload) and payload[p] == 0xFF and payload[p + 1] == 0x00:
+            p += 2
+        while p + 1 < len(payload) and payload[p] != 0xFF:
+            p += 1
+        return planes, p
     return _jpeg_assemble(frame, planes, hmax, vmax)
 
 
@@ -1982,13 +2000,18 @@ def _arith_sync_restart(payload: bytes, bits: _ArithBits, n: int) -> int:
 
 
 def _jpeg_arith_scan(
-    payload, start, frame, scan, qt, dc_cond, ac_cond, restart_interval
+    payload, start, frame, scan, qt, dc_cond, ac_cond, restart_interval,
+    as_planes: bool = False,
 ):
     """Sequential arithmetic scan: the _jpeg_scan MCU walk with the
-    Annex F statistics model in place of Huffman tables."""
+    Annex F statistics model in place of Huffman tables. ``as_planes``
+    mirrors _jpeg_scan's hierarchical variant — raw float planes +
+    the terminating-marker position, no level shift for differential
+    frames."""
     import numpy as np
 
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    shift = 0.0 if frame.get("differential") else 128.0
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -2036,11 +2059,13 @@ def _jpeg_arith_scan(
                         for s, b in enumerate(_ZIGZAG):
                             blk.flat[b] = coeffs[s]
                         blk *= q
-                        spatial = basis.T @ blk @ basis + 128.0
+                        spatial = basis.T @ blk @ basis + shift
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+    if as_planes:
+        return planes, _arith_next_marker(payload, bits)
     return _jpeg_assemble(frame, planes, hmax, vmax)
 
 
@@ -2965,18 +2990,22 @@ def _ll_encode_scan(
     return bytes(entropy)
 
 
-# --------------------------- hierarchical JPEG (Annex J, SOF7 / SOF15)
+# ------------------- hierarchical JPEG (Annex J, SOF5/7/13/15)
 # T.81 hierarchical mode: a DHP segment (SOF syntax) declares the
 # full-resolution geometry, the FIRST frame is a non-differential frame
 # at reduced resolution, and each following EXP + differential frame
 # doubles the reference with the J.1.1.2 bilinear filter and adds a
-# coded difference signal. The LOSSLESS pyramid (SOF3/SOF11 base +
-# SOF7/SOF15 differential refinements) is implemented end to end —
-# bit-exact on arbitrary samples, so per-pixel-formula fixtures hash-
-# gate the whole pyramid; DCT-based frames inside a DHP stream
-# (SOF0-2/5-6/9-10/13-14) raise a named contract error, as does a
-# nonzero point transform (the spec allows both; nothing in the wild
-# needs them and a silent wrong decode would be worse).
+# coded difference signal. Implemented end to end: the LOSSLESS
+# pyramid (SOF3/SOF11 base + SOF7/SOF15 differential refinements,
+# bit-exact on arbitrary samples — per-pixel-formula fixtures hash-
+# gate the whole pyramid) and the sequential DCT pyramid (SOF0/SOF9
+# base + SOF5/SOF13 differential, grayscale, no level shift in
+# differential frames, rounded+clamped reference folds; the encoder
+# is CLOSED-LOOP — each frame's reference is its own decoded
+# reconstruction). Differential progressive frames (SOF6/14),
+# multi-component DCT pyramids, and a nonzero point transform in a
+# hierarchical lossless scan raise named contract errors (the spec
+# allows them; a silent wrong decode would be worse).
 
 
 def _jpeg_hier_upsample(plane, eh: int, ev: int):
@@ -3009,16 +3038,22 @@ def _jpeg_hier_upsample(plane, eh: int, ev: int):
 
 
 def _decode_jpeg_hierarchical(payload: bytes) -> dict:
-    """Hierarchical (Annex J) JPEG decode — the lossless pyramid: walks
-    the post-DHP marker stream, decodes the non-differential base
-    frame with the ordinary lossless machinery, applies each EXP
-    expansion to the reference, adds each differential frame's
-    mod-2^16 difference planes, and assembles the final full-
-    resolution image from the DHP geometry."""
+    """Hierarchical (Annex J) JPEG decode: walks the post-DHP marker
+    stream, decodes the non-differential base frame (lossless SOF3/11
+    with the Annex-H machinery, or sequential DCT SOF0/1/9 — grayscale
+    pyramids), applies each EXP expansion to the reference, adds each
+    differential frame's difference planes (lossless SOF7/15 mod 2^16;
+    sequential DCT SOF5/13 rounded and clamped to precision — the
+    encoder twin shares both rules), and assembles the final
+    full-resolution image from the DHP geometry. Differential
+    PROGRESSIVE frames (SOF6/14) and multi-component DCT pyramids
+    raise named contract errors."""
     import numpy as np
 
+    qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     hier = None
     frame = None
     planes: dict = {}
@@ -3040,13 +3075,29 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
         if frame is None:
             return
         comps = frame["comps"]
+        dct = not frame.get("lossless")
         for ci in range(len(comps)):
             if ci not in planes:
                 raise ValueError("hierarchical frame is missing a component scan")
+        if dct:
+            # DCT planes come back MCU-padded floats: round, clamp to
+            # precision, crop to the frame's component dims
+            lim = (1 << frame.get("prec", 8)) - 1
+            for ci, c in enumerate(comps):
+                hgt = -(-frame["h"] * c["v"] // max(x["v"] for x in comps))
+                wdt = -(-frame["w"] * c["h"] // max(x["h"] for x in comps))
+                p = planes[ci][:hgt, :wdt]
+                if not frame.get("differential"):
+                    p = np.clip(np.rint(p), 0, lim)
+                planes[ci] = p
         if not frame.get("differential"):
-            ref = {c["id"]: planes[ci] for ci, c in enumerate(comps)}
+            ref = {
+                c["id"]: np.asarray(planes[ci], dtype=np.int64)
+                for ci, c in enumerate(comps)
+            }
         else:
             eh, ev = pending_exp
+            lim = (1 << frame.get("prec", 8)) - 1
             for ci, c in enumerate(comps):
                 if c["id"] not in ref:
                     raise ValueError(
@@ -3060,7 +3111,15 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
                     raise ValueError(
                         "hierarchical reference smaller than differential frame"
                     )
-                ref[c["id"]] = (base[:hgt, :wdt] + planes[ci]) & 0xFFFF
+                if dct:
+                    # rounded difference added to the reference, clamped
+                    # to precision (the rule the encoder twin replays)
+                    ref[c["id"]] = np.clip(
+                        base[:hgt, :wdt] + np.rint(planes[ci]).astype(np.int64),
+                        0, lim,
+                    )
+                else:
+                    ref[c["id"]] = (base[:hgt, :wdt] + planes[ci]) & 0xFFFF
         pending_exp = (0, 0)
         frame = None
         planes = {}
@@ -3080,18 +3139,52 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
         elif marker == 0xDF:  # EXP: applies to the NEXT frame's reference
             fold_frame()
             pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec_q, tid = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if prec_q:
+                    vals = [
+                        int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+                else:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                tbl = np.zeros(64, dtype=np.float64)
+                for s, b in enumerate(_ZIGZAG):
+                    tbl[b] = vals[s]
+                qt[tid] = tbl.reshape(8, 8)
         elif marker in (0xC3, 0xCB, 0xC7, 0xCF):
             fold_frame()
             frame = parse_sof(seg)
             frame["lossless"] = True
             frame["arith"] = marker in (0xCB, 0xCF)
             frame["differential"] = marker in (0xC7, 0xCF)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6,
-                        0xC9, 0xCA, 0xCD, 0xCE):
+        elif marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD):
+            # sequential DCT frames: base (SOF0/1/9) and differential
+            # (SOF5/13) — grayscale pyramids (the fixture device for
+            # every lossy mode is grayscale; multi-component adds
+            # sampling-factor geometry to the diff fold with no new
+            # coding machinery, so it raises precisely instead)
+            fold_frame()
+            frame = parse_sof(seg)
+            if len(frame["comps"]) != 1:
+                raise NotImplementedError(
+                    "multi-component DCT hierarchical JPEG frame; "
+                    "grayscale DCT pyramids and any-channel lossless "
+                    "pyramids are implemented"
+                )
+            frame["lossless"] = False
+            frame["arith"] = marker in (0xC9, 0xCD)
+            frame["differential"] = marker in (0xC5, 0xCD)
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "hierarchical JPEG with DCT-based frames (SOF0-2/5-6/"
-                "9-10/13-14 inside a DHP stream); the lossless pyramid "
-                "(SOF3/11 base + SOF7/15 differential) is implemented"
+                "progressive frames inside a DHP (hierarchical) stream "
+                "(SOF2/6/10/14); sequential DCT and lossless pyramid "
+                "frames are implemented"
             )
         elif marker == 0xCC:  # DAC
             j = 0
@@ -3099,6 +3192,8 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
                 tc, tb = seg[j] >> 4, seg[j] & 0x0F
                 if tc == 0:
                     dc_cond[tb] = (seg[j + 1] & 0x0F, seg[j + 1] >> 4)
+                else:
+                    ac_cond[tb] = seg[j + 1]
                 j += 2
         elif marker == 0xC4:  # DHT
             j = 0
@@ -3121,14 +3216,35 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
                 order.append(cid)
             ss, a = seg[1 + 2 * ns], seg[3 + 2 * ns]
-            if a & 0x0F:
-                raise NotImplementedError(
-                    "hierarchical lossless JPEG with a nonzero point transform"
+            if frame.get("lossless"):
+                if a & 0x0F:
+                    raise NotImplementedError(
+                        "hierarchical lossless JPEG with a nonzero point "
+                        "transform"
+                    )
+                i = _jpeg_lossless_scan(
+                    payload, i + 2 + seg_len, frame, order, scan,
+                    dc_cond, huff, restart_interval, planes, ss, 0,
                 )
-            i = _jpeg_lossless_scan(
-                payload, i + 2 + seg_len, frame, order, scan,
-                dc_cond, huff, restart_interval, planes, ss, 0,
-            )
+                continue
+            for c in frame["comps"]:
+                if c["tq"] not in qt:
+                    raise ValueError(
+                        "hierarchical DCT scan references an undeclared "
+                        "quantization table"
+                    )
+            if frame.get("arith"):
+                scan_planes, i = _jpeg_arith_scan(
+                    payload, i + 2 + seg_len, frame, scan, qt,
+                    dc_cond, ac_cond, restart_interval, as_planes=True,
+                )
+            else:
+                scan_planes, i = _jpeg_scan(
+                    payload, i + 2 + seg_len, frame, scan, qt, huff,
+                    restart_interval, as_planes=True,
+                )
+            for ci, p in enumerate(scan_planes):
+                planes[ci] = p
             continue
         i += 2 + seg_len
     fold_frame()
@@ -3155,6 +3271,132 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
     }
 
 
+def _hier_gray_blocks(plane, quant: int, shift: float):
+    """Quantized zigzag DCT blocks of one grayscale float plane (edge-
+    padded to the 8-grid): the _jpeg_prepare core without the color /
+    subsampling machinery, with the LEVEL SHIFT as a dial (0.0 for
+    differential frames). Returns int64 (bh, bw, 64)."""
+    import numpy as np
+
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    full = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    basis = _dct_basis()
+    sp = (full - shift).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    co = np.einsum("ab,ijbc,cd->ijad", basis, sp, basis.T)
+    qz = np.rint(co / float(quant)).astype(np.int64).reshape(bh, bw, 64)
+    return qz[:, :, _ZIGZAG]
+
+
+def _hier_blocks_plane(blocks, quant: int, shift: float):
+    """Decode quantized zigzag blocks back to the float plane with the
+    EXACT per-block arithmetic the decoder runs (same matmul per 8x8
+    block — a batched einsum could associate differently in the last
+    ulp): the closed-loop reference both hierarchical DCT sides share."""
+    import numpy as np
+
+    bh, bw, _ = blocks.shape
+    basis = _dct_basis()
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    q = float(quant)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = np.zeros(64, dtype=np.float64)
+            for s, b in enumerate(_ZIGZAG):
+                blk[b] = blocks[by, bx, s]
+            blk = blk.reshape(8, 8) * q
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                basis.T @ blk @ basis + shift
+            )
+    return out
+
+
+def _hier_seq_entropy_huff(blocks, restart_interval: int) -> bytes:
+    """Grayscale sequential-Huffman entropy body over (bh, bw, 64)
+    zigzag blocks — the encode_jpeg_baseline inner loop at ncomp=1
+    (MCU = one block), shared constants, restart resets included."""
+    dc_enc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_enc = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    wtr = _BitWriter()
+    put = wtr.put
+    pred = 0
+    rst = 0
+    mcu_count = 0
+    bh, bw, _ = blocks.shape
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.pad()
+                wtr.buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = 0
+            zz = blocks[by, bx]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = abs(diff).bit_length()
+            length, code = dc_enc[size]
+            put(code, length)
+            if size:
+                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    length, code = ac_enc[0xF0]
+                    put(code, length)
+                    run -= 16
+                size = abs(v).bit_length()
+                length, code = ac_enc[(run << 4) | size]
+                put(code, length)
+                put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_enc[0x00]
+                put(code, length)
+            mcu_count += 1
+    wtr.pad()
+    return bytes(wtr.buf)
+
+
+def _hier_seq_entropy_arith(blocks, restart_interval: int) -> bytes:
+    """Grayscale sequential-arithmetic entropy body — the
+    encode_jpeg_arithmetic inner loop at ncomp=1 with the default
+    conditioning (L=0, U=1, Kx=5), restart flush/reset included."""
+    cond = (0, 1)
+    kx = 5
+    entropy = bytearray()
+    enc = _QMEncoder()
+    dc_stats, ac_stats = _fresh_arith_stats({0}, {0})
+    fixed = [113, 0]
+    pred = [0]
+    ctx = [0]
+    rst = 0
+    mcu_count = 0
+    bh, bw, _ = blocks.shape
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                entropy += _pack_arith_bits(enc.flush())
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                enc = _QMEncoder()
+                dc_stats, ac_stats = _fresh_arith_stats({0}, {0})
+                pred = [0]
+                ctx = [0]
+            zz = blocks[by, bx]
+            dc = int(zz[0])
+            _arith_encode_dc(enc, dc_stats[0], ctx, 0, dc - pred[0], cond)
+            pred[0] = dc
+            _arith_encode_ac(enc, ac_stats[0], fixed, zz, kx)
+            mcu_count += 1
+    entropy += _pack_arith_bits(enc.flush())
+    return bytes(entropy)
+
+
 def encode_jpeg_hierarchical(
     pixels: bytes,
     width: int,
@@ -3164,22 +3406,40 @@ def encode_jpeg_hierarchical(
     predictor: int = 4,
     restart_interval: int = 0,
     arith: bool = True,
+    mode: str = "lossless",
+    quant: int = 1,
 ) -> bytes:
-    """Hierarchical lossless JPEG writer (Annex J): decimate the image
+    """Hierarchical JPEG writer (Annex J): decimate the image
     ``levels`` times (every other sample — the downsampling filter is
     the encoder's choice per the spec), code the coarsest level as a
-    non-differential lossless frame (SOF11/SOF3), then per level emit
-    EXP (x2 both dimensions) + a differential lossless frame
-    (SOF15/SOF7) carrying source − upsampled-reference mod 2^16 —
-    decode(encode(px)) is BYTE-IDENTICAL for arbitrary samples because
-    encoder and decoder share the upsampling filter and the scan state
-    machine (the encode_jpeg_lossless twin contract)."""
+    non-differential frame, then per level emit EXP (x2 both
+    dimensions) + a differential frame carrying the residual against
+    the upsampled reference.
+
+    ``mode="lossless"`` (default): SOF11/SOF3 base + SOF15/SOF7
+    differentials, residuals mod 2^16 — decode(encode(px)) is
+    BYTE-IDENTICAL for arbitrary samples because encoder and decoder
+    share the upsampling filter and the scan state machine (the
+    encode_jpeg_lossless twin contract).
+
+    ``mode="dct"`` (grayscale only): SOF9/SOF0 base + SOF13/SOF5
+    differentials at flat ``quant`` — CLOSED-LOOP: each frame's
+    reference is its own DECODED reconstruction (per-block IDCT with
+    the decoder's exact arithmetic, rounded and clamped), so the
+    encoder never drifts from what the decoder will rebuild;
+    differential blocks are DCT-coded without a level shift. On
+    block-constant inputs at quant=1 the whole pyramid is bit-exact
+    (the established lossy-mode fixture device)."""
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
     if levels < 1:
         raise ValueError("hierarchical coding needs at least one level")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
+    if mode not in ("lossless", "dct"):
+        raise ValueError("mode must be 'lossless' or 'dct'")
+    if mode == "dct" and channels != 1:
+        raise ValueError("DCT hierarchical pyramids are grayscale-only")
     import numpy as np
 
     base = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
@@ -3204,6 +3464,49 @@ def encode_jpeg_hierarchical(
         for c in range(channels):
             body += bytes([c + 1, 0x00])
         return seg(0xDA, body + bytes([psel, 0, 0]))
+
+    if mode == "dct":
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDE, sof_body(width, height))  # DHP: full geometry
+        out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+        if arith:
+            out += seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # DC (0,1), AC Kx=5
+        else:
+            out += seg(
+                0xC4,
+                bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_SYMS
+                + bytes([0x10]) + bytes(_JPEG_AC_BITS) + _JPEG_AC_SYMS,
+            )
+        if restart_interval:
+            out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+        entropy_of = (
+            _hier_seq_entropy_arith if arith else _hier_seq_entropy_huff
+        )
+        cur0 = pyr[0][0].astype(np.float64)
+        h0, w0 = cur0.shape
+        blocks = _hier_gray_blocks(cur0, quant, 128.0)
+        out += seg(0xC9 if arith else 0xC0, sof_body(w0, h0))
+        out += sos(0)
+        out += entropy_of(blocks, restart_interval)
+        ref = np.clip(
+            np.rint(_hier_blocks_plane(blocks, quant, 128.0)[:h0, :w0]), 0, 255
+        ).astype(np.int64)
+        for level in pyr[1:]:
+            lvl = level[0]
+            hk, wk = lvl.shape
+            up = _jpeg_hier_upsample(ref, 1, 1)[:hk, :wk]
+            diff = (lvl - up).astype(np.float64)
+            blocks = _hier_gray_blocks(diff, quant, 0.0)
+            out += seg(0xDF, bytes([0x11]))  # EXP: x2 both dimensions
+            out += seg(0xCD if arith else 0xC5, sof_body(wk, hk))
+            out += sos(0)
+            out += entropy_of(blocks, restart_interval)
+            dec_diff = np.rint(
+                _hier_blocks_plane(blocks, quant, 0.0)[:hk, :wk]
+            ).astype(np.int64)
+            ref = np.clip(up + dec_diff, 0, 255)
+        out += b"\xff\xd9"
+        return bytes(out)
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDE, sof_body(width, height))  # DHP: full geometry

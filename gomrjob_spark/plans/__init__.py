@@ -51,6 +51,8 @@ _VERIFY_FIRST = [
     "mix_weights_temperature",
     # NEW r9: surgical decontamination (benchmark spans excised)
     "decontaminate_span_scrub",
+    # NEW r9 stretch 2: differential sequential DCT pyramids (SOF5/13)
+    "multimodal_hierarchical_dct_stats",
     # r8 _BACKFILL rotation: last green row r04
     "text_chunks",
     "join_asof_forward",
@@ -92,7 +94,6 @@ _VERIFY_FIRST = [
     "sql_passthrough_topn_revenue",
     "streaming_tumbling_agg",
     "streaming_sliding_counts",
-    "streaming_session_window",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -101,6 +102,7 @@ _VERIFY_FIRST = [
 # for these 8 names — the ">= every query re-proven within the last 4
 # windows" cadence a 211-query registry sustains with a 50-slot window.
 _BACKFILL = [
+    "streaming_session_window",
     "streaming_dedup_counts",
     "streaming_stateful_counts",
     "streaming_static_join",

@@ -5250,6 +5250,76 @@ def multimodal_hierarchical_pixel_stats(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "multimodal_hierarchical_dct_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 9 + 4 AS INT) AS w,
+             CAST(doc_id % 6 + 4 AS INT) AS h,
+             (doc_id * 29 + 60) % 256 AS val
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, w, h, 1 AS channels, i, val
+      FROM d, unnest(generate_series(0, w * h - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_hierarchical_dct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical DCT-pyramid decode under the oracle gate —
+    the differential SEQUENTIAL DCT family (SOF5 Huffman / SOF13
+    arithmetic over SOF0/SOF9 bases), closing all of Annex J except
+    differential progressive: every doc synthesizes a closed-loop DCT
+    pyramid (1-2 decimation levels by doc_id % 2, entropy coder by
+    parity, a doc_id % 3 restart cadence) whose frames the decoder
+    must walk — DHP geometry, quantization tables, EXP expansions,
+    differential frames added to the reference without a level shift,
+    rounding and precision clamps. Fixture device: per-doc CONSTANT
+    images (value a doc_id formula) — the one family the LOSSY
+    pyramid reproduces bit-exactly at quant=1 (constant blocks code
+    as pure DC), the same DC-dominant convention every other lossy
+    codec gate uses; any desync, DC-prediction, EXP-crop, or clamp
+    bug perturbs pixels and breaks the hash. Arbitrary-pixel behavior
+    (nonzero ACs, +-1 closed-loop bound, hand-built differential
+    frames) is pinned in tests/test_jpeg_hierarchical.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 9 + 4, d % 6 + 4
+                px = bytes([(d * 29 + 60) % 256] * (w * h))
+                payloads.append(
+                    multimodal.encode_jpeg_hierarchical(
+                        px, w, h, channels=1,
+                        levels=d % 2 + 1,
+                        restart_interval=d % 3,
+                        arith=d % 2 == 0,
+                        mode="dct",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
+@query(
     "multimodal_caption_alignment",
     oracle="""
     WITH img AS (

@@ -64,11 +64,22 @@ def test_decimation_pyramid_is_what_decoder_reconstructs_from():
     assert enc.count(b"\xff\xcf") == 2 and enc.count(b"\xff\xcb") == 1
 
 
-def test_dct_differential_frame_raises_named_contract():
+def test_diff_progressive_frame_raises_named_contract():
+    enc = bytearray(M.encode_jpeg_hierarchical(_px(4, 4, 1, 2), 4, 4, levels=1))
+    i = enc.index(b"\xff\xcf")
+    enc[i + 1] = 0xCE  # SOF14: differential arithmetic progressive
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_image(bytes(enc))
+
+
+def test_dct_frame_without_dqt_fails_clean():
+    # rewriting a LOSSLESS pyramid's SOF15 to SOF13 makes a malformed
+    # stream (a DCT frame with no DQT anywhere): clean ValueError, not
+    # a KeyError from deep inside the scan
     enc = bytearray(M.encode_jpeg_hierarchical(_px(4, 4, 1, 2), 4, 4, levels=1))
     i = enc.index(b"\xff\xcf")
     enc[i + 1] = 0xCD  # SOF13: differential arithmetic sequential DCT
-    with pytest.raises(NotImplementedError, match="DCT-based"):
+    with pytest.raises(ValueError, match="quantization"):
         M.decode_image(bytes(enc))
 
 
@@ -90,3 +101,114 @@ def test_truncated_hierarchical_stream_fails_clean():
 def test_levels_validation():
     with pytest.raises(ValueError, match="level"):
         M.encode_jpeg_hierarchical(b"\x00", 1, 1, levels=0)
+
+
+# ---- DCT pyramids (SOF0/9 base + SOF5/13 differential, r9) ----
+
+
+@pytest.mark.parametrize("arith", [True, False])
+@pytest.mark.parametrize("levels", [1, 2])
+def test_dct_pyramid_constant_images_bit_exact(arith, levels):
+    for w, h in [(8, 8), (17, 9), (7, 5)]:
+        px = bytes([h * 13 + w] * (w * h))
+        enc = M.encode_jpeg_hierarchical(
+            px, w, h, levels=levels, arith=arith, mode="dct"
+        )
+        d = M.decode_image(enc)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        assert d["pixels"] == px
+
+
+@pytest.mark.parametrize("arith", [True, False])
+def test_dct_pyramid_restart_cadence(arith):
+    px = bytes([99] * (24 * 16))
+    enc = M.encode_jpeg_hierarchical(
+        px, 24, 16, levels=2, arith=arith, mode="dct", restart_interval=2
+    )
+    assert M.decode_image(enc)["pixels"] == px
+
+
+def test_dct_pyramid_arbitrary_pixels_deterministic_and_close():
+    import numpy as np
+
+    px = bytes((i * 37 + 11) % 256 for i in range(24 * 16))
+    e1 = M.encode_jpeg_hierarchical(px, 24, 16, levels=2, mode="dct")
+    e2 = M.encode_jpeg_hierarchical(px, 24, 16, levels=2, mode="dct")
+    assert e1 == e2
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(
+        M.decode_image(e1)["pixels"], dtype=np.uint8
+    ).astype(int)
+    # closed-loop DCT at quant=1: the only loss is the float DCT
+    # round-trip, within +-1 per sample (the baseline encoder bound)
+    assert np.abs(a - b).max() <= 1
+
+
+def test_dct_differential_frame_with_nonzero_acs_decodes_exactly():
+    """Hand-built stream: a block-constant base frame + a differential
+    SOF5 frame whose entropy codes CHOSEN integer coefficient blocks
+    (nonzero ACs). The decoder must output clip(upsample(base) +
+    rint(IDCT(coeffs))) computed independently here — pinning the
+    differential DCT path beyond what constant-image round-trips
+    reach."""
+    import numpy as np
+
+    w0, h0 = 8, 8   # base level
+    w1, h1 = 16, 16  # full level
+    base_val = 100
+    base = np.full((h0, w0), float(base_val))
+    bblocks = M._hier_gray_blocks(base, 1, 128.0)
+
+    # chosen differential coefficients: DC plus a few ACs per block
+    dblocks = np.zeros((2, 2, 64), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            dblocks[by, bx, 0] = 8 * (by - bx)   # DC
+            dblocks[by, bx, 1] = 5 + by          # first AC (zigzag)
+            dblocks[by, bx, 7] = -3
+
+    def seg(m, b):
+        return bytes([0xFF, m]) + (len(b) + 2).to_bytes(2, "big") + b
+
+    def sof_body(w, h):
+        return (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDE, sof_body(w1, h1))
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(M._JPEG_DC_BITS) + M._JPEG_DC_SYMS
+        + bytes([0x10]) + bytes(M._JPEG_AC_BITS) + M._JPEG_AC_SYMS,
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += seg(0xC0, sof_body(w0, h0)) + sos
+    out += M._hier_seq_entropy_huff(bblocks, 0)
+    out += seg(0xDF, bytes([0x11]))
+    out += seg(0xC5, sof_body(w1, h1)) + sos
+    out += M._hier_seq_entropy_huff(dblocks, 0)
+    out += b"\xff\xd9"
+
+    got = np.frombuffer(
+        M.decode_image(bytes(out))["pixels"], dtype=np.uint8
+    ).astype(np.int64).reshape(h1, w1)
+    up = M._jpeg_hier_upsample(np.full((h0, w0), base_val, dtype=np.int64), 1, 1)
+    diff = np.rint(M._hier_blocks_plane(dblocks, 1, 0.0)).astype(np.int64)
+    want = np.clip(up[:h1, :w1] + diff[:h1, :w1], 0, 255)
+    assert (got == want).all()
+
+
+def test_progressive_in_dhp_raises_named_contract():
+    enc = bytearray(
+        M.encode_jpeg_hierarchical(bytes([5] * 16), 4, 4, levels=1, mode="dct")
+    )
+    i = enc.index(b"\xff\xc9") if b"\xff\xc9" in enc else enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC6  # SOF6: differential progressive Huffman
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_image(bytes(enc))
+
+
+def test_multicomponent_dct_pyramid_raises_named_contract():
+    with pytest.raises(ValueError, match="grayscale"):
+        M.encode_jpeg_hierarchical(bytes(48), 4, 4, channels=3, mode="dct")

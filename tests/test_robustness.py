@@ -87,6 +87,7 @@ MIN_ROWS = {
     "streaming_wordpiece_drift": 20,
     "mix_weights_temperature": 4,  # one row per language
     "decontaminate_span_scrub": 40,  # all train docs pass through
+    "multimodal_hierarchical_dct_stats": 50,
 }
 
 
