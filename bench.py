@@ -59,10 +59,17 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: end-to-end) and dedup_repeated_chunks (0.28 s, the suite's flattest
 #: entry — dedup_paragraph_containment measures the same 256-char
 #: chunk-fingerprint shuffle class plus its rollup). 64 shared entries
-#: vs r8; ~1.93 KB of the 2000-byte tail. multimodal_caption_alignment,
-#: streaming_semdedup_gate and text_dup_ngram_coverage stay tier 2
-#: with sweep rows (scan-linear / the already-benched semdedup trainer
-#: class / the repetition_stats shuffle class).
+#: vs r8; ~1.93 KB of the 2000-byte tail. The other r9 queries stay
+#: tier 2 with sweep rows or documented cost classes (SCALING.md
+#: round-9): multimodal_caption_alignment (scan-linear),
+#: streaming_semdedup_gate (the benched semdedup trainer class),
+#: text_dup_ngram_coverage (the repetition_stats shuffle class),
+#: dedup_cross_source_overlap (flat partial-agg),
+#: streaming_wordpiece_drift + decontaminate_span_scrub (strict
+#: subsets of the benched wordpiece_encode / span_removal plans),
+#: mix_weights_temperature (the mixture-agg class), and the two
+#: hierarchical codec queries (the benched pixel-stats dispatch
+#: floor).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
