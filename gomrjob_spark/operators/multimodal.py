@@ -853,11 +853,19 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval,
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
     if as_planes:
+        # Advance to the next real marker, applying BOTH skip rules
+        # repeatedly (mirroring _BitReader's stuffing rule): stuffed
+        # 0xFF00 pairs are entropy-coded data, and non-0xFF bytes are
+        # pad/garbage — a pad byte FOLLOWED by a stuffed pair (legal in
+        # foreign Huffman streams) must not be misread as a marker.
         p = reader.pos
-        while p + 1 < len(payload) and payload[p] == 0xFF and payload[p + 1] == 0x00:
-            p += 2
-        while p + 1 < len(payload) and payload[p] != 0xFF:
-            p += 1
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] == 0x00:
+                p += 2
+            elif payload[p] != 0xFF:
+                p += 1
+            else:
+                break
         return planes, p
     return _jpeg_assemble(frame, planes, hmax, vmax)
 

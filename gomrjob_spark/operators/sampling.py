@@ -280,14 +280,20 @@ def temperature_mixture_weights(
     temperature-0.5 sampling.
 
     Exactness: the weight is the EXACT integer square root of
-    ``n_tokens * scale^2`` (floor(sqrt) as a double, then a +-1
-    integer-square comparison correction — exact at ANY magnitude,
-    immune to the double's rounding boundary), so weights, totals, and
-    ppm shares are all bigint arithmetic both engines floor
-    identically. Other temperatures alpha = k/2^m compose from
-    iterated isqrt; a general float pow is NOT cross-engine
-    bit-stable, which is why 0.5 — the published default — is the
-    exact dial here.
+    ``x = n_tokens * scale^2`` (floor(sqrt) as a double, then a +-1
+    integer-square comparison correction). The sqrt CORRECTION is
+    exact at any magnitude of ``x`` — immune to the double's rounding
+    boundary past 2^52 — but the staged product itself is bigint, so
+    the op as a whole requires ``n_tokens < 2^63 / scale^2`` per
+    group: at the default scale=1000 that is ~9.2e12 tokens/group
+    (~37 TB of 4-byte-avg text IN ONE GROUP). Past that the product
+    wraps silently; for corpora near the bound, lower ``scale`` (the
+    ppm share loses sub-ppm resolution only when scale^2 < ~tot/1e6)
+    or pre-divide n_tokens by a power of 4 and halve the scale —
+    isqrt(x/4) = isqrt(x)/2 exactly for even exponents. Other
+    temperatures alpha = k/2^m compose from iterated isqrt; a general
+    float pow is NOT cross-engine bit-stable, which is why 0.5 — the
+    published default — is the exact dial here.
 
     Scale: one partial-agg shuffle keyed by the group; the totals
     cross as a 1-ROW broadcast (the q22 global-scalar class — BNLJ

@@ -1540,7 +1540,18 @@ def wordpiece_train(
     every operand positive, every division a floor both engines take
     identically, so the winner (score desc, w1, w2) is
     engine-reproducible and the whole trajectory sits under the hash
-    gate. Words run over the DISTINCT-word frame weighted by frequency
+    gate. Resolution bound: the first stage floors to 0 whenever
+    ``c_left > n_pair * S``, and staged flooring is NON-monotone
+    versus the true ratio at that magnitude — on corpora where
+    left-symbol counts exceed a million times the pair count, many
+    pairs tie at score_fp=0 and the "highest likelihood" winner
+    degrades to the deterministic (w1, w2) lexicographic tiebreak,
+    which can diverge from the published WordPiece merge rule (still
+    deterministic and oracle-matched, but no longer
+    likelihood-ordered). Past the S-resolution regime, switch to
+    bit-length log scoring (the operators/search.py device): compare
+    bit_length(n_pair) vs bit_length(c_left) + bit_length(c_right)
+    brackets the log-likelihood within 1 bit at any magnitude. Words run over the DISTINCT-word frame weighted by frequency
     (the SentencePiece efficiency shape — corpus-sized work is paid
     once in the word-count shuffle); initial symbols are the word's
     first char plus '##'-prefixed continuations, and merges apply
@@ -1597,6 +1608,19 @@ def wordpiece_train(
         top1 = scoped_persist(
             scored.orderBy(F.desc("score_fp"), "w1", "w2").limit(1)
         )
+        # A round with NO remaining adjacent pairs yields an empty
+        # top1; the rewrite cross-join below would then silently empty
+        # `cur` and every later round would emit no merge row — the
+        # caller would receive a truncated merge table with no error
+        # signal. top1 is persisted and at most 1 row, so this count
+        # is a model-sized action, not a data-sized collect.
+        if top1.count() == 0:
+            raise RuntimeError(
+                f"wordpiece_train exhausted at round {r}: no adjacent "
+                f"symbol pairs remain after {r - 1} merges (requested "
+                f"n_merges={n_merges}); every distinct word is fully "
+                "merged — lower n_merges to the corpus's merge capacity."
+            )
         round_row = top1.select(
             F.lit(r).cast("int").alias("round"),
             "w1",

@@ -955,7 +955,7 @@ def streaming_wordpiece_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution leaves the training distribution. Drift is
     ENGINEERED deterministically (the sign-flip-twin device): streamed
     docs with doc_id % 4 = 0 carry one appended out-of-charset token
-    (' zz' — 'z' never occurs in the fixture), so 63 of 250 documents
+    (' zz' — 'z' never occurs in the fixture), so 62 of 250 documents
     genuinely drift and the rest genuinely pass; the oracle replays
     training, the mutation, and the greedy encode, so the hash gate
     pins every verdict. Stateless scan projection: flat per-batch

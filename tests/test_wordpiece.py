@@ -116,3 +116,17 @@ def test_train_deterministic_rerun(spark):
     a = sorted(map(tuple, text.wordpiece_train(docs, n_merges=3).collect()))
     b = sorted(map(tuple, text.wordpiece_train(docs, n_merges=3).collect()))
     assert a == b
+
+
+def test_train_exhaustion_raises(spark):
+    # 'ab' supports exactly ONE merge (a, ##b); a second round has no
+    # adjacent pairs left, and the trainer must say so instead of
+    # silently returning a 1-row merge table for n_merges=2
+    # (ADVICE r9: the empty-top1 cross join used to empty `cur`).
+    import pytest
+
+    docs = _docs(spark, ["ab ab ab"])
+    ok = text.wordpiece_train(docs, n_merges=1).collect()
+    assert [(r["w1"], r["w2"]) for r in ok] == [("a", "##b")]
+    with pytest.raises(RuntimeError, match="exhausted at round 2"):
+        text.wordpiece_train(docs, n_merges=2)
