@@ -2013,3 +2013,248 @@ def dup_ngram_char_coverage(
             ).cast("bigint").alias("coverage_ppm"),
         )
     )
+
+
+#: fixed-point scale for the language-ID log-likelihood quantization —
+#: 2^20, the DSIR dial: w = bitlen(((cnt + 1) * 2^20) DIV (tot + V)).
+#: Bound: (cnt + 1) * 2^20 must stay under 2^63, i.e. cnt < 2^43 — about
+#: 8.8e12 occurrences of ONE character n-gram in ONE language (~35 TB of
+#: a single repeated bigram); comfortably past any real corpus shard.
+LANGID_SCALE = 1_048_576
+
+
+def _char_ngram_positions(txt, n: int):
+    """1-based start positions of the text's character n-grams (empty
+    when the text is shorter than n) — explode THIS cheap sequence and
+    substr per row, never an array built by an expensive transform
+    (the explode-rebuild plan rule)."""
+    return F.when(
+        F.length(txt) >= n, F.sequence(F.lit(1), F.length(txt) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def langid_train(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Char-n-gram multinomial naive-Bayes language-ID model — the
+    classifier langid.py/fasttext-style gates train (Cavnar & Trenkle
+    1994 n-gram profiles; McCallum & Nigam 1998 multinomial NB), the
+    FIRST filter of every production curation pipeline (CCNet,
+    RedPajama, Dolma all language-gate before any dedup). Returns the
+    dense model table (lang, gram, cnt, w): per-language occurrence
+    counts of every character n-gram of the normalized text, and the
+    add-one-smoothed quantized log-likelihood
+
+        w = bitlen(((cnt + 1) * 2^20) DIV (tot_lang + V))
+
+    — bitlen of an exact integer ratio (the DSIR / BM25 / perplexity
+    device), so the classically-float log P(gram | lang) is
+    bit-identical on any engine and the whole trained model sits under
+    the cross-engine hash gate. The table is DENSE (every vocab gram x
+    every language, zero-count rows included) so the scorer's aligned
+    weight arrays need no gap handling and the cnt=0 rows ARE the
+    unseen-gram weights.
+
+    Scale shape: one corpus-sized position explode feeding ONE
+    (lang, gram) partial-agg shuffle; everything after lands on
+    model-sized frames (vocab x langs — the dense cross join is
+    V*L rows, a MODEL, not data). 100 TB posture: the shuffle carries
+    n-char grams, and the model size is charset-bounded (V <= |charset|^n),
+    independent of corpus size."""
+    staged = spread(df).select(
+        F.col(label_col).alias("lang"), normalized(text_col).alias("_t")
+    )
+    grams = staged.select(
+        "lang", F.explode(_char_ngram_positions(F.col("_t"), n)).alias("_i"), "_t"
+    ).select("lang", F.substr(F.col("_t"), F.col("_i"), F.lit(n)).alias("gram"))
+    counts = scoped_persist(
+        grams.groupBy("lang", "gram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    )
+    tot = counts.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("_tot"))
+    vocab = counts.select("gram").distinct()
+    vsz = vocab.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    langs = counts.select("lang").distinct()
+    dense = langs.crossJoin(vocab)  # model-sized: L x V rows
+    return (
+        dense.join(counts, ["lang", "gram"], "left")
+        .join(F.broadcast(tot), "lang")
+        .join(F.broadcast(vsz))
+        .select(
+            "lang",
+            "gram",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            _bitlen(
+                F.expr(
+                    f"((coalesce(cnt, 0) + 1) * {LANGID_SCALE}) DIV (_tot + _v)"
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def langid_priors(df: DataFrame, label_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, wp) class priors for the NB scorer: wp =
+    bitlen(((n_docs + 1) * 2^20) DIV (N + L)) — the same quantized-log
+    device as the gram weights, add-one smoothed over L classes."""
+    cnts = df.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cnts.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_l"),
+    )
+    return cnts.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        _bitlen(
+            F.expr(f"((n_docs + 1) * {LANGID_SCALE}) DIV (_n + _l)")
+        ).alias("wp"),
+    )
+
+
+def _langid_model_row(model: DataFrame, priors: DataFrame):
+    """Collapse the dense (lang, gram, cnt, w) model + (lang, n_docs,
+    wp) priors into the ONE-ROW broadcast the row-local scorer reads
+    (the _unigram_vocab_row / bpe_apply device — vocabulary-invariant
+    codegen): ``_langs`` = sorted language array (the argmax tie
+    order), ``_wm`` = gram -> per-language weight array aligned with
+    _langs, ``_unseen`` = aligned cnt=0 weights (one per language —
+    derivable because the model is dense), ``_prior`` = aligned prior
+    weights. Model-sized by definition."""
+    aligned = lambda df_, vcol, out: df_.groupBy().agg(  # noqa: E731
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("lang"), F.col(vcol)))
+            ),
+            lambda s: s[vcol],
+        ).alias(out)
+    )
+    per_gram = model.groupBy("gram").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("lang"), F.col("w")))),
+            lambda s: s["w"],
+        ).alias("_ws")
+    )
+    wm_row = per_gram.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("gram").alias("key"), F.col("_ws").alias("value"))
+            )
+        ).alias("_wm")
+    )
+    langs_row = (
+        model.select("lang")
+        .distinct()
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("lang")).alias("_langs"))
+    )
+    unseen_row = aligned(
+        model.filter(F.col("cnt") == 0)
+        .groupBy("lang")
+        .agg(F.min("w").alias("w0"))
+        .unionByName(
+            # a language whose counts cover the whole vocabulary has no
+            # cnt=0 row; derive its unseen weight from the totals
+            model.groupBy("lang")
+            .agg(F.sum("cnt").cast("bigint").alias("_tot"))
+            .join(
+                F.broadcast(
+                    model.select("gram")
+                    .distinct()
+                    .groupBy()
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+                )
+            )
+            .select(
+                "lang",
+                _bitlen(F.expr(f"{LANGID_SCALE} DIV (_tot + _v)")).alias("w0"),
+            )
+        )
+        .groupBy("lang")
+        .agg(F.min("w0").alias("w0")),
+        "w0",
+        "_unseen",
+    )
+    prior_row = aligned(priors.select("lang", "wp"), "wp", "_prior")
+    return wm_row.join(langs_row).join(unseen_row).join(prior_row)
+
+
+def langid_gate(
+    docs: DataFrame,
+    train: DataFrame,
+    n: int = 2,
+    allowed: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-ID admission gate: score every document against the
+    char-n-gram NB model trained on ``train`` (see
+    :func:`langid_train`) and keep those whose argmax language is in
+    ``allowed`` — the CCNet/RedPajama/Dolma first-stage filter.
+    Returns (id, lang, pred_lang, n_grams, score, keep): the labeled
+    language, the predicted one (argmax of the summed quantized
+    log-likelihoods + prior; ties resolve to the alphabetically first
+    language — array_position takes the FIRST max over the sorted
+    _langs array, matching the oracle's ORDER BY sc DESC, lang ASC),
+    the document's n-gram count, the winning integer score, and the
+    admission verdict. A document shorter than n grams scores priors
+    only.
+
+    Scale shape: the model collapses to a 1-ROW broadcast (gram ->
+    aligned weight arrays — the bpe_apply vocabulary-invariant-codegen
+    device) crossed onto the scan (BNLJ allowlist); scoring is ONE
+    row-local fold per document — one map lookup per gram, summed into
+    a language-indexed array via zip_with — so the gate itself adds
+    ZERO shuffles to the corpus scan. That is what lets it run FIRST,
+    before any dedup, on the full 100 TB crawl."""
+    model = langid_train(train, n=n, text_col=text_col, label_col=label_col)
+    priors = langid_priors(train, label_col=label_col)
+    row = _langid_model_row(model, priors)
+    staged = spread(docs).select(
+        F.col(id_col),
+        F.col(label_col).alias("lang"),
+        normalized(text_col).alias("_t"),
+    ).select(
+        F.col(id_col),
+        "lang",
+        # stage the gram array as a REAL column before the fold (the
+        # no-CSE-inside-HOF rule: normalized() must not re-evaluate
+        # per element)
+        F.transform(
+            _char_ngram_positions(F.col("_t"), n),
+            lambda i: F.substr(F.col("_t"), i, F.lit(n)),
+        ).alias("_gs"),
+    )
+    j = staged.join(F.broadcast(row))
+    zero = F.transform("_langs", lambda x: F.lit(0).cast("bigint"))
+    gsum = F.aggregate(
+        "_gs",
+        zero,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.coalesce(F.try_element_at("_wm", g), F.col("_unseen")),
+            lambda a, b: a + b,
+        ),
+    )
+    scored = j.select(
+        F.col(id_col),
+        "lang",
+        F.size("_gs").cast("bigint").alias("n_grams"),
+        F.zip_with(gsum, F.col("_prior"), lambda a, b: a + b).alias("_sc"),
+        "_langs",
+    )
+    best = F.array_position("_sc", F.array_max("_sc")).cast("int")
+    return scored.select(
+        F.col(id_col),
+        "lang",
+        F.element_at("_langs", best).alias("pred_lang"),
+        "n_grams",
+        F.array_max("_sc").cast("bigint").alias("score"),
+        F.element_at("_langs", best).isin(*allowed).alias("keep"),
+    )

@@ -958,6 +958,127 @@ def quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.linear_quality_gate(docs).orderBy("doc_id")
 
 
+#: shared training CTEs for the language-ID pair: char-bigram counts of
+#: the doc_id%5 train slice -> the DENSE add-one-smoothed NB model
+#: (langs x vocab, w = bitlen(((cnt+1) * 2^20) DIV (tot + V)) — the
+#: DSIR quantized-log device, see operators/text.py langid_train).
+_LANGID_CTES = f"""
+    tr AS MATERIALIZED (
+      SELECT lang, {_SQL_NORM} AS t FROM documents WHERE doc_id % 5 = 0
+    ),
+    tgrams AS MATERIALIZED (
+      SELECT lang, substr(t, CAST(i AS INT), 2) AS gram
+      FROM tr, unnest(generate_series(1, length(t) - 1)) AS r(i)
+    ),
+    counts AS MATERIALIZED (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt FROM tgrams GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+    vsz AS MATERIALIZED (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS v FROM counts),
+    langs AS MATERIALIZED (SELECT DISTINCT lang FROM counts),
+    model AS MATERIALIZED (
+      SELECT l.lang, g.gram, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+             CAST(length(bin((coalesce(c.cnt, 0) + 1) * 1048576 // (t.tot + vsz.v))) AS BIGINT) AS w
+      FROM langs l
+      CROSS JOIN (SELECT DISTINCT gram FROM counts) g
+      LEFT JOIN counts c ON c.lang = l.lang AND c.gram = g.gram
+      JOIN tot t ON t.lang = l.lang
+      CROSS JOIN vsz
+    )"""
+
+
+@query(
+    "text_langid_train",
+    oracle=f"""
+    WITH {_LANGID_CTES}
+    SELECT lang, gram, cnt, w FROM model ORDER BY lang, gram
+    """,
+)
+def text_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID classifier training (text.langid_train): a
+    char-bigram multinomial naive-Bayes model over the doc_id%5 batch
+    slice's ``lang`` labels — the offline half of the first gate every
+    production curation pipeline (CCNet, RedPajama, Dolma) runs before
+    any dedup. The FULL trained model (dense langs x vocab table,
+    counts + quantized log-likelihood weights) sits under the hash
+    gate, so engine parity covers training itself, not just scoring.
+
+    Fixture-separability honesty (the r9 vacuity rule, MEASURED at
+    sf0.01): the fixture's text is language-INDEPENDENT by construction
+    — all 5 labels draw from one 31-token vocabulary with <5 per-mille
+    per-language frequency spread — so this model's downstream accuracy
+    (0.218 overall, 0.34 on the train slice, vs 0.436 majority-class)
+    measures 1-bit quantization noise, NOT learning; the pytest twin
+    (tests/test_langid.py) proves the same operator scores 100% on a
+    corpus with real charset signal. The gate here pins PARITY and
+    plan shape, and makes no accuracy claim."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.langid_train(train).orderBy("lang", "gram")
+
+
+@query(
+    "text_langid_gate",
+    oracle=f"""
+    WITH {_LANGID_CTES},
+    unseen AS MATERIALIZED (
+      SELECT t.lang, CAST(length(bin(1048576 // (t.tot + vsz.v))) AS BIGINT) AS w0
+      FROM tot t CROSS JOIN vsz
+    ),
+    pr AS MATERIALIZED (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+    ),
+    ptot AS MATERIALIZED (SELECT CAST(sum(nd) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS l FROM pr),
+    pw AS MATERIALIZED (
+      SELECT p.lang, CAST(length(bin((p.nd + 1) * 1048576 // (pt.n + pt.l))) AS BIGINT) AS wp
+      FROM pr p CROSS JOIN ptot pt
+    ),
+    dn AS MATERIALIZED (SELECT doc_id, lang AS label, {_SQL_NORM} AS t FROM documents),
+    dgrams AS MATERIALIZED (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram
+      FROM dn, unnest(generate_series(1, length(t) - 1)) AS r(i)
+    ),
+    gsum AS MATERIALIZED (
+      SELECT d.doc_id, l.lang, CAST(sum(coalesce(m.w, u.w0)) AS BIGINT) AS s
+      FROM dgrams d
+      CROSS JOIN langs l
+      LEFT JOIN model m ON m.lang = l.lang AND m.gram = d.gram
+      JOIN unseen u ON u.lang = l.lang
+      GROUP BY 1, 2
+    ),
+    sc AS MATERIALIZED (
+      SELECT dn.doc_id, dn.label, l.lang AS cand,
+             coalesce(g.s, 0) + p.wp AS s,
+             CAST(greatest(length(dn.t) - 1, 0) AS BIGINT) AS n_grams
+      FROM dn CROSS JOIN langs l
+      LEFT JOIN gsum g ON g.doc_id = dn.doc_id AND g.lang = l.lang
+      JOIN pw p ON p.lang = l.lang
+    ),
+    best AS (
+      SELECT doc_id, label, cand, s, n_grams,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, label AS lang, cand AS pred_lang, n_grams,
+           CAST(s AS BIGINT) AS score, (cand = 'en') AS keep
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def text_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID admission gate (text.langid_gate): every document
+    scored row-locally against the 1-ROW broadcast of the trained NB
+    model (gram -> language-aligned weight arrays — the bpe_apply
+    vocabulary-invariant-codegen device), argmax language + integer
+    score + the keep verdict (allowed = {{'en'}}), all under the hash
+    gate. Zero shuffles beyond the corpus scan — the property that
+    lets this gate run FIRST on the raw 100 TB crawl. Predictions are
+    hash-pinned but fixture-vacuous as an accuracy signal (see
+    text_langid_train's honesty note: 0.218 vs 0.436 majority)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.langid_gate(docs, train).orderBy("doc_id")
+
+
 
 @query(
     "text_token_stats",

@@ -202,6 +202,13 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # post-limit 10-row frame
         "revenue_share_hierarchy",  # 1-row grand-total broadcast
         "corpus_composition_report",  # 1-row corpus-totals broadcast
+        "text_langid_train",        # langs x vocab dense cross (model-
+                                    # sized: L*V rows, charset-bounded)
+                                    # + 1-row vocab-size broadcast
+        "text_langid_gate",         # same training crosses + the 1-ROW
+                                    # model broadcast (gram -> aligned
+                                    # weight arrays) the row-local
+                                    # scorer folds over
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
