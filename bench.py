@@ -73,7 +73,7 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: r10 rotation (r9 verdict item #1 — the self-adjudicating artifact):
 #: the per-query warm-dispersion array `wx` (~170 B) and the q1 noise
 #: canary triple (~30 B) must fit inside the same 2000-byte stdout
-#: tail, so EIGHT flat entries rotate OUT, each with its cost class
+#: tail, so TEN flat entries rotate OUT, each with its cost class
 #: still measured (all were <=0.76 s and within noise since r08; plan
 #: shapes stay pinned by tests/test_plan_quality.py): q3_shipping_priority
 #: (q5/q18 keep the TPC-H multi-join-agg class), agg_cube (0.52 s flat;
@@ -83,12 +83,15 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: (corpus_curation_pipeline — benched — composes the same broadcast
 #: gate), concurrency_profile (0.73 s flat sweepline; sessionize_windows
 #: keeps event-ordering), knn_bruteforce (axis_lsh/ivf/pq/sq8 keep the
-#: ANN class; brute is the flat 0.66 s baseline twin), and
+#: ANN class; brute is the flat 0.66 s baseline twin),
 #: multimodal_progressive_pixel_stats (0.49 s; compressed_pixel_stats
-#: keeps the Huffman-decode dispatch floor). IN: text_langid_gate (the
-#: new language-ID broadcast-model fold — the first gate of a real
-#: curation pipeline; its train twin has a sweep row). 57 shared
-#: entries vs r8/r9.
+#: keeps the Huffman-decode dispatch floor), dedup_embedding_cosine_lowsim
+#: (the SAME plan as dedup_embedding_cosine at a lower threshold dial —
+#: the base + rp variants stay in), and knn_sq8 (0.76 s flat scan-local
+#: scalar-quant scoring; knn_pq keeps the quantized-ANN class). IN:
+#: text_langid_gate (the new language-ID broadcast-model fold — the
+#: first gate of a real curation pipeline; its train twin has a sweep
+#: row). 55 shared entries vs r8/r9 (56 total with gzip).
 HEADLINE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -98,14 +101,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_md5",
     "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lowsim",
     "dedup_embedding_cosine_rp",
     "dedup_cluster_survivors",
     "entity_resolution_pipeline",
     "knn_axis_lsh",
     "knn_ivf_kmeans",
     "knn_pq",
-    "knn_sq8",
     "text_token_stats",
     "search_bm25_topk",
     "feature_decile_stats",
@@ -193,6 +194,9 @@ def main() -> None:
         _materialize(plans.QUERIES["q1_pricing_summary"](spark, sf_dir))
         return round(time.perf_counter() - t0, 2)
 
+    # warm TWICE: one pass leaves C2/codegen partially cold at session
+    # start and canary[0] would read ~2x hot (measured at sf0.001)
+    _materialize(plans.QUERIES["q1_pricing_summary"](spark, sf_dir))
     _materialize(plans.QUERIES["q1_pricing_summary"](spark, sf_dir))
     release_scoped()
     canary = [_canary()]
@@ -290,7 +294,7 @@ def main() -> None:
     # line (~2.3 KB with both dicts) outgrew that window and failed to
     # parse. The graded stdout artifact is ONE compact line (best-of
     # timings, 2-decimal, compact separators, plus the wx array and the
-    # canary triple: ~1.9 KB for the 58-entry r10 artifact (57 HEADLINE
+    # canary triple: ~1.9 KB for the 56-entry r10 artifact (55 HEADLINE
     # + gzip) — the window is 2000 bytes, so adding a query costs
     # len(name)+9 bytes of `queries` plus ~3 bytes of `wx`; the size
     # guard below warns past 1990 B).
