@@ -743,6 +743,68 @@ def streaming_paragraph_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_bloom_dedup_gate",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT md5(substr(text, CAST(i AS INT) + 1, 256)) AS fp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) t(i)
+      WHERE len(text) > 0 AND doc_id < 250
+    ),
+    ch AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 256)) AS fp
+      FROM documents,
+           unnest(generate_series(0, CAST(len(text) AS BIGINT) - 1, 256)) t(i)
+      WHERE len(text) > 0 AND doc_id >= 250
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_par,
+           CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST((1000000 * sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dup_ppm,
+           (1000000 * sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) < 300000 AS admitted
+    FROM ch c LEFT JOIN store s USING (fp)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def streaming_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup admission as a live topology
+    (streaming.ops.bloom_dedup_gate_stream) — the 21st registered
+    topology and the Dolma-BFF counterpart of
+    streaming_paragraph_quarantine: documents 250+ arrive as a stream
+    and their 256-char paragraph fingerprints probe a FIXED-SIZE Bloom
+    bit array (2^17 bits = 16 KiB broadcast, built offline from docs
+    0-249's store) instead of the store itself; bloom misses are
+    admitted as definitely-new without touching the store, and only
+    the probable-dup trickle takes the exact join that removes false
+    positives — so the verdicts are EXACTLY the anti-join truth (full
+    hash gate; the oracle recomputes the plain containment rollup) but
+    the store join's input is dups + ~FPP of new, not the whole
+    stream. The no-false-negative property and the measured
+    false-positive rate vs the (1 - e^{-kn/m})^k formula are pinned in
+    tests/test_bloomfilter.py. Complete-mode aggregate over the finite
+    replay."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.text import chunk_text
+    from gomrjob_spark.streaming import (
+        bloom_dedup_gate_stream,
+        read_documents_stream,
+    )
+
+    store = chunk_text(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
+        size=256,
+        overlap=0,
+    ).select(F.md5(F.col("chunk")).alias("fp"))
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    rolled = bloom_dedup_gate_stream(batch, store, drop_ppm=300_000)
+    return _drain(spark, rolled, "complete").orderBy("doc_id")
+
+
+@query(
     "streaming_dsir_gate",
     oracle="""
     WITH norm AS (

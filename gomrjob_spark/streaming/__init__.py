@@ -8,6 +8,7 @@ and arbitrary stateful operators via applyInPandasWithState.
 """
 
 from gomrjob_spark.streaming.ops import (  # noqa: F401
+    bloom_dedup_gate_stream,
     dsir_gate_stream,
     incremental_dedup_stream,
     near_dup_probe_stream,

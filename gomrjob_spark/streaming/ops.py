@@ -938,6 +938,94 @@ def paragraph_quarantine_stream(
     )
 
 
+def bloom_dedup_gate_stream(
+    docs: DataFrame,
+    known_par_fps: DataFrame,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+    seed: int = 42,
+    drop_ppm: int = 300_000,
+) -> DataFrame:
+    """Bloom-filter dedup ADMISSION gate (the Dolma BFF deduper's
+    shape, Soldaini et al. 2024 §2.2 — a fixed-size bit array standing
+    in for the unbounded paragraph store at the ingest door; Bloom
+    1970 is the construction): each arriving document chunks into
+    256-char paragraphs row-locally, every paragraph's md5 fingerprint
+    probes the bit array built OFFLINE from the corpus store
+    (operators.bloomfilter.bloom_build — the broadcast is num_bits/8
+    bytes REGARDLESS of store size, which is the whole point at
+    100 TB), and only bloom HITS — dups plus the ~FPP sliver of new
+    paragraphs — take the exact store join that removes false
+    positives. Bloom MISSES are DEFINITELY-new (no false negatives by
+    construction) and bypass the store entirely. The emitted verdicts
+    are therefore EXACTLY the plain anti-join truth — the full hash
+    gate holds — while the plan pays the store join only for the
+    probable-dup trickle. Returns the per-document rollup
+    (doc_id, n_par, n_dup, dup_ppm, admitted): admitted =
+    dup_ppm < ``drop_ppm``.
+
+    State: none beyond the per-doc rollup (the
+    paragraph_quarantine_stream posture — rows retire with their file
+    batch; an endless feed keys the same rollup under a watermark). A
+    production BFF also INSERTS admitted fingerprints back into the
+    array; that read-write cycle needs an out-of-plan filter service,
+    so this operator models the (rebuild filter offline) -> (gate the
+    stream) deployment — the same split dsir_gate_stream uses for its
+    weight table."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from gomrjob_spark.operators.text import chunk_text
+
+    chunks = chunk_text(docs, size=256, overlap=0).select(
+        "doc_id", F.md5(F.col("chunk")).alias("fp")
+    )
+    # distinct + persist the static side ONCE: the store and its bloom
+    # array are re-read every micro-batch (the dimension-table pattern)
+    store = scoped_persist(known_par_fps.select("fp").distinct())
+    flt = scoped_persist(bloom_build(store, "fp", num_bits, num_hashes, seed))
+    probed = chunks.join(F.broadcast(flt)).select(
+        "doc_id",
+        "fp",
+        bloom_might_contain(
+            F.col("fp"), F.col("arr"), num_bits, num_hashes, seed
+        ).alias("_maybe"),
+    )
+    certain_new = probed.filter(~F.col("_maybe")).select(
+        "doc_id", F.lit(False).alias("_dup")
+    )
+    checked = (
+        probed.filter(F.col("_maybe"))
+        .join(
+            F.broadcast(store.select(F.col("fp").alias("_known"))),
+            F.col("fp") == F.col("_known"),
+            "left_outer",
+        )
+        .select("doc_id", F.col("_known").isNotNull().alias("_dup"))
+    )
+    return (
+        certain_new.unionByName(checked)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_par"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("bigint").alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_par",
+            "n_dup",
+            F.expr("(1000000 * n_dup) DIV n_par").cast("bigint").alias("dup_ppm"),
+            (F.expr("(1000000 * n_dup) DIV n_par") < F.lit(drop_ppm)).alias(
+                "admitted"
+            ),
+        )
+    )
+
+
 def dsir_gate_stream(
     docs: DataFrame,
     weights: DataFrame,
