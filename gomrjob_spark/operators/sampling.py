@@ -568,3 +568,67 @@ def dsir_weights(
     ct = feats(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     cr = feats(raw).groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
     return _dsir_weight_table(ct, cr)
+
+
+def softdedup_weights(
+    docs: DataFrame,
+    n: int = 6,
+    floor_ppm: int = 31_250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplication-aware SOFT reweighting (the SoftDeDup idea — He et
+    al. 2024, arXiv:2407.06654: down-weight commonly-duplicated text
+    in the sampling distribution instead of deleting it): every
+    document keeps a sampling weight proportional to its UNIQUE
+    fraction,
+
+        weight_ppm = max(1_000_000 - coverage_ppm, floor_ppm)
+
+    where coverage_ppm is the exact position-union duplicated-n-gram
+    character coverage (:func:`gomrjob_spark.operators.text
+    .dup_ngram_char_coverage` — the Gopher interval-union machinery,
+    reused verbatim). Returns (id, n_tokens, coverage_ppm, weight_ppm)
+    for EVERY document — docs below the coverage op's min_tokens carry
+    coverage 0 (no duplication evidence -> full weight).
+
+    Contrast with dedup_span_removal (the remove/rewrite/reweight
+    triad): span REMOVAL excises every repeated window's loser
+    occurrences from the text itself — destructive, exact, and right
+    when duplicates are crawl artifacts; span-scrub REWRITES only
+    benchmark-contaminated spans; soft reweighting keeps every
+    document bit-identical and instead shrinks how often heavily
+    duplicated ones are SAMPLED into a training mix — the right dial
+    when duplication correlates with quality signal you don't want to
+    destroy (boilerplate-heavy but useful pages). The floor keeps even
+    fully-duplicated docs sampleable at floor_ppm/1e6 of full rate
+    (and satisfies the weighted sampler's positive-weight contract).
+
+    Scale: the coverage op's (id, gram) partial-agg + bounded per-doc
+    windows, one |docs|-row left join, then pure scan arithmetic —
+    nothing here grows past the coverage op's documented shape."""
+    from gomrjob_spark.operators.text import (
+        dup_ngram_char_coverage,
+        normalized,
+        tokens,
+    )
+
+    cov = dup_ngram_char_coverage(
+        docs, n=n, text_col=text_col, id_col=id_col
+    ).select(id_col, "coverage_ppm")
+    base = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(tokens(normalized(text_col)), lambda x: x != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(cov, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("coverage_ppm", F.lit(0)).cast("bigint").alias("coverage_ppm"),
+        F.greatest(
+            F.lit(1_000_000).cast("bigint")
+            - F.coalesce("coverage_ppm", F.lit(0)).cast("bigint"),
+            F.lit(floor_ppm).cast("bigint"),
+        ).alias("weight_ppm"),
+    )

@@ -6247,10 +6247,11 @@ def text_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_ngram_char_fractions(docs, ns=(2, 3, 4)).orderBy("doc_id")
 
 
-@query(
-    "text_dup_ngram_coverage",
-    oracle=f"""
-    WITH nrm AS (
+#: shared duplicated-6-gram position-union coverage CTEs (the Gopher
+#: interval-union computation): text_dup_ngram_coverage reports it,
+#: sample_softdedup_weights turns it into a sampling weight.
+_DUPCOV_CTES = f"""
+    nrm AS (
       SELECT doc_id, {_SQL_NORM} AS t FROM documents
     ),
     el AS MATERIALIZED (
@@ -6294,7 +6295,13 @@ def text_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(sum(l) AS BIGINT) AS dup_chars FROM (
         SELECT doc_id, grp, max(f) - min(s) AS l FROM isl GROUP BY doc_id, grp
       ) q GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+    WITH {_DUPCOV_CTES}
     SELECT e.doc_id, CAST(len(e.w) AS BIGINT) AS n_tokens,
            CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
            CAST((1000000 * COALESCE(c.dup_chars, 0)) // e.nchars AS BIGINT)
@@ -6322,3 +6329,57 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one bounded window."""
     docs = load_table(spark, sf_dir, "documents")
     return text.dup_ngram_char_coverage(docs, n=6).orderBy("doc_id")
+
+
+@query(
+    "sample_softdedup_weights",
+    oracle=f"""
+    WITH {_DUPCOV_CTES},
+    covppm AS MATERIALIZED (
+      SELECT e.doc_id,
+             CAST((1000000 * COALESCE(c.dup_chars, 0)) // e.nchars AS BIGINT)
+               AS coverage_ppm
+      FROM elg e LEFT JOIN cov c ON c.doc_id = e.doc_id
+    ),
+    wts AS MATERIALIZED (
+      SELECT a.doc_id,
+             CAST(len(a.w) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(cp.coverage_ppm, 0) AS BIGINT) AS coverage_ppm,
+             CAST(greatest(1000000 - COALESCE(cp.coverage_ppm, 0), 31250)
+                  AS BIGINT) AS weight_ppm
+      FROM el a LEFT JOIN covppm cp USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, coverage_ppm, weight_ppm,
+           CAST(('0x' || substr(md5('softdedup' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                // weight_ppm AS BIGINT) AS priority
+    FROM wts
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+)
+def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware SOFT reweighting + the weighted draw
+    (operators.sampling.softdedup_weights -> weighted_priority_sample):
+    the REWEIGHT corner of the remove/rewrite/reweight triad. Where
+    dedup_span_removal excises duplicated windows from the text and
+    decontaminate_span_scrub rewrites contaminated spans, this keeps
+    every document bit-identical and instead shrinks its SAMPLING rate
+    by its duplicated-character fraction — weight_ppm =
+    max(1e6 - coverage_ppm, 31250), coverage from the exact
+    position-union Gopher machinery (shared _DUPCOV_CTES oracle chunk)
+    — then draws 200 docs with the deterministic md5-priority sampler,
+    so both the weights AND the drawn sample sit under the hash gate.
+    SoftDeDup (He et al. 2024) is the published version of this dial.
+
+    Scale: the coverage op's documented shape + one |docs|-row left
+    join + the sampler's TakeOrdered — no new shuffle classes."""
+    from gomrjob_spark.operators.sampling import (
+        softdedup_weights,
+        weighted_priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = softdedup_weights(docs, n=6)
+    return weighted_priority_sample(
+        wts, "doc_id", "weight_ppm", k=200, salt="softdedup"
+    ).orderBy("priority", "doc_id")

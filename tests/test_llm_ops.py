@@ -1905,3 +1905,25 @@ def test_temperature_mixture_isqrt_correction_is_exact(spark):
     assert abs(rows["sq"]["temp_ppm"] - 500_000) <= 1
     assert abs(rows["sqm1"]["temp_ppm"] - 500_000) <= 1
     assert rows["sq"]["temp_ppm"] + rows["sqm1"]["temp_ppm"] <= 1_000_000
+
+
+def test_softdedup_weights_contract(spark):
+    """Reweight corner of the remove/rewrite/reweight triad: unique
+    docs keep full weight, a heavily self-duplicated doc is down-
+    weighted by its exact coverage, short docs (< min_tokens, no
+    duplication evidence) keep full weight, and the floor keeps every
+    weight positive (the weighted sampler's contract)."""
+    from gomrjob_spark.operators.sampling import softdedup_weights
+
+    uniq = " ".join(f"tok{i}" for i in range(30))
+    dup = "a b c d e f " * 10  # every 6-gram repeats -> coverage ~1e6
+    short = "tiny doc"
+    docs = spark.createDataFrame(
+        [(1, uniq), (2, dup), (3, short)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in softdedup_weights(docs, n=6).collect()}
+    assert rows[1]["coverage_ppm"] == 0 and rows[1]["weight_ppm"] == 1_000_000
+    assert rows[2]["coverage_ppm"] > 900_000
+    assert rows[2]["weight_ppm"] == max(1_000_000 - rows[2]["coverage_ppm"], 31_250)
+    assert rows[3]["coverage_ppm"] == 0 and rows[3]["weight_ppm"] == 1_000_000
+    assert all(r["weight_ppm"] > 0 for r in rows.values())
