@@ -32,8 +32,11 @@ HIERARCHICAL JPEG (Annex J): DHP/EXP frame sequencing with the
 J.1.1.2 bilinear reference expansion, differential lossless frames
 (SOF7/SOF15) AND differential sequential DCT frames (SOF5/SOF13 over
 SOF0/SOF9 bases, grayscale pyramids, closed-loop encoder), with
-``encode_jpeg_hierarchical`` as the twin; only differential
-PROGRESSIVE frames (SOF6/SOF14) remain a named contract raise.
+``encode_jpeg_hierarchical`` as the twin. Round 10 closes the Annex J
+DCT matrix: differential PROGRESSIVE frames (SOF6/SOF14 over SOF2/
+SOF10 bases — per-frame DC + AC-first scan scripts, same closed loop)
+decode and encode (``mode="progressive"``); the remaining named raise
+in the pyramid family is multi-component DCT geometry.
 """
 
 from __future__ import annotations
@@ -93,10 +96,11 @@ def decode_image(payload: bytes) -> dict:
       restart markers, and arithmetic coding — sequential SOF9 and
       progressive SOF10 (QM coder + Annex F statistics, r7), plus
       LOSSLESS SOF3/SOF11 (Annex H predictors, r8) and HIERARCHICAL
-      pyramids (Annex J DHP/EXP, r9): differential lossless SOF7/
+      pyramids (Annex J DHP/EXP, r9-r10): differential lossless SOF7/
       SOF15 at any channel count, differential sequential DCT SOF5/
-      SOF13 for grayscale. Differential PROGRESSIVE frames (SOF6/14)
-      raise NotImplementedError — the only remaining family.
+      SOF13 AND differential progressive SOF6/SOF14 for grayscale —
+      the full Annex J DCT matrix; only multi-component DCT pyramid
+      geometry still raises NotImplementedError.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -2358,6 +2362,64 @@ def _jpeg_arith_progressive_scan(
     return _arith_next_marker(payload, bits)
 
 
+def _arith_ac_first_block(enc, astats, fixed, zz, ss, se, al, kx) -> None:
+    """AC first scan (Ah=0) of ONE zigzag block through the QM coder —
+    the T.81 Annex G EOB/S0/SE-bin decision tree at ``Al=al``. Shared
+    by the SOF10 progressive writer's per-component scans and the
+    hierarchical progressive (SOF6/SOF14) frame writer."""
+    t_of = [
+        (int(zz[k]) >> al) if zz[k] >= 0 else -((-int(zz[k])) >> al)
+        for k in range(64)
+    ]
+    last_nz = 0
+    for j in range(se, ss - 1, -1):
+        if t_of[j]:
+            last_nz = j
+            break
+    k = ss
+    while k <= last_nz:
+        base = 3 * (k - 1)
+        enc.encode(astats[base], 0)  # not EOB
+        while t_of[k] == 0:
+            enc.encode(astats[base + 1], 0)
+            k += 1
+            base += 3
+        enc.encode(astats[base + 1], 1)
+        v = t_of[k]
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, sign)
+        sz = (v if v > 0 else -v) - 1
+        sp = astats[base + 2]
+        m = 0
+        xb = None
+        if sz == 0:
+            enc.encode(sp, 0)
+        else:
+            enc.encode(sp, 1)
+            if sz == 1:
+                enc.encode(sp, 0)
+                m = 1
+            else:
+                enc.encode(sp, 1)
+                m = 2
+                xb = 189 if k <= kx else 217
+                msb = 1 << (sz.bit_length() - 1)
+                while m < msb:
+                    enc.encode(astats[xb], 1)
+                    m <<= 1
+                    xb += 1
+                enc.encode(astats[xb], 0)
+        if m >= 2:
+            mbin = astats[xb + 14]
+            mm = m >> 1
+            while mm:
+                enc.encode(mbin, 1 if sz & mm else 0)
+                mm >>= 1
+        k += 1
+    if last_nz < se:
+        enc.encode(astats[3 * (k - 1)], 1)  # EOB
+
+
 def encode_jpeg_arith_progressive(
     pixels: bytes,
     width: int,
@@ -2463,58 +2525,9 @@ def encode_jpeg_arith_progressive(
                 sc.restart_if_due(unit)
                 if restart_interval:
                     astats = sc.ac_stats[tids[ci]]
-                zz = blocks[ci][by, bx]
-                t_of = [
-                    (int(zz[k]) >> al) if zz[k] >= 0 else -((-int(zz[k])) >> al)
-                    for k in range(64)
-                ]
-                last_nz = 0
-                for j in range(se, ss - 1, -1):
-                    if t_of[j]:
-                        last_nz = j
-                        break
-                k = ss
-                while k <= last_nz:
-                    base = 3 * (k - 1)
-                    sc.enc.encode(astats[base], 0)  # not EOB
-                    while t_of[k] == 0:
-                        sc.enc.encode(astats[base + 1], 0)
-                        k += 1
-                        base += 3
-                    sc.enc.encode(astats[base + 1], 1)
-                    v = t_of[k]
-                    sign = 1 if v < 0 else 0
-                    sc.enc.encode(fixed, sign)
-                    sz = (v if v > 0 else -v) - 1
-                    sp = astats[base + 2]
-                    m = 0
-                    xb = None
-                    if sz == 0:
-                        sc.enc.encode(sp, 0)
-                    else:
-                        sc.enc.encode(sp, 1)
-                        if sz == 1:
-                            sc.enc.encode(sp, 0)
-                            m = 1
-                        else:
-                            sc.enc.encode(sp, 1)
-                            m = 2
-                            xb = 189 if k <= kx else 217
-                            msb = 1 << (sz.bit_length() - 1)
-                            while m < msb:
-                                sc.enc.encode(astats[xb], 1)
-                                m <<= 1
-                                xb += 1
-                            sc.enc.encode(astats[xb], 0)
-                    if m >= 2:
-                        mbin = astats[xb + 14]
-                        mm = m >> 1
-                        while mm:
-                            sc.enc.encode(mbin, 1 if sz & mm else 0)
-                            mm >>= 1
-                    k += 1
-                if last_nz < se:
-                    sc.enc.encode(astats[3 * (k - 1)], 1)  # EOB
+                _arith_ac_first_block(
+                    sc.enc, astats, fixed, blocks[ci][by, bx], ss, se, al, kx
+                )
                 unit += 1
         return sc.finish()
 
@@ -3010,10 +3023,12 @@ def _ll_encode_scan(
 # base + SOF5/SOF13 differential, grayscale, no level shift in
 # differential frames, rounded+clamped reference folds; the encoder
 # is CLOSED-LOOP — each frame's reference is its own decoded
-# reconstruction). Differential progressive frames (SOF6/14),
-# multi-component DCT pyramids, and a nonzero point transform in a
-# hierarchical lossless scan raise named contract errors (the spec
-# allows them; a silent wrong decode would be worse).
+# reconstruction) and, since r10, the PROGRESSIVE DCT pyramid
+# (SOF2/SOF10 base + SOF6/SOF14 differential — the same quantized
+# blocks and closed loop, entropy-coded as per-frame DC + AC-first
+# scan scripts). Multi-component DCT pyramids and a nonzero point
+# transform in a hierarchical lossless scan raise named contract
+# errors (the spec allows them; a silent wrong decode would be worse).
 
 
 def _jpeg_hier_upsample(plane, eh: int, ev: int):
@@ -3048,14 +3063,16 @@ def _jpeg_hier_upsample(plane, eh: int, ev: int):
 def _decode_jpeg_hierarchical(payload: bytes) -> dict:
     """Hierarchical (Annex J) JPEG decode: walks the post-DHP marker
     stream, decodes the non-differential base frame (lossless SOF3/11
-    with the Annex-H machinery, or sequential DCT SOF0/1/9 — grayscale
-    pyramids), applies each EXP expansion to the reference, adds each
-    differential frame's difference planes (lossless SOF7/15 mod 2^16;
-    sequential DCT SOF5/13 rounded and clamped to precision — the
-    encoder twin shares both rules), and assembles the final
-    full-resolution image from the DHP geometry. Differential
-    PROGRESSIVE frames (SOF6/14) and multi-component DCT pyramids
-    raise named contract errors."""
+    with the Annex-H machinery, or sequential DCT SOF0/1/9, or
+    progressive DCT SOF2/10 — grayscale DCT pyramids), applies each
+    EXP expansion to the reference, adds each differential frame's
+    difference planes (lossless SOF7/15 mod 2^16; DCT SOF5/13 and
+    progressive SOF6/14 rounded and clamped to precision — the encoder
+    twin shares all the rules), and assembles the final
+    full-resolution image from the DHP geometry. Progressive frames
+    accumulate coefficients across their scans and materialize at
+    frame fold. Multi-component DCT pyramids raise a named contract
+    error."""
     import numpy as np
 
     qt: dict[int, "np.ndarray"] = {}
@@ -3068,6 +3085,7 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
     restart_interval = 0
     ref: dict[int, "np.ndarray"] = {}  # component id -> reference plane
     pending_exp = (0, 0)
+    hcoeff = None  # progressive frames: per-component coeff accumulators
 
     def parse_sof(seg: bytes) -> dict:
         h = int.from_bytes(seg[1:3], "big")
@@ -3079,11 +3097,24 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
         return {"w": w, "h": h, "prec": seg[0], "comps": comps}
 
     def fold_frame() -> None:
-        nonlocal frame, planes, ref, pending_exp
+        nonlocal frame, planes, ref, pending_exp, hcoeff
         if frame is None:
             return
         comps = frame["comps"]
         dct = not frame.get("lossless")
+        if frame.get("progressive"):
+            # progressive frames accumulate COEFFICIENTS across scans;
+            # the plane materializes once, at frame fold — per-block
+            # IDCT with the level shift honoring `differential` (the
+            # same arithmetic rule the closed-loop encoder replays)
+            if hcoeff is None:
+                raise ValueError(
+                    "hierarchical progressive frame without any scan"
+                )
+            shift = 0.0 if frame.get("differential") else 128.0
+            for ci, c in enumerate(comps):
+                planes[ci] = _hier_coeff_plane(hcoeff[ci], qt[c["tq"]], shift)
+            hcoeff = None
         for ci in range(len(comps)):
             if ci not in planes:
                 raise ValueError("hierarchical frame is missing a component scan")
@@ -3189,11 +3220,22 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame["arith"] = marker in (0xC9, 0xCD)
             frame["differential"] = marker in (0xC5, 0xCD)
         elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError(
-                "progressive frames inside a DHP (hierarchical) stream "
-                "(SOF2/6/10/14); sequential DCT and lossless pyramid "
-                "frames are implemented"
-            )
+            # progressive DCT frames: base (SOF2/10) and differential
+            # (SOF6/14) — grayscale pyramids like the sequential DCT
+            # family (multi-component adds only sampling geometry, so
+            # it raises precisely instead)
+            fold_frame()
+            frame = parse_sof(seg)
+            if len(frame["comps"]) != 1:
+                raise NotImplementedError(
+                    "multi-component DCT hierarchical JPEG frame; "
+                    "grayscale DCT pyramids and any-channel lossless "
+                    "pyramids are implemented"
+                )
+            frame["lossless"] = False
+            frame["progressive"] = True
+            frame["arith"] = marker in (0xCA, 0xCE)
+            frame["differential"] = marker in (0xC6, 0xCE)
         elif marker == 0xCC:  # DAC
             j = 0
             while j + 1 < len(seg):
@@ -3241,6 +3283,22 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
                         "hierarchical DCT scan references an undeclared "
                         "quantization table"
                     )
+            if frame.get("progressive"):
+                se_ = seg[2 + 2 * ns]
+                if hcoeff is None:
+                    hcoeff = _jpeg_alloc_coeff(frame)
+                band = (ss, se_, a >> 4, a & 0x0F)
+                if frame.get("arith"):
+                    i = _jpeg_arith_progressive_scan(
+                        payload, i + 2 + seg_len, frame, order, scan,
+                        dc_cond, ac_cond, restart_interval, hcoeff, band,
+                    )
+                else:
+                    i = _jpeg_progressive_scan(
+                        payload, i + 2 + seg_len, frame, order, scan,
+                        huff, restart_interval, hcoeff, band,
+                    )
+                continue
             if frame.get("arith"):
                 scan_planes, i = _jpeg_arith_scan(
                     payload, i + 2 + seg_len, frame, scan, qt,
@@ -3313,6 +3371,28 @@ def _hier_blocks_plane(blocks, quant: int, shift: float):
             for s, b in enumerate(_ZIGZAG):
                 blk[b] = blocks[by, bx, s]
             blk = blk.reshape(8, 8) * q
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                basis.T @ blk @ basis + shift
+            )
+    return out
+
+
+def _hier_coeff_plane(arr, q, shift: float):
+    """Dequantize + IDCT one component's accumulated PROGRESSIVE
+    coefficients (natural-order (bh, bw, 64) from _jpeg_alloc_coeff)
+    with the decoder's exact per-block arithmetic — the
+    _hier_blocks_plane rule (a batched einsum could associate
+    differently in the last ulp) — and the level shift as a dial (0.0
+    for differential frames). ``q`` is the natural-layout 8x8
+    dequantization table."""
+    import numpy as np
+
+    bh, bw = arr.shape[:2]
+    basis = _dct_basis()
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = arr[by, bx].astype(np.float64).reshape(8, 8) * q
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                 basis.T @ blk @ basis + shift
             )
@@ -3405,6 +3485,140 @@ def _hier_seq_entropy_arith(blocks, restart_interval: int) -> bytes:
     return bytes(entropy)
 
 
+def _hier_prog_entropy_huff_dc(blocks, restart_interval: int) -> bytes:
+    """DC-only Huffman scan body (Ss=0, Se=0, Ah=0, Al=0) over zigzag
+    blocks — the sequential DC loop alone: progressive mode puts DC in
+    its own scan (T.81 forbids Ss=0 with Se>0 in progressive
+    frames)."""
+    dc_enc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    wtr = _BitWriter()
+    put = wtr.put
+    pred = 0
+    rst = 0
+    mcu_count = 0
+    bh, bw, _ = blocks.shape
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.pad()
+                wtr.buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = 0
+            dc = int(blocks[by, bx, 0])
+            diff = dc - pred
+            pred = dc
+            size = abs(diff).bit_length()
+            length, code = dc_enc[size]
+            put(code, length)
+            if size:
+                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            mcu_count += 1
+    wtr.pad()
+    return bytes(wtr.buf)
+
+
+def _hier_prog_entropy_huff_ac(blocks, restart_interval: int) -> bytes:
+    """AC first scan body (Ss=1, Se=63, Ah=0, Al=0) over zigzag blocks:
+    the sequential AC loop — at Al=0 the plain EOB symbol IS the EOBn
+    run of one block the progressive decoder consumes, and ZRL/(r,s)
+    symbols are shared, so no EOB-run accumulation is needed (runs
+    longer than one block are an optional encoder optimization the
+    spec does not require)."""
+    ac_enc = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    wtr = _BitWriter()
+    put = wtr.put
+    rst = 0
+    mcu_count = 0
+    bh, bw, _ = blocks.shape
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.pad()
+                wtr.buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+            zz = blocks[by, bx]
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    length, code = ac_enc[0xF0]
+                    put(code, length)
+                    run -= 16
+                size = abs(v).bit_length()
+                length, code = ac_enc[(run << 4) | size]
+                put(code, length)
+                put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_enc[0x00]  # EOBn, run of 1
+                put(code, length)
+            mcu_count += 1
+    wtr.pad()
+    return bytes(wtr.buf)
+
+
+def _hier_prog_entropy_arith_dc(blocks, restart_interval: int) -> bytes:
+    """DC-only arithmetic scan body (Ss=0, Se=0, Ah=0, Al=0): the QM
+    coder with per-scan-fresh Annex F statistics and the default
+    conditioning, restart flush/reset included."""
+    cond = (0, 1)
+    entropy = bytearray()
+    enc = _QMEncoder()
+    dc_stats, _ = _fresh_arith_stats({0}, {0})
+    pred = [0]
+    ctx = [0]
+    rst = 0
+    mcu_count = 0
+    bh, bw, _ = blocks.shape
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                entropy += _pack_arith_bits(enc.flush())
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                enc = _QMEncoder()
+                dc_stats, _ = _fresh_arith_stats({0}, {0})
+                pred = [0]
+                ctx = [0]
+            dc = int(blocks[by, bx, 0])
+            _arith_encode_dc(enc, dc_stats[0], ctx, 0, dc - pred[0], cond)
+            pred[0] = dc
+            mcu_count += 1
+    entropy += _pack_arith_bits(enc.flush())
+    return bytes(entropy)
+
+
+def _hier_prog_entropy_arith_ac(blocks, restart_interval: int, kx: int = 5) -> bytes:
+    """AC first arithmetic scan body (Ss=1, Se=63, Ah=0, Al=0): the
+    shared _arith_ac_first_block Annex G tree per block, per-scan-fresh
+    statistics, restart flush/reset included."""
+    entropy = bytearray()
+    enc = _QMEncoder()
+    _, ac_stats = _fresh_arith_stats({0}, {0})
+    fixed = [113, 0]
+    rst = 0
+    mcu_count = 0
+    bh, bw, _ = blocks.shape
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                entropy += _pack_arith_bits(enc.flush())
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                enc = _QMEncoder()
+                _, ac_stats = _fresh_arith_stats({0}, {0})
+            _arith_ac_first_block(
+                enc, ac_stats[0], fixed, blocks[by, bx], 1, 63, 0, kx
+            )
+            mcu_count += 1
+    entropy += _pack_arith_bits(enc.flush())
+    return bytes(entropy)
+
+
 def encode_jpeg_hierarchical(
     pixels: bytes,
     width: int,
@@ -3437,16 +3651,25 @@ def encode_jpeg_hierarchical(
     encoder never drifts from what the decoder will rebuild;
     differential blocks are DCT-coded without a level shift. On
     block-constant inputs at quant=1 the whole pyramid is bit-exact
-    (the established lossy-mode fixture device)."""
+    (the established lossy-mode fixture device).
+
+    ``mode="progressive"`` (grayscale only): the SAME quantized blocks
+    and closed loop as ``mode="dct"``, but every frame is coded
+    PROGRESSIVELY — SOF10/SOF2 base + SOF14/SOF6 differentials, each
+    carrying a DC scan (Ss=0, Se=0) then a full-band AC first scan
+    (Ss=1, Se=63), both at Ah=Al=0. Progressive coding is a lossless
+    reordering of the entropy layer, so the decoded pyramid is
+    BYTE-IDENTICAL to the ``mode="dct"`` pyramid of the same image
+    (pytest gate)."""
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
     if levels < 1:
         raise ValueError("hierarchical coding needs at least one level")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    if mode not in ("lossless", "dct"):
-        raise ValueError("mode must be 'lossless' or 'dct'")
-    if mode == "dct" and channels != 1:
+    if mode not in ("lossless", "dct", "progressive"):
+        raise ValueError("mode must be 'lossless', 'dct' or 'progressive'")
+    if mode in ("dct", "progressive") and channels != 1:
         raise ValueError("DCT hierarchical pyramids are grayscale-only")
     import numpy as np
 
@@ -3467,13 +3690,14 @@ def encode_jpeg_hierarchical(
             body += bytes([c + 1, 0x11, 0])
         return body
 
-    def sos(psel: int) -> bytes:
+    def sos(ss: int, se: int = 0, ahal: int = 0) -> bytes:
         body = bytes([channels])
         for c in range(channels):
             body += bytes([c + 1, 0x00])
-        return seg(0xDA, body + bytes([psel, 0, 0]))
+        return seg(0xDA, body + bytes([ss, se, ahal]))
 
-    if mode == "dct":
+    if mode in ("dct", "progressive"):
+        prog = mode == "progressive"
         out = bytearray(b"\xff\xd8")
         out += seg(0xDE, sof_body(width, height))  # DHP: full geometry
         out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
@@ -3487,15 +3711,43 @@ def encode_jpeg_hierarchical(
             )
         if restart_interval:
             out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-        entropy_of = (
-            _hier_seq_entropy_arith if arith else _hier_seq_entropy_huff
-        )
+
+        if prog:
+            sof_base = 0xCA if arith else 0xC2
+            sof_diff = 0xCE if arith else 0xC6
+
+            def frame_scans(blocks) -> bytes:
+                # DC scan, then the full-band AC first scan — the
+                # minimal legal progressive script (a lossless entropy
+                # reordering of the sequential stream)
+                if arith:
+                    return (
+                        sos(0, 0, 0)
+                        + _hier_prog_entropy_arith_dc(blocks, restart_interval)
+                        + sos(1, 63, 0)
+                        + _hier_prog_entropy_arith_ac(blocks, restart_interval)
+                    )
+                return (
+                    sos(0, 0, 0)
+                    + _hier_prog_entropy_huff_dc(blocks, restart_interval)
+                    + sos(1, 63, 0)
+                    + _hier_prog_entropy_huff_ac(blocks, restart_interval)
+                )
+        else:
+            sof_base = 0xC9 if arith else 0xC0
+            sof_diff = 0xCD if arith else 0xC5
+            entropy_of = (
+                _hier_seq_entropy_arith if arith else _hier_seq_entropy_huff
+            )
+
+            def frame_scans(blocks) -> bytes:
+                return sos(0) + entropy_of(blocks, restart_interval)
+
         cur0 = pyr[0][0].astype(np.float64)
         h0, w0 = cur0.shape
         blocks = _hier_gray_blocks(cur0, quant, 128.0)
-        out += seg(0xC9 if arith else 0xC0, sof_body(w0, h0))
-        out += sos(0)
-        out += entropy_of(blocks, restart_interval)
+        out += seg(sof_base, sof_body(w0, h0))
+        out += frame_scans(blocks)
         ref = np.clip(
             np.rint(_hier_blocks_plane(blocks, quant, 128.0)[:h0, :w0]), 0, 255
         ).astype(np.int64)
@@ -3506,9 +3758,8 @@ def encode_jpeg_hierarchical(
             diff = (lvl - up).astype(np.float64)
             blocks = _hier_gray_blocks(diff, quant, 0.0)
             out += seg(0xDF, bytes([0x11]))  # EXP: x2 both dimensions
-            out += seg(0xCD if arith else 0xC5, sof_body(wk, hk))
-            out += sos(0)
-            out += entropy_of(blocks, restart_interval)
+            out += seg(sof_diff, sof_body(wk, hk))
+            out += frame_scans(blocks)
             dec_diff = np.rint(
                 _hier_blocks_plane(blocks, quant, 0.0)[:hk, :wk]
             ).astype(np.int64)

@@ -5441,6 +5441,74 @@ def multimodal_hierarchical_dct_stats(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "multimodal_hierarchical_prog_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 + 4 AS INT) AS w,
+             CAST(doc_id % 7 + 4 AS INT) AS h,
+             (doc_id * 41 + 23) % 256 AS val
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, w, h, 1 AS channels, i, val
+      FROM d, unnest(generate_series(0, w * h - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_hierarchical_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical PROGRESSIVE-DCT pyramid decode under the
+    oracle gate — differential progressive frames (SOF6 Huffman /
+    SOF14 arithmetic over SOF2/SOF10 bases), the r10 addition that
+    closes the Annex J DCT matrix: every doc synthesizes a closed-loop
+    progressive pyramid (1-2 decimation levels by doc_id % 2, entropy
+    coder by parity, a doc_id % 3 restart cadence) whose frames each
+    carry a DC scan plus a full-band AC-first scan the decoder must
+    accumulate across scans and materialize at frame fold — on top of
+    the DHP/EXP/differential machinery the dct_stats sibling walks.
+    Fixture device: per-doc CONSTANT images (value a doc_id formula) —
+    bit-exact at quant=1 (the lossy-mode convention); arbitrary-pixel
+    behavior (nonzero ACs, the prog==sequential byte-equality, a
+    hand-built SOF6 differential stream) is pinned in
+    tests/test_jpeg_hierarchical.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 8 + 4, d % 7 + 4
+                px = bytes([(d * 41 + 23) % 256] * (w * h))
+                payloads.append(
+                    multimodal.encode_jpeg_hierarchical(
+                        px, w, h, channels=1,
+                        levels=d % 2 + 1,
+                        restart_interval=d % 3,
+                        arith=d % 2 == 0,
+                        mode="progressive",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
+@query(
     "multimodal_caption_alignment",
     oracle="""
     WITH img AS (

@@ -64,11 +64,15 @@ def test_decimation_pyramid_is_what_decoder_reconstructs_from():
     assert enc.count(b"\xff\xcf") == 2 and enc.count(b"\xff\xcb") == 1
 
 
-def test_diff_progressive_frame_raises_named_contract():
+def test_diff_progressive_frame_in_lossless_stream_fails_clean():
+    # SOF14 is implemented since r10, so rewriting a LOSSLESS pyramid's
+    # SOF15 to SOF14 now makes a malformed stream (a progressive DCT
+    # frame with no DQT anywhere): clean ValueError, not a KeyError
+    # from deep inside the scan (the SOF13-rewrite precedent)
     enc = bytearray(M.encode_jpeg_hierarchical(_px(4, 4, 1, 2), 4, 4, levels=1))
     i = enc.index(b"\xff\xcf")
     enc[i + 1] = 0xCE  # SOF14: differential arithmetic progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="quantization"):
         M.decode_image(bytes(enc))
 
 
@@ -199,16 +203,111 @@ def test_dct_differential_frame_with_nonzero_acs_decodes_exactly():
     assert (got == want).all()
 
 
-def test_progressive_in_dhp_raises_named_contract():
+def test_multicomponent_progressive_in_dhp_raises_named_contract():
+    # a 3-channel LOSSLESS pyramid's SOF15 rewritten to SOF14 is a
+    # multi-component progressive frame in a DHP stream — the one
+    # progressive cell that still raises (same geometry scope as the
+    # sequential DCT family)
     enc = bytearray(
-        M.encode_jpeg_hierarchical(bytes([5] * 16), 4, 4, levels=1, mode="dct")
+        M.encode_jpeg_hierarchical(_px(4, 4, 3, 2), 4, 4, channels=3, levels=1)
     )
-    i = enc.index(b"\xff\xc9") if b"\xff\xc9" in enc else enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC6  # SOF6: differential progressive Huffman
-    with pytest.raises(NotImplementedError, match="progressive"):
+    i = enc.index(b"\xff\xcf")
+    enc[i + 1] = 0xCE
+    with pytest.raises(NotImplementedError, match="multi-component"):
         M.decode_image(bytes(enc))
 
 
 def test_multicomponent_dct_pyramid_raises_named_contract():
     with pytest.raises(ValueError, match="grayscale"):
         M.encode_jpeg_hierarchical(bytes(48), 4, 4, channels=3, mode="dct")
+
+
+@pytest.mark.parametrize("arith", [True, False])
+@pytest.mark.parametrize("levels", [1, 2])
+@pytest.mark.parametrize("ri", [0, 2])
+def test_progressive_pyramid_constant_images_bit_exact(arith, levels, ri):
+    # SOF2/10 base + SOF6/14 differentials (r10: the last Annex J DCT
+    # cell): constant images reproduce bit-exactly at quant=1
+    w, h = 12, 10
+    p = bytes([77] * (w * h))
+    enc = M.encode_jpeg_hierarchical(
+        p, w, h, levels=levels, arith=arith, mode="progressive",
+        restart_interval=ri,
+    )
+    diff_marker = b"\xff\xce" if arith else b"\xff\xc6"
+    assert enc.count(diff_marker) == levels
+    # two scans per frame: (levels + 1) * 2 SOS segments
+    assert enc.count(b"\xff\xda") == (levels + 1) * 2
+    assert M.decode_image(enc)["pixels"] == p
+
+
+@pytest.mark.parametrize("arith", [True, False])
+def test_progressive_pyramid_equals_sequential_pyramid(arith):
+    # progressive coding is a lossless reordering of the entropy layer:
+    # the SOF6/14 pyramid must decode BYTE-IDENTICAL to the SOF5/13
+    # pyramid of the same image (same quantized blocks, same closed
+    # loop), on arbitrary pixels
+    p = _px(16, 13, 1, 9)
+    e_prog = M.encode_jpeg_hierarchical(
+        p, 16, 13, levels=2, arith=arith, mode="progressive"
+    )
+    e_seq = M.encode_jpeg_hierarchical(p, 16, 13, levels=2, arith=arith, mode="dct")
+    assert M.decode_image(e_prog)["pixels"] == M.decode_image(e_seq)["pixels"]
+
+
+def test_progressive_differential_frame_with_nonzero_acs_decodes_exactly():
+    """Hand-built stream (the SOF5 precedent): a block-constant SOF2
+    base frame + a differential SOF6 frame whose two scans (DC, then
+    AC first 1..63) code CHOSEN coefficient blocks with nonzero ACs.
+    The decoder must output clip(upsample(base) + rint(IDCT(coeffs)))
+    computed independently here — pinning the differential PROGRESSIVE
+    path beyond what constant-image round-trips reach."""
+    import numpy as np
+
+    w0, h0 = 8, 8
+    w1, h1 = 16, 16
+    base_val = 100
+    base = np.full((h0, w0), float(base_val))
+    bblocks = M._hier_gray_blocks(base, 1, 128.0)
+
+    dblocks = np.zeros((2, 2, 64), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            dblocks[by, bx, 0] = 8 * (by - bx)   # DC
+            dblocks[by, bx, 1] = 5 + by          # first AC (zigzag)
+            dblocks[by, bx, 7] = -3
+
+    def seg(m, b):
+        return bytes([0xFF, m]) + (len(b) + 2).to_bytes(2, "big") + b
+
+    def sof_body(w, h):
+        return (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0]))
+
+    def sos(ss, se, ahal=0):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, ahal]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDE, sof_body(w1, h1))
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(M._JPEG_DC_BITS) + M._JPEG_DC_SYMS
+        + bytes([0x10]) + bytes(M._JPEG_AC_BITS) + M._JPEG_AC_SYMS,
+    )
+    out += seg(0xC2, sof_body(w0, h0))
+    out += sos(0, 0) + M._hier_prog_entropy_huff_dc(bblocks, 0)
+    out += sos(1, 63) + M._hier_prog_entropy_huff_ac(bblocks, 0)
+    out += seg(0xDF, bytes([0x11]))
+    out += seg(0xC6, sof_body(w1, h1))
+    out += sos(0, 0) + M._hier_prog_entropy_huff_dc(dblocks, 0)
+    out += sos(1, 63) + M._hier_prog_entropy_huff_ac(dblocks, 0)
+    out += b"\xff\xd9"
+
+    got = np.frombuffer(
+        M.decode_image(bytes(out))["pixels"], dtype=np.uint8
+    ).astype(np.int64).reshape(h1, w1)
+    up = M._jpeg_hier_upsample(np.full((h0, w0), base_val, dtype=np.int64), 1, 1)
+    diff = np.rint(M._hier_blocks_plane(dblocks, 1, 0.0)).astype(np.int64)
+    want = np.clip(up[:h1, :w1] + diff[:h1, :w1], 0, 255)
+    assert (got == want).all()
