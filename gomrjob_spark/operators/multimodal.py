@@ -35,8 +35,11 @@ SOF0/SOF9 bases, grayscale pyramids, closed-loop encoder), with
 ``encode_jpeg_hierarchical`` as the twin. Round 10 closes the Annex J
 DCT matrix: differential PROGRESSIVE frames (SOF6/SOF14 over SOF2/
 SOF10 bases — per-frame DC + AC-first scan scripts, same closed loop)
-decode and encode (``mode="progressive"``); the remaining named raise
-in the pyramid family is multi-component DCT geometry.
+decode and encode (``mode="progressive"``), and multi-component
+(color) SEQUENTIAL DCT pyramids decode and encode — components are
+raw channel planes on a shared 1x1 grid, no color transform (the
+lossless-pyramid assembler contract); the remaining named raise in
+the pyramid family is multi-component PROGRESSIVE geometry.
 """
 
 from __future__ import annotations
@@ -97,10 +100,10 @@ def decode_image(payload: bytes) -> dict:
       progressive SOF10 (QM coder + Annex F statistics, r7), plus
       LOSSLESS SOF3/SOF11 (Annex H predictors, r8) and HIERARCHICAL
       pyramids (Annex J DHP/EXP, r9-r10): differential lossless SOF7/
-      SOF15 at any channel count, differential sequential DCT SOF5/
-      SOF13 AND differential progressive SOF6/SOF14 for grayscale —
-      the full Annex J DCT matrix; only multi-component DCT pyramid
-      geometry still raises NotImplementedError.
+      SOF15 and differential sequential DCT SOF5/SOF13 at any channel
+      count, differential progressive SOF6/SOF14 for grayscale — the
+      full Annex J DCT matrix; only multi-component PROGRESSIVE
+      pyramid geometry still raises NotImplementedError.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -3026,7 +3029,9 @@ def _ll_encode_scan(
 # reconstruction) and, since r10, the PROGRESSIVE DCT pyramid
 # (SOF2/SOF10 base + SOF6/SOF14 differential — the same quantized
 # blocks and closed loop, entropy-coded as per-frame DC + AC-first
-# scan scripts). Multi-component DCT pyramids and a nonzero point
+# scan scripts), sequential DCT at ANY channel count (components are
+# raw planes — no color transform, the lossless-pyramid assembler
+# contract). Multi-component PROGRESSIVE pyramids and a nonzero point
 # transform in a hierarchical lossless scan raise named contract
 # errors (the spec allows them; a silent wrong decode would be worse).
 
@@ -3071,8 +3076,9 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
     twin shares all the rules), and assembles the final
     full-resolution image from the DHP geometry. Progressive frames
     accumulate coefficients across their scans and materialize at
-    frame fold. Multi-component DCT pyramids raise a named contract
-    error."""
+    frame fold. Sequential DCT frames decode at any channel count
+    (raw planes, no color transform); multi-component PROGRESSIVE
+    pyramids raise a named contract error."""
     import numpy as np
 
     qt: dict[int, "np.ndarray"] = {}
@@ -3204,18 +3210,12 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame["differential"] = marker in (0xC7, 0xCF)
         elif marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD):
             # sequential DCT frames: base (SOF0/1/9) and differential
-            # (SOF5/13) — grayscale pyramids (the fixture device for
-            # every lossy mode is grayscale; multi-component adds
-            # sampling-factor geometry to the diff fold with no new
-            # coding machinery, so it raises precisely instead)
+            # (SOF5/13) — any channel count since r10 (components are
+            # RAW planes stacked by the assembler, no color transform;
+            # the interleaved scan decoders already handle the MCU
+            # geometry)
             fold_frame()
             frame = parse_sof(seg)
-            if len(frame["comps"]) != 1:
-                raise NotImplementedError(
-                    "multi-component DCT hierarchical JPEG frame; "
-                    "grayscale DCT pyramids and any-channel lossless "
-                    "pyramids are implemented"
-                )
             frame["lossless"] = False
             frame["arith"] = marker in (0xC9, 0xCD)
             frame["differential"] = marker in (0xC5, 0xCD)
@@ -3228,8 +3228,9 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame = parse_sof(seg)
             if len(frame["comps"]) != 1:
                 raise NotImplementedError(
-                    "multi-component DCT hierarchical JPEG frame; "
-                    "grayscale DCT pyramids and any-channel lossless "
+                    "multi-component PROGRESSIVE hierarchical JPEG frame; "
+                    "grayscale progressive pyramids, any-channel "
+                    "sequential DCT pyramids, and any-channel lossless "
                     "pyramids are implemented"
                 )
             frame["lossless"] = False
@@ -3400,71 +3401,82 @@ def _hier_coeff_plane(arr, q, shift: float):
 
 
 def _hier_seq_entropy_huff(blocks, restart_interval: int) -> bytes:
-    """Grayscale sequential-Huffman entropy body over (bh, bw, 64)
-    zigzag blocks — the encode_jpeg_baseline inner loop at ncomp=1
-    (MCU = one block), shared constants, restart resets included."""
+    """Sequential-Huffman entropy body — the encode_jpeg_baseline inner
+    loop on a SHARED 1x1-sampling grid: ``blocks`` is one (bh, bw, 64)
+    zigzag array (grayscale) or a list of per-component arrays
+    (multi-component pyramids, r10 — MCU = one block of each component
+    in order, every component on Huffman table 0, per-component DC
+    predictions). Shared constants, restart resets included."""
+    comps = list(blocks) if isinstance(blocks, (list, tuple)) else [blocks]
     dc_enc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_enc = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
     wtr = _BitWriter()
     put = wtr.put
-    pred = 0
+    pred = [0] * len(comps)
     rst = 0
     mcu_count = 0
-    bh, bw, _ = blocks.shape
+    bh, bw, _ = comps[0].shape
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 wtr.pad()
                 wtr.buf.extend((0xFF, 0xD0 + rst))
                 rst = (rst + 1) % 8
-                pred = 0
-            zz = blocks[by, bx]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = abs(diff).bit_length()
-            length, code = dc_enc[size]
-            put(code, length)
-            if size:
-                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    length, code = ac_enc[0xF0]
-                    put(code, length)
-                    run -= 16
-                size = abs(v).bit_length()
-                length, code = ac_enc[(run << 4) | size]
+                pred = [0] * len(comps)
+            for ci, arr in enumerate(comps):
+                zz = arr[by, bx]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = abs(diff).bit_length()
+                length, code = dc_enc[size]
                 put(code, length)
-                put(v if v >= 0 else v + (1 << size) - 1, size)
+                if size:
+                    put(diff if diff >= 0 else diff + (1 << size) - 1, size)
                 run = 0
-            if last_nz < 63:
-                length, code = ac_enc[0x00]
-                put(code, length)
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        length, code = ac_enc[0xF0]
+                        put(code, length)
+                        run -= 16
+                    size = abs(v).bit_length()
+                    length, code = ac_enc[(run << 4) | size]
+                    put(code, length)
+                    put(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < 63:
+                    length, code = ac_enc[0x00]
+                    put(code, length)
             mcu_count += 1
     wtr.pad()
     return bytes(wtr.buf)
 
 
 def _hier_seq_entropy_arith(blocks, restart_interval: int) -> bytes:
-    """Grayscale sequential-arithmetic entropy body — the
-    encode_jpeg_arithmetic inner loop at ncomp=1 with the default
-    conditioning (L=0, U=1, Kx=5), restart flush/reset included."""
+    """Sequential-arithmetic entropy body — the encode_jpeg_arithmetic
+    inner loop on a SHARED 1x1-sampling grid with the default
+    conditioning (L=0, U=1, Kx=5) and that writer's table convention
+    (component 0 on tables 0, the rest on tables 1): ``blocks`` is one
+    zigzag array (grayscale) or a per-component list (r10). Restart
+    flush/reset included."""
+    comps = list(blocks) if isinstance(blocks, (list, tuple)) else [blocks]
+    ncomp = len(comps)
+    tids = [0] + [1] * (ncomp - 1)
     cond = (0, 1)
     kx = 5
     entropy = bytearray()
     enc = _QMEncoder()
-    dc_stats, ac_stats = _fresh_arith_stats({0}, {0})
+    dc_stats, ac_stats = _fresh_arith_stats(set(tids), set(tids))
     fixed = [113, 0]
-    pred = [0]
-    ctx = [0]
+    pred = [0] * ncomp
+    ctx = [0] * ncomp
     rst = 0
     mcu_count = 0
-    bh, bw, _ = blocks.shape
+    bh, bw, _ = comps[0].shape
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -3472,14 +3484,17 @@ def _hier_seq_entropy_arith(blocks, restart_interval: int) -> bytes:
                 entropy += bytes((0xFF, 0xD0 + rst))
                 rst = (rst + 1) % 8
                 enc = _QMEncoder()
-                dc_stats, ac_stats = _fresh_arith_stats({0}, {0})
-                pred = [0]
-                ctx = [0]
-            zz = blocks[by, bx]
-            dc = int(zz[0])
-            _arith_encode_dc(enc, dc_stats[0], ctx, 0, dc - pred[0], cond)
-            pred[0] = dc
-            _arith_encode_ac(enc, ac_stats[0], fixed, zz, kx)
+                dc_stats, ac_stats = _fresh_arith_stats(set(tids), set(tids))
+                pred = [0] * ncomp
+                ctx = [0] * ncomp
+            for ci, arr in enumerate(comps):
+                zz = arr[by, bx]
+                dc = int(zz[0])
+                _arith_encode_dc(
+                    enc, dc_stats[tids[ci]], ctx, ci, dc - pred[ci], cond
+                )
+                pred[ci] = dc
+                _arith_encode_ac(enc, ac_stats[tids[ci]], fixed, zz, kx)
             mcu_count += 1
     entropy += _pack_arith_bits(enc.flush())
     return bytes(entropy)
@@ -3669,8 +3684,8 @@ def encode_jpeg_hierarchical(
         raise ValueError("pixel buffer does not match dimensions")
     if mode not in ("lossless", "dct", "progressive"):
         raise ValueError("mode must be 'lossless', 'dct' or 'progressive'")
-    if mode in ("dct", "progressive") and channels != 1:
-        raise ValueError("DCT hierarchical pyramids are grayscale-only")
+    if mode == "progressive" and channels != 1:
+        raise ValueError("progressive hierarchical pyramids are grayscale-only")
     import numpy as np
 
     base = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
@@ -3690,19 +3705,25 @@ def encode_jpeg_hierarchical(
             body += bytes([c + 1, 0x11, 0])
         return body
 
-    def sos(ss: int, se: int = 0, ahal: int = 0) -> bytes:
+    def sos(ss: int, se: int = 0, ahal: int = 0, tids: list | None = None) -> bytes:
         body = bytes([channels])
         for c in range(channels):
-            body += bytes([c + 1, 0x00])
+            t = 0 if tids is None else tids[c]
+            body += bytes([c + 1, (t << 4) | t])
         return seg(0xDA, body + bytes([ss, se, ahal]))
 
     if mode in ("dct", "progressive"):
         prog = mode == "progressive"
+        tids = [0] + [1] * (channels - 1)  # the SOF9 table convention
         out = bytearray(b"\xff\xd8")
         out += seg(0xDE, sof_body(width, height))  # DHP: full geometry
         out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
         if arith:
-            out += seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # DC (0,1), AC Kx=5
+            dac_body = b""
+            for t in sorted(set(tids)):
+                dac_body += bytes([t, 0x10])  # DC: (U=1)<<4 | L=0
+                dac_body += bytes([0x10 | t, 5])  # AC: Kx=5
+            out += seg(0xCC, dac_body)
         else:
             out += seg(
                 0xC4,
@@ -3741,29 +3762,50 @@ def encode_jpeg_hierarchical(
             )
 
             def frame_scans(blocks) -> bytes:
-                return sos(0) + entropy_of(blocks, restart_interval)
+                return sos(0, 0, 0, tids if arith else None) + entropy_of(
+                    blocks, restart_interval
+                )
 
-        cur0 = pyr[0][0].astype(np.float64)
-        h0, w0 = cur0.shape
-        blocks = _hier_gray_blocks(cur0, quant, 128.0)
+        # per-channel closed loop: components are RAW channel planes
+        # (the hierarchical assembler stacks them without any color
+        # transform — the lossless-pyramid contract), each quantized,
+        # coded, and reconstructed independently on the shared grid
+        h0, w0 = pyr[0][0].shape
+        blocks = [
+            _hier_gray_blocks(pyr[0][c].astype(np.float64), quant, 128.0)
+            for c in range(channels)
+        ]
         out += seg(sof_base, sof_body(w0, h0))
-        out += frame_scans(blocks)
-        ref = np.clip(
-            np.rint(_hier_blocks_plane(blocks, quant, 128.0)[:h0, :w0]), 0, 255
-        ).astype(np.int64)
+        out += frame_scans(blocks[0] if channels == 1 else blocks)
+        ref = [
+            np.clip(
+                np.rint(_hier_blocks_plane(b, quant, 128.0)[:h0, :w0]), 0, 255
+            ).astype(np.int64)
+            for b in blocks
+        ]
         for level in pyr[1:]:
-            lvl = level[0]
-            hk, wk = lvl.shape
-            up = _jpeg_hier_upsample(ref, 1, 1)[:hk, :wk]
-            diff = (lvl - up).astype(np.float64)
-            blocks = _hier_gray_blocks(diff, quant, 0.0)
+            hk, wk = level[0].shape
+            ups, blocks = [], []
+            for c in range(channels):
+                up = _jpeg_hier_upsample(ref[c], 1, 1)[:hk, :wk]
+                ups.append(up)
+                blocks.append(
+                    _hier_gray_blocks((level[c] - up).astype(np.float64), quant, 0.0)
+                )
             out += seg(0xDF, bytes([0x11]))  # EXP: x2 both dimensions
             out += seg(sof_diff, sof_body(wk, hk))
-            out += frame_scans(blocks)
-            dec_diff = np.rint(
-                _hier_blocks_plane(blocks, quant, 0.0)[:hk, :wk]
-            ).astype(np.int64)
-            ref = np.clip(up + dec_diff, 0, 255)
+            out += frame_scans(blocks[0] if channels == 1 else blocks)
+            ref = [
+                np.clip(
+                    ups[c]
+                    + np.rint(
+                        _hier_blocks_plane(blocks[c], quant, 0.0)[:hk, :wk]
+                    ).astype(np.int64),
+                    0,
+                    255,
+                )
+                for c in range(channels)
+            ]
         out += b"\xff\xd9"
         return bytes(out)
 

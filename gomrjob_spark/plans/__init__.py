@@ -22,86 +22,27 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 9): the 6 NEW r9 queries first (their first shot at a
-# driver row), then ALL 21 names the r8 _BACKFILL carried (last green
-# row r04-r05 — the r8 verdict's item #2 rotation), then the oldest 23
-# of the remaining r05 rows to fill the 50-slot window exactly. The 8
-# r05 rows that didn't fit head the r10 _BACKFILL.
+# Tier 1 (round 10): the 6 NEW r10 queries first (their first shot at
+# a driver row), then ALL 14 names the r9 _BACKFILL carried (last
+# green row r05 — the r9 verdict's item #2 rotation, each re-proven by
+# the builder's own simulation in r9 AND r10), then the oldest 30 of
+# the r06 rows (alphabetical — all 50 r06 rows are equally old under
+# the OLDEST-ALWAYS-NEXT policy). The 20 r06 rows that didn't fit head
+# the r11 _BACKFILL.
 _VERIFY_FIRST = [
-    # NEW r9: exact-substring REMOVAL rewrite (Lee et al. ExactSubstr —
-    # emits the cleaned corpus, hash gate pins the rewritten text)
-    "dedup_span_removal",
-    # NEW r9: WordPiece likelihood-scored merge training
-    "text_wordpiece_train",
-    # NEW r9: greedy longest-match-first WordPiece encode (+[UNK])
-    "text_wordpiece_encode",
-    # NEW r9: live SemDeDup admission gate (19th streaming topology)
-    "streaming_semdedup_gate",
-    # NEW r9: LAION-style cross-modal (image, caption) pair filtering
-    "multimodal_caption_alignment",
-    # NEW r9: Gopher duplicate-ngram character coverage (position-union)
-    "text_dup_ngram_coverage",
-    # NEW r9 stretch: hierarchical (Annex J) lossless-pyramid JPEG decode
-    "multimodal_hierarchical_pixel_stats",
-    # NEW r9: cross-source span-overlap contamination matrix
-    "dedup_cross_source_overlap",
-    # NEW r9: live tokenizer-drift monitor (20th streaming topology)
-    "streaming_wordpiece_drift",
-    # NEW r9: temperature-0.5 mixture shares (exact integer sqrt)
-    "mix_weights_temperature",
-    # NEW r9: surgical decontamination (benchmark spans excised)
-    "decontaminate_span_scrub",
-    # NEW r9 stretch 2: differential sequential DCT pyramids (SOF5/13)
-    "multimodal_hierarchical_dct_stats",
-    # r8 _BACKFILL rotation: last green row r04
-    "text_chunks",
-    "join_asof_forward",
-    "decontaminate_ngrams",
-    "streaming_incremental_dedup",
-    "mix_weights_equal_tokens",
-    # r8 _BACKFILL rotation: last green row r05
-    "dedup_embedding_cosine",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "join_asof",
-    "join_band_time",
-    "sessionize_windows",
-    "timeseries_rollup",
-    # longest-proven fill: the oldest 23 of the remaining r05 rows
-    "dedup_minhash_md5",
-    "dedup_embedding_cosine_rp",
-    "dedup_embedding_cosine_lowsim",
-    "dedup_cluster_survivors",
-    "corpus_clean_filter",
-    "knn_axis_lsh",
-    "text_winnow_fingerprint",
-    "multimodal_decode_headers",
-    "multimodal_frame_sample",
-    "search_tf_topk",
-    "search_bm25_topk",
-    "text_bigram_novelty",
-    "mr_combiner",
-    "case_when_bucketing",
-    "sql_passthrough_topn_revenue",
-    "streaming_tumbling_agg",
-    "streaming_sliding_counts",
-]
-
-# next-oldest queries: first in line after the window above, and the
-# head of the r10 rotation (last green row r05; everything else is
-# r06+). Ledger note: the oldest driver row after the r9 window is r05
-# for these 8 names — the ">= every query re-proven within the last 4
-# windows" cadence a 211-query registry sustains with a 50-slot window.
-_BACKFILL = [
+    # NEW r10: char-bigram NB language-ID training (dense model table)
+    "text_langid_train",
+    # NEW r10: language-ID admission gate (1-row broadcast scorer)
+    "text_langid_gate",
+    # NEW r10: Bloom dedup admission gate (21st streaming topology)
+    "streaming_bloom_dedup_gate",
+    # NEW r10: duplication-aware soft reweighting + weighted draw
+    "sample_softdedup_weights",
+    # NEW r10: differential progressive JPEG pyramids (SOF6/14)
+    "multimodal_hierarchical_prog_stats",
+    # NEW r10 stretch: multi-component (color) DCT pyramids
+    "multimodal_hierarchical_color_stats",
+    # r9 _BACKFILL rotation: last green row r05
     "streaming_session_window",
     "streaming_dedup_counts",
     "streaming_stateful_counts",
@@ -116,6 +57,66 @@ _BACKFILL = [
     "q2_min_cost_supplier",
     "q20_potential_promotion",
     "q12_priority_lines",
+    # longest-proven fill: the oldest 31 of the r06 rows (alphabetical)
+    "agg_approx_distinct",
+    "agg_conditional",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "agg_stats",
+    "basket_rules",
+    "concurrency_profile",
+    "dedup_exact",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_containment",
+    "dedup_title_edit1",
+    "distinct_pairs",
+    "embedding_centroid_confusion",
+    "entity_resolution_pipeline",
+    "events_mad_audit",
+    "events_outlier_audit",
+    "fd_audit",
+    "feature_decile_stats",
+    "graph_pagerank",
+    "graph_triangles",
+    "heavy_hitter_tokens",
+    "integrity_audit",
+    "join_anti",
+    "join_asof_nearest",
+    "join_interval_lookup",
+    "join_semi_bloom",
+    "knn_sq8",
+    "multimodal_audio_fingerprint_dedup",
+]
+
+# next-oldest queries: first in line after the window above, and the
+# head of the r11 rotation (last green row r06; everything else is
+# r07+). Ledger note: after CORRECTNESS_r10 lands the oldest oracled
+# driver row anywhere in the registry is r06 for exactly these 20
+# names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10
+# ledgers) at the current registry size.
+_BACKFILL = [
+    "multimodal_compressed_pixel_stats",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near_pairs",
+    "multimodal_pixel_stats",
+    "multimodal_progressive_pixel_stats",
+    "multimodal_scene_cuts",
+    "profile_table_stats",
+    "quality_model_gate",
+    "sample_weighted",
+    "scd2_build",
+    "search_phrase_topk",
+    "search_proximity_topk",
+    "streaming_near_dup_probe",
+    "streaming_outlier_flags",
+    "streaming_phash_admission",
+    "streaming_upsert_apply",
+    "text_bpe_merges",
+    "text_pmi_collocations",
+    "timeseries_gapfill_locf",
+    "timeseries_twap",
 ]
 
 

@@ -5509,6 +5509,77 @@ def multimodal_hierarchical_prog_stats(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "multimodal_hierarchical_color_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 7 + 4 AS INT) AS w,
+             CAST(doc_id % 5 + 4 AS INT) AS h,
+             (doc_id * 17 + 30) % 256 AS r,
+             (doc_id * 23 + 70) % 256 AS g,
+             (doc_id * 31 + 110) % 256 AS b
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, w, h, 3 AS channels, i,
+             CASE i % 3 WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS val
+      FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_hierarchical_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-component (color) hierarchical DCT-pyramid decode
+    under the oracle gate — the r10 stretch extending SOF0/9 + SOF5/13
+    pyramids beyond grayscale: components are RAW channel planes on a
+    shared 1x1 grid (no color transform — the lossless-pyramid
+    assembler contract), coded interleaved per frame with per-component
+    DC predictions (and the SOF9 table convention under the arithmetic
+    coder), each channel its own closed loop. Fixture device: per-doc
+    constant-COLOR images (three channel formulas in doc_id) — each
+    channel constant, so the pyramid is bit-exact at quant=1 and the
+    positional checksum pins the channel INTERLEAVING (a BGR swap or
+    per-channel desync breaks px_possum even where px_sum survives).
+    Arbitrary-pixel color behavior is pinned in
+    tests/test_jpeg_hierarchical.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 7 + 4, d % 5 + 4
+                r, g, b = (d * 17 + 30) % 256, (d * 23 + 70) % 256, (d * 31 + 110) % 256
+                px = bytes([r, g, b] * (w * h))
+                payloads.append(
+                    multimodal.encode_jpeg_hierarchical(
+                        px, w, h, channels=3,
+                        levels=d % 2 + 1,
+                        restart_interval=d % 3,
+                        arith=d % 2 == 0,
+                        mode="dct",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
+@query(
     "multimodal_caption_alignment",
     oracle="""
     WITH img AS (

@@ -217,9 +217,46 @@ def test_multicomponent_progressive_in_dhp_raises_named_contract():
         M.decode_image(bytes(enc))
 
 
-def test_multicomponent_dct_pyramid_raises_named_contract():
+def test_multicomponent_progressive_pyramid_encoder_raises():
+    # sequential DCT pyramids are any-channel since r10; PROGRESSIVE
+    # pyramids remain grayscale-only (the last Annex J geometry cell)
     with pytest.raises(ValueError, match="grayscale"):
-        M.encode_jpeg_hierarchical(bytes(48), 4, 4, channels=3, mode="dct")
+        M.encode_jpeg_hierarchical(bytes(48), 4, 4, channels=3, mode="progressive")
+
+
+# ---- multi-component (color) DCT pyramids (r10) ----
+
+
+@pytest.mark.parametrize("arith", [True, False])
+@pytest.mark.parametrize("levels", [1, 2])
+@pytest.mark.parametrize("ri", [0, 2])
+def test_color_dct_pyramid_constant_images_bit_exact(arith, levels, ri):
+    # components are RAW channel planes (no color transform — the
+    # lossless-pyramid assembler contract): per-channel constants
+    # reproduce bit-exactly at quant=1
+    w, h = 10, 8
+    p = bytes([40, 90, 200] * (w * h))
+    enc = M.encode_jpeg_hierarchical(
+        p, w, h, channels=3, levels=levels, arith=arith, mode="dct",
+        restart_interval=ri,
+    )
+    d = M.decode_image(enc)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == p
+
+
+@pytest.mark.parametrize("arith", [True, False])
+def test_color_dct_pyramid_arbitrary_pixels_deterministic_and_close(arith):
+    import numpy as np
+
+    p = _px(12, 9, 3, 5)
+    e1 = M.encode_jpeg_hierarchical(p, 12, 9, channels=3, levels=2, arith=arith, mode="dct")
+    e2 = M.encode_jpeg_hierarchical(p, 12, 9, channels=3, levels=2, arith=arith, mode="dct")
+    assert e1 == e2
+    a = np.frombuffer(M.decode_image(e1)["pixels"], dtype=np.uint8).astype(int)
+    b = np.frombuffer(p, dtype=np.uint8).astype(int)
+    # closed-loop DCT at quant=1, per channel: within +-1 per sample
+    assert np.abs(a - b).max() <= 1
 
 
 @pytest.mark.parametrize("arith", [True, False])
