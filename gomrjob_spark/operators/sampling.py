@@ -622,7 +622,15 @@ def softdedup_weights(
             F.filter(tokens(normalized(text_col)), lambda x: x != "")
         ).cast("bigint").alias("n_tokens"),
     )
-    return base.join(cov, id_col, "left").select(
+    # shuffle_hash hint: the coverage frame is CORPUS-sized (one row
+    # per doc), so it must never be the broadcast build side — at
+    # 100 TB it cannot be, and even at bench scale Spark's
+    # auto-broadcast of it re-executes the window subplan inside the
+    # exchange build (measured 9.75 s broadcast vs 0.95 s shuffled
+    # hash join, isolated best-of-3 at the 8x sweep point, SCALING.md
+    # round-10); hash beats merge here because neither side needs the
+    # sort an SMJ would add
+    return base.join(cov.hint("shuffle_hash"), id_col, "left").select(
         F.col(id_col),
         "n_tokens",
         F.coalesce("coverage_ppm", F.lit(0)).cast("bigint").alias("coverage_ppm"),

@@ -1953,30 +1953,33 @@ def dup_ngram_char_coverage(
         F.size("_toks").cast("bigint").alias("n_tokens"),
         "_nchars",
     )
-    # token start offsets on the single-spaced normalized text: a
-    # prefix fold over token lengths (off_1 = 0; off_{j+1} = off_j +
-    # len(tok_j) + 1)
-    offs = F.aggregate(
-        F.slice("_toks", 1, F.size("_toks") - 1),
-        F.array(F.lit(0).cast("bigint")),
-        lambda acc, t: F.concat(
-            acc,
-            F.array(
-                F.element_at(acc, -1) + F.length(t).cast("bigint") + 1
-            ),
-        ),
-    )
     idx = F.when(
         F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # per-ROW offset (r10 re-plan): the start offset computes from the
+    # prefix slice AFTER the explode — O(i) string work per occurrence,
+    # the oracle's own formula. The previous per-doc O(n^2) offs-array
+    # fold sat in the SAME select as the explode, and in larger
+    # composed plans (sample_softdedup_weights) the optimizer inlined
+    # the fold past the Generate into the per-occurrence projection —
+    # re-evaluating the whole array build PER ELEMENT (the
+    # bigram_novelty plan rule #2 blowup: measured 5.8 s vs 0.9 s warm
+    # at the 4x sweep point). A value that DEPENDS on the exploded
+    # position cannot be hoisted wrong by construction.
+    start = F.when(F.col("_i") == 1, F.lit(0).cast("bigint")).otherwise(
+        F.length(
+            F.concat_ws(" ", F.slice("_toks", 1, F.col("_i") - 1))
+        ).cast("bigint")
+        + 1
+    )
     occ = toked.select(
-        F.col(id_col), "_toks", offs.alias("_offs"), F.explode(idx).alias("_i")
+        F.col(id_col), "_toks", F.explode(idx).alias("_i")
     ).select(
         F.col(id_col),
         F.array_join(F.slice("_toks", F.col("_i"), n), " ").alias("_g"),
-        F.element_at("_offs", F.col("_i")).alias("_start"),
+        start.alias("_start"),
         (
-            F.element_at("_offs", F.col("_i"))
+            start
             + F.length(F.array_join(F.slice("_toks", F.col("_i"), n), " ")).cast(
                 "bigint"
             )
