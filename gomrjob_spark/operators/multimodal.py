@@ -36,10 +36,10 @@ SOF0/SOF9 bases, grayscale pyramids, closed-loop encoder), with
 DCT matrix: differential PROGRESSIVE frames (SOF6/SOF14 over SOF2/
 SOF10 bases — per-frame DC + AC-first scan scripts, same closed loop)
 decode and encode (``mode="progressive"``), and multi-component
-(color) SEQUENTIAL DCT pyramids decode and encode — components are
-raw channel planes on a shared 1x1 grid, no color transform (the
-lossless-pyramid assembler contract); the remaining named raise in
-the pyramid family is multi-component PROGRESSIVE geometry.
+(color) DCT pyramids — sequential AND progressive — decode and
+encode: components are raw channel planes on a shared 1x1 grid, no
+color transform (the lossless-pyramid assembler contract). Every
+cell of the Annex J matrix is implemented.
 """
 
 from __future__ import annotations
@@ -100,10 +100,9 @@ def decode_image(payload: bytes) -> dict:
       progressive SOF10 (QM coder + Annex F statistics, r7), plus
       LOSSLESS SOF3/SOF11 (Annex H predictors, r8) and HIERARCHICAL
       pyramids (Annex J DHP/EXP, r9-r10): differential lossless SOF7/
-      SOF15 and differential sequential DCT SOF5/SOF13 at any channel
-      count, differential progressive SOF6/SOF14 for grayscale — the
-      full Annex J DCT matrix; only multi-component PROGRESSIVE
-      pyramid geometry still raises NotImplementedError.
+      SOF15, differential sequential DCT SOF5/SOF13, and differential
+      progressive SOF6/SOF14 — all at any channel count: the FULL
+      Annex J matrix, no remaining pyramid raises.
 
     Returns ``{format, width, height, channels, pixels: bytes}`` with
     ``pixels`` top-down row-major, channel-interleaved."""
@@ -3029,11 +3028,11 @@ def _ll_encode_scan(
 # reconstruction) and, since r10, the PROGRESSIVE DCT pyramid
 # (SOF2/SOF10 base + SOF6/SOF14 differential — the same quantized
 # blocks and closed loop, entropy-coded as per-frame DC + AC-first
-# scan scripts), sequential DCT at ANY channel count (components are
+# scan scripts), BOTH DCT modes at ANY channel count (components are
 # raw planes — no color transform, the lossless-pyramid assembler
-# contract). Multi-component PROGRESSIVE pyramids and a nonzero point
-# transform in a hierarchical lossless scan raise named contract
-# errors (the spec allows them; a silent wrong decode would be worse).
+# contract). A nonzero point transform in a hierarchical lossless
+# scan raises a named contract error (the spec allows it; a silent
+# wrong decode would be worse).
 
 
 def _jpeg_hier_upsample(plane, eh: int, ev: int):
@@ -3076,9 +3075,8 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
     twin shares all the rules), and assembles the final
     full-resolution image from the DHP geometry. Progressive frames
     accumulate coefficients across their scans and materialize at
-    frame fold. Sequential DCT frames decode at any channel count
-    (raw planes, no color transform); multi-component PROGRESSIVE
-    pyramids raise a named contract error."""
+    frame fold. Both DCT modes decode at any channel count (raw
+    planes, no color transform)."""
     import numpy as np
 
     qt: dict[int, "np.ndarray"] = {}
@@ -3226,13 +3224,6 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
             # it raises precisely instead)
             fold_frame()
             frame = parse_sof(seg)
-            if len(frame["comps"]) != 1:
-                raise NotImplementedError(
-                    "multi-component PROGRESSIVE hierarchical JPEG frame; "
-                    "grayscale progressive pyramids, any-channel "
-                    "sequential DCT pyramids, and any-channel lossless "
-                    "pyramids are implemented"
-                )
             frame["lossless"] = False
             frame["progressive"] = True
             frame["arith"] = marker in (0xCA, 0xCE)
@@ -3501,32 +3492,36 @@ def _hier_seq_entropy_arith(blocks, restart_interval: int) -> bytes:
 
 
 def _hier_prog_entropy_huff_dc(blocks, restart_interval: int) -> bytes:
-    """DC-only Huffman scan body (Ss=0, Se=0, Ah=0, Al=0) over zigzag
-    blocks — the sequential DC loop alone: progressive mode puts DC in
-    its own scan (T.81 forbids Ss=0 with Se>0 in progressive
-    frames)."""
+    """DC-only Huffman scan body (Ss=0, Se=0, Ah=0, Al=0) — the
+    sequential DC loop alone: progressive mode puts DC in its own scan
+    (T.81 forbids Ss=0 with Se>0 in progressive frames). ``blocks`` is
+    one zigzag array (grayscale) or a per-component list on a shared
+    1x1 grid (multi-component pyramids: MCU = one block of each
+    component in order, per-component DC predictions, table 0)."""
+    comps = list(blocks) if isinstance(blocks, (list, tuple)) else [blocks]
     dc_enc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     wtr = _BitWriter()
     put = wtr.put
-    pred = 0
+    pred = [0] * len(comps)
     rst = 0
     mcu_count = 0
-    bh, bw, _ = blocks.shape
+    bh, bw, _ = comps[0].shape
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 wtr.pad()
                 wtr.buf.extend((0xFF, 0xD0 + rst))
                 rst = (rst + 1) % 8
-                pred = 0
-            dc = int(blocks[by, bx, 0])
-            diff = dc - pred
-            pred = dc
-            size = abs(diff).bit_length()
-            length, code = dc_enc[size]
-            put(code, length)
-            if size:
-                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                pred = [0] * len(comps)
+            for ci, arr in enumerate(comps):
+                dc = int(arr[by, bx, 0])
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                size = abs(diff).bit_length()
+                length, code = dc_enc[size]
+                put(code, length)
+                if size:
+                    put(diff if diff >= 0 else diff + (1 << size) - 1, size)
             mcu_count += 1
     wtr.pad()
     return bytes(wtr.buf)
@@ -3579,16 +3574,22 @@ def _hier_prog_entropy_huff_ac(blocks, restart_interval: int) -> bytes:
 def _hier_prog_entropy_arith_dc(blocks, restart_interval: int) -> bytes:
     """DC-only arithmetic scan body (Ss=0, Se=0, Ah=0, Al=0): the QM
     coder with per-scan-fresh Annex F statistics and the default
-    conditioning, restart flush/reset included."""
+    conditioning, restart flush/reset included. ``blocks`` is one
+    zigzag array or a per-component list (the SOF9 table convention:
+    component 0 on table 0, the rest on table 1; per-component
+    contexts and predictions)."""
+    comps = list(blocks) if isinstance(blocks, (list, tuple)) else [blocks]
+    ncomp = len(comps)
+    tids = [0] + [1] * (ncomp - 1)
     cond = (0, 1)
     entropy = bytearray()
     enc = _QMEncoder()
-    dc_stats, _ = _fresh_arith_stats({0}, {0})
-    pred = [0]
-    ctx = [0]
+    dc_stats, _ = _fresh_arith_stats(set(tids), set(tids))
+    pred = [0] * ncomp
+    ctx = [0] * ncomp
     rst = 0
     mcu_count = 0
-    bh, bw, _ = blocks.shape
+    bh, bw, _ = comps[0].shape
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -3596,12 +3597,15 @@ def _hier_prog_entropy_arith_dc(blocks, restart_interval: int) -> bytes:
                 entropy += bytes((0xFF, 0xD0 + rst))
                 rst = (rst + 1) % 8
                 enc = _QMEncoder()
-                dc_stats, _ = _fresh_arith_stats({0}, {0})
-                pred = [0]
-                ctx = [0]
-            dc = int(blocks[by, bx, 0])
-            _arith_encode_dc(enc, dc_stats[0], ctx, 0, dc - pred[0], cond)
-            pred[0] = dc
+                dc_stats, _ = _fresh_arith_stats(set(tids), set(tids))
+                pred = [0] * ncomp
+                ctx = [0] * ncomp
+            for ci, arr in enumerate(comps):
+                dc = int(arr[by, bx, 0])
+                _arith_encode_dc(
+                    enc, dc_stats[tids[ci]], ctx, ci, dc - pred[ci], cond
+                )
+                pred[ci] = dc
             mcu_count += 1
     entropy += _pack_arith_bits(enc.flush())
     return bytes(entropy)
@@ -3659,8 +3663,10 @@ def encode_jpeg_hierarchical(
     share the upsampling filter and the scan state machine (the
     encode_jpeg_lossless twin contract).
 
-    ``mode="dct"`` (grayscale only): SOF9/SOF0 base + SOF13/SOF5
-    differentials at flat ``quant`` — CLOSED-LOOP: each frame's
+    ``mode="dct"``: SOF9/SOF0 base + SOF13/SOF5
+    differentials at flat ``quant``, any channel count (components
+    are RAW channel planes coded interleaved on a shared 1x1 grid —
+    no color transform, per-component DC predictions) — CLOSED-LOOP: each frame's
     reference is its own DECODED reconstruction (per-block IDCT with
     the decoder's exact arithmetic, rounded and clamped), so the
     encoder never drifts from what the decoder will rebuild;
@@ -3668,11 +3674,11 @@ def encode_jpeg_hierarchical(
     block-constant inputs at quant=1 the whole pyramid is bit-exact
     (the established lossy-mode fixture device).
 
-    ``mode="progressive"`` (grayscale only): the SAME quantized blocks
-    and closed loop as ``mode="dct"``, but every frame is coded
-    PROGRESSIVELY — SOF10/SOF2 base + SOF14/SOF6 differentials, each
-    carrying a DC scan (Ss=0, Se=0) then a full-band AC first scan
-    (Ss=1, Se=63), both at Ah=Al=0. Progressive coding is a lossless
+    ``mode="progressive"``: the SAME quantized blocks and closed loop
+    as ``mode="dct"``, but every frame is coded PROGRESSIVELY —
+    SOF10/SOF2 base + SOF14/SOF6 differentials, each carrying one
+    interleaved DC scan (Ss=0, Se=0) then a full-band AC first scan
+    (Ss=1, Se=63) per component, all at Ah=Al=0. Progressive coding is a lossless
     reordering of the entropy layer, so the decoded pyramid is
     BYTE-IDENTICAL to the ``mode="dct"`` pyramid of the same image
     (pytest gate)."""
@@ -3684,8 +3690,6 @@ def encode_jpeg_hierarchical(
         raise ValueError("pixel buffer does not match dimensions")
     if mode not in ("lossless", "dct", "progressive"):
         raise ValueError("mode must be 'lossless', 'dct' or 'progressive'")
-    if mode == "progressive" and channels != 1:
-        raise ValueError("progressive hierarchical pyramids are grayscale-only")
     import numpy as np
 
     base = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
@@ -3705,9 +3709,16 @@ def encode_jpeg_hierarchical(
             body += bytes([c + 1, 0x11, 0])
         return body
 
-    def sos(ss: int, se: int = 0, ahal: int = 0, tids: list | None = None) -> bytes:
-        body = bytes([channels])
-        for c in range(channels):
+    def sos(
+        ss: int,
+        se: int = 0,
+        ahal: int = 0,
+        tids: list | None = None,
+        comp_ids: list | None = None,
+    ) -> bytes:
+        ids = list(range(channels)) if comp_ids is None else comp_ids
+        body = bytes([len(ids)])
+        for c in ids:
             t = 0 if tids is None else tids[c]
             body += bytes([c + 1, (t << 4) | t])
         return seg(0xDA, body + bytes([ss, se, ahal]))
@@ -3738,22 +3749,30 @@ def encode_jpeg_hierarchical(
             sof_diff = 0xCE if arith else 0xC6
 
             def frame_scans(blocks) -> bytes:
-                # DC scan, then the full-band AC first scan — the
-                # minimal legal progressive script (a lossless entropy
+                # DC scan (all components interleaved), then one
+                # full-band AC first scan PER component (progressive AC
+                # scans are single-component by spec) — the minimal
+                # legal progressive script (a lossless entropy
                 # reordering of the sequential stream)
-                if arith:
-                    return (
-                        sos(0, 0, 0)
-                        + _hier_prog_entropy_arith_dc(blocks, restart_interval)
-                        + sos(1, 63, 0)
-                        + _hier_prog_entropy_arith_ac(blocks, restart_interval)
-                    )
-                return (
-                    sos(0, 0, 0)
-                    + _hier_prog_entropy_huff_dc(blocks, restart_interval)
-                    + sos(1, 63, 0)
-                    + _hier_prog_entropy_huff_ac(blocks, restart_interval)
+                comps = (
+                    list(blocks) if isinstance(blocks, (list, tuple)) else [blocks]
                 )
+                t = tids if arith else None
+                if arith:
+                    body = sos(0, 0, 0, t) + _hier_prog_entropy_arith_dc(
+                        blocks, restart_interval
+                    )
+                    for ci, b in enumerate(comps):
+                        body += sos(1, 63, 0, t, [ci])
+                        body += _hier_prog_entropy_arith_ac(b, restart_interval)
+                    return body
+                body = sos(0, 0, 0, t) + _hier_prog_entropy_huff_dc(
+                    blocks, restart_interval
+                )
+                for ci, b in enumerate(comps):
+                    body += sos(1, 63, 0, t, [ci])
+                    body += _hier_prog_entropy_huff_ac(b, restart_interval)
+                return body
         else:
             sof_base = 0xC9 if arith else 0xC0
             sof_diff = 0xCD if arith else 0xC5

@@ -5538,17 +5538,22 @@ def multimodal_hierarchical_prog_stats(spark: SparkSession, sf_dir: str) -> Data
 )
 def multimodal_hierarchical_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-component (color) hierarchical DCT-pyramid decode
-    under the oracle gate — the r10 stretch extending SOF0/9 + SOF5/13
-    pyramids beyond grayscale: components are RAW channel planes on a
-    shared 1x1 grid (no color transform — the lossless-pyramid
-    assembler contract), coded interleaved per frame with per-component
-    DC predictions (and the SOF9 table convention under the arithmetic
-    coder), each channel its own closed loop. Fixture device: per-doc
-    constant-COLOR images (three channel formulas in doc_id) — each
-    channel constant, so the pyramid is bit-exact at quant=1 and the
-    positional checksum pins the channel INTERLEAVING (a BGR swap or
-    per-channel desync breaks px_possum even where px_sum survives).
-    Arbitrary-pixel color behavior is pinned in
+    under the oracle gate — the r10 stretch extending the pyramids
+    beyond grayscale, BOTH DCT modes: components are RAW channel
+    planes on a shared 1x1 grid (no color transform — the
+    lossless-pyramid assembler contract), coded interleaved per frame
+    with per-component DC predictions (and the SOF9 table convention
+    under the arithmetic coder), each channel its own closed loop.
+    Docs rotate the full dial matrix: sequential (SOF0/9 + SOF5/13)
+    vs PROGRESSIVE (SOF2/10 + SOF6/14 — one interleaved DC scan plus
+    a per-component AC-first scan per frame) by doc_id % 4 DIV 2,
+    entropy coder by parity, 1-2 levels, a % 3 restart cadence.
+    Fixture device: per-doc constant-COLOR images (three channel
+    formulas in doc_id) — each channel constant, so the pyramid is
+    bit-exact at quant=1 and the positional checksum pins the channel
+    INTERLEAVING (a BGR swap or per-channel desync breaks px_possum
+    even where px_sum survives). Arbitrary-pixel color behavior and
+    the prog==sequential byte-equality are pinned in
     tests/test_jpeg_hierarchical.py."""
     import pandas as pd  # noqa: PLC0415
 
@@ -5568,7 +5573,7 @@ def multimodal_hierarchical_color_stats(spark: SparkSession, sf_dir: str) -> Dat
                         levels=d % 2 + 1,
                         restart_interval=d % 3,
                         arith=d % 2 == 0,
-                        mode="dct",
+                        mode="dct" if d % 4 < 2 else "progressive",
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

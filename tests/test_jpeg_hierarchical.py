@@ -203,25 +203,51 @@ def test_dct_differential_frame_with_nonzero_acs_decodes_exactly():
     assert (got == want).all()
 
 
-def test_multicomponent_progressive_in_dhp_raises_named_contract():
-    # a 3-channel LOSSLESS pyramid's SOF15 rewritten to SOF14 is a
-    # multi-component progressive frame in a DHP stream — the one
-    # progressive cell that still raises (same geometry scope as the
-    # sequential DCT family)
+def test_multicomponent_progressive_without_dqt_fails_clean():
+    # multi-component progressive pyramids are implemented since r10,
+    # so a 3-channel LOSSLESS pyramid's SOF15 rewritten to SOF14 is
+    # now the no-DQT malformed-stream class: clean ValueError, not a
+    # KeyError from deep inside the scan
     enc = bytearray(
         M.encode_jpeg_hierarchical(_px(4, 4, 3, 2), 4, 4, channels=3, levels=1)
     )
     i = enc.index(b"\xff\xcf")
     enc[i + 1] = 0xCE
-    with pytest.raises(NotImplementedError, match="multi-component"):
+    with pytest.raises(ValueError, match="quantization"):
         M.decode_image(bytes(enc))
 
 
-def test_multicomponent_progressive_pyramid_encoder_raises():
-    # sequential DCT pyramids are any-channel since r10; PROGRESSIVE
-    # pyramids remain grayscale-only (the last Annex J geometry cell)
-    with pytest.raises(ValueError, match="grayscale"):
-        M.encode_jpeg_hierarchical(bytes(48), 4, 4, channels=3, mode="progressive")
+@pytest.mark.parametrize("arith", [True, False])
+@pytest.mark.parametrize("ri", [0, 2])
+def test_color_progressive_pyramid_constant_images_bit_exact(arith, ri):
+    # the LAST Annex J geometry cell (multi-component progressive,
+    # r10): DC scan interleaved over raw channel planes + one AC-first
+    # scan per component, per frame — constant color bit-exact at
+    # quant=1
+    w, h = 10, 8
+    p = bytes([40, 90, 200] * (w * h))
+    enc = M.encode_jpeg_hierarchical(
+        p, w, h, channels=3, levels=2, arith=arith, mode="progressive",
+        restart_interval=ri,
+    )
+    # 3 frames x (1 DC + 3 AC scans) = 12 SOS segments
+    assert enc.count(b"\xff\xda") == 12
+    d = M.decode_image(enc)
+    assert (d["channels"], d["pixels"]) == (3, p)
+
+
+@pytest.mark.parametrize("arith", [True, False])
+def test_color_progressive_equals_color_sequential_pyramid(arith):
+    # lossless entropy reordering: the color SOF6/14 pyramid decodes
+    # BYTE-IDENTICAL to the color SOF5/13 pyramid of the same image
+    p = _px(12, 9, 3, 5)
+    e1 = M.encode_jpeg_hierarchical(
+        p, 12, 9, channels=3, levels=2, arith=arith, mode="progressive"
+    )
+    e2 = M.encode_jpeg_hierarchical(
+        p, 12, 9, channels=3, levels=2, arith=arith, mode="dct"
+    )
+    assert M.decode_image(e1)["pixels"] == M.decode_image(e2)["pixels"]
 
 
 # ---- multi-component (color) DCT pyramids (r10) ----
