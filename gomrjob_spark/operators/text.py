@@ -2216,10 +2216,47 @@ def langid_gate(
     a language-indexed array via zip_with — so the gate itself adds
     ZERO shuffles to the corpus scan. That is what lets it run FIRST,
     before any dedup, on the full 100 TB crawl."""
+    row = langid_model(train, n=n, text_col=text_col, label_col=label_col)
+    return langid_apply(
+        docs, row, n=n, allowed=allowed, text_col=text_col,
+        label_col=label_col, id_col=id_col,
+    )
+
+
+def langid_model(
+    train: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    label_col: str = "lang",
+):
+    """Train the char-n-gram NB model and collapse it to the ONE-ROW
+    broadcastable frame the row-local scorer reads (see
+    :func:`langid_train` / :func:`_langid_model_row`) — the offline
+    half a live ingest deploys (the dsir_weights / semdedup-model
+    split)."""
     model = langid_train(train, n=n, text_col=text_col, label_col=label_col)
     priors = langid_priors(train, label_col=label_col)
-    row = _langid_model_row(model, priors)
-    staged = spread(docs).select(
+    return _langid_model_row(model, priors)
+
+
+def langid_apply(
+    docs: DataFrame,
+    model_row,
+    n: int = 2,
+    allowed: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    fan_out: bool = True,
+) -> DataFrame:
+    """Score documents against a pre-trained 1-row langid model (the
+    online half — shared by the batch gate and the streaming twin):
+    one row-local zip_with fold per document, zero shuffles beyond
+    the scan. ``fan_out=False`` skips the spread() repartition (a
+    stream keeps its micro-batch partitioning — the stateless-scan
+    posture)."""
+    src = spread(docs) if fan_out else docs
+    staged = src.select(
         F.col(id_col),
         F.col(label_col).alias("lang"),
         normalized(text_col).alias("_t"),
@@ -2234,7 +2271,7 @@ def langid_gate(
             lambda i: F.substr(F.col("_t"), i, F.lit(n)),
         ).alias("_gs"),
     )
-    j = staged.join(F.broadcast(row))
+    j = staged.join(F.broadcast(model_row))
     zero = F.transform("_langs", lambda x: F.lit(0).cast("bigint"))
     gsum = F.aggregate(
         "_gs",

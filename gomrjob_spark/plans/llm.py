@@ -958,13 +958,16 @@ def quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.linear_quality_gate(docs).orderBy("doc_id")
 
 
-#: shared training CTEs for the language-ID pair: char-bigram counts of
-#: the doc_id%5 train slice -> the DENSE add-one-smoothed NB model
+#: shared training CTEs for the language-ID family: char-bigram counts
+#: of the given train slice -> the DENSE add-one-smoothed NB model
 #: (langs x vocab, w = bitlen(((cnt+1) * 2^20) DIV (tot + V)) — the
 #: DSIR quantized-log device, see operators/text.py langid_train).
-_LANGID_CTES = f"""
+#: Parameterized on the train predicate so the batch pair (%5 slice)
+#: and the streaming twin (docs < 250) share one oracle chunk.
+def _langid_ctes(train_where: str) -> str:
+    return f"""
     tr AS MATERIALIZED (
-      SELECT lang, {_SQL_NORM} AS t FROM documents WHERE doc_id % 5 = 0
+      SELECT lang, {_SQL_NORM} AS t FROM documents WHERE {train_where}
     ),
     tgrams AS MATERIALIZED (
       SELECT lang, substr(t, CAST(i AS INT), 2) AS gram
@@ -985,6 +988,61 @@ _LANGID_CTES = f"""
       JOIN tot t ON t.lang = l.lang
       CROSS JOIN vsz
     )"""
+
+
+def _langid_gate_oracle(train_where: str, score_where: str) -> str:
+    """Complete gate-oracle SQL: model from ``train_where`` docs,
+    every ``score_where`` doc scored per language + argmax verdict —
+    shared by text_langid_gate (batch) and streaming_langid_gate."""
+    return f"""
+    WITH {_langid_ctes(train_where)},
+    unseen AS MATERIALIZED (
+      SELECT t.lang, CAST(length(bin(1048576 // (t.tot + vsz.v))) AS BIGINT) AS w0
+      FROM tot t CROSS JOIN vsz
+    ),
+    pr AS MATERIALIZED (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents WHERE {train_where} GROUP BY 1
+    ),
+    ptot AS MATERIALIZED (SELECT CAST(sum(nd) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS l FROM pr),
+    pw AS MATERIALIZED (
+      SELECT p.lang, CAST(length(bin((p.nd + 1) * 1048576 // (pt.n + pt.l))) AS BIGINT) AS wp
+      FROM pr p CROSS JOIN ptot pt
+    ),
+    dn AS MATERIALIZED (
+      SELECT doc_id, lang AS label, {_SQL_NORM} AS t FROM documents WHERE {score_where}
+    ),
+    dgrams AS MATERIALIZED (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram
+      FROM dn, unnest(generate_series(1, length(t) - 1)) AS r(i)
+    ),
+    gsum AS MATERIALIZED (
+      SELECT d.doc_id, l.lang, CAST(sum(coalesce(m.w, u.w0)) AS BIGINT) AS s
+      FROM dgrams d
+      CROSS JOIN langs l
+      LEFT JOIN model m ON m.lang = l.lang AND m.gram = d.gram
+      JOIN unseen u ON u.lang = l.lang
+      GROUP BY 1, 2
+    ),
+    sc AS MATERIALIZED (
+      SELECT dn.doc_id, dn.label, l.lang AS cand,
+             coalesce(g.s, 0) + p.wp AS s,
+             CAST(greatest(length(dn.t) - 1, 0) AS BIGINT) AS n_grams
+      FROM dn CROSS JOIN langs l
+      LEFT JOIN gsum g ON g.doc_id = dn.doc_id AND g.lang = l.lang
+      JOIN pw p ON p.lang = l.lang
+    ),
+    best AS (
+      SELECT doc_id, label, cand, s, n_grams,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, label AS lang, cand AS pred_lang, n_grams,
+           CAST(s AS BIGINT) AS score, (cand = 'en') AS keep
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+_LANGID_CTES = _langid_ctes("doc_id % 5 = 0")
 
 
 @query(
@@ -1019,50 +1077,7 @@ def text_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_langid_gate",
-    oracle=f"""
-    WITH {_LANGID_CTES},
-    unseen AS MATERIALIZED (
-      SELECT t.lang, CAST(length(bin(1048576 // (t.tot + vsz.v))) AS BIGINT) AS w0
-      FROM tot t CROSS JOIN vsz
-    ),
-    pr AS MATERIALIZED (
-      SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
-    ),
-    ptot AS MATERIALIZED (SELECT CAST(sum(nd) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS l FROM pr),
-    pw AS MATERIALIZED (
-      SELECT p.lang, CAST(length(bin((p.nd + 1) * 1048576 // (pt.n + pt.l))) AS BIGINT) AS wp
-      FROM pr p CROSS JOIN ptot pt
-    ),
-    dn AS MATERIALIZED (SELECT doc_id, lang AS label, {_SQL_NORM} AS t FROM documents),
-    dgrams AS MATERIALIZED (
-      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram
-      FROM dn, unnest(generate_series(1, length(t) - 1)) AS r(i)
-    ),
-    gsum AS MATERIALIZED (
-      SELECT d.doc_id, l.lang, CAST(sum(coalesce(m.w, u.w0)) AS BIGINT) AS s
-      FROM dgrams d
-      CROSS JOIN langs l
-      LEFT JOIN model m ON m.lang = l.lang AND m.gram = d.gram
-      JOIN unseen u ON u.lang = l.lang
-      GROUP BY 1, 2
-    ),
-    sc AS MATERIALIZED (
-      SELECT dn.doc_id, dn.label, l.lang AS cand,
-             coalesce(g.s, 0) + p.wp AS s,
-             CAST(greatest(length(dn.t) - 1, 0) AS BIGINT) AS n_grams
-      FROM dn CROSS JOIN langs l
-      LEFT JOIN gsum g ON g.doc_id = dn.doc_id AND g.lang = l.lang
-      JOIN pw p ON p.lang = l.lang
-    ),
-    best AS (
-      SELECT doc_id, label, cand, s, n_grams,
-             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn
-      FROM sc
-    )
-    SELECT doc_id, label AS lang, cand AS pred_lang, n_grams,
-           CAST(s AS BIGINT) AS score, (cand = 'en') AS keep
-    FROM best WHERE rn = 1 ORDER BY doc_id
-    """,
+    oracle=_langid_gate_oracle("doc_id % 5 = 0", "TRUE"),
 )
 def text_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID admission gate (text.langid_gate): every document

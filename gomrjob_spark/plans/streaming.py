@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gomrjob_spark.plans.llm import _langid_gate_oracle
 from gomrjob_spark.plans.registry import query
 from gomrjob_spark.streaming import (
     read_events_stream,
@@ -740,6 +741,41 @@ def streaming_paragraph_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
     rolled = paragraph_quarantine_stream(batch, store, drop_ppm=300_000)
     return _drain(spark, rolled, "complete").orderBy("doc_id")
+
+
+@query(
+    "streaming_langid_gate",
+    oracle=_langid_gate_oracle("doc_id < 250", "doc_id >= 250"),
+)
+def streaming_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID admission as a live topology
+    (streaming.ops.langid_gate_stream) — the 22nd registered topology
+    and the langid family's online half, deployed exactly how the
+    first gate of a curation pipeline runs on a continuous ingest:
+    the char-bigram NB model trains OFFLINE on the batch side (docs
+    0-249 — text.langid_model, the dsir_weights deployment split),
+    and documents 250+ arrive as a stream and score ROW-LOCALLY
+    against the per-batch 1-row model broadcast (one zip_with fold
+    per doc — no aggregation, no watermark, no state: flat per-batch
+    cost forever, batching-invariant verdicts). Append-mode stateless
+    scan; the oracle replays training and every per-doc argmax
+    verdict (the shared _langid_gate_oracle chunk), so the full hash
+    gate covers the live path. Same fixture-vacuity honesty as the
+    batch pair: predictions are hash-pinned engine parity, not an
+    accuracy claim."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.text import langid_model
+    from gomrjob_spark.streaming import (
+        langid_gate_stream,
+        read_documents_stream,
+    )
+
+    train = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    row = langid_model(train)
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    return _drain(spark, langid_gate_stream(batch, row), "append").orderBy(
+        "doc_id"
+    )
 
 
 @query(

@@ -938,6 +938,37 @@ def paragraph_quarantine_stream(
     )
 
 
+def langid_gate_stream(
+    docs: DataFrame,
+    model_row: DataFrame,
+    n: int = 2,
+    allowed: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Live language-ID admission — the streaming twin of
+    text_langid_gate and the online half of the FIRST gate every
+    production curation pipeline runs (CCNet/RedPajama/Dolma
+    language-filter before any dedup): the char-n-gram NB model
+    trains OFFLINE on the batch side
+    (operators.text.langid_model — the dsir_weights /
+    semdedup-model deployment split), and every arriving document
+    scores ROW-LOCALLY against the per-batch 1-row broadcast (gram ->
+    language-aligned weight arrays, one zip_with fold per doc),
+    emitting (doc_id, lang, pred_lang, n_grams, score, keep).
+
+    Stateless scan projection — no aggregation, no watermark, no
+    state store: per-batch cost is flat forever and verdicts are
+    batching-invariant (each document's score depends only on its own
+    text and the frozen model), which is exactly why a language gate
+    can sit at the very front of an unbounded ingest."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.text import langid_apply
+
+    # persist the model ONCE: the 1-row frame is re-read every
+    # micro-batch (the dimension-table pattern)
+    row = scoped_persist(model_row)
+    return langid_apply(docs, row, n=n, allowed=allowed, fan_out=False)
+
+
 def bloom_dedup_gate_stream(
     docs: DataFrame,
     known_par_fps: DataFrame,

@@ -94,3 +94,27 @@ def test_priors_shift_prediction_when_grams_are_neutral(spark):
     train = _docs(spark, rows)
     r = text.langid_gate(_docs(spark, [(1, "cc cd dc", "maj")]), train).collect()[0]
     assert r["pred_lang"] == "maj"
+
+
+def test_streaming_gate_equals_batch_apply(spark, sf_dir):
+    """The 22nd topology's verdicts equal the batch scorer's on the
+    same documents with the same offline model — stateless and
+    batching-invariant by construction, checked end to end through a
+    real streaming drain."""
+    from pyspark.sql import functions as F
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import langid_gate_stream, read_documents_stream
+    from gomrjob_spark.streaming.ops import run_to_memory
+
+    train = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    row = text.langid_model(train)
+    stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    q, name = run_to_memory(langid_gate_stream(stream, row), "append")
+    try:
+        got = sorted(map(tuple, spark.table(name).collect()))
+    finally:
+        q.stop()
+    batch = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250)
+    want = sorted(map(tuple, text.langid_apply(batch, row).collect()))
+    assert got == want and got
