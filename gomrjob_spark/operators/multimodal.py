@@ -2743,6 +2743,70 @@ class _LLCompState:
         self.fresh = True
 
 
+class _LLGridState:
+    """2D-addressable variant of _LLCompState for SUBSAMPLED
+    interleaved lossless scans (T.81 H.2): MCU order visits a
+    component's plane in (v, h) sub-blocks, so samples do NOT arrive
+    row-major and neighbors must be addressed absolutely. Semantics
+    mirror _LLCompState exactly — default prediction for the first
+    sample of the scan and for the first sample after a restart,
+    first-line Ra, line-start Rb, positional predictors over
+    reconstructed neighbors, and (Da, Db) class context where a
+    neighbor's class counts only if it was coded in the CURRENT
+    restart segment (the sequential state zeroes its class arrays at
+    every restart) — shared by decoder and encoder so the walks
+    cannot diverge."""
+
+    def __init__(
+        self, width: int, height: int, default: int, differential: bool = False
+    ):
+        self.w = width
+        self.h = height
+        self.default = default
+        self.differential = differential
+        self.grid = [[0] * width for _ in range(height)]
+        self.cls = [[0] * width for _ in range(height)]
+        self.seg = [[-1] * width for _ in range(height)]  # restart epoch
+        self.cur_seg = 0
+        self.fresh = True
+
+    def context(self, r: int, c: int) -> tuple[int, bool]:
+        da = (
+            self.cls[r][c - 1]
+            if c > 0 and self.seg[r][c - 1] == self.cur_seg
+            else 0
+        )
+        db = (
+            self.cls[r - 1][c]
+            if r > 0 and self.seg[r - 1][c] == self.cur_seg
+            else 0
+        )
+        return 5 * da + db, db >= 3
+
+    def predict(self, r: int, c: int, psel: int) -> int:
+        if self.differential:
+            return 0
+        if self.fresh:
+            return self.default
+        if r == 0:
+            return self.grid[0][c - 1]  # first line: Ra
+        if c == 0:
+            return self.grid[r - 1][0]  # line start: Rb
+        return _ll_predict_sel(
+            psel, self.grid[r][c - 1], self.grid[r - 1][c], self.grid[r - 1][c - 1]
+        )
+
+    def push(self, r: int, c: int, sample: int, cls: int) -> None:
+        self.fresh = False
+        self.grid[r][c] = sample
+        self.cls[r][c] = cls
+        self.seg[r][c] = self.cur_seg
+
+    def reset_restart(self) -> None:
+        self.cur_seg += 1
+        self.fresh = True
+
+
 def _ll_decode_diff(dec, st, ci25: int, big_db: bool):
     """One lossless difference off the QM decoder: zero/sign/Sz>0 in
     the (Da, Db) context's 4-bin group, magnitude up the Db-selected
@@ -2805,23 +2869,31 @@ def _ll_encode_diff(enc, st, ci25: int, big_db: bool, diff: int):
 
 
 def _ll_scan_geometry(frame, order):
-    """Scan-component indices and per-component plane dims. Interleaved
-    lossless MCUs with sampling factors would group h x v samples per
-    component per MCU — pointless without a DCT and absent in practice;
-    a named contract raise keeps the desync impossible."""
+    """Scan-component indices, per-component plane dims, and — for a
+    SUBSAMPLED interleaved scan (T.81 H.2, r10: previously a named
+    raise) — the MCU geometry: returns (idxs, dims, mcu) where mcu is
+    None for the 1x1 / non-interleaved sample walk, else
+    (mcux, mcuy, factors) with each MCU carrying h_i x v_i samples per
+    component and plane dims PADDED to the MCU grid (the data unit is
+    one sample, so mcux = ceil(w / hmax); the assembler's crop drops
+    the padding)."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     idxs = [next(i for i, c in enumerate(comps) if c["id"] == cid) for cid in order]
     if len(order) > 1 and (hmax != 1 or vmax != 1):
-        raise NotImplementedError("subsampled interleaved lossless JPEG scan")
+        mcux = -(-frame["w"] // hmax)
+        mcuy = -(-frame["h"] // vmax)
+        factors = [(comps[ci]["h"], comps[ci]["v"]) for ci in idxs]
+        dims = [(mcux * h_i, mcuy * v_i) for (h_i, v_i) in factors]
+        return idxs, dims, (mcux, mcuy, factors)
     dims = []
     for ci in idxs:
         c = comps[ci]
         dims.append(
             (-(-frame["w"] * c["h"] // hmax), -(-frame["h"] * c["v"] // vmax))
         )
-    return idxs, dims
+    return idxs, dims, None
 
 
 def _jpeg_lossless_scan(
@@ -2841,11 +2913,10 @@ def _jpeg_lossless_scan(
     prec = frame.get("prec", 8)
     default = 1 << (prec - pt - 1)
     diff_mode = bool(frame.get("differential"))
-    idxs, dims = _ll_scan_geometry(frame, order)
-    wdt, hgt = dims[0]
-    states = [_LLCompState(w_, h_, default, diff_mode) for (w_, h_) in dims]
+    idxs, dims, mcu_geom = _ll_scan_geometry(frame, order)
     conds = [dc_cond.get(scan[cid][0], (0, 1)) for cid in order]
     arith = frame.get("arith")
+    bits = dec = stats = tabs = None
     if arith:
         tabs = {scan[cid][0] for cid in order}
         bits = _ArithBits(payload, start)
@@ -2855,40 +2926,76 @@ def _jpeg_lossless_scan(
         reader = _BitReader(payload, start)
         tables = [huff[(0, scan[cid][0])] for cid in order]
     rst = 0
+
+    def sync_restart() -> None:
+        nonlocal bits, dec, stats, rst
+        if arith:
+            nxt = _arith_sync_restart(payload, bits, rst)
+            bits = _ArithBits(payload, nxt)
+            dec = _QMDecoder(bits)
+            stats = _ll_fresh_stats(tabs)
+        else:
+            reader.sync_restart(rst)
+        rst = (rst + 1) % 8
+
+    def next_diff(k: int, cid, ci25: int, big: bool):
+        if arith:
+            diff, dz, m, sign = _ll_decode_diff(
+                dec, stats[scan[cid][0]], ci25, big
+            )
+            return diff, _ll_class(dz, m, sign, conds[k])
+        ssss = reader.decode_symbol(tables[k])
+        if ssss == 16:  # spec special case: no extra bits
+            return 32768, 0
+        return _jpeg_extend(reader.read_bits(ssss), ssss), 0
+
     mcu = 0
-    for y in range(hgt):
-        for x in range(wdt):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                if arith:
-                    nxt = _arith_sync_restart(payload, bits, rst)
-                    bits = _ArithBits(payload, nxt)
-                    dec = _QMDecoder(bits)
-                    stats = _ll_fresh_stats(tabs)
-                else:
-                    reader.sync_restart(rst)
-                rst = (rst + 1) % 8
-                for s in states:
-                    s.reset_restart()
-            for k, cid in enumerate(order):
-                s = states[k]
-                if arith:
-                    ci25, big = s.context(x)
-                    diff, dz, m, sign = _ll_decode_diff(
-                        dec, stats[scan[cid][0]], ci25, big
-                    )
-                    cls = _ll_class(dz, m, sign, conds[k])
-                else:
-                    ssss = reader.decode_symbol(tables[k])
-                    if ssss == 16:  # spec special case: no extra bits
-                        diff = 32768
-                    else:
-                        diff = _jpeg_extend(reader.read_bits(ssss), ssss)
-                    cls = 0
-                sample = (s.predict(x, psel) + diff) & 0xFFFF
-                s.push(x, sample, cls)
-            mcu += 1
-    for k, ci in enumerate(idxs):
-        planes[ci] = np.array(states[k].rows, dtype=np.int64)
+    if mcu_geom is not None:
+        # SUBSAMPLED interleaved scan (T.81 H.2, r10): each MCU carries
+        # h_i x v_i samples per component; prediction/context address
+        # the component plane absolutely (the 2D grid state)
+        mcux, mcuy, factors = mcu_geom
+        gstates = [_LLGridState(w_, h_, default, diff_mode) for (w_, h_) in dims]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    sync_restart()
+                    for s in gstates:
+                        s.reset_restart()
+                for k, cid in enumerate(order):
+                    s = gstates[k]
+                    h_i, v_i = factors[k]
+                    for v in range(v_i):
+                        for hh in range(h_i):
+                            r = my * v_i + v
+                            c = mx * h_i + hh
+                            ci25, big = (
+                                s.context(r, c) if arith else (0, False)
+                            )
+                            diff, cls = next_diff(k, cid, ci25, big)
+                            sample = (s.predict(r, c, psel) + diff) & 0xFFFF
+                            s.push(r, c, sample, cls)
+                mcu += 1
+        for k, ci in enumerate(idxs):
+            planes[ci] = np.array(gstates[k].grid, dtype=np.int64)
+    else:
+        wdt, hgt = dims[0]
+        states = [_LLCompState(w_, h_, default, diff_mode) for (w_, h_) in dims]
+        for y in range(hgt):
+            for x in range(wdt):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    sync_restart()
+                    for s in states:
+                        s.reset_restart()
+                for k, cid in enumerate(order):
+                    s = states[k]
+                    ci25, big = s.context(x) if arith else (0, False)
+                    diff, cls = next_diff(k, cid, ci25, big)
+                    sample = (s.predict(x, psel) + diff) & 0xFFFF
+                    s.push(x, sample, cls)
+                mcu += 1
+        for k, ci in enumerate(idxs):
+            planes[ci] = np.array(states[k].rows, dtype=np.int64)
     if arith:
         return _arith_next_marker(payload, bits)
     # Huffman: skip any unconsumed stuffed pairs, land on the marker
@@ -2902,7 +3009,9 @@ def _jpeg_lossless_scan(
 
 def _jpeg_ll_assemble(frame, planes, pt: int) -> dict:
     """Final lossless stage: shift the point transform back in, upsample
-    subsampled components (non-interleaved scans only), crop, emit.
+    subsampled components by sample replication (interleaved scans —
+    whose planes arrive MCU-padded from the grid walk — and
+    non-interleaved alike; the crop drops any padding), and emit.
     T.81 defines no color transform for lossless — 3 components are
     emitted as-is (RGB by convention); precision > 8 packs big-endian
     16-bit samples."""
@@ -3004,6 +3113,86 @@ def _ll_encode_scan(
                         writer.put(v & ((1 << ssss) - 1), ssss)
                     cls = 0
                 s.push(x, sample, cls)
+            mcu += 1
+    if arith:
+        entropy += _pack_arith_bits(enc.flush())
+    else:
+        writer.pad()
+        entropy += writer.buf
+    return bytes(entropy)
+
+
+def _ll_encode_scan_mcu(
+    plane_rows,
+    factors,
+    mcux: int,
+    mcuy: int,
+    predictor: int,
+    restart_interval: int,
+    arith: bool,
+    default: int,
+) -> bytes:
+    """Entropy bytes of ONE SUBSAMPLED interleaved lossless scan
+    (T.81 H.2, r10) — the encoder mirror of the decoder's MCU walk:
+    each MCU carries h_i x v_i samples per component in order, and
+    prediction/context address the component plane absolutely through
+    the SAME _LLGridState the decoder runs, so the walks cannot
+    diverge. ``plane_rows[k]`` is component k's plane at its OWN
+    (padded) resolution, scan order."""
+    hcodes = _canonical_codes(_LL_HUFF_BITS, _LL_HUFF_SYMS)
+    states = [
+        _LLGridState(mcux * h_i, mcuy * v_i, default) for (h_i, v_i) in factors
+    ]
+    entropy = bytearray()
+    if arith:
+        enc = _QMEncoder()
+        stats = _ll_fresh_stats({0})
+    else:
+        writer = _BitWriter()
+    rst = 0
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if arith:
+                    entropy += _pack_arith_bits(enc.flush())
+                    enc = _QMEncoder()
+                    stats = _ll_fresh_stats({0})
+                else:
+                    writer.pad()
+                    entropy += writer.buf
+                    writer = _BitWriter()
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                for s in states:
+                    s.reset_restart()
+            for k, (h_i, v_i) in enumerate(factors):
+                s = states[k]
+                for v in range(v_i):
+                    for hh in range(h_i):
+                        r = my * v_i + v
+                        c = mx * h_i + hh
+                        sample = plane_rows[k][r][c]
+                        dm = (sample - s.predict(r, c, predictor)) & 0xFFFF
+                        diff = dm - 0x10000 if dm >= 0x8000 else dm
+                        if arith:
+                            ci25, big = s.context(r, c)
+                            dz, m, sign = _ll_encode_diff(
+                                enc, stats[0], ci25, big, diff
+                            )
+                            cls = _ll_class(dz, m, sign, (0, 1))
+                        else:
+                            if diff == 32768:
+                                ssss = 16
+                            else:
+                                ssss = abs(diff).bit_length()
+                            length, code = hcodes[ssss]
+                            writer.put(code, length)
+                            if 0 < ssss < 16:
+                                v_ = diff if diff >= 0 else diff + (1 << ssss) - 1
+                                writer.put(v_ & ((1 << ssss) - 1), ssss)
+                            cls = 0
+                        s.push(r, c, sample, cls)
             mcu += 1
     if arith:
         entropy += _pack_arith_bits(enc.flush())
@@ -3874,6 +4063,7 @@ def encode_jpeg_lossless(
     restart_interval: int = 0,
     arith: bool = True,
     interleave: bool = True,
+    subsampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """Lossless JPEG writer — SOF11 (QM arithmetic, default) or SOF3
     (Huffman) — the synthesis twin closing the codec matrix's last
@@ -3882,12 +4072,33 @@ def encode_jpeg_lossless(
     ``interleave=False`` writes one scan per component (the
     non-interleaved path real multi-component lossless files use).
     Restart intervals flush + byte-align the entropy coder, emit RSTn,
-    and reset statistics and prediction exactly as the decoder does."""
+    and reset statistics and prediction exactly as the decoder does.
+
+    ``subsampling=(hs, vs)`` != (1, 1) (r10 — previously the decoder's
+    one named lossless raise) writes the SUBSAMPLED interleaved scan
+    of T.81 H.2: component 0 carries the max factors at full
+    resolution, components 1+ are DECIMATED ``pixels[::vs, ::hs]``
+    (the encoder's downsampling choice, matching the hierarchical
+    writer's convention) and each MCU interleaves h_i x v_i samples
+    per component. Component 0 round-trips byte-identically; decoded
+    chroma is the decimated plane sample-replicated back up, so the
+    full round trip is byte-identical exactly when chroma is constant
+    on each vs x hs cell (the pytest gate uses both: cell-constant
+    full round trips AND plane-exact comparisons on arbitrary
+    pixels). Requires 3 channels and an interleaved scan."""
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
     n = width * height
     if len(pixels) != n * channels:
         raise ValueError("pixel buffer does not match dimensions")
+    hs, vs = subsampling
+    if (hs, vs) != (1, 1):
+        if (hs, vs) not in ((2, 1), (1, 2), (2, 2)):
+            raise ValueError("subsampling must be (1,1), (2,1), (1,2) or (2,2)")
+        if channels != 3 or not interleave:
+            raise ValueError(
+                "lossless subsampling needs 3 channels and an interleaved scan"
+            )
     plane_rows = []
     for c in range(channels):
         rows = [
@@ -3913,8 +4124,10 @@ def encode_jpeg_lossless(
         bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
         + bytes([channels])
     )
+    factors = [(hs, vs)] + [(1, 1)] * (channels - 1)
     for c in range(channels):
-        sof_body += bytes([c + 1, 0x11, 0])  # hv = 1x1, Tq = 0 (unused)
+        h_i, v_i = factors[c]
+        sof_body += bytes([c + 1, (h_i << 4) | v_i, 0])  # Tq = 0 (unused)
     out += seg(0xCB if arith else 0xC3, sof_body)
     if arith:
         out += seg(0xCC, bytes([0, 0x10]))  # DC conditioning (L=0, U=1)
@@ -3924,6 +4137,31 @@ def encode_jpeg_lossless(
         )
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    if (hs, vs) != (1, 1):
+        # subsampled interleaved scan: comp 0 edge-padded to the MCU
+        # grid at full resolution, comps 1+ decimated [::vs, ::hs]
+        mcux = -(-width // hs)
+        mcuy = -(-height // vs)
+        p0 = [
+            row + [row[-1]] * (mcux * hs - width)
+            for row in plane_rows[0]
+        ]
+        p0 += [p0[-1]] * (mcuy * vs - height)
+        sub_rows = [p0] + [
+            [row[::hs] for row in plane_rows[c][::vs]]
+            for c in range(1, channels)
+        ]
+        sos_body = bytes([channels])
+        for c in range(channels):
+            sos_body += bytes([c + 1, 0x00])  # Td = 0 (Ta unused)
+        sos_body += bytes([predictor, 0, point_transform])
+        out += seg(0xDA, sos_body)
+        out += _ll_encode_scan_mcu(
+            sub_rows, factors, mcux, mcuy, predictor,
+            restart_interval, arith, default,
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     scans = (
         [list(range(channels))] if interleave else [[c] for c in range(channels)]
     )

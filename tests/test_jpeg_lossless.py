@@ -100,3 +100,83 @@ def test_truncated_lossless_stream_fails_clean():
 def test_bad_predictor_selector_rejected():
     with pytest.raises(ValueError, match="predictor"):
         M.encode_jpeg_lossless(b"\x00", 1, 1, channels=1, predictor=0)
+
+
+# ---- SUBSAMPLED interleaved lossless scans (T.81 H.2, r10) ----
+
+
+def _px_cellconst(w, h, hs, vs, salt):
+    # comp 0 arbitrary per pixel; comps 1/2 constant per vs x hs cell
+    # anchored on the decimation grid — the family the decimate +
+    # sample-replicate cycle reproduces byte-identically
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            cy, cx = (y // vs) * vs, (x // hs) * hs
+            out += bytes([
+                (salt * 31 + (y * w + x) * 13 + 7) % 256,
+                (salt * 7 + (cy * w + cx) * 11 + 3) % 256,
+                (salt * 3 + (cy * w + cx) * 17 + 9) % 256,
+            ])
+    return bytes(out)
+
+
+@pytest.mark.parametrize("arith", [True, False])
+@pytest.mark.parametrize("sub", [(2, 2), (2, 1), (1, 2)])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_subsampled_interleaved_roundtrip_cell_constant(arith, sub, ri):
+    for w, h in [(12, 10), (11, 7)]:
+        px = _px_cellconst(w, h, sub[0], sub[1], 5)
+        enc = M.encode_jpeg_lossless(
+            px, w, h, channels=3, arith=arith, subsampling=sub,
+            restart_interval=ri,
+        )
+        d = M.decode_image(enc)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == px
+
+
+@pytest.mark.parametrize("arith", [True, False])
+def test_subsampled_interleaved_planes_exact_on_arbitrary_pixels(arith):
+    """On ARBITRARY pixels the decoded image must equal comp 0 exactly
+    plus each chroma plane decimated [::vs, ::hs] and sample-replicated
+    back — computed independently here (the per-plane lossless
+    contract; full round-trip identity only holds for cell-constant
+    chroma by construction)."""
+    import numpy as np
+
+    w, h, hs, vs = 13, 9, 2, 2
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    enc = M.encode_jpeg_lossless(
+        px, w, h, channels=3, arith=arith, subsampling=(hs, vs)
+    )
+    got = np.frombuffer(
+        M.decode_image(enc)["pixels"], dtype=np.uint8
+    ).reshape(h, w, 3).astype(int)
+    src = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert (got[..., 0] == src[..., 0]).all()
+    for c in (1, 2):
+        deci = src[::vs, ::hs, c]
+        up = np.repeat(np.repeat(deci, vs, axis=0), hs, axis=1)[:h, :w]
+        assert (got[..., c] == up).all()
+
+
+def test_subsampled_interleaved_predictor_matrix():
+    # every positional predictor over the MCU-interleaved walk
+    for psel in range(1, 8):
+        px = _px_cellconst(10, 8, 2, 2, psel)
+        enc = M.encode_jpeg_lossless(
+            px, 10, 8, channels=3, predictor=psel, subsampling=(2, 2)
+        )
+        assert M.decode_image(enc)["pixels"] == px
+
+
+def test_subsampling_validation():
+    with pytest.raises(ValueError, match="subsampling"):
+        M.encode_jpeg_lossless(bytes(48), 4, 4, channels=3, subsampling=(3, 1))
+    with pytest.raises(ValueError, match="3 channels"):
+        M.encode_jpeg_lossless(bytes(16), 4, 4, channels=1, subsampling=(2, 2))
+    with pytest.raises(ValueError, match="interleaved"):
+        M.encode_jpeg_lossless(
+            bytes(48), 4, 4, channels=3, subsampling=(2, 2), interleave=False
+        )
