@@ -22,12 +22,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     tpch,
 )
 
-# Tier 1 (round 10): the 7 NEW r10 queries first (their first shot at
+# Tier 1 (round 10): the 8 NEW r10 queries first (their first shot at
 # a driver row), then ALL 14 names the r9 _BACKFILL carried (last
 # green row r05 — the r9 verdict's item #2 rotation, each re-proven by
-# the builder's own simulation in r9 AND r10), then the oldest 29 of
+# the builder's own simulation in r9 AND r10), then the oldest 28 of
 # the r06 rows (alphabetical — all 50 r06 rows are equally old under
-# the OLDEST-ALWAYS-NEXT policy). The 21 r06 rows that didn't fit head
+# the OLDEST-ALWAYS-NEXT policy). The 22 r06 rows that didn't fit head
 # the r11 _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r10: char-bigram NB language-ID training (dense model table)
@@ -44,6 +44,8 @@ _VERIFY_FIRST = [
     "multimodal_hierarchical_color_stats",
     # NEW r10: live language-ID admission (22nd streaming topology)
     "streaming_langid_gate",
+    # NEW r10 stretch 2: subsampled interleaved lossless JPEG scans
+    "multimodal_lossless_subsampled_stats",
     # r9 _BACKFILL rotation: last green row r05
     "streaming_session_window",
     "streaming_dedup_counts",
@@ -59,7 +61,7 @@ _VERIFY_FIRST = [
     "q2_min_cost_supplier",
     "q20_potential_promotion",
     "q12_priority_lines",
-    # longest-proven fill: the oldest 29 of the r06 rows (alphabetical)
+    # longest-proven fill: the oldest 28 of the r06 rows (alphabetical)
     "agg_approx_distinct",
     "agg_conditional",
     "agg_cube",
@@ -88,16 +90,16 @@ _VERIFY_FIRST = [
     "join_asof_nearest",
     "join_interval_lookup",
     "join_semi_bloom",
-    "knn_sq8",
 ]
 
 # next-oldest queries: first in line after the window above, and the
 # head of the r11 rotation (last green row r06; everything else is
 # r07+). Ledger note: after CORRECTNESS_r10 lands the oldest oracled
-# driver row anywhere in the registry is r06 for exactly these 21
+# driver row anywhere in the registry is r06 for exactly these 22
 # names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10
 # ledgers) at the current registry size.
 _BACKFILL = [
+    "knn_sq8",
     "multimodal_audio_fingerprint_dedup",
     "multimodal_compressed_pixel_stats",
     "multimodal_phash_dedup",

@@ -5320,6 +5320,93 @@ def multimodal_lossless_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "multimodal_lossless_subsampled_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 5 AS INT) AS w,
+             CAST(doc_id % 5 + 5 AS INT) AS h,
+             CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 2 END AS INT) AS hs,
+             CAST(CASE doc_id % 3 WHEN 2 THEN 1 ELSE 2 END AS INT) AS vs
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, 'jpeg' AS format, w, h, 3 AS channels, i,
+             CASE WHEN i % 3 = 0
+                  THEN (doc_id * 7 + (i // 3) * 13 + 5) % 256
+                  ELSE (doc_id * 11
+                        + (((i // 3) // w) - ((i // 3) // w) % vs) * 31
+                        + (((i // 3) % w) - ((i // 3) % w) % hs) * 17
+                        + (i % 3) * 29 + 3) % 256
+             END AS val
+      FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           CAST(channels AS INT) AS channels,
+           CAST(sum(val) AS BIGINT)     AS px_sum,
+           CAST(min(val) AS INT)        AS px_min,
+           CAST(max(val) AS INT)        AS px_max,
+           CAST(sum(i * val) AS BIGINT) AS px_possum
+    FROM v
+    GROUP BY doc_id, format, w, h, channels
+    ORDER BY doc_id
+    """,
+)
+def multimodal_lossless_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subsampled-interleaved lossless-JPEG decode under the
+    oracle gate (T.81 H.2 — the codec family's last named
+    format-feature raise, closed late r10): 3-component streams whose
+    MCUs interleave h_i x v_i samples per component, the subsampling
+    layout rotating (2,2)/(1,2)/(2,1) by doc_id % 3, entropy coder by
+    parity, predictor doc_id % 7 + 1, a doc_id % 3 restart cadence.
+    Fixture device: component 0 is an arbitrary PER-PIXEL formula
+    (full resolution — bit-exact through the grid-state walk), chroma
+    is constant per vs x hs cell ANCHORED on the decimation grid, so
+    the encoder's decimate + the assembler's sample-replicate cycle
+    reproduces it exactly and the oracle recomputes every byte from
+    the cell-anchored formula. A grid-prediction, MCU-order, context-
+    epoch, padding-crop, or replication bug breaks the hash;
+    arbitrary-chroma plane-exactness is pinned in
+    tests/test_jpeg_lossless.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 5, d % 5 + 5
+                hs = 1 if d % 3 == 1 else 2
+                vs = 1 if d % 3 == 2 else 2
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        cy, cx = y - y % vs, x - x % hs
+                        px += bytes([
+                            (d * 7 + (y * w + x) * 13 + 5) % 256,
+                            (d * 11 + cy * 31 + cx * 17 + 29 + 3) % 256,
+                            (d * 11 + cy * 31 + cx * 17 + 58 + 3) % 256,
+                        ])
+                payloads.append(
+                    multimodal.encode_jpeg_lossless(
+                        bytes(px), w, h, channels=3,
+                        predictor=d % 7 + 1,
+                        restart_interval=d % 3,
+                        arith=d % 2 == 0,
+                        subsampling=(hs, vs),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return _sorted_stats(multimodal.extract_pixel_stats(payloads))
+
+
+@query(
     "multimodal_hierarchical_pixel_stats",
     oracle="""
     WITH d AS (
