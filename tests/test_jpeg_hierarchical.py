@@ -374,3 +374,14 @@ def test_progressive_differential_frame_with_nonzero_acs_decodes_exactly():
     diff = np.rint(M._hier_blocks_plane(dblocks, 1, 0.0)).astype(np.int64)
     want = np.clip(up[:h1, :w1] + diff[:h1, :w1], 0, 255)
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("mode", ["progressive", "dct"])
+def test_truncated_color_pyramid_fails_clean(mode):
+    p = bytes([40, 90, 200] * 80)
+    enc = M.encode_jpeg_hierarchical(
+        p, 10, 8, channels=3, levels=2, arith=False, mode=mode
+    )
+    for frac in (3, 2):
+        with pytest.raises((ValueError, EOFError, IndexError)):
+            M.decode_image(enc[: len(enc) // frac])

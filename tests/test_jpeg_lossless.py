@@ -180,3 +180,25 @@ def test_subsampling_validation():
         M.encode_jpeg_lossless(
             bytes(48), 4, 4, channels=3, subsampling=(2, 2), interleave=False
         )
+
+
+def test_truncated_subsampled_interleaved_fails_clean():
+    # Huffman: the bit reader hits end-of-data mid-entropy and raises.
+    # (An ARITHMETIC stream truncated inside the entropy body decodes
+    # to completion by SPEC — the QM coder 1-feeds past the data end,
+    # exactly as for every other arith path — so only header-level
+    # truncation is detectable there; covered by the generic
+    # header-truncation tests.)
+    px = _px_cellconst(12, 10, 2, 2, 7)
+    enc = M.encode_jpeg_lossless(
+        px, 12, 10, channels=3, arith=False, subsampling=(2, 2)
+    )
+    for frac in (3, 2):
+        with pytest.raises((ValueError, EOFError, IndexError)):
+            M.decode_image(enc[: len(enc) // frac])
+    # header-level truncation fails clean for the arithmetic variant too
+    enc_a = M.encode_jpeg_lossless(
+        px, 12, 10, channels=3, arith=True, subsampling=(2, 2)
+    )
+    with pytest.raises((ValueError, EOFError, IndexError)):
+        M.decode_image(enc_a[:20])
