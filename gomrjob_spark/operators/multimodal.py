@@ -710,13 +710,13 @@ def _decode_jpeg(payload: bytes) -> dict:
             return _decode_jpeg_hierarchical(payload)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             # differential frames are only valid after a DHP segment
-            # (handled above); a bare one is a malformed stream, except
-            # that the DCT-based differential families remain a named
-            # contract raise even inside a DHP walk
+            # (handled above, where ALL of them decode since r10); a
+            # bare one is a malformed stream — named raise
             raise NotImplementedError(
                 "differential JPEG frame outside a DHP (hierarchical) "
-                "stream; hierarchical lossless pyramids (SOF3/11 base + "
-                "SOF7/15 differential) decode via the DHP path"
+                "stream; every differential family (lossless SOF7/15, "
+                "sequential DCT SOF5/13, progressive SOF6/14) decodes "
+                "via the DHP path"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning bounds
             j = 0
