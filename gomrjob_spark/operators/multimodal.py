@@ -3408,9 +3408,10 @@ def _decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame["differential"] = marker in (0xC5, 0xCD)
         elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
             # progressive DCT frames: base (SOF2/10) and differential
-            # (SOF6/14) — grayscale pyramids like the sequential DCT
-            # family (multi-component adds only sampling geometry, so
-            # it raises precisely instead)
+            # (SOF6/14) — any channel count since r10 (components are
+            # RAW planes stacked by the assembler, same as the
+            # sequential branch; multimodal_hierarchical_color_stats
+            # exercises 3-channel progressive pyramids)
             fold_frame()
             frame = parse_sof(seg)
             frame["lossless"] = False

@@ -1,0 +1,251 @@
+"""URL/domain-level curation — the FIRST pass of every web-crawl pipeline.
+
+CCNet, RefinedWeb, and Dolma all filter at the URL layer BEFORE any text
+operator runs: a crawl's WARC records carry a URL per document, and the
+cheapest 100 TB win is dropping or collapsing documents by URL alone —
+no tokenization, no fingerprinting, no model. The family here:
+
+- :func:`url_normalize` — canonicalize a raw URL so that tracking-param
+  / fragment / case / default-port / trailing-slash variants of the same
+  resource become ONE string (the precondition for URL-level dedup).
+- :func:`registered_domain` — extract the registrable domain (the label
+  directly under the public suffix: ``a.b.site7.co.uk`` → ``site7.co.uk``)
+  for domain-level gating and per-domain statistics.
+- :func:`url_exact_dedup` — exact URL-level dedup groups over the
+  CANONICAL url (one partial-agg shuffle; the survivorship convention is
+  min doc_id, matching operators.dedup.exact_dedup).
+- :func:`domain_gate` — blocklist admission verdicts per document.
+
+Every operator is a ROW-LOCAL column program over the scan projection
+(``parse_url`` + regexes + array higher-order functions, all JVM
+codegen) — the same zero-extra-shuffle property as the language-ID gate,
+which is what lets URL curation run first on the raw crawl: the only
+shuffle in the whole family is the dedup groupBy, and that one carries
+canonical URLs + ids, never document text.
+
+Canonicalization rules (documented contract, applied in this order):
+
+1. scheme and host lowercased;
+2. a single leading ``www.`` host label stripped;
+3. the scheme's DEFAULT port stripped (``http:80`` / ``https:443``) —
+   non-default ports are semantic and kept;
+4. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid`` — the
+   CCNet/Dolma convention), preserving the relative order of the rest;
+   a query left empty drops its ``?``;
+5. the fragment (``#...``) dropped — never sent to the server;
+6. an empty path becomes ``/`` and a non-root trailing ``/`` is
+   stripped.
+
+The fixture's documents table has no URL column, so the registered
+queries SYNTHESIZE one per document as a pure formula in ``doc_id``
+(:func:`synth_url` — the multimodal device: the DuckDB oracle recomputes
+the same formula byte-for-byte, so the whole normalize→dedup→gate chain
+sits under the cross-engine hash gate). The formula is adversarial by
+construction: every noise class above appears, and the SEMANTIC parts
+derive from ``doc_id DIV 3`` while the NOISE derives from ``doc_id`` —
+so consecutive id-triples are true duplicates that only normalization
+can collapse.
+
+Reference parity note: jehiah/gomrjob has no URL layer (it is a job
+framework); this family is part of the LLM-training-data surface the
+build brief adds on top (SURVEY.md §2F extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query-parameter name prefixes that never change the resource
+TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=")
+
+#: multi-label public suffixes the extractor knows about (a full
+#: deployment broadcasts the Mozilla PSL snapshot; the rule is the same)
+MULTI_LABEL_SUFFIXES = ("co.uk",)
+
+
+def synth_url(doc_id: Column) -> Column:
+    """Per-document URL as a PURE formula of ``doc_id`` — semantic parts
+    from ``g = doc_id DIV 3``, noise from ``doc_id`` itself, so each
+    id-triple names one resource behind three raw variants. Mirrored
+    verbatim by the oracle CTE ``_URL_RAW_SQL`` (plans/web.py)."""
+    d = doc_id.cast("bigint")
+    g = d - F.pmod(d, F.lit(3))  # semantic seed, then g DIV 3 varies
+    g = (g / 3).cast("bigint")
+    scheme_sem = F.when(g % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    # noise: uppercase scheme on d%4==2, uppercase host on d%4==3
+    scheme = F.when(d % 4 == 2, F.upper(scheme_sem)).otherwise(scheme_sem)
+    suffix = (
+        F.when(g % 3 == 0, F.lit(".com"))
+        .when(g % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk"))
+    )
+    host_sem = F.concat(
+        F.lit("cdn"), (g % 5).cast("string"), F.lit(".site"),
+        (g % 11).cast("string"), suffix,
+    )
+    host = F.when(d % 5 == 0, F.concat(F.lit("www."), host_sem)).otherwise(
+        host_sem
+    )
+    host = F.when(d % 4 == 3, F.upper(host)).otherwise(host)
+    # ports: g%7==0 carries a SEMANTIC :8080; otherwise d%5==1 appends
+    # the scheme's default port as pure noise
+    port = (
+        F.when(g % 7 == 0, F.lit(":8080"))
+        .when(
+            d % 5 == 1,
+            F.when(g % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit(""))
+    )
+    # path: root for g%13==0 (raw '' or '/'), else /a<g%4>/p<g> with a
+    # trailing-slash variant on d%3==1
+    path = F.when(
+        g % 13 == 0,
+        F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+    ).otherwise(
+        F.concat(
+            F.lit("/a"), (g % 4).cast("string"), F.lit("/p"), g.cast("string"),
+            F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+    # query: the real param id=<g> (absent for g%17==0) interleaved with
+    # per-doc tracking noise in three arrangements
+    id_amp = F.when(g % 17 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("&id="), g.cast("string"))
+    )
+    id_q = F.when(g % 17 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("id="), g.cast("string"), F.lit("&"))
+    )
+    qs = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=u"), (d % 7).cast("string"), id_amp,
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?"), id_q, F.lit("gclid=g"), d.cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("?fbclid=f"), d.cast("string"), id_amp)
+        )
+    )
+    frag = F.when(
+        d % 2 == 0, F.concat(F.lit("#s"), (d % 4).cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+
+
+def _strip_tracking(query: Column) -> Column:
+    """Drop tracking parameters from a raw query string, preserving the
+    order of the survivors; NULL/empty results collapse to ''."""
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: ~(
+            p.startswith(TRACKING_PREFIXES[0])
+            | p.startswith(TRACKING_PREFIXES[1])
+            | p.startswith(TRACKING_PREFIXES[2])
+            | (p == "")
+        ),
+    )
+    return F.array_join(kept, "&")
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL per the module contract — one codegen'd column
+    expression over ``parse_url`` parts (no UDF, no shuffle)."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(
+        F.when(scheme == "https", F.lit("443")).otherwise(F.lit(""))
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(raw_path) > 1) & raw_path.endswith("/"),
+            F.substring(raw_path, F.lit(1), F.length(raw_path) - 1),
+        ).otherwise(raw_path)
+    )
+    q = _strip_tracking(F.parse_url(url, F.lit("QUERY")))
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of an already-normalized host: the label
+    directly under the public suffix. Multi-label suffixes come from
+    :data:`MULTI_LABEL_SUFFIXES`; everything else is treated as a
+    single-label TLD (the PSL default rule)."""
+    out = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    for suf in MULTI_LABEL_SUFFIXES:
+        pat = r"([^.]+\." + suf.replace(".", r"\.") + r")$"
+        out = F.when(
+            host.endswith("." + suf) | (host == suf),
+            F.regexp_extract(host, pat, 1),
+        ).otherwise(out)
+    return out
+
+
+def with_url_columns(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scan projection with the canonical URL, normalized host, and
+    registered domain staged as real columns (staging, not CSE-hoping:
+    the repo rule for expressions referenced more than once)."""
+    staged = docs.withColumn("norm_url", url_normalize(F.col(url_col)))
+    staged = staged.withColumn(
+        "host",
+        F.regexp_extract(F.col("norm_url"), r"^[a-z]+://([^/:?#]+)", 1),
+    )
+    return staged.withColumn(
+        "registered_domain", registered_domain(F.col("host"))
+    )
+
+
+def url_exact_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup groups over the canonical URL: one
+    partial-aggregated shuffle keyed on norm_url (ids + canonical
+    strings only — document text never enters the exchange). Survivor
+    convention: min id, matching dedup.exact_dedup."""
+    return (
+        with_url_columns(docs, url_col, id_col)
+        .groupBy("norm_url")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keeper"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(url_col).cast("bigint").alias("n_raw_variants"),
+        )
+    )
+
+
+def domain_gate(
+    docs: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document blocklist admission verdict — row-local membership
+    test against a literal blocklist (a real deployment broadcasts the
+    list as a 1-row array and uses array_contains; at a few thousand
+    entries the plan-literal IN is equally codegen'd)."""
+    staged = with_url_columns(docs, url_col, id_col)
+    blocked = F.col("registered_domain").isin(*blocklist)
+    return staged.select(
+        F.col(id_col),
+        "norm_url",
+        "registered_domain",
+        blocked.alias("blocked"),
+        (~blocked).alias("admitted"),
+    )

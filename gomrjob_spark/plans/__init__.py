@@ -20,6 +20,7 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     subqueries,
     timeseries,
     tpch,
+    web,
 )
 
 # Tier 1 (round 10): the 8 NEW r10 queries first (their first shot at

@@ -1083,3 +1083,48 @@ def streaming_wordpiece_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     monitored = wordpiece_drift_stream(batch, vocab, max_unk_ppm=8000)
     return _drain(spark, monitored, "append").orderBy("doc_id")
+
+
+def _url_gate_oracle() -> str:
+    from gomrjob_spark.plans.web import _URL_CTES
+
+    return f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, norm_url, registered_domain,
+           registered_domain IN ('site3.org', 'site7.com', 'site5.co.uk',
+                                 'site0.com') AS blocked,
+           NOT registered_domain IN ('site3.org', 'site7.com',
+                                     'site5.co.uk', 'site0.com') AS admitted
+    FROM normed ORDER BY doc_id
+    """
+
+
+@query("streaming_url_gate", oracle=_url_gate_oracle())
+def streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain admission as a live topology
+    (streaming.ops.url_gate_stream) — the 23rd registered topology and
+    the position-ZERO gate of a crawl ingest: every arriving record's
+    URL canonicalizes row-locally (the full 6-rule contract of
+    operators/urls.py), its registered domain extracts, and the
+    blocklist verdict emits — before the document body is parsed at
+    all. The strongest posture in the gate family: STATELESS and
+    MODEL-FREE (langid/dsir/bloom all broadcast something; this
+    carries only plan literals), so per-batch cost is flat forever and
+    verdicts are batching-invariant. URLs are synthesized on the
+    stream with the same doc_id formula as the batch family
+    (operators.urls.synth_url — a scan projection, stream-safe), and
+    the oracle recomputes formula + an independent SQL normalizer, so
+    the live path sits under the same two-implementation hash gate as
+    url_canonicalize. Append-mode stateless scan over the full
+    document stream (no batch split: there is no trained state to
+    hold out)."""
+    from gomrjob_spark.operators import urls
+    from gomrjob_spark.plans.web import BLOCKLIST
+    from gomrjob_spark.streaming import read_documents_stream, url_gate_stream
+
+    batch = read_documents_stream(spark, sf_dir).select(
+        "doc_id", urls.synth_url(F.col("doc_id")).alias("url")
+    )
+    return _drain(spark, url_gate_stream(batch, BLOCKLIST), "append").orderBy(
+        "doc_id"
+    )

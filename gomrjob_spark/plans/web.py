@@ -1,0 +1,241 @@
+"""URL/domain-level curation queries (operators/urls.py) + DuckDB oracles.
+
+The documents fixture has no URL column, so every query synthesizes one
+per document with :func:`gomrjob_spark.operators.urls.synth_url` — a pure
+formula in ``doc_id`` that the oracle recomputes byte-for-byte
+(``_URL_RAW_SQL``), the multimodal synthesis device. The oracle then
+re-implements the WHOLE normalization contract independently in SQL
+(``_URL_NORM_SQL``: regexp part-extraction + list_filter param stripping),
+so the hash gate compares two independent normalizer implementations,
+not one formula against itself.
+
+Formula shape (see operators/urls.py synth_url): semantic components
+derive from ``g = doc_id DIV 3``, noise (case, www., default ports,
+tracking params, fragments, trailing slashes) from ``doc_id`` — each
+consecutive id-triple is one resource behind three raw variants, so
+URL-level dedup has real work to do and the expected group size is known
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gomrjob_spark.catalog import load_table
+from gomrjob_spark.operators import urls
+from gomrjob_spark.plans.registry import query
+
+#: the oracle's copy of the synth_url formula (byte-identical output)
+_URL_RAW_SQL = """
+    u0 AS (
+      SELECT doc_id, doc_id // 3 AS g FROM documents
+    ),
+    u1 AS (
+      SELECT doc_id, g,
+        CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme_sem,
+        'cdn' || CAST(g % 5 AS VARCHAR) || '.site' || CAST(g % 11 AS VARCHAR)
+          || CASE g % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+             ELSE '.co.uk' END AS host_sem
+      FROM u0
+    ),
+    u2 AS (
+      SELECT doc_id, g,
+        CASE WHEN doc_id % 4 = 2 THEN upper(scheme_sem)
+             ELSE scheme_sem END AS scheme_raw,
+        CASE WHEN doc_id % 4 = 3
+             THEN upper(CASE WHEN doc_id % 5 = 0 THEN 'www.' || host_sem
+                             ELSE host_sem END)
+             ELSE CASE WHEN doc_id % 5 = 0 THEN 'www.' || host_sem
+                       ELSE host_sem END END AS host_raw,
+        CASE WHEN g % 7 = 0 THEN ':8080'
+             WHEN doc_id % 5 = 1 THEN CASE WHEN g % 2 = 0 THEN ':80'
+                                           ELSE ':443' END
+             ELSE '' END AS port_raw,
+        CASE WHEN g % 13 = 0 THEN CASE WHEN doc_id % 3 = 1 THEN '/'
+                                       ELSE '' END
+             ELSE '/a' || CAST(g % 4 AS VARCHAR) || '/p'
+                  || CAST(g AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+             END AS path_raw,
+        CASE WHEN g % 17 = 0 THEN ''
+             ELSE '&id=' || CAST(g AS VARCHAR) END AS id_amp,
+        CASE WHEN g % 17 = 0 THEN ''
+             ELSE 'id=' || CAST(g AS VARCHAR) || '&' END AS id_q
+      FROM u1
+    ),
+    urls AS MATERIALIZED (
+      SELECT doc_id, g,
+        scheme_raw || '://' || host_raw || port_raw || path_raw
+        || CASE doc_id % 3
+             WHEN 0 THEN '?utm_source=u' || CAST(doc_id % 7 AS VARCHAR)
+                         || id_amp || '&utm_campaign=x'
+             WHEN 1 THEN '?' || id_q || 'gclid=g' || CAST(doc_id AS VARCHAR)
+             ELSE '?fbclid=f' || CAST(doc_id AS VARCHAR) || id_amp END
+        || CASE WHEN doc_id % 2 = 0 THEN '#s' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE '' END AS url
+      FROM u2
+    )"""
+
+#: independent SQL re-implementation of the normalization contract
+_URL_NORM_SQL = """
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS auth,
+        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS raw_path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS raw_q
+      FROM urls
+    ),
+    np AS MATERIALIZED (
+      SELECT doc_id, url, scheme,
+        regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')),
+                       '^www\\.', '') AS host,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        CASE WHEN raw_path = '' THEN '/'
+             WHEN length(raw_path) > 1 AND raw_path LIKE '%/'
+             THEN substr(raw_path, 1, CAST(length(raw_path) AS INT) - 1)
+             ELSE raw_path END AS path_n,
+        coalesce(array_to_string(
+          list_filter(string_split(raw_q, '&'),
+            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+                      OR starts_with(p, 'fbclid=') OR p = '')), '&'),
+          '') AS q_kept
+      FROM parts
+    ),
+    normed AS MATERIALIZED (
+      SELECT doc_id, url, host,
+        scheme || '://' || host
+        || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END
+        || path_n
+        || CASE WHEN q_kept = '' THEN '' ELSE '?' || q_kept END AS norm_url,
+        CASE WHEN host LIKE '%.co.uk'
+             THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS registered_domain
+      FROM np
+    )"""
+
+_URL_CTES = _URL_RAW_SQL + "," + _URL_NORM_SQL
+
+#: registered-domain blocklist for the gate queries — all four exist in
+#: the synthesized host space (g ranges over 0..n/3; membership proven
+#: in tests/test_urls.py so the gate is never vacuously all-admitted)
+BLOCKLIST = ["site3.org", "site7.com", "site5.co.uk", "site0.com"]
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.withColumn("url", urls.synth_url(F.col("doc_id")))
+
+
+@query(
+    "url_canonicalize",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, url, norm_url, host, registered_domain
+    FROM normed ORDER BY doc_id
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (urls.url_normalize + registered_domain) —
+    the first operator of every crawl pipeline: tracking params,
+    fragments, case noise, default ports, www. prefixes, and trailing
+    slashes all collapse per the 6-rule contract in operators/urls.py.
+    Pure row-local codegen over the scan (parse_url + regex + one array
+    HOF): ZERO shuffles, the langid-gate property — this runs FIRST on
+    the raw 100 TB crawl. The oracle re-normalizes the same raw URLs
+    with an independent regexp implementation, so the hash gate is a
+    two-implementation differential test of the contract itself."""
+    return (
+        urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+        .select("doc_id", "url", "norm_url", "host", "registered_domain")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_url_exact",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT norm_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM normed GROUP BY norm_url ORDER BY keeper
+    """,
+)
+def dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (urls.url_exact_dedup): group documents by
+    CANONICAL url, survivor = min doc_id. By construction each id-triple
+    shares one resource behind three raw variants (tracking params /
+    fragments / case / slash noise), so the groups are real and the raw
+    variant counts prove normalization did the collapsing — the CCNet
+    first-pass dedup that removes ~an order of magnitude of recrawl
+    volume before any text op runs. One partial-agg shuffle carrying
+    canonical URLs + ids only; document text never enters the
+    exchange."""
+    return (
+        urls.url_exact_dedup(_docs_with_urls(spark, sf_dir))
+        .orderBy("keeper")
+    )
+
+
+@query(
+    "url_domain_gate",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, norm_url, registered_domain,
+           registered_domain IN ('site3.org', 'site7.com', 'site5.co.uk',
+                                 'site0.com') AS blocked,
+           NOT registered_domain IN ('site3.org', 'site7.com',
+                                     'site5.co.uk', 'site0.com') AS admitted
+    FROM normed ORDER BY doc_id
+    """,
+)
+def url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist admission (urls.domain_gate): per-document
+    verdict from the registered domain against a literal blocklist —
+    the Dolma/RefinedWeb deny-list gate. Row-local membership test on
+    the scan projection; zero shuffles. Blocklist membership is
+    non-vacuous by construction (tests/test_urls.py pins that every
+    blocklisted domain occurs and that both verdict classes are
+    populated)."""
+    return (
+        urls.domain_gate(_docs_with_urls(spark, sf_dir), BLOCKLIST)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "url_domain_stats",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM normed GROUP BY registered_domain ORDER BY registered_domain
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl profile (docs, distinct canonical
+    URLs, distinct hosts) — the composition report a crawl operator
+    reads before choosing domain caps (RefinedWeb caps per-domain doc
+    share; this is the input to that policy). One partial-agg shuffle
+    keyed on the domain; counts of distinct canonical URLs/hosts are
+    exact (the domain key space is small; at 100 TB swap the exact
+    distincts for HLL sketches — agg_approx_distinct is the registered
+    variant of that trade)."""
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    return (
+        staged.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("norm_url").cast("bigint").alias("n_urls"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+        .orderBy("registered_domain")
+    )

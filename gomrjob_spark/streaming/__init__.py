@@ -34,5 +34,6 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     streaming_dedup_within_watermark,
     tumbling_counts,
     upsert_sink,
+    url_gate_stream,
     wordpiece_drift_stream,
 )

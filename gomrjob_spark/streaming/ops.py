@@ -969,6 +969,35 @@ def langid_gate_stream(
     return langid_apply(docs, row, n=n, allowed=allowed, fan_out=False)
 
 
+def url_gate_stream(
+    docs: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live URL/domain admission — the streaming twin of
+    url_domain_gate and the operator that sits at position ZERO of a
+    crawl ingest (CCNet/RefinedWeb/Dolma all gate on the URL before
+    the document body is even parsed): each arriving record's URL is
+    canonicalized row-locally (operators.urls.url_normalize — the full
+    6-rule contract as one codegen'd column program), its registered
+    domain extracted, and the blocklist verdict emitted as
+    (doc_id, norm_url, registered_domain, blocked, admitted).
+
+    Stateless scan projection — no model, no store, no state: the
+    strongest posture in the gate family (even langid carries a
+    broadcast model; this carries only plan literals), so per-batch
+    cost is flat forever, verdicts are batching-invariant, and the
+    topology backpressures at exactly the source read rate. URL-level
+    DEDUP on the live path composes with the existing machinery:
+    ``streaming_dedup_within_watermark(gated, keys=["norm_url"])``
+    downstream of this gate is the watermarked variant, and the exact
+    batch dedup (plans.web.dedup_url_exact) reconciles offline."""
+    from gomrjob_spark.operators.urls import domain_gate
+
+    return domain_gate(docs, blocklist, url_col=url_col, id_col=id_col)
+
+
 def bloom_dedup_gate_stream(
     docs: DataFrame,
     known_par_fps: DataFrame,
@@ -1027,10 +1056,16 @@ def bloom_dedup_gate_stream(
     certain_new = probed.filter(~F.col("_maybe")).select(
         "doc_id", F.lit(False).alias("_dup")
     )
+    # The exact false-positive-removal join keys on the CORPUS-SIZED
+    # store — only the 16 KiB bloom array `flt` may be broadcast; pin
+    # shuffle_hash so the store is never an exchange build side (the
+    # sampling.softdedup rule: a one-row-per-paragraph frame OOMs a
+    # broadcast at deployment scale; shuffled-hash is the only join
+    # shape that exists at 100 TB, and only bloom HITS reach it).
     checked = (
         probed.filter(F.col("_maybe"))
         .join(
-            F.broadcast(store.select(F.col("fp").alias("_known"))),
+            store.select(F.col("fp").alias("_known")).hint("shuffle_hash"),
             F.col("fp") == F.col("_known"),
             "left_outer",
         )

@@ -1,0 +1,145 @@
+"""URL/domain curation family (operators/urls.py, plans/web.py).
+
+The driver hash gate proves Spark==DuckDB on the synthesized fixture;
+these tests pin the CONTRACT itself on handcrafted URLs (each
+normalization rule in isolation), the non-vacuity of the gate fixtures,
+and the plan shapes (the gate family must stay shuffle-free)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gomrjob_spark.operators import urls
+from gomrjob_spark.plans.web import BLOCKLIST, _docs_with_urls
+
+
+def _norm(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], "url string")
+    return df.select(urls.url_normalize(F.col("url")).alias("n")).first()["n"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # rule 1+2: case + www.
+        ("HTTP://WWW.A.Example.COM/x", "http://a.example.com/x"),
+        # rule 3: default ports stripped, non-default kept
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),
+        ("https://a.com:80/x", "https://a.com:80/x"),  # 80 not https default
+        # rule 4: tracking params out, order of the rest preserved
+        (
+            "http://a.com/x?utm_source=s&b=2&gclid=g&a=1&fbclid=f",
+            "http://a.com/x?b=2&a=1",
+        ),
+        ("http://a.com/x?utm_source=s&utm_campaign=c", "http://a.com/x"),
+        # rule 5: fragment dropped
+        ("http://a.com/x#frag", "http://a.com/x"),
+        # rule 6: empty path -> '/', trailing slash stripped (not root)
+        ("http://a.com", "http://a.com/"),
+        ("http://a.com/", "http://a.com/"),
+        ("http://a.com/x/", "http://a.com/x"),
+        # everything at once
+        (
+            "HTTPS://WWW.B.CO.UK:443/p/q/?id=1&utm_medium=m#top",
+            "https://b.co.uk/p/q?id=1",
+        ),
+    ],
+)
+def test_normalize_contract(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+def test_normalize_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) — canonical forms are
+    fixed points (the property that makes incremental recrawls safe)."""
+    df = _docs_with_urls(spark, "/root/testdata/sf0.001")
+    staged = df.select(urls.url_normalize(F.col("url")).alias("n1"))
+    twice = staged.select(
+        "n1", urls.url_normalize(F.col("n1")).alias("n2")
+    ).filter(F.col("n1") != F.col("n2"))
+    assert twice.count() == 0
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("a.b.site7.co.uk", "site7.co.uk"),
+        ("site7.co.uk", "site7.co.uk"),
+        ("cdn1.site3.org", "site3.org"),
+        ("deep.sub.domain.example.com", "example.com"),
+        ("example.com", "example.com"),
+    ],
+)
+def test_registered_domain(spark, host, expected):
+    df = spark.createDataFrame([(host,)], "h string")
+    got = df.select(urls.registered_domain(F.col("h")).alias("d")).first()["d"]
+    assert got == expected
+
+
+def test_blocklist_not_vacuous(spark):
+    """Every blocklisted domain occurs in the synthesized host space and
+    both verdict classes are populated — the gate genuinely gates."""
+    out = urls.domain_gate(
+        _docs_with_urls(spark, "/root/testdata/sf0.001"), BLOCKLIST
+    )
+    doms = {r["registered_domain"] for r in out.collect()}
+    assert set(BLOCKLIST) <= doms
+    verdicts = out.groupBy("blocked").count().collect()
+    assert len(verdicts) == 2 and all(r["count"] > 0 for r in verdicts)
+
+
+def test_dedup_collapses_id_triples(spark):
+    """Consecutive id-triples are one resource behind three raw
+    variants: interior groups must have n_docs == 3 distinct raw URLs
+    collapsing to one canonical URL."""
+    out = urls.url_exact_dedup(
+        _docs_with_urls(spark, "/root/testdata/sf0.001")
+    ).collect()
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    full = [r for r in out if r["keeper"] + 2 < n_docs]
+    assert full and all(r["n_docs"] == 3 for r in full)
+    assert all(r["n_raw_variants"] == 3 for r in full)
+    # and the collapse is genuine: raw URLs deduped exactly would leave
+    # ~3x more groups
+    assert len(out) * 2 < n_docs
+
+
+def test_gate_family_is_shuffle_free(spark):
+    """The canonicalize/gate path is a pure scan projection — zero
+    Exchanges (the position-zero-on-the-raw-crawl property); the dedup
+    adds exactly one hash-partitioned partial-agg exchange."""
+    docs = _docs_with_urls(spark, "/root/testdata/sf0.001")
+    gate_plan = urls.domain_gate(docs, BLOCKLIST)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in gate_plan
+    # the dedup's count(DISTINCT url) plans as Catalyst's two-phase
+    # distinct aggregate: partial-agg on (norm_url, url), exchange,
+    # merge, exchange on norm_url — exactly two hash exchanges, both
+    # carrying (canonical url, raw url, partial counts) only
+    dedup_plan = urls.url_exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert dedup_plan.count("Exchange hashpartitioning") == 2
+    assert "partial_" in dedup_plan  # map-side combine before the shuffle
+
+
+def test_stream_batch_equivalence(spark):
+    """url_gate_stream is the identical column program as the batch
+    gate — same verdicts on the same rows (batching-invariance is then
+    structural: the program is stateless)."""
+    from gomrjob_spark.streaming.ops import url_gate_stream
+
+    docs = _docs_with_urls(spark, "/root/testdata/sf0.001")
+    batch = {
+        r["doc_id"]: (r["norm_url"], r["blocked"])
+        for r in urls.domain_gate(docs, BLOCKLIST).collect()
+    }
+    # the stream op accepts any DataFrame (stateless projection): feed
+    # the batch frame through the stream operator directly
+    streamed = {
+        r["doc_id"]: (r["norm_url"], r["blocked"])
+        for r in url_gate_stream(docs, BLOCKLIST).collect()
+    }
+    assert batch == streamed
