@@ -1142,6 +1142,296 @@ def trigram_perplexity(
     )
 
 
+#: fixed-point scale for the Kneser-Ney probability arithmetic (2^20 —
+#: the langid/DSIR quantized-log convention; every probability is an
+#: integer in [0, KN_SCALE] and every operation is integer mul/DIV, so
+#: both engines produce identical bits)
+KN_SCALE = 1 << 20
+
+
+def _kn_discount_cols(prefix: str):
+    """Chen-Goodman modified-KN closed-form discounts from a level's
+    counts-of-counts (n1..n4 staged as columns), in fixed point:
+
+      Y  = n1 / (n1 + 2 n2)
+      D1 = 1 - 2 Y n2/n1,  D2 = 2 - 3 Y n3/n2,  D3+ = 3 - 4 Y n4/n3
+
+    each clamped to [0, c] (a discount can never exceed the count it is
+    subtracted from). The closed form is only well-posed when all four
+    counts-of-counts are positive; on degenerate count distributions
+    (e.g. a corpus whose every n-gram repeats — n1 = 0 — or n3 = 0 with
+    n4 > 0, where the raw formula collapses a discount to 0 and the
+    escape mass with it, zeroing unseen-continuation probability) the
+    level falls back to the single classic absolute discount D = 0.75
+    (Ney/Essen/Kneser's canonical constant; exactly what SRILM refuses
+    to estimate and KenLM errors on). All divisions have non-negative
+    operands, so Spark's truncating DIV and DuckDB's flooring // agree."""
+    S = KN_SCALE
+    ok = " AND ".join(f"{prefix}n{k} > 0" for k in (1, 2, 3, 4))
+    fb = 3 * S // 4
+    y = f"(({S} * {prefix}n1) DIV greatest({prefix}n1 + 2 * {prefix}n2, 1))"
+    return [
+        F.expr(
+            f"CASE WHEN {ok} THEN least(greatest({S} - (2 * {y} * {prefix}n2)"
+            f" DIV greatest({prefix}n1, 1), 0), {S}) ELSE {fb} END"
+        ).alias(f"{prefix}d1"),
+        F.expr(
+            f"CASE WHEN {ok} THEN least(greatest({2 * S} - (3 * {y} * {prefix}n3)"
+            f" DIV greatest({prefix}n2, 1), 0), {2 * S}) ELSE {fb} END"
+        ).alias(f"{prefix}d2"),
+        F.expr(
+            f"CASE WHEN {ok} THEN least(greatest({3 * S} - (4 * {y} * {prefix}n4)"
+            f" DIV greatest({prefix}n3, 1), 0), {3 * S}) ELSE {fb} END"
+        ).alias(f"{prefix}d3"),
+    ]
+
+
+def _kn_cc(df, col: str, prefix: str):
+    """One level's counts-of-counts (how many types occur exactly
+    1/2/3/4 times) as a 1-row frame — the sufficient statistic for the
+    modified discounts."""
+    return df.agg(
+        *[
+            F.sum(F.when(F.col(col) == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}n{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated MODIFIED Kneser-Ney trigram perplexity — the actual
+    CCNet/KenLM filter (Chen & Goodman 1999 §3; Heafield 2011), replacing
+    the fixed-backoff-penalty ladder of :func:`trigram_perplexity` with
+    the real thing: count-dependent discounts (D1/D2/D3+ per order from
+    that order's counts-of-counts), CONTINUATION counts at the lower
+    orders (a word's probability of being a novel continuation, not its
+    raw frequency — the insight that makes KN the strongest n-gram
+    smoother), and full interpolation
+
+      p3(w3|w1w2) = max(c3 - D(c3), 0)/c2ctx + gamma(w1w2) * p2(w3|w2)
+      p2(w3|w2)   = max(N1+(.w2w3) - D, 0)/N1+(.w2.) + gamma(w2) * p1(w3)
+      p1(w3)      = max(N1+(.w3) - D, 0)/|bigram types| + gamma1 * 1/(V+1)
+
+    evaluated entirely in fixed-point integers at :data:`KN_SCALE` (every
+    probability an integer in [0, S], every step a mul/DIV — the
+    mix_weights_temperature exactness device), so the WHOLE smoothed
+    model sits under the cross-engine hash gate. Per-token surprisal is
+    the established bit-length device, bits = bitlen(S DIV max(p3, 1)),
+    and a document reports (n_trigrams, total_bits, mbits_per_trigram).
+    Unseen contexts back off a full level (p3 := p2 when (w1,w2) was
+    never seen — the standard interpolated-KN convention); unseen words
+    land on the uniform floor gamma1/(V+1), so every token has nonzero
+    mass and OOV text scores high instead of failing.
+
+    Scale shape (the trigram_perplexity class, one join wider): training
+    is partial-agg shuffles over the reference slice; counts-of-counts
+    and the level-1 globals are 1-ROW frames crossed in as broadcasts
+    (plan-constant — the q22 class, allowlisted); discounts and context
+    escape masses fold into the model tables VOCAB-side at build, so the
+    corpus-sized trigram stream pays exactly five key shuffles (trigram,
+    context, continuation-bigram, context-unigram, continuation-unigram
+    joins — each against a vocabulary-sized table) plus the per-doc
+    aggregate. No driver collect anywhere; the model never leaves the
+    cluster."""
+    S = KN_SCALE
+
+    def _toks(df):
+        return spread(df).select(
+            F.col(id_col),
+            F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
+                "_toks"
+            ),
+        )
+
+    def _triples(staged):
+        idx = F.when(
+            F.size("_toks") >= 3, F.sequence(F.lit(1), F.size("_toks") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return staged.select(
+            F.col(id_col), "_toks", F.explode(idx).alias("_i")
+        ).select(
+            F.col(id_col),
+            F.element_at("_toks", F.col("_i")).alias("w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+            F.element_at("_toks", F.col("_i") + 2).alias("w3"),
+        )
+
+    tr = _toks(train)
+    # ---- level 3: raw trigram counts + per-context discount stats
+    tri = (
+        _triples(tr)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c3"))
+    )
+    ctx2 = tri.groupBy("w1", "w2").agg(
+        F.sum("_c3").cast("bigint").alias("_c2ctx"),
+        F.sum(F.when(F.col("_c3") == 1, 1).otherwise(0)).cast("bigint").alias("_nn1"),
+        F.sum(F.when(F.col("_c3") == 2, 1).otherwise(0)).cast("bigint").alias("_nn2"),
+        F.sum(F.when(F.col("_c3") >= 3, 1).otherwise(0)).cast("bigint").alias("_nn3"),
+    )
+    d3row = _kn_cc(tri, "_c3", "c3").select(*_kn_discount_cols("c3"))
+    # ---- level 2: continuation counts N1+(. w2 w3) (tri rows are
+    # distinct types, so a plain count per (w2, w3) IS the distinct-w1
+    # count) + per-w2 escape stats
+    k2 = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k2")
+    )
+    ctx1 = k2.groupBy("w2").agg(
+        F.sum("_k2").cast("bigint").alias("_kctx2"),
+        F.sum(F.when(F.col("_k2") == 1, 1).otherwise(0)).cast("bigint").alias("_gg1"),
+        F.sum(F.when(F.col("_k2") == 2, 1).otherwise(0)).cast("bigint").alias("_gg2"),
+        F.sum(F.when(F.col("_k2") >= 3, 1).otherwise(0)).cast("bigint").alias("_gg3"),
+    )
+    d2row = _kn_cc(k2, "_k2", "c2").select(*_kn_discount_cols("c2"))
+    # ---- level 1: unigram continuation counts over BIGRAM types
+    bity = (
+        tr.select(
+            F.col(id_col), "_toks",
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
+        )
+        .select(
+            F.element_at("_toks", F.col("_i")).alias("wa"),
+            F.element_at("_toks", F.col("_i") + 1).alias("wb"),
+        )
+        .distinct()
+    )
+    k1 = bity.groupBy("wb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k1")
+    )
+    d1row = _kn_cc(k1, "_k1", "c1").select(*_kn_discount_cols("c1"))
+    vrow = (
+        tr.select(F.explode("_toks").alias("w"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_V"))
+    )
+    glob = (
+        k1.agg(
+            F.sum("_k1").cast("bigint").alias("_bk1"),
+            F.sum(F.when(F.col("_k1") == 1, 1).otherwise(0)).cast("bigint").alias("_h1"),
+            F.sum(F.when(F.col("_k1") == 2, 1).otherwise(0)).cast("bigint").alias("_h2"),
+            F.sum(F.when(F.col("_k1") >= 3, 1).otherwise(0)).cast("bigint").alias("_h3"),
+        )
+        .crossJoin(F.broadcast(d1row))
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "_bk1",
+            F.expr(
+                "(c1d1 * _h1 + c1d2 * _h2 + c1d3 * _h3) DIV greatest(_bk1, 1)"
+            ).cast("bigint").alias("_gamma1"),
+            F.expr(f"{S} DIV (_V + 1)").cast("bigint").alias("_p0"),
+        )
+    )
+    # ---- fold discounts + escapes into vocab-sized model tables
+    p1m = (
+        k1.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(d1row))
+        .select(
+            F.col("wb").alias("w3"),
+            F.expr(
+                f"greatest(_k1 * {S} - CASE WHEN _k1 = 1 THEN c1d1"
+                f" WHEN _k1 = 2 THEN c1d2 ELSE c1d3 END, 0)"
+                f" DIV greatest(_bk1, 1) + (_gamma1 * _p0) DIV {S}"
+            ).cast("bigint").alias("_p1"),
+        )
+    )
+    ctx1m = ctx1.crossJoin(F.broadcast(d2row)).select(
+        "w2", "_kctx2",
+        F.expr(
+            "(c2d1 * _gg1 + c2d2 * _gg2 + c2d3 * _gg3)"
+            " DIV greatest(_kctx2, 1)"
+        ).cast("bigint").alias("_gamma2"),
+    )
+    p2m = (
+        k2.join(ctx1m.select("w2", F.col("_kctx2").alias("_kc")), "w2")
+        .crossJoin(F.broadcast(d2row))
+        .select(
+            "w2", "w3",
+            F.expr(
+                f"greatest(_k2 * {S} - CASE WHEN _k2 = 1 THEN c2d1"
+                f" WHEN _k2 = 2 THEN c2d2 ELSE c2d3 END, 0)"
+                f" DIV greatest(_kc, 1)"
+            ).cast("bigint").alias("_p2base"),
+        )
+    )
+    ctx2m = ctx2.crossJoin(F.broadcast(d3row)).select(
+        "w1", "w2", "_c2ctx",
+        F.expr(
+            "(c3d1 * _nn1 + c3d2 * _nn2 + c3d3 * _nn3)"
+            " DIV greatest(_c2ctx, 1)"
+        ).cast("bigint").alias("_gamma3"),
+    )
+    trim = (
+        tri.join(
+            ctx2m.select("w1", "w2", F.col("_c2ctx").alias("_cc")),
+            ["w1", "w2"],
+        )
+        .crossJoin(F.broadcast(d3row))
+        .select(
+            "w1", "w2", "w3",
+            F.expr(
+                f"greatest(_c3 * {S} - CASE WHEN _c3 = 1 THEN c3d1"
+                f" WHEN _c3 = 2 THEN c3d2 ELSE c3d3 END, 0)"
+                f" DIV greatest(_cc, 1)"
+            ).cast("bigint").alias("_p3base"),
+        )
+    )
+    # ---- score the corpus: five vocab-sized key joins, then row-local
+    # fixed-point interpolation bottom-up
+    scored = (
+        _triples(_toks(docs))
+        .join(trim, ["w1", "w2", "w3"], "left")
+        .join(ctx2m, ["w1", "w2"], "left")
+        .join(p2m, ["w2", "w3"], "left")
+        .join(ctx1m, ["w2"], "left")
+        .join(p1m, ["w3"], "left")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "_p1f", F.expr(f"coalesce(_p1, (_gamma1 * _p0) DIV {S})")
+        )
+        .withColumn(
+            "_p2f",
+            F.expr(
+                f"CASE WHEN _kctx2 IS NULL THEN _p1f"
+                f" ELSE coalesce(_p2base, 0) + (_gamma2 * _p1f) DIV {S} END"
+            ),
+        )
+        .withColumn(
+            "_p3f",
+            F.expr(
+                f"CASE WHEN _c2ctx IS NULL THEN _p2f"
+                f" ELSE coalesce(_p3base, 0) + (_gamma3 * _p2f) DIV {S} END"
+            ),
+        )
+    )
+    bits = F.length(
+        F.conv(F.expr(f"{S} DIV greatest(_p3f, 1)").cast("string"), 10, 2)
+    )
+    return (
+        scored.select(F.col(id_col), bits.cast("bigint").alias("_bits"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("_bits").cast("bigint").alias("total_bits"),
+        )
+        .withColumn(
+            "mbits_per_trigram",
+            F.expr("(1000 * total_bits) DIV n_trigrams").cast("bigint"),
+        )
+    )
+
+
 # ------------------------------------------------ unigram LM tokenizer
 # SentencePiece-style unigram language-model tokenizer (Kudo 2018,
 # arXiv:1804.10959) — the OTHER production tokenizer family next to

@@ -3811,6 +3811,198 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.trigram_perplexity(docs, train).orderBy("doc_id")
 
 
+def _kn_oracle() -> str:
+    """Modified-KN oracle: the full Chen-Goodman replay as chained
+    MATERIALIZED CTEs (the BPE-oracle rule — every multiply-referenced
+    stage materialized once). ``dl1/dl2/dl3`` are the per-level
+    discount rows; the probability chain mirrors operators/text.py
+    kn_perplexity integer-for-integer."""
+    S = 1 << 20  # text.KN_SCALE
+
+    def disc(cc: str) -> str:
+        # closed form when all four counts-of-counts are positive, else
+        # the 0.75 absolute-discount fallback (operators/text.py
+        # _kn_discount_cols documents why)
+        ok = "n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0"
+        fb = 3 * S // 4
+        y = f"({S} * n1) // greatest(n1 + 2 * n2, 1)"
+        return f"""(
+      SELECT CASE WHEN {ok} THEN least(greatest({S} - (2 * y * n2)
+               // greatest(n1, 1), 0), {S}) ELSE {fb} END AS d1,
+             CASE WHEN {ok} THEN least(greatest({2 * S} - (3 * y * n3)
+               // greatest(n2, 1), 0), {2 * S}) ELSE {fb} END AS d2,
+             CASE WHEN {ok} THEN least(greatest({3 * S} - (4 * y * n4)
+               // greatest(n3, 1), 0), {3 * S}) ELSE {fb} END AS d3
+      FROM (SELECT n1, n2, n3, n4, {y} AS y FROM {cc})
+    )"""
+
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tr AS MATERIALIZED (SELECT doc_id, w FROM norm WHERE doc_id % 5 = 0),
+    tg AS MATERIALIZED (
+      SELECT t.w[i] AS w1, t.w[i+1] AS w2, t.w[i+2] AS w3,
+             CAST(count(*) AS BIGINT) AS c3
+      FROM tr t, unnest(generate_series(1, len(t.w) - 2)) s(i)
+      GROUP BY 1, 2, 3
+    ),
+    ctx2 AS MATERIALIZED (
+      SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx,
+             CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+             CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+             CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nn3
+      FROM tg GROUP BY 1, 2
+    ),
+    cc3 AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM tg
+    ),
+    dl3 AS MATERIALIZED {disc('cc3')},
+    k2 AS MATERIALIZED (
+      SELECT w2, w3, CAST(count(*) AS BIGINT) AS k2 FROM tg GROUP BY 1, 2
+    ),
+    ctx1 AS MATERIALIZED (
+      SELECT w2, CAST(sum(k2) AS BIGINT) AS kctx2,
+             CAST(sum(CASE WHEN k2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS gg1,
+             CAST(sum(CASE WHEN k2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS gg2,
+             CAST(sum(CASE WHEN k2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS gg3
+      FROM k2 GROUP BY 1
+    ),
+    cc2 AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN k2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN k2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN k2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN k2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM k2
+    ),
+    dl2 AS MATERIALIZED {disc('cc2')},
+    bity AS MATERIALIZED (
+      SELECT DISTINCT t.w[i] AS wa, t.w[i+1] AS wb
+      FROM tr t, unnest(generate_series(1, len(t.w) - 1)) s(i)
+    ),
+    k1 AS MATERIALIZED (
+      SELECT wb, CAST(count(*) AS BIGINT) AS k1 FROM bity GROUP BY 1
+    ),
+    cc1 AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN k1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN k1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN k1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN k1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM k1
+    ),
+    dl1 AS MATERIALIZED {disc('cc1')},
+    vz AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT t.w[i]) AS BIGINT) AS v
+      FROM tr t, unnest(generate_series(1, len(t.w))) s(i)
+    ),
+    gstats AS MATERIALIZED (
+      SELECT g.bk1,
+             (d.d1 * g.h1 + d.d2 * g.h2 + d.d3 * g.h3)
+               // greatest(g.bk1, 1) AS gamma1,
+             {S} // (vz.v + 1) AS p0
+      FROM (SELECT CAST(sum(k1) AS BIGINT) AS bk1,
+                   CAST(sum(CASE WHEN k1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                   CAST(sum(CASE WHEN k1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                   CAST(sum(CASE WHEN k1 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+            FROM k1) g, dl1 d, vz
+    ),
+    p1m AS MATERIALIZED (
+      SELECT k.wb AS w3,
+             greatest(k.k1 * {S} - CASE WHEN k.k1 = 1 THEN d.d1
+                      WHEN k.k1 = 2 THEN d.d2 ELSE d.d3 END, 0)
+               // greatest(g.bk1, 1)
+               + (g.gamma1 * g.p0) // {S} AS p1
+      FROM k1 k, dl1 d, gstats g
+    ),
+    ctx1m AS MATERIALIZED (
+      SELECT c.w2, c.kctx2,
+             (d.d1 * c.gg1 + d.d2 * c.gg2 + d.d3 * c.gg3)
+               // greatest(c.kctx2, 1) AS gamma2
+      FROM ctx1 c, dl2 d
+    ),
+    p2m AS MATERIALIZED (
+      SELECT k.w2, k.w3,
+             greatest(k.k2 * {S} - CASE WHEN k.k2 = 1 THEN d.d1
+                      WHEN k.k2 = 2 THEN d.d2 ELSE d.d3 END, 0)
+               // greatest(c.kctx2, 1) AS p2base
+      FROM k2 k JOIN ctx1 c ON c.w2 = k.w2, dl2 d
+    ),
+    ctx2m AS MATERIALIZED (
+      SELECT c.w1, c.w2, c.c2ctx,
+             (d.d1 * c.nn1 + d.d2 * c.nn2 + d.d3 * c.nn3)
+               // greatest(c.c2ctx, 1) AS gamma3
+      FROM ctx2 c, dl3 d
+    ),
+    tri3 AS MATERIALIZED (
+      SELECT t.w1, t.w2, t.w3,
+             greatest(t.c3 * {S} - CASE WHEN t.c3 = 1 THEN d.d1
+                      WHEN t.c3 = 2 THEN d.d2 ELSE d.d3 END, 0)
+               // greatest(c.c2ctx, 1) AS p3base
+      FROM tg t JOIN ctx2 c ON c.w1 = t.w1 AND c.w2 = t.w2, dl3 d
+    ),
+    prs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+      FROM norm, unnest(generate_series(1, len(w) - 2)) s(i)
+    ),
+    s0 AS (
+      SELECT p.doc_id,
+             coalesce(p1m.p1, (g.gamma1 * g.p0) // {S}) AS p1f,
+             c1.kctx2, p2m.p2base, c1.gamma2,
+             c2.c2ctx, t3.p3base, c2.gamma3
+      FROM prs p
+      LEFT JOIN tri3 t3 ON t3.w1 = p.w1 AND t3.w2 = p.w2 AND t3.w3 = p.w3
+      LEFT JOIN ctx2m c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+      LEFT JOIN p2m ON p2m.w2 = p.w2 AND p2m.w3 = p.w3
+      LEFT JOIN ctx1m c1 ON c1.w2 = p.w2
+      LEFT JOIN p1m ON p1m.w3 = p.w3
+      CROSS JOIN gstats g
+    ),
+    s1 AS (
+      SELECT doc_id, c2ctx, p3base, gamma3,
+             CASE WHEN kctx2 IS NULL THEN p1f
+                  ELSE coalesce(p2base, 0) + (gamma2 * p1f) // {S} END AS p2f
+      FROM s0
+    ),
+    s2 AS (
+      SELECT doc_id,
+             length(bin({S} // greatest(
+               CASE WHEN c2ctx IS NULL THEN p2f
+                    ELSE coalesce(p3base, 0) + (gamma3 * p2f) // {S} END,
+               1))) AS bits
+      FROM s1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mbits_per_trigram
+    FROM s2 GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("text_kn_perplexity", oracle=_kn_oracle())
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated modified Kneser-Ney trigram perplexity
+    (operators.text.kn_perplexity) — the ACTUAL CCNet/KenLM curation
+    filter, upgrading the fixed-penalty backoff ladder of
+    text_trigram_perplexity to the real smoother: count-of-count
+    derived discounts D1/D2/D3+ per order (Chen & Goodman's closed
+    form in fixed point at 2^20), continuation counts at the lower
+    orders, and full interpolation — all exact integer arithmetic, so
+    the COMPLETE smoothed model (discount estimation included) sits
+    under the cross-engine hash gate; the oracle replays every stage
+    as materialized CTEs. The separation property (natural word order
+    scores strictly below shuffled) is pinned in
+    tests/test_kn_perplexity.py, where the fixture's bag-of-words text
+    cannot show it."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.kn_perplexity(docs, train).orderBy("doc_id")
+
+
 @query(
     "dedup_title_edit1",
     oracle=f"""

@@ -209,6 +209,12 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # model broadcast (gram -> aligned
                                     # weight arrays) the row-local
                                     # scorer folds over
+        "text_kn_perplexity",       # 1-row counts-of-counts discount
+                                    # frames (3 levels) + the 1-row
+                                    # level-1 globals crossed into the
+                                    # model tables and the scored
+                                    # stream (the q22 global-scalar
+                                    # class; all plan-constant)
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
