@@ -770,7 +770,16 @@ def bpe_train_merges(
             lambda x: x != "",
         ).alias("toks")
     )
-    cur = scoped_persist(toks0)
+    return _bpe_round_loop(toks0, n_merges)
+
+
+def _bpe_round_loop(sym0: DataFrame, n_merges: int) -> DataFrame:
+    """The BPE training loop over any frame of symbol arrays (column
+    ``toks``) — shared verbatim by the whitespace-token trainer above
+    and the byte-level trainer (:func:`byte_bpe_train_merges`), so both
+    granularities pin the SAME pair-count / winner-pick / greedy-merge
+    semantics by construction."""
+    cur = scoped_persist(sym0)
     merges = None
     for r in range(1, n_merges + 1):
         idx = F.when(
@@ -866,6 +875,156 @@ def bpe_apply(
             F.col("_toks"),
             lambda acc, m: _greedy_merge_fold(acc, m["w1"], m["w2"]),
         ).alias("toks"),
+    )
+
+
+# ------------------------------------------------ byte-level BPE
+# GPT-2-style byte-level BPE (Radford et al. 2019; the tokenizer family
+# GPT-2/3/4, RoBERTa, and Llama-3 use): text is first split by a
+# pretokenizer whose tokens CARRY their leading space, then each
+# pretoken's UTF-8 BYTES map through a fixed byte-to-unicode table to
+# printable stand-in characters, and BPE merges run over those mapped
+# byte symbols WITHIN pretokens only. Byte-level means no OOV ever:
+# any string — any script, any emoji, binary junk — tokenizes.
+
+#: simplified GPT-2 pretokenizer over NORMALIZED text (lowercased,
+#: single-spaced): a token is an optional leading space + a letter run /
+#: digit run / punctuation run. The upstream contractions branch
+#: ('s|'t|...) and the \\s+(?!\\S) lookahead are dropped — the lookahead
+#: does not exist in RE2 (the oracle engine), and normalization already
+#: collapses the whitespace runs it exists to handle.
+BYTE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def byte_pretokens(col: Column | str) -> Column:
+    """GPT-2-style pretokens of normalized text, leading spaces
+    attached (array<string>)."""
+    return F.regexp_extract_all(
+        normalized(col), F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+    )
+
+
+def _byte_to_unicode_char(b: str) -> str:
+    """SQL expression mapping a UTF-8 byte value (int expression ``b``)
+    to its GPT-2 byte-to-unicode stand-in character. Printable,
+    non-space bytes (33-126, 161-172, 174-255) map to their own
+    codepoint; the 68 others (controls, space, DEL, 0x7f-0xa0, 0xad)
+    map to 256+rank in byte order — exactly the public GPT-2
+    bytes_to_unicode() table. Spark's chr() truncates mod 256, so the
+    character is materialized via its UTF-8 bytes (unhex + decode);
+    every codepoint here is < 0x800, i.e. at most 2 UTF-8 bytes."""
+    cp = (
+        f"(CASE WHEN ({b} BETWEEN 33 AND 126) OR ({b} BETWEEN 161 AND 172)"
+        f" OR ({b} >= 174) THEN {b}"
+        f" WHEN {b} <= 32 THEN 256 + {b}"
+        f" WHEN {b} <= 160 THEN 289 + ({b} - 127)"
+        f" ELSE 323 END)"
+    )
+    return (
+        f"CASE WHEN {cp} < 128 THEN decode(unhex(lpad(conv({cp}, 10, 16), 2, '0')), 'UTF-8')"
+        f" ELSE decode(unhex(concat("
+        f"lpad(conv(192 + ({cp} DIV 64), 10, 16), 2, '0'),"
+        f"lpad(conv(128 + ({cp} % 64), 10, 16), 2, '0'))), 'UTF-8') END"
+    )
+
+
+def _byte_symbols_expr() -> Column:
+    """Initial BPE symbol array of a pretoken whose UTF-8 hex is staged
+    in column ``_hx``: one mapped stand-in character per byte. The hex
+    staging keeps the byte extraction a cheap substr inside the
+    transform lambda (the no-CSE-in-HOFs rule); multi-byte UTF-8
+    characters contribute one symbol PER BYTE — merges may later rejoin
+    them (pinned in tests/test_byte_bpe.py)."""
+    b = "CAST(conv(substr(_hx, 2 * i - 1, 2), 16, 10) AS INT)"
+    return F.expr(
+        f"transform(sequence(1, CAST(length(_hx) AS INT) DIV 2),"
+        f" i -> {_byte_to_unicode_char(b)})"
+    )
+
+
+def _byte_symbol_frame(docs: DataFrame, text_col: str, id_col: str | None):
+    """(id?, pretoken-index, toks) rows — one row per pretoken, symbols
+    byte-mapped. The unit of BPE work at byte level is the PRETOKEN
+    (merges never cross pretoken boundaries), so the pretokens explode
+    to rows and the shared round loop / merge fold applies unchanged."""
+    cols = [F.col(id_col)] if id_col else []
+    staged = spread(docs).select(
+        *cols,
+        F.posexplode(byte_pretokens(text_col)).alias("_pt_i", "_pt"),
+    ).withColumn("_hx", F.hex(F.encode(F.col("_pt"), "utf-8")))
+    out_cols = ([F.col(id_col)] if id_col else []) + [
+        F.col("_pt_i"),
+        _byte_symbols_expr().alias("toks"),
+    ]
+    return staged.select(*out_cols)
+
+
+def byte_bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level BPE training: the SAME round loop as the
+    whitespace-token trainer (:func:`_bpe_round_loop` — pair counts,
+    deterministic winner, greedy left-to-right merge fold), fed
+    byte-mapped pretoken symbol arrays instead of word arrays. Returns
+    (round, w1, w2, n_pair) where the symbols are GPT-2 stand-in
+    characters (merged symbols 0x02-joined, the house convention; a
+    0x02 BYTE maps to codepoint 258, so no input byte can collide with
+    the join marker by construction)."""
+    return _bpe_round_loop(
+        _byte_symbol_frame(docs, text_col, None).select("toks"), n_merges
+    )
+
+
+def byte_bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a TRAINED byte-level merge table: the
+    merge table collapses to the same ONE-ROW broadcast as
+    :func:`bpe_apply` (round-ordered struct array, merge-table-invariant
+    codegen), each pretoken's byte symbols replay every merge with the
+    shared greedy fold, and the per-pretoken results reassemble into
+    one (id, toks) row per document (sorted by pretoken position —
+    sort_array on the struct, a row-local op after the single groupBy
+    shuffle). Documents whose text yields no pretokens (empty/NULL)
+    come back as empty arrays via the left join."""
+    mrow = merges.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("round", "w1", "w2"))).alias(
+            "_bpe_merges"
+        )
+    )
+    per_pt = (
+        _byte_symbol_frame(docs, text_col, id_col)
+        .join(F.broadcast(mrow))
+        .select(
+            F.col(id_col),
+            "_pt_i",
+            F.aggregate(
+                "_bpe_merges",
+                F.col("toks"),
+                lambda acc, m: _greedy_merge_fold(acc, m["w1"], m["w2"]),
+            ).alias("toks"),
+        )
+    )
+    assembled = per_pt.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pt_i", "toks"))),
+                lambda s: s["toks"],
+            )
+        ).alias("toks")
+    )
+    return (
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("toks", F.array().cast("array<string>")).alias("toks"),
+        )
     )
 
 

@@ -3445,50 +3445,53 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).orderBy("node")
 
 
-def _bpe_round_sql(i: int) -> str:
+def _bpe_round_sql(i: int, key: str = "doc_id", pfx: str = "") -> str:
     """One BPE round as chained CTEs: count pairs, pick the winner,
     select greedy non-overlapping merge sites via the window-island
-    parity trick, rebuild each doc's symbol list."""
-    prev = f"c{i - 1}"
+    parity trick, rebuild each unit's symbol list. ``key``/``pfx``
+    parameterize the unit of work: the word-level chain merges within
+    DOCUMENTS (key=doc_id), the byte-level chain within PRETOKENS
+    (key=uid, pfx='b') — same algebra, one implementation."""
+    prev = f"{pfx}c{i - 1}"
     return f"""
-    p{i} AS MATERIALIZED (
+    {pfx}p{i} AS MATERIALIZED (
       SELECT t.toks[s.i] AS w1, t.toks[s.i + 1] AS w2, count(*) AS n
       FROM {prev} t, unnest(generate_series(1, len(t.toks) - 1)) AS s(i)
       GROUP BY 1, 2
     ),
-    top{i} AS MATERIALIZED (SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1),
-    m{i} AS MATERIALIZED (
-      SELECT t.doc_id, s.i AS pos, t.toks[s.i] AS tok,
-             CASE WHEN t.toks[s.i] = (SELECT w1 FROM top{i})
-                   AND t.toks[s.i + 1] = (SELECT w2 FROM top{i})
+    {pfx}top{i} AS MATERIALIZED (SELECT w1, w2, n FROM {pfx}p{i} ORDER BY n DESC, w1, w2 LIMIT 1),
+    {pfx}m{i} AS MATERIALIZED (
+      SELECT t.{key}, s.i AS pos, t.toks[s.i] AS tok,
+             CASE WHEN t.toks[s.i] = (SELECT w1 FROM {pfx}top{i})
+                   AND t.toks[s.i + 1] = (SELECT w2 FROM {pfx}top{i})
                   THEN 1 ELSE 0 END AS mt
       FROM {prev} t, unnest(generate_series(1, len(t.toks))) AS s(i)
     ),
-    isl{i} AS MATERIALIZED (
-      SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-      FROM m{i} WHERE mt = 1
+    {pfx}isl{i} AS MATERIALIZED (
+      SELECT {key}, pos,
+             pos - row_number() OVER (PARTITION BY {key} ORDER BY pos) AS isl
+      FROM {pfx}m{i} WHERE mt = 1
     ),
-    sel{i} AS MATERIALIZED (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos,
-               (pos - min(pos) OVER (PARTITION BY doc_id, isl)) % 2 AS par
-        FROM isl{i}
+    {pfx}sel{i} AS MATERIALIZED (
+      SELECT {key}, pos FROM (
+        SELECT {key}, pos,
+               (pos - min(pos) OVER (PARTITION BY {key}, isl)) % 2 AS par
+        FROM {pfx}isl{i}
       ) WHERE par = 0
     ),
-    c{i} AS MATERIALIZED (
-      SELECT doc_id, list(newtok ORDER BY pos) AS toks
+    {pfx}c{i} AS MATERIALIZED (
+      SELECT {key}, list(newtok ORDER BY pos) AS toks
       FROM (
-        SELECT m.doc_id, m.pos,
+        SELECT m.{key}, m.pos,
                CASE WHEN st.pos IS NOT NULL
-                      THEN (SELECT w1 || chr(2) || w2 FROM top{i})
+                      THEN (SELECT w1 || chr(2) || w2 FROM {pfx}top{i})
                     WHEN sn.pos IS NOT NULL THEN NULL
                     ELSE m.tok END AS newtok
-        FROM m{i} m
-        LEFT JOIN sel{i} st ON st.doc_id = m.doc_id AND st.pos = m.pos
-        LEFT JOIN sel{i} sn ON sn.doc_id = m.doc_id AND sn.pos + 1 = m.pos
+        FROM {pfx}m{i} m
+        LEFT JOIN {pfx}sel{i} st ON st.{key} = m.{key} AND st.pos = m.pos
+        LEFT JOIN {pfx}sel{i} sn ON sn.{key} = m.{key} AND sn.pos + 1 = m.pos
       ) WHERE newtok IS NOT NULL
-      GROUP BY doc_id
+      GROUP BY {key}
     )"""
 
 
@@ -3578,6 +3581,107 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_bpe_tokens"),
+        F.concat_ws("\x01", "toks").alias("encoded"),
+    ).orderBy("doc_id")
+
+
+#: byte-level BPE round replay: the SAME parameterized round CTEs as the
+#: word-level chain, keyed on uid = doc_id*1e6 + pretoken-index (merges
+#: never cross pretoken boundaries — the GPT-2 rule). bc0 maps every
+#: pretoken's UTF-8 bytes through the public bytes_to_unicode table
+#: (printables to themselves; the 68 others to 256+rank), recomputed
+#: here byte-for-byte from hex so the gate covers the table too.
+_BBPE_CHAIN = (
+    f"""
+    WITH bpt AS MATERIALIZED (
+      SELECT doc_id, doc_id * 1000000 + j AS uid, hex(pts[j]) AS hx
+      FROM (SELECT doc_id,
+                   regexp_extract_all({_SQL_NORM},
+                     ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pts
+            FROM documents),
+           unnest(generate_series(1, len(pts))) s(j)
+    ),
+    bc0 AS MATERIALIZED (
+      SELECT uid,
+        list_transform(
+          list_transform(generate_series(1, CAST(length(hx) AS BIGINT) // 2),
+                         i -> ('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2))::INT),
+          b -> chr(CASE WHEN (b BETWEEN 33 AND 126)
+                          OR (b BETWEEN 161 AND 172) OR (b >= 174) THEN b
+                        WHEN b <= 32 THEN 256 + b
+                        WHEN b <= 160 THEN 289 + (b - 127)
+                        ELSE 323 END)) AS toks
+      FROM bpt
+    ),"""
+    + ",".join(
+        _bpe_round_sql(i, key="uid", pfx="b")
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query(
+    "text_byte_bpe_train",
+    oracle=_BBPE_CHAIN
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, w1, w2, CAST(n AS BIGINT) AS n_pair FROM btop{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round",
+)
+def text_byte_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE training (operators.text.byte_bpe_train_merges) —
+    the GPT-2/RoBERTa/Llama-3 tokenizer family: pretokens carry their
+    leading space, every UTF-8 byte maps through the public GPT-2
+    bytes_to_unicode table to a printable stand-in (space = Ġ, U+0120),
+    and merges run within pretokens only — so NOTHING is ever OOV. The
+    merge machinery is the word-level trainer's round loop VERBATIM
+    (shared _bpe_round_loop / _greedy_merge_fold), fed per-pretoken
+    byte-symbol arrays; the oracle reuses the same parameterized round
+    CTEs keyed on pretoken uid and recomputes the byte table from hex,
+    so table + pretokenizer + every merge round sit under one hash
+    gate. UTF-8 safety (multi-byte characters split across symbols and
+    rejoined by merges, byte-exact round-trip) is pinned in
+    tests/test_byte_bpe.py — the fixture is ASCII, so the gate alone
+    cannot show it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.byte_bpe_train_merges(docs, n_merges=_BPE_ROUNDS).orderBy(
+        "round"
+    )
+
+
+@query(
+    "text_byte_bpe_encode",
+    oracle=_BBPE_CHAIN
+    + f""",
+    bfin AS MATERIALIZED (
+      SELECT uid // 1000000 AS doc_id,
+             flatten(list(toks ORDER BY uid)) AS toks
+      FROM bc{_BPE_ROUNDS} GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(f.toks), 0) AS BIGINT) AS n_byte_tokens,
+           coalesce(array_to_string(f.toks, chr(1)), '') AS encoded
+    FROM documents d LEFT JOIN bfin f ON f.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE APPLY (operators.text.byte_bpe_apply): train the
+    5-round byte merge table, then encode every document — the merge
+    table is the same ONE-ROW broadcast fold as word-level bpe_apply
+    (merge-table-invariant codegen: a 50k-merge production vocabulary
+    compiles to this exact plan), applied per PRETOKEN and reassembled
+    per document by pretoken position. The FULL encoded corpus is
+    hash-gated against the SQL round replay; empty documents encode to
+    '' via the left join on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.byte_bpe_train_merges(docs, n_merges=_BPE_ROUNDS)
+    enc = text.byte_bpe_apply(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_byte_tokens"),
         F.concat_ws("\x01", "toks").alias("encoded"),
     ).orderBy("doc_id")
 

@@ -155,6 +155,11 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "text_bpe_encode",          # same per-round winners + the 1-row
                                     # merge-TABLE broadcast bpe_apply
                                     # folds over (model-sized by def.)
+        "text_byte_bpe_train",      # same 1-row winning-pair broadcast
+                                    # per round (shared _bpe_round_loop)
+        "text_byte_bpe_encode",     # same per-round winners + the
+                                    # 1-row merge-table broadcast
+                                    # byte_bpe_apply folds over
         "pack_bpe_batches",         # same (trains + applies, then the
                                     # pack's broadcast is an equi join)
         "mixture_bpe_weights",      # same
