@@ -4904,3 +4904,247 @@ def video_scene_cuts(
         hashed.select(F.col(id_col), F.col(frame_col), ham.alias("hamming"))
         .filter(F.col("hamming") >= min_hamming)
     )
+
+
+# ----------------------------------------------------- EXIF / TIFF APP1
+# Real image curation reads EXIF before pixels: orientation decides the
+# rotate-at-ingest step, declared dimensions gate size filters without a
+# decode, camera model feeds source statistics. EXIF is a TIFF structure
+# (TIFF 6.0 + JEITA CP-3451 Exif, both public specs) embedded in a JPEG
+# APP1 segment: 'Exif\0\0' + TIFF header (byte order 'II'/'MM', magic
+# 42, IFD0 offset) + chained IFDs of 12-byte entries
+# (tag, type, count, value-or-offset). Both endiannesses are decoded;
+# the writer twin (insert_exif_app1) makes the walk closed-loop so the
+# registered query sits under the full hash gate — the codec-family
+# pattern.
+
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+
+
+def _build_tiff_exif(
+    byte_order: str,
+    width: int,
+    height: int,
+    orientation: int,
+    xres: tuple[int, int],
+    model: str,
+    iso: int,
+) -> bytes:
+    """Minimal two-IFD TIFF: IFD0 (dims, model, orientation, XResolution,
+    ExifIFD pointer) + the Exif sub-IFD (ExifVersion, ISO). Entries are
+    tag-ascending as TIFF 6.0 §2 requires; out-of-line values (the
+    RATIONAL, the model string when > 4 bytes) land in a data area
+    between the IFDs."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte order {byte_order!r} not II/MM")
+    e = "<" if byte_order == "II" else ">"
+    model_b = model.encode("ascii") + b"\x00"
+
+    ifd0_off = 8
+    n0 = 6
+    ifd0_size = 2 + n0 * 12 + 4
+    data_off = ifd0_off + ifd0_size          # xres rational lives here
+    model_off = data_off + 8
+    model_ext = len(model_b) if len(model_b) > 4 else 0
+    exif_off = model_off + model_ext + (model_ext % 2)
+    n1 = 2
+    exif_size = 2 + n1 * 12 + 4
+    ver_b = b"0232"
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + value.ljust(4, b"\x00")
+
+    def short(v: int) -> bytes:
+        return struct.pack(e + "H", v)
+
+    def longv(v: int) -> bytes:
+        return struct.pack(e + "I", v)
+
+    ifd0 = struct.pack(e + "H", n0)
+    ifd0 += entry(0x0100, 3, 1, short(width))
+    ifd0 += entry(0x0101, 3, 1, short(height))
+    if model_ext:
+        ifd0 += entry(0x0110, 2, len(model_b), longv(model_off))
+    else:
+        ifd0 += entry(0x0110, 2, len(model_b), model_b)
+    ifd0 += entry(0x0112, 3, 1, short(orientation))
+    ifd0 += entry(0x011A, 5, 1, longv(data_off))
+    ifd0 += entry(0x8769, 4, 1, longv(exif_off))
+    ifd0 += struct.pack(e + "I", 0)  # no IFD1
+
+    data = struct.pack(e + "II", xres[0], xres[1])
+    if model_ext:
+        data += model_b
+        if model_ext % 2:
+            data += b"\x00"
+
+    exif_ifd = struct.pack(e + "H", n1)
+    exif_ifd += entry(0x8827, 3, 1, short(iso))
+    exif_ifd += entry(0x9000, 7, 4, ver_b)
+    exif_ifd += struct.pack(e + "I", 0)
+
+    header = (byte_order.encode("ascii") + struct.pack(e + "H", 42)
+              + struct.pack(e + "I", ifd0_off))
+    return header + ifd0 + data + exif_ifd
+
+
+def insert_exif_app1(
+    jpeg: bytes,
+    byte_order: str = "II",
+    width: int = 0,
+    height: int = 0,
+    orientation: int = 1,
+    xres: tuple[int, int] = (72, 1),
+    model: str = "cam",
+    iso: int = 100,
+) -> bytes:
+    """Writer twin: splice an APP1 Exif segment directly after SOI of an
+    existing JPEG stream (where every real camera puts it). The segment
+    length is big-endian per the JPEG marker rule REGARDLESS of the TIFF
+    byte order inside — the classic implementation trap, pinned in
+    tests/test_exif.py."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    tiff = _build_tiff_exif(
+        byte_order, width, height, orientation, xres, model, iso
+    )
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def decode_exif(payload: bytes) -> dict:
+    """Walk the JPEG marker stream to APP1/'Exif\\0\\0' and parse the
+    TIFF inside: both byte orders, IFD0 + the 0x8769 Exif sub-IFD,
+    SHORT/LONG/ASCII/RATIONAL value decoding with full bounds checks.
+    Returns {byte_order, exif_w, exif_h, orientation, xres_num,
+    xres_den, model, iso, n_ifd0}. Raises ValueError (with a precise
+    malformation class) on: missing APP1/Exif, bad byte-order mark, bad
+    TIFF magic, an IFD or out-of-line value running past the segment —
+    the malformed-IFD classes a crawl actually serves up."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos, tiff = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost in APP1 walk")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy data, no EXIF past here
+            break
+        seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        raise ValueError("no APP1 Exif segment before SOS")
+
+    bo = tiff[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"bad TIFF byte-order mark {bo!r}")
+    if len(tiff) < 8 or struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic (want 42)")
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, bytes]]:
+        if off + 2 > len(tiff):
+            raise ValueError("IFD offset past segment end")
+        (n,) = struct.unpack(e + "H", tiff[off:off + 2])
+        end = off + 2 + n * 12 + 4
+        if end > len(tiff):
+            raise ValueError("truncated IFD (entries past segment end)")
+        out = {}
+        for k in range(n):
+            ent = tiff[off + 2 + 12 * k:off + 2 + 12 * (k + 1)]
+            tag, typ, count = struct.unpack(e + "HHI", ent[:8])
+            size = _EXIF_TYPE_SIZES.get(typ, 1) * count
+            if size <= 4:
+                raw = ent[8:8 + size]
+            else:
+                (voff,) = struct.unpack(e + "I", ent[8:12])
+                if voff + size > len(tiff):
+                    raise ValueError("IFD value offset past segment end")
+                raw = tiff[voff:voff + size]
+            out[tag] = (typ, count, raw)
+        return out
+
+    def scalar(tag_val) -> int:
+        typ, _count, raw = tag_val
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.unpack(e + fmt, raw[:_EXIF_TYPE_SIZES[typ]])[0]
+
+    (ifd0_off,) = struct.unpack(e + "I", tiff[4:8])
+    ifd0 = read_ifd(ifd0_off)
+    out = {
+        "byte_order": bo.decode("ascii"),
+        "n_ifd0": len(ifd0),
+        "exif_w": scalar(ifd0[0x0100]) if 0x0100 in ifd0 else None,
+        "exif_h": scalar(ifd0[0x0101]) if 0x0101 in ifd0 else None,
+        "orientation": scalar(ifd0[0x0112]) if 0x0112 in ifd0 else None,
+        "model": None,
+        "xres_num": None,
+        "xres_den": None,
+        "iso": None,
+    }
+    if 0x0110 in ifd0:
+        out["model"] = ifd0[0x0110][2].split(b"\x00")[0].decode("ascii")
+    if 0x011A in ifd0:
+        num, den = struct.unpack(e + "II", ifd0[0x011A][2][:8])
+        out["xres_num"], out["xres_den"] = num, den
+    if 0x8769 in ifd0:
+        sub = read_ifd(scalar(ifd0[0x8769]))
+        if 0x8827 in sub:
+            out["iso"] = scalar(sub[0x8827])
+    return out
+
+
+EXIF_SCHEMA = (
+    "doc_id bigint, byte_order string, exif_w int, exif_h int, "
+    "orientation int, xres_num bigint, xres_den bigint, model string, "
+    "iso int, n_ifd0 int"
+)
+
+
+def extract_exif_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload EXIF extraction via Arrow-batched mapInPandas — the
+    extract_features batch shape: payload bytes never leave the task,
+    output is a fixed narrow row per image."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                meta = decode_exif(bytes(payload))
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "byte_order": meta["byte_order"],
+                        "exif_w": meta["exif_w"],
+                        "exif_h": meta["exif_h"],
+                        "orientation": meta["orientation"],
+                        "xres_num": meta["xres_num"],
+                        "xres_den": meta["xres_den"],
+                        "model": meta["model"],
+                        "iso": meta["iso"],
+                        "n_ifd0": meta["n_ifd0"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        run, schema=EXIF_SCHEMA
+    )

@@ -6925,3 +6925,67 @@ def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         wts, "doc_id", "weight_ppm", k=200, salt="softdedup"
     ).orderBy("priority", "doc_id")
+
+
+@query(
+    "multimodal_exif_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+           CAST(100 + doc_id % 50 AS INT)          AS exif_w,
+           CAST(80 + doc_id % 40 AS INT)           AS exif_h,
+           CAST(1 + doc_id % 8 AS INT)             AS orientation,
+           CAST(72 + doc_id % 10 AS BIGINT)        AS xres_num,
+           CAST(1 + doc_id % 3 AS BIGINT)          AS xres_den,
+           CASE WHEN doc_id % 4 = 0 THEN 'c' || CAST(doc_id % 5 AS VARCHAR)
+                ELSE 'cam' || CAST(doc_id % 5 AS VARCHAR) END AS model,
+           CAST(100 * (1 + doc_id % 4) AS INT)     AS iso,
+           CAST(6 AS INT)                          AS n_ifd0
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF/TIFF APP1 metadata walk under the oracle gate
+    (operators.multimodal.decode_exif + the insert_exif_app1 writer
+    twin — the codec-family closed loop): every document synthesizes a
+    real baseline JPEG with an APP1 Exif segment whose TIFF fields are
+    pure doc_id formulas, rotating BOTH byte orders (even docs 'MM',
+    odd 'II'), inline vs out-of-line ASCII values (doc_id%4==0 packs
+    the model string into the 4-byte value field, the rest take the
+    offset path), a RATIONAL XResolution, and the 0x8769 Exif sub-IFD
+    (ISO). The decoder walks JPEG markers to APP1 and the IFD chain
+    with full bounds checks; a byte-order, offset-arithmetic, inline
+    threshold, or sub-IFD bug breaks the hash. Malformed-IFD classes
+    (bad BOM, bad magic, truncated IFD, OOB value offset, big-endian
+    segment length confusion) raise precisely — tests/test_exif.py.
+    Decode is scan-local Arrow-batched mapInPandas; zero shuffles
+    before the oracle-determinism orderBy."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = multimodal.encode_jpeg_baseline(bytes([128] * 64), 8, 8, channels=1)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    multimodal.insert_exif_app1(
+                        base,
+                        byte_order="MM" if d % 2 == 0 else "II",
+                        width=100 + d % 50,
+                        height=80 + d % 40,
+                        orientation=1 + d % 8,
+                        xres=(72 + d % 10, 1 + d % 3),
+                        model=(f"c{d % 5}" if d % 4 == 0 else f"cam{d % 5}"),
+                        iso=100 * (1 + d % 4),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return multimodal.extract_exif_stats(payloads).orderBy("doc_id")
