@@ -1128,3 +1128,75 @@ def streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, url_gate_stream(batch, BLOCKLIST), "append").orderBy(
         "doc_id"
     )
+
+
+@query(
+    "streaming_replay_idempotent_sink",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_rows,
+           CAST(length(text) AS INT) AS n_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def streaming_replay_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-by-idempotence PROOF for the foreachBatch parquet
+    sink (streaming.ops.run_to_parquet) — the 24th registered topology
+    and the missing half of the §2F sink row: the documents table
+    splits into 4 input files, streams through maxFilesPerTrigger=1
+    (so the sink commits 4 separate micro-batches), and then the query
+    KILLS AND REPLAYS the final micro-batch by deleting its commit
+    marker from the checkpoint (streaming.ops.rewind_last_commit — the
+    crash-between-write-and-commit window) and restarting. Because the
+    sink writes each batch to its own batch_id=N partition with
+    overwrite, the replay rewrites the same directory instead of
+    appending duplicates, and the final table is byte-identical to the
+    no-failure run. The hash gate proves it: the result groups the
+    materialized table per doc_id with an n_rows count — an append
+    (non-idempotent) sink would come back n_rows=2 for every replayed
+    document and fail rows+hash (the negative control is pinned in
+    tests/test_replay_sink.py). At 100 TB this is the whole
+    exactly-once ingest story: at-least-once replay + idempotent
+    per-batch overwrite = exactly-once table contents."""
+    import tempfile
+
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.streaming import rewind_last_commit, run_to_parquet
+
+    base = tempfile.mkdtemp(prefix="gomrjob_replay_sink_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4, "doc_id").write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    def build() -> DataFrame:
+        from gomrjob_spark.operators.text import fingerprint
+
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+            .select(
+                "doc_id",
+                F.length("text").cast("int").alias("n_chars"),
+                fingerprint("text").alias("fp"),
+            )
+        )
+
+    def run_once() -> None:
+        q = run_to_parquet(build(), out, ckpt)
+        q.stop()
+        q.awaitTermination()  # release the checkpoint before restart
+
+    run_once()
+    rewind_last_commit(ckpt)  # crash window: batch written, not committed
+    run_once()  # restart replays the uncommitted batch
+    tbl = spark.read.parquet(out).drop("batch_id")
+    return (
+        tbl.groupBy("doc_id", "n_chars", "fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select("doc_id", "n_rows", "n_chars", "fp")
+        .orderBy("doc_id")
+    )

@@ -21,6 +21,7 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     read_documents_stream,
     read_embeddings_stream,
     read_events_stream,
+    rewind_last_commit,
     semdedup_gate_stream,
     run_to_memory,
     run_to_parquet,

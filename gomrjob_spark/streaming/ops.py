@@ -201,6 +201,34 @@ def run_to_parquet(
     return q
 
 
+def rewind_last_commit(checkpoint: str) -> int:
+    """Failure simulator for at-least-once replay: delete the NEWEST
+    commit marker from a stopped query's checkpoint, so a restart finds
+    the batch's offsets written but its commit missing and REPLAYS that
+    micro-batch — exactly the crash-between-write-and-commit window a
+    100 TB ingest must survive. Returns the replayed batch id.
+
+    This is the test/verification harness (local-FS checkpoint dirs);
+    production never rewinds by hand — the point is that the idempotent
+    per-batch-id overwrite sink (:func:`run_to_parquet`) makes the
+    involuntary version of this event a no-op, which
+    streaming_replay_idempotent_sink pins under the hash gate."""
+    import os
+
+    cdir = os.path.join(checkpoint, "commits")
+    ids = sorted(int(f) for f in os.listdir(cdir) if f.isdigit())
+    if not ids:
+        raise ValueError(f"no commits to rewind in {cdir}")
+    os.remove(os.path.join(cdir, str(ids[-1])))
+    # Hadoop's ChecksumFileSystem keeps a .N.crc sidecar next to each
+    # commit on local FS; the replayed batch's re-commit RENAMES onto
+    # the marker path and fails if the stale sidecar survives.
+    crc = os.path.join(cdir, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event count + cents total carried in explicit GroupState —

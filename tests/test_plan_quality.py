@@ -226,6 +226,11 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "streaming_session_window", "streaming_dedup_counts",
         "streaming_stateful_counts", "streaming_static_join",
         "streaming_interval_join",
+        "streaming_replay_idempotent_sink",  # runs TWO full stream
+                                    # cycles (kill + replay) at
+                                    # construction; result plan is a
+                                    # plain parquet read + one partial
+                                    # agg
         "dedup_cluster_survivors",  # fixpoint loop runs at construction
         "entity_resolution_pipeline",  # same CC fixpoint at construction
         "dedup_best_quality_survivors",  # same CC fixpoint at construction
