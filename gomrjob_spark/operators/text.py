@@ -1359,73 +1359,45 @@ def _kn_cc(df, col: str, prefix: str):
     )
 
 
-def kn_perplexity(
-    docs: DataFrame,
+def _kn_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return spread(df).select(
+        F.col(id_col),
+        F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
+            "_toks"
+        ),
+    )
+
+
+def _kn_triples(staged: DataFrame, id_col: str) -> DataFrame:
+    idx = F.when(
+        F.size("_toks") >= 3, F.sequence(F.lit(1), F.size("_toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        F.col(id_col), "_toks", F.explode(idx).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.element_at("_toks", F.col("_i")).alias("w1"),
+        F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+        F.element_at("_toks", F.col("_i") + 2).alias("w3"),
+    )
+
+
+def kn_model(
     train: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """Interpolated MODIFIED Kneser-Ney trigram perplexity — the actual
-    CCNet/KenLM filter (Chen & Goodman 1999 §3; Heafield 2011), replacing
-    the fixed-backoff-penalty ladder of :func:`trigram_perplexity` with
-    the real thing: count-dependent discounts (D1/D2/D3+ per order from
-    that order's counts-of-counts), CONTINUATION counts at the lower
-    orders (a word's probability of being a novel continuation, not its
-    raw frequency — the insight that makes KN the strongest n-gram
-    smoother), and full interpolation
-
-      p3(w3|w1w2) = max(c3 - D(c3), 0)/c2ctx + gamma(w1w2) * p2(w3|w2)
-      p2(w3|w2)   = max(N1+(.w2w3) - D, 0)/N1+(.w2.) + gamma(w2) * p1(w3)
-      p1(w3)      = max(N1+(.w3) - D, 0)/|bigram types| + gamma1 * 1/(V+1)
-
-    evaluated entirely in fixed-point integers at :data:`KN_SCALE` (every
-    probability an integer in [0, S], every step a mul/DIV — the
-    mix_weights_temperature exactness device), so the WHOLE smoothed
-    model sits under the cross-engine hash gate. Per-token surprisal is
-    the established bit-length device, bits = bitlen(S DIV max(p3, 1)),
-    and a document reports (n_trigrams, total_bits, mbits_per_trigram).
-    Unseen contexts back off a full level (p3 := p2 when (w1,w2) was
-    never seen — the standard interpolated-KN convention); unseen words
-    land on the uniform floor gamma1/(V+1), so every token has nonzero
-    mass and OOV text scores high instead of failing.
-
-    Scale shape (the trigram_perplexity class, one join wider): training
-    is partial-agg shuffles over the reference slice; counts-of-counts
-    and the level-1 globals are 1-ROW frames crossed in as broadcasts
-    (plan-constant — the q22 class, allowlisted); discounts and context
-    escape masses fold into the model tables VOCAB-side at build, so the
-    corpus-sized trigram stream pays exactly five key shuffles (trigram,
-    context, continuation-bigram, context-unigram, continuation-unigram
-    joins — each against a vocabulary-sized table) plus the per-doc
-    aggregate. No driver collect anywhere; the model never leaves the
-    cluster."""
+) -> dict[str, DataFrame]:
+    """Train the interpolated modified-KN trigram model (the offline
+    half — see :func:`kn_perplexity` for the full math): returns the
+    five vocab-sized model tables + the 1-row globals, discounts and
+    escape masses already folded in, ready for :func:`kn_score` or the
+    live gate (streaming.ops.kn_gate_stream — the dsir/langid
+    offline-train/online-score deployment split)."""
     S = KN_SCALE
-
-    def _toks(df):
-        return spread(df).select(
-            F.col(id_col),
-            F.filter(tokens(normalized(text_col)), lambda x: x != "").alias(
-                "_toks"
-            ),
-        )
-
-    def _triples(staged):
-        idx = F.when(
-            F.size("_toks") >= 3, F.sequence(F.lit(1), F.size("_toks") - 2)
-        ).otherwise(F.array().cast("array<int>"))
-        return staged.select(
-            F.col(id_col), "_toks", F.explode(idx).alias("_i")
-        ).select(
-            F.col(id_col),
-            F.element_at("_toks", F.col("_i")).alias("w1"),
-            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
-            F.element_at("_toks", F.col("_i") + 2).alias("w3"),
-        )
-
-    tr = _toks(train)
+    tr = _kn_toks(train, text_col, id_col)
     # ---- level 3: raw trigram counts + per-context discount stats
     tri = (
-        _triples(tr)
+        _kn_triples(tr, id_col)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c3"))
     )
@@ -1546,16 +1518,36 @@ def kn_perplexity(
             ).cast("bigint").alias("_p3base"),
         )
     )
-    # ---- score the corpus: five vocab-sized key joins, then row-local
-    # fixed-point interpolation bottom-up
+    return {
+        "trim": trim,
+        "ctx2m": ctx2m,
+        "p2m": p2m,
+        "ctx1m": ctx1m,
+        "p1m": p1m,
+        "glob": glob,
+    }
+
+
+def kn_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus (or a stream micro-batch — every step here is
+    stream-safe: static-side joins + one keyed aggregate) against a
+    trained :func:`kn_model`: five vocab-sized key joins, then row-local
+    fixed-point interpolation bottom-up and the per-doc surprisal
+    rollup (n_trigrams, total_bits, mbits_per_trigram)."""
+    S = KN_SCALE
     scored = (
-        _triples(_toks(docs))
-        .join(trim, ["w1", "w2", "w3"], "left")
-        .join(ctx2m, ["w1", "w2"], "left")
-        .join(p2m, ["w2", "w3"], "left")
-        .join(ctx1m, ["w2"], "left")
-        .join(p1m, ["w3"], "left")
-        .crossJoin(F.broadcast(glob))
+        _kn_triples(_kn_toks(docs, text_col, id_col), id_col)
+        .join(model["trim"], ["w1", "w2", "w3"], "left")
+        .join(model["ctx2m"], ["w1", "w2"], "left")
+        .join(model["p2m"], ["w2", "w3"], "left")
+        .join(model["ctx1m"], ["w2"], "left")
+        .join(model["p1m"], ["w3"], "left")
+        .crossJoin(F.broadcast(model["glob"]))
         .withColumn(
             "_p1f", F.expr(f"coalesce(_p1, (_gamma1 * _p0) DIV {S})")
         )
@@ -1589,6 +1581,49 @@ def kn_perplexity(
             F.expr("(1000 * total_bits) DIV n_trigrams").cast("bigint"),
         )
     )
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated MODIFIED Kneser-Ney trigram perplexity — the actual
+    CCNet/KenLM filter (Chen & Goodman 1999 §3; Heafield 2011), replacing
+    the fixed-backoff-penalty ladder of :func:`trigram_perplexity` with
+    the real thing: count-dependent discounts (D1/D2/D3+ per order from
+    that order's counts-of-counts), CONTINUATION counts at the lower
+    orders (a word's probability of being a novel continuation, not its
+    raw frequency — the insight that makes KN the strongest n-gram
+    smoother), and full interpolation
+
+      p3(w3|w1w2) = max(c3 - D(c3), 0)/c2ctx + gamma(w1w2) * p2(w3|w2)
+      p2(w3|w2)   = max(N1+(.w2w3) - D, 0)/N1+(.w2.) + gamma(w2) * p1(w3)
+      p1(w3)      = max(N1+(.w3) - D, 0)/|bigram types| + gamma1 * 1/(V+1)
+
+    evaluated entirely in fixed-point integers at :data:`KN_SCALE` (every
+    probability an integer in [0, S], every step a mul/DIV — the
+    mix_weights_temperature exactness device), so the WHOLE smoothed
+    model sits under the cross-engine hash gate. Per-token surprisal is
+    the established bit-length device, bits = bitlen(S DIV max(p3, 1)),
+    and a document reports (n_trigrams, total_bits, mbits_per_trigram).
+    Unseen contexts back off a full level (p3 := p2 when (w1,w2) was
+    never seen — the standard interpolated-KN convention); unseen words
+    land on the uniform floor gamma1/(V+1), so every token has nonzero
+    mass and OOV text scores high instead of failing.
+
+    Scale shape (the trigram_perplexity class, one join wider): training
+    is partial-agg shuffles over the reference slice; counts-of-counts
+    and the level-1 globals are 1-ROW frames crossed in as broadcasts
+    (plan-constant — the q22 class, allowlisted); discounts and context
+    escape masses fold into the model tables VOCAB-side at build
+    (:func:`kn_model`), so the corpus-sized trigram stream
+    (:func:`kn_score`) pays exactly five key shuffles (trigram, context,
+    continuation-bigram, context-unigram, continuation-unigram joins —
+    each against a vocabulary-sized table) plus the per-doc aggregate.
+    No driver collect anywhere; the model never leaves the cluster."""
+    return kn_score(docs, kn_model(train, text_col, id_col), text_col, id_col)
 
 
 # ------------------------------------------------ unigram LM tokenizer

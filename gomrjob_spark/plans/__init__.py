@@ -51,6 +51,10 @@ _VERIFY_FIRST = [
     "multimodal_exif_stats",
     # NEW r11: replay-idempotent sink proof (24th streaming topology)
     "streaming_replay_idempotent_sink",
+    # NEW r11: per-domain cap sampler (RefinedWeb anti-domination)
+    "sample_domain_cap",
+    # NEW r11: live KN-perplexity admission (25th streaming topology)
+    "streaming_kn_gate",
     # r10 _BACKFILL rotation: last green row r06
     "knn_sq8",
     "multimodal_audio_fingerprint_dedup",
@@ -91,17 +95,20 @@ _VERIFY_FIRST = [
     "join_left_outer",
     "join_range",
     "join_semi",
-    "knn_bruteforce",
-    "mixture_bpe_weights",
 ]
 
 # next-oldest queries: first in line after the window above, and the
 # head of the r12 rotation (last green row r07; everything else is
 # r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
-# driver row anywhere in the registry is r07 for exactly these 32
+# driver row anywhere in the registry is r07 for exactly these 34
 # names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
-# ledgers) at the current registry size.
+# ledgers) at the current registry size. (knn_bruteforce and
+# mixture_bpe_weights fell out of the window when the two late r11
+# registrations took the last slots — oldest-always-next, alphabetical
+# within equal age.)
 _BACKFILL = [
+    "knn_bruteforce",
+    "mixture_bpe_weights",
     "mr_field_count",
     "mr_multistep",
     "mr_python_reducer",

@@ -3915,12 +3915,19 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.trigram_perplexity(docs, train).orderBy("doc_id")
 
 
-def _kn_oracle() -> str:
+def _kn_oracle(
+    train_where: str = "doc_id % 5 = 0",
+    score_where: str = "TRUE",
+    threshold: int | None = None,
+) -> str:
     """Modified-KN oracle: the full Chen-Goodman replay as chained
     MATERIALIZED CTEs (the BPE-oracle rule — every multiply-referenced
     stage materialized once). ``dl1/dl2/dl3`` are the per-level
     discount rows; the probability chain mirrors operators/text.py
-    kn_perplexity integer-for-integer."""
+    kn_model/kn_score integer-for-integer. Parameterized on the
+    train/score predicates (the _langid_gate_oracle device) so the
+    batch query and the live gate (streaming_kn_gate) share one
+    chunk; ``threshold`` adds the admission verdict column."""
     S = 1 << 20  # text.KN_SCALE
 
     def disc(cc: str) -> str:
@@ -3940,12 +3947,17 @@ def _kn_oracle() -> str:
       FROM (SELECT n1, n2, n3, n4, {y} AS y FROM {cc})
     )"""
 
+    verdict = (
+        f", (1000 * sum(bits)) // count(*) < {threshold} AS admitted"
+        if threshold is not None
+        else ""
+    )
     return f"""
     WITH norm AS (
       SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
       FROM documents
     ),
-    tr AS MATERIALIZED (SELECT doc_id, w FROM norm WHERE doc_id % 5 = 0),
+    tr AS MATERIALIZED (SELECT doc_id, w FROM norm WHERE {train_where}),
     tg AS MATERIALIZED (
       SELECT t.w[i] AS w1, t.w[i+1] AS w2, t.w[i+2] AS w3,
              CAST(count(*) AS BIGINT) AS c3
@@ -4052,6 +4064,7 @@ def _kn_oracle() -> str:
     prs AS (
       SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
       FROM norm, unnest(generate_series(1, len(w) - 2)) s(i)
+      WHERE {score_where}
     ),
     s0 AS (
       SELECT p.doc_id,
@@ -4083,6 +4096,7 @@ def _kn_oracle() -> str:
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
            CAST(sum(bits) AS BIGINT) AS total_bits,
            CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mbits_per_trigram
+           {verdict}
     FROM s2 GROUP BY doc_id ORDER BY doc_id
     """
 

@@ -1200,3 +1200,40 @@ def streaming_replay_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id", "n_rows", "n_chars", "fp")
         .orderBy("doc_id")
     )
+
+
+def _kn_gate_oracle() -> str:
+    from gomrjob_spark.plans.llm import _kn_oracle
+
+    return _kn_oracle("doc_id < 250", "doc_id >= 250", threshold=5200)
+
+
+@query("streaming_kn_gate", oracle=_kn_gate_oracle())
+def streaming_kn_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney perplexity admission as a live topology
+    (streaming.ops.kn_gate_stream) — the 25th registered topology and
+    the perplexity family's online half, deployed exactly how CCNet's
+    LM filter runs on a continuous ingest: the modified-KN trigram
+    model trains OFFLINE on docs 0-249 (operators.text.kn_model), and
+    documents 250+ arrive as a stream whose trigrams join the five
+    STATIC vocab-sized model tables per micro-batch (stream-static
+    joins, NOT a broadcast fold — a web-scale trigram table outgrows
+    any executor, so this is the only gate shape that survives; the
+    model frames are scoped-persisted once, the dimension-table
+    pattern), rolling up per-doc surprisal and the admitted verdict at
+    a CONSTANT serving threshold (5200 mbits/trigram — inside the
+    fixture's score IQR, so both verdicts genuinely occur). Complete-
+    mode aggregate over the finite replay; the oracle replays
+    training, discount estimation, and every admission verdict through
+    the shared parameterized _kn_oracle chunk, so the full hash gate
+    covers the live path end-to-end."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators.text import kn_model
+    from gomrjob_spark.streaming import kn_gate_stream, read_documents_stream
+
+    train = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    model = kn_model(train)
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    return _drain(spark, kn_gate_stream(batch, model), "complete").orderBy(
+        "doc_id"
+    )

@@ -239,3 +239,52 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("registered_domain")
     )
+
+
+@query(
+    "sample_domain_cap",
+    oracle=f"""
+    WITH {_URL_CTES},
+    pri AS (
+      SELECT doc_id, registered_domain,
+             md5('cap' || CAST(doc_id AS VARCHAR)) AS pri
+      FROM normed
+    ),
+    ranked AS (
+      SELECT doc_id, registered_domain, pri,
+             row_number() OVER (PARTITION BY registered_domain
+                                ORDER BY pri ASC, doc_id ASC) AS rank
+      FROM pri
+    )
+    SELECT doc_id, registered_domain, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 8 ORDER BY doc_id
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb's anti-domination step: a
+    handful of hosts contribute half of any crawl, and capping them is
+    the step right after URL dedup) — at most 8 documents per
+    registered domain, selected by a DETERMINISTIC md5 priority so the
+    kept set is rerun-stable and engine-exact. Composes the URL family
+    with sampling.cap_per_group, which is skew-safe by construction:
+    a local top-k per (domain, scan-partition) pre-prune bounds every
+    task BEFORE the per-domain global rank, so the hottest domain at
+    100 TB never serializes into one sort task. Non-vacuous at sf0.01:
+    every domain holds ~15 docs, so the cap genuinely drops ~half."""
+    from gomrjob_spark.operators.sampling import cap_per_group
+
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir)).select(
+        "doc_id",
+        "registered_domain",
+        F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string"))).alias(
+            "pri"
+        ),
+    )
+    capped = cap_per_group(
+        staged, "registered_domain", k=8, order_col="pri",
+        id_col="doc_id", descending=False,
+    )
+    return (
+        capped.select("doc_id", "registered_domain", F.col("rank").cast("int").alias("rank"))
+        .orderBy("doc_id")
+    )

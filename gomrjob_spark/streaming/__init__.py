@@ -11,6 +11,7 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     bloom_dedup_gate_stream,
     dsir_gate_stream,
     incremental_dedup_stream,
+    kn_gate_stream,
     langid_gate_stream,
     near_dup_probe_stream,
     near_dup_store_frames,

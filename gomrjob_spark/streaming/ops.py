@@ -997,6 +997,44 @@ def langid_gate_stream(
     return langid_apply(docs, row, n=n, allowed=allowed, fan_out=False)
 
 
+def kn_gate_stream(
+    docs: DataFrame,
+    model: dict,
+    max_mbits: int = 5200,
+) -> DataFrame:
+    """Live Kneser-Ney perplexity admission — the streaming twin of
+    text_kn_perplexity and EXACTLY how CCNet deploys its LM filter on a
+    continuous ingest: the modified-KN trigram model trains OFFLINE on
+    the batch side (operators.text.kn_model — the dsir/langid/semdedup
+    deployment split), and each arriving document's trigram stream
+    joins the five vocab-sized STATIC model tables per micro-batch
+    (stream-static equi joins — re-read like any dimension table; the
+    model tables are scoped-persisted once here, the dimension-table
+    pattern) and rolls up to (doc_id, n_trigrams, total_bits,
+    mbits_per_trigram, admitted) with a CONSTANT serving threshold
+    (chosen offline from the batch percentile — the dsir_gate_stream
+    rule: a live stream has no stable corpus percentile to rank
+    against).
+
+    Unlike the 1-row-broadcast gates, this model is vocabulary-sized —
+    at web scale the trigram table outgrows a broadcast, so the
+    stream-static JOIN (not a broadcast fold) is the only shape that
+    survives; the aggregate keys on doc_id, whose rows retire with
+    their file batch (the paragraph-quarantine state posture)."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.text import kn_score
+
+    persisted = {k: scoped_persist(v) for k, v in model.items()}
+    scored = kn_score(docs, persisted)
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        "total_bits",
+        "mbits_per_trigram",
+        (F.col("mbits_per_trigram") < F.lit(max_mbits)).alias("admitted"),
+    )
+
+
 def url_gate_stream(
     docs: DataFrame,
     blocklist: list[str],
