@@ -170,22 +170,7 @@ def linear_quality_gate(
     w = dict(QUALITY_GATE_WEIGHTS)
     if weights:
         w.update(weights)
-    c = F.col(text_col)
-    staged = df.select(
-        F.col(id_col),
-        F.length(c).cast("bigint").alias("_nc"),
-        token_count(c).cast("bigint").alias("_nt"),
-        stopword_hits(c, LANG_STOPWORDS["en"]).cast("bigint").alias("_ns"),
-        F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("_np"),
-        F.regexp_count(c, F.lit(r"[0-9]")).cast("bigint").alias("_nd"),
-    )
-    feats = staged.select(
-        F.col(id_col),
-        F.expr("coalesce((1000 * _ns) DIV nullif(_nt, 0), 0)").alias("r_stop"),
-        F.expr("coalesce((1000 * _np) DIV nullif(_nc, 0), 0)").alias("r_punct"),
-        F.expr("coalesce((1000 * _nd) DIV nullif(_nc, 0), 0)").alias("r_digit"),
-        F.least(F.col("_nt"), F.lit(1000).cast("bigint")).alias("len_cap"),
-    )
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
     score = (
         F.lit(int(w["bias"]))
         + F.lit(int(w["r_stop"])) * F.col("r_stop")
@@ -201,6 +186,187 @@ def linear_quality_gate(
         "len_cap",
         score.alias("score"),
         (score > 0).alias("keep"),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The quality gate's fixed-point feature projection as its own
+    frame: per-mille stopword/punctuation/digit ratios + the capped
+    token-length feature — shared by the fixed-weights gate
+    (:func:`linear_quality_gate`) and the TRAINED classifier
+    (:func:`quality_perceptron_train`). One scan projection, exact
+    integers, zero shuffles."""
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("_nc"),
+        token_count(c).cast("bigint").alias("_nt"),
+        stopword_hits(c, LANG_STOPWORDS["en"]).cast("bigint").alias("_ns"),
+        F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("_np"),
+        F.regexp_count(c, F.lit(r"[0-9]")).cast("bigint").alias("_nd"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.expr("coalesce((1000 * _ns) DIV nullif(_nt, 0), 0)").alias("r_stop"),
+        F.expr("coalesce((1000 * _np) DIV nullif(_nc, 0), 0)").alias("r_punct"),
+        F.expr("coalesce((1000 * _nd) DIV nullif(_nc, 0), 0)").alias("r_digit"),
+        F.least(F.col("_nt"), F.lit(1000).cast("bigint")).alias("len_cap"),
+    )
+
+
+#: bias FEATURE value for the perceptron (x0). A plain 1 makes the
+#: intercept crawl (it moves by at most n_mistakes per round while the
+#: ratio features move by up to 1000x that); 100 lets the intercept
+#: reach teacher scale within the round budget. Any positive constant
+#: is valid — it only rescales w_bias.
+PERCEPTRON_X0 = 100
+
+#: perceptron feature vector: (bias, the quality_features columns)
+_PERCEPTRON_FEATS = ("x0", "r_stop", "r_punct", "r_digit", "len_cap")
+_PERCEPTRON_W = ("w_bias", "w_stop", "w_punct", "w_digit", "w_len")
+
+
+def _floordiv(num: str, den: str) -> str:
+    """FLOOR division as a SQL expression valid on BOTH engines for
+    signed numerators: Spark's DIV truncates toward zero while DuckDB's
+    // floors, and the perceptron's decayed update divides NEGATIVE
+    gradient sums — so the portable form is (n - pmod(n, d)) DIV d
+    (pmod is non-negative, the difference is exactly divisible, and the
+    truncating DIV is then exact floor division)."""
+    return f"(({num}) - pmod({num}, {den})) DIV ({den})"
+
+
+def teacher_label(feats: DataFrame) -> DataFrame:
+    """±1 training labels from the fixed-weights heuristic gate — the
+    teacher-student setup production quality classifiers actually use
+    (fasttext/logistic models train on labels from a cheaper heuristic
+    or LLM teacher; CCNet's quality buckets work the same way). Because
+    the teacher is linear in the same features, the data is separable
+    by construction and convergence is measurable."""
+    w = QUALITY_GATE_WEIGHTS
+    t = (
+        F.lit(int(w["bias"]))
+        + F.lit(int(w["r_stop"])) * F.col("r_stop")
+        + F.lit(int(w["r_punct"])) * F.col("r_punct")
+        + F.lit(int(w["r_digit"])) * F.col("r_digit")
+        + F.lit(int(w["len_cap"])) * F.col("len_cap")
+    )
+    return feats.select(
+        "*",
+        F.lit(PERCEPTRON_X0).cast("bigint").alias("x0"),
+        F.when(t > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint").alias("y"),
+    )
+
+
+def quality_perceptron_train(
+    docs: DataFrame,
+    n_rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAIN a quality classifier on the cluster — the distilled-model
+    curation stage with the model actually LEARNED from data instead of
+    shipped as constants: a distributed batch perceptron (Rosenblatt
+    1958; the mistake-driven update) over the fixed-point quality
+    features, with teacher labels from the heuristic gate
+    (:func:`teacher_label` — the production distillation setup). Every
+    quantity is an integer, so training itself sits under the
+    cross-engine hash gate:
+
+      round r:  M = {{(y, x) : y * (w_{{r-1}} . x) <= 0}}
+                w_r = w_{{r-1}} + floor(sum_{{M}} y*x / r)
+
+    The 1/r step decay is what makes the BATCH variant converge instead
+    of oscillate (measured on the fixture: plain batch updates ring at
+    ~25% disagreement forever; decayed reaches ~6% by round 8) — and
+    floor division is the portable form (:func:`_floordiv`; Spark DIV
+    truncates, DuckDB // floors, and the sums go negative).
+
+    Returns one row per round: (round, n_mistakes — w_{{r-1}}'s errors
+    on the corpus, i.e. a training curve — and the updated weights).
+
+    Scale shape: the feature frame is computed ONCE and persisted
+    (8 rounds = 8 partial-agg scans of the cached integer features,
+    never the text); the weight vector is a 1-ROW frame crossed in as
+    a broadcast per round (the BPE winning-pair device — no driver
+    read, no literals in the plan) and lazily localCheckpointed per
+    round (each round references its predecessor twice — the
+    wordpiece lineage rule)."""
+    feats = scoped_persist(
+        teacher_label(
+            quality_features(spread(docs), text_col=text_col, id_col=id_col)
+        ).select("y", *_PERCEPTRON_FEATS)
+    )
+    spark = docs.sparkSession
+    w = spark.range(1).select(
+        *[F.lit(0).cast("bigint").alias(c) for c in _PERCEPTRON_W]
+    )
+    margin = " + ".join(
+        f"{wc} * {xc}" for wc, xc in zip(_PERCEPTRON_W, _PERCEPTRON_FEATS)
+    )
+    out = None
+    for r in range(1, n_rounds + 1):
+        mistakes = feats.join(F.broadcast(w)).filter(
+            F.expr(f"y * ({margin}) <= 0")
+        )
+        delta = mistakes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            *[
+                F.coalesce(F.sum(F.expr(f"y * {xc}")), F.lit(0))
+                .cast("bigint")
+                .alias(f"_d{j}")
+                for j, xc in enumerate(_PERCEPTRON_FEATS)
+            ],
+        )
+        w = (
+            w.join(F.broadcast(delta))
+            .select(
+                "_n",
+                *[
+                    F.expr(f"{wc} + {_floordiv(f'_d{j}', str(r))}")
+                    .cast("bigint")
+                    .alias(wc)
+                    for j, wc in enumerate(_PERCEPTRON_W)
+                ],
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = w.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("_n").alias("n_mistakes"),
+            *_PERCEPTRON_W,
+        )
+        out = row if out is None else out.unionByName(row)
+        w = w.select(*_PERCEPTRON_W)
+    return out.orderBy("round")
+
+
+def quality_perceptron_gate(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the TRAINED perceptron: per-doc integer score and keep
+    verdict from the final round's weight row (a 1-row broadcast fold —
+    the langid-gate serving shape: zero shuffles beyond the scan), plus
+    the teacher's verdict and the agreement flag, so the distillation
+    quality is visible in the result instead of only in a test."""
+    last = weights.orderBy(F.desc("round")).limit(1).select(*_PERCEPTRON_W)
+    margin = " + ".join(
+        f"{wc} * {xc}" for wc, xc in zip(_PERCEPTRON_W, _PERCEPTRON_FEATS)
+    )
+    staged = teacher_label(
+        quality_features(spread(docs), text_col=text_col, id_col=id_col)
+    )
+    return staged.join(F.broadcast(last)).select(
+        F.col(id_col),
+        F.expr(margin).cast("bigint").alias("score"),
+        (F.expr(margin) > 0).alias("keep"),
+        (F.col("y") > 0).alias("teacher_keep"),
+        ((F.expr(margin) > 0) == (F.col("y") > 0)).alias("agrees"),
     )
 
 

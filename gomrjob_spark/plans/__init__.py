@@ -23,12 +23,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 10 NEW r11 queries first (their first shot at
+# Tier 1 (round 11): the 14 NEW r11 queries first (their first shot at
 # a driver row), then ALL 22 names the r10 _BACKFILL carried (last
 # green row r06 — the r10 verdict's item #1 rotation, each re-proven by
 # the judge's full 230/230 simulation and this round's own), then the
-# oldest 18 of the 50 r07 rows (alphabetical — all equally old under
-# OLDEST-ALWAYS-NEXT). The 32 r07 rows that didn't fit head the r12
+# oldest 14 of the 50 r07 rows (alphabetical — all equally old under
+# OLDEST-ALWAYS-NEXT). The 36 r07 rows that didn't fit head the r12
 # _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
@@ -55,6 +55,10 @@ _VERIFY_FIRST = [
     "sample_domain_cap",
     # NEW r11: live KN-perplexity admission (25th streaming topology)
     "streaming_kn_gate",
+    # NEW r11: TRAINED quality classifier (distributed batch perceptron)
+    "quality_perceptron_train",
+    # NEW r11: trained-classifier serving gate (1-row broadcast fold)
+    "quality_perceptron_gate",
     # r10 _BACKFILL rotation: last green row r06
     "knn_sq8",
     "multimodal_audio_fingerprint_dedup",
@@ -78,7 +82,7 @@ _VERIFY_FIRST = [
     "text_pmi_collocations",
     "timeseries_gapfill_locf",
     "timeseries_twap",
-    # longest-proven fill: the oldest 18 of the r07 rows (alphabetical)
+    # longest-proven fill: the oldest 14 of the r07 rows (alphabetical)
     "burst_detection",
     "cohort_retention",
     "corpus_composition_report",
@@ -93,20 +97,20 @@ _VERIFY_FIRST = [
     "join_argmax",
     "join_full_outer",
     "join_left_outer",
-    "join_range",
-    "join_semi",
 ]
 
 # next-oldest queries: first in line after the window above, and the
 # head of the r12 rotation (last green row r07; everything else is
 # r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
-# driver row anywhere in the registry is r07 for exactly these 34
+# driver row anywhere in the registry is r07 for exactly these 36
 # names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
-# ledgers) at the current registry size. (knn_bruteforce and
-# mixture_bpe_weights fell out of the window when the two late r11
-# registrations took the last slots — oldest-always-next, alphabetical
-# within equal age.)
+# ledgers) at the current registry size. (join_range, join_semi,
+# knn_bruteforce, and mixture_bpe_weights fell out of the window when
+# the four late r11 registrations took the last slots —
+# oldest-always-next, alphabetical within equal age.)
 _BACKFILL = [
+    "join_range",
+    "join_semi",
     "knn_bruteforce",
     "mixture_bpe_weights",
     "mr_field_count",

