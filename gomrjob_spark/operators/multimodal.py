@@ -5148,3 +5148,92 @@ def extract_exif_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         run, schema=EXIF_SCHEMA
     )
+
+
+#: EXIF orientation -> (output row, col) reads input (row, col): the 8
+#: dihedral transforms of TIFF tag 0x0112 (values 5-8 swap dimensions).
+def apply_exif_orientation(
+    px: list[int] | bytes, w: int, h: int, orientation: int, channels: int = 1
+) -> tuple[list[int], int, int]:
+    """Bake the EXIF orientation into the raster — the rotate-at-ingest
+    normalization every image pipeline runs right after the APP1 walk
+    (downstream models see upright pixels; the tag is then dropped).
+    Returns (pixels, out_w, out_h) for any of the 8 TIFF orientations:
+    1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW. Orientations 5-8
+    swap the output dimensions. Pure per-index arithmetic (verified
+    closed-loop against the SQL oracle's inverse mapping)."""
+    if orientation not in range(1, 9):
+        raise ValueError(f"orientation {orientation} outside TIFF 1..8")
+    swap = orientation >= 5
+    ow, oh = (h, w) if swap else (w, h)
+    out = []
+    for r in range(oh):
+        for c in range(ow):
+            if orientation == 1:
+                ri, ci = r, c
+            elif orientation == 2:
+                ri, ci = r, w - 1 - c
+            elif orientation == 3:
+                ri, ci = h - 1 - r, w - 1 - c
+            elif orientation == 4:
+                ri, ci = h - 1 - r, c
+            elif orientation == 5:
+                ri, ci = c, r
+            elif orientation == 6:
+                ri, ci = h - 1 - c, r
+            elif orientation == 7:
+                ri, ci = h - 1 - c, w - 1 - r
+            else:  # 8
+                ri, ci = c, w - 1 - r
+            base = (ri * w + ci) * channels
+            out.extend(px[base:base + channels])
+    return out, ow, oh
+
+
+ORIENT_STATS_SCHEMA = (
+    "doc_id bigint, orientation int, out_w int, out_h int, "
+    "px_sum bigint, px_possum bigint, px_first int, px_last int"
+)
+
+
+def extract_oriented_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode pixels AND the EXIF orientation tag, bake the orientation
+    in (:func:`apply_exif_orientation`), and emit integer stats over the
+    NORMALIZED raster: px_sum is orientation-invariant (a permutation),
+    px_possum + the first/last samples pin the exact permutation — a
+    wrong transform direction or a dimension-swap bug changes them.
+    Arrow-batched mapInPandas, scan-local (the extract_pixel_stats
+    shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "orientation", "out_w", "out_h",
+                "px_sum", "px_possum", "px_first", "px_last",
+            )}
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(p)
+                o = decode_exif(payload)["orientation"]
+                m = decode_image(payload)
+                out, ow, oh = apply_exif_orientation(
+                    m["pixels"], m["width"], m["height"], o,
+                    channels=m["channels"],
+                )
+                rows["doc_id"].append(doc_id)
+                rows["orientation"].append(o)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["px_sum"].append(sum(out))
+                rows["px_possum"].append(
+                    sum(i * v for i, v in enumerate(out))
+                )
+                rows["px_first"].append(out[0] if out else None)
+                rows["px_last"].append(out[-1] if out else None)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        run, schema=ORIENT_STATS_SCHEMA
+    )

@@ -7123,3 +7123,92 @@ def quality_perceptron_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = text.quality_perceptron_train(docs, n_rounds=8)
     return text.quality_perceptron_gate(docs, w).orderBy("doc_id")
+
+
+@query(
+    "multimodal_exif_orient_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+             1 + doc_id % 8 AS o
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, w, h, o,
+             CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+             CASE WHEN o >= 5 THEN w ELSE h END AS oh
+      FROM p
+    ),
+    pix AS (
+      SELECT doc_id, w, h, o, ow, oh, i, (i // ow) AS r, (i % ow) AS c
+      FROM dims, unnest(generate_series(0, ow * oh - 1)) s(i)
+    ),
+    v AS (
+      SELECT doc_id, o, ow, oh, i,
+        (doc_id * 7 + 13 * CASE o
+           WHEN 1 THEN r * w + c
+           WHEN 2 THEN r * w + (w - 1 - c)
+           WHEN 3 THEN (h - 1 - r) * w + (w - 1 - c)
+           WHEN 4 THEN (h - 1 - r) * w + c
+           WHEN 5 THEN c * w + r
+           WHEN 6 THEN (h - 1 - c) * w + r
+           WHEN 7 THEN (h - 1 - c) * w + (w - 1 - r)
+           ELSE c * w + (w - 1 - r) END) % 256 AS val
+      FROM pix
+    )
+    SELECT doc_id,
+           CAST(max(o) AS INT)  AS orientation,
+           CAST(max(ow) AS INT) AS out_w,
+           CAST(max(oh) AS INT) AS out_h,
+           CAST(sum(val) AS BIGINT) AS px_sum,
+           CAST(sum(i * val) AS BIGINT) AS px_possum,
+           CAST(max(CASE WHEN i = 0 THEN val END) AS INT) AS px_first,
+           CAST(max(CASE WHEN i = ow * oh - 1 THEN val END) AS INT) AS px_last
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_exif_orient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation NORMALIZATION under the oracle gate — the op a
+    real ingest runs right after the APP1 walk (multimodal_exif_stats):
+    every document synthesizes a LOSSLESS JPEG (bit-exact arbitrary
+    per-pixel formula values — rotation is vacuous on the DCT queries'
+    constant fixtures, so the lossless path is the one that can prove a
+    permutation) with an APP1 orientation tag rotating through all 8
+    TIFF values and both byte orders; the extractor decodes the tag AND
+    the pixels, bakes the orientation in
+    (multimodal.apply_exif_orientation — the 8 dihedral transforms,
+    dimension swap for 5-8), and emits stats over the NORMALIZED
+    raster. px_sum is permutation-invariant; px_possum + the corner
+    samples pin the exact transform — the oracle recomputes every
+    output pixel through the inverse index mapping, so a transposed
+    axis, wrong rotation direction, or missed dimension swap in ANY of
+    the 8 cases breaks the hash. Scan-local Arrow-batched decode."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 2 + d % 5, 2 + d % 4
+                px = bytes((d * 7 + i * 13) % 256 for i in range(w * h))
+                jp = multimodal.encode_jpeg_lossless(
+                    px, w, h, channels=1, predictor=d % 7 + 1
+                )
+                payloads.append(
+                    multimodal.insert_exif_app1(
+                        jp,
+                        byte_order="II" if d % 2 else "MM",
+                        width=w,
+                        height=h,
+                        orientation=1 + d % 8,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = text.spread(docs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return multimodal.extract_oriented_pixel_stats(payloads).orderBy("doc_id")

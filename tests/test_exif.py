@@ -125,3 +125,41 @@ def test_raise_on_non_jpeg():
 def test_writer_rejects_bad_byte_order():
     with pytest.raises(ValueError, match="II/MM"):
         M.insert_exif_app1(_jpeg(), "LE")
+
+
+# --------------------------- orientation normalization (dihedral group)
+
+
+def test_orientation_group_structure():
+    """The 8 TIFF orientations form the dihedral group D4: mirrors and
+    the 180 rotation are self-inverse, rot90 CW and CCW invert each
+    other, and the transforms land where they should on an asymmetric
+    raster."""
+    px, w, h = list(range(6)), 3, 2
+
+    def ap(o, p=px, ww=w, hh=h):
+        return M.apply_exif_orientation(p, ww, hh, o)
+
+    for o in (2, 3, 4, 5, 7):  # involutions
+        out, ow, oh = ap(o)
+        back, bw, bh = M.apply_exif_orientation(out, ow, oh, o)
+        assert (back, bw, bh) == (px, w, h)
+    out6, ow, oh = ap(6)
+    back, bw, bh = M.apply_exif_orientation(out6, ow, oh, 8)
+    assert (back, bw, bh) == (px, w, h)
+    # hand-checked: rot90 CW of [[0,1,2],[3,4,5]] is [[3,0],[4,1],[5,2]]
+    assert out6 == [3, 0, 4, 1, 5, 2] and (ow, oh) == (2, 3)
+
+
+def test_orientation_multichannel_moves_pixels_not_channels():
+    """Channels travel with their pixel: RGB triples stay contiguous."""
+    px = [1, 2, 3, 4, 5, 6]  # 2x1, RGB: pixels (1,2,3) and (4,5,6)
+    out, ow, oh = M.apply_exif_orientation(px, 2, 1, 2, channels=3)
+    assert out == [4, 5, 6, 1, 2, 3] and (ow, oh) == (2, 1)
+
+
+def test_orientation_rejects_out_of_range():
+    with pytest.raises(ValueError, match="1..8"):
+        M.apply_exif_orientation([0], 1, 1, 0)
+    with pytest.raises(ValueError, match="1..8"):
+        M.apply_exif_orientation([0], 1, 1, 9)
