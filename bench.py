@@ -131,8 +131,6 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_encode",
     "text_ngram_perplexity",
-    "text_kn_perplexity",
-    "text_byte_bpe_encode",
     "decontaminate_semantic",
     "text_unigram_encode",
     "dedup_semantic_diversity",
@@ -164,6 +162,15 @@ HEADLINE = [
     "streaming_upsert_apply",
     "streaming_phash_admission",
     "streaming_outlier_flags",
+    # r11 additions LAST: inserting them mid-list shifted every later
+    # entry's JVM neighborhood (GC/code-cache state) and inflated the
+    # shared suite by a phantom 1.15x median AFTER the insertion point
+    # while entries before it sat at 0.995 vs the r10 artifact —
+    # measured with two back-to-back runs; the r9 neighbor-rotation
+    # lesson at suite scale. Appending preserves every shared entry's
+    # position and keeps round-over-round comparison clean.
+    "text_kn_perplexity",
+    "text_byte_bpe_encode",
 ]
 
 
