@@ -228,14 +228,14 @@ _PERCEPTRON_FEATS = ("x0", "r_stop", "r_punct", "r_digit", "len_cap")
 _PERCEPTRON_W = ("w_bias", "w_stop", "w_punct", "w_digit", "w_len")
 
 
-def _floordiv(num: str, den: str) -> str:
-    """FLOOR division as a SQL expression valid on BOTH engines for
-    signed numerators: Spark's DIV truncates toward zero while DuckDB's
-    // floors, and the perceptron's decayed update divides NEGATIVE
-    gradient sums — so the portable form is (n - pmod(n, d)) DIV d
-    (pmod is non-negative, the difference is exactly divisible, and the
-    truncating DIV is then exact floor division)."""
-    return f"(({num}) - pmod({num}, {den})) DIV ({den})"
+# Signed integer division note (the perceptron divides NEGATIVE
+# gradient sums): Spark's DIV and DuckDB's // BOTH truncate toward
+# zero on integers (-502 // 7 = -71 in DuckDB; -502 DIV 7 = -71 in
+# Spark), so the plain operators are already cross-engine exact. (An
+# earlier draft wrongly assumed DuckDB floors and shipped a pmod-based
+# floor-division shim — the sf0.001 parity test caught the mismatch at
+# the first negative non-exact quotient; tests/test_perceptron.py now
+# pins the truncation semantics on both engines.)
 
 
 def teacher_label(feats: DataFrame) -> DataFrame:
@@ -280,9 +280,10 @@ def quality_perceptron_train(
 
     The 1/r step decay is what makes the BATCH variant converge instead
     of oscillate (measured on the fixture: plain batch updates ring at
-    ~25% disagreement forever; decayed reaches ~6% by round 8) — and
-    floor division is the portable form (:func:`_floordiv`; Spark DIV
-    truncates, DuckDB // floors, and the sums go negative).
+    ~25% disagreement forever; decayed reaches ~6% by round 8); the
+    decayed step truncates toward zero — the shared semantics of
+    Spark's DIV and DuckDB's // on signed integers (see the division
+    note above, and the cross-engine pin in tests/test_perceptron.py).
 
     Returns one row per round: (round, n_mistakes — w_{{r-1}}'s errors
     on the corpus, i.e. a training curve — and the updated weights).
@@ -325,7 +326,7 @@ def quality_perceptron_train(
             .select(
                 "_n",
                 *[
-                    F.expr(f"{wc} + {_floordiv(f'_d{j}', str(r))}")
+                    F.expr(f"{wc} + _d{j} DIV {r}")
                     .cast("bigint")
                     .alias(wc)
                     for j, wc in enumerate(_PERCEPTRON_W)

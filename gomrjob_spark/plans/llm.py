@@ -7009,9 +7009,10 @@ def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
     """Batch-perceptron round replay: the same chained-1-row-CTE device
     as the BPE oracle — f is the (cached) integer feature frame with
     teacher labels, wt{r} the weight row after round r, m{r} the
-    mistake aggregate of wt{r-1}. DuckDB's // FLOORS, matching the
-    Spark side's portable floor-division expression (text._floordiv)
-    on the negative gradient sums."""
+    mistake aggregate of wt{r-1}. DuckDB's // and Spark's DIV both
+    TRUNCATE toward zero on signed integers, so the decayed update's
+    negative gradient sums divide identically with the plain
+    operators (pinned in tests/test_perceptron.py)."""
     feats = """
     fq AS MATERIALIZED (
       SELECT doc_id,

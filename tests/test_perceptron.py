@@ -62,17 +62,30 @@ def test_separable_toy_problem_reaches_zero_mistakes(spark):
     assert curve[8] == 0
 
 
-def test_floordiv_matches_python_floor_on_negatives(spark):
-    """text._floordiv must be FLOOR division on both engines — Spark's
-    bare DIV truncates toward zero and would diverge from DuckDB's //
-    on the negative gradient sums."""
-    cases = [(-7, 2), (-7, 3), (7, 2), (-1, 8), (-25400, 3), (0, 5)]
+def test_signed_integer_division_truncates_on_both_engines(spark):
+    """The decayed update divides NEGATIVE gradient sums, so the two
+    engines' integer-division semantics must agree exactly. They do —
+    by TRUNCATION toward zero (NOT Python's floor //): Spark DIV and
+    DuckDB // both give -502/7 -> -71. An earlier draft assumed DuckDB
+    floors and shipped a pmod floor shim; the sf0.001 parity run
+    diverged at the first negative non-exact quotient — this test pins
+    the real semantics on both engines so the assumption can never
+    silently flip."""
+    import duckdb
+
+    cases = [(-7, 2), (-7, 3), (7, 2), (-1, 8), (-502, 7), (-25400, 3), (0, 5)]
     df = spark.createDataFrame(cases, "n long, d long")
-    got = df.select(
-        "n", "d", F.expr(text._floordiv("n", "d")).alias("q")
-    ).collect()
-    for r in got:
-        assert r["q"] == r["n"] // r["d"], (r["n"], r["d"])
+    got = {
+        (r["n"], r["d"]): r["q"]
+        for r in df.select("n", "d", F.expr("n DIV d").alias("q")).collect()
+    }
+    con = duckdb.connect()
+    for n, d in cases:
+        duck = con.execute(
+            "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)", [n, d]
+        ).fetchone()[0]
+        trunc = int(n / d)  # truncation toward zero
+        assert got[(n, d)] == duck == trunc, (n, d, got[(n, d)], duck)
 
 
 def test_decay_is_what_converges(spark, fixture_docs, trained):
