@@ -344,6 +344,33 @@ def quality_perceptron_train(
     return out.orderBy("round")
 
 
+def perceptron_score(
+    docs: DataFrame,
+    last_row: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a FINAL 1-row weight frame: features,
+    margin, keep verdict, teacher verdict, agreement — every step a
+    stateless scan projection over a 1-row broadcast (the langid-gate
+    serving shape), which is what makes the SAME function the batch
+    gate's body and the live topology (streaming.ops
+    .quality_gate_stream)."""
+    margin = " + ".join(
+        f"{wc} * {xc}" for wc, xc in zip(_PERCEPTRON_W, _PERCEPTRON_FEATS)
+    )
+    staged = teacher_label(
+        quality_features(spread(docs), text_col=text_col, id_col=id_col)
+    )
+    return staged.join(F.broadcast(last_row)).select(
+        F.col(id_col),
+        F.expr(margin).cast("bigint").alias("score"),
+        (F.expr(margin) > 0).alias("keep"),
+        (F.col("y") > 0).alias("teacher_keep"),
+        ((F.expr(margin) > 0) == (F.col("y") > 0)).alias("agrees"),
+    )
+
+
 def quality_perceptron_gate(
     docs: DataFrame,
     weights: DataFrame,
@@ -356,19 +383,7 @@ def quality_perceptron_gate(
     the teacher's verdict and the agreement flag, so the distillation
     quality is visible in the result instead of only in a test."""
     last = weights.orderBy(F.desc("round")).limit(1).select(*_PERCEPTRON_W)
-    margin = " + ".join(
-        f"{wc} * {xc}" for wc, xc in zip(_PERCEPTRON_W, _PERCEPTRON_FEATS)
-    )
-    staged = teacher_label(
-        quality_features(spread(docs), text_col=text_col, id_col=id_col)
-    )
-    return staged.join(F.broadcast(last)).select(
-        F.col(id_col),
-        F.expr(margin).cast("bigint").alias("score"),
-        (F.expr(margin) > 0).alias("keep"),
-        (F.col("y") > 0).alias("teacher_keep"),
-        ((F.expr(margin) > 0) == (F.col("y") > 0)).alias("agrees"),
-    )
+    return perceptron_score(docs, last, text_col=text_col, id_col=id_col)
 
 
 def normalized(col: Column | str) -> Column:

@@ -23,12 +23,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 15 NEW r11 queries first (their first shot at
+# Tier 1 (round 11): the 16 NEW r11 queries first (their first shot at
 # a driver row), then ALL 22 names the r10 _BACKFILL carried (last
 # green row r06 — the r10 verdict's item #1 rotation, each re-proven by
 # the judge's full 230/230 simulation and this round's own), then the
-# oldest 13 of the 50 r07 rows (alphabetical — all equally old under
-# OLDEST-ALWAYS-NEXT). The 37 r07 rows that didn't fit head the r12
+# oldest 12 of the 50 r07 rows (alphabetical — all equally old under
+# OLDEST-ALWAYS-NEXT). The 38 r07 rows that didn't fit head the r12
 # _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "quality_perceptron_gate",
     # NEW r11: EXIF orientation normalization (8 dihedral transforms)
     "multimodal_exif_orient_stats",
+    # NEW r11: live trained-quality admission (26th streaming topology)
+    "streaming_quality_gate",
     # r10 _BACKFILL rotation: last green row r06
     "knn_sq8",
     "multimodal_audio_fingerprint_dedup",
@@ -84,7 +86,7 @@ _VERIFY_FIRST = [
     "text_pmi_collocations",
     "timeseries_gapfill_locf",
     "timeseries_twap",
-    # longest-proven fill: the oldest 13 of the r07 rows (alphabetical)
+    # longest-proven fill: the oldest 12 of the r07 rows (alphabetical)
     "burst_detection",
     "cohort_retention",
     "corpus_composition_report",
@@ -97,20 +99,21 @@ _VERIFY_FIRST = [
     "event_transitions",
     "graph_link_prediction",
     "join_argmax",
-    "join_full_outer",
 ]
 
 # next-oldest queries: first in line after the window above, and the
 # head of the r12 rotation (last green row r07; everything else is
 # r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
-# driver row anywhere in the registry is r07 for exactly these 37
+# driver row anywhere in the registry is r07 for exactly these 38
 # names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
 # ledgers) at the current registry size. (join_range, join_semi,
 # knn_bruteforce, and mixture_bpe_weights fell out of the window when
 # the four late r11 registrations took the last slots —
 # oldest-always-next, alphabetical within equal age; join_left_outer
-# followed when multimodal_exif_orient_stats registered.)
+# and join_full_outer followed as the last two r11 queries
+# registered.)
 _BACKFILL = [
+    "join_full_outer",
     "join_left_outer",
     "join_range",
     "join_semi",

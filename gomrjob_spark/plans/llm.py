@@ -7005,7 +7005,12 @@ def multimodal_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_exif_stats(payloads).orderBy("doc_id")
 
 
-def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
+def _perceptron_oracle(
+    n_rounds: int = 8,
+    gate: bool = False,
+    train_where: str = "TRUE",
+    score_where: str = "TRUE",
+) -> str:
     """Batch-perceptron round replay: the same chained-1-row-CTE device
     as the BPE oracle — f is the (cached) integer feature frame with
     teacher labels, wt{r} the weight row after round r, m{r} the
@@ -7037,6 +7042,7 @@ def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
         FROM fq
       )
     ),
+    ftr AS MATERIALIZED (SELECT * FROM f WHERE {train_where}),
     wt0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s,
                    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS d,
                    CAST(0 AS BIGINT) AS l)"""
@@ -7050,7 +7056,7 @@ def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
              CAST(coalesce(sum(y * r_punct), 0) AS BIGINT) AS dp,
              CAST(coalesce(sum(y * r_digit), 0) AS BIGINT) AS dd,
              CAST(coalesce(sum(y * len_cap), 0) AS BIGINT) AS dl
-      FROM f, wt{r - 1} w
+      FROM ftr, wt{r - 1} w
       WHERE y * (w.b * x0 + w.s * r_stop + w.p * r_punct
                  + w.d * r_digit + w.l * len_cap) <= 0
     ),
@@ -7062,6 +7068,7 @@ def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
              CAST(w.l + m.dl // {r} AS BIGINT) AS l
       FROM wt{r - 1} w, m{r} m
     )""")
+    feats = feats.replace("{train_where}", train_where)
     chain = "WITH" + feats + "," + ",".join(rounds)
     if gate:
         return f"""
@@ -7074,7 +7081,7 @@ def _perceptron_oracle(n_rounds: int = 8, gate: bool = False) -> str:
            y > 0 AS teacher_keep,
            ((w.b * x0 + w.s * r_stop + w.p * r_punct
                 + w.d * r_digit + w.l * len_cap) > 0) = (y > 0) AS agrees
-    FROM f, wt{n_rounds} w
+    FROM (SELECT * FROM f WHERE {score_where}) f, wt{n_rounds} w
     ORDER BY f.doc_id
     """
     unions = "\n    UNION ALL ".join(

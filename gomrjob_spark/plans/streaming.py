@@ -1237,3 +1237,44 @@ def streaming_kn_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, kn_gate_stream(batch, model), "complete").orderBy(
         "doc_id"
     )
+
+
+def _perceptron_gate_oracle() -> str:
+    from gomrjob_spark.plans.llm import _perceptron_oracle
+
+    return _perceptron_oracle(
+        gate=True, train_where="doc_id < 250", score_where="doc_id >= 250"
+    )
+
+
+@query("streaming_quality_gate", oracle=_perceptron_gate_oracle())
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-quality-classifier admission as a live topology
+    (streaming.ops.quality_gate_stream) — the 26th registered topology
+    and the trained-model family's online half: the batch perceptron
+    trains offline on docs 0-249 (8 decayed rounds —
+    text.quality_perceptron_train), its FINAL weight row broadcasts
+    per micro-batch, and documents 250+ score statelessly through the
+    IDENTICAL column program as the batch gate
+    (text.perceptron_score — stream==batch equivalence is structural,
+    not tested-for). Append-mode stateless scan, flat per-batch cost;
+    the oracle replays training on the batch slice and every serving
+    verdict on the stream slice through the shared parameterized
+    _perceptron_oracle chunk, so the full hash gate covers offline
+    training AND the live path in one statement."""
+    from gomrjob_spark.catalog import load_table
+    from gomrjob_spark.operators import text as T
+    from gomrjob_spark.streaming import (
+        quality_gate_stream,
+        read_documents_stream,
+    )
+
+    train = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    w = T.quality_perceptron_train(train, n_rounds=8)
+    last = w.orderBy(F.desc("round")).limit(1).select(
+        "w_bias", "w_stop", "w_punct", "w_digit", "w_len"
+    )
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    return _drain(spark, quality_gate_stream(batch, last), "append").orderBy(
+        "doc_id"
+    )

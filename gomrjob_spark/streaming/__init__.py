@@ -19,6 +19,7 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     near_dup_store_write,
     outlier_flag_stream,
     paragraph_quarantine_stream,
+    quality_gate_stream,
     read_documents_stream,
     read_embeddings_stream,
     read_events_stream,

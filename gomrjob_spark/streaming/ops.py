@@ -1035,6 +1035,28 @@ def kn_gate_stream(
     )
 
 
+def quality_gate_stream(
+    docs: DataFrame,
+    last_row: DataFrame,
+) -> DataFrame:
+    """Live TRAINED-quality-classifier admission — the streaming twin
+    of quality_perceptron_gate, deployed exactly how a distilled
+    quality model serves in production: the perceptron trains OFFLINE
+    on the batch side (operators.text.quality_perceptron_train — the
+    dsir/langid/semdedup deployment split), the FINAL weight row
+    broadcasts per micro-batch (1 row — the smallest model in the gate
+    family after the URL gate's zero), and each arriving document
+    scores as a stateless scan projection
+    (operators.text.perceptron_score — the identical column program as
+    the batch gate, so stream==batch equivalence is structural).
+    Append-mode, no state, flat per-batch cost, batching-invariant
+    verdicts."""
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.text import perceptron_score
+
+    return perceptron_score(docs, scoped_persist(last_row))
+
+
 def url_gate_stream(
     docs: DataFrame,
     blocklist: list[str],
