@@ -23,12 +23,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 16 NEW r11 queries first (their first shot at
+# Tier 1 (round 11): the 17 NEW r11 queries first (their first shot at
 # a driver row), then ALL 22 names the r10 _BACKFILL carried (last
 # green row r06 — the r10 verdict's item #1 rotation, each re-proven by
 # the judge's full 230/230 simulation and this round's own), then the
-# oldest 12 of the 50 r07 rows (alphabetical — all equally old under
-# OLDEST-ALWAYS-NEXT). The 38 r07 rows that didn't fit head the r12
+# oldest 11 of the 50 r07 rows (alphabetical — all equally old under
+# OLDEST-ALWAYS-NEXT). The 39 r07 rows that didn't fit head the r12
 # _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
@@ -63,6 +63,8 @@ _VERIFY_FIRST = [
     "multimodal_exif_orient_stats",
     # NEW r11: live trained-quality admission (26th streaming topology)
     "streaming_quality_gate",
+    # NEW r11: WARC record parsing (length-delimited, writer twin)
+    "warc_parse_records",
     # r10 _BACKFILL rotation: last green row r06
     "knn_sq8",
     "multimodal_audio_fingerprint_dedup",
@@ -86,7 +88,7 @@ _VERIFY_FIRST = [
     "text_pmi_collocations",
     "timeseries_gapfill_locf",
     "timeseries_twap",
-    # longest-proven fill: the oldest 12 of the r07 rows (alphabetical)
+    # longest-proven fill: the oldest 11 of the r07 rows (alphabetical)
     "burst_detection",
     "cohort_retention",
     "corpus_composition_report",
@@ -98,21 +100,21 @@ _VERIFY_FIRST = [
     "embedding_hard_negatives",
     "event_transitions",
     "graph_link_prediction",
-    "join_argmax",
 ]
 
 # next-oldest queries: first in line after the window above, and the
 # head of the r12 rotation (last green row r07; everything else is
 # r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
-# driver row anywhere in the registry is r07 for exactly these 38
+# driver row anywhere in the registry is r07 for exactly these 39
 # names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
 # ledgers) at the current registry size. (join_range, join_semi,
 # knn_bruteforce, and mixture_bpe_weights fell out of the window when
 # the four late r11 registrations took the last slots —
-# oldest-always-next, alphabetical within equal age; join_left_outer
-# and join_full_outer followed as the last two r11 queries
-# registered.)
+# oldest-always-next, alphabetical within equal age; join_argmax,
+# join_full_outer, and join_left_outer followed as the last three r11
+# queries registered.)
 _BACKFILL = [
+    "join_argmax",
     "join_full_outer",
     "join_left_outer",
     "join_range",

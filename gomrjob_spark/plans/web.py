@@ -288,3 +288,97 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.select("doc_id", "registered_domain", F.col("rank").cast("int").alias("rank"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "warc_parse_records",
+    oracle="""
+    WITH recs AS (
+      SELECT doc_id, j,
+        'https://w' || CAST(doc_id AS VARCHAR) || '.example.com/p'
+          || CAST(j AS VARCHAR) AS target_uri,
+        '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+          || 'T00:00:00Z' AS warc_date,
+        'doc ' || CAST(doc_id AS VARCHAR) || ' rec ' || CAST(j AS VARCHAR)
+          || ' ' || repeat('x', CAST(10 + (doc_id + j) % 7 AS INT))
+          || CASE WHEN doc_id % 5 = 0 AND j = 0
+                  THEN chr(13) || chr(10) || chr(13) || chr(10)
+                       || 'WARC/1.0' || chr(13) || chr(10)
+                  ELSE '' END AS payload
+      FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) s(j)
+    )
+    SELECT doc_id, CAST(j AS INT) AS rec_idx, target_uri, warc_date,
+           CAST(length(payload) AS BIGINT) AS content_length,
+           md5(payload) AS payload_md5
+    FROM recs ORDER BY doc_id, rec_idx
+    """,
+)
+def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC (ISO 28500) record parsing under the hash gate — the
+    crawl's native input format and the step BEFORE even the URL gate:
+    every document synthesizes a multi-record WET-profile WARC stream
+    (1-3 records, formula URIs/dates/payloads) with the writer twin
+    (sources.warc.encode_warc), and the reader walks it
+    LENGTH-DELIMITED (sources.warc.parse_warc). Every 5th document's
+    first payload embeds a decoy '\\r\\n\\r\\nWARC/1.0\\r\\n' — legal
+    payload bytes that a naive blank-line/magic splitter would treat
+    as a record boundary, truncating the payload and shifting every
+    later record: such an implementation cannot pass this gate (the
+    oracle recomputes URIs, dates, exact lengths, and payload md5 from
+    the formulas). Malformation classes (bad magic, unterminated
+    headers, missing/invalid Content-Length, truncated payload,
+    missing terminator) raise precisely — tests/test_warc.py.
+    Scan-local Arrow-batched synth+parse; zero shuffles before the
+    oracle-determinism orderBy."""
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.sources.warc import encode_warc, parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "rec_idx", "target_uri", "warc_date",
+                "content_length", "payload_md5",
+            )}
+            import hashlib
+
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                recs = []
+                for j in range(1 + d % 3):
+                    payload = (
+                        f"doc {d} rec {j} " + "x" * (10 + (d + j) % 7)
+                        + ("\r\n\r\nWARC/1.0\r\n" if d % 5 == 0 and j == 0
+                           else "")
+                    ).encode("ascii")
+                    recs.append(
+                        {
+                            "uri": f"https://w{d}.example.com/p{j}",
+                            "date": f"2026-01-{1 + d % 28:02d}T00:00:00Z",
+                            "payload": payload,
+                        }
+                    )
+                stream = encode_warc(recs)
+                for j, rec in enumerate(parse_warc(stream)):
+                    rows["doc_id"].append(d)
+                    rows["rec_idx"].append(j)
+                    rows["target_uri"].append(rec["uri"])
+                    rows["warc_date"].append(rec["date"])
+                    rows["content_length"].append(rec["content_length"])
+                    rows["payload_md5"].append(
+                        hashlib.md5(rec["payload"]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    from gomrjob_spark.operators.text import spread
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, rec_idx int, target_uri string, "
+            "warc_date string, content_length bigint, payload_md5 string"
+        ),
+    )
+    return out.orderBy("doc_id", "rec_idx")

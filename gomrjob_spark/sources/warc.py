@@ -1,0 +1,90 @@
+"""WARC (Web ARChive, ISO 28500) record parsing — the crawl's native
+input format.
+
+Every web-scale curation pipeline starts from WARC: Common Crawl ships
+WARC/WET files, and CCNet/Dolma/RefinedWeb's position-zero step is
+splitting them into (target URI, date, payload) records before any URL
+or text operator runs. The format is LENGTH-DELIMITED: a version line
+(``WARC/1.0``), CRLF-separated headers including ``Content-Length``,
+one blank line, exactly Content-Length payload bytes, then two CRLFs.
+The payload may legally contain anything — including text that LOOKS
+like a record boundary — so a correct parser must walk lengths, never
+split on blank lines or on the ``WARC/1.0`` magic (the classic
+naive-splitter corruption; the registered query's fixture plants a
+decoy ``\\r\\n\\r\\nWARC/1.0\\r\\n`` INSIDE a payload so a splitter
+implementation cannot pass the hash gate).
+
+:func:`encode_warc` is the writer twin (the codec-family closed loop);
+:func:`parse_warc` the strict reader — malformed streams (bad magic,
+missing/invalid Content-Length, truncated payload, missing record
+terminator) raise with a precise class, per the EXIF/codec convention.
+"""
+
+from __future__ import annotations
+
+_CRLF = b"\r\n"
+
+
+def encode_warc(records: list[dict]) -> bytes:
+    """Serialize records ({uri, date, payload: bytes, type?}) into a
+    spec-shaped WARC stream (the WET 'conversion' profile)."""
+    out = bytearray()
+    for r in records:
+        payload = r["payload"]
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + r.get("type", "conversion").encode("ascii"),
+            b"WARC-Target-URI: " + r["uri"].encode("ascii"),
+            b"WARC-Date: " + r["date"].encode("ascii"),
+            b"Content-Length: " + str(len(payload)).encode("ascii"),
+        ]
+        out += _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Length-delimited WARC record walk. Returns one dict per record:
+    {type, uri, date, content_length, payload}. Raises ValueError (with
+    the malformation class) on: a record not starting ``WARC/``, a
+    header block without CRLFCRLF terminator, a missing or non-integer
+    Content-Length, a payload running past the stream, or a missing
+    double-CRLF record terminator."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data[pos:pos + 5] == b"WARC/":
+            raise ValueError(
+                f"record at offset {pos} lacks WARC/ version magic"
+            )
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("unterminated WARC header block")
+        headers: dict[str, str] = {}
+        lines = data[pos:hdr_end].split(_CRLF)
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("ascii").lower()] = (
+                v.strip().decode("ascii", "replace")
+            )
+        cl = headers.get("content-length")
+        if cl is None or not cl.isdigit():
+            raise ValueError(f"missing/invalid Content-Length {cl!r}")
+        length = int(cl)
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            raise ValueError("payload truncated past stream end")
+        if data[body_end:body_end + 4] != _CRLF + _CRLF:
+            raise ValueError("missing CRLFCRLF record terminator")
+        records.append(
+            {
+                "type": headers.get("warc-type", ""),
+                "uri": headers.get("warc-target-uri", ""),
+                "date": headers.get("warc-date", ""),
+                "content_length": length,
+                "payload": data[body_start:body_end],
+            }
+        )
+        pos = body_end + 4
+    return records

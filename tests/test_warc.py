@@ -1,0 +1,85 @@
+"""WARC record parsing (sources/warc.py). The driver gate pins the
+formula fields; these pin the closed loop on arbitrary payloads, the
+length-delimited property (boundary-lookalike bytes INSIDE payloads),
+and every malformation raise class. Pure-Python — no Spark session."""
+
+from __future__ import annotations
+
+import pytest
+
+from gomrjob_spark.sources.warc import encode_warc, parse_warc
+
+
+def _recs():
+    return [
+        {"uri": "https://a.example.com/1", "date": "2026-01-01T00:00:00Z",
+         "payload": b"hello world"},
+        {"uri": "https://b.example.com/2", "date": "2026-02-02T00:00:00Z",
+         "payload": b"", "type": "response"},  # empty payload is legal
+        {"uri": "https://c.example.com/3", "date": "2026-03-03T00:00:00Z",
+         "payload": bytes(range(256))},  # arbitrary binary
+    ]
+
+
+def test_roundtrip_arbitrary_payloads():
+    got = parse_warc(encode_warc(_recs()))
+    assert [r["uri"] for r in got] == [r["uri"] for r in _recs()]
+    assert [r["payload"] for r in got] == [r["payload"] for r in _recs()]
+    assert got[1]["type"] == "response" and got[0]["type"] == "conversion"
+    assert [r["content_length"] for r in got] == [11, 0, 256]
+
+
+def test_payload_containing_record_boundary_lookalike():
+    """The decisive property: '\\r\\n\\r\\nWARC/1.0\\r\\n' inside a
+    payload is DATA. A blank-line or magic splitter would cut here;
+    the length walk must not."""
+    decoy = b"text\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nmore"
+    recs = [
+        {"uri": "u1", "date": "d1", "payload": decoy},
+        {"uri": "u2", "date": "d2", "payload": b"after"},
+    ]
+    got = parse_warc(encode_warc(recs))
+    assert len(got) == 2
+    assert got[0]["payload"] == decoy
+    assert got[1]["uri"] == "u2" and got[1]["payload"] == b"after"
+
+
+def test_raise_on_bad_magic():
+    with pytest.raises(ValueError, match="version magic"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_raise_on_unterminated_headers():
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: 3")
+
+
+def test_raise_on_missing_or_bad_content_length():
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nxx\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: many\r\n\r\nxx\r\n\r\n")
+
+
+def test_raise_on_truncated_payload():
+    good = encode_warc([{"uri": "u", "date": "d", "payload": b"0123456789"}])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(good[:-8])  # cut into the payload
+
+
+def test_raise_on_missing_terminator():
+    good = encode_warc([{"uri": "u", "date": "d", "payload": b"0123456789"}])
+    with pytest.raises(ValueError, match="terminator"):
+        parse_warc(good[:-4] + b"XXXX")
+
+
+def test_garbage_between_records_is_rejected():
+    two = encode_warc(
+        [{"uri": "u1", "date": "d", "payload": b"a"},
+         {"uri": "u2", "date": "d", "payload": b"b"}]
+    )
+    # splice junk between the records
+    first_len = len(encode_warc([{"uri": "u1", "date": "d", "payload": b"a"}]))
+    spliced = two[:first_len] + b"junk" + two[first_len:]
+    with pytest.raises(ValueError, match="version magic"):
+        parse_warc(spliced)
