@@ -171,6 +171,11 @@ HEADLINE = [
     # position and keeps round-over-round comparison clean.
     "text_kn_perplexity",
     "text_byte_bpe_encode",
+    # r11 HTML family: extract is the family's cost ceiling (block
+    # segmentation + per-block metrics + per-doc HOF rollup in one
+    # scan-local program; block_stats adds only a Generate, the gate
+    # is a strict subset)
+    "html_extract_text",
 ]
 
 

@@ -1,0 +1,287 @@
+"""HTML main-content extraction — the layer between WARC parsing and text
+quality that every crawl pipeline has (jusText / trafilatura / resiliparse
+class): a crawl's payloads are HTML pages, and the text operators (langid,
+quality, dedup, perplexity) must run on the page's MAIN CONTENT, not its
+navigation chrome, ads, scripts, or footers. The family here:
+
+- :func:`synth_html` — deterministic page per document (the multimodal
+  synthesis device): the document's text becomes ``<p>`` content blocks
+  wrapped in REAL boilerplate (nav link bars, a promo div, a script whose
+  string literal embeds a decoy ``<p>`` block, an HTML comment with
+  another decoy block, an attribute carrying a raw ``>``, entity-encoded
+  text, a footer link cluster). The DuckDB oracle recomputes the same
+  page byte-for-byte, so the whole extract pipeline sits under the
+  cross-engine hash gate — and the decoys make the gate ADVERSARIAL: a
+  tag-stripper that does not remove script/comment content wholesale, or
+  a tokenizer that reads ``title="rev>0"`` as a tag boundary, emits
+  phantom blocks and cannot match.
+- :func:`clean_invisible` — remove ``<script>``/``<style>`` elements
+  (with their content) and comments; these are never visible text.
+- :func:`block_structs` — segment the page into BLOCK-level elements
+  (``p``/``div``/``nav``/``footer``) and compute per-block metrics:
+  visible text (tags stripped, whitespace collapsed, entities decoded —
+  in that order: entity-encoded angle brackets are NOT tags), link-text
+  chars, link density, word/stopword counts, and the jusText-style
+  content verdict.
+- :func:`doc_content_summary` — per-document rollup (main text, content
+  vs boilerplate chars) computed with array higher-order functions over
+  the block array: ZERO shuffles, the langid-gate property, which is
+  what lets content extraction run scan-local on the raw 100 TB crawl
+  right after the WARC walk.
+- :func:`content_gate` — per-document admission verdict on the
+  content-to-total ratio (fixed-point ppm, the repo's no-floats-in-gates
+  convention).
+
+Classification contract (documented thresholds, jusText simplified to
+its load-bearing core — block length, link density, stopword evidence):
+a block is CONTENT iff
+
+1. visible text length >= ``MIN_CONTENT_CHARS`` (40) — short fragments
+   ("updated 7") are chrome regardless of wording;
+2. link density <= ``MAX_LINK_DENSITY_PM`` (300 permille) — link bars
+   and promo blocks are mostly anchor text;
+3. at least one stopword — prose has function words, chrome labels
+   ("Home | About | Contact") do not.
+
+Every operator is a row-local column program (regex + array HOFs, all
+JVM codegen, no UDF); the only shuffle any registered query adds is the
+per-block explode's none at all — ``posexplode`` is a Generate in the
+same stage as the scan.
+
+Reference parity note: jehiah/gomrjob has no HTML layer (it is a job
+framework); this family is part of the LLM-training-data surface the
+build brief adds on top (SURVEY.md §2F extensions), composing with
+sources/warc.py (the step before) and operators/text.py (the steps
+after).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: any tag, quote-aware: a raw ``>`` inside a double-quoted attribute
+#: value does NOT terminate the tag (synthesized decoy: title="rev>0")
+TAG_ANY = '<(?:[^>"]|"[^"]*")*>'
+
+#: block-level opening tags (split form: non-capturing)
+BLOCK_OPEN = '<(?:p|div|nav|footer)(?:[^>"]|"[^"]*")*>'
+
+#: block-level opening tags (capture form: tag name as group 1)
+BLOCK_OPEN_TAG = '<(p|div|nav|footer)(?:[^>"]|"[^"]*")*>'
+
+#: anchor element inner text (group 1); (?s) because content blocks are
+#: arbitrary payload bytes at deployment
+LINK_TEXT = '(?s)<a(?:[^>"]|"[^"]*")*>(.*?)</a>'
+
+#: invisible elements removed WITH their content, plus comments
+INVISIBLE_PATTERNS = (
+    '(?s)<script(?:[^>"]|"[^"]*")*>.*?</script>',
+    '(?s)<style(?:[^>"]|"[^"]*")*>.*?</style>',
+    "(?s)<!--.*?-->",
+)
+
+#: entity decode table, applied in order — ``&amp;`` LAST so that
+#: double-encoded text never double-decodes
+ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&"))
+
+#: function words the fixture vocabulary actually contains; a real
+#: deployment uses the per-language sets in text.LANG_STOPWORDS
+STOPWORDS = ("the", "a")
+
+MIN_CONTENT_CHARS = 40
+MAX_LINK_DENSITY_PM = 300
+
+#: synthesis chunk width (chars of document text per content block)
+CHUNK = 200
+
+
+def synth_html(doc_id: Column, text: Column) -> Column:
+    """Deterministic HTML page per document — mirrored byte-for-byte by
+    the oracle CTEs in plans/html.py (``_HTML_PAGE_SQL``). Content =
+    the document text in CHUNK-char ``<p>`` blocks (every 4th gets an
+    inline anchor); boilerplate = nav bar, promo div (entity-encoded
+    anchor text), script + comment decoys each embedding a fake
+    ``<p>`` block, an attribute with a raw ``>``, and a footer link
+    cluster."""
+    d = doc_id.cast("bigint")
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    idxs = F.when(
+        n > 0, F.sequence(F.lit(0).cast("bigint"), F.floor((n + CHUNK - 1) / CHUNK) - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    paras = F.array_join(
+        F.transform(
+            idxs,
+            lambda i: F.concat(
+                F.lit('<p class="c'),
+                (d % 3).cast("string"),
+                F.lit('">'),
+                t.substr((i * CHUNK + F.lit(1)).cast("int"), F.lit(CHUNK)),
+                F.when(
+                    (d + i) % 4 == 0,
+                    F.concat(
+                        F.lit(' <a href="/r'), i.cast("string"), F.lit('">more</a>')
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title><style>p{font:12px}</style></head><body>"),
+        F.lit('<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/c'),
+        (d % 5).cast("string"),
+        F.lit('">Contact</a></nav>'),
+        paras,
+        F.lit('<div class="promo"><a href="/buy?x='),
+        d.cast("string"),
+        F.lit('">Buy now &amp; save &lt;deals&gt;</a></div>'),
+        F.lit('<script>var p = "<p>fake '),
+        d.cast("string"),
+        F.lit('</p>";</script>'),
+        F.lit("<!-- build "),
+        (d % 97).cast("string"),
+        F.lit(" <p>also fake</p> -->"),
+        F.lit('<div class="meta" title="rev>0">updated '),
+        (d % 28).cast("string"),
+        F.lit("</div>"),
+        F.lit('<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'),
+        F.lit("</body></html>"),
+    )
+
+
+def clean_invisible(html: Column) -> Column:
+    """Remove script/style elements with their content, then comments —
+    BEFORE block segmentation, so markup inside script strings or
+    comments can never fabricate blocks."""
+    out = html
+    for pat in INVISIBLE_PATTERNS:
+        out = F.regexp_replace(out, pat, "")
+    return out
+
+
+def decode_entities(col: Column) -> Column:
+    """Minimal entity decode (module table, ``&amp;`` last)."""
+    out = col
+    for ent, ch in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def visible_text(frag: Column) -> Column:
+    """Fragment -> visible text: strip tags (quote-aware), collapse
+    whitespace, trim, THEN decode entities (encoded angle brackets are
+    text, not markup)."""
+    stripped = F.regexp_replace(frag, TAG_ANY, "")
+    return decode_entities(F.trim(F.regexp_replace(stripped, "\\s+", " ")))
+
+
+def _stop_hits(txt: Column) -> Column:
+    return F.size(F.filter(F.split(txt, " "), lambda w: w.isin(*STOPWORDS)))
+
+
+def block_structs(html: Column) -> Column:
+    """Array of per-block metric structs in document order. The page is
+    segmented by splitting on block-level OPENING tags (quote-aware
+    pattern — the ``title="rev>0"`` decoy cannot truncate a tag) after
+    :func:`clean_invisible`; fragment i then ends with its own closing
+    tag, which the tag strip removes. Fields: tag, block_text, n_chars,
+    link_chars, link_density_pm, n_words, n_stop, is_content (module
+    contract). All metrics are integers (fixed-point permille density:
+    the repo's no-floats-in-gates convention); blocks with no text get
+    density 1000 (pure markup is chrome by definition)."""
+    ch = clean_invisible(html)
+    frags = F.split(ch, BLOCK_OPEN)
+    opens = F.regexp_extract_all(ch, F.lit(BLOCK_OPEN_TAG), 1)
+
+    def build(tag: Column, i: Column) -> Column:
+        frag = F.element_at(frags, (i + F.lit(2)).cast("int"))
+        txt = visible_text(frag)
+        n_chars = F.length(txt).cast("bigint")
+        link_chars = F.aggregate(
+            F.regexp_extract_all(frag, F.lit(LINK_TEXT), 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, l: acc + F.length(decode_entities(l)),
+        )
+        ld_pm = F.when(
+            n_chars > 0, ((F.lit(1000) * link_chars) / n_chars).cast("bigint")
+        ).otherwise(F.lit(1000).cast("bigint"))
+        n_words = F.when(txt == "", F.lit(0)).otherwise(
+            F.size(F.split(txt, " "))
+        ).cast("bigint")
+        n_stop = _stop_hits(txt).cast("bigint")
+        return F.struct(
+            tag.alias("tag"),
+            txt.alias("block_text"),
+            n_chars.alias("n_chars"),
+            link_chars.alias("link_chars"),
+            ld_pm.alias("link_density_pm"),
+            n_words.alias("n_words"),
+            n_stop.alias("n_stop"),
+            (
+                (n_chars >= MIN_CONTENT_CHARS)
+                & (ld_pm <= MAX_LINK_DENSITY_PM)
+                & (n_stop >= 1)
+            ).alias("is_content"),
+        )
+
+    return F.transform(opens, build)
+
+
+def with_blocks(
+    df: DataFrame, html_col: str = "html", out_col: str = "blocks"
+) -> DataFrame:
+    """Stage the block-struct array as a real column (staging, not
+    CSE-hoping: the repo rule for expressions referenced more than
+    once)."""
+    return df.withColumn(out_col, block_structs(F.col(html_col)))
+
+
+def doc_content_summary(
+    df: DataFrame, blocks_col: str = "blocks"
+) -> DataFrame:
+    """Per-document rollup WITHOUT a groupBy: array HOFs over the
+    staged block array (zero shuffles — at 100 TB this is a scan-local
+    projection in the same stage as the WARC walk). main_text joins the
+    content blocks' visible text in document order — the WET-style
+    output the downstream text operators consume."""
+    blocks = F.col(blocks_col)
+    content = F.filter(blocks, lambda b: b["is_content"])
+    summed = lambda arr, field: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, b: acc + b[field]
+    )
+    return df.withColumn(
+        "n_blocks", F.size(blocks).cast("bigint")
+    ).withColumn(
+        "n_content_blocks", F.size(content).cast("bigint")
+    ).withColumn(
+        "content_chars", summed(content, "n_chars")
+    ).withColumn(
+        "total_chars", summed(blocks, "n_chars")
+    ).withColumn(
+        "main_text",
+        F.array_join(F.transform(content, lambda b: b["block_text"]), " "),
+    )
+
+
+def content_gate(df: DataFrame, min_ppm: int = 500_000) -> DataFrame:
+    """Admission verdict on the content ratio (fixed-point ppm over the
+    doc_content_summary columns): a page is admitted iff content text
+    dominates chrome AND at least one content block exists. Documents
+    with no visible text at all get ppm 0 (rejected) — an empty page is
+    chrome."""
+    ppm = F.when(
+        F.col("total_chars") > 0,
+        ((F.lit(1_000_000) * F.col("content_chars")) / F.col("total_chars")).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    staged = df.withColumn("content_ppm", ppm)
+    return staged.withColumn(
+        "admitted",
+        (F.col("content_ppm") >= min_ppm) & (F.col("n_content_blocks") >= 1),
+    )

@@ -12,6 +12,7 @@ registration order within each tier.
 from gomrjob_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
 from gomrjob_spark.plans import (  # noqa: F401,E402
     extras,
+    html,
     llm,
     mr,
     relational,
@@ -23,14 +24,22 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 17 NEW r11 queries first (their first shot at
+# Tier 1 (round 11): the 21 NEW r11 queries first (their first shot at
 # a driver row), then ALL 22 names the r10 _BACKFILL carried (last
 # green row r06 — the r10 verdict's item #1 rotation, each re-proven by
 # the judge's full 230/230 simulation and this round's own), then the
-# oldest 11 of the 50 r07 rows (alphabetical — all equally old under
-# OLDEST-ALWAYS-NEXT). The 39 r07 rows that didn't fit head the r12
+# oldest 7 of the 50 r07 rows (alphabetical — all equally old under
+# OLDEST-ALWAYS-NEXT). The 43 r07 rows that didn't fit head the r12
 # _BACKFILL.
 _VERIFY_FIRST = [
+    # NEW r11: HTML block segmentation + jusText metrics (decoy-gated)
+    "html_block_stats",
+    # NEW r11: WET-style main-content extraction (zero-shuffle HOFs)
+    "html_extract_text",
+    # NEW r11: content-ratio admission gate
+    "html_content_gate",
+    # NEW r11: live HTML content admission (27th streaming topology)
+    "streaming_html_gate",
     # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
     "url_canonicalize",
     # NEW r11: URL-level exact dedup over canonical URLs
@@ -88,7 +97,7 @@ _VERIFY_FIRST = [
     "text_pmi_collocations",
     "timeseries_gapfill_locf",
     "timeseries_twap",
-    # longest-proven fill: the oldest 11 of the r07 rows (alphabetical)
+    # longest-proven fill: the oldest 7 of the r07 rows (alphabetical)
     "burst_detection",
     "cohort_retention",
     "corpus_composition_report",
@@ -96,24 +105,25 @@ _VERIFY_FIRST = [
     "decontaminate_semantic",
     "dedup_best_quality_survivors",
     "dedup_impact_report",
-    "embedding_dim_stats",
-    "embedding_hard_negatives",
-    "event_transitions",
-    "graph_link_prediction",
 ]
 
 # next-oldest queries: first in line after the window above, and the
 # head of the r12 rotation (last green row r07; everything else is
 # r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
-# driver row anywhere in the registry is r07 for exactly these 39
+# driver row anywhere in the registry is r07 for exactly these 43
 # names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
-# ledgers) at the current registry size. (join_range, join_semi,
-# knn_bruteforce, and mixture_bpe_weights fell out of the window when
-# the four late r11 registrations took the last slots —
-# oldest-always-next, alphabetical within equal age; join_argmax,
-# join_full_outer, and join_left_outer followed as the last three r11
-# queries registered.)
+# ledgers) at the current registry size. (Each r11 registration wave
+# displaced the youngest window tail into this list, alphabetical
+# within equal age: join_range/join_semi/knn_bruteforce/
+# mixture_bpe_weights first, then join_argmax/join_full_outer/
+# join_left_outer, then embedding_dim_stats/embedding_hard_negatives/
+# event_transitions/graph_link_prediction when the four HTML-family
+# registrations took the last slots.)
 _BACKFILL = [
+    "embedding_dim_stats",
+    "embedding_hard_negatives",
+    "event_transitions",
+    "graph_link_prediction",
     "join_argmax",
     "join_full_outer",
     "join_left_outer",

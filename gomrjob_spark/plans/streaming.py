@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gomrjob_spark.plans.html import _html_gate_oracle
 from gomrjob_spark.plans.llm import _langid_gate_oracle
 from gomrjob_spark.plans.registry import query
 from gomrjob_spark.streaming import (
@@ -1278,3 +1279,41 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, quality_gate_stream(batch, last), "append").orderBy(
         "doc_id"
     )
+
+
+@query("streaming_html_gate", oracle=_html_gate_oracle("doc_id >= 250"))
+def streaming_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content admission as a live topology
+    (streaming.ops.html_gate_stream) — the 27th registered topology
+    and the position-ONE gate of a crawl ingest (right after the URL
+    gate's position zero, right before langid/quality/perplexity):
+    documents 250+ arrive as a stream, each page segments into blocks
+    and rolls up ROW-LOCALLY with array higher-order functions (the
+    IDENTICAL column program as the batch gate — html.block_structs +
+    doc_content_summary + content_gate — so stream==batch equivalence
+    is structural), and chrome-dominated pages drop before any text
+    operator runs. Stateless and model-free (the url_gate posture:
+    only plan literals ship), so per-batch cost is flat forever and
+    verdicts are batching-invariant. Pages are synthesized on the
+    stream with the same (doc_id, text) formula as the batch family
+    (operators.html.synth_html — a scan projection, stream-safe), and
+    the oracle recomputes formula + an independent SQL extractor, so
+    the live path sits under the same two-implementation hash gate as
+    html_content_gate — including the script/comment decoy blocks and
+    the raw-``>``-in-attribute tag decoy. The emitted main_text column
+    is exactly what the downstream langid/kn/quality stream gates
+    consume."""
+    from gomrjob_spark.operators.html import synth_html
+    from gomrjob_spark.streaming import (
+        html_gate_stream,
+        read_documents_stream,
+    )
+
+    batch = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .select(
+            "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("html")
+        )
+    )
+    return _drain(spark, html_gate_stream(batch), "append").orderBy("doc_id")

@@ -10,6 +10,7 @@ and arbitrary stateful operators via applyInPandasWithState.
 from gomrjob_spark.streaming.ops import (  # noqa: F401
     bloom_dedup_gate_stream,
     dsir_gate_stream,
+    html_gate_stream,
     incremental_dedup_stream,
     kn_gate_stream,
     langid_gate_stream,

@@ -1057,6 +1057,48 @@ def quality_gate_stream(
     return perceptron_score(docs, scoped_persist(last_row))
 
 
+def html_gate_stream(
+    docs: DataFrame,
+    min_ppm: int = 500_000,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live HTML main-content admission — the streaming twin of
+    html_content_gate and the gate that runs directly on the WARC
+    payload stream (position ONE of a crawl ingest, right after the
+    URL gate's position zero): each arriving page is segmented into
+    blocks, scored, and rolled up ROW-LOCALLY with array higher-order
+    functions (operators.html.block_structs + doc_content_summary —
+    the identical column program as the batch gate, so stream==batch
+    equivalence is structural), and pages whose chrome outweighs
+    their prose are dropped before any text operator sees them.
+
+    Stateless scan projection — no model, no store, no state (the
+    url_gate_stream posture: only plan literals ship): per-batch cost
+    is flat forever and verdicts are batching-invariant. Downstream
+    composition is the production pipeline order: this gate's
+    main_text column is exactly what langid_gate_stream /
+    kn_gate_stream / quality_gate_stream consume."""
+    from gomrjob_spark.operators.html import (
+        content_gate,
+        doc_content_summary,
+        with_blocks,
+    )
+
+    staged = content_gate(
+        doc_content_summary(with_blocks(docs, html_col=html_col)),
+        min_ppm=min_ppm,
+    )
+    return staged.select(
+        id_col,
+        "n_blocks",
+        "n_content_blocks",
+        "content_ppm",
+        "main_text",
+        "admitted",
+    )
+
+
 def url_gate_stream(
     docs: DataFrame,
     blocklist: list[str],
