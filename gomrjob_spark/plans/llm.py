@@ -7220,3 +7220,90 @@ def multimodal_exif_orient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="doc_id bigint, payload binary"
     )
     return multimodal.extract_oriented_pixel_stats(payloads).orderBy("doc_id")
+
+
+def _mime_oracle() -> str:
+    """Oracle for the MIME sniff: every sniffed field recomputed from
+    the doc_id synthesis formulas (operators/mime.py synth_payload),
+    never from bytes — the gate proves the Spark byte ENCODE->PARSE
+    loop lands exactly on the formula values (wrong offset, flipped
+    endianness, or missed BMP sign extension breaks the hash)."""
+    jfif = "FFD8FFE0"
+    exif = "FFD8FFE1"
+    png4 = "89504E47"
+    gif4 = "GIF8".encode("ascii").hex().upper()
+    bm36 = "BM".encode("ascii").hex().upper() + "3600"  # BM + le32(54)[:2]
+    riff = "RIFF".encode("ascii").hex().upper()
+    return f"""
+    SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+        WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/bmp'
+        WHEN 4 THEN 'audio/wav'  ELSE 'application/octet-stream'
+      END AS mime,
+      CASE
+        WHEN doc_id % 6 = 0 THEN
+          CASE WHEN doc_id % 2 = 0 THEN 'jfif' ELSE 'exif' END
+        WHEN doc_id % 6 = 2 THEN
+          CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END
+        ELSE NULL
+      END AS variant,
+      CAST(CASE WHEN doc_id % 6 IN (1, 2, 3)
+           THEN 16 + doc_id % 17 ELSE 0 END AS BIGINT) AS width,
+      CAST(CASE WHEN doc_id % 6 IN (1, 2, 3)
+           THEN 8 + doc_id % 13 ELSE 0 END AS BIGINT) AS height,
+      CASE WHEN doc_id % 6 = 3 THEN doc_id % 5 = 0 ELSE FALSE END
+        AS top_down,
+      CAST(CASE WHEN doc_id % 6 = 4
+           THEN 1 + doc_id % 2 ELSE 0 END AS BIGINT) AS channels,
+      CAST(CASE WHEN doc_id % 6 = 4
+           THEN 8000 + (doc_id % 7) * 1000 ELSE 0 END AS BIGINT)
+        AS sample_rate,
+      CAST(CASE doc_id % 6
+        WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 11 ELSE 12 END
+        WHEN 1 THEN 26 WHEN 2 THEN 10 WHEN 3 THEN 26 WHEN 4 THEN 44
+        ELSE 13 + len(CAST(doc_id AS VARCHAR))
+      END AS BIGINT) AS n_bytes,
+      CASE doc_id % 6
+        WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN '{jfif}' ELSE '{exif}' END
+        WHEN 1 THEN '{png4}' WHEN 2 THEN '{gif4}' WHEN 3 THEN '{bm36}'
+        ELSE '{riff}'
+      END AS magic4
+    FROM documents ORDER BY doc_id
+    """
+
+
+@query("multimodal_mime_sniff", oracle=_mime_oracle())
+def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniff (operators/mime.py) — the FIRST operation
+    on a crawled binary column: classify the format and read its own
+    declared header fields (dims, sample rate, BMP row order) without
+    decoding, as one scan-local JVM column program (substring-on-binary
+    + hex/conv field extraction in BOTH endiannesses, signed
+    two's-complement for BMP height). Stricter than first-4-bytes
+    matching: RIFF requires WAVE at offset 9 — the fixture's every 6th
+    document is a 'RIFFraff ...' TEXT decoy that a naive 4-byte
+    sniffer misroutes to audio/wav and cannot hash-match. Payloads
+    synthesize from doc_id formulas (JFIF/Exif JPEG, PNG IHDR,
+    GIF87a/89a, BITMAPINFOHEADER BMP incl. top-down negative heights,
+    canonical 44-byte WAV); the oracle recomputes every field from the
+    formulas alone. Zero shuffles before the oracle-determinism
+    orderBy."""
+    from gomrjob_spark.operators import mime
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.withColumn("payload", mime.synth_payload(F.col("doc_id")))
+    out = mime.sniff_table(staged)
+    # gated outputs avoid NULLABLE numerics/booleans (Spark->pandas
+    # surfaces them as float64 NaN / object, which the driver's value
+    # hash treats differently from DuckDB's Int64) — 0/false sentinels
+    # here, typed NULLs stay in the library operator
+    return out.select(
+        "doc_id", "mime", "variant",
+        F.coalesce("width", F.lit(0)).alias("width"),
+        F.coalesce("height", F.lit(0)).alias("height"),
+        F.coalesce("top_down", F.lit(False)).alias("top_down"),
+        F.coalesce("channels", F.lit(0)).alias("channels"),
+        F.coalesce("sample_rate", F.lit(0)).alias("sample_rate"),
+        "n_bytes", "magic4",
+    ).orderBy("doc_id")

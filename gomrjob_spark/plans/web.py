@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
 from gomrjob_spark.operators import urls
+from gomrjob_spark.plans.html import _html_gate_oracle
 from gomrjob_spark.plans.registry import query
 
 #: the oracle's copy of the synth_url formula (byte-identical output)
@@ -382,3 +383,214 @@ def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("doc_id", "rec_idx")
+
+
+@query(
+    "warc_http_headers",
+    oracle="""
+    WITH bodies AS (
+      SELECT doc_id,
+        'doc ' || CAST(doc_id AS VARCHAR) || ' body '
+        || repeat('y', CAST(doc_id % 11 AS INT))
+        || CASE WHEN doc_id % 4 = 0
+                THEN chr(13) || chr(10) || 'Content-Type: fake/decoy'
+                     || chr(13) || chr(10)
+                ELSE '' END AS body
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS INT)
+        AS status_code,
+      CASE WHEN doc_id % 10 = 0 THEN 'Not Found' ELSE 'OK' END AS reason,
+      CASE doc_id % 3 WHEN 1 THEN 'text/plain' ELSE 'text/html' END
+        AS mime_type,
+      CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'iso-8859-1' END
+        AS charset,
+      CAST(3 AS BIGINT) AS n_headers,
+      CAST(len(body) AS BIGINT) AS body_len,
+      md5(body) AS body_md5
+    FROM bodies ORDER BY doc_id
+    """,
+)
+def warc_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response parsing inside WARC payloads — the WAT-derivation
+    step Common Crawl's 'response' profile actually requires (the WARC
+    payload is a FULL HTTP/1.1 message; the document body starts only
+    after the HTTP header block): each document synthesizes a WARC
+    response record whose payload is a formula HTTP response
+    (status/content-type/charset/body all doc_id formulas), the WARC
+    walk is length-delimited (sources.warc.parse_warc), and the HTTP
+    parse is strict (sources.warc.parse_http_response): headers end at
+    the FIRST CRLFCRLF — every 4th document's body embeds a decoy
+    'Content-Type: fake/decoy' line, so a whole-payload header scan
+    reports the wrong content type and cannot hash-match; the parser
+    also cross-checks Content-Length against the actual body size
+    (truncation detection). The oracle recomputes status, media type,
+    charset parameter, header count, and body length+md5 from the
+    formulas alone. Scan-local Arrow-batched synth+parse; zero
+    shuffles before the oracle-determinism orderBy."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.sources.warc import (
+        encode_http_response,
+        encode_warc,
+        parse_http_response,
+        parse_warc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "status_code", "reason", "mime_type", "charset",
+                "n_headers", "body_len", "body_md5",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                body = (
+                    f"doc {d} body " + "y" * (d % 11)
+                    + ("\r\nContent-Type: fake/decoy\r\n" if d % 4 == 0
+                       else "")
+                ).encode("ascii")
+                status, reason = (404, "Not Found") if d % 10 == 0 else (200, "OK")
+                ctype = {
+                    0: "text/html; charset=utf-8",
+                    1: "text/plain",
+                    2: "text/html; charset=iso-8859-1",
+                }[d % 3]
+                payload = encode_http_response(
+                    status, reason,
+                    [("Content-Type", ctype), ("X-Doc", str(d))], body,
+                )
+                stream = encode_warc([{
+                    "uri": f"https://w{d}.example.com/",
+                    "date": f"2026-01-{1 + d % 28:02d}T00:00:00Z",
+                    "payload": payload,
+                    "type": "response",
+                }])
+                (rec,) = parse_warc(stream)
+                resp = parse_http_response(rec["payload"])
+                raw_ct = resp["headers"]["content-type"]
+                mime = raw_ct.split(";", 1)[0].strip()
+                charset = None
+                for part in raw_ct.split(";")[1:]:
+                    k, _, v = part.strip().partition("=")
+                    if k.lower() == "charset":
+                        charset = v
+                rows["doc_id"].append(d)
+                rows["status_code"].append(resp["status_code"])
+                rows["reason"].append(resp["reason"])
+                rows["mime_type"].append(mime)
+                rows["charset"].append(charset)
+                rows["n_headers"].append(len(resp["headers"]))
+                rows["body_len"].append(len(resp["body"]))
+                rows["body_md5"].append(
+                    hashlib.md5(resp["body"]).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    from gomrjob_spark.operators.text import spread
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, status_code int, reason string, "
+            "mime_type string, charset string, n_headers bigint, "
+            "body_len bigint, body_md5 string"
+        ),
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "corpus_wet_pipeline",
+    oracle=_html_gate_oracle("doc_id % 10 <> 0 AND doc_id % 3 <> 1"),
+)
+def corpus_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-ingest front half, composed end-to-end under ONE
+    hash gate — exactly the WARC->WET derivation Common Crawl runs:
+
+    1. each document synthesizes a WARC 'response' record whose HTTP
+       payload body is the document's HTML page (the html-family
+       formula, built by the COLUMN program so the wrap layers cannot
+       drift from the gated synthesis);
+    2. the WARC walk is length-delimited (sources.warc.parse_warc) and
+       the HTTP parse strict (parse_http_response) — Arrow-batched,
+       scan-local;
+    3. non-200 responses (doc_id%10==0 -> 404) and non-HTML media
+       types (doc_id%3==1 -> text/plain) drop at the HTTP layer —
+       the real pipeline's cheap first filter;
+    4. surviving pages run the jusText-style extractor + content gate
+       (operators/html.py), emitting WET-style main_text + verdicts.
+
+    The oracle replays only the formula restriction + the independent
+    SQL extractor (the shared parameterized _html_gate_oracle), so a
+    defect ANYWHERE in the chain — a WARC boundary slip, an HTTP
+    header scan that reads the decoy Content-Type inside the body, a
+    lost byte in wrap/unwrap, a block misclassification — surfaces as
+    a hash mismatch. Everything before the oracle-determinism orderBy
+    is scan-local: zero shuffles at 100 TB."""
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.html import (
+        content_gate,
+        doc_content_summary,
+        synth_html,
+        with_blocks,
+    )
+    from gomrjob_spark.sources.warc import (
+        encode_http_response,
+        encode_warc,
+        parse_http_response,
+        parse_warc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paged = docs.select(
+        "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("page")
+    )
+
+    def wrap_walk(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "status_code": [], "mime_type": [],
+                    "html": []}
+            for doc_id, page in zip(pdf["doc_id"], pdf["page"]):
+                d = int(doc_id)
+                status, reason = (404, "Not Found") if d % 10 == 0 else (200, "OK")
+                ctype = "text/plain" if d % 3 == 1 else "text/html; charset=utf-8"
+                stream = encode_warc([{
+                    "uri": f"https://w{d}.example.com/",
+                    "date": f"2026-01-{1 + d % 28:02d}T00:00:00Z",
+                    "payload": encode_http_response(
+                        status, reason, [("Content-Type", ctype)],
+                        page.encode("utf-8"),
+                    ),
+                    "type": "response",
+                }])
+                (rec,) = parse_warc(stream)
+                resp = parse_http_response(rec["payload"])
+                rows["doc_id"].append(d)
+                rows["status_code"].append(resp["status_code"])
+                rows["mime_type"].append(
+                    resp["headers"]["content-type"].split(";", 1)[0].strip()
+                )
+                rows["html"].append(resp["body"].decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    from gomrjob_spark.operators.text import spread
+
+    walked = spread(paged).mapInPandas(
+        wrap_walk,
+        schema="doc_id bigint, status_code int, mime_type string, html string",
+    )
+    kept = walked.filter(
+        (F.col("status_code") == 200) & (F.col("mime_type") == "text/html")
+    )
+    gated = content_gate(doc_content_summary(with_blocks(kept)))
+    return gated.select(
+        "doc_id", "n_blocks", "n_content_blocks", "content_ppm",
+        "main_text", "admitted",
+    ).orderBy("doc_id")

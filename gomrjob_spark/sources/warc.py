@@ -88,3 +88,63 @@ def parse_warc(data: bytes) -> list[dict]:
         )
         pos = body_end + 4
     return records
+
+
+def encode_http_response(
+    status: int, reason: str, headers: list[tuple[str, str]], body: bytes
+) -> bytes:
+    """Writer twin for the WARC 'response' profile payload: a full
+    HTTP/1.1 response message (status line, CRLF headers, blank line,
+    body). Content-Length is appended automatically so encode->parse
+    is closed-loop."""
+    lines = [f"HTTP/1.1 {status} {reason}".encode("ascii")]
+    for k, v in headers:
+        lines.append(f"{k}: {v}".encode("ascii"))
+    lines.append(b"Content-Length: " + str(len(body)).encode("ascii"))
+    return _CRLF.join(lines) + _CRLF + _CRLF + body
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """Strict HTTP/1.1 response parse of a WARC response payload:
+    {status_code, reason, headers (first-wins, lower-cased keys),
+    body}. Headers end at the FIRST CRLFCRLF — bytes after it are body
+    even if they look like headers (the registered query's fixture
+    plants a ``Content-Type: fake/decoy`` line INSIDE the body, so a
+    whole-payload header scan cannot pass the hash gate). Raises
+    ValueError with a precise class on: a status line not matching
+    ``HTTP/<v> <3-digit> <reason>``, a header block without CRLFCRLF
+    terminator, a non-integer Content-Length, or a Content-Length that
+    disagrees with the actual body size (truncation corruption)."""
+    hdr_end = payload.find(_CRLF + _CRLF)
+    if hdr_end < 0:
+        raise ValueError("unterminated HTTP header block")
+    lines = payload[:hdr_end].split(_CRLF)
+    status_line = lines[0].decode("ascii", "replace")
+    parts = status_line.split(" ", 2)
+    if (
+        len(parts) < 3
+        or not parts[0].startswith("HTTP/")
+        or not (len(parts[1]) == 3 and parts[1].isdigit())
+    ):
+        raise ValueError(f"malformed HTTP status line {status_line!r}")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        key = k.strip().decode("ascii").lower()
+        if key not in headers:  # first value wins, per RFC 9110 folding
+            headers[key] = v.strip().decode("ascii", "replace")
+    body = payload[hdr_end + 4:]
+    cl = headers.get("content-length")
+    if cl is not None:
+        if not cl.isdigit():
+            raise ValueError(f"invalid Content-Length {cl!r}")
+        if int(cl) != len(body):
+            raise ValueError(
+                f"Content-Length {cl} disagrees with body size {len(body)}"
+            )
+    return {
+        "status_code": int(parts[1]),
+        "reason": parts[2],
+        "headers": headers,
+        "body": body,
+    }

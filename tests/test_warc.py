@@ -83,3 +83,60 @@ def test_garbage_between_records_is_rejected():
     spliced = two[:first_len] + b"junk" + two[first_len:]
     with pytest.raises(ValueError, match="version magic"):
         parse_warc(spliced)
+
+
+class TestHttpResponseParse:
+    """HTTP response payloads (the WARC 'response' profile — the
+    warc_http_headers query's parser contract)."""
+
+    def _roundtrip(self, body: bytes, status=200, reason="OK", headers=None):
+        from gomrjob_spark.sources.warc import (
+            encode_http_response,
+            parse_http_response,
+        )
+
+        payload = encode_http_response(
+            status, reason, headers or [("Content-Type", "text/html")], body
+        )
+        return parse_http_response(payload)
+
+    def test_roundtrip(self):
+        r = self._roundtrip(b"hello body", status=404, reason="Not Found")
+        assert r["status_code"] == 404 and r["reason"] == "Not Found"
+        assert r["body"] == b"hello body"
+        assert r["headers"]["content-type"] == "text/html"
+
+    def test_header_scan_stops_at_first_blank_line(self):
+        # decoy header line INSIDE the body must stay body bytes
+        body = b"x\r\nContent-Type: fake/decoy\r\ny"
+        r = self._roundtrip(body)
+        assert r["headers"]["content-type"] == "text/html"
+        assert r["body"] == body
+
+    def test_first_header_value_wins(self):
+        r = self._roundtrip(
+            b"b",
+            headers=[("Content-Type", "text/html"), ("Content-Type", "bad/dup")],
+        )
+        assert r["headers"]["content-type"] == "text/html"
+
+    def test_content_length_mismatch_raises(self):
+        from gomrjob_spark.sources.warc import parse_http_response
+
+        payload = b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort"
+        with pytest.raises(ValueError, match="disagrees"):
+            parse_http_response(payload)
+
+    def test_malformed_status_line_raises(self):
+        from gomrjob_spark.sources.warc import parse_http_response
+
+        for bad in (b"HTP/1.1 200 OK\r\n\r\n", b"HTTP/1.1 2x0 OK\r\n\r\n",
+                    b"HTTP/1.1 200\r\n\r\n"):
+            with pytest.raises(ValueError, match="status line"):
+                parse_http_response(bad)
+
+    def test_unterminated_header_block_raises(self):
+        from gomrjob_spark.sources.warc import parse_http_response
+
+        with pytest.raises(ValueError, match="unterminated"):
+            parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Type: a/b")
