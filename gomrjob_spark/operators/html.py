@@ -142,14 +142,20 @@ def synth_html(doc_id: Column, text: Column) -> Column:
         F.lit('">Buy now &amp; save &lt;deals&gt;</a></div>'),
         F.lit('<script>var p = "<p>fake '),
         d.cast("string"),
-        F.lit('</p>";</script>'),
+        F.lit('</p><a href="http://evil'),
+        (d % 4).cast("string"),
+        F.lit('.example/x">c</a>";</script>'),
         F.lit("<!-- build "),
         (d % 97).cast("string"),
         F.lit(" <p>also fake</p> -->"),
         F.lit('<div class="meta" title="rev>0">updated '),
         (d % 28).cast("string"),
         F.lit("</div>"),
-        F.lit('<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'),
+        F.lit('<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="http://partner'),
+        (d % 7).cast("string"),
+        F.lit('.example/p'),
+        (d % 3).cast("string"),
+        F.lit('">Partner</a></footer>'),
         F.lit("</body></html>"),
     )
 
@@ -230,6 +236,52 @@ def block_structs(html: Column) -> Column:
         )
 
     return F.transform(opens, build)
+
+
+#: anchor hrefs, in document order; the synthesis contract puts href
+#: first in every anchor (a general crawler widens the attribute walk)
+HREF_PAT = '<a href="([^"]*)"'
+
+
+def extract_links(html: Column, base_url: Column) -> Column:
+    """Array of per-link structs (href, resolved_url, link_domain,
+    is_internal) in document order — the link-graph half of WET
+    derivation (the other half is the text; both come from the same
+    cleaned page). Invisible elements are removed FIRST: the synthesis
+    plants an anchor inside a script string (``http://evil<k>``), so an
+    extractor that scans raw bytes emits phantom edges and cannot
+    hash-match. Resolution covers the two shapes crawl links take:
+    absolute (``scheme://...``, kept) and root-relative (``/path``,
+    joined to the base URL's scheme://host[:port]); the result is
+    re-normalized through the urls-family contract, and is_internal
+    compares registered domains (the crawl frontier's same-site test).
+    Row-local codegen, zero shuffles."""
+    from gomrjob_spark.operators.urls import registered_domain, url_normalize
+
+    base_prefix = F.regexp_extract(base_url, "^([a-z]+://[^/?#]+)", 1)
+    base_domain = registered_domain(
+        F.regexp_extract(base_url, "^[a-z]+://([^/:?#]+)", 1)
+    )
+    hrefs = F.regexp_extract_all(
+        clean_invisible(html), F.lit(HREF_PAT), 1
+    )
+
+    def build(href: Column) -> Column:
+        raw_abs = F.when(
+            href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href
+        ).otherwise(F.concat(base_prefix, href))
+        resolved = url_normalize(raw_abs)
+        link_domain = registered_domain(
+            F.regexp_extract(resolved, "^[a-z]+://([^/:?#]+)", 1)
+        )
+        return F.struct(
+            href.alias("href"),
+            resolved.alias("resolved_url"),
+            link_domain.alias("link_domain"),
+            (link_domain == base_domain).alias("is_internal"),
+        )
+
+    return F.transform(hrefs, build)
 
 
 def with_blocks(

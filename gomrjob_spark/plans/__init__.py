@@ -24,12 +24,12 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 24 NEW r11 queries first (their first shot at
+# Tier 1 (round 11): the 26 NEW r11 queries first (their first shot at
 # a driver row), then ALL 22 names the r10 _BACKFILL carried (last
 # green row r06 — the r10 verdict's item #1 rotation, each re-proven by
 # the judge's full 230/230 simulation and this round's own), then the
-# oldest 4 of the 50 r07 rows (alphabetical — all equally old under
-# OLDEST-ALWAYS-NEXT). The 46 r07 rows that didn't fit head the r12
+# oldest 2 of the 50 r07 rows (alphabetical — all equally old under
+# OLDEST-ALWAYS-NEXT). The 48 r07 rows that didn't fit head the r12
 # _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r11: HTML block segmentation + jusText metrics (decoy-gated)
@@ -46,6 +46,10 @@ _VERIFY_FIRST = [
     "warc_http_headers",
     # NEW r11: WARC->HTTP->extract front half composed under one gate
     "corpus_wet_pipeline",
+    # NEW r11: link extraction + RFC-style resolution (decoy-gated)
+    "html_extract_links",
+    # NEW r11: domain PageRank over the extracted link graph
+    "url_domain_pagerank",
     # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
     "url_canonicalize",
     # NEW r11: URL-level exact dedup over canonical URLs
@@ -106,8 +110,6 @@ _VERIFY_FIRST = [
     # longest-proven fill: the oldest 7 of the r07 rows (alphabetical)
     "burst_detection",
     "cohort_retention",
-    "corpus_composition_report",
-    "dataset_diff",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -122,9 +124,12 @@ _VERIFY_FIRST = [
 # join_left_outer, then embedding_dim_stats/embedding_hard_negatives/
 # event_transitions/graph_link_prediction when the four HTML-family
 # registrations took the last slots, then dedup_impact_report for the
-# MIME sniff and decontaminate_semantic/dedup_best_quality_survivors
-# for the WARC-HTTP pair.)
+# MIME sniff, decontaminate_semantic/dedup_best_quality_survivors for
+# the WARC-HTTP pair, and corpus_composition_report/dataset_diff for
+# the link-graph pair.)
 _BACKFILL = [
+    "corpus_composition_report",
+    "dataset_diff",
     "decontaminate_semantic",
     "dedup_best_quality_survivors",
     "dedup_impact_report",

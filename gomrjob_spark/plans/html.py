@@ -58,19 +58,21 @@ _HTML_PAGE_SQL = """
         || '<div class="promo"><a href="/buy?x=' || CAST(s.doc_id AS VARCHAR)
         || '">Buy now &amp; save &lt;deals&gt;</a></div>'
         || '<script>var p = "<p>fake ' || CAST(s.doc_id AS VARCHAR)
-        || '</p>";</script>'
+        || '</p><a href="http://evil' || CAST(s.doc_id % 4 AS VARCHAR)
+        || '.example/x">c</a>";</script>'
         || '<!-- build ' || CAST(s.doc_id % 97 AS VARCHAR)
         || ' <p>also fake</p> -->'
         || '<div class="meta" title="rev>0">updated '
         || CAST(s.doc_id % 28 AS VARCHAR) || '</div>'
-        || '<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+        || '<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="http://partner'
+        || CAST(s.doc_id % 7 AS VARCHAR) || '.example/p'
+        || CAST(s.doc_id % 3 AS VARCHAR) || '">Partner</a></footer>'
         || '</body></html>' AS html
       FROM hsrc s LEFT JOIN hchunks c USING (doc_id)
     )"""
 
-#: independent SQL re-implementation of the extraction contract
-#: (clean invisibles -> segment blocks -> per-block metrics)
-_HTML_BLOCK_SQL = """
+#: invisible-element removal (shared by the block and link extractors)
+_HTML_CLEAN_SQL = """
     hclean AS (
       SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(html,
@@ -78,7 +80,20 @@ _HTML_BLOCK_SQL = """
           '(?s)<style(?:[^>"]|"[^"]*")*>.*?</style>', '', 'g'),
           '(?s)<!--.*?-->', '', 'g') AS ch
       FROM hpages
-    ),
+    )"""
+
+
+def _html_clean_ctes(pred: str = "TRUE") -> str:
+    """Page synthesis + invisible removal over a restricted document
+    source — the shared prefix for link-layer oracles (plans/web.py)."""
+    return (_HTML_PAGE_SQL + "," + _HTML_CLEAN_SQL).replace(
+        "WHERE_PRED", pred
+    )
+
+
+#: independent SQL re-implementation of the extraction contract
+#: (segment blocks -> per-block metrics, over hclean)
+_HTML_BLOCK_SQL = """
     hfrag AS (
       SELECT doc_id,
         string_split_regex(ch, '<(?:p|div|nav|footer)(?:[^>"]|"[^"]*")*>')
@@ -129,17 +144,17 @@ _HTML_BLOCK_SQL = """
       FROM hmet
     )"""
 
-_HTML_CTES = (_HTML_PAGE_SQL + "," + _HTML_BLOCK_SQL).replace(
-    "WHERE_PRED", "TRUE"
-)
+_HTML_CTES = (
+    _HTML_PAGE_SQL + "," + _HTML_CLEAN_SQL + "," + _HTML_BLOCK_SQL
+).replace("WHERE_PRED", "TRUE")
 
 
 def _html_gate_oracle(pred: str) -> str:
     """Gate oracle over a restricted document source — shared by the
     batch gate (pred TRUE) and the streaming twin (stream split)."""
-    ctes = (_HTML_PAGE_SQL + "," + _HTML_BLOCK_SQL).replace(
-        "WHERE_PRED", pred
-    )
+    ctes = (
+        _HTML_PAGE_SQL + "," + _HTML_CLEAN_SQL + "," + _HTML_BLOCK_SQL
+    ).replace("WHERE_PRED", pred)
     return (
         "WITH "
         + ctes

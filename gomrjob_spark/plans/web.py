@@ -594,3 +594,177 @@ def corpus_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_blocks", "n_content_blocks", "content_ppm",
         "main_text", "admitted",
     ).orderBy("doc_id")
+
+
+#: registered-domain extraction over a resolved link URL (oracle-side
+#: mirror of operators.urls.registered_domain, parameterized on source)
+_LINK_CTES = """,
+    hl AS (
+      SELECT c.doc_id,
+        regexp_extract_all(c.ch, '<a href="([^"]*)"', 1) AS hrefs,
+        regexp_extract(n.norm_url, '^([a-z]+://[^/?#]+)', 1) AS base_prefix,
+        n.registered_domain AS base_domain
+      FROM hclean c JOIN normed n USING (doc_id)
+    ),
+    lx AS (
+      SELECT doc_id, i AS link_idx, hrefs[CAST(i + 1 AS INT)] AS href,
+             base_prefix, base_domain
+      FROM hl, unnest(generate_series(0, len(hrefs) - 1)) t(i)
+    ),
+    lr AS MATERIALIZED (
+      SELECT doc_id, CAST(link_idx AS INT) AS link_idx, href, base_domain,
+        CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+             THEN href ELSE base_prefix || href END AS resolved_url
+      FROM lx
+    ),
+    ld AS MATERIALIZED (
+      SELECT doc_id, link_idx, href, resolved_url, base_domain,
+        CASE WHEN host LIKE '%.co.uk'
+             THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS link_domain
+      FROM (
+        SELECT *,
+          regexp_extract(resolved_url, '^[a-z]+://([^/:?#]+)', 1) AS host
+        FROM lr
+      )
+    )"""
+
+
+def _links_ctes() -> str:
+    from gomrjob_spark.plans.html import _html_clean_ctes
+
+    return "WITH " + _URL_CTES + "," + _html_clean_ctes() + _LINK_CTES
+
+
+@query(
+    "html_extract_links",
+    oracle=_links_ctes()
+    + """
+    SELECT doc_id, link_idx, href, resolved_url, link_domain,
+           link_domain = base_domain AS is_internal
+    FROM ld ORDER BY doc_id, link_idx
+    """,
+)
+def html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction + resolution over the synthesized pages
+    (html.extract_links) — the link-graph half of WET derivation and
+    the input to crawl-frontier scheduling: anchors extract from the
+    CLEANED page in document order (the synthesis plants an anchor
+    inside a script string — http://evil<k>.example — so a raw-byte
+    scanner emits phantom edges and cannot hash-match), root-relative
+    hrefs join to the base URL's scheme://host[:port], absolute hrefs
+    keep theirs, every result re-normalizes through the urls-family
+    contract (the oracle asserts the resolved forms are already
+    canonical — a normalizer that corrupts them fails the hash), and
+    is_internal compares registered domains (the same-site frontier
+    test). Row-local codegen + one Generate; zero shuffles before the
+    oracle-determinism orderBy."""
+    from gomrjob_spark.operators.html import extract_links, synth_html
+
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = staged.join(docs, "doc_id").withColumn(
+        "html", synth_html(F.col("doc_id"), F.col("text"))
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.posexplode(
+            extract_links(F.col("html"), F.col("norm_url"))
+        ).alias("link_idx", "link"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("link_idx").cast("int").alias("link_idx"),
+        F.col("link.href").alias("href"),
+        F.col("link.resolved_url").alias("resolved_url"),
+        F.col("link.link_domain").alias("link_domain"),
+        F.col("link.is_internal").alias("is_internal"),
+    ).orderBy("doc_id", "link_idx")
+
+
+@query(
+    "url_domain_pagerank",
+    oracle="WITH "
+    + _URL_CTES
+    + """,
+    edges AS MATERIALIZED (
+      SELECT DISTINCT registered_domain AS src,
+             'partner' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst
+      FROM normed
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes),
+    pr1 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    ),
+    pr2 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    ),
+    pr3 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )
+    SELECT node, pr FROM pr3 ORDER BY node
+    """,
+)
+def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-graph PageRank from EXTRACTED links — the RefinedWeb/
+    Common-Crawl domain-ranking pipeline composed end-to-end: pages ->
+    link extraction (html.extract_links) -> external-edge projection
+    (src = the page's registered domain, dst = the link's) -> distinct
+    edges -> 3 rounds of exact-integer PageRank (graph.pagerank_
+    fixedpoint — bit-identical across engines, the same operator the
+    part-supplier graph query gates). The oracle recomputes the edge
+    set from the synthesis formulas and replays the fixpoint as
+    chained CTEs, so a phantom edge (the script decoy), a lost edge,
+    or a drifted division anywhere in the chain breaks the hash.
+    Scale: the edge projection is scan-local; the iterate shuffles
+    only the |domains|-sized rank table."""
+    from gomrjob_spark.operators.graph import pagerank_fixedpoint
+    from gomrjob_spark.operators.html import extract_links, synth_html
+
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = staged.join(docs, "doc_id").withColumn(
+        "html", synth_html(F.col("doc_id"), F.col("text"))
+    )
+    links = staged.select(
+        F.col("registered_domain").alias("src"),
+        F.explode(
+            extract_links(F.col("html"), F.col("norm_url"))
+        ).alias("link"),
+    )
+    edges = (
+        links.filter(~F.col("link.is_internal"))
+        .select("src", F.col("link.link_domain").alias("dst"))
+        .distinct()
+        # |domains|-sized frame feeding an iterate: lazily truncate the
+        # lineage so the page-synthesis + extraction expression tree is
+        # compiled/evaluated ONCE, not re-broadcast into every round's
+        # tasks (measured 7 MiB task binaries per round without this —
+        # the r9 iterative-trainer plan-size rule)
+        .localCheckpoint(eager=False)
+    )
+    return pagerank_fixedpoint(edges, n_iters=3).orderBy("node")

@@ -205,3 +205,56 @@ def test_double_encoded_amp_decodes_once(spark):
     df = spark.createDataFrame([("&amp;lt;",)], "s string")
     # &amp;lt; is the TEXT '&lt;' — amp decoded last, no double decode
     assert df.select(H.decode_entities(F.col("s")).alias("d")).first()["d"] == "&lt;"
+
+
+class TestLinkExtraction:
+    BASE = "http://cdn1.site4.com/a1/p12"
+
+    def _links(self, spark, page, base=None):
+        df = spark.createDataFrame(
+            [(page, base or self.BASE)], "html string, base string"
+        )
+        return df.select(
+            F.explode(
+                H.extract_links(F.col("html"), F.col("base"))
+            ).alias("l")
+        ).select("l.*").collect()
+
+    def test_script_anchor_is_not_an_edge(self, spark):
+        page = (
+            '<body><script>var p = "<a href="http://evil.example/x">c</a>";'
+            '</script><p><a href="/t">T</a></p></body>'
+        )
+        rows = self._links(spark, page)
+        assert [r.href for r in rows] == ["/t"]
+
+    def test_root_relative_joins_base_authority(self, spark):
+        rows = self._links(
+            spark, '<p><a href="/buy?x=1">b</a></p>',
+            base="https://h.site9.org:8080/deep/path",
+        )
+        assert rows[0].resolved_url == "https://h.site9.org:8080/buy?x=1"
+        assert rows[0].link_domain == "site9.org"
+        assert rows[0].is_internal
+
+    def test_absolute_href_keeps_its_authority(self, spark):
+        rows = self._links(spark, '<p><a href="http://partner3.example/p0">p</a></p>')
+        assert rows[0].resolved_url == "http://partner3.example/p0"
+        assert rows[0].link_domain == "partner3.example"
+        assert not rows[0].is_internal
+
+    def test_resolved_urls_are_normalized(self, spark):
+        # an absolute href with noise still canonicalizes (rule 1/3/5)
+        rows = self._links(
+            spark, '<p><a href="HTTP://WWW.Ext.COM:80/x/#f">e</a></p>'
+        )
+        assert rows[0].resolved_url == "http://ext.com/x"
+        assert rows[0].link_domain == "ext.com"
+
+    def test_fixture_both_internality_classes(self, spark, sf_dir):
+        from gomrjob_spark.plans.registry import QUERIES
+
+        out = QUERIES["html_extract_links"](spark, sf_dir)
+        counts = dict(out.groupBy("is_internal").count().collect())
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+        assert out.filter(F.col("link_domain").contains("evil")).count() == 0
