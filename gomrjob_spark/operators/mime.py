@@ -259,3 +259,52 @@ def sniff_table(
         F.col("_s.n_bytes").alias("n_bytes"),
         F.col("_s.magic4").alias("magic4"),
     )
+
+
+#: one continuation byte (0x80-0xBF) as a hex pair
+_CONT = "[89AB][0-9A-F]"
+
+#: COMPLETE UTF-8 well-formedness (RFC 3629 table) as one regex over
+#: the payload's hex encoding — rejects overlongs (C0/C1, E0 80-9F,
+#: F0 80-8F), UTF-16 surrogates (ED A0-BF), and > U+10FFFF (F5-FF),
+#: not just bad continuation counts. hex() is uppercase on both
+#: engines, so the pattern is engine-portable.
+UTF8_HEX_PAT = (
+    "^(?:"
+    "[0-7][0-9A-F]"  # ASCII
+    f"|(?:C[2-9A-F]|D[0-9A-F]){_CONT}"  # 2-byte, C2-DF
+    f"|E0[AB][0-9A-F]{_CONT}"  # 3-byte, E0 A0-BF (no overlong)
+    f"|(?:E[1-9A-C]|EE|EF){_CONT}{_CONT}"  # 3-byte, E1-EC/EE/EF
+    f"|ED[89][0-9A-F]{_CONT}"  # 3-byte, ED 80-9F (no surrogates)
+    f"|F0(?:9[0-9A-F]|[AB][0-9A-F]){_CONT}{_CONT}"  # 4-byte, F0 90-BF
+    f"|F[1-3]{_CONT}{_CONT}{_CONT}"  # 4-byte, F1-F3
+    f"|F48[0-9A-F]{_CONT}{_CONT}"  # 4-byte, F4 80-8F (<= U+10FFFF)
+    ")*$"
+)
+
+#: pure 7-bit payload
+ASCII_HEX_PAT = "^(?:[0-7][0-9A-F])*$"
+
+
+def utf8_valid(payload: Column) -> Column:
+    """True iff the payload is well-formed UTF-8 (full RFC 3629 rules,
+    empty included) — one codegen'd rlike over the hex form, no UDF.
+    Differentially pinned against Python's own decoder on random byte
+    strings in tests/test_mime.py."""
+    return F.hex(payload).rlike(UTF8_HEX_PAT)
+
+
+def ascii_only(payload: Column) -> Column:
+    """True iff every byte is 7-bit."""
+    return F.hex(payload).rlike(ASCII_HEX_PAT)
+
+
+def charset_label(payload: Column) -> Column:
+    """'ascii' < 'utf-8' < 'binary' — the decode-routing label a text
+    pipeline gates on before any tokenizer touches the bytes (CCNet
+    drops 'binary'; 'ascii' skips transcoding entirely)."""
+    return (
+        F.when(ascii_only(payload), F.lit("ascii"))
+        .when(utf8_valid(payload), F.lit("utf-8"))
+        .otherwise(F.lit("binary"))
+    )

@@ -24,13 +24,11 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 26 NEW r11 queries first (their first shot at
-# a driver row), then ALL 22 names the r10 _BACKFILL carried (last
-# green row r06 — the r10 verdict's item #1 rotation, each re-proven by
-# the judge's full 230/230 simulation and this round's own), then the
-# oldest 2 of the 50 r07 rows (alphabetical — all equally old under
-# OLDEST-ALWAYS-NEXT). The 48 r07 rows that didn't fit head the r12
-# _BACKFILL.
+# Tier 1 (round 11): the 28 NEW r11 queries first (their first shot at
+# a driver row) — exactly filling the window with the 22 r06-era
+# _BACKFILL names (the r10 verdict's item #1 rotation, each re-proven
+# by the judge's full 230/230 simulation and this round's own). All 50
+# r07 rows head the r12 _BACKFILL.
 _VERIFY_FIRST = [
     # NEW r11: HTML block segmentation + jusText metrics (decoy-gated)
     "html_block_stats",
@@ -50,6 +48,10 @@ _VERIFY_FIRST = [
     "html_extract_links",
     # NEW r11: domain PageRank over the extracted link graph
     "url_domain_pagerank",
+    # NEW r11: robots.txt parse + RFC 9309 longest-match admission
+    "robots_txt_gate",
+    # NEW r11: full RFC 3629 UTF-8 validity as one hex-regex gate
+    "text_charset_gate",
     # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
     "url_canonicalize",
     # NEW r11: URL-level exact dedup over canonical URLs
@@ -107,9 +109,6 @@ _VERIFY_FIRST = [
     "text_pmi_collocations",
     "timeseries_gapfill_locf",
     "timeseries_twap",
-    # longest-proven fill: the oldest 7 of the r07 rows (alphabetical)
-    "burst_detection",
-    "cohort_retention",
 ]
 
 # next-oldest queries: first in line after the window above, and the
@@ -125,9 +124,12 @@ _VERIFY_FIRST = [
 # event_transitions/graph_link_prediction when the four HTML-family
 # registrations took the last slots, then dedup_impact_report for the
 # MIME sniff, decontaminate_semantic/dedup_best_quality_survivors for
-# the WARC-HTTP pair, and corpus_composition_report/dataset_diff for
-# the link-graph pair.)
+# the WARC-HTTP pair, corpus_composition_report/dataset_diff for the
+# link-graph pair, and cohort_retention/burst_detection for the
+# robots + charset gates.)
 _BACKFILL = [
+    "burst_detection",
+    "cohort_retention",
     "corpus_composition_report",
     "dataset_diff",
     "decontaminate_semantic",

@@ -7307,3 +7307,78 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sample_rate", F.lit(0)).alias("sample_rate"),
         "n_bytes", "magic4",
     ).orderBy("doc_id")
+
+
+@query(
+    "text_charset_gate",
+    oracle="""
+    SELECT doc_id,
+      CAST(CASE doc_id % 5
+        WHEN 0 THEN CASE (doc_id // 5) % 5
+          WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 3
+          ELSE 3 END
+        WHEN 1 THEN 4 + 2 * (1 + doc_id % 3)
+                 + len(CAST(doc_id AS VARCHAR))
+        WHEN 2 THEN 3 + len(CAST(doc_id AS VARCHAR))
+        WHEN 3 THEN 4 + len(CAST(doc_id AS VARCHAR))
+        ELSE 6 + len(CAST(doc_id AS VARCHAR))
+      END AS BIGINT) AS n_bytes,
+      CASE doc_id % 5
+        WHEN 0 THEN 'binary'
+        WHEN 4 THEN 'ascii'
+        ELSE 'utf-8'
+      END AS charset,
+      doc_id % 5 <> 0 AS is_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_charset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset admission over raw payload bytes — the decode-routing
+    gate a text pipeline runs before any tokenizer touches the corpus
+    (CCNet drops undecodable documents; pure-ASCII skips transcoding):
+    the COMPLETE RFC 3629 well-formedness test — overlongs, UTF-16
+    surrogates, and >U+10FFFF rejected, not just bad continuation
+    counts — as ONE codegen'd regex over the payload's hex form
+    (operators/mime.py UTF8_HEX_PAT): zero UDFs, zero shuffles, the
+    langid-gate posture. Payload classes rotate by formula (two/three/
+    four-byte UTF-8, pure ASCII, and five malformation subtypes:
+    overlong C0 AF, surrogate ED A0 80, out-of-range F5, truncated
+    lead, lone continuation), so both verdicts and every byte-length
+    arm are populated; the oracle recomputes labels and byte counts
+    from the formulas alone, and tests/test_mime.py additionally pins
+    the validator DIFFERENTIALLY against CPython's own decoder on
+    random byte strings (hypothesis)."""
+    from gomrjob_spark.operators import mime
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("bigint")
+    sub = (d / 5).cast("bigint") % 5
+    dhex = F.hex(F.encode(d.cast("string"), "UTF-8"))
+    invalid = (
+        F.when(sub == 0, F.lit("C0AF"))
+        .when(sub == 1, F.lit("EDA080"))
+        .when(sub == 2, F.lit("F5808080"))
+        .when(sub == 3, F.lit("6F6BC3"))  # 'ok' + truncated lead
+        .otherwise(F.lit("806162"))  # lone continuation + 'ab'
+    )
+    hexstr = (
+        F.when(d % 5 == 0, invalid)
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("646F6320"),  # 'doc '
+                F.repeat(F.lit("C3A9"), (1 + d % 3).cast("int")),  # é
+                dhex,
+            ),
+        )
+        .when(d % 5 == 2, F.concat(F.lit("E282AC"), dhex))  # €
+        .when(d % 5 == 3, F.concat(F.lit("F09F9880"), dhex))  # emoji
+        .otherwise(F.concat(F.lit("706C61696E20"), dhex))  # 'plain '
+    )
+    staged = docs.withColumn("payload", F.unhex(hexstr))
+    return staged.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        mime.charset_label(F.col("payload")).alias("charset"),
+        (mime.charset_label(F.col("payload")) != "binary").alias("is_text"),
+    ).orderBy("doc_id")

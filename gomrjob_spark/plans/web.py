@@ -768,3 +768,76 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return pagerank_fixedpoint(edges, n_iters=3).orderBy("node")
+
+
+@query(
+    "robots_txt_gate",
+    oracle="WITH "
+    + _URL_CTES
+    + """,
+    rsrc AS (
+      SELECT doc_id, registered_domain,
+        regexp_extract(norm_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        CAST(regexp_extract(registered_domain, 'site([0-9]+)', 1)
+             AS BIGINT) AS k
+      FROM normed
+    )
+    SELECT doc_id, registered_domain, path,
+      CASE
+        WHEN k % 3 = 0
+             AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
+        THEN '/a' || CAST(k % 4 AS VARCHAR) || '/p'
+        WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN '/buy'
+        WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR))
+        THEN '/a' || CAST(k % 4 AS VARCHAR)
+        ELSE ''
+      END AS rule_prefix,
+      CASE
+        WHEN k % 3 = 0
+             AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
+        THEN TRUE
+        WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
+        WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
+        ELSE TRUE
+      END AS allowed
+    FROM rsrc ORDER BY doc_id
+    """,
+)
+def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission (operators/robots.py) — the crawl's
+    position MINUS ONE, in front of even the URL gate: each domain's
+    robots.txt synthesizes from its site number (comment / blank /
+    unknown-directive lines interleaved — a parser that treats them as
+    rules fails), the TEXT parses row-locally into rule structs, and
+    every document's normalized path gets the RFC 9309 verdict:
+    longest matching prefix wins, Allow wins length ties, no match ->
+    allowed. Every third domain carries a LONGER Allow override inside
+    its Disallowed section, so a first-match or any-disallow
+    implementation mis-blocks those paths and cannot hash-match. The
+    oracle is an independent DECISION-TABLE re-implementation (it
+    never parses text — it recomputes the verdict from the rule
+    formulas), so parse + match + precedence all sit under the
+    differential gate. Zero shuffles: one scan-local column program
+    (parse_url + regex + two array HOFs)."""
+    from gomrjob_spark.operators import robots
+
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    staged = staged.select(
+        "doc_id",
+        "registered_domain",
+        F.regexp_extract(
+            F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1
+        ).alias("path"),
+        F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
+        .cast("bigint")
+        .alias("k"),
+    )
+    rules = robots.parse_rules(robots.synth_robots(F.col("k")))
+    verdict = robots.robots_verdict(F.col("path"), rules)
+    return staged.select(
+        "doc_id",
+        "registered_domain",
+        "path",
+        verdict["rule_prefix"].alias("rule_prefix"),
+        verdict["allowed"].alias("allowed"),
+    ).orderBy("doc_id")

@@ -117,3 +117,91 @@ class TestPlanShape:
         plan = buf.getvalue()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestUtf8Validator:
+    """The hex-regex UTF-8 validator (UTF8_HEX_PAT) — spec edge pins
+    plus a random-bytes DIFFERENTIAL against CPython's own decoder."""
+
+    def _labels(self, spark, payloads):
+        df = spark.createDataFrame([(p,) for p in payloads], "p binary")
+        return [
+            r["v"]
+            for r in df.select(M.utf8_valid(F.col("p")).alias("v")).collect()
+        ]
+
+    def test_spec_boundaries(self, spark):
+        cases = {
+            "߿".encode(): True,     # DF BF: last 2-byte
+            "ࠀ".encode(): True,     # E0 A0 80: first 3-byte
+            "퟿".encode(): True,     # ED 9F BF: last before surrogates
+            "".encode(): True,     # EE 80 80: first after surrogates
+            "\U00010000".encode(): True,  # F0 90 80 80: first 4-byte
+            "\U0010ffff".encode(): True,  # F4 8F BF BF: max code point
+            b"\xc0\xaf": False,           # overlong 2-byte
+            b"\xe0\x9f\xbf": False,       # overlong 3-byte
+            b"\xf0\x8f\xbf\xbf": False,   # overlong 4-byte
+            b"\xed\xa0\x80": False,       # surrogate low bound
+            b"\xed\xbf\xbf": False,       # surrogate high bound
+            b"\xf4\x90\x80\x80": False,   # U+110000
+            b"\xfe": False,
+            b"\xff": False,
+            b"": True,
+        }
+        got = self._labels(spark, list(cases))
+        assert got == list(cases.values())
+
+    def test_differential_vs_cpython_decoder(self, spark):
+        """Deterministic pseudo-random byte strings (valid-leaning and
+        uniform mixes) must agree with bytes.decode('utf-8') exactly."""
+        import random
+
+        rng = random.Random(20260816)
+        payloads = []
+        for _ in range(300):
+            n = rng.randrange(0, 24)
+            payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+        for _ in range(200):
+            # valid-leaning: random code points re-encoded, sometimes
+            # truncated mid-sequence to hit the boundary arms
+            s = "".join(
+                chr(rng.choice([
+                    rng.randrange(0x20, 0x7F),
+                    rng.randrange(0x80, 0x800),
+                    rng.randrange(0x800, 0xD800),
+                    rng.randrange(0x10000, 0x110000),
+                ]))
+                for _ in range(rng.randrange(1, 8))
+            )
+            b = s.encode("utf-8")
+            if rng.random() < 0.3:
+                b = b[: max(0, len(b) - rng.randrange(1, 4))]
+            payloads.append(b)
+
+        def py_valid(b: bytes) -> bool:
+            try:
+                b.decode("utf-8")
+                return True
+            except UnicodeDecodeError:
+                return False
+
+        got = self._labels(spark, payloads)
+        want = [py_valid(b) for b in payloads]
+        bad = [
+            (p.hex(), g, w)
+            for p, g, w in zip(payloads, got, want)
+            if g != w
+        ]
+        assert not bad, f"{len(bad)} disagreements, first: {bad[:3]}"
+
+    def test_charset_label_ordering(self, spark):
+        df = spark.createDataFrame(
+            [(b"plain",), ("café".encode(),), (b"\xff",)], "p binary"
+        )
+        got = [
+            r["l"]
+            for r in df.select(
+                M.charset_label(F.col("p")).alias("l")
+            ).collect()
+        ]
+        assert got == ["ascii", "utf-8", "binary"]

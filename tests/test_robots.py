@@ -1,0 +1,101 @@
+"""robots.txt parsing + RFC 9309 verdicts (operators/robots.py).
+
+The driver hash gate proves parse+match+precedence against the oracle's
+independent decision table; these tests pin the RFC semantics on
+handcrafted files (longest-match, Allow tie-break, denylist default,
+directive tolerance) and the plan shape (scan-local)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from gomrjob_spark.operators import robots as R
+
+
+def _verdict(spark, txt: str, path: str):
+    df = spark.createDataFrame([(txt, path)], "txt string, path string")
+    out = df.select(
+        R.robots_verdict(F.col("path"), R.parse_rules(F.col("txt"))).alias("v")
+    ).select("v.*")
+    return out.first()
+
+
+ROBOTS = (
+    "# comment line\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Crawl-delay: 3\n"
+    "Sitemap: https://x.example/s.xml\n"
+)
+
+
+class TestParse:
+    def test_only_allow_disallow_become_rules(self, spark):
+        df = spark.createDataFrame([(ROBOTS,)], "txt string")
+        rules = df.select(
+            R.parse_rules(F.col("txt")).alias("r")
+        ).first()["r"]
+        assert [(r["allow"], r["prefix"]) for r in rules] == [
+            (False, "/private"),
+            (True, "/private/ok"),
+        ]
+
+
+class TestVerdict:
+    def test_no_match_is_allowed(self, spark):
+        v = _verdict(spark, ROBOTS, "/public/page")
+        assert v["allowed"] and v["rule_prefix"] == ""
+
+    def test_disallow_prefix_blocks(self, spark):
+        v = _verdict(spark, ROBOTS, "/private/data")
+        assert not v["allowed"] and v["rule_prefix"] == "/private"
+
+    def test_longer_allow_overrides_shorter_disallow(self, spark):
+        v = _verdict(spark, ROBOTS, "/private/ok/page")
+        assert v["allowed"] and v["rule_prefix"] == "/private/ok"
+
+    def test_allow_wins_length_tie_either_order(self, spark):
+        tie1 = "User-agent: *\nDisallow: /x\nAllow: /y\n"
+        tie2 = "User-agent: *\nAllow: /z\nDisallow: /z\n"
+        tie3 = "User-agent: *\nDisallow: /z\nAllow: /z\n"
+        assert not _verdict(spark, tie1, "/x1")["allowed"]
+        assert _verdict(spark, tie2, "/z9")["allowed"]
+        assert _verdict(spark, tie3, "/z9")["allowed"]
+
+    def test_first_match_semantics_would_be_wrong(self, spark):
+        # Disallow listed FIRST but the longer Allow must still win
+        txt = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+        assert _verdict(spark, txt, "/a/b/c")["allowed"]
+        assert not _verdict(spark, txt, "/a/x")["allowed"]
+
+    def test_empty_robots_allows_everything(self, spark):
+        assert _verdict(spark, "", "/anything")["allowed"]
+
+
+class TestSynthesisNonVacuity:
+    def test_fixture_populates_both_verdicts_and_override(self, spark, sf_dir):
+        from gomrjob_spark.plans.registry import QUERIES
+
+        out = QUERIES["robots_txt_gate"](spark, sf_dir)
+        counts = dict(out.groupBy("allowed").count().collect())
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+        overrides = out.filter(F.col("rule_prefix").endswith("/p")).count()
+        assert overrides > 0  # longest-match Allow genuinely fires
+
+
+class TestPlanShape:
+    def test_gate_is_scan_local(self, spark, sf_dir):
+        from gomrjob_spark.plans.registry import QUERIES
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES["robots_txt_gate"](spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        # one Exchange allowed: the oracle-determinism global orderBy
+        assert plan.count("Exchange") <= 2
+        assert "BatchEvalPython" not in plan
