@@ -189,8 +189,17 @@ _HTML_DOC_SQL = """,
 
 
 def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with their synthesized page. text.spread fans the
+    single-row-group fixture file across the local cores (measured
+    14.5 s -> 0.9 s at sf0.1: the whole family is CPU-bound regex
+    work that otherwise serializes into the file's one task); on a
+    real cluster the conf is unset and spread is a no-op — the scan's
+    own splits carry the parallelism, so the family's zero-EXTRA-
+    shuffle property holds where it matters."""
+    from gomrjob_spark.operators.text import spread
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
+    return spread(docs).select(
         "doc_id", H.synth_html(F.col("doc_id"), F.col("text")).alias("html")
     )
 
@@ -215,7 +224,13 @@ def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     not truncate its tag. Row-local codegen + one Generate (posexplode
     in the scan stage): zero shuffles before the oracle-determinism
     orderBy."""
-    staged = H.with_blocks(_docs_with_html(spark, sf_dir))
+    from gomrjob_spark.cache import scoped_persist
+
+    # persist BEFORE the explode: a Generate over an array built by an
+    # expensive transform re-evaluates the whole builder per emitted
+    # element (the r5 plan rule) — materializing the block array once
+    # per document measured 20.7 s -> 4.7 s warm at sf0.1
+    staged = scoped_persist(H.with_blocks(_docs_with_html(spark, sf_dir)))
     b = F.col("block")
     return (
         staged.select(

@@ -127,8 +127,20 @@ _URL_CTES = _URL_RAW_SQL + "," + _URL_NORM_SQL
 BLOCKLIST = ["site3.org", "site7.com", "site5.co.uk", "site0.com"]
 
 
-def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+def _docs_with_urls(
+    spark: SparkSession, sf_dir: str, with_text: bool = False
+) -> DataFrame:
+    """Documents + synthesized URL; ``with_text=True`` keeps the text
+    column (the link-layer queries build pages from the SAME scan — no
+    self-join) and fans the single-row-group fixture file across the
+    local cores (text.spread — a no-op on a real cluster; the HTML
+    regex work is CPU-bound and serializes into one task otherwise)."""
+    cols = ["doc_id", "text"] if with_text else ["doc_id"]
+    docs = load_table(spark, sf_dir, "documents").select(*cols)
+    if with_text:
+        from gomrjob_spark.operators.text import spread
+
+        docs = spread(docs)
     return docs.withColumn("url", urls.synth_url(F.col("doc_id")))
 
 
@@ -662,16 +674,24 @@ def html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-determinism orderBy."""
     from gomrjob_spark.operators.html import extract_links, synth_html
 
-    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = staged.join(docs, "doc_id").withColumn(
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir, with_text=True))
+    from gomrjob_spark.cache import scoped_persist
+
+    staged = staged.withColumn(
         "html", synth_html(F.col("doc_id"), F.col("text"))
+    )
+    # stage + persist the link array BEFORE the explode: a Generate
+    # over an expensive transform re-evaluates the builder per emitted
+    # element (the r5 plan rule, same fix as html_block_stats)
+    staged = scoped_persist(
+        staged.select(
+            "doc_id",
+            extract_links(F.col("html"), F.col("norm_url")).alias("links"),
+        )
     )
     exploded = staged.select(
         "doc_id",
-        F.posexplode(
-            extract_links(F.col("html"), F.col("norm_url"))
-        ).alias("link_idx", "link"),
+        F.posexplode("links").alias("link_idx", "link"),
     )
     return exploded.select(
         "doc_id",
@@ -745,17 +765,21 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gomrjob_spark.operators.graph import pagerank_fixedpoint
     from gomrjob_spark.operators.html import extract_links, synth_html
 
-    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = staged.join(docs, "doc_id").withColumn(
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir, with_text=True))
+    staged = staged.withColumn(
         "html", synth_html(F.col("doc_id"), F.col("text"))
     )
-    links = staged.select(
-        F.col("registered_domain").alias("src"),
-        F.explode(
-            extract_links(F.col("html"), F.col("norm_url"))
-        ).alias("link"),
+    from gomrjob_spark.cache import scoped_persist
+
+    # stage + persist before the explode (the r5 Generate rule); the
+    # frame is (domain, links-array)-sized, released after the iterate
+    linked = scoped_persist(
+        staged.select(
+            F.col("registered_domain").alias("src"),
+            extract_links(F.col("html"), F.col("norm_url")).alias("links"),
+        )
     )
+    links = linked.select("src", F.explode("links").alias("link"))
     edges = (
         links.filter(~F.col("link.is_internal"))
         .select("src", F.col("link.link_domain").alias("dst"))

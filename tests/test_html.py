@@ -174,12 +174,21 @@ class TestStreamBatchEquivalence:
 
 
 class TestPlanShape:
-    def test_family_is_shuffle_free(self, spark, sf_dir):
-        from gomrjob_spark.plans.html import _docs_with_html
+    def test_operator_chain_is_shuffle_free(self, spark, sf_dir):
+        """The OPERATOR chain adds no Exchange of its own (the
+        registered queries add only text.spread's local-mode dispatch
+        repartition, a no-op on a real cluster, plus the
+        oracle-determinism orderBy)."""
+        from gomrjob_spark.catalog import load_table
 
-        staged = H.content_gate(
-            H.doc_content_summary(H.with_blocks(_docs_with_html(spark, sf_dir)))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
         )
+        paged = docs.select(
+            "doc_id",
+            H.synth_html(F.col("doc_id"), F.col("text")).alias("html"),
+        )
+        staged = H.content_gate(H.doc_content_summary(H.with_blocks(paged)))
         plan = _plan(staged)
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
@@ -188,8 +197,10 @@ class TestPlanShape:
         from gomrjob_spark.plans.registry import QUERIES
 
         plan = _plan(QUERIES["html_block_stats"](spark, sf_dir))
-        # one Exchange allowed: the oracle-determinism global orderBy
-        assert plan.count("Exchange") <= 2  # formatted lists tree+details
+        # two Exchanges allowed: the spread dispatch repartition + the
+        # oracle-determinism global orderBy (formatted lists each node
+        # in tree + details)
+        assert plan.count("Exchange") <= 4
         assert "Generate" in plan
 
 
