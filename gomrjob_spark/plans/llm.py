@@ -7222,19 +7222,22 @@ def multimodal_exif_orient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_oriented_pixel_stats(payloads).orderBy("doc_id")
 
 
-def _mime_oracle() -> str:
+def _mime_oracle(pred: str = "TRUE", gate: bool = False) -> str:
     """Oracle for the MIME sniff: every sniffed field recomputed from
     the doc_id synthesis formulas (operators/mime.py synth_payload),
     never from bytes — the gate proves the Spark byte ENCODE->PARSE
     loop lands exactly on the formula values (wrong offset, flipped
-    endianness, or missed BMP sign extension breaks the hash)."""
+    endianness, or missed BMP sign extension breaks the hash).
+    ``pred`` restricts the source (the streaming twin's split);
+    ``gate=True`` selects the admission projection instead of the
+    full sniff table."""
     jfif = "FFD8FFE0"
     exif = "FFD8FFE1"
     png4 = "89504E47"
     gif4 = "GIF8".encode("ascii").hex().upper()
     bm36 = "BM".encode("ascii").hex().upper() + "3600"  # BM + le32(54)[:2]
     riff = "RIFF".encode("ascii").hex().upper()
-    return f"""
+    full = f"""
     SELECT doc_id,
       CASE doc_id % 6
         WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
@@ -7269,8 +7272,20 @@ def _mime_oracle() -> str:
         WHEN 1 THEN '{png4}' WHEN 2 THEN '{gif4}' WHEN 3 THEN '{bm36}'
         ELSE '{riff}'
       END AS magic4
-    FROM documents ORDER BY doc_id
-    """
+    FROM documents WHERE {pred} ORDER BY doc_id
+    """.format(pred=pred)
+    if gate:
+        return """
+    SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+        WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/bmp'
+        WHEN 4 THEN 'audio/wav'  ELSE 'application/octet-stream'
+      END AS mime,
+      doc_id % 6 <> 5 AS admitted
+    FROM documents WHERE {pred} ORDER BY doc_id
+    """.format(pred=pred)
+    return full
 
 
 @query("multimodal_mime_sniff", oracle=_mime_oracle())
@@ -7309,49 +7324,11 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "text_charset_gate",
-    oracle="""
-    SELECT doc_id,
-      CAST(CASE doc_id % 5
-        WHEN 0 THEN CASE (doc_id // 5) % 5
-          WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 3
-          ELSE 3 END
-        WHEN 1 THEN 4 + 2 * (1 + doc_id % 3)
-                 + len(CAST(doc_id AS VARCHAR))
-        WHEN 2 THEN 3 + len(CAST(doc_id AS VARCHAR))
-        WHEN 3 THEN 4 + len(CAST(doc_id AS VARCHAR))
-        ELSE 6 + len(CAST(doc_id AS VARCHAR))
-      END AS BIGINT) AS n_bytes,
-      CASE doc_id % 5
-        WHEN 0 THEN 'binary'
-        WHEN 4 THEN 'ascii'
-        ELSE 'utf-8'
-      END AS charset,
-      doc_id % 5 <> 0 AS is_text
-    FROM documents ORDER BY doc_id
-    """,
-)
-def text_charset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charset admission over raw payload bytes — the decode-routing
-    gate a text pipeline runs before any tokenizer touches the corpus
-    (CCNet drops undecodable documents; pure-ASCII skips transcoding):
-    the COMPLETE RFC 3629 well-formedness test — overlongs, UTF-16
-    surrogates, and >U+10FFFF rejected, not just bad continuation
-    counts — as ONE codegen'd regex over the payload's hex form
-    (operators/mime.py UTF8_HEX_PAT): zero UDFs, zero shuffles, the
-    langid-gate posture. Payload classes rotate by formula (two/three/
-    four-byte UTF-8, pure ASCII, and five malformation subtypes:
-    overlong C0 AF, surrogate ED A0 80, out-of-range F5, truncated
-    lead, lone continuation), so both verdicts and every byte-length
-    arm are populated; the oracle recomputes labels and byte counts
-    from the formulas alone, and tests/test_mime.py additionally pins
-    the validator DIFFERENTIALLY against CPython's own decoder on
-    random byte strings (hypothesis)."""
-    from gomrjob_spark.operators import mime
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = F.col("doc_id").cast("bigint")
+def _charset_gate_payload(doc_id):
+    """Per-document payload-class formula shared by the batch charset
+    gate and its streaming twin (classes documented on the batch
+    query; mirrored by _charset_oracle)."""
+    d = doc_id.cast("bigint")
     sub = (d / 5).cast("bigint") % 5
     dhex = F.hex(F.encode(d.cast("string"), "UTF-8"))
     invalid = (
@@ -7375,7 +7352,57 @@ def text_charset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 5 == 3, F.concat(F.lit("F09F9880"), dhex))  # emoji
         .otherwise(F.concat(F.lit("706C61696E20"), dhex))  # 'plain '
     )
-    staged = docs.withColumn("payload", F.unhex(hexstr))
+    return F.unhex(hexstr)
+
+
+def _charset_oracle(pred: str = "TRUE") -> str:
+    """Formula oracle for the charset gate; ``pred`` restricts the
+    source (the streaming twin's split)."""
+    return """
+    SELECT doc_id,
+      CAST(CASE doc_id % 5
+        WHEN 0 THEN CASE (doc_id // 5) % 5
+          WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 3
+          ELSE 3 END
+        WHEN 1 THEN 4 + 2 * (1 + doc_id % 3)
+                 + len(CAST(doc_id AS VARCHAR))
+        WHEN 2 THEN 3 + len(CAST(doc_id AS VARCHAR))
+        WHEN 3 THEN 4 + len(CAST(doc_id AS VARCHAR))
+        ELSE 6 + len(CAST(doc_id AS VARCHAR))
+      END AS BIGINT) AS n_bytes,
+      CASE doc_id % 5
+        WHEN 0 THEN 'binary'
+        WHEN 4 THEN 'ascii'
+        ELSE 'utf-8'
+      END AS charset,
+      doc_id % 5 <> 0 AS is_text
+    FROM documents WHERE {pred} ORDER BY doc_id
+    """.format(pred=pred)
+
+
+@query("text_charset_gate", oracle=_charset_oracle())
+def text_charset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset admission over raw payload bytes — the decode-routing
+    gate a text pipeline runs before any tokenizer touches the corpus
+    (CCNet drops undecodable documents; pure-ASCII skips transcoding):
+    the COMPLETE RFC 3629 well-formedness test — overlongs, UTF-16
+    surrogates, and >U+10FFFF rejected, not just bad continuation
+    counts — as ONE codegen'd regex over the payload's hex form
+    (operators/mime.py UTF8_HEX_PAT): zero UDFs, zero shuffles, the
+    langid-gate posture. Payload classes rotate by formula (two/three/
+    four-byte UTF-8, pure ASCII, and five malformation subtypes:
+    overlong C0 AF, surrogate ED A0 80, out-of-range F5, truncated
+    lead, lone continuation), so both verdicts and every byte-length
+    arm are populated; the oracle recomputes labels and byte counts
+    from the formulas alone, and tests/test_mime.py additionally pins
+    the validator DIFFERENTIALLY against CPython's own decoder on
+    random byte strings (hypothesis)."""
+    from gomrjob_spark.operators import mime
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.withColumn(
+        "payload", _charset_gate_payload(F.col("doc_id"))
+    )
     return staged.select(
         "doc_id",
         F.octet_length("payload").cast("bigint").alias("n_bytes"),

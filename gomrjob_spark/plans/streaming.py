@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gomrjob_spark.plans.html import _html_gate_oracle
-from gomrjob_spark.plans.llm import _langid_gate_oracle
+from gomrjob_spark.plans.llm import (
+    _charset_oracle,
+    _langid_gate_oracle,
+    _mime_oracle,
+)
+from gomrjob_spark.plans.web import _robots_oracle
 from gomrjob_spark.plans.registry import query
 from gomrjob_spark.streaming import (
     read_events_stream,
@@ -1317,3 +1322,92 @@ def streaming_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(spark, html_gate_stream(batch), "append").orderBy("doc_id")
+
+
+@query(
+    "streaming_mime_gate",
+    oracle=_mime_oracle("doc_id >= 250", gate=True),
+)
+def streaming_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME admission as a live topology (streaming.ops.
+    mime_gate_stream) — the 28th registered topology and the binary
+    layer's position-zero gate on a continuous ingest: each arriving
+    payload's magic bytes sniff ROW-LOCALLY through the IDENTICAL
+    column program as the batch sniff (operators.mime.sniff —
+    stream==batch equivalence structural; container-strict, so the
+    RIFFraff text decoys drop to octet-stream live too), and
+    undecodable blobs never reach the decode families. Stateless and
+    model-free; payloads synthesize on the stream with the same
+    doc_id formula as the batch query, and the oracle recomputes the
+    admission from the formulas through the shared parameterized
+    _mime_oracle chunk."""
+    from gomrjob_spark.operators.mime import synth_payload
+    from gomrjob_spark.streaming import mime_gate_stream, read_documents_stream
+
+    batch = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .select("doc_id", synth_payload(F.col("doc_id")).alias("payload"))
+    )
+    return _drain(spark, mime_gate_stream(batch), "append").orderBy("doc_id")
+
+
+@query(
+    "streaming_charset_gate",
+    oracle=_charset_oracle("doc_id >= 250"),
+)
+def streaming_charset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset admission as a live topology (streaming.ops.
+    charset_gate_stream) — the 29th registered topology: the full
+    RFC 3629 hex-regex well-formedness test (overlongs, surrogates,
+    out-of-range rejected) runs per arriving payload through the
+    batch gate's exact column program, dropping undecodable documents
+    at the ingest door — CCNet's first text filter, live. Stateless,
+    model-free, flat per batch; full hash gate through the shared
+    parameterized _charset_oracle chunk."""
+    from gomrjob_spark.plans.llm import _charset_gate_payload
+    from gomrjob_spark.streaming import (
+        charset_gate_stream,
+        read_documents_stream,
+    )
+
+    batch = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") >= 250)
+    staged = batch.select(
+        "doc_id", _charset_gate_payload(F.col("doc_id")).alias("payload")
+    )
+    return _drain(spark, charset_gate_stream(staged), "append").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "streaming_robots_gate",
+    oracle=_robots_oracle("doc_id >= 250"),
+)
+def streaming_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission as a live topology (streaming.ops.
+    robots_gate_stream) — the 30th registered topology and the crawl
+    frontier's position-MINUS-ONE gate, live: each arriving URL
+    canonicalizes, its domain's robots rules synthesize + parse
+    row-locally, and the RFC 9309 longest-match verdict emits through
+    the batch gate's exact program (parse_rules + robots_verdict —
+    the longest-Allow-override decoys hold on the live path too).
+    Stateless here because the rules derive from the domain formula;
+    a production deployment joins a slowly-changing robots dimension
+    per micro-batch (the kn_gate stream-static shape). Full hash gate
+    through the shared parameterized _robots_oracle decision table."""
+    from gomrjob_spark.operators import urls
+    from gomrjob_spark.streaming import (
+        read_documents_stream,
+        robots_gate_stream,
+    )
+
+    batch = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .select("doc_id", urls.synth_url(F.col("doc_id")).alias("url"))
+    )
+    staged = urls.with_url_columns(batch)
+    return _drain(spark, robots_gate_stream(staged), "append").orderBy(
+        "doc_id"
+    )

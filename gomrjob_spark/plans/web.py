@@ -794,17 +794,19 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixedpoint(edges, n_iters=3).orderBy("node")
 
 
-@query(
-    "robots_txt_gate",
-    oracle="WITH "
-    + _URL_CTES
-    + """,
+def _robots_oracle(pred: str = "TRUE") -> str:
+    """Decision-table oracle for the robots gate; ``pred`` restricts
+    the source (the streaming twin's split)."""
+    return (
+        "WITH "
+        + _URL_CTES
+        + """,
     rsrc AS (
       SELECT doc_id, registered_domain,
         regexp_extract(norm_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
         CAST(regexp_extract(registered_domain, 'site([0-9]+)', 1)
              AS BIGINT) AS k
-      FROM normed
+      FROM normed WHERE {pred}
     )
     SELECT doc_id, registered_domain, path,
       CASE
@@ -825,8 +827,11 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE TRUE
       END AS allowed
     FROM rsrc ORDER BY doc_id
-    """,
-)
+    """.format(pred=pred)
+    )
+
+
+@query("robots_txt_gate", oracle=_robots_oracle())
 def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt admission (operators/robots.py) — the crawl's
     position MINUS ONE, in front of even the URL gate: each domain's

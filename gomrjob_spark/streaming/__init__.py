@@ -9,11 +9,13 @@ and arbitrary stateful operators via applyInPandasWithState.
 
 from gomrjob_spark.streaming.ops import (  # noqa: F401
     bloom_dedup_gate_stream,
+    charset_gate_stream,
     dsir_gate_stream,
     html_gate_stream,
     incremental_dedup_stream,
     kn_gate_stream,
     langid_gate_stream,
+    mime_gate_stream,
     near_dup_probe_stream,
     near_dup_store_frames,
     near_dup_store_load,
@@ -25,6 +27,7 @@ from gomrjob_spark.streaming.ops import (  # noqa: F401
     read_embeddings_stream,
     read_events_stream,
     rewind_last_commit,
+    robots_gate_stream,
     semdedup_gate_stream,
     run_to_memory,
     run_to_parquet,

@@ -1099,6 +1099,92 @@ def html_gate_stream(
     )
 
 
+def mime_gate_stream(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live MIME admission — the binary layer's position-zero gate on
+    a continuous ingest: each arriving payload's magic bytes sniff
+    ROW-LOCALLY (operators.mime.sniff — the identical column program
+    as the batch sniff table, so stream==batch equivalence is
+    structural), and undecodable blobs (no known magic) drop before
+    the decode families ever see them. Stateless and model-free (the
+    url_gate posture): flat per-batch cost, batching-invariant
+    verdicts."""
+    from gomrjob_spark.operators.mime import MIME_UNKNOWN, sniff
+
+    staged = docs.withColumn("_s", sniff(F.col(payload_col)))
+    return staged.select(
+        id_col,
+        F.col("_s.mime").alias("mime"),
+        (F.col("_s.mime") != MIME_UNKNOWN).alias("admitted"),
+    )
+
+
+def charset_gate_stream(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live charset admission — the decode-routing gate on a
+    continuous text ingest (CCNet drops undecodable documents at the
+    door): full RFC 3629 well-formedness as one codegen'd hex-regex
+    per arriving payload (operators.mime.charset_label — the batch
+    gate's exact program). Stateless, model-free, flat per batch."""
+    from gomrjob_spark.operators.mime import charset_label
+
+    label = charset_label(F.col(payload_col))
+    return docs.select(
+        id_col,
+        F.octet_length(payload_col).cast("bigint").alias("n_bytes"),
+        label.alias("charset"),
+        (label != "binary").alias("is_text"),
+    )
+
+
+def robots_gate_stream(
+    docs: DataFrame,
+    url_col: str = "norm_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live robots.txt admission — position MINUS ONE on the crawl
+    frontier stream: each arriving URL's domain rules synthesize +
+    parse row-locally and the RFC 9309 longest-match verdict emits
+    (operators.robots — the batch gate's exact program: parse_rules +
+    robots_verdict). In production the per-domain robots text arrives
+    as a slowly-changing dimension (the stream-static join pattern of
+    kn_gate_stream); here it derives from the domain formula, so the
+    topology stays stateless and the full hash gate covers the live
+    path. Expects the URL-staged stream (norm_url +
+    registered_domain columns, urls.with_url_columns)."""
+    from gomrjob_spark.operators.robots import (
+        parse_rules,
+        robots_verdict,
+        synth_robots,
+    )
+
+    staged = docs.select(
+        id_col,
+        "registered_domain",
+        F.regexp_extract(
+            F.col(url_col), "^[a-z]+://[^/?#]+([^?#]*)", 1
+        ).alias("path"),
+        F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
+        .cast("bigint")
+        .alias("k"),
+    )
+    rules = parse_rules(synth_robots(F.col("k")))
+    verdict = robots_verdict(F.col("path"), rules)
+    return staged.select(
+        id_col,
+        "registered_domain",
+        "path",
+        verdict["rule_prefix"].alias("rule_prefix"),
+        verdict["allowed"].alias("allowed"),
+    )
+
+
 def url_gate_stream(
     docs: DataFrame,
     blocklist: list[str],
