@@ -96,16 +96,39 @@ MAX_LINK_DENSITY_PM = 300
 CHUNK = 200
 
 
-def synth_html(doc_id: Column, text: Column) -> Column:
+def synth_html(
+    doc_id: Column, text: Column, lang: Column | None = None
+) -> Column:
     """Deterministic HTML page per document — mirrored byte-for-byte by
     the oracle CTEs in plans/html.py (``_HTML_PAGE_SQL``). Content =
     the document text in CHUNK-char ``<p>`` blocks (every 4th gets an
     inline anchor); boilerplate = nav bar, promo div (entity-encoded
     anchor text), script + comment decoys each embedding a fake
     ``<p>`` block, an attribute with a raw ``>``, and a footer link
-    cluster."""
+    cluster. The head carries the metadata surface real extractors
+    read (html_metadata): a lang attribute (the fixture's REAL lang
+    column when provided), title, meta description, and — on all but
+    every 9th document — a rel=canonical link whose URL derives from
+    ``doc_id DIV 6``, so canonical-dedup groups merge TWO url-dedup
+    triples (distinct URLs declaring one canonical, the case that
+    makes canonical dedup a different operator from URL dedup)."""
     d = doc_id.cast("bigint")
     t = F.coalesce(text, F.lit(""))
+    lang_attr = F.coalesce(
+        lang if lang is not None else F.lit("und"), F.lit("und")
+    )
+    g2 = ((d - F.pmod(d, F.lit(6))) / 6).cast("bigint")
+    canonical = F.when(
+        d % 9 == 8, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://canon.site'),
+            (g2 % 11).cast("string"),
+            F.lit(".com/c"),
+            g2.cast("string"),
+            F.lit('">'),
+        )
+    )
     n = F.length(t)
     idxs = F.when(
         n > 0, F.sequence(F.lit(0).cast("bigint"), F.floor((n + CHUNK - 1) / CHUNK) - 1)
@@ -130,9 +153,15 @@ def synth_html(doc_id: Column, text: Column) -> Column:
         "",
     )
     return F.concat(
-        F.lit("<html><head><title>Doc "),
+        F.lit('<html lang="'),
+        lang_attr,
+        F.lit('"><head><title>Doc '),
         d.cast("string"),
-        F.lit("</title><style>p{font:12px}</style></head><body>"),
+        F.lit('</title><meta name="description" content="Summary '),
+        (d % 50).cast("string"),
+        F.lit(' &amp; notes">'),
+        canonical,
+        F.lit("<style>p{font:12px}</style></head><body>"),
         F.lit('<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/c'),
         (d % 5).cast("string"),
         F.lit('">Contact</a></nav>'),
@@ -241,6 +270,45 @@ def block_structs(html: Column) -> Column:
 #: anchor hrefs, in document order; the synthesis contract puts href
 #: first in every anchor (a general crawler widens the attribute walk)
 HREF_PAT = '<a href="([^"]*)"'
+
+
+def extract_metadata(html: Column) -> Column:
+    """Struct (title, lang_attr, description, canonical_href,
+    has_canonical) from the page head — the metadata surface every
+    crawl extractor reads before touching the body: the title and
+    description feed snippet/quality signals, the lang attribute is
+    the langid prior, and rel=canonical is the publisher's OWN dedup
+    hint (grouping by it merges distinct URLs that declare one
+    canonical — see dedup_canonical). Invisible elements are removed
+    FIRST (a script string could embed a fake ``<title>``); entity
+    decode applies to the human-readable fields. Row-local codegen,
+    zero shuffles."""
+    ch = clean_invisible(html)
+    title = decode_entities(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(ch, "(?s)<title>(.*?)</title>", 1),
+                "\\s+",
+                " ",
+            )
+        )
+    )
+    lang_attr = F.regexp_extract(
+        ch, '<html(?:[^>"]|"[^"]*")*?lang="([^"]*)"', 1
+    )
+    description = decode_entities(
+        F.regexp_extract(ch, '<meta name="description" content="([^"]*)"', 1)
+    )
+    canonical = F.regexp_extract(
+        ch, '<link rel="canonical" href="([^"]*)"', 1
+    )
+    return F.struct(
+        title.alias("title"),
+        lang_attr.alias("lang_attr"),
+        description.alias("description"),
+        canonical.alias("canonical_href"),
+        (canonical != "").alias("has_canonical"),
+    )
 
 
 def extract_links(html: Column, base_url: Column) -> Column:

@@ -128,12 +128,16 @@ _VERIFY_FIRST = [
 # link-graph pair, and cohort_retention/burst_detection for the
 # robots + charset gates.)
 _BACKFILL = [
-    # never-yet-verified first: the 28th-30th topologies registered
-    # after the r11 window filled (the 22 r06 rotation names keep
-    # their promised slots) — these three are first in line for r12
+    # never-yet-verified first: the queries registered after the r11
+    # window filled (the 22 r06 rotation names keep their promised
+    # slots) — the 28th-30th topologies, then the metadata/canonical/
+    # funnel trio; all six are first in line for r12
     "streaming_mime_gate",
     "streaming_charset_gate",
     "streaming_robots_gate",
+    "html_metadata",
+    "dedup_canonical",
+    "corpus_funnel_report",
     # then the 50 equally-old r07 rows, alphabetical
     "burst_detection",
     "cohort_retention",

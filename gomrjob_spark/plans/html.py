@@ -31,7 +31,7 @@ from gomrjob_spark.plans.registry import query
 #: (plains string replace, not format: the SQL contains ``{``)
 _HTML_PAGE_SQL = """
     hsrc AS (
-      SELECT doc_id, coalesce(text, '') AS text FROM documents
+      SELECT doc_id, coalesce(text, '') AS text, lang FROM documents
       WHERE WHERE_PRED
     ),
     hchunks AS (
@@ -50,8 +50,15 @@ _HTML_PAGE_SQL = """
     ),
     hpages AS MATERIALIZED (
       SELECT s.doc_id,
-        '<html><head><title>Doc ' || CAST(s.doc_id AS VARCHAR)
-        || '</title><style>p{font:12px}</style></head><body>'
+        '<html lang="' || s.lang || '"><head><title>Doc '
+        || CAST(s.doc_id AS VARCHAR)
+        || '</title><meta name="description" content="Summary '
+        || CAST(s.doc_id % 50 AS VARCHAR) || ' &amp; notes">'
+        || CASE WHEN s.doc_id % 9 = 8 THEN ''
+                ELSE '<link rel="canonical" href="https://canon.site'
+                     || CAST((s.doc_id // 6) % 11 AS VARCHAR) || '.com/c'
+                     || CAST(s.doc_id // 6 AS VARCHAR) || '">' END
+        || '<style>p{font:12px}</style></head><body>'
         || '<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/c'
         || CAST(s.doc_id % 5 AS VARCHAR) || '">Contact</a></nav>'
         || coalesce(c.paras, '')
@@ -198,9 +205,14 @@ def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle property holds where it matters."""
     from gomrjob_spark.operators.text import spread
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
     return spread(docs).select(
-        "doc_id", H.synth_html(F.col("doc_id"), F.col("text")).alias("html")
+        "doc_id",
+        H.synth_html(
+            F.col("doc_id"), F.col("text"), F.col("lang")
+        ).alias("html"),
     )
 
 
@@ -314,4 +326,43 @@ def html_content_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "doc_id", "n_content_blocks", "content_ppm", "admitted"
+    ).orderBy("doc_id")
+
+
+@query(
+    "html_metadata",
+    oracle="""
+    SELECT doc_id,
+      'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      lang AS lang_attr,
+      'Summary ' || CAST(doc_id % 50 AS VARCHAR) || ' & notes'
+        AS description,
+      CASE WHEN doc_id % 9 = 8 THEN ''
+           ELSE 'https://canon.site'
+                || CAST((doc_id // 6) % 11 AS VARCHAR) || '.com/c'
+                || CAST(doc_id // 6 AS VARCHAR) END AS canonical_href,
+      doc_id % 9 <> 8 AS has_canonical
+    FROM documents ORDER BY doc_id
+    """,
+)
+def html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (html.extract_metadata) — the surface
+    every crawl extractor reads before the body: title and meta
+    description (entity-decoded: the synthesized description carries
+    '&amp;'), the html lang attribute (the fixture's REAL lang column
+    round-trips through the page bytes — the langid prior), and the
+    publisher's rel=canonical hint (absent on every 9th document, so
+    has_canonical is non-vacuous). The oracle recomputes every field
+    from the synthesis formulas, so a regex that reads a decoy, skips
+    entity decode, or misparses the lang attribute cannot hash-match.
+    Row-local codegen; zero shuffles before the orderBy."""
+    staged = _docs_with_html(spark, sf_dir)
+    m = H.extract_metadata(F.col("html"))
+    return staged.select(
+        "doc_id",
+        m["title"].alias("title"),
+        m["lang_attr"].alias("lang_attr"),
+        m["description"].alias("description"),
+        m["canonical_href"].alias("canonical_href"),
+        m["has_canonical"].alias("has_canonical"),
     ).orderBy("doc_id")

@@ -1318,7 +1318,10 @@ def streaming_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") >= 250)
         .select(
-            "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("html")
+            "doc_id",
+            synth_html(
+                F.col("doc_id"), F.col("text"), F.col("lang")
+            ).alias("html"),
         )
     )
     return _drain(spark, html_gate_stream(batch), "append").orderBy("doc_id")

@@ -135,7 +135,7 @@ def _docs_with_urls(
     self-join) and fans the single-row-group fixture file across the
     local cores (text.spread — a no-op on a real cluster; the HTML
     regex work is CPU-bound and serializes into one task otherwise)."""
-    cols = ["doc_id", "text"] if with_text else ["doc_id"]
+    cols = ["doc_id", "text", "lang"] if with_text else ["doc_id"]
     docs = load_table(spark, sf_dir, "documents").select(*cols)
     if with_text:
         from gomrjob_spark.operators.text import spread
@@ -560,9 +560,14 @@ def corpus_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_warc,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
     paged = docs.select(
-        "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("page")
+        "doc_id",
+        synth_html(
+            F.col("doc_id"), F.col("text"), F.col("lang")
+        ).alias("page"),
     )
 
     def wrap_walk(batches):
@@ -678,7 +683,7 @@ def html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gomrjob_spark.cache import scoped_persist
 
     staged = staged.withColumn(
-        "html", synth_html(F.col("doc_id"), F.col("text"))
+        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
     )
     # stage + persist the link array BEFORE the explode: a Generate
     # over an expensive transform re-evaluates the builder per emitted
@@ -767,7 +772,7 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir, with_text=True))
     staged = staged.withColumn(
-        "html", synth_html(F.col("doc_id"), F.col("text"))
+        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
     )
     from gomrjob_spark.cache import scoped_persist
 
@@ -870,3 +875,222 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict["rule_prefix"].alias("rule_prefix"),
         verdict["allowed"].alias("allowed"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_canonical",
+    oracle="WITH "
+    + _URL_CTES
+    + """,
+    can AS (
+      SELECT n.doc_id, n.norm_url,
+        'https://canon.site' || CAST((n.doc_id // 6) % 11 AS VARCHAR)
+          || '.com/c' || CAST(n.doc_id // 6 AS VARCHAR) AS canonical_href
+      FROM normed n WHERE n.doc_id % 9 <> 8
+    )
+    SELECT canonical_href,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT norm_url) AS BIGINT) AS n_norm_urls
+    FROM can GROUP BY canonical_href ORDER BY keeper
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical dedup — the publisher-declared dedup layer real
+    pipelines apply BETWEEN URL dedup and content dedup: documents
+    group by the canonical link EXTRACTED from their page bytes
+    (html.extract_metadata, not the formula), and by construction each
+    canonical group merges TWO url-dedup triples (six raw URLs, two
+    canonical norm_urls declaring one canonical — the
+    distinct-URLs-one-canonical case that makes this a different
+    operator from dedup_url_exact), with every 9th document opting out
+    (no canonical -> not groupable, excluded). Survivor convention:
+    min doc_id. One partial-agg shuffle carrying canonical hrefs +
+    norm_urls + ids — page text never enters the exchange."""
+    from gomrjob_spark.operators.html import extract_metadata, synth_html
+
+    staged = urls.with_url_columns(
+        _docs_with_urls(spark, sf_dir, with_text=True)
+    )
+    staged = staged.withColumn(
+        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+    )
+    m = extract_metadata(F.col("html"))
+    canon = staged.select(
+        "doc_id",
+        "norm_url",
+        m["canonical_href"].alias("canonical_href"),
+        m["has_canonical"].alias("has_canonical"),
+    ).filter(F.col("has_canonical"))
+    return (
+        canon.groupBy("canonical_href")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("norm_url").cast("bigint").alias("n_norm_urls"),
+        )
+        .orderBy("keeper")
+    )
+
+
+def _funnel_oracle() -> str:
+    """Per-domain funnel accounting across the SEQUENTIAL admission
+    chain — robots -> domain blocklist -> URL dedup (keeper chosen
+    among gate survivors only, the real funnel semantics) -> HTML
+    content gate — composed from the independent oracle chunks of all
+    four families."""
+    from gomrjob_spark.plans.html import (
+        _HTML_BLOCK_SQL,
+        _HTML_DOC_SQL,
+        _html_clean_ctes,
+    )
+
+    return (
+        "WITH "
+        + _URL_CTES
+        + ","
+        + _html_clean_ctes()
+        + ","
+        + _HTML_BLOCK_SQL
+        + _HTML_DOC_SQL
+        + """,
+    f0 AS (
+      SELECT n.doc_id, n.registered_domain, n.norm_url,
+        CASE
+          WHEN k % 3 = 0
+               AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
+          THEN TRUE
+          WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
+          WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
+          ELSE TRUE
+        END AS robots_ok,
+        NOT n.registered_domain IN ('site3.org', 'site7.com',
+                                    'site5.co.uk', 'site0.com') AS domain_ok
+      FROM (
+        SELECT doc_id, registered_domain, norm_url,
+          regexp_extract(norm_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+          CAST(regexp_extract(registered_domain, 'site([0-9]+)', 1)
+               AS BIGINT) AS k
+        FROM normed
+      ) n
+    ),
+    f1 AS (
+      SELECT f0.*,
+        min(CASE WHEN robots_ok AND domain_ok THEN doc_id END)
+          OVER (PARTITION BY norm_url) AS surv_keeper
+      FROM f0
+    ),
+    f2 AS (
+      SELECT f1.doc_id, f1.registered_domain,
+        CASE
+          WHEN NOT robots_ok THEN 'robots_blocked'
+          WHEN NOT domain_ok THEN 'domain_blocked'
+          WHEN doc_id <> surv_keeper THEN 'url_dup'
+          WHEN NOT ((CASE WHEN h.total_chars > 0
+                          THEN (1000000 * h.content_chars) // h.total_chars
+                          ELSE 0 END) >= 500000
+                    AND h.n_content_blocks >= 1)
+          THEN 'chrome_rejected'
+          ELSE 'admitted'
+        END AS stage
+      FROM f1 JOIN hdoc h USING (doc_id)
+    )
+    SELECT registered_domain,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN stage = 'robots_blocked' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_robots_blocked,
+      CAST(sum(CASE WHEN stage = 'domain_blocked' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_domain_blocked,
+      CAST(sum(CASE WHEN stage = 'url_dup' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_url_dup,
+      CAST(sum(CASE WHEN stage = 'chrome_rejected' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_chrome_rejected,
+      CAST(sum(CASE WHEN stage = 'admitted' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_admitted
+    FROM f2 GROUP BY registered_domain ORDER BY registered_domain
+    """
+    )
+
+
+@query("corpus_funnel_report", oracle=_funnel_oracle())
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation FUNNEL — the per-domain accounting report a
+    curation operator actually reads: every document attributed to the
+    FIRST gate that dropped it along the sequential admission chain
+    (robots.txt RFC 9309 verdict -> domain blocklist -> URL-level
+    dedup with the keeper chosen among gate SURVIVORS only, the real
+    funnel semantics -> HTML content gate), with per-domain counts
+    whose row sums equal n_docs by construction (pinned in
+    tests/test_html.py). Composes four families' column programs into
+    one plan: robots parse+verdict, URL canonicalization, a
+    norm_url-partitioned min window for survivor keepers, and the
+    zero-shuffle content rollup — total exchanges: the spread
+    dispatch, one window shuffle on norm_url, one final domain agg.
+    The oracle recomposes all four families' INDEPENDENT SQL chunks,
+    so a defect in any gate or in the funnel ordering breaks the
+    hash."""
+    from pyspark.sql import Window
+
+    from gomrjob_spark.operators import robots
+    from gomrjob_spark.operators.html import (
+        content_gate,
+        doc_content_summary,
+        synth_html,
+        with_blocks,
+    )
+
+    staged = urls.with_url_columns(
+        _docs_with_urls(spark, sf_dir, with_text=True)
+    )
+    staged = staged.withColumn(
+        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+    ).withColumn(
+        "path",
+        F.regexp_extract(F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
+    ).withColumn(
+        "k",
+        F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1).cast(
+            "bigint"
+        ),
+    )
+    rules = robots.parse_rules(robots.synth_robots(F.col("k")))
+    verdict = robots.robots_verdict(F.col("path"), rules)
+    gated = content_gate(doc_content_summary(with_blocks(staged)))
+    f0 = gated.select(
+        "doc_id",
+        "registered_domain",
+        "norm_url",
+        verdict["allowed"].alias("robots_ok"),
+        (~F.col("registered_domain").isin(*BLOCKLIST)).alias("domain_ok"),
+        F.col("admitted").alias("content_ok"),
+    )
+    w = Window.partitionBy("norm_url")
+    f1 = f0.withColumn(
+        "surv_keeper",
+        F.min(
+            F.when(F.col("robots_ok") & F.col("domain_ok"), F.col("doc_id"))
+        ).over(w),
+    )
+    stage = (
+        F.when(~F.col("robots_ok"), F.lit("robots_blocked"))
+        .when(~F.col("domain_ok"), F.lit("domain_blocked"))
+        .when(F.col("doc_id") != F.col("surv_keeper"), F.lit("url_dup"))
+        .when(~F.col("content_ok"), F.lit("chrome_rejected"))
+        .otherwise(F.lit("admitted"))
+    )
+    f2 = f1.withColumn("stage", stage)
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("stage") == s, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        f2.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            cnt("robots_blocked").alias("n_robots_blocked"),
+            cnt("domain_blocked").alias("n_domain_blocked"),
+            cnt("url_dup").alias("n_url_dup"),
+            cnt("chrome_rejected").alias("n_chrome_rejected"),
+            cnt("admitted").alias("n_admitted"),
+        )
+        .orderBy("registered_domain")
+    )

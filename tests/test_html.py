@@ -269,3 +269,81 @@ class TestLinkExtraction:
         counts = dict(out.groupBy("is_internal").count().collect())
         assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
         assert out.filter(F.col("link_domain").contains("evil")).count() == 0
+
+
+class TestMetadataExtraction:
+    def _meta(self, spark, page):
+        df = spark.createDataFrame([(page,)], "html string")
+        return df.select(
+            H.extract_metadata(F.col("html")).alias("m")
+        ).select("m.*").first()
+
+    def test_fields_extract_and_decode(self, spark):
+        page = (
+            '<html lang="fr"><head><title>A &amp; B</title>'
+            '<meta name="description" content="x &lt;y&gt;">'
+            '<link rel="canonical" href="https://c.example/p">'
+            "</head><body><p>b</p></body></html>"
+        )
+        m = self._meta(spark, page)
+        assert m["title"] == "A & B" and m["lang_attr"] == "fr"
+        assert m["description"] == "x <y>"
+        assert m["canonical_href"] == "https://c.example/p"
+        assert m["has_canonical"]
+
+    def test_script_title_decoy_ignored(self, spark):
+        page = (
+            '<html lang="en"><head>'
+            '<script>var t = "<title>fake</title>";</script>'
+            "<title>real</title></head><body></body></html>"
+        )
+        assert self._meta(spark, page)["title"] == "real"
+
+    def test_missing_fields_are_empty_not_null(self, spark):
+        m = self._meta(spark, "<html><head></head><body></body></html>")
+        assert m["title"] == "" and m["canonical_href"] == ""
+        assert not m["has_canonical"]
+
+    def test_lang_attr_roundtrips_fixture_lang(self, spark, sf_dir):
+        from gomrjob_spark.catalog import load_table
+        from gomrjob_spark.plans.registry import QUERIES
+
+        out = QUERIES["html_metadata"](spark, sf_dir).select(
+            "doc_id", "lang_attr"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        )
+        diff = out.join(docs, "doc_id").filter(
+            F.col("lang_attr") != F.col("lang")
+        )
+        assert diff.count() == 0
+
+
+class TestCanonicalDedup:
+    def test_canonical_groups_merge_url_triples(self, spark, sf_dir):
+        from gomrjob_spark.plans.registry import QUERIES
+
+        out = QUERIES["dedup_canonical"](spark, sf_dir)
+        rows = out.collect()
+        # interior groups: 6 docs minus the %9 opt-outs, spanning TWO
+        # canonical norm_urls — the distinct-URLs-one-canonical case
+        assert any(r["n_norm_urls"] == 2 for r in rows)
+        assert all(r["n_docs"] <= 6 for r in rows)
+
+
+class TestFunnelReport:
+    def test_stages_partition_the_corpus(self, spark, sf_dir):
+        from gomrjob_spark.plans.registry import QUERIES
+
+        rows = QUERIES["corpus_funnel_report"](spark, sf_dir).collect()
+        for r in rows:
+            assert (
+                r["n_robots_blocked"] + r["n_domain_blocked"]
+                + r["n_url_dup"] + r["n_chrome_rejected"] + r["n_admitted"]
+                == r["n_docs"]
+            )
+        # every stage genuinely fires somewhere in the fixture
+        for col in ("n_robots_blocked", "n_domain_blocked", "n_url_dup",
+                    "n_chrome_rejected", "n_admitted"):
+            assert sum(r[col] for r in rows) > 0, col
