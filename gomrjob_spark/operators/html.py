@@ -60,19 +60,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _idiv(a: Column, b) -> Column:
+    """Exact bigint division (SQL ``div``): float '/'+cast truncates
+    correctly only below 2^53 — past it the double quotient rounds and
+    can land off-by-one vs DuckDB's integer '//' (all gate operands
+    here are non-negative, where truncation == floor on both
+    engines)."""
+    return F.call_function("div", a.cast("bigint"), F.lit(b) if isinstance(b, int) else b)
+
 #: any tag, quote-aware: a raw ``>`` inside a double-quoted attribute
 #: value does NOT terminate the tag (synthesized decoy: title="rev>0")
 TAG_ANY = '<(?:[^>"]|"[^"]*")*>'
 
-#: block-level opening tags (split form: non-capturing)
-BLOCK_OPEN = '<(?:p|div|nav|footer)(?:[^>"]|"[^"]*")*>'
+#: block-level opening tags (split form: non-capturing). The tag name
+#: must be followed by whitespace or '>' — without the boundary,
+#: '<pre>'/'<param>' match the 'p' alternative and fabricate blocks
+#: (the synthesized footer plants a '<pre>' decoy to gate this).
+BLOCK_OPEN = '<(?:p|div|nav|footer)(?:[ \t\r\n](?:[^>"]|"[^"]*")*)?>'
 
 #: block-level opening tags (capture form: tag name as group 1)
-BLOCK_OPEN_TAG = '<(p|div|nav|footer)(?:[^>"]|"[^"]*")*>'
+BLOCK_OPEN_TAG = '<(p|div|nav|footer)(?:[ \t\r\n](?:[^>"]|"[^"]*")*)?>'
 
 #: anchor element inner text (group 1); (?s) because content blocks are
-#: arbitrary payload bytes at deployment
-LINK_TEXT = '(?s)<a(?:[^>"]|"[^"]*")*>(.*?)</a>'
+#: arbitrary payload bytes at deployment. Same boundary rule: without
+#: it '<abbr>' matches as an anchor open and the lazy capture swallows
+#: text up to the next real '</a>' (footer '<abbr>' decoy).
+LINK_TEXT = '(?s)<a(?:[ \t\r\n](?:[^>"]|"[^"]*")*)?>(.*?)</a>'
 
 #: invisible elements removed WITH their content, plus comments
 INVISIBLE_PATTERNS = (
@@ -117,7 +131,7 @@ def synth_html(
     lang_attr = F.coalesce(
         lang if lang is not None else F.lit("und"), F.lit("und")
     )
-    g2 = ((d - F.pmod(d, F.lit(6))) / 6).cast("bigint")
+    g2 = _idiv(d, 6)
     canonical = F.when(
         d % 9 == 8, F.lit("")
     ).otherwise(
@@ -131,7 +145,10 @@ def synth_html(
     )
     n = F.length(t)
     idxs = F.when(
-        n > 0, F.sequence(F.lit(0).cast("bigint"), F.floor((n + CHUNK - 1) / CHUNK) - 1)
+        n > 0,
+        F.sequence(
+            F.lit(0).cast("bigint"), _idiv(n + F.lit(CHUNK - 1), CHUNK) - 1
+        ),
     ).otherwise(F.array().cast("array<bigint>"))
     paras = F.array_join(
         F.transform(
@@ -177,10 +194,16 @@ def synth_html(
         F.lit("<!-- build "),
         (d % 97).cast("string"),
         F.lit(" <p>also fake</p> -->"),
+        # '<pre>' decoy: a buggy boundary-free block pattern matches
+        # its 'p' and fabricates a block; correctly it is inline
+        # markup whose text joins the promo fragment
+        F.lit("<pre>v"),
+        (d % 5).cast("string"),
+        F.lit("</pre>"),
         F.lit('<div class="meta" title="rev>0">updated '),
         (d % 28).cast("string"),
         F.lit("</div>"),
-        F.lit('<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="http://partner'),
+        F.lit('<footer>Copyright &amp; Terms <abbr>TM</abbr> <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="http://partner'),
         (d % 7).cast("string"),
         F.lit('.example/p'),
         (d % 3).cast("string"),
@@ -243,7 +266,7 @@ def block_structs(html: Column) -> Column:
             lambda acc, l: acc + F.length(decode_entities(l)),
         )
         ld_pm = F.when(
-            n_chars > 0, ((F.lit(1000) * link_chars) / n_chars).cast("bigint")
+            n_chars > 0, _idiv(F.lit(1000) * link_chars, n_chars)
         ).otherwise(F.lit(1000).cast("bigint"))
         n_words = F.when(txt == "", F.lit(0)).otherwise(
             F.size(F.split(txt, " "))
@@ -396,9 +419,7 @@ def content_gate(df: DataFrame, min_ppm: int = 500_000) -> DataFrame:
     chrome."""
     ppm = F.when(
         F.col("total_chars") > 0,
-        ((F.lit(1_000_000) * F.col("content_chars")) / F.col("total_chars")).cast(
-            "bigint"
-        ),
+        _idiv(F.lit(1_000_000) * F.col("content_chars"), F.col("total_chars")),
     ).otherwise(F.lit(0).cast("bigint"))
     staged = df.withColumn("content_ppm", ppm)
     return staged.withColumn(

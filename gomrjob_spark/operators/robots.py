@@ -5,14 +5,21 @@ domain's robots.txt decides whether the path is allowed (RFC 9309).
 The semantics that matter — and that naive substring matchers get
 wrong — are:
 
-1. group selection by ``User-agent`` (this engine models the ``*``
-   group, the one curation pipelines honor);
+1. group selection by ``User-agent``: only rules in groups whose
+   header names ``*`` apply (the group curation pipelines honor);
+   consecutive ``User-agent`` lines share one header, and a
+   ``User-agent`` line AFTER rules starts a NEW group — collecting
+   rules across all groups (the naive parse) lets a googlebot-only
+   ``Disallow: /`` block everything;
 2. per-path decision by the LONGEST matching rule prefix ("most
    specific wins"), not first-match or any-disallow;
 3. on a length tie between an Allow and a Disallow, ALLOW wins;
 4. no matching rule -> allowed (robots is a denylist protocol);
 5. unknown directives (``Crawl-delay``, ``Sitemap``), comments, and
-   blank lines are skipped, not errors.
+   blank lines are skipped, not errors — and real files use CRLF,
+   lowercase verbs, flexible whitespace around ``:``, and trailing
+   ``#`` comments, all tolerated (a dropped Disallow fails OPEN, so
+   lenient line recognition is a safety property here).
 
 The operator family is a pure row-local column program: the robots.txt
 TEXT parses per row (split lines -> directive regex -> rule structs)
@@ -27,7 +34,11 @@ every domain Disallows one ``/a<k>`` section; every third domain adds a
 LONGER ``Allow: /a<k>/p`` override (so a first-match or any-disallow
 implementation mis-blocks those paths and cannot hash-match); comment /
 blank / unknown-directive lines are interleaved so a parser that treats
-them as rules fails.
+them as rules fails; and every 5th-mod-1 domain carries a SECOND group
+(``User-agent: badbot / Disallow: /``) that an all-groups parser would
+fold into the ``*`` rules, blocking the whole domain and failing the
+hash gate — group selection is therefore driver-gated, not just
+pytest-gated.
 
 Reference parity note: jehiah/gomrjob has no crawl layer; this family
 is part of the LLM-training-data surface the build brief adds
@@ -40,9 +51,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: directive line: captures (verb, value); tolerates spaces; unknown
-#: verbs are filtered out downstream
-_RULE_PAT = "^(Allow|Disallow): (/[^ ]*)$"
+#: directive line (RFC 9309-lenient): case-insensitive verb, flexible
+#: whitespace around ':', value ends at whitespace or a '#' comment;
+#: values must start '/' (an empty Disallow value matches nothing per
+#: the RFC and is dropped)
+_RULE_PAT = "(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*(/[^ \t#]*)"
+
+#: group-header line, same leniency
+_UA_PAT = "(?i)^[ \t]*user-agent[ \t]*:[ \t]*([^ \t#]+)"
 
 
 def synth_robots(site_num: Column) -> Column:
@@ -66,26 +82,77 @@ def synth_robots(site_num: Column) -> Column:
         F.when(k % 2 == 0, F.lit("\nDisallow: /buy")).otherwise(F.lit("")),
         F.lit("\nCrawl-delay: "),
         (k % 5).cast("string"),
+        # second group AFTER the * group on k%5==1: an all-groups
+        # parser folds this badbot Disallow-everything into the *
+        # rules and mis-blocks the whole domain (hash-gated group
+        # selection; placed last so the * group keeps its own rules)
+        F.when(
+            k % 5 == 1,
+            F.lit("\n\nUser-agent: badbot\nDisallow: /"),
+        ).otherwise(F.lit("")),
         F.lit("\n"),
     )
 
 
-def parse_rules(robots_txt: Column) -> Column:
-    """robots.txt text -> array<struct<allow boolean, prefix string>>
-    in file order: split lines, keep only Allow/Disallow directives
-    with a path value (comments, blanks, User-agent, and unknown
-    directives drop — rule 5), decode each into (allow, prefix)."""
-    lines = F.split(robots_txt, "\n")
-    rules = F.filter(
-        lines, lambda ln: ln.rlike(_RULE_PAT)
+def parse_rules(robots_txt: Column, agent: str = "*") -> Column:
+    """robots.txt text -> array<struct<allow boolean, prefix string>>:
+    the rules of the groups whose header names ``agent`` (default
+    ``*``), in file order. One array ``aggregate`` over the lines
+    carries the RFC 9309 group state: consecutive ``User-agent`` lines
+    form a header (active if ANY of them names the agent); the first
+    rule line closes the header; a ``User-agent`` line after rules
+    starts a new group. Comments, blanks, and unknown directives are
+    skipped WITHOUT ending the group; CRLF endings, lowercase verbs,
+    flexible whitespace, and trailing ``#`` comments are tolerated
+    (lenient recognition is a safety property: a dropped Disallow
+    fails open)."""
+    lines = F.split(robots_txt, "\r\n|\r|\n")
+    zero = F.struct(
+        F.lit(False).alias("in_header"),
+        F.lit(False).alias("active"),
+        F.array().cast(
+            "array<struct<allow:boolean,prefix:string>>"
+        ).alias("rules"),
     )
-    return F.transform(
-        rules,
-        lambda ln: F.struct(
-            (F.regexp_extract(ln, _RULE_PAT, 1) == "Allow").alias("allow"),
+
+    def step(acc: Column, ln: Column) -> Column:
+        ua = F.regexp_extract(ln, _UA_PAT, 1)
+        is_ua = ua != ""
+        ua_match = F.lower(ua) == agent.lower()
+        verb = F.lower(F.regexp_extract(ln, _RULE_PAT, 1))
+        is_rule = verb != ""
+        rule = F.struct(
+            (verb == "allow").alias("allow"),
             F.regexp_extract(ln, _RULE_PAT, 2).alias("prefix"),
-        ),
-    )
+        )
+        return (
+            F.when(
+                is_ua,
+                F.struct(
+                    F.lit(True).alias("in_header"),
+                    # consecutive UA lines extend the header; a UA
+                    # line after rules STARTS OVER
+                    F.when(
+                        acc["in_header"], acc["active"] | ua_match
+                    ).otherwise(ua_match).alias("active"),
+                    acc["rules"].alias("rules"),
+                ),
+            )
+            .when(
+                is_rule,
+                F.struct(
+                    F.lit(False).alias("in_header"),
+                    acc["active"].alias("active"),
+                    F.when(
+                        acc["active"],
+                        F.array_append(acc["rules"], rule),
+                    ).otherwise(acc["rules"]).alias("rules"),
+                ),
+            )
+            .otherwise(acc)  # comments/blanks/unknown: group continues
+        )
+
+    return F.aggregate(lines, zero, step, lambda acc: acc["rules"])
 
 
 def robots_verdict(path: Column, rules: Column) -> Column:

@@ -70,8 +70,9 @@ def synth_url(doc_id: Column) -> Column:
     id-triple names one resource behind three raw variants. Mirrored
     verbatim by the oracle CTE ``_URL_RAW_SQL`` (plans/web.py)."""
     d = doc_id.cast("bigint")
-    g = d - F.pmod(d, F.lit(3))  # semantic seed, then g DIV 3 varies
-    g = (g / 3).cast("bigint")
+    # exact bigint DIV (float '/'+cast rounds past 2^53 — the html
+    # family's _idiv rationale)
+    g = F.call_function("div", d, F.lit(3))
     scheme_sem = F.when(g % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
     # noise: uppercase scheme on d%4==2, uppercase host on d%4==3
     scheme = F.when(d % 4 == 2, F.upper(scheme_sem)).otherwise(scheme_sem)

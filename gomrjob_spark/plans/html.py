@@ -31,7 +31,8 @@ from gomrjob_spark.plans.registry import query
 #: (plains string replace, not format: the SQL contains ``{``)
 _HTML_PAGE_SQL = """
     hsrc AS (
-      SELECT doc_id, coalesce(text, '') AS text, lang FROM documents
+      SELECT doc_id, coalesce(text, '') AS text,
+             coalesce(lang, 'und') AS lang FROM documents
       WHERE WHERE_PRED
     ),
     hchunks AS (
@@ -69,9 +70,10 @@ _HTML_PAGE_SQL = """
         || '.example/x">c</a>";</script>'
         || '<!-- build ' || CAST(s.doc_id % 97 AS VARCHAR)
         || ' <p>also fake</p> -->'
+        || '<pre>v' || CAST(s.doc_id % 5 AS VARCHAR) || '</pre>'
         || '<div class="meta" title="rev>0">updated '
         || CAST(s.doc_id % 28 AS VARCHAR) || '</div>'
-        || '<footer>Copyright &amp; Terms <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="http://partner'
+        || '<footer>Copyright &amp; Terms <abbr>TM</abbr> <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="http://partner'
         || CAST(s.doc_id % 7 AS VARCHAR) || '.example/p'
         || CAST(s.doc_id % 3 AS VARCHAR) || '">Partner</a></footer>'
         || '</body></html>' AS html
@@ -103,9 +105,11 @@ def _html_clean_ctes(pred: str = "TRUE") -> str:
 _HTML_BLOCK_SQL = """
     hfrag AS (
       SELECT doc_id,
-        string_split_regex(ch, '<(?:p|div|nav|footer)(?:[^>"]|"[^"]*")*>')
+        string_split_regex(ch,
+          '<(?:p|div|nav|footer)(?:[ \t\r\n](?:[^>"]|"[^"]*")*)?>')
           AS fr,
-        regexp_extract_all(ch, '<(p|div|nav|footer)(?:[^>"]|"[^"]*")*>', 1)
+        regexp_extract_all(ch,
+          '<(p|div|nav|footer)(?:[ \t\r\n](?:[^>"]|"[^"]*")*)?>', 1)
           AS opens
       FROM hclean
     ),
@@ -124,7 +128,8 @@ _HTML_BLOCK_SQL = """
           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&')
           AS block_text,
         coalesce(list_sum(list_transform(
-          regexp_extract_all(frag, '(?s)<a(?:[^>"]|"[^"]*")*>(.*?)</a>', 1),
+          regexp_extract_all(frag,
+            '(?s)<a(?:[ \t\r\n](?:[^>"]|"[^"]*")*)?>(.*?)</a>', 1),
           l -> len(replace(replace(replace(replace(l,
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&')))), 0)
           AS lc
@@ -334,7 +339,7 @@ def html_content_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-      lang AS lang_attr,
+      coalesce(lang, 'und') AS lang_attr,
       'Summary ' || CAST(doc_id % 50 AS VARCHAR) || ' & notes'
         AS description,
       CASE WHEN doc_id % 9 = 8 THEN ''

@@ -7273,7 +7273,7 @@ def _mime_oracle(pred: str = "TRUE", gate: bool = False) -> str:
         ELSE '{riff}'
       END AS magic4
     FROM documents WHERE {pred} ORDER BY doc_id
-    """.format(pred=pred)
+    """
     if gate:
         return """
     SELECT doc_id,
@@ -7329,7 +7329,7 @@ def _charset_gate_payload(doc_id):
     gate and its streaming twin (classes documented on the batch
     query; mirrored by _charset_oracle)."""
     d = doc_id.cast("bigint")
-    sub = (d / 5).cast("bigint") % 5
+    sub = F.call_function("div", d, F.lit(5)) % 5
     dhex = F.hex(F.encode(d.cast("string"), "UTF-8"))
     invalid = (
         F.when(sub == 0, F.lit("C0AF"))
@@ -7402,10 +7402,14 @@ def text_charset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     staged = docs.withColumn(
         "payload", _charset_gate_payload(F.col("doc_id"))
+    ).withColumn(
+        # staging, not CSE-hoping (the repo rule): the label is a full
+        # hex()+rlike pass over the payload, referenced twice below
+        "charset", mime.charset_label(F.col("payload"))
     )
     return staged.select(
         "doc_id",
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
-        mime.charset_label(F.col("payload")).alias("charset"),
-        (mime.charset_label(F.col("payload")) != "binary").alias("is_text"),
+        "charset",
+        (F.col("charset") != "binary").alias("is_text"),
     ).orderBy("doc_id")

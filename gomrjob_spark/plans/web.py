@@ -853,28 +853,12 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas), so parse + match + precedence all sit under the
     differential gate. Zero shuffles: one scan-local column program
     (parse_url + regex + two array HOFs)."""
-    from gomrjob_spark.operators import robots
+    from gomrjob_spark.streaming.ops import robots_gate_stream
 
+    # the ONE robots column program: the streaming twin's function on a
+    # static frame (stream==batch is shared code, not parallel copies)
     staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
-    staged = staged.select(
-        "doc_id",
-        "registered_domain",
-        F.regexp_extract(
-            F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1
-        ).alias("path"),
-        F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
-        .cast("bigint")
-        .alias("k"),
-    )
-    rules = robots.parse_rules(robots.synth_robots(F.col("k")))
-    verdict = robots.robots_verdict(F.col("path"), rules)
-    return staged.select(
-        "doc_id",
-        "registered_domain",
-        "path",
-        verdict["rule_prefix"].alias("rule_prefix"),
-        verdict["allowed"].alias("allowed"),
-    ).orderBy("doc_id")
+    return robots_gate_stream(staged).orderBy("doc_id")
 
 
 @query(

@@ -98,9 +98,15 @@ def encode_http_response(
     body). Content-Length is appended automatically so encode->parse
     is closed-loop."""
     lines = [f"HTTP/1.1 {status} {reason}".encode("ascii")]
+    caller_cl = False
     for k, v in headers:
         lines.append(f"{k}: {v}".encode("ascii"))
-    lines.append(b"Content-Length: " + str(len(body)).encode("ascii"))
+        caller_cl = caller_cl or k.lower() == "content-length"
+    # append Content-Length only when the caller didn't set one — a
+    # duplicate header is malformed (RFC 9110) and the strict reader's
+    # first-wins fold would then cross-check the WRONG value
+    if not caller_cl:
+        lines.append(b"Content-Length: " + str(len(body)).encode("ascii"))
     return _CRLF.join(lines) + _CRLF + _CRLF + body
 
 

@@ -1134,12 +1134,14 @@ def charset_gate_stream(
     gate's exact program). Stateless, model-free, flat per batch."""
     from gomrjob_spark.operators.mime import charset_label
 
-    label = charset_label(F.col(payload_col))
-    return docs.select(
+    # staging, not CSE-hoping: the label is a full hex()+rlike pass,
+    # referenced twice below
+    staged = docs.withColumn("charset", charset_label(F.col(payload_col)))
+    return staged.select(
         id_col,
         F.octet_length(payload_col).cast("bigint").alias("n_bytes"),
-        label.alias("charset"),
-        (label != "binary").alias("is_text"),
+        "charset",
+        (F.col("charset") != "binary").alias("is_text"),
     )
 
 

@@ -99,3 +99,95 @@ class TestPlanShape:
         # one Exchange allowed: the oracle-determinism global orderBy
         assert plan.count("Exchange") <= 2
         assert "BatchEvalPython" not in plan
+
+
+class TestGroupSelection:
+    """RFC 9309 group semantics (the r11 in-round review's finding #1:
+    an all-groups parse lets a bot-specific Disallow leak into *)."""
+
+    def test_other_agents_group_is_ignored(self, spark):
+        txt = (
+            "User-agent: googlebot\nDisallow: /\n\n"
+            "User-agent: *\nAllow: /\n"
+        )
+        v = _verdict(spark, txt, "/page")
+        assert v["allowed"] and v["rule_prefix"] == "/"
+
+    def test_star_among_consecutive_agent_lines(self, spark):
+        txt = (
+            "User-agent: badbot\nUser-agent: *\nDisallow: /x\n"
+        )
+        assert not _verdict(spark, txt, "/x1")["allowed"]
+
+    def test_agent_line_after_rules_starts_new_group(self, spark):
+        txt = (
+            "User-agent: *\nDisallow: /a\n"
+            "User-agent: badbot\nDisallow: /\n"
+        )
+        v = _verdict(spark, txt, "/b")
+        assert v["allowed"]  # badbot's Disallow / is NOT a * rule
+        assert not _verdict(spark, txt, "/a1")["allowed"]
+
+    def test_comments_do_not_end_a_group(self, spark):
+        txt = (
+            "User-agent: *\n# note\n\nCrawl-delay: 3\nDisallow: /a\n"
+        )
+        assert not _verdict(spark, txt, "/a1")["allowed"]
+
+    def test_file_without_star_group_allows_all(self, spark):
+        txt = "User-agent: badbot\nDisallow: /\n"
+        assert _verdict(spark, txt, "/anything")["allowed"]
+
+
+class TestLineLeniency:
+    """Real-world line shapes (review finding #2): a dropped Disallow
+    fails OPEN, so recognition must be RFC-lenient."""
+
+    def test_lowercase_verb(self, spark):
+        assert not _verdict(
+            spark, "User-agent: *\ndisallow: /p\n", "/p1"
+        )["allowed"]
+
+    def test_no_space_and_extra_space_after_colon(self, spark):
+        assert not _verdict(
+            spark, "User-agent: *\nDisallow:/p\n", "/p1"
+        )["allowed"]
+        assert not _verdict(
+            spark, "User-agent: *\nDisallow:   /p\n", "/p1"
+        )["allowed"]
+
+    def test_tabs_and_trailing_comment(self, spark):
+        assert not _verdict(
+            spark, "User-agent: *\nDisallow:\t/p # keep out\n", "/p1"
+        )["allowed"]
+
+    def test_crlf_line_endings(self, spark):
+        assert not _verdict(
+            spark, "User-agent: *\r\nDisallow: /p\r\n", "/p1"
+        )["allowed"]
+
+    def test_empty_disallow_value_matches_nothing(self, spark):
+        v = _verdict(spark, "User-agent: *\nDisallow:\n", "/any")
+        assert v["allowed"] and v["rule_prefix"] == ""
+
+
+class TestSynthesizedGroupDecoy:
+    def test_badbot_group_is_excluded_from_star_rules(self, spark):
+        """k%5==1 domains carry a trailing 'User-agent: badbot /
+        Disallow: /' group; the * rule set must be exactly the
+        domain's own three rules (an all-groups parse would block
+        everything and fail the driver hash gate)."""
+        df = spark.createDataFrame([(6,)], "k bigint")
+        rules = df.select(
+            R.parse_rules(R.synth_robots(F.col("k"))).alias("r")
+        ).first()["r"]
+        assert [(r["allow"], r["prefix"]) for r in rules] == [
+            (False, "/a2"),
+            (True, "/a2/p"),
+            (False, "/buy"),
+        ]
+        # and the decoy group is genuinely present in the file bytes
+        txt = df.select(
+            R.synth_robots(F.col("k")).alias("t")
+        ).first()["t"]
+        assert "User-agent: badbot" in txt
