@@ -176,6 +176,10 @@ HEADLINE = [
     # scan-local program; block_stats adds only a Generate, the gate
     # is a strict subset)
     "html_extract_text",
+    # r11 third wave: the RFC 9309 group-aware parse+verdict fold (the
+    # crawl's position -1) and the four-family funnel composition
+    "robots_txt_gate",
+    "corpus_funnel_report",
 ]
 
 
