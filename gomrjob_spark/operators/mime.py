@@ -10,10 +10,10 @@ the size/kind gates that route documents to the right decode family
 
 Everything here is a pure JVM column program over the binary payload —
 ``substring`` on binary + ``hex``/``conv`` integer field extraction in
-BOTH endiannesses (PNG/GIF/JPEG lengths are big-endian, BMP/RIFF fields
-little-endian, BMP height additionally SIGNED two's-complement: negative
-means top-down row order) — zero UDFs, zero shuffles, the scan-local
-posture of the URL/langid gates.
+BOTH endiannesses (PNG/JPEG lengths are big-endian; GIF logical-screen
+width/height and BMP/RIFF fields little-endian, BMP height additionally
+SIGNED two's-complement: negative means top-down row order) — zero
+UDFs, zero shuffles, the scan-local posture of the URL/langid gates.
 
 The sniffer is deliberately stricter than first-4-bytes matching:
 

@@ -11,9 +11,21 @@ wrong — are:
    ``User-agent`` line AFTER rules starts a NEW group — collecting
    rules across all groups (the naive parse) lets a googlebot-only
    ``Disallow: /`` block everything;
-2. per-path decision by the LONGEST matching rule prefix ("most
-   specific wins"), not first-match or any-disallow;
+2. per-path decision by the LONGEST matching rule ("most specific
+   wins", priority = octets of the rule PATTERN per RFC 9309 §2.2.2),
+   not first-match or any-disallow;
 3. on a length tie between an Allow and a Disallow, ALLOW wins;
+3a. rule values are PATTERNS, not literals (RFC 9309 §2.2.3): ``*``
+   matches any byte sequence and a trailing ``$`` anchors the match at
+   the path's end — a literal-startswith matcher silently never
+   matches ``Disallow: /*.php`` and fails OPEN, the exact safety
+   property this module exists to protect (rules with neither
+   character keep the fast ``startswith`` path; pattern rules compile
+   to one anchored regex per row). Simplification, documented per the
+   jusText convention: percent-encoding normalization (§2.2.3's
+   "percent-decode octets other than %2F before comparison") is NOT
+   implemented — fixture and contract compare paths byte-for-byte as
+   normalized by operators/urls.py, which never emits %-escapes;
 4. no matching rule -> allowed (robots is a denylist protocol);
 5. unknown directives (``Crawl-delay``, ``Sitemap``), comments, and
    blank lines are skipped, not errors — and real files use CRLF,
@@ -80,6 +92,14 @@ def synth_robots(site_num: Column) -> Column:
             F.concat(F.lit("\nAllow: /a"), sec, F.lit("/p")),
         ).otherwise(F.lit("")),
         F.when(k % 2 == 0, F.lit("\nDisallow: /buy")).otherwise(F.lit("")),
+        # RFC 9309 §2.2.3 pattern rules (NEW r12): every 7th-mod-2
+        # domain blocks ALL sections with a '*' wildcard (len 5 — ties
+        # the Allow override, so Allow-wins-tie is exercised against a
+        # PATTERN rule); every 7th-mod-5 domain end-anchors a
+        # Disallow on paths ending '0'. A literal-startswith matcher
+        # never matches either and fails OPEN — hash-gate-detectable.
+        F.when(k % 7 == 2, F.lit("\nDisallow: /a*/p")).otherwise(F.lit("")),
+        F.when(k % 7 == 5, F.lit("\nDisallow: /*0$")).otherwise(F.lit("")),
         F.lit("\nCrawl-delay: "),
         (k % 5).cast("string"),
         # second group AFTER the * group on k%5==1: an all-groups
@@ -155,12 +175,47 @@ def parse_rules(robots_txt: Column, agent: str = "*") -> Column:
     return F.aggregate(lines, zero, step, lambda acc: acc["rules"])
 
 
+def _rule_regex(prefix: Column) -> Column:
+    """RFC 9309 §2.2.3 rule pattern -> anchored regex (shared Java/RE2
+    subset, so the same translation reads identically on Spark and in
+    the DuckDB parity tests): every regex metacharacter except ``*``
+    escapes to a literal, ``*`` becomes ``.*``, a trailing ``$`` stays
+    an end anchor, and the whole pattern start-anchors with ``^``."""
+    anchored = prefix.endswith("$")
+    body = F.when(
+        anchored, F.substring(prefix, 1, F.length(prefix) - 1)
+    ).otherwise(prefix)
+    escaped = F.regexp_replace(
+        body, r"([.\[\]{}()+?^$|\\])", r"\\$1"
+    )
+    return F.concat(
+        F.lit("^"),
+        F.replace(escaped, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def rule_matches(path: Column, rule_prefix: Column) -> Column:
+    """Does a rule pattern match a path (RFC 9309 §2.2.3)? Rules with
+    neither ``*`` nor a trailing ``$`` are plain prefixes and keep the
+    fast ``startswith`` path (the overwhelmingly common case — no
+    per-row regex compile); pattern rules compile to one anchored
+    regex."""
+    is_pattern = rule_prefix.contains("*") | rule_prefix.endswith("$")
+    return F.when(
+        is_pattern, F.regexp_like(path, _rule_regex(rule_prefix))
+    ).otherwise(path.startswith(rule_prefix))
+
+
 def robots_verdict(path: Column, rules: Column) -> Column:
     """Struct (allowed, rule_prefix) for a URL path under a parsed
-    rule array — RFC 9309 decision: longest matching prefix wins,
-    Allow wins length ties, no match -> allowed with the empty rule.
-    One array ``aggregate`` fold, row-local."""
-    matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    rule array — RFC 9309 decision: longest matching rule wins
+    (priority = octets of the rule PATTERN, wildcards and anchors
+    counted, per §2.2.2), Allow wins length ties, no match -> allowed
+    with the empty rule. ``*``/``$`` pattern rules match per §2.2.3
+    (see :func:`rule_matches`). One array ``aggregate`` fold,
+    row-local."""
+    matches = F.filter(rules, lambda r: rule_matches(path, r["prefix"]))
     zero = F.struct(
         F.lit(True).alias("allow"), F.lit("").alias("prefix")
     )

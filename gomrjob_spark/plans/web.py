@@ -799,6 +799,24 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixedpoint(edges, n_iters=3).orderBy("node")
 
 
+#: shared decision-table chunk: is path allowed under site k's
+#: synthesized robots.txt? SINGLE SOURCE for the gate, streaming-twin,
+#: and funnel oracles (r12 added the two §2.2.3 pattern rules —
+#: '/a*/p' wildcard on k%7==2, '/*0$' end-anchor on k%7==5 — both
+#: LONGER than the base section Disallow, and the wildcard TIES the
+#: Allow override so Allow-wins-tie is exercised against a pattern).
+_ROBOTS_ALLOWED_CASE = """CASE
+        WHEN k % 3 = 0
+             AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
+        THEN TRUE
+        WHEN k % 7 = 2 AND regexp_matches(path, '^/a.*/p') THEN FALSE
+        WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
+        WHEN k % 7 = 5 AND regexp_matches(path, '^/.*0$') THEN FALSE
+        WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
+        ELSE TRUE
+      END"""
+
+
 def _robots_oracle(pred: str = "TRUE") -> str:
     """Decision-table oracle for the robots gate; ``pred`` restricts
     the source (the streaming twin's split)."""
@@ -818,21 +836,17 @@ def _robots_oracle(pred: str = "TRUE") -> str:
         WHEN k % 3 = 0
              AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
         THEN '/a' || CAST(k % 4 AS VARCHAR) || '/p'
+        WHEN k % 7 = 2 AND regexp_matches(path, '^/a.*/p')
+        THEN '/a*/p'
         WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN '/buy'
+        WHEN k % 7 = 5 AND regexp_matches(path, '^/.*0$') THEN '/*0$'
         WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR))
         THEN '/a' || CAST(k % 4 AS VARCHAR)
         ELSE ''
       END AS rule_prefix,
-      CASE
-        WHEN k % 3 = 0
-             AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
-        THEN TRUE
-        WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
-        WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
-        ELSE TRUE
-      END AS allowed
+      {allowed} AS allowed
     FROM rsrc ORDER BY doc_id
-    """.format(pred=pred)
+    """.format(pred=pred, allowed=_ROBOTS_ALLOWED_CASE)
     )
 
 
@@ -940,14 +954,9 @@ def _funnel_oracle() -> str:
         + """,
     f0 AS (
       SELECT n.doc_id, n.registered_domain, n.norm_url,
-        CASE
-          WHEN k % 3 = 0
-               AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
-          THEN TRUE
-          WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
-          WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
-          ELSE TRUE
-        END AS robots_ok,
+        """
+        + _ROBOTS_ALLOWED_CASE
+        + """ AS robots_ok,
         NOT n.registered_domain IN ('site3.org', 'site7.com',
                                     'site5.co.uk', 'site0.com') AS domain_ok
       FROM (

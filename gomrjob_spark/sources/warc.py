@@ -64,7 +64,11 @@ def parse_warc(data: bytes) -> list[dict]:
         lines = data[pos:hdr_end].split(_CRLF)
         for line in lines[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("ascii").lower()] = (
+            # keys decode with errors='replace' like values: a non-ASCII
+            # byte in a header NAME must surface as a parse outcome (a
+            # key that matches nothing), never a UnicodeDecodeError that
+            # kills the mapInPandas task on real crawl bytes
+            headers[k.strip().decode("ascii", "replace").lower()] = (
                 v.strip().decode("ascii", "replace")
             )
         cl = headers.get("content-length")
@@ -136,7 +140,9 @@ def parse_http_response(payload: bytes) -> dict:
     headers: dict[str, str] = {}
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        key = k.strip().decode("ascii").lower()
+        # errors='replace' on the NAME too — a non-ASCII header-name
+        # byte is a malformed header, not a task-killing decode crash
+        key = k.strip().decode("ascii", "replace").lower()
         if key not in headers:  # first value wins, per RFC 9110 folding
             headers[key] = v.strip().decode("ascii", "replace")
     body = payload[hdr_end + 4:]

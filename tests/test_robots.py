@@ -191,3 +191,61 @@ class TestSynthesizedGroupDecoy:
             R.synth_robots(F.col("k")).alias("t")
         ).first()["t"]
         assert "User-agent: badbot" in txt
+
+
+class TestPatternRules:
+    """RFC 9309 §2.2.3 '*' wildcard and '$' end-anchor matching (the
+    r11 advisor's finding: literal-startswith never matches
+    'Disallow: /*.php' and fails OPEN). Cases follow the RFC's own
+    example table plus the Google matcher's published edge cases."""
+
+    def test_star_matches_any_sequence(self, spark):
+        txt = "User-agent: *\nDisallow: /*.php\n"
+        assert not _verdict(spark, txt, "/index.php")["allowed"]
+        assert not _verdict(spark, txt, "/folder/any.php.html")["allowed"]
+        assert _verdict(spark, txt, "/index.html")["allowed"]
+
+    def test_dollar_anchors_at_end(self, spark):
+        txt = "User-agent: *\nDisallow: /*.php$\n"
+        assert not _verdict(spark, txt, "/index.php")["allowed"]
+        # .php NOT at path end: the anchor must release it
+        assert _verdict(spark, txt, "/index.php5")["allowed"]
+        assert _verdict(spark, txt, "/index.php/")["allowed"]
+
+    def test_fish_star_examples(self, spark):
+        txt = "User-agent: *\nDisallow: /fish*\n"
+        for p in ("/fish", "/fishheads", "/fish/salmon.html"):
+            assert not _verdict(spark, txt, p)["allowed"], p
+        assert _verdict(spark, txt, "/Fish.asp")["allowed"]  # case-sensitive
+
+    def test_pattern_length_is_rule_octets(self, spark):
+        # Allow '/a/b' (4) vs wildcard Disallow '/*/b/c' (6): the
+        # PATTERN's octet count decides, so the wildcard wins
+        txt = "User-agent: *\nAllow: /a/b\nDisallow: /*/b/c\n"
+        v = _verdict(spark, txt, "/a/b/c")
+        assert not v["allowed"] and v["rule_prefix"] == "/*/b/c"
+
+    def test_allow_wins_tie_against_pattern(self, spark):
+        # both length 5: literal Allow ties wildcard Disallow -> allow
+        txt = "User-agent: *\nDisallow: /a*/p\nAllow: /a2/p\n"
+        assert _verdict(spark, txt, "/a2/p9")["allowed"]
+        assert not _verdict(spark, txt, "/a3/p9")["allowed"]
+
+    def test_regex_metacharacters_in_rule_are_literal(self, spark):
+        # '.' and '+' in a rule are literal octets, not regex metas
+        txt = "User-agent: *\nDisallow: /a.b+c\n"
+        assert not _verdict(spark, txt, "/a.b+c/d")["allowed"]
+        assert _verdict(spark, txt, "/aXbbc/d")["allowed"]
+
+    def test_literal_rules_still_prefix_match(self, spark):
+        # regression: pattern support must not break plain prefixes
+        txt = "User-agent: *\nDisallow: /private\n"
+        assert not _verdict(spark, txt, "/private/data")["allowed"]
+
+    def test_synth_pattern_rules_fire_in_fixture(self, spark, sf_dir):
+        from gomrjob_spark.plans.registry import QUERIES
+
+        out = QUERIES["robots_txt_gate"](spark, sf_dir)
+        wild = out.filter(F.col("rule_prefix") == "/a*/p").count()
+        anch = out.filter(F.col("rule_prefix") == "/*0$").count()
+        assert wild > 0 and anch > 0  # both pattern rules non-vacuous

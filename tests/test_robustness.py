@@ -136,6 +136,19 @@ def test_verify_first_names_all_exist():
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
 
 
+def test_backfill_names_all_exist_and_disjoint():
+    """Same guard for _BACKFILL (the r11 advisor's finding: a typo'd
+    backfill name is silently dropped by _reorder's membership filter
+    and falls out of the next rotation), plus the two lists must be
+    disjoint — a duplicate would double-book a window slot."""
+    from gomrjob_spark.plans import _BACKFILL, _VERIFY_FIRST
+
+    missing = [n for n in _BACKFILL if n not in plans.QUERIES]
+    assert not missing, f"_BACKFILL names not in registry: {missing}"
+    overlap = set(_BACKFILL) & set(_VERIFY_FIRST)
+    assert not overlap, f"names in both window lists: {sorted(overlap)}"
+
+
 def test_registry_tiering():
     """Window discipline: first-50 all oracle-eligible; rows-only last."""
     names = list(plans.QUERIES)
