@@ -18,7 +18,7 @@ from gomrjob_spark.plans.llm import (
     _langid_gate_oracle,
     _mime_oracle,
 )
-from gomrjob_spark.plans.web import _robots_oracle
+from gomrjob_spark.plans.web import _robots_oracle, _warc_file_oracle
 from gomrjob_spark.plans.registry import query
 from gomrjob_spark.streaming import (
     read_events_stream,
@@ -1414,3 +1414,29 @@ def streaming_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, robots_gate_stream(staged), "append").orderBy(
         "doc_id"
     )
+
+
+@query(
+    "streaming_warc_file_source",
+    oracle=_warc_file_oracle("doc_id % 2 = 1"),
+)
+def streaming_warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-discovery WARC ingestion as a live topology (the 31st) —
+    the Common Crawl deployment shape: crawl segments LAND IN A BUCKET
+    and the pipeline picks each file up as it arrives. binaryFile is a
+    standard file-stream source, so arriving ``.warc.gz`` files are
+    discovered per micro-batch with exactly-once file-level tracking,
+    then walked by the SAME record program as the batch reader
+    (sources.warc.warc_records_from_binary_files — stream==batch is
+    shared code). The stream reads ONLY the gzip glob (the four odd
+    fixture files), so the gate additionally proves the source-side
+    glob prunes at file-listing time: the oracle's pred is the file-
+    parity formula, and a reader that opened the plain files too could
+    not hash-match. At scale, throttle with maxFilesPerTrigger; the
+    walk itself stays scan-local (zero shuffles before the sink)."""
+    from gomrjob_spark.plans.web import _warc_fixture_records
+
+    recs = _warc_fixture_records(
+        spark, sf_dir, stream=True, glob="*.warc.gz"
+    )
+    return _drain(spark, recs, "append").orderBy("file_name", "rec_idx")

@@ -517,6 +517,106 @@ def warc_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+#: the file-level WARC fixture's per-record formulas (mirrors
+#: sources.warc.fixture_record character-for-character): 8 files by
+#: doc_id % 8, odd files gzipped, decoy boundary inside every
+#: 7th-mod-3 payload
+_WARC_FILE_RECS_SQL = """wrecs AS (
+      SELECT doc_id, doc_id % 8 AS file_idx,
+        'crawl-0000' || CAST(doc_id % 8 AS VARCHAR)
+          || CASE WHEN doc_id % 2 = 1 THEN '.warc.gz' ELSE '.warc' END
+          AS file_name,
+        'https://c' || CAST(doc_id AS VARCHAR) || '.example.org/r'
+          || CAST(doc_id % 13 AS VARCHAR) AS target_uri,
+        '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+          || 'T00:00:00Z' AS warc_date,
+        'crawl doc ' || CAST(doc_id AS VARCHAR) || ' file '
+          || CAST(doc_id % 8 AS VARCHAR) || ' '
+          || repeat('y', CAST(9 + doc_id % 11 AS INT))
+          || CASE WHEN doc_id % 7 = 3
+                  THEN chr(13) || chr(10) || chr(13) || chr(10)
+                       || 'WARC/1.0' || chr(13) || chr(10)
+                  ELSE '' END AS payload
+      FROM documents
+    )"""
+
+
+def _warc_file_oracle(pred: str = "TRUE") -> str:
+    """Oracle for the file-level WARC source: recompute every field of
+    every record — including its FILE assignment and position IN the
+    file — from the fixture formulas; ``pred`` restricts to a file
+    subset (the streaming twin reads only the gzip glob)."""
+    return f"""
+    WITH {_WARC_FILE_RECS_SQL}
+    SELECT file_name,
+      CAST(row_number() OVER (PARTITION BY file_idx ORDER BY doc_id) - 1
+           AS INT) AS rec_idx,
+      CAST(doc_id AS BIGINT) AS doc_id, target_uri, warc_date,
+      CAST(length(payload) AS BIGINT) AS content_length,
+      md5(payload) AS payload_md5
+    FROM wrecs WHERE {pred} ORDER BY file_name, rec_idx
+    """
+
+
+def _warc_fixture_records(
+    spark: SparkSession, sf_dir: str, stream: bool = False, glob: str = "*.warc*"
+) -> DataFrame:
+    """Shared front half of the two file-source queries: write the
+    fixture files (driver-side test scaffolding — bounded at one int
+    per document; the operator under test is the distributed reader),
+    then read them back through the binaryFile source."""
+    from gomrjob_spark.sources.warc import (
+        read_warc_files,
+        read_warc_files_stream,
+        write_warc_fixture,
+    )
+
+    ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    fixture = write_warc_fixture(sf_dir, ids)
+    reader = read_warc_files_stream if stream else read_warc_files
+    recs = reader(spark, fixture, glob=glob)
+    return recs.select(
+        "file_name",
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.regexp_extract(F.col("target_uri"), r"^https://c([0-9]+)\.", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        "warc_date",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@query("warc_file_source", oracle=_warc_file_oracle())
+def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level WARC ingestion — real multi-record ``.warc`` AND
+    ``.warc.gz`` FILES from storage through the binaryFile source into
+    the length-delimited walk (sources/warc.py). This is the
+    reference's own position-zero capability — input file globs
+    (runner.go:51-52) fed to the job's mappers (hdfs/job.go:27-56) —
+    applied to the crawl format: Common Crawl ingestion is
+    file-granular (~1 GiB gzip segments, not splittable), so ONE WHOLE
+    FILE PER TASK is the correct 100 TB parallel unit and the file
+    COUNT supplies the parallelism. The writer twin synthesizes 8
+    fixture files (4 plain + 4 gzipped, records assigned by doc_id %
+    8) so the oracle recomputes every byte — file assignment, position
+    in file, URI/date/length/md5 — from the same formulas; every
+    7th-mod-3 payload embeds a decoy record boundary, so a naive
+    blank-line splitter shifts every later record in that file and
+    cannot hash-match. Zero shuffles before the oracle-determinism
+    orderBy; the glob prunes at FILE LISTING time (non-WARC files are
+    never opened)."""
+    return _warc_fixture_records(spark, sf_dir).orderBy(
+        "file_name", "rec_idx"
+    )
+
+
 @query(
     "corpus_wet_pipeline",
     oracle=_html_gate_oracle("doc_id % 10 <> 0 AND doc_id % 3 <> 1"),

@@ -160,3 +160,181 @@ def parse_http_response(payload: bytes) -> dict:
         "headers": headers,
         "body": body,
     }
+
+
+# ---------------------------------------------------------------------------
+# File-level WARC source (r12): real .warc/.warc.gz FILES from storage.
+#
+# The reference's position-zero act is reading real files from a
+# filesystem (jehiah/gomrjob runner.go:51-52 input globs; hdfs/job.go
+# submits against HDFS paths); Common Crawl ingestion is file-granular —
+# ~1 GiB .warc.gz segments, tens of thousands per crawl. The Spark-first
+# mapping is the ``binaryFile`` format: ONE WHOLE FILE PER ROW, which is
+# exactly right here because gzip members are not splittable — the file
+# is the natural parallel unit, and a 1000-executor cluster gets its
+# parallelism from the file COUNT (64k+ segments), not from splitting.
+# The record walk then runs Arrow-batched and scan-local (zero
+# shuffles); ``binaryFile`` pushes the ``pathGlobFilter`` down to file
+# listing, so non-WARC files in the bucket are never even opened.
+# (binaryFile caps single files at spark.sql.sources.binaryFile.
+# maxLength = Int.MaxValue ≈ 2 GiB — above Common Crawl's ~1 GiB
+# segment convention; document, don't fight, the 2 GiB JVM array bound.)
+# ---------------------------------------------------------------------------
+
+#: the binaryFile format's fixed schema — needed up front by the
+#: STREAMING reader (file-stream sources require an explicit schema)
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+#: one row per parsed WARC record, file provenance kept
+WARC_RECORDS_SCHEMA = (
+    "file_name string, rec_idx int, warc_type string, target_uri string, "
+    "warc_date string, content_length bigint, payload binary"
+)
+
+
+def warc_records_from_binary_files(files_df):
+    """binaryFile rows -> one row per WARC record (shared by the batch
+    and streaming readers — stream==batch is the same code). Transparent
+    member decompression for ``*.gz`` paths (gzip is applied to the
+    WHOLE file, so it must happen before the length-delimited walk);
+    ``rec_idx`` is the record's position in its file. Arrow-batched
+    ``mapInPandas``, scan-local: the only columns shipped to Python are
+    path + content, and nothing shuffles."""
+    import gzip  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "file_name", "rec_idx", "warc_type", "target_uri",
+                    "warc_date", "content_length", "payload",
+                )
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = str(path).rsplit("/", 1)[-1]
+                data = bytes(content)
+                if name.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for j, rec in enumerate(parse_warc(data)):
+                    rows["file_name"].append(name)
+                    rows["rec_idx"].append(j)
+                    rows["warc_type"].append(rec["type"])
+                    rows["target_uri"].append(rec["uri"])
+                    rows["warc_date"].append(rec["date"])
+                    rows["content_length"].append(rec["content_length"])
+                    rows["payload"].append(rec["payload"])
+            yield pd.DataFrame(rows)
+
+    return files_df.select("path", "content").mapInPandas(
+        run, schema=WARC_RECORDS_SCHEMA
+    )
+
+
+def read_warc_files(spark, path: str, glob: str = "*.warc*"):
+    """BATCH file-level WARC source: every ``.warc``/``.warc.gz`` under
+    ``path`` -> one row per record. File listing + glob pruning happen
+    JVM-side; each file is one task (the right unit — see module
+    comment)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return warc_records_from_binary_files(files)
+
+
+def read_warc_files_stream(spark, path: str, glob: str = "*.warc*"):
+    """STREAMING file-level WARC source — the Common Crawl "segments
+    land in a bucket, pipeline picks them up" deployment: binaryFile is
+    a standard file-stream source, so newly arriving .warc.gz files are
+    discovered per micro-batch (exactly-once file-level tracking via
+    the stream's file index), then walked by the SAME record program as
+    the batch reader. Throttle at scale with
+    ``maxFilesPerTrigger``; schema is the binaryFile constant because
+    stream sources cannot infer."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return warc_records_from_binary_files(files)
+
+
+# -- fixture writer twin (test scaffolding, not the operator) --------------
+
+#: fixture fan-out: 8 files — 4 plain .warc, 4 gzipped .warc.gz (odd
+#: file indices), so both decompression paths sit under one hash gate
+N_FIXTURE_FILES = 8
+
+
+def fixture_record(doc_id: int) -> dict:
+    """The per-document fixture record as a PURE formula of doc_id —
+    mirrored character-for-character by the oracle SQL in plans/web.py
+    (_WARC_FILE_RECS_SQL). Every 7th-mod-3 payload embeds the decoy
+    record boundary, so a naive splitter shifts every later record in
+    that FILE and cannot hash-match."""
+    d = int(doc_id)
+    payload = (
+        f"crawl doc {d} file {d % N_FIXTURE_FILES} "
+        + "y" * (9 + d % 11)
+        + ("\r\n\r\nWARC/1.0\r\n" if d % 7 == 3 else "")
+    ).encode("ascii")
+    return {
+        "uri": f"https://c{d}.example.org/r{d % 13}",
+        "date": f"2026-02-{1 + d % 28:02d}T00:00:00Z",
+        "payload": payload,
+    }
+
+
+def write_warc_fixture(sf_dir: str, doc_ids) -> str:
+    """Write the deterministic multi-file WARC fixture for ``sf_dir``
+    (driver-side TEST SCAFFOLDING — the operator under test is the
+    distributed reader above; a real deployment reads files someone
+    else wrote). Documents spread across N_FIXTURE_FILES files by
+    ``doc_id % N``, sorted by doc_id within each file; odd files gzip
+    with mtime=0 so the bytes are reproducible. Idempotent + rename-
+    atomic: concurrent callers race to one complete directory."""
+    import gzip  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    ids = sorted(int(x) for x in doc_ids)
+    base = "/tmp/gomrjob_spark_fixtures"
+    key = "warc_files_v1_{}_{}".format(
+        os.path.basename(os.path.normpath(sf_dir)), len(ids)
+    )
+    out = os.path.join(base, key)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    by_file: dict[int, list[int]] = {}
+    for d in ids:
+        by_file.setdefault(d % N_FIXTURE_FILES, []).append(d)
+    for f, members in sorted(by_file.items()):
+        stream = encode_warc([fixture_record(d) for d in members])
+        if f % 2 == 1:
+            path = os.path.join(tmp, f"crawl-0000{f}.warc.gz")
+            blob = gzip.compress(stream, mtime=0)
+        else:
+            path = os.path.join(tmp, f"crawl-0000{f}.warc")
+            blob = stream
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # lost the race: someone else completed it first
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return out

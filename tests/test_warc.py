@@ -140,3 +140,123 @@ class TestHttpResponseParse:
 
         with pytest.raises(ValueError, match="unterminated"):
             parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Type: a/b")
+
+
+class TestFileSource:
+    """File-level WARC source (r12): binaryFile -> record walk over
+    writer-twin-synthesized .warc/.warc.gz files."""
+
+    def _fixture(self, tmp_path, n=24):
+        from gomrjob_spark.sources.warc import write_warc_fixture
+
+        return write_warc_fixture(str(tmp_path / "sfX"), range(n))
+
+    def test_fixture_layout_and_idempotence(self, tmp_path):
+        import os
+
+        from gomrjob_spark.sources.warc import write_warc_fixture
+
+        d1 = self._fixture(tmp_path)
+        names = sorted(
+            n for n in os.listdir(d1) if not n.startswith("_")
+        )
+        # 8 files, odd indices gzipped, >=3 records each (24 ids / 8)
+        assert len(names) == 8
+        assert sum(n.endswith(".warc.gz") for n in names) == 4
+        # second call reuses the completed directory byte-for-byte
+        stamp = os.stat(os.path.join(d1, names[0])).st_mtime_ns
+        d2 = write_warc_fixture(str(tmp_path / "sfX"), range(24))
+        assert d2 == d1
+        assert os.stat(os.path.join(d1, names[0])).st_mtime_ns == stamp
+
+    def test_read_back_both_compressions(self, spark, tmp_path):
+        from gomrjob_spark.sources.warc import (
+            fixture_record,
+            read_warc_files,
+        )
+
+        d = self._fixture(tmp_path)
+        rows = read_warc_files(spark, d).collect()
+        assert len(rows) == 24
+        by_uri = {r["target_uri"]: r for r in rows}
+        for doc in range(24):
+            want = fixture_record(doc)
+            got = by_uri[want["uri"]]
+            assert bytes(got["payload"]) == want["payload"]
+            assert got["content_length"] == len(want["payload"])
+            expect_gz = doc % 2 == 1
+            assert got["file_name"].endswith(".gz") == expect_gz
+
+    def test_decoy_payload_survives_file_walk(self, spark, tmp_path):
+        # doc 3 (d%7==3) embeds '\r\n\r\nWARC/1.0\r\n'; a splitter
+        # implementation would shift every later record in file 3
+        from gomrjob_spark.sources.warc import read_warc_files
+
+        d = self._fixture(tmp_path)
+        rows = read_warc_files(spark, d).collect()
+        decoys = [
+            r for r in rows if b"\r\n\r\nWARC/1.0\r\n" in bytes(r["payload"])
+        ]
+        assert decoys  # fixture non-vacuity
+        # file 3 holds docs 3,11,19 — all three parsed, in doc order
+        f3 = sorted(
+            (r["rec_idx"], r["target_uri"])
+            for r in rows
+            if r["file_name"].startswith("crawl-00003")
+        )
+        assert [u for _, u in f3] == [
+            "https://c3.example.org/r3",
+            "https://c11.example.org/r11",
+            "https://c19.example.org/r6",
+        ]
+
+    def test_glob_prunes_at_listing(self, spark, tmp_path):
+        from gomrjob_spark.sources.warc import read_warc_files
+
+        d = self._fixture(tmp_path)
+        # a non-WARC file in the dir must never be OPENED (a read
+        # would raise: it's not parseable)
+        with open(f"{d}/notes.txt", "w") as fh:
+            fh.write("WARC/nope")
+        rows = read_warc_files(spark, d).collect()
+        assert len(rows) == 24
+        gz_only = read_warc_files(spark, d, glob="*.warc.gz").collect()
+        assert len(gz_only) == 12
+        assert all(r["file_name"].endswith(".gz") for r in gz_only)
+
+    def test_streaming_reader_matches_batch(self, spark, tmp_path):
+        from gomrjob_spark.sources.warc import (
+            read_warc_files,
+            read_warc_files_stream,
+        )
+        from gomrjob_spark.streaming.ops import run_to_memory
+
+        d = self._fixture(tmp_path)
+        q, name = run_to_memory(
+            read_warc_files_stream(spark, d).drop("payload"), mode="append"
+        )
+        try:
+            got = {
+                (r["file_name"], r["rec_idx"], r["target_uri"])
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            (r["file_name"], r["rec_idx"], r["target_uri"])
+            for r in read_warc_files(spark, d).collect()
+        }
+        assert got == want
+
+    def test_corrupt_gzip_member_raises(self, spark, tmp_path):
+        from gomrjob_spark.sources.warc import read_warc_files
+
+        d = self._fixture(tmp_path)
+        bad = tmp_path / "bad"
+        bad.mkdir()
+        (bad / "x.warc.gz").write_bytes(b"\x1f\x8b\x08\x00garbage")
+        import py4j.protocol
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+            read_warc_files(spark, str(bad)).collect()
