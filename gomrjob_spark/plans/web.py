@@ -617,42 +617,18 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_wet_pipeline",
-    oracle=_html_gate_oracle("doc_id % 10 <> 0 AND doc_id % 3 <> 1"),
-)
-def corpus_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full crawl-ingest front half, composed end-to-end under ONE
-    hash gate — exactly the WARC->WET derivation Common Crawl runs:
-
-    1. each document synthesizes a WARC 'response' record whose HTTP
-       payload body is the document's HTML page (the html-family
-       formula, built by the COLUMN program so the wrap layers cannot
-       drift from the gated synthesis);
-    2. the WARC walk is length-delimited (sources.warc.parse_warc) and
-       the HTTP parse strict (parse_http_response) — Arrow-batched,
-       scan-local;
-    3. non-200 responses (doc_id%10==0 -> 404) and non-HTML media
-       types (doc_id%3==1 -> text/plain) drop at the HTTP layer —
-       the real pipeline's cheap first filter;
-    4. surviving pages run the jusText-style extractor + content gate
-       (operators/html.py), emitting WET-style main_text + verdicts.
-
-    The oracle replays only the formula restriction + the independent
-    SQL extractor (the shared parameterized _html_gate_oracle), so a
-    defect ANYWHERE in the chain — a WARC boundary slip, an HTTP
-    header scan that reads the decoy Content-Type inside the body, a
-    lost byte in wrap/unwrap, a block misclassification — surfaces as
-    a hash mismatch. Everything before the oracle-determinism orderBy
-    is scan-local: zero shuffles at 100 TB."""
+def _wet_walked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared WARC->HTTP front half of corpus_wet_pipeline and
+    corpus_train_pipeline: each document synthesizes a WARC 'response'
+    record whose HTTP payload body is its HTML page (the html-family
+    formula via the COLUMN program), the record walks length-delimited
+    and the HTTP response parses strictly — Arrow-batched, scan-local.
+    Returns (doc_id, status_code, mime_type, html) for ALL documents;
+    callers apply the HTTP-layer gate."""
     import pandas as pd  # noqa: PLC0415
 
-    from gomrjob_spark.operators.html import (
-        content_gate,
-        doc_content_summary,
-        synth_html,
-        with_blocks,
-    )
+    from gomrjob_spark.operators.html import synth_html
+    from gomrjob_spark.operators.text import spread
     from gomrjob_spark.sources.warc import (
         encode_http_response,
         encode_warc,
@@ -697,13 +673,47 @@ def corpus_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["html"].append(resp["body"].decode("utf-8"))
             yield pd.DataFrame(rows)
 
-    from gomrjob_spark.operators.text import spread
-
-    walked = spread(paged).mapInPandas(
+    return spread(paged).mapInPandas(
         wrap_walk,
         schema="doc_id bigint, status_code int, mime_type string, html string",
     )
-    kept = walked.filter(
+
+
+@query(
+    "corpus_wet_pipeline",
+    oracle=_html_gate_oracle("doc_id % 10 <> 0 AND doc_id % 3 <> 1"),
+)
+def corpus_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-ingest front half, composed end-to-end under ONE
+    hash gate — exactly the WARC->WET derivation Common Crawl runs:
+
+    1. each document synthesizes a WARC 'response' record whose HTTP
+       payload body is the document's HTML page (the html-family
+       formula, built by the COLUMN program so the wrap layers cannot
+       drift from the gated synthesis);
+    2. the WARC walk is length-delimited (sources.warc.parse_warc) and
+       the HTTP parse strict (parse_http_response) — Arrow-batched,
+       scan-local;
+    3. non-200 responses (doc_id%10==0 -> 404) and non-HTML media
+       types (doc_id%3==1 -> text/plain) drop at the HTTP layer —
+       the real pipeline's cheap first filter;
+    4. surviving pages run the jusText-style extractor + content gate
+       (operators/html.py), emitting WET-style main_text + verdicts.
+
+    The oracle replays only the formula restriction + the independent
+    SQL extractor (the shared parameterized _html_gate_oracle), so a
+    defect ANYWHERE in the chain — a WARC boundary slip, an HTTP
+    header scan that reads the decoy Content-Type inside the body, a
+    lost byte in wrap/unwrap, a block misclassification — surfaces as
+    a hash mismatch. Everything before the oracle-determinism orderBy
+    is scan-local: zero shuffles at 100 TB."""
+    from gomrjob_spark.operators.html import (
+        content_gate,
+        doc_content_summary,
+        with_blocks,
+    )
+
+    kept = _wet_walked(spark, sf_dir).filter(
         (F.col("status_code") == 200) & (F.col("mime_type") == "text/html")
     )
     gated = content_gate(doc_content_summary(with_blocks(kept)))
@@ -1186,4 +1196,399 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("admitted").alias("n_admitted"),
         )
         .orderBy("registered_domain")
+    )
+
+
+#: KN-perplexity admission ceiling for the end-to-end pipeline, in
+#: mbits/trigram — inside the survivor IQR at every fixture scale
+#: (probed r12: drops 18->9 at sf0.01, 272->248 at sf0.1), so both
+#: verdicts genuinely occur under the driver gate
+_TRAIN_KN_CEILING = 5520
+
+
+def _train_pipeline_oracle() -> str:
+    """The END-TO-END crawl->train-set oracle: every stage of the
+    composite recomputed from the INDEPENDENT SQL chunks of the nine
+    families it chains (URL, minhash-md5, robots decision table, HTML
+    extractor, langid NB, batch perceptron, modified-KN, pack) — a
+    defect in any operator, any gate threshold, or the funnel ORDER
+    itself breaks the hash. Sub-oracles run at full-corpus scope and
+    join flags by doc_id (scoring is per-doc given the model, so
+    subset-scoring on the Spark side is equivalent)."""
+    from gomrjob_spark.plans.html import _html_gate_oracle
+    from gomrjob_spark.plans.llm import (
+        _kn_oracle,
+        _langid_gate_oracle,
+        _minhash_md5_sql,
+        _perceptron_oracle,
+    )
+
+    bl = ", ".join(f"'{b}'" for b in BLOCKLIST)
+    return f"""
+    WITH {_URL_CTES},
+    tp_url AS MATERIALIZED (
+      SELECT doc_id, norm_url, registered_domain,
+        regexp_extract(norm_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        CAST(regexp_extract(registered_domain, 'site([0-9]+)', 1)
+             AS BIGINT) AS k
+      FROM normed
+    ),
+    tp_mh AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_minhash_md5_sql(32, 16, 42, 0.6)}) tq
+    ),
+    tp_ht AS MATERIALIZED (
+      SELECT doc_id, admitted FROM ({_html_gate_oracle("TRUE")}) tq
+    ),
+    tp_lg AS MATERIALIZED (
+      SELECT doc_id, pred_lang
+      FROM ({_langid_gate_oracle("doc_id % 5 = 0", "TRUE")}) tq
+    ),
+    tp_pc AS MATERIALIZED (
+      SELECT doc_id, keep AS pc_keep FROM ({_perceptron_oracle(gate=True)}) tq
+    ),
+    tp_kn AS MATERIALIZED (
+      SELECT doc_id, mbits_per_trigram AS mbits FROM ({_kn_oracle()}) tq
+    ),
+    tp_f1 AS MATERIALIZED (
+      SELECT u.doc_id, u.norm_url, u.registered_domain, u.path, u.k,
+        (u.doc_id % 10 <> 0 AND u.doc_id % 3 <> 1) AS s1
+      FROM tp_url u
+    ),
+    tp_f2 AS (
+      SELECT tp_f1.*,
+        s1 AND NOT EXISTS (
+          SELECT 1 FROM tp_mh m JOIN tp_f1 a ON a.doc_id = m.id_a
+          WHERE m.id_b = tp_f1.doc_id AND a.s1) AS s2
+      FROM tp_f1
+    ),
+    tp_f4 AS (
+      SELECT tp_f2.*,
+        s2 AND {_ROBOTS_ALLOWED_CASE} AS s3,
+        s2 AND {_ROBOTS_ALLOWED_CASE}
+           AND registered_domain NOT IN ({bl}) AS s4
+      FROM tp_f2
+    ),
+    tp_f5 AS (
+      SELECT tp_f4.*,
+        s4 AND doc_id = min(CASE WHEN s4 THEN doc_id END)
+          OVER (PARTITION BY norm_url) AS s5
+      FROM tp_f4
+    ),
+    tp_f6 AS MATERIALIZED (
+      SELECT tp_f5.*, s5 AND tp_ht.admitted AS s6, tp_lg.pred_lang
+      FROM tp_f5 JOIN tp_ht USING (doc_id) JOIN tp_lg USING (doc_id)
+    ),
+    tp_major AS (
+      SELECT pred_lang AS major_lang FROM tp_f6 WHERE s6
+      GROUP BY pred_lang ORDER BY count(*) DESC, pred_lang ASC LIMIT 1
+    ),
+    tp_flags AS MATERIALIZED (
+      SELECT tp_f6.doc_id, s1, s2, s3, s4, s5, s6,
+        s6 AND pred_lang = (SELECT major_lang FROM tp_major) AS s7,
+        s6 AND pred_lang = (SELECT major_lang FROM tp_major)
+           AND pc_keep AS s8,
+        s6 AND pred_lang = (SELECT major_lang FROM tp_major)
+           AND pc_keep AND mbits <= {_TRAIN_KN_CEILING} AS s9
+      FROM tp_f6 JOIN tp_pc USING (doc_id) LEFT JOIN tp_kn USING (doc_id)
+    ),
+    tp_pk AS (
+      SELECT d.doc_id, d.lang,
+        CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        CAST(('0x' || substr(md5('pack' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 64 AS INT) AS bucket
+      FROM documents d JOIN tp_flags fl ON fl.doc_id = d.doc_id AND fl.s9
+    ),
+    tp_pcum AS (
+      SELECT doc_id, lang, bucket, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS local_off
+      FROM tp_pk
+    ),
+    tp_bt AS (
+      SELECT lang, bucket, CAST(sum(n_tokens) AS BIGINT) AS btotal
+      FROM tp_pk GROUP BY lang, bucket
+    ),
+    tp_off AS (
+      SELECT lang, bucket,
+        CAST(COALESCE(sum(btotal) OVER (PARTITION BY lang ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS bucket_off
+      FROM tp_bt
+    ),
+    tp_batches AS (
+      SELECT CAST(count(DISTINCT (c.lang, (o.bucket_off + c.local_off)
+                                  // 2048)) AS BIGINT) AS nb
+      FROM tp_pcum c JOIN tp_off o ON c.lang = o.lang AND c.bucket = o.bucket
+    ),
+    tp_counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(s1::int) AS BIGINT) AS c1, CAST(sum(s2::int) AS BIGINT) AS c2,
+        CAST(sum(s3::int) AS BIGINT) AS c3, CAST(sum(s4::int) AS BIGINT) AS c4,
+        CAST(sum(s5::int) AS BIGINT) AS c5, CAST(sum(s6::int) AS BIGINT) AS c6,
+        CAST(sum(s7::int) AS BIGINT) AS c7, CAST(sum(s8::int) AS BIGINT) AS c8,
+        CAST(sum(s9::int) AS BIGINT) AS c9,
+        (SELECT nb FROM tp_batches) AS nb
+      FROM tp_flags
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_in, n_out FROM (
+      SELECT 0 AS stage_idx, 'crawl_records' AS stage, n AS n_in, n AS n_out
+        FROM tp_counts
+      UNION ALL SELECT 1, 'http_gate', n, c1 FROM tp_counts
+      UNION ALL SELECT 2, 'near_dedup', c1, c2 FROM tp_counts
+      UNION ALL SELECT 3, 'robots_gate', c2, c3 FROM tp_counts
+      UNION ALL SELECT 4, 'domain_gate', c3, c4 FROM tp_counts
+      UNION ALL SELECT 5, 'url_dedup', c4, c5 FROM tp_counts
+      UNION ALL SELECT 6, 'html_content_gate', c5, c6 FROM tp_counts
+      UNION ALL SELECT 7, 'langid_gate', c6, c7 FROM tp_counts
+      UNION ALL SELECT 8, 'quality_gate', c7, c8 FROM tp_counts
+      UNION ALL SELECT 9, 'kn_gate', c8, c9 FROM tp_counts
+      UNION ALL SELECT 10, 'pack', c9, nb FROM tp_counts
+    ) tp_out ORDER BY stage_idx
+    """
+
+
+@query("corpus_train_pipeline", oracle=_train_pipeline_oracle())
+def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP end-to-end crawl->train-set pipeline, every stage a
+    real operator run in sequence under ONE hash gate — the 100 TB
+    dress rehearsal the r11 verdict ordered:
+
+      0 crawl_records      WET walk: WARC record -> HTTP response parse
+      1 http_gate          status 200 + text/html (the cheap first cut)
+      2 near_dedup         MinHash-LSH (md5 twin, 32x16, j>=0.6) over
+                           the FETCHED corpus — CCNet's order: dedup
+                           against everything fetched, BEFORE quality;
+                           conservative drop-every-id_b rule makes the
+                           stage's drop set order-robust (it commutes
+                           with the later gates)
+      3 robots_gate        RFC 9309 longest-match (incl. r12 patterns)
+      4 domain_gate        registered-domain blocklist
+      5 url_dedup          canonical-URL keeper among gate survivors
+      6 html_content_gate  jusText-style extraction + content ratio
+      7 langid_gate        NB language-ID; keep the corpus's MAJORITY
+                           predicted language (monolingual target —
+                           majority because the fixture's labels are
+                           separability-vacuous, see text_langid_train)
+      8 quality_gate       TRAINED batch perceptron keep verdict
+      9 kn_gate            modified-KN perplexity <= 5520 mbits/trigram
+     10 pack               fixed-2048-token batch packing (n_out = the
+                           packed BATCH count)
+
+    Output is the accounting a curation operator reads: (stage, n_in,
+    n_out) with n_in[k] = n_out[k-1] by construction, every stage
+    non-vacuous at the driver gate scale (sf0.01: 500 -> 300 -> 290 ->
+    207 -> 174 -> 102 -> 77 -> 44 -> 18 -> 9 -> 3 batches). The text-
+    layer scorers (langid/perceptron/KN) run on the canonical document
+    text their family formulas gate — which the fixture's HTML embeds
+    verbatim — at full-corpus scope, mirroring the oracle's per-doc
+    joins. Scale shape: the flag spine is ONE doc-level frame (column
+    programs + one norm_url window); each scorer adds its family's
+    own gated plan (1-row broadcast folds for langid/perceptron,
+    vocab-sized stream-static joins for KN, banded candidate join for
+    minhash); accounting is a single tiny aggregate. Reference parity:
+    this is the multi-step job-chaining surface (runner.go Steps) at
+    curation scale."""
+    from pyspark.sql import Window
+
+    from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators import dedup, robots
+    from gomrjob_spark.operators.html import (
+        content_gate,
+        doc_content_summary,
+        with_blocks,
+    )
+    from gomrjob_spark.operators.text import (
+        kn_perplexity,
+        langid_gate,
+        pack_token_batches,
+        quality_perceptron_gate,
+        quality_perceptron_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # flag spine: WET walk + URL staging + robots/domain column
+    # programs. The html PAYLOAD stays OUT of the spine — it would
+    # otherwise ride the norm_url window shuffle and every spine
+    # recompute; the content gate joins it back for s5 survivors only.
+    walked = scoped_persist(_wet_walked(spark, sf_dir))
+    staged = urls.with_url_columns(
+        walked.select("doc_id", "status_code", "mime_type").withColumn(
+            "url", urls.synth_url(F.col("doc_id"))
+        )
+    ).withColumn(
+        "path",
+        F.regexp_extract(F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
+    ).withColumn(
+        "k",
+        F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
+        .cast("bigint"),
+    )
+    rules = robots.parse_rules(robots.synth_robots(F.col("k")))
+    verdict = robots.robots_verdict(F.col("path"), rules)
+    base = scoped_persist(
+        staged.select(
+            "doc_id",
+            "norm_url",
+            (
+                (F.col("status_code") == 200)
+                & (F.col("mime_type") == "text/html")
+            ).alias("s1"),
+            verdict["allowed"].alias("robots_ok"),
+            (~F.col("registered_domain").isin(*BLOCKLIST)).alias("domain_ok"),
+        )
+    )
+
+    # stage 2: fuzzy dedup of the FETCHED corpus (pairs computed on the
+    # s1 subset — identical to filtering full-corpus pairs to both-in-s1
+    # endpoints, since signatures are per-doc)
+    fetched = docs.join(base.filter("s1").select("doc_id"), "doc_id")
+    dups = (
+        dedup.minhash_md5_dedup_pairs(
+            fetched, threshold=0.6, num_hashes=32, bands=16
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    f2 = (
+        base.join(dups, "doc_id", "left")
+        .withColumn(
+            "s2", F.col("s1") & F.coalesce(~F.col("is_dup"), F.lit(True))
+        )
+        .withColumn("s3", F.col("s2") & F.col("robots_ok"))
+        .withColumn("s4", F.col("s3") & F.col("domain_ok"))
+    )
+    w = Window.partitionBy("norm_url")
+    f5 = f2.withColumn(
+        "s5",
+        F.col("s4")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("s4"), F.col("doc_id"))).over(w)
+        ),
+    )
+    # HTML extraction + content gate for s5 SURVIVORS only (the oracle
+    # scores all docs; s6 = s5 AND admitted makes subset scoring
+    # equivalent). The flag spine through s6 is TINY (one row per doc,
+    # 7 narrow columns) but its LINEAGE carries the WET walk, the
+    # robots-fold HOF tree, and the minhash banding — every downstream
+    # stage would re-embed (and catalyst re-optimize, and the
+    # checkpoint's RDD path re-execute WITHOUT codegen) all of it, so
+    # truncate here (the BPE/PageRank lineage rule).
+    s5_ids = f5.filter("s5").select("doc_id").localCheckpoint()
+    admit = content_gate(
+        doc_content_summary(with_blocks(walked.join(s5_ids, "doc_id")))
+    ).select("doc_id", "admitted")
+    gated = (
+        f5.join(admit, "doc_id", "left")
+        .select(
+            "doc_id", "s1", "s2", "s3", "s4", "s5",
+            (
+                F.col("s5") & F.coalesce(F.col("admitted"), F.lit(False))
+            ).alias("s6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # text-layer scorers run ONLY on each stage's survivors — the
+    # 100 TB shape (you never KN-score a document the funnel already
+    # dropped); per-doc scoring given a fixed model makes this exactly
+    # equal to the oracle's score-everything-then-join formulation.
+    # Models still train at their family's full scope. Each survivor
+    # id-list is eagerly localCheckpoint'ed: WITHOUT the truncation the
+    # scorer's input would re-embed the whole upstream flag plan, the
+    # next join would embed it AGAIN, and the final plan nests
+    # exponentially (measured: catalyst alone ran minutes at sf0.1) —
+    # the BPE/PageRank lineage rule applied to the funnel.
+    s6_ids = gated.filter("s6").select("doc_id").localCheckpoint()
+    lg = langid_gate(docs.join(s6_ids, "doc_id"), train).select(
+        "doc_id", "pred_lang"
+    )
+    # read twice (majority agg + the s7 flag join): truncate the
+    # langid fold out of both readers' plans
+    flags6 = gated.join(lg, "doc_id", "left").localCheckpoint(eager=False)
+
+    # monolingual target: the corpus's majority PREDICTED language —
+    # a 1-row broadcast joined on a constant key (NOT a crossJoin: an
+    # empty majority must not wipe the accounting rows)
+    major = (
+        flags6.filter("s6")
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pred_lang"))
+        .limit(1)
+        .select(F.col("pred_lang").alias("major_lang"), F.lit(1).alias("one"))
+    )
+    flags7 = flags6.withColumn("one", F.lit(1)).join(
+        F.broadcast(major), "one", "left"
+    ).withColumn(
+        "s7",
+        F.col("s6")
+        & F.coalesce(F.col("pred_lang") == F.col("major_lang"), F.lit(False)),
+    )
+    s7_ids = flags7.filter("s7").select("doc_id").localCheckpoint()
+    pc = quality_perceptron_gate(
+        docs.join(s7_ids, "doc_id"),
+        quality_perceptron_train(docs, n_rounds=8),
+    ).select("doc_id", F.col("keep").alias("pc_keep"))
+    flags8 = flags7.join(pc, "doc_id", "left").withColumn(
+        "s8", F.col("s7") & F.coalesce(F.col("pc_keep"), F.lit(False))
+    )
+    s8_ids = flags8.filter("s8").select("doc_id").localCheckpoint()
+    knf = kn_perplexity(docs.join(s8_ids, "doc_id"), train).select(
+        "doc_id", "mbits_per_trigram"
+    )
+    # final spine truncation: counts and pack both read this frame
+    flags = flags8.join(knf, "doc_id", "left").withColumn(
+        "s9",
+        F.col("s8")
+        & F.coalesce(
+            F.col("mbits_per_trigram") <= F.lit(_TRAIN_KN_CEILING),
+            F.lit(False),
+        ),
+    ).localCheckpoint(eager=False)
+
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("bigint")  # noqa: E731
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[cnt(f"s{i}").alias(f"c{i}") for i in range(1, 10)],
+    )
+    packed = pack_token_batches(
+        docs.join(flags.filter("s9").select("doc_id"), "doc_id"), budget=2048
+    )
+    nb = packed.agg(
+        F.count_distinct(F.col("lang"), F.col("batch_id"))
+        .cast("bigint")
+        .alias("nb")
+    )
+    return (
+        counts.join(F.broadcast(nb))
+        .selectExpr(
+            "stack(11, "
+            "0, 'crawl_records', n, n, "
+            "1, 'http_gate', n, c1, "
+            "2, 'near_dedup', c1, c2, "
+            "3, 'robots_gate', c2, c3, "
+            "4, 'domain_gate', c3, c4, "
+            "5, 'url_dedup', c4, c5, "
+            "6, 'html_content_gate', c5, c6, "
+            "7, 'langid_gate', c6, c7, "
+            "8, 'quality_gate', c7, c8, "
+            "9, 'kn_gate', c8, c9, "
+            "10, 'pack', c9, nb"
+            ") AS (stage_idx, stage, n_in, n_out)"
+        )
+        .select(
+            F.col("stage_idx").cast("int").alias("stage_idx"),
+            "stage",
+            F.col("n_in").cast("bigint").alias("n_in"),
+            F.col("n_out").cast("bigint").alias("n_out"),
+        )
+        .orderBy("stage_idx")
     )
