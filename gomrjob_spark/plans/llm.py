@@ -1958,6 +1958,201 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_avi_frames",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 8 + 12 AS INT) AS n_frames FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+             CAST((doc_id * 3 + len(list_filter(generate_series(1, f),
+                    x -> (doc_id * 7 + x * 13) % 5 = 0))) % 53 AS BIGINT) AS g
+      FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    hx AS (
+      SELECT doc_id, n_frames, frame_idx,
+        md5(lower(string_agg(
+          lpad(hex((g*31 + x*(7 + g % 101) + y*(13 + g % 83)) % 256), 2, '0'),
+          '' ORDER BY y, x))) AS frame_hexmd5
+      FROM fr, unnest(generate_series(0, 7)) AS tx(x),
+               unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id, n_frames, frame_idx, g
+    )
+    SELECT doc_id, frame_idx,
+      CAST(n_frames AS INT) AS n_frames_hdr,
+      CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      CAST(2 * ((n_frames + 4) // 5) AS INT) AS n_aux_chunks,
+      CAST(64 AS BIGINT) AS frame_len, frame_hexmd5
+    FROM hx ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO CONTAINER ingestion under the hash gate — the "video file
+    -> frames" step the r11 verdict ordered (next-round #4), closing
+    the gap in front of multimodal_scene_cuts (which consumes frames
+    already exploded into rows): each document synthesizes a short
+    video as a REAL single-stream AVI (sources/riff.py encode_avi, the
+    writer twin) whose '00db' frame chunks carry the scene-cut
+    family's 8x8 raster formula, then the container walks back
+    size-delimited (parse_avi) and every recovered frame's identity,
+    position, header agreement, and byte content (md5 over the hex
+    encoding — DuckDB's md5 is VARCHAR-only) sit under the oracle.
+    Every 5th frame is wrapped in decoys: a '01wb' audio chunk before
+    it and an ODD-SIZED 'JUNK' chunk after it whose body contains a
+    fake '00db' chunk header — a reader that scans for frame magics
+    instead of walking sizes (or forgets RIFF's odd-size pad byte)
+    phantom-counts frames and cannot hash-match; the skipped-chunk
+    count is part of the gated output. Scan-local Arrow-batched
+    encode+walk; zero shuffles before the oracle-determinism orderBy.
+    Malformation classes raise precisely — tests/test_riff.py."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.text import spread
+    from gomrjob_spark.sources.riff import encode_avi, parse_avi
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        cols = (
+            "doc_id", "frame_idx", "n_frames_hdr", "width", "height",
+            "n_aux_chunks", "frame_len", "frame_hexmd5",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 8 + 12
+                frames, cuts = [], 0
+                for f in range(n):
+                    if f >= 1 and (d * 7 + f * 13) % 5 == 0:
+                        cuts += 1
+                    g = (d * 3 + cuts) % 53
+                    frames.append(bytes(
+                        (g * 31 + x * (7 + g % 101) + y * (13 + g % 83)) % 256
+                        for y in range(8) for x in range(8)
+                    ))
+                parsed = parse_avi(encode_avi(frames, 8, 8, decoy_every=5))
+                for j, frame in enumerate(parsed["frames"]):
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(j)
+                    rows["n_frames_hdr"].append(parsed["n_frames_header"])
+                    rows["width"].append(parsed["width"])
+                    rows["height"].append(parsed["height"])
+                    rows["n_aux_chunks"].append(parsed["n_aux_chunks"])
+                    rows["frame_len"].append(len(frame))
+                    rows["frame_hexmd5"].append(
+                        hashlib.md5(frame.hex().encode("ascii")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, frame_idx int, n_frames_hdr int, width int, "
+            "height int, n_aux_chunks int, frame_len bigint, "
+            "frame_hexmd5 string"
+        ),
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_flac_metadata",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                        WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+        CAST(1 + doc_id % 2 AS INT) AS channels,
+        CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS bits_per_sample,
+        CAST(1000 + (doc_id * 37) % 90000 AS BIGINT) AS total_samples
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(sample_rate AS INT) AS sample_rate, channels,
+      CAST(bits_per_sample AS INT) AS bits_per_sample, total_samples,
+      CAST(1000 * total_samples // sample_rate AS BIGINT) AS duration_ms,
+      md5('audio' || CAST(doc_id AS VARCHAR)) AS md5_hex,
+      CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS INT)
+        AS n_meta_blocks,
+      CAST(doc_id % 9 AS BIGINT) AS audio_bytes
+    FROM p ORDER BY doc_id
+    """,
+)
+def multimodal_flac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio METADATA walk under the hash gate (operators/
+    audiometa.py — the r11 verdict's next-round #5, the EXIF-walk
+    analog for audio): each document synthesizes a FLAC header from
+    formulas (sample rate / channels / bit depth / 36-bit total-sample
+    count BIT-PACKED into STREAMINFO's 8-byte field — a byte-aligned
+    reader extracts garbage), the writer twin assembles magic +
+    metadata blocks + fake trailing audio, and the strict reader walks
+    it back: duration in exact fixed-point ms, the signature MD5, the
+    block count, and the audio byte count all sit under the oracle.
+    Every 4th document interleaves an APPLICATION block whose BODY
+    contains a decoy ``fLaC`` magic — a magic-scanner phantom-restarts
+    and cannot match; every document carries a PADDING block so
+    unknown-type skipping is gated, and the last-metadata-block FLAG
+    (not a count) terminates the walk. Scan-local Arrow-batched;
+    malformation classes raise precisely — tests/test_audiometa.py."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.audiometa import (
+        APPLICATION,
+        PADDING,
+        encode_flac_header,
+        encode_streaminfo,
+        parse_flac_header,
+    )
+    from gomrjob_spark.operators.text import spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    def run(batches):
+        cols = (
+            "doc_id", "sample_rate", "channels", "bits_per_sample",
+            "total_samples", "duration_ms", "md5_hex", "n_meta_blocks",
+            "audio_bytes",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                si = encode_streaminfo(
+                    sample_rate=rates[d % 5],
+                    channels=1 + d % 2,
+                    bits_per_sample=24 if d % 3 == 0 else 16,
+                    total_samples=1000 + (d * 37) % 90000,
+                    md5_digest=hashlib.md5(f"audio{d}".encode()).digest(),
+                )
+                extra = [(PADDING, b"\x00" * (1 + d % 7))]
+                if d % 4 == 0:
+                    # decoy: the magic INSIDE an application block body
+                    extra.append((APPLICATION, b"gmrj" + b"fLaC\x00\x22"))
+                blob = encode_flac_header(si, extra, b"\xfa" * (d % 9))
+                meta = parse_flac_header(blob)
+                rows["doc_id"].append(d)
+                for k in cols[1:]:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, sample_rate int, channels int, "
+            "bits_per_sample int, total_samples bigint, duration_ms bigint, "
+            "md5_hex string, n_meta_blocks int, audio_bytes bigint"
+        ),
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
     "multimodal_phash_near_pairs",
     oracle="""
     WITH d AS (
