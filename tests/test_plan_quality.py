@@ -137,6 +137,11 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
     in knn_ivf). Anything else is a data-sized product — the class of
     plan that dies at 100 TB — and fails this test."""
     ALLOWED_BNLJ = {
+        "corpus_train_pipeline",    # the accounting join: a 1-row
+                                    # counts frame x a 1-row packed-
+                                    # batch-count frame; every doc-
+                                    # sized join upstream is keyed and
+                                    # the spine is checkpointed
         "q11_important_balances",   # 1-row global-total broadcast
         "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
         "knn_bruteforce",           # |Q|=10 broadcast x corpus, by design

@@ -143,3 +143,85 @@ def test_stream_batch_equivalence(spark):
         for r in url_gate_stream(docs, BLOCKLIST).collect()
     }
     assert batch == streamed
+
+
+class TestPsl:
+    """Exact PSL registrable domains (urls.registered_domain_psl) —
+    parity with the heuristic on the fixture's host space, and the
+    documented divergence classes on real-world shapes."""
+
+    def _psl(self, spark, hosts):
+        import pyspark.sql.functions as F
+
+        from gomrjob_spark.operators.urls import registered_domain_psl
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        rows = registered_domain_psl(df).select(
+            "host", "registered_domain_psl"
+        ).collect()
+        return {r["host"]: r["registered_domain_psl"] for r in rows}
+
+    def test_parity_with_heuristic_on_fixture_hosts(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from gomrjob_spark.operators import urls
+        from gomrjob_spark.operators.urls import registered_domain_psl
+        from gomrjob_spark.plans.web import _docs_with_urls
+
+        staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+        both = registered_domain_psl(staged)
+        diff = both.filter(
+            ~F.col("registered_domain_psl").eqNullSafe(
+                F.col("registered_domain")
+            )
+        ).count()
+        assert diff == 0  # the snapshot covers the fixture's suffixes
+
+    def test_plain_and_multilabel_suffixes(self, spark):
+        m = self._psl(spark, [
+            "a.b.example.com", "example.co.uk", "deep.sub.x.org.uk",
+        ])
+        assert m["a.b.example.com"] == "example.com"
+        assert m["example.co.uk"] == "example.co.uk"
+        assert m["deep.sub.x.org.uk"] == "x.org.uk"
+
+    def test_wildcard_rule(self, spark):
+        # *.ck: every label under .ck is a public suffix
+        m = self._psl(spark, ["b.any.ck", "any.ck"])
+        assert m["b.any.ck"] == "b.any.ck"
+        assert m["any.ck"] is None  # a public suffix has no registrable
+
+    def test_exception_rule(self, spark):
+        # !www.ck carves www.ck back OUT of the wildcard
+        m = self._psl(spark, ["www.ck", "x.www.ck"])
+        assert m["www.ck"] == "www.ck"
+        assert m["x.www.ck"] == "www.ck"
+
+    def test_private_section_divergence(self, spark):
+        # github.io is a (private-section) public suffix: the PSL path
+        # keeps per-user sites apart where the heuristic collapses them
+        m = self._psl(spark, ["alice.github.io", "bob.github.io"])
+        assert m["alice.github.io"] == "alice.github.io"
+        assert m["bob.github.io"] == "bob.github.io"
+
+    def test_default_rule_for_unknown_tld(self, spark):
+        # no rule matches -> default '*': last label is the suffix
+        m = self._psl(spark, ["foo.bar.unknowntld"])
+        assert m["foo.bar.unknowntld"] == "bar.unknowntld"
+
+    def test_zero_shuffle_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from gomrjob_spark.operators.urls import registered_domain_psl
+
+        df = spark.createDataFrame([("a.example.com",)], "host string")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            registered_domain_psl(df).explain("formatted")
+        plan = buf.getvalue()
+        # the 1-row rule model broadcasts (BroadcastExchange is the
+        # allowlisted BNLJ shape); no SHUFFLE exchange anywhere
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan
