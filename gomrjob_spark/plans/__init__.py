@@ -49,6 +49,9 @@ _VERIFY_FIRST = [
     "multimodal_avi_frames",
     # NEW r12: FLAC STREAMINFO metadata walk (bit-packed fields)
     "multimodal_flac_metadata",
+    # NEW r12: MP3 frame-header walk (declared-length jumps, ID3v2
+    # synchsafe skip) — displaces scalar_array_map to _BACKFILL head
+    "multimodal_mp3_metadata",
     # changed r12: RFC 9309 '*'/'$' pattern rules added to fixture +
     # verdict + decision table
     "robots_txt_gate",
@@ -90,12 +93,12 @@ _VERIFY_FIRST = [
     "revenue_share_hierarchy",
     "rolling_active_users",
     "sample_weighted_per_source",
-    "scalar_array_map",
 ]
 # next-oldest queries: the 12 r07 rows the 50-slot window could not
 # hold this round — they head the r13 rotation (OLDEST-ALWAYS-NEXT,
 # SCALING.md ledger), followed by the r08 rows as they age out.
 _BACKFILL = [
+    "scalar_array_map",
     "scalar_date",
     "scalar_json",
     "set_ops_all",

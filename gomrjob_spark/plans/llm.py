@@ -2153,6 +2153,87 @@ def multimodal_flac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp3_metadata",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(5 + doc_id % 7 AS INT) AS n_frames,
+        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS rate
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_frames, rate,
+        ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+          [CAST(1 + (doc_id + i) % 14 AS INT)] AS br,
+        CAST((doc_id + i) % 2 AS INT) AS pad
+      FROM p, unnest(generate_series(0, n_frames - 1)) t(i)
+    )
+    SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+      CAST(rate AS INT) AS sample_rate,
+      CAST(sum(br) // n_frames AS INT) AS bitrate_kbps_avg,
+      CAST(1000 * n_frames * 1152 // rate AS BIGINT) AS duration_ms,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 17 + doc_id % 5 ELSE 0 END
+           AS BIGINT) AS id3_bytes,
+      CAST(sum(144 * br * 1000 // rate + pad) AS BIGINT) AS stream_bytes
+    FROM f GROUP BY doc_id, n_frames, rate ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio (MP3) frame-header walk under the hash gate — the
+    second half of the compressed-audio metadata class next to
+    multimodal_flac_metadata: each document synthesizes an MPEG1
+    Layer III stream from formulas (per-frame bitrate rotating through
+    the full 14-entry table, alternating padding bit — so every frame
+    has a DIFFERENT declared length and a reader that assumes CBR
+    framing desyncs), every 3rd document prefixed by an ID3v2 tag with
+    the SYNCHSAFE size encoding whose body contains decoy sync bytes
+    (0xFF 0xFB) — a sync-scanner locks onto the tag and phantom-counts
+    frames; frame payloads are ALL sync-looking 0xFF bytes, so jumping
+    by declared length is the only walk that matches the oracle's
+    formula-recomputed frame count, average bitrate, exact duration
+    (1000 * frames * 1152 DIV rate) and byte accounting. Scan-local
+    Arrow-batched; raise matrix in tests/test_audiometa.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.audiometa import encode_mp3, parse_mp3_header
+    from gomrjob_spark.operators.text import spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = (
+        "doc_id", "n_frames", "sample_rate", "bitrate_kbps_avg",
+        "duration_ms", "id3_bytes", "stream_bytes",
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    (1 + (d + i) % 14, d % 3, (d + i) % 2)
+                    for i in range(5 + d % 7)
+                ]
+                id3 = (
+                    b"\xff\xfb" + b"x" * (5 + d % 5) if d % 3 == 0 else None
+                )
+                meta = parse_mp3_header(encode_mp3(frames, id3_body=id3))
+                rows["doc_id"].append(d)
+                for k in cols[1:]:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_frames int, sample_rate int, "
+            "bitrate_kbps_avg int, duration_ms bigint, id3_bytes bigint, "
+            "stream_bytes bigint"
+        ),
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
     "multimodal_phash_near_pairs",
     oracle="""
     WITH d AS (

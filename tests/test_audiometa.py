@@ -102,3 +102,76 @@ def test_raise_on_zero_sample_rate():
     blob = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(body)
     with pytest.raises(ValueError, match="zero sample rate"):
         parse_flac_header(blob)
+
+
+class TestMp3:
+    """MPEG1 Layer III frame-header walk: declared-length jumping,
+    ID3v2 synchsafe skip, decoy immunity, and the raise matrix."""
+
+    def _stream(self, frames=None, id3=None):
+        from gomrjob_spark.operators.audiometa import encode_mp3
+
+        return encode_mp3(frames or [(9, 0, 0), (9, 0, 1), (14, 0, 0)],
+                          id3_body=id3)
+
+    def test_walk_and_duration(self):
+        from gomrjob_spark.operators.audiometa import parse_mp3_header
+
+        m = parse_mp3_header(self._stream())
+        assert m["n_frames"] == 3
+        assert m["sample_rate"] == 44100
+        # bitrates 128,128,320 -> avg floor 192
+        assert m["bitrate_kbps_avg"] == 192
+        assert m["duration_ms"] == 1000 * 3 * 1152 // 44100
+        assert m["id3_bytes"] == 0
+
+    def test_id3_synchsafe_skip_with_decoy_sync(self):
+        from gomrjob_spark.operators.audiometa import parse_mp3_header
+
+        # 200-byte tag body full of sync-looking bytes: a scanner
+        # would lock onto the tag; synchsafe-size skip must not
+        m = parse_mp3_header(self._stream(id3=b"\xff\xfb" * 100))
+        assert m["n_frames"] == 3
+        assert m["id3_bytes"] == 210
+
+    def test_variable_bitrate_framing(self):
+        from gomrjob_spark.operators.audiometa import (
+            MP3_BITRATES,
+            mp3_frame_length,
+            parse_mp3_header,
+        )
+
+        frames = [(i, 1, i % 2) for i in range(1, 15)]  # all 14 rates
+        m = parse_mp3_header(self._stream(frames=frames))
+        assert m["n_frames"] == 14
+        assert m["stream_bytes"] == sum(
+            mp3_frame_length(MP3_BITRATES[i], 48000, i % 2)
+            for i in range(1, 15)
+        )
+
+    def test_raises(self):
+        import pytest
+
+        from gomrjob_spark.operators.audiometa import parse_mp3_header
+
+        with pytest.raises(ValueError, match="sync"):
+            parse_mp3_header(b"\x00\x00\x00\x00")
+        with pytest.raises(ValueError, match="synchsafe"):
+            parse_mp3_header(b"ID3\x03\x00\x00\x80\x00\x00\x00")
+        with pytest.raises(ValueError, match="runs past"):
+            parse_mp3_header(self._stream()[:-10])
+        with pytest.raises(ValueError, match="no MPEG frames"):
+            parse_mp3_header(b"ID3\x03\x00\x00\x00\x00\x00\x00")
+        # reserved bitrate idx 15 and free-format idx 0
+        hdr15 = ((0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+                 | (15 << 12) | (0 << 10) | (0b11 << 6)).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="reserved bitrate"):
+            parse_mp3_header(hdr15)
+        hdr0 = ((0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+                | (0 << 12) | (0 << 10) | (0b11 << 6)).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="free-format"):
+            parse_mp3_header(hdr0)
+        hdr_rate3 = ((0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+                     | (9 << 12) | (3 << 10) | (0b11 << 6)).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="reserved sample-rate"):
+            parse_mp3_header(hdr_rate3)
