@@ -157,8 +157,11 @@ class TestFileSource:
         from gomrjob_spark.sources.warc import write_warc_fixture
 
         d1 = self._fixture(tmp_path)
+        # count only the fixture's own files: the glob-pruning test
+        # drops a notes.txt into this SHARED (per-key, cross-session)
+        # directory, which must not fail the layout count
         names = sorted(
-            n for n in os.listdir(d1) if not n.startswith("_")
+            n for n in os.listdir(d1) if n.startswith("crawl-")
         )
         # 8 files, odd indices gzipped, >=3 records each (24 ids / 8)
         assert len(names) == 8
