@@ -1438,5 +1438,5 @@ def streaming_warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     recs = _warc_fixture_records(
         spark, sf_dir, stream=True, glob="*.warc.gz"
-    )
+    ).drop("offset", "record_bytes")
     return _drain(spark, recs, "append").orderBy("file_name", "rec_idx")

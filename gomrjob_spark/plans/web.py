@@ -590,6 +590,8 @@ def _warc_fixture_records(
         "warc_date",
         "content_length",
         F.md5(F.col("payload")).alias("payload_md5"),
+        "offset",
+        "record_bytes",
     )
 
 
@@ -612,8 +614,64 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot hash-match. Zero shuffles before the oracle-determinism
     orderBy; the glob prunes at FILE LISTING time (non-WARC files are
     never opened)."""
-    return _warc_fixture_records(spark, sf_dir).orderBy(
-        "file_name", "rec_idx"
+    return (
+        _warc_fixture_records(spark, sf_dir)
+        .drop("offset", "record_bytes")
+        .orderBy("file_name", "rec_idx")
+    )
+
+
+@query(
+    "warc_cdx_index",
+    oracle="""
+    WITH """
+    + _WARC_FILE_RECS_SQL
+    + """,
+    wlen AS (
+      SELECT doc_id, file_idx, file_name, target_uri,
+        CAST(length('WARC/1.0' || chr(13) || chr(10)
+          || 'WARC-Type: conversion' || chr(13) || chr(10)
+          || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
+          || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+          || 'Content-Length: ' || CAST(length(payload) AS VARCHAR))
+          + 4 + length(payload) + 4 AS BIGINT) AS record_bytes
+      FROM wrecs
+    )
+    SELECT file_name,
+      CAST(row_number() OVER (PARTITION BY file_idx ORDER BY doc_id) - 1
+           AS INT) AS rec_idx,
+      CAST(doc_id AS BIGINT) AS doc_id, target_uri,
+      CAST(COALESCE(sum(record_bytes) OVER (PARTITION BY file_idx
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS BIGINT) AS "offset",
+      record_bytes
+    FROM wlen ORDER BY file_name, rec_idx
+    """,
+)
+def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style index over the WARC files — the artifact Common Crawl
+    publishes NEXT TO every crawl so consumers can random-access one
+    record without walking the file: per record, its FILE, its BYTE
+    OFFSET in the (decompressed) stream, and its total size. This is
+    the strongest possible gate on the walk's byte accounting: the
+    oracle recomputes every record's size from the writer-twin header
+    grammar (version line + 4 headers + CRLF framing + payload +
+    terminator) and every offset as the running sum of its
+    predecessors in doc_id order — so an off-by-one ANYWHERE in the
+    length walk (a swallowed pad, a miscounted CRLF, a decoy-boundary
+    slip) shifts every later offset in that file and cannot
+    hash-match. Honest divergence from Common Crawl's CDX, documented:
+    CC compresses each record as its own gzip member and indexes
+    COMPRESSED offsets; this fixture compresses whole files, so
+    offsets address the logical stream (identical for the plain
+    files). Scan-local; one window per file for the prefix sum."""
+    return (
+        _warc_fixture_records(spark, sf_dir)
+        .select(
+            "file_name", "rec_idx", "doc_id", "target_uri",
+            "offset", "record_bytes",
+        )
+        .orderBy("file_name", "rec_idx")
     )
 
 

@@ -88,6 +88,11 @@ def parse_warc(data: bytes) -> list[dict]:
                 "date": headers.get("warc-date", ""),
                 "content_length": length,
                 "payload": data[body_start:body_end],
+                # CDX-index fields: byte position of the record in the
+                # (decompressed) stream and its total size — the walk's
+                # byte accounting, which downstream random access needs
+                "offset": pos,
+                "record_bytes": body_end + 4 - pos,
             }
         )
         pos = body_end + 4
@@ -190,7 +195,8 @@ BINARY_FILE_SCHEMA = (
 #: one row per parsed WARC record, file provenance kept
 WARC_RECORDS_SCHEMA = (
     "file_name string, rec_idx int, warc_type string, target_uri string, "
-    "warc_date string, content_length bigint, payload binary"
+    "warc_date string, content_length bigint, payload binary, "
+    "offset bigint, record_bytes bigint"
 )
 
 
@@ -213,6 +219,7 @@ def warc_records_from_binary_files(files_df):
                 for k in (
                     "file_name", "rec_idx", "warc_type", "target_uri",
                     "warc_date", "content_length", "payload",
+                    "offset", "record_bytes",
                 )
             }
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -228,6 +235,8 @@ def warc_records_from_binary_files(files_df):
                     rows["warc_date"].append(rec["date"])
                     rows["content_length"].append(rec["content_length"])
                     rows["payload"].append(rec["payload"])
+                    rows["offset"].append(rec["offset"])
+                    rows["record_bytes"].append(rec["record_bytes"])
             yield pd.DataFrame(rows)
 
     return files_df.select("path", "content").mapInPandas(

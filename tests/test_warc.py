@@ -263,3 +263,28 @@ class TestFileSource:
 
         with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
             read_warc_files(spark, str(bad)).collect()
+
+    def test_offsets_are_exact_byte_positions(self, spark, tmp_path):
+        # the CDX contract: seeking to `offset` must land exactly on
+        # the record's version line, and offset+record_bytes on the
+        # next record's (prefix-sum gate for the whole walk)
+        import os
+
+        from gomrjob_spark.sources.warc import read_warc_files
+
+        d = self._fixture(tmp_path)
+        rows = read_warc_files(spark, d, glob="*.warc").collect()
+        by_file: dict[str, list] = {}
+        for r in rows:
+            by_file.setdefault(r["file_name"], []).append(r)
+        assert by_file
+        for name, recs in by_file.items():
+            with open(os.path.join(d, name), "rb") as fh:
+                blob = fh.read()
+            recs.sort(key=lambda r: r["rec_idx"])
+            pos = 0
+            for r in recs:
+                assert r["offset"] == pos
+                assert blob[pos:pos + 5] == b"WARC/"
+                pos += r["record_bytes"]
+            assert pos == len(blob)  # accounting covers every byte
