@@ -1,0 +1,120 @@
+"""sitemap.xml parsing — the crawl frontier's SEEDING step.
+
+robots.txt says what a crawler may NOT fetch; the sitemap (the
+sitemaps.org protocol, referenced from robots.txt's ``Sitemap:``
+directive) says what the publisher WANTS fetched, with freshness
+hints. A curation pipeline reads it to seed and prioritize the
+frontier: per URL entry, ``<loc>`` (the URL — the spec requires
+whitespace-tolerant parsing, so values must be trimmed), ``<lastmod>``
+(W3C date) and ``<priority>`` (0.0-1.0, kept here as exact fixed-point
+ppm — the repo's float-free convention).
+
+The parse is a pure row-local column program (strip XML comments with
+one dotall regex, extract ``<url>`` blocks, then per-block field
+extraction) — zero UDFs, zero shuffles, the robots-family posture, so
+frontier seeding composes into the same scan as robots admission.
+
+The fixture synthesizes each domain's sitemap from its site number
+(:func:`synth_sitemap` — the robots-family device) with the
+adversarial cases baked in: every 3rd domain's file carries a
+COMMENTED-OUT ``<url>`` block (a regex harvest that does not strip
+comments first counts a phantom entry and fails the hash gate), and
+every 2nd domain wraps its ``<loc>`` values in newlines/spaces (the
+spec's whitespace rule — an untrimmed extraction cannot match the
+oracle's clean URLs).
+
+Reference parity note: jehiah/gomrjob has no crawl layer; this family
+is part of the LLM-training-data surface the build brief adds
+(SURVEY.md §2F extensions), sitting next to operators/robots.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def synth_sitemap(site_num: Column) -> Column:
+    """sitemap.xml text per domain as a PURE formula of the domain's
+    site number ``k`` and registered domain (mirrored by the oracle in
+    plans/web.py, which recomputes entries from the formulas and never
+    parses): 3 + k%4 ``<url>`` entries with formula loc/lastmod/
+    priority; a commented-out decoy entry on k%3==0; whitespace-noised
+    ``<loc>`` values on k%2==1."""
+    k = site_num.cast("bigint")
+    domain = F.col("registered_domain")
+
+    def entry(i: Column) -> Column:
+        loc = F.concat(
+            F.lit("https://"), domain, F.lit("/page"), i.cast("string")
+        )
+        noised = F.when(
+            k % 2 == 1,
+            F.concat(F.lit("\n      "), loc, F.lit(" \n    ")),
+        ).otherwise(loc)
+        day = 1 + (k + i) % 28
+        pri = 1 + (k + i) % 9
+        return F.concat(
+            F.lit("  <url>\n    <loc>"), noised, F.lit("</loc>\n"),
+            F.lit("    <lastmod>2026-03-"),
+            F.lpad(day.cast("string"), 2, "0"),
+            F.lit("</lastmod>\n    <priority>0."),
+            pri.cast("string"),
+            F.lit("</priority>\n  </url>\n"),
+        )
+
+    entries = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), 2 + k % 4),
+        F.lit("").cast("string"),
+        lambda acc, i: F.concat(acc, entry(i)),
+    )
+    decoy = F.when(
+        k % 3 == 0,
+        F.lit(
+            "  <!-- retired:\n  <url><loc>https://decoy.example/x</loc>"
+            "<lastmod>2026-01-01</lastmod></url>\n  -->\n"
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        ),
+        decoy,
+        entries,
+        F.lit("</urlset>\n"),
+    )
+
+
+def parse_entries(xml: Column) -> Column:
+    """sitemap text -> array<struct<loc, lastmod, priority_ppm>> in
+    file order. Comments strip FIRST (one dotall regex — a phantom
+    commented-out entry is the classic harvest bug), then ``<url>``
+    blocks extract and each field reads per block; ``<loc>`` trims per
+    the spec's whitespace rule; ``<priority>0.p`` converts to exact
+    integer ppm (p * 100000 — no floats). Entries missing a field get
+    empty string / null ppm rather than erroring (sitemaps are
+    publisher input: lenient field presence, strict structure)."""
+    clean = F.regexp_replace(xml, r"(?s)<!--.*?-->", "")
+    blocks = F.regexp_extract_all(clean, F.lit(r"(?s)<url>(.*?)</url>"), 1)
+
+    # Spark's trim() strips SPACES only — the spec's whitespace rule
+    # includes newlines/tabs, so trim with a regex on both ends
+    def wtrim(c: Column) -> Column:
+        return F.regexp_replace(c, r"(?s)^\s+|\s+$", "")
+
+    def fields(b: Column) -> Column:
+        loc = wtrim(F.regexp_extract(b, r"(?s)<loc>(.*?)</loc>", 1))
+        lastmod = wtrim(
+            F.regexp_extract(b, r"(?s)<lastmod>(.*?)</lastmod>", 1)
+        )
+        pri = F.regexp_extract(b, r"<priority>0\.([0-9])</priority>", 1)
+        return F.struct(
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            F.when(pri != "", pri.cast("bigint") * 100000)
+            .otherwise(F.lit(None).cast("bigint"))
+            .alias("priority_ppm"),
+        )
+
+    return F.transform(blocks, fields)

@@ -26,10 +26,10 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
 
 # Tier 1 (round 12): the 6 registry rows that have NEVER had a driver
 # CORRECTNESS row (the r11 verdict's item #1 — all six proven HASH-OK
-# in the judge's full 264/264 simulation), then the 7 NEW r12 queries,
+# in the judge's full 264/264 simulation), then the 8 NEW r12 queries,
 # then robots_txt_gate (r11 row exists but the r12 pattern-rule work
 # changed its fixture + verdict program — re-verify after change), then
-# 36 of the 50 equally-oldest r07 rows (alphabetical; the remaining 14
+# 35 of the 50 equally-oldest r07 rows (alphabetical; the remaining 15
 # head _BACKFILL) — exactly filling the 50-slot window.
 _VERIFY_FIRST = [
     # never-sampled third wave (registered after the r11 window filled)
@@ -55,10 +55,13 @@ _VERIFY_FIRST = [
     # NEW r12: CDX byte-offset index over the WARC files — displaces
     # sample_weighted_per_source to _BACKFILL head
     "warc_cdx_index",
+    # NEW r12: sitemap.xml frontier seeding (comment-decoy + whitespace
+    # gates) — displaces rolling_active_users to _BACKFILL head
+    "sitemap_frontier",
     # changed r12: RFC 9309 '*'/'$' pattern rules added to fixture +
     # verdict + decision table
     "robots_txt_gate",
-    # oldest rows (last green r07), alphabetical, first 36
+    # oldest rows (last green r07), alphabetical, first 35
     "burst_detection",
     "cohort_retention",
     "corpus_composition_report",
@@ -94,12 +97,12 @@ _VERIFY_FIRST = [
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "revenue_share_hierarchy",
-    "rolling_active_users",
 ]
-# next-oldest queries: the 14 r07 rows the 50-slot window could not
+# next-oldest queries: the 15 r07 rows the 50-slot window could not
 # hold this round — they head the r13 rotation (OLDEST-ALWAYS-NEXT,
 # SCALING.md ledger), followed by the r08 rows as they age out.
 _BACKFILL = [
+    "rolling_active_users",
     "sample_weighted_per_source",
     "scalar_array_map",
     "scalar_date",

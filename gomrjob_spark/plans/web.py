@@ -675,6 +675,72 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sitemap_frontier",
+    oracle="WITH "
+    + _URL_CTES
+    + """,
+    doms AS (
+      SELECT DISTINCT registered_domain,
+        CAST(regexp_extract(registered_domain, 'site([0-9]+)', 1)
+             AS BIGINT) AS k
+      FROM normed
+    ),
+    ent AS (
+      SELECT registered_domain, k, CAST(i AS INT) AS url_idx
+      FROM doms, unnest(generate_series(0, 2 + k % 4)) t(i)
+    )
+    SELECT registered_domain, url_idx,
+      'https://' || registered_domain || '/page'
+        || CAST(url_idx AS VARCHAR) AS loc,
+      '2026-03-' || lpad(CAST(1 + (k + url_idx) % 28 AS VARCHAR), 2, '0')
+        AS lastmod,
+      CAST((1 + (k + url_idx) % 9) * 100000 AS BIGINT) AS priority_ppm
+    FROM ent ORDER BY registered_domain, url_idx
+    """,
+)
+def sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml frontier seeding (operators/sitemap.py) — robots'
+    complement: per registered domain, the publisher's sitemap
+    synthesizes from the site-number formula (the robots device), the
+    XML parses row-locally (comment strip -> <url> block extraction ->
+    per-field reads with the spec's whitespace trimming), and every
+    entry's URL, lastmod, and exact fixed-point priority land under
+    the hash gate. Every 3rd domain's file carries a COMMENTED-OUT
+    decoy entry — a harvest that does not strip comments first counts
+    a phantom URL and cannot match the oracle's formula-recomputed
+    entries (the oracle never parses); every 2nd domain's <loc>
+    values are whitespace-noised, so untrimmed extraction fails too.
+    Zero shuffles beyond the domain distinct: one scan-local column
+    program over ~|domains| rows."""
+    from gomrjob_spark.operators.sitemap import parse_entries, synth_sitemap
+
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    doms = (
+        staged.select("registered_domain")
+        .distinct()
+        .withColumn(
+            "k",
+            F.regexp_extract(
+                F.col("registered_domain"), "site([0-9]+)", 1
+            ).cast("bigint"),
+        )
+    )
+    parsed = doms.select(
+        "registered_domain",
+        F.posexplode(parse_entries(synth_sitemap(F.col("k")))).alias(
+            "url_idx", "e"
+        ),
+    )
+    return parsed.select(
+        "registered_domain",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.priority_ppm").alias("priority_ppm"),
+    ).orderBy("registered_domain", "url_idx")
+
+
 def _wet_walked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared WARC->HTTP front half of corpus_wet_pipeline and
     corpus_train_pipeline: each document synthesizes a WARC 'response'

@@ -1,0 +1,69 @@
+"""sitemap.xml parsing (operators/sitemap.py): comment-decoy immunity,
+the spec's whitespace rule, lenient field presence, and fixture
+non-vacuity of both decoy classes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _parse(spark, xml: str):
+    from gomrjob_spark.operators.sitemap import parse_entries
+
+    df = spark.createDataFrame([(xml,)], "xml string")
+    return df.select(parse_entries(F.col("xml")).alias("e")).first()["e"]
+
+
+def test_commented_out_entry_is_not_harvested(spark):
+    xml = (
+        "<urlset>\n"
+        "<!-- <url><loc>https://decoy.example/x</loc></url> -->\n"
+        "<url><loc>https://a.example/1</loc>"
+        "<priority>0.7</priority></url>\n"
+        "</urlset>"
+    )
+    entries = _parse(spark, xml)
+    assert [e["loc"] for e in entries] == ["https://a.example/1"]
+    assert entries[0]["priority_ppm"] == 700000
+
+
+def test_multiline_comment_spanning_entries(spark):
+    xml = (
+        "<urlset><!-- retired:\n<url><loc>x</loc></url>\n"
+        "<url><loc>y</loc></url>\n-->"
+        "<url><loc>https://kept.example/</loc></url></urlset>"
+    )
+    assert [e["loc"] for e in _parse(spark, xml)] == ["https://kept.example/"]
+
+
+def test_loc_whitespace_is_trimmed_including_newlines(spark):
+    xml = (
+        "<urlset><url><loc>\n   https://a.example/p \n</loc>"
+        "<lastmod>\n2026-03-01 </lastmod></url></urlset>"
+    )
+    (e,) = _parse(spark, xml)
+    assert e["loc"] == "https://a.example/p"
+    assert e["lastmod"] == "2026-03-01"
+
+
+def test_missing_fields_are_lenient(spark):
+    xml = "<urlset><url><loc>https://a.example/</loc></url></urlset>"
+    (e,) = _parse(spark, xml)
+    assert e["lastmod"] == "" and e["priority_ppm"] is None
+
+
+def test_fixture_decoys_nonvacuous(spark, sf_dir):
+    from gomrjob_spark.operators.sitemap import synth_sitemap
+    from gomrjob_spark.operators import urls
+    from gomrjob_spark.plans.web import _docs_with_urls
+
+    doms = (
+        urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+        .select("registered_domain").distinct()
+        .withColumn("k", F.regexp_extract(
+            F.col("registered_domain"), "site([0-9]+)", 1).cast("bigint"))
+        .withColumn("xml", synth_sitemap(F.col("k")))
+    )
+    n_comment = doms.filter(F.col("xml").contains("<!--")).count()
+    n_noise = doms.filter(F.col("xml").contains("<loc>\n")).count()
+    assert n_comment > 0 and n_noise > 0
