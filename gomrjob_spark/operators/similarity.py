@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import random
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -1178,16 +1179,24 @@ def semantic_diversity_survivors(
     the knn_ivf_kmeans rows-only precedent exactly as the r7 verdict
     suggested):
 
-    1. k = max(min_cells, n DIV target_cell) — one bounded count job
-       (the auto_lsh_params precedent); the oracle derives the same k
+    1. k = max(min_cells, n DIV target_cell) cells, factored as
+       kc = ceil(sqrt(k)) coarse x kf = ceil(k/kc) fine
+       (:func:`hier_params`) — one bounded count job (the
+       auto_lsh_params precedent); the oracle derives the same k/kc/kf
        from count(*).
-    2. Seeds: :func:`kmeans_seeds_md5` (md5-ordered, engine-portable).
-    3. ``n_iters`` Lloyd rounds (:func:`ivf_centroids_kmeans`): cosine
-       argmax assignment (ties to the lower cell) + fixed-point
+    2. Coarse seeds: :func:`kmeans_seeds_md5` (md5-ordered,
+       engine-portable).
+    3. ``n_iters`` coarse Lloyd rounds (:func:`ivf_centroids_kmeans`):
+       cosine argmax assignment (ties to the lower cell) + fixed-point
        2^20-quantized integer mean — bit-identical on any engine or
-       partitioning.
-    4. Final cell assignment (:func:`ivf_assign` — scan-local, the
-       corpus is never shuffled by the model).
+       partitioning. Then the same discipline per coarse cell:
+       md5-ordered fine seeds and ``n_iters`` GROUPED Lloyd rounds
+       (:func:`fine_centroids_kmeans`), each point scoring only its
+       own coarse cell's fine centroids.
+    4. Final cell assignment (coarse :func:`ivf_assign` + grouped fine
+       argmax — scan-local + one broadcast equi join; the corpus is
+       never shuffled by the model). Flat cell id =
+       (ccell - 1) * kf + fcell.
     5. Within-cell survivorship: the cell-keyed self-join generates
        only same-cell pairs (an equi-join — no cross product anywhere);
        a vector is dropped when ANY lower-id cell-mate sits at/above
@@ -1200,11 +1209,15 @@ def semantic_diversity_survivors(
 
     Scale: with target_cell held constant the cell count grows with the
     corpus, so per-task pair work is bounded (cell^2 = const) and total
-    pair volume is ~n*target_cell/2 — linear. The E-step scores n*k
-    pairs; at production scale k is a FIXED operator dial (the paper
-    uses tens of thousands of clusters for billions of vectors), making
-    assignment linear model-scan work — the fixture derives k from the
-    count only so the oracle's hash gate holds at every scale factor.
+    pair volume is ~n*target_cell/2 — linear. Assignment under the
+    two-level quantizer scores n*(kc+kf) = O(n*sqrt(k)) pairs per scan
+    instead of the flat n*k the r12 64x probe killed (O(n^2*d/128) when
+    k = n/128): at 64x that is ~2G mul-adds per scan vs the flat 51.2G.
+    The residual n^1.5 term is the price of deriving k from count(*) so
+    the oracle's hash gate holds at every scale factor; at production
+    scale the coarse level is a FIXED pre-trained quantizer (exactly
+    Meta's deployment — tens of thousands of clusters for billions of
+    vectors), which makes assignment strictly linear.
 
     Parallelism notes (measured, r8): the corpus is SPREAD + persisted
     once up front — the small-SF fixture is one parquet split, which
@@ -1221,6 +1234,194 @@ def semantic_diversity_survivors(
     return survivors
 
 
+class SemDedupModel(NamedTuple):
+    """The trained two-level SemDeDup quantizer: ``coarse`` is the
+    (cell, centroid) top-level k-means, ``fine`` the per-coarse-cell
+    (ccell, fcell, centroid) second level, ``kf`` the fine stride —
+    a point's flat cell id is ``(ccell - 1) * kf + fcell``."""
+
+    coarse: DataFrame
+    fine: DataFrame
+    kf: int
+
+
+def hier_params(n: int, target_cell: int = 128, min_cells: int = 8) -> tuple[int, int, int]:
+    """(k, kc, kf) for the two-level quantizer: k = max(min_cells,
+    n DIV target_cell) cells as before, factored into kc = ceil(sqrt(k))
+    coarse cells x kf = ceil(k / kc) fine cells each. ``math.ceil(
+    math.sqrt(k))`` is the exact expression the DuckDB oracle computes
+    (``CAST(ceil(sqrt(k::DOUBLE)) AS BIGINT)``): IEEE sqrt of a small
+    int is within 1 ulp, which cannot cross an integer boundary except
+    at perfect squares — where sqrt is exact — so the two engines agree
+    for every k below 2^40."""
+    k = max(min_cells, n // target_cell)
+    kc = math.ceil(math.sqrt(k))
+    kf = (k + kc - 1) // kc
+    return k, kc, kf
+
+
+def _fine_groups_row(fine: DataFrame) -> DataFrame:
+    """One row per coarse cell: (ccell, fcell-sorted array of
+    struct(fcell, centroid, _cn)) — the broadcastable form the grouped
+    fine argmax scores row-locally. Centroid norms fold JVM-side with
+    the same sequential :func:`l2_norm` aggregate as ivf_assign's
+    broadcast path, so scores stay bit-identical across paths."""
+    return (
+        fine.select(
+            "ccell",
+            F.struct(
+                F.col("fcell"),
+                F.col("centroid"),
+                l2_norm(F.col("centroid")).alias("_cn"),
+            ).alias("_fc"),
+        )
+        .groupBy("ccell")
+        .agg(F.array_sort(F.collect_list("_fc")).alias("_fcs"))
+    )
+
+
+def _fine_argmax(
+    staged: DataFrame,
+    fine: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grouped nearest-fine-centroid assignment: ``staged`` must carry
+    (…, ``vec_col``, _nv, ccell); returns the same columns minus the
+    group array plus ``fcell``. The join is a broadcast EQUI hash join
+    on ccell (the model is O(k x dim) — collected-size class), so each
+    row scores only its OWN coarse cell's <= kf fine centroids: the
+    O(n*sqrt(k)*d) half of the hierarchical assignment. Ties resolve
+    sim desc, fcell asc — array_sort over (negsim, fcell) structs, the
+    exact ivf_assign ranking the oracle mirrors with
+    ``ORDER BY list_cosine_similarity(...) DESC, fcell``."""
+    joined = staged.join(F.broadcast(_fine_groups_row(fine)), "ccell")
+    ranked = F.array_sort(
+        F.transform(
+            F.col("_fcs"),
+            lambda c: F.struct(
+                (
+                    -(
+                        dot(F.col(vec_col), c["centroid"])
+                        / (F.col("_nv") * c["_cn"])
+                    )
+                ).alias("negsim"),
+                c["fcell"].alias("fcell"),
+            ),
+        )
+    )
+    keep = [c for c in staged.columns if c != "ccell"]
+    return joined.select(
+        "ccell", *keep, F.element_at(ranked, 1)["fcell"].alias("fcell")
+    )
+
+
+_FINE_KEY_STRIDE = 1 << 20  # composite (ccell, fcell) bigint key for centroid_sums
+
+
+def fine_centroids_kmeans(
+    staged: DataFrame,
+    kf: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-coarse-cell Lloyd k-means — the second level of the
+    hierarchical quantizer. ``staged`` is the coarse-assigned corpus
+    (id, vec, _nv, ccell), ideally persisted by the caller (it is
+    scanned n_iters + 1 times). Seeds per coarse cell are the kf
+    members with the lowest md5(cast(id as string)) (engine-portable,
+    the kmeans_seeds_md5 convention, numbered 1..kf within the cell);
+    each round is ONE grouped broadcast assignment scan (every point
+    scores only its own cell's fine centroids) plus one fixed-point
+    2^20-quantized integer mean keyed on the composite (ccell, fcell) —
+    deterministic under any partitioning, bit-identical to the oracle's
+    grouped round. (ccell, fcell) pairs that lose every member keep
+    their previous centroid (the COALESCE rule). Returns (ccell, fcell,
+    centroid); like ivf_centroids_kmeans, the model is collected to the
+    driver each round (bounded O(k x dim) read) to truncate lineage."""
+    spark = staged.sparkSession
+    quant = float(CENTROID_QUANT)
+    w = W.partitionBy("ccell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    seeds = (
+        staged.select("ccell", F.col(id_col), F.col(vec_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(kf)))
+        .select(
+            "ccell",
+            F.col("_rn").cast("int").alias("fcell"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    cur = {
+        (int(r["ccell"]), int(r["fcell"])): [float(x) for x in r["centroid"]]
+        for r in seeds.collect()
+    }
+    for _ in range(n_iters):
+        fine_df = spark.createDataFrame(
+            [(c, f, v) for (c, f), v in sorted(cur.items())],
+            "ccell int, fcell int, centroid array<double>",
+        )
+        assigned = _fine_argmax(staged, fine_df, vec_col)
+        keyed = assigned.select(
+            (
+                F.col("ccell").cast("bigint") * F.lit(_FINE_KEY_STRIDE)
+                + F.col("fcell").cast("bigint")
+            ).alias("_gk"),
+            F.col(vec_col),
+        )
+        acc: dict = {}
+        for r in centroid_sums(keyed, group_col="_gk", vec_col=vec_col).collect():
+            gk = int(r["_gk"])
+            key = (gk // _FINE_KEY_STRIDE, gk % _FINE_KEY_STRIDE)
+            acc.setdefault(key, {})[int(r["pos"])] = (int(r["qsum"]), int(r["n"]))
+        nxt = dict(cur)
+        for key, poses in acc.items():
+            vec = list(cur[key])
+            for pos, (qs, n) in poses.items():
+                vec[pos] = qs / (n * quant)
+            nxt[key] = vec
+        cur = nxt
+    return spark.createDataFrame(
+        [(c, f, v) for (c, f), v in sorted(cur.items())],
+        "ccell int, fcell int, centroid array<double>",
+    )
+
+
+def hier_assign(
+    df: DataFrame,
+    model: SemDedupModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors under the trained two-level quantizer: coarse
+    argmax over kc centroids (ivf_assign — scan-local), then fine
+    argmax over that coarse cell's <= kf fine centroids (broadcast
+    equi join + row-local fold). O(n * (kc + kf) * d) = O(n*sqrt(k)*d)
+    total — the fix for the flat O(n*k*d) scan that the r12 64x probe
+    killed. Stream-safe: both stages are projections / stream-static
+    broadcast joins. Returns (id, vec, cell) with the flat composite
+    cell id (ccell - 1) * kf + fcell."""
+    staged = (
+        ivf_assign(df, model.coarse, 1, id_col, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_nv"),
+            F.col("cell").alias("ccell"),
+        )
+    )
+    fassigned = _fine_argmax(staged, model.fine, vec_col)
+    return fassigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (
+            (F.col("ccell") - F.lit(1)) * F.lit(int(model.kf)) + F.col("fcell")
+        ).cast("int").alias("cell"),
+    )
+
+
 def semantic_diversity_model(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -1229,32 +1430,63 @@ def semantic_diversity_model(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[SemDedupModel, DataFrame]:
     """The SemDeDup pipeline with its trained artifacts exposed:
-    returns (centroids, survivors) — ``centroids`` is the (cell,
-    centroid) quantizer after the Lloyd rounds, ``survivors`` the
-    (id, cell) frame :func:`semantic_diversity_survivors` documents.
-    The split exists so a LIVE admission topology
+    returns (model, survivors) — ``model`` the two-level
+    :class:`SemDedupModel` quantizer, ``survivors`` the (id, cell)
+    frame :func:`semantic_diversity_survivors` documents. The split
+    exists so a LIVE admission topology
     (streaming.ops.semdedup_gate_stream) can broadcast the SAME
     trained model + survivor store the batch pass produced — the
     offline-train / online-score deployment every other dedup family
-    has."""
+    has.
+
+    Two-level training (the r12 64x-probe remediation — SCALING.md
+    round 12: the flat k = n/128 Lloyd assignment was O(n^2*d/128) and
+    died at 64x): k factors into kc = ceil(sqrt(k)) coarse cells, each
+    k-means-refined as before (n_iters rounds over kc centroids), then
+    kf = ceil(k/kc) fine cells are trained WITHIN each coarse cell
+    (grouped Lloyd rounds — each point only ever scores its own coarse
+    cell's fine centroids). Every scan is O(n * sqrt(k) * d); total
+    cell count stays ~k so the within-cell pair volume keeps the
+    paper's linear ~n * target_cell / 2 bound. Meta's SemDeDup itself
+    k-means under a pre-trained coarse quantizer for exactly this
+    reason; here the coarse level trains in-pipeline so the DuckDB
+    oracle can replay the whole trajectory bit-for-bit."""
     from gomrjob_spark.cache import scoped_persist
     from gomrjob_spark.operators.text import spread
 
     corpus = scoped_persist(spread(corpus))
     n = corpus.count()
-    k = max(min_cells, n // target_cell)
-    seeds = kmeans_seeds_md5(corpus, k, id_col, vec_col)
-    cents = ivf_centroids_kmeans(
-        corpus, k, n_iters, id_col, vec_col, seeds=seeds
+    _, kc, kf = hier_params(n, target_cell, min_cells)
+    seeds = kmeans_seeds_md5(corpus, kc, id_col, vec_col)
+    coarse = ivf_centroids_kmeans(
+        corpus, kc, n_iters, id_col, vec_col, seeds=seeds
     )
-    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    # the coarse-assigned corpus is scanned kf-seeding + n_iters + 1
+    # times below — persist it once (same discipline as the corpus)
+    staged = scoped_persist(
+        ivf_assign(corpus, coarse, 1, id_col, vec_col).select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_nv"),
+            F.col("cell").alias("ccell"),
+        )
+    )
+    fine = fine_centroids_kmeans(staged, kf, n_iters, id_col, vec_col)
+    assigned = _fine_argmax(staged, fine, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_nv"),
+        (
+            (F.col("ccell") - F.lit(1)) * F.lit(int(kf)) + F.col("fcell")
+        ).cast("int").alias("cell"),
+    )
     nparts = int(
         corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     sided = assigned.select(
-        F.col(id_col), F.col(vec_col), "cell", l2_norm(F.col(vec_col)).alias("_nv")
+        F.col(id_col), F.col(vec_col), "cell", "_nv"
     ).repartition(nparts, "cell")
     a = sided.select(
         F.col(id_col).alias("_ida"),
@@ -1281,4 +1513,4 @@ def semantic_diversity_model(
     survivors = assigned.join(dropped, id_col, "left_anti").select(
         F.col(id_col), F.col("cell")
     )
-    return cents, survivors
+    return SemDedupModel(coarse, fine, int(kf)), survivors

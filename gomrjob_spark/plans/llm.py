@@ -5296,6 +5296,126 @@ def _kmeans_round_sql(prev: str, assign: str, nxt: str) -> str:
     )"""
 
 
+def _fine_round_sql(prev: str, assign: str, nxt: str) -> str:
+    """One GROUPED fine-level Lloyd round (the r13 hierarchical
+    remediation for the flat O(n*k*d) assignment the r12 64x probe
+    killed): same argmax-cosine + fixed-point 2^20 integer mean as
+    :func:`_kmeans_round_sql`, but every point scores only its OWN
+    coarse cell's fine centroids — the join is ``ON c.ccell = a.ccell``
+    against the coarse-assigned corpus ``ac``, never a cross product.
+    Mirrors similarity._fine_argmax + fine_centroids_kmeans
+    bit-for-bit (ties sim desc, fcell asc; empty (ccell, fcell) pairs
+    keep their previous centroid via COALESCE)."""
+    return f"""
+    {assign} AS MATERIALIZED (
+      SELECT vec_id, v, ccell, fcell FROM (
+        SELECT a.vec_id, a.v, a.ccell, c.fcell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.fcell)
+                 AS rn
+        FROM ac a JOIN {prev} c ON c.ccell = a.ccell) s
+      WHERE rn = 1
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT p.ccell, p.fcell, COALESCE(m.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN (
+        SELECT ccell, fcell, list(comp ORDER BY pos) AS centroid FROM (
+          SELECT ccell, fcell, pos,
+                 CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576)
+                   AS comp
+          FROM (
+            SELECT a.ccell, a.fcell,
+                   CAST(generate_subscripts(a.v, 1) - 1 AS INT) AS pos,
+                   CAST(floor(unnest(a.v) * 1048576) AS BIGINT) AS qv
+            FROM {assign} a) q
+          GROUP BY ccell, fcell, pos) g
+        GROUP BY ccell, fcell) m
+        ON m.ccell = p.ccell AND m.fcell = p.fcell
+    )"""
+
+
+def _semdedup_train_sql() -> str:
+    """The full two-level SemDeDup training chain (assumes a CTE
+    ``e(vec_id, v)``): par (k = GREATEST(8, n//128) factored as
+    kc = ceil(sqrt(k)) coarse x kf = ceil(k/kc) fine —
+    similarity.hier_params), md5-ordered coarse seeds c0, two coarse
+    Lloyd rounds -> c2, coarse assignment ac, per-coarse-cell
+    md5-ordered fine seeds f0, two grouped fine rounds -> f2, and the
+    final composite assignment af with flat cell id
+    (ccell - 1) * kf + fcell — mirroring
+    similarity.semantic_diversity_model's trajectory bit-for-bit."""
+    return f"""par AS MATERIALIZED (
+      SELECT k, kc, (k + kc - 1) // kc AS kf FROM (
+        SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc
+        FROM (SELECT GREATEST(8, count(*) // 128) AS k FROM e) s0) s1
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(rn AS INT) AS cell, v AS centroid FROM (
+        SELECT v, row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e) s
+      WHERE rn <= (SELECT kc FROM par)
+    ),
+    {_kmeans_round_sql("c0", "a1", "c1")},
+    {_kmeans_round_sql("c1", "a2", "c2")},
+    ac AS MATERIALIZED (
+      SELECT vec_id, v, ccell FROM (
+        SELECT e.vec_id, e.v, c.cell AS ccell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+                 AS rn
+        FROM e CROSS JOIN c2 c) s
+      WHERE rn = 1
+    ),
+    f0 AS MATERIALIZED (
+      SELECT ccell, CAST(rn AS INT) AS fcell, v AS centroid FROM (
+        SELECT ccell, v, row_number() OVER (PARTITION BY ccell
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM ac) s
+      WHERE rn <= (SELECT kf FROM par)
+    ),
+    {_fine_round_sql("f0", "fa1", "f1")},
+    {_fine_round_sql("f1", "fa2", "f2")},
+    af AS MATERIALIZED (
+      SELECT vec_id, v,
+             CAST((ccell - 1) * (SELECT kf FROM par) + fcell AS INT) AS cell
+      FROM (
+        SELECT a.vec_id, a.v, a.ccell, c.fcell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.fcell)
+                 AS rn
+        FROM ac a JOIN f2 c ON c.ccell = a.ccell) s
+      WHERE rn = 1
+    )"""
+
+
+def _hier_assign_sql(src: str, out: str) -> str:
+    """Two-level assignment of ``{src}(vec_id, v)`` under an
+    already-trained chain (par/c2/f2 in scope): coarse argmax vs c2,
+    then fine argmax vs f2 within that coarse cell, flat composite
+    cell id — mirrors similarity.hier_assign."""
+    return f"""{out}_c AS MATERIALIZED (
+      SELECT vec_id, v, ccell FROM (
+        SELECT e.vec_id, e.v, c.cell AS ccell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+                 AS rn
+        FROM {src} e CROSS JOIN c2 c) s
+      WHERE rn = 1
+    ),
+    {out} AS MATERIALIZED (
+      SELECT vec_id, v,
+             CAST((ccell - 1) * (SELECT kf FROM par) + fcell AS INT) AS cell
+      FROM (
+        SELECT a.vec_id, a.v, a.ccell, c.fcell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.fcell)
+                 AS rn
+        FROM {out}_c a JOIN f2 c ON c.ccell = a.ccell) s
+      WHERE rn = 1
+    )"""
+
+
 @query(
     "dedup_semantic_diversity",
     oracle=f"""
@@ -5307,25 +5427,7 @@ def _kmeans_round_sql(prev: str, assign: str, nxt: str) -> str:
                (x, i) -> CASE WHEN i = {_TWIN_FLIP_COORD} THEN -x ELSE x END)
       FROM embeddings
     ),
-    par AS MATERIALIZED (SELECT GREATEST(8, count(*) // 128) AS k FROM e),
-    c0 AS MATERIALIZED (
-      SELECT CAST(rn AS INT) AS cell, v AS centroid FROM (
-        SELECT v, row_number() OVER (
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM e) s
-      WHERE rn <= (SELECT k FROM par)
-    ),
-    {_kmeans_round_sql("c0", "a1", "c1")},
-    {_kmeans_round_sql("c1", "a2", "c2")},
-    af AS MATERIALIZED (
-      SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
-                 AS rn
-        FROM e CROSS JOIN c2 c) s
-      WHERE rn = 1
-    ),
+    {_semdedup_train_sql()},
     drp AS MATERIALIZED (
       SELECT DISTINCT b.vec_id
       FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -5343,21 +5445,27 @@ def dedup_semantic_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN each cluster cell at cosine >= 0.95, keeping the lowest id —
     the semantic-redundancy curation step no lexical dedup can see.
 
-    The ENTIRE trained pipeline sits under the full hash gate — seeds
-    (md5-ordered, engine-portable: similarity.kmeans_seeds_md5), two
-    Lloyd rounds (cosine argmax + fixed-point integer means, both
-    bit-identical across engines), final cell assignment, and the
-    within-cell survivorship — upgrading the knn_ivf_kmeans rows-only
-    precedent as the verdict suggested. k derives from count(*) on both
-    sides (GREATEST(8, n DIV 128)) so the gate holds at every scale
-    factor. The corpus carries the deterministic sign-flip twins
-    (cosine ~0.97; ~22% legitimately below threshold) because organic
-    fixture pairs top out near 0.5 — without them a 0.95 dedup is
-    vacuously green.
+    The ENTIRE trained pipeline sits under the full hash gate — the
+    TWO-LEVEL quantizer (r13: kc = ceil(sqrt(k)) coarse cells, each
+    split into kf = ceil(k/kc) fine cells — the remediation for the
+    flat k = n/128 Lloyd assignment whose O(n^2*d/128) cost the r12
+    64x probe killed): md5-ordered coarse seeds
+    (similarity.kmeans_seeds_md5), two coarse Lloyd rounds, per-cell
+    md5-ordered fine seeds, two GROUPED fine rounds (cosine argmax +
+    fixed-point integer means, all bit-identical across engines),
+    final composite cell assignment, and the within-cell survivorship
+    — upgrading the knn_ivf_kmeans rows-only precedent as the verdict
+    suggested. k derives from count(*) on both sides (GREATEST(8,
+    n DIV 128)) so the gate holds at every scale factor. The corpus
+    carries the deterministic sign-flip twins (cosine ~0.97; ~22%
+    legitimately below threshold) because organic fixture pairs top
+    out near 0.5 — without them a 0.95 dedup is vacuously green.
 
-    Plan: assignment is scan-local against the model-sized quantizer
-    (the corpus is never shuffled by the model); within-cell pairs come
-    from a cell-keyed equi self-join (no cross product — the cell
+    Plan: assignment is scan-local against the coarse quantizer plus
+    ONE broadcast equi join on the coarse cell for the fine argmax —
+    every point scores kc + kf = O(sqrt(k)) centroids instead of k,
+    and the corpus is never shuffled by the model; within-cell pairs
+    come from a cell-keyed equi self-join (no cross product — the cell
     scoping IS the paper's scale device: with target cell size held
     constant, pair volume is ~n*128/2, linear), then one broadcast
     anti-join keeps survivors. Returns (vec_id, cell) so the hash gate

@@ -919,32 +919,15 @@ def _semdedup_gate_oracle() -> str:
     from gomrjob_spark.plans.llm import (
         _TWIN_FLIP_COORD,
         _TWIN_ID_OFFSET,
-        _kmeans_round_sql,
+        _hier_assign_sql,
+        _semdedup_train_sql,
     )
 
     return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    par AS MATERIALIZED (SELECT GREATEST(8, count(*) // 128) AS k FROM e),
-    c0 AS MATERIALIZED (
-      SELECT CAST(rn AS INT) AS cell, v AS centroid FROM (
-        SELECT v, row_number() OVER (
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM e) s
-      WHERE rn <= (SELECT k FROM par)
-    ),
-    {_kmeans_round_sql("c0", "a1", "c1")},
-    {_kmeans_round_sql("c1", "a2", "c2")},
-    af AS MATERIALIZED (
-      SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
-                 AS rn
-        FROM e CROSS JOIN c2 c) s
-      WHERE rn = 1
-    ),
+    {_semdedup_train_sql()},
     drp AS MATERIALIZED (
       SELECT DISTINCT b.vec_id
       FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -960,15 +943,7 @@ def _semdedup_gate_oracle() -> str:
                AS v
       FROM embeddings
     ),
-    arrassign AS MATERIALIZED (
-      SELECT vec_id, v, cell FROM (
-        SELECT a.vec_id, a.v, c.cell,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.cell)
-                 AS rn
-        FROM arr a CROSS JOIN c2 c) s
-      WHERE rn = 1
-    )
+    {_hier_assign_sql("arr", "arrassign")}
     SELECT a.vec_id, a.cell,
            CAST(count(s.v) AS BIGINT) AS n_same_cell,
            COALESCE(bool_or(list_cosine_similarity(a.v, s.v) >= 0.95), FALSE)
@@ -984,10 +959,11 @@ def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup admission as a LIVE topology
     (streaming.ops.semdedup_gate_stream) — the streaming twin of
     dedup_semantic_diversity, closing the offline-train/online-score
-    pattern for the semantic family: the k-means quantizer AND the
-    per-cell survivor store are trained on the static embeddings table
-    (operators.similarity.semantic_diversity_model — the exact batch
-    pipeline, md5 seeds + 2 Lloyd rounds), then the sign-flip twins
+    pattern for the semantic family: the two-level k-means quantizer
+    AND the per-cell survivor store are trained on the static
+    embeddings table (operators.similarity.semantic_diversity_model —
+    the exact batch pipeline: md5 seeds, 2 coarse Lloyd rounds, then
+    2 grouped fine rounds per coarse cell), then the sign-flip twins
     arrive as a stream (cosine ~0.97 to their originals, the proven
     falsifiability device: most quarantine, a deterministic minority
     legitimately passes), each assigned scan-locally and tested

@@ -300,7 +300,7 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_gate_stream(
     vecs: DataFrame,
-    centroids: DataFrame,
+    centroids,  # flat (cell, centroid) DataFrame or similarity.SemDedupModel
     survivors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -324,10 +324,27 @@ def semdedup_gate_stream(
     n_same_cell = 0 and pass (an inner join would silently DROP them —
     the streaming_dsir_gate lesson). The cosine test is a row-local
     ``exists`` over the cell's array, so the topology is STATELESS:
-    batching-invariant, append-mode, per-batch cost flat forever."""
-    from gomrjob_spark.operators.similarity import dot, ivf_assign, l2_norm
+    batching-invariant, append-mode, per-batch cost flat forever.
 
-    assigned = ivf_assign(vecs, centroids, 1, id_col, vec_col).select(
+    ``centroids`` is either a flat (cell, centroid) frame (scored by
+    ivf_assign) or the trained two-level
+    :class:`~gomrjob_spark.operators.similarity.SemDedupModel` — the
+    r13 hierarchical quantizer: coarse argmax then a within-cell fine
+    argmax, O(sqrt(k)) scores per arrival instead of O(k), both stages
+    stream-safe (projection + stream-static broadcast equi join)."""
+    from gomrjob_spark.operators.similarity import (
+        SemDedupModel,
+        dot,
+        hier_assign,
+        ivf_assign,
+        l2_norm,
+    )
+
+    if isinstance(centroids, SemDedupModel):
+        raw = hier_assign(vecs, centroids, id_col, vec_col)
+    else:
+        raw = ivf_assign(vecs, centroids, 1, id_col, vec_col)
+    assigned = raw.select(
         F.col(id_col),
         F.col(vec_col),
         "cell",
