@@ -2059,6 +2059,116 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_frames",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 8 + 12 AS INT) AS n_frames FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+             CAST((doc_id * 3 + len(list_filter(generate_series(1, f),
+                    x -> (doc_id * 7 + x * 13) % 5 = 0))) % 53 AS BIGINT) AS g
+      FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    hx AS (
+      SELECT doc_id, n_frames, frame_idx,
+        md5(lower(string_agg(
+          lpad(hex((g*31 + x*(7 + g % 101) + y*(13 + g % 83)) % 256), 2, '0'),
+          '' ORDER BY y, x))) AS frame_hexmd5
+      FROM fr, unnest(generate_series(0, 7)) AS tx(x),
+               unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id, n_frames, frame_idx, g
+    )
+    SELECT doc_id, frame_idx,
+      CAST(n_frames AS INT) AS n_samples,
+      CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      CAST(12800 AS INT) AS timescale,
+      CAST(n_frames * 512 AS BIGINT) AS duration,
+      CAST((n_frames + 2) // 3 AS INT) AS n_chunks,
+      CAST(70 + 207 * (frame_idx // 3) + 64 * (frame_idx % 3) AS BIGINT)
+        AS sample_off,
+      CAST(64 AS BIGINT) AS frame_len, frame_hexmd5
+    FROM hx ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF container ingestion under the hash gate — the
+    container class's REAL-WORLD format (the r12 verdict's item #2):
+    each document synthesizes its scene-cut frame sequence into a
+    spec-shaped single-track MP4 (sources/mp4.py encode_mp4, the
+    writer twin — ftyp / free decoy / LARGESIZE mdat / moov with the
+    full stbl index chain), then the container walks back strictly by
+    DECLARED box sizes and every sample is located EXCLUSIVELY through
+    the stsz/stsc/stco tables (parse_mp4) — mdat is an opaque blob
+    whose inter-chunk junk gaps literally START with fake 'moov'/'mdat'
+    box headers, so a magic-scanner or a samples-are-contiguous reader
+    cannot hash-match. The gated output pins the byte accounting end
+    to end: each sample's ABSOLUTE file offset (sample_off — the
+    warc_cdx_index discipline: one header-size slip anywhere shifts
+    every offset), the stsc chunk count (n_frames % 3 != 0 docs take
+    the two-run stsc path), mvhd timescale/duration, the stsd/tkhd
+    dimensions (cross-checked 16.16 vs u16 in the parser), and each
+    frame's content md5. Scan-local Arrow-batched encode+walk; zero
+    shuffles before the oracle-determinism orderBy. Malformation
+    classes raise precisely — tests/test_mp4.py."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.text import spread
+    from gomrjob_spark.sources.mp4 import encode_mp4, parse_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        cols = (
+            "doc_id", "frame_idx", "n_samples", "width", "height",
+            "timescale", "duration", "n_chunks", "sample_off",
+            "frame_len", "frame_hexmd5",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 8 + 12
+                frames, cuts = [], 0
+                for f in range(n):
+                    if f >= 1 and (d * 7 + f * 13) % 5 == 0:
+                        cuts += 1
+                    g = (d * 3 + cuts) % 53
+                    frames.append(bytes(
+                        (g * 31 + x * (7 + g % 101) + y * (13 + g % 83)) % 256
+                        for y in range(8) for x in range(8)
+                    ))
+                parsed = parse_mp4(encode_mp4(frames, 8, 8))
+                for j, frame in enumerate(parsed["samples"]):
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(j)
+                    rows["n_samples"].append(parsed["n_samples"])
+                    rows["width"].append(parsed["width"])
+                    rows["height"].append(parsed["height"])
+                    rows["timescale"].append(parsed["timescale"])
+                    rows["duration"].append(parsed["duration"])
+                    rows["n_chunks"].append(parsed["n_chunks"])
+                    rows["sample_off"].append(parsed["sample_offsets"][j])
+                    rows["frame_len"].append(len(frame))
+                    rows["frame_hexmd5"].append(
+                        hashlib.md5(frame.hex().encode("ascii")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, frame_idx int, n_samples int, width int, "
+            "height int, timescale int, duration bigint, n_chunks int, "
+            "sample_off bigint, frame_len bigint, frame_hexmd5 string"
+        ),
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+@query(
     "multimodal_flac_metadata",
     oracle="""
     WITH p AS (
