@@ -660,11 +660,13 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessors in doc_id order — so an off-by-one ANYWHERE in the
     length walk (a swallowed pad, a miscounted CRLF, a decoy-boundary
     slip) shifts every later offset in that file and cannot
-    hash-match. Honest divergence from Common Crawl's CDX, documented:
-    CC compresses each record as its own gzip member and indexes
-    COMPRESSED offsets; this fixture compresses whole files, so
-    offsets address the logical stream (identical for the plain
-    files). Scan-local; one window per file for the prefix sum."""
+    hash-match. Divergence from Common Crawl's CDX: CC compresses each
+    record as its own gzip member and indexes COMPRESSED offsets; this
+    fixture compresses whole files, so offsets address the logical
+    stream (identical for the plain files). The CC-faithful variant is
+    warc_cdx_member_index (r13), which member-compresses and gates the
+    compressed offsets. Scan-local; one window per file for the
+    prefix sum."""
     return (
         _warc_fixture_records(spark, sf_dir)
         .select(
@@ -673,6 +675,106 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name", "rec_idx")
     )
+
+
+@query(
+    "warc_cdx_member_index",
+    oracle="""
+    WITH mrecs AS (
+      SELECT doc_id, doc_id % 8 AS file_idx,
+        'crawl-cc-0000' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz'
+          AS file_name,
+        'https://c' || CAST(doc_id AS VARCHAR) || '.example.org/r'
+          || CAST(doc_id % 13 AS VARCHAR) AS target_uri,
+        '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+          || 'T00:00:00Z' AS warc_date,
+        'cc member doc ' || CAST(doc_id AS VARCHAR) || ' seg '
+          || CAST(doc_id % 8 AS VARCHAR) || ' '
+          || repeat('z', CAST(7 + doc_id % 13 AS INT))
+          || CASE WHEN doc_id % 7 = 3
+                  THEN chr(13) || chr(10) || chr(13) || chr(10)
+                       || 'WARC/1.0' || chr(13) || chr(10)
+                  ELSE '' END AS payload_text,
+        CASE WHEN doc_id % 5 = 2 THEN 3 ELSE 0 END AS magic_len
+      FROM documents
+    ),
+    mlen AS (
+      SELECT doc_id, file_idx, file_name, target_uri,
+        CAST(length(payload_text) + magic_len AS BIGINT) AS payload_len,
+        md5(lower(hex(payload_text))
+            || CASE WHEN magic_len = 3 THEN '1f8b08' ELSE '' END)
+          AS payload_hexmd5,
+        CAST(length('WARC/1.0' || chr(13) || chr(10)
+          || 'WARC-Type: conversion' || chr(13) || chr(10)
+          || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
+          || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+          || 'Content-Length: '
+          || CAST(length(payload_text) + magic_len AS VARCHAR))
+          + 4 + length(payload_text) + magic_len + 4 AS BIGINT)
+          AS record_bytes
+      FROM mrecs
+    )
+    SELECT file_name,
+      CAST(row_number() OVER (PARTITION BY file_idx ORDER BY doc_id) - 1
+           AS INT) AS rec_idx,
+      CAST(doc_id AS BIGINT) AS doc_id, target_uri,
+      CAST(COALESCE(sum(record_bytes + 23) OVER (PARTITION BY file_idx
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS BIGINT) AS cmp_offset,
+      CAST(record_bytes + 23 AS BIGINT) AS cmp_bytes,
+      record_bytes, payload_hexmd5
+    FROM mlen ORDER BY file_name, rec_idx
+    """,
+)
+def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-FAITHFUL CDX: the member-compressed variant of
+    warc_cdx_index, closing its documented divergence (the r12
+    verdict's item #3). Common Crawl compresses EACH RECORD as its own
+    gzip member and its CDX indexes COMPRESSED offsets — the property
+    that makes random access work on a real crawl: seek to cmp_offset,
+    read cmp_bytes, inflate one member, get one record. The writer
+    twin (sources/warc.py write_warc_member_fixture) concatenates one
+    level-0/mtime=0 gzip member per record, so every member's
+    compressed size is the ASSERTED arithmetic contract record_bytes +
+    23 (10-byte header + 5-byte stored-block header + verbatim bytes +
+    8-byte trailer) and the oracle recomputes every compressed offset
+    as a running sum — one byte of drift anywhere (a mis-split member,
+    a swallowed trailer, a record-walk slip) shifts every later offset
+    in the file and cannot hash-match. The reader
+    (split_gzip_members) finds member boundaries from the DEFLATE
+    stream structure (decompressobj eof/unused_data), never by
+    scanning for the 1f 8b magic: every 5th-mod-2 payload ENDS with
+    those raw bytes, stored verbatim at level 0, so a magic-scanner
+    splits mid-member and fails the gate; the 7th-mod-3 WARC/1.0
+    boundary decoy gates the inner record walk as before. Payload
+    md5 is computed over the hex encoding (DuckDB md5 is
+    VARCHAR-only and the magic bytes are not valid UTF-8).
+    Scan-local file-per-task walk + one per-file window."""
+    from gomrjob_spark.sources.warc import (
+        read_warc_member_files,
+        write_warc_member_fixture,
+    )
+
+    ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    fixture = write_warc_member_fixture(sf_dir, ids)
+    recs = read_warc_member_files(spark, fixture)
+    return recs.select(
+        "file_name",
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.regexp_extract(F.col("target_uri"), r"^https://c([0-9]+)\.", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("cmp_offset").cast("bigint").alias("cmp_offset"),
+        F.col("cmp_bytes").cast("bigint").alias("cmp_bytes"),
+        F.col("record_bytes").cast("bigint").alias("record_bytes"),
+        F.md5(F.lower(F.hex(F.col("payload")))).alias("payload_hexmd5"),
+    ).orderBy("file_name", "rec_idx")
 
 
 @query(

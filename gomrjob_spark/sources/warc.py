@@ -257,6 +257,107 @@ def read_warc_files(spark, path: str, glob: str = "*.warc*"):
     return warc_records_from_binary_files(files)
 
 
+def split_gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Split a concatenated-member gzip stream into
+    (compressed_offset, compressed_size, decompressed_bytes) per
+    member — Common Crawl's WARC layout, where every record is its own
+    gzip member precisely so a CDX consumer can seek to a COMPRESSED
+    offset and inflate one record without touching the rest of the
+    ~1 GiB segment. Boundaries come from the DEFLATE stream structure
+    (``zlib.decompressobj(31)``'s ``eof``/``unused_data`` after each
+    member), NEVER from scanning for the ``1f 8b`` magic: stored-block
+    payloads legally contain those bytes (the member fixture plants
+    them), so a magic-scanner splits mid-member and corrupts every
+    later offset. Raises ValueError on a corrupt or truncated member,
+    with its compressed offset in the message."""
+    import zlib  # noqa: PLC0415
+
+    members: list[tuple[int, int, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(31)
+        try:
+            raw = d.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member at offset {pos}: {exc}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = (n - pos) - len(d.unused_data)
+        members.append((pos, consumed, raw))
+        pos += consumed
+    return members
+
+
+def warc_member_records_from_binary_files(files_df):
+    """binaryFile rows over member-compressed ``.warc.gz`` files -> one
+    row per gzip member, carrying the member's COMPRESSED offset/size
+    (the random-access coordinates a CC-style CDX publishes) plus the
+    parsed WARC record inside it. Enforces the Common Crawl contract —
+    exactly ONE record per member (a multi-record member would make the
+    compressed offset useless for single-record access) — raising
+    ValueError otherwise. Arrow-batched, scan-local."""
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "file_name", "rec_idx", "warc_type", "target_uri",
+                    "warc_date", "content_length", "payload",
+                    "cmp_offset", "cmp_bytes", "record_bytes",
+                )
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = str(path).rsplit("/", 1)[-1]
+                for j, (off, csize, raw) in enumerate(
+                    split_gzip_members(bytes(content))
+                ):
+                    recs = parse_warc(raw)
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"gzip member {j} of {name} holds {len(recs)} "
+                            "records; the member-per-record layout requires "
+                            "exactly 1"
+                        )
+                    rec = recs[0]
+                    rows["file_name"].append(name)
+                    rows["rec_idx"].append(j)
+                    rows["warc_type"].append(rec["type"])
+                    rows["target_uri"].append(rec["uri"])
+                    rows["warc_date"].append(rec["date"])
+                    rows["content_length"].append(rec["content_length"])
+                    rows["payload"].append(rec["payload"])
+                    rows["cmp_offset"].append(off)
+                    rows["cmp_bytes"].append(csize)
+                    rows["record_bytes"].append(rec["record_bytes"])
+            yield pd.DataFrame(rows)
+
+    return files_df.select("path", "content").mapInPandas(
+        run,
+        schema=(
+            "file_name string, rec_idx int, warc_type string, "
+            "target_uri string, warc_date string, content_length bigint, "
+            "payload binary, cmp_offset bigint, cmp_bytes bigint, "
+            "record_bytes bigint"
+        ),
+    )
+
+
+def read_warc_member_files(spark, path: str, glob: str = "*.warc.gz"):
+    """BATCH member-compressed WARC source: every CC-layout
+    ``.warc.gz`` under ``path`` -> one row per gzip member / record,
+    with compressed random-access coordinates. Same file-per-task unit
+    as :func:`read_warc_files`."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return warc_member_records_from_binary_files(files)
+
+
 def read_warc_files_stream(spark, path: str, glob: str = "*.warc*"):
     """STREAMING file-level WARC source — the Common Crawl "segments
     land in a bucket, pipeline picks them up" deployment: binaryFile is
@@ -301,6 +402,22 @@ def fixture_record(doc_id: int) -> dict:
     }
 
 
+def _fixture_dir_key(prefix: str, sf_dir: str, ids: list[int]) -> str:
+    """Content-addressed fixture cache key: basename + count + an md5
+    of the sorted id list — two different id sets with the same
+    basename/count can never silently reuse a stale directory (the r12
+    advisor's finding on the old basename+len key)."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    digest = hashlib.md5(
+        ",".join(str(i) for i in ids).encode("ascii")
+    ).hexdigest()[:16]
+    return "{}_{}_{}_{}".format(
+        prefix, os.path.basename(os.path.normpath(sf_dir)), len(ids), digest
+    )
+
+
 def write_warc_fixture(sf_dir: str, doc_ids) -> str:
     """Write the deterministic multi-file WARC fixture for ``sf_dir``
     (driver-side TEST SCAFFOLDING — the operator under test is the
@@ -315,9 +432,7 @@ def write_warc_fixture(sf_dir: str, doc_ids) -> str:
 
     ids = sorted(int(x) for x in doc_ids)
     base = "/tmp/gomrjob_spark_fixtures"
-    key = "warc_files_v1_{}_{}".format(
-        os.path.basename(os.path.normpath(sf_dir)), len(ids)
-    )
+    key = _fixture_dir_key("warc_files_v1", sf_dir, ids)
     out = os.path.join(base, key)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
@@ -343,6 +458,98 @@ def write_warc_fixture(sf_dir: str, doc_ids) -> str:
         os.rename(tmp, out)
     except OSError:
         # lost the race: someone else completed it first
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return out
+
+
+def gzip_member(record_bytes: bytes) -> bytes:
+    """ONE record as its own gzip member — Common Crawl's layout — at
+    compresslevel=0 (stored deflate blocks) with mtime=0, so the
+    member's COMPRESSED size is the arithmetic contract
+    ``len(record_bytes) + 23`` (10-byte header, 5-byte stored-block
+    header, verbatim payload, 8-byte trailer) the CDX oracle recomputes
+    in SQL. The contract is ASSERTED here, not assumed: if the zlib
+    framing ever changes (or a record outgrows one stored block), the
+    writer raises instead of silently shipping a fixture whose offsets
+    the oracle would mispredict."""
+    import gzip  # noqa: PLC0415
+
+    if len(record_bytes) > 60000:
+        raise ValueError(
+            f"record of {len(record_bytes)} bytes exceeds the one-"
+            "stored-block size contract"
+        )
+    blob = gzip.compress(record_bytes, compresslevel=0, mtime=0)
+    if len(blob) != len(record_bytes) + 23:
+        raise ValueError(
+            f"gzip stored-block framing produced {len(blob)} bytes for a "
+            f"{len(record_bytes)}-byte record; the +23 offset contract "
+            "does not hold on this zlib"
+        )
+    return blob
+
+
+def member_fixture_record(doc_id: int) -> dict:
+    """Per-document record for the MEMBER-compressed fixture — a pure
+    formula of doc_id, mirrored by the oracle SQL (plans/web.py
+    warc_cdx_member_index). Two decoys: every 7th-mod-3 payload embeds
+    the WARC/1.0 record boundary (the record-walk decoy), and every
+    5th-mod-2 payload ends with the raw gzip magic ``1f 8b 08`` — at
+    compresslevel=0 those bytes are STORED VERBATIM in the compressed
+    stream, so a splitter that scans for the magic instead of walking
+    the DEFLATE structure splits mid-member and shifts every later
+    compressed offset in the file."""
+    d = int(doc_id)
+    payload = (
+        f"cc member doc {d} seg {d % N_FIXTURE_FILES} "
+        + "z" * (7 + d % 13)
+        + ("\r\n\r\nWARC/1.0\r\n" if d % 7 == 3 else "")
+    ).encode("ascii")
+    if d % 5 == 2:
+        payload += b"\x1f\x8b\x08"
+    return {
+        "uri": f"https://c{d}.example.org/r{d % 13}",
+        "date": f"2026-02-{1 + d % 28:02d}T00:00:00Z",
+        "payload": payload,
+    }
+
+
+def write_warc_member_fixture(sf_dir: str, doc_ids) -> str:
+    """Write the CC-faithful member-compressed WARC fixture: 8
+    ``.warc.gz`` files (doc_id % 8), each the CONCATENATION of one
+    gzip member per record (:func:`gzip_member` — level-0 stored
+    blocks, mtime=0, byte-reproducible). Same idempotent rename-atomic
+    scaffolding discipline as :func:`write_warc_fixture`, same
+    content-addressed cache key."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    ids = sorted(int(x) for x in doc_ids)
+    base = "/tmp/gomrjob_spark_fixtures"
+    key = _fixture_dir_key("warc_members_v1", sf_dir, ids)
+    out = os.path.join(base, key)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    by_file: dict[int, list[int]] = {}
+    for d in ids:
+        by_file.setdefault(d % N_FIXTURE_FILES, []).append(d)
+    for f, members in sorted(by_file.items()):
+        blob = b"".join(
+            gzip_member(encode_warc([member_fixture_record(d)]))
+            for d in members
+        )
+        with open(os.path.join(tmp, f"crawl-cc-0000{f}.warc.gz"), "wb") as fh:
+            fh.write(blob)
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.exists(marker):
             raise

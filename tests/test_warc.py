@@ -288,3 +288,105 @@ class TestFileSource:
                 assert blob[pos:pos + 5] == b"WARC/"
                 pos += r["record_bytes"]
             assert pos == len(blob)  # accounting covers every byte
+
+
+class TestGzipMembers:
+    """CC-faithful member compression (r13): split_gzip_members walks
+    the DEFLATE structure, the writer's +23 size contract holds, and
+    the malformation classes raise."""
+
+    def test_split_members_roundtrip_with_offsets(self):
+        from gomrjob_spark.sources.warc import (
+            encode_warc,
+            gzip_member,
+            member_fixture_record,
+            split_gzip_members,
+        )
+
+        recs = [member_fixture_record(d) for d in (2, 3, 7, 10, 17)]
+        raws = [encode_warc([r]) for r in recs]
+        blobs = [gzip_member(raw) for raw in raws]
+        stream = b"".join(blobs)
+        members = split_gzip_members(stream)
+        assert len(members) == 5
+        pos = 0
+        for (off, csize, raw), blob, want in zip(members, blobs, raws):
+            assert off == pos
+            assert csize == len(blob) == len(want) + 23  # the contract
+            assert raw == want
+            pos += csize
+        assert pos == len(stream)  # accounting covers every byte
+
+    def test_fake_gzip_magic_in_stored_payload_is_not_a_boundary(self):
+        from gomrjob_spark.sources.warc import (
+            encode_warc,
+            gzip_member,
+            member_fixture_record,
+            split_gzip_members,
+        )
+
+        # doc_id % 5 == 2 payloads END with raw 1f 8b 08
+        rec = member_fixture_record(7)
+        assert rec["payload"].endswith(b"\x1f\x8b\x08")
+        stream = gzip_member(encode_warc([rec])) + gzip_member(
+            encode_warc([member_fixture_record(8)])
+        )
+        # a magic-scanner sees 3+ apparent member starts; the walk sees 2
+        assert stream.count(b"\x1f\x8b\x08") >= 3
+        assert len(split_gzip_members(stream)) == 2
+
+    def test_truncated_member_raises(self):
+        from gomrjob_spark.sources.warc import (
+            encode_warc,
+            gzip_member,
+            member_fixture_record,
+            split_gzip_members,
+        )
+
+        blob = gzip_member(encode_warc([member_fixture_record(1)]))
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            split_gzip_members(blob[:-3])
+
+    def test_corrupt_member_raises_with_offset(self):
+        from gomrjob_spark.sources.warc import (
+            encode_warc,
+            gzip_member,
+            member_fixture_record,
+            split_gzip_members,
+        )
+
+        good = gzip_member(encode_warc([member_fixture_record(1)]))
+        bad = bytearray(good + good)
+        bad[len(good)] = 0xFF  # corrupt the SECOND member's magic
+        with pytest.raises(ValueError, match=f"at offset {len(good)}"):
+            split_gzip_members(bytes(bad))
+
+    def test_multi_record_member_raises(self, spark, tmp_path):
+        from gomrjob_spark.sources.warc import (
+            encode_warc,
+            gzip_member,
+            member_fixture_record,
+            read_warc_member_files,
+        )
+
+        two = encode_warc(
+            [member_fixture_record(1), member_fixture_record(9)]
+        )
+        p = tmp_path / "bad-cc.warc.gz"
+        p.write_bytes(gzip_member(two))
+        import py4j.protocol
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+            read_warc_member_files(spark, str(tmp_path)).collect()
+
+    def test_member_fixture_idempotent_and_content_addressed(self, tmp_path):
+        from gomrjob_spark.sources.warc import write_warc_member_fixture
+
+        a = write_warc_member_fixture(str(tmp_path / "sfX"), [1, 2, 3])
+        b = write_warc_member_fixture(str(tmp_path / "sfX"), [1, 2, 3])
+        c = write_warc_member_fixture(str(tmp_path / "sfX"), [1, 2, 4])
+        assert a == b
+        # same basename, same count, DIFFERENT ids -> different dir
+        # (the r12 advisor's stale-cache finding)
+        assert c != a
