@@ -244,6 +244,14 @@ def parse_mp3_header(data: bytes) -> dict:
             raise ValueError("reserved sample-rate index 3")
         if rate is None:
             rate = MP3_RATES[rate_idx]
+        elif MP3_RATES[rate_idx] != rate:
+            # a mixed-rate stream would make duration_ms/sample_rate
+            # silently wrong — raise like every other malformation
+            # class (the r12 advisor's finding #2)
+            raise ValueError(
+                f"frame at {pos} switches sample rate to "
+                f"{MP3_RATES[rate_idx]} Hz (stream opened at {rate} Hz)"
+            )
         flen = mp3_frame_length(MP3_BITRATES[br_idx], MP3_RATES[rate_idx], pad)
         if pos + flen > len(data):
             raise ValueError(f"frame at {pos} runs past stream end")

@@ -91,8 +91,11 @@ def parse_entries(xml: Column) -> Column:
     file order. Comments strip FIRST (one dotall regex — a phantom
     commented-out entry is the classic harvest bug), then ``<url>``
     blocks extract and each field reads per block; ``<loc>`` trims per
-    the spec's whitespace rule; ``<priority>0.p`` converts to exact
-    integer ppm (p * 100000 — no floats). Entries missing a field get
+    the spec's whitespace rule; ``<priority>`` accepts the full spec
+    range 0.0-1.0 ('1.0', '0.55', bare '1') and converts to exact
+    integer ppm with fixed-point string arithmetic (int part * 10^6 +
+    first 6 fraction digits zero-padded — no floats; digits past the
+    6th truncate). Entries missing a field get
     empty string / null ppm rather than erroring (sitemaps are
     publisher input: lenient field presence, strict structure)."""
     clean = F.regexp_replace(xml, r"(?s)<!--.*?-->", "")
@@ -108,11 +111,25 @@ def parse_entries(xml: Column) -> Column:
         lastmod = wtrim(
             F.regexp_extract(b, r"(?s)<lastmod>(.*?)</lastmod>", 1)
         )
-        pri = F.regexp_extract(b, r"<priority>0\.([0-9])</priority>", 1)
+        # full spec range 0.0-1.0 (the r12 advisor's finding #3:
+        # '1.0' and multi-digit fractions like '0.55' are legal),
+        # converted with fixed-point string arithmetic — int part *
+        # 10^6 plus the first 6 fraction digits right-padded with
+        # zeros — never a float
+        pri = F.regexp_extract(
+            b, r"<priority>([01](?:\.[0-9]+)?)</priority>", 1
+        )
+        ip = F.split(pri, "\\.").getItem(0)
+        fp = F.when(
+            F.instr(pri, ".") > 0, F.split(pri, "\\.").getItem(1)
+        ).otherwise(F.lit(""))
+        ppm = ip.cast("bigint") * 1000000 + F.rpad(
+            F.substring(fp, 1, 6), 6, "0"
+        ).cast("bigint")
         return F.struct(
             loc.alias("loc"),
             lastmod.alias("lastmod"),
-            F.when(pri != "", pri.cast("bigint") * 100000)
+            F.when(pri != "", ppm)
             .otherwise(F.lit(None).cast("bigint"))
             .alias("priority_ppm"),
         )

@@ -57,6 +57,13 @@ def main() -> None:
         raise SystemExit(__doc__)
     a, b = load(sys.argv[1]), load(sys.argv[2])
     na, nb = q1ss(a), q1ss(b)
+    if na <= 0 or nb <= 0:
+        # a zero canary median would divide-by-zero every normalized
+        # ratio below (the r12 advisor's finding #4) — fail loudly
+        raise SystemExit(
+            f"canary median is zero (A={na}, B={nb}); artifacts are not "
+            "normalizable — rerun the bench"
+        )
     print(f"# q1 steady state: A={na:.2f}s  B={nb:.2f}s  "
           f"(box factor B/A = {nb / na:.3f})")
     shared = [q for q in a["queries"] if q in b["queries"]]

@@ -175,3 +175,15 @@ class TestMp3:
                      | (9 << 12) | (3 << 10) | (0b11 << 6)).to_bytes(4, "big")
         with pytest.raises(ValueError, match="reserved sample-rate"):
             parse_mp3_header(hdr_rate3)
+
+
+def test_mp3_mixed_sample_rate_raises():
+    # r12 advisor finding #2: a later frame with a different rate index
+    # must raise, not silently skew duration_ms
+    import pytest
+
+    from gomrjob_spark.operators.audiometa import encode_mp3, parse_mp3_header
+
+    stream = encode_mp3([(9, 0, 0), (9, 1, 0)])  # 44100 then 48000
+    with pytest.raises(ValueError, match="switches sample rate"):
+        parse_mp3_header(stream)

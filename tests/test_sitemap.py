@@ -67,3 +67,25 @@ def test_fixture_decoys_nonvacuous(spark, sf_dir):
     n_comment = doms.filter(F.col("xml").contains("<!--")).count()
     n_noise = doms.filter(F.col("xml").contains("<loc>\n")).count()
     assert n_comment > 0 and n_noise > 0
+
+
+def test_priority_full_spec_range(spark):
+    # r12 advisor finding #3: '1.0', multi-digit fractions, and bare
+    # integers are spec-legal — fixed-point conversion, no floats
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.example/1</loc><priority>1.0</priority></url>"
+        "<url><loc>https://a.example/2</loc><priority>0.55</priority></url>"
+        "<url><loc>https://a.example/3</loc><priority>1</priority></url>"
+        "<url><loc>https://a.example/4</loc><priority>0.1234567</priority></url>"
+        "<url><loc>https://a.example/5</loc><priority>0.3</priority></url>"
+        "</urlset>"
+    )
+    entries = _parse(spark, xml)
+    assert [e["priority_ppm"] for e in entries] == [
+        1000000,
+        550000,
+        1000000,
+        123456,  # 7th fraction digit truncates
+        300000,
+    ]
