@@ -777,6 +777,159 @@ def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file_name", "rec_idx")
 
 
+#: the PSL snapshot as a SQL VALUES table (mirrors
+#: urls.DEFAULT_PSL_SNAPSHOT — regenerated inline so the oracle text is
+#: self-contained and the two rule sets cannot drift silently: the
+#: pytest twin asserts this literal equals the operator's tuple)
+_PSL_RULES_SQL = """psl_rules(rule) AS (VALUES
+      ('com'), ('org'), ('net'), ('edu'), ('gov'), ('io'), ('co'),
+      ('uk'), ('co.uk'), ('org.uk'), ('ac.uk'), ('gov.uk'),
+      ('jp'), ('co.jp'), ('ne.jp'),
+      ('au'), ('com.au'), ('org.au'),
+      ('*.ck'), ('!www.ck'),
+      ('github.io')
+    )"""
+
+
+@query(
+    "url_registered_domain_psl",
+    oracle=f"""
+    WITH {_URL_CTES},
+    {_PSL_RULES_SQL},
+    hv AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 1 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+          WHEN 2 THEN 'b' || CAST(doc_id % 5 AS VARCHAR) || '.zone'
+                      || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+          WHEN 3 THEN CASE WHEN doc_id % 8 = 3 THEN 'github.io'
+                           ELSE 'x' || CAST(doc_id % 6 AS VARCHAR)
+                                || '.www.ck' END
+          ELSE host END AS host_eff
+      FROM normed
+    ),
+    heur AS (
+      SELECT doc_id, host_eff,
+        CASE WHEN host_eff LIKE '%.co.uk'
+             THEN regexp_extract(host_eff, '([^.]+\\.co\\.uk)$', 1)
+             ELSE regexp_extract(host_eff, '([^.]+\\.[^.]+)$', 1)
+             END AS rd_heur,
+        string_split(host_eff, '.') AS labels
+      FROM hv
+    ),
+    rc AS (
+      SELECT CASE WHEN rule LIKE '!%' THEN 'exc'
+                  WHEN rule LIKE '*.%' THEN 'wild' ELSE 'plain' END AS cls,
+             CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                  WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                  ELSE rule END AS key
+      FROM psl_rules
+    ),
+    cand AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+        array_to_string(labels[CAST(i AS INT):], '.') AS s,
+        len(labels) - i + 1 AS nl,
+        array_to_string(labels[CAST(i + 1 AS INT):], '.') AS tail
+      FROM heur, unnest(generate_series(1, len(labels))) t(i)
+    ),
+    m AS (
+      SELECT c.doc_id, c.nl,
+        bool_or(r.cls = 'exc' AND r.key = c.s) AS exc,
+        bool_or((r.cls = 'plain' AND r.key = c.s)
+             OR (r.cls = 'wild' AND c.nl >= 2 AND r.key = c.tail)) AS pub
+      FROM cand c LEFT JOIN rc r ON r.key = c.s OR r.key = c.tail
+      GROUP BY c.doc_id, c.nl
+    ),
+    agg AS (
+      SELECT doc_id,
+        max(CASE WHEN exc THEN nl END) AS exc_nl,
+        max(CASE WHEN pub THEN nl END) AS pub_nl
+      FROM m GROUP BY doc_id
+    ),
+    res AS (
+      SELECT h.doc_id, h.host_eff, h.rd_heur,
+        CASE WHEN a.exc_nl IS NOT NULL
+             THEN array_to_string(
+               h.labels[CAST(len(h.labels) - a.exc_nl + 1 AS INT):], '.')
+             WHEN len(h.labels) > COALESCE(a.pub_nl, 1)
+             THEN array_to_string(
+               h.labels[CAST(len(h.labels) - COALESCE(a.pub_nl, 1)
+                        AS INT):], '.')
+             ELSE NULL END AS rd_psl
+      FROM heur h JOIN agg a ON a.doc_id = h.doc_id
+    )
+    SELECT doc_id, host_eff AS host,
+      rd_heur AS registered_domain_heuristic,
+      rd_psl AS registered_domain_psl,
+      rd_psl IS DISTINCT FROM rd_heur AS diverges
+    FROM res ORDER BY doc_id
+    """,
+)
+def url_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT public-suffix-list registrable domains THROUGH THE DRIVER
+    GATE (the r12 verdict's item #4 — the path existed but had only
+    pytest proof): per document, the normalized fixture host is
+    replaced for three of every four ids by a divergence-device host
+    exercising every PSL rule class the two-label heuristic cannot
+    see — a private-section suffix (aN.github.io: PSL keeps 3 labels),
+    a wildcard TLD (bN.zoneM.ck: ``*.ck`` makes zoneM.ck itself the
+    public suffix), the wildcard's canonical exception (xN.www.ck:
+    ``!www.ck`` caps it — agreeing with the heuristic, which is the
+    point of exceptions), and a host that IS a public suffix
+    (github.io -> null registrable). Both the heuristic verdict and
+    the PSL verdict land in the gated output with an explicit
+    ``diverges`` flag, so the divergence surface is pinned row by row.
+
+    The oracle implements the published PSL algorithm independently —
+    rules as a VALUES table classified into plain/wildcard/exception,
+    candidate label-suffix expansion, exception-prevails then
+    longest-rule-wins then the default ``*`` rule — against
+    urls.registered_domain_psl's broadcast-map row-local fold (zero
+    shuffles: the rule set rides a 1-row broadcast onto the scan).
+    Snapshot drift between the SQL VALUES table and
+    urls.DEFAULT_PSL_SNAPSHOT is pinned by
+    tests/test_urls.py::test_psl_oracle_rules_match_snapshot."""
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    d = F.col("doc_id")
+    host_eff = (
+        F.when(
+            d % 4 == 1,
+            F.concat(F.lit("a"), (d % 7).cast("string"), F.lit(".github.io")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("b"), (d % 5).cast("string"), F.lit(".zone"),
+                (d % 3).cast("string"), F.lit(".ck"),
+            ),
+        )
+        .when(
+            d % 4 == 3,
+            F.when(d % 8 == 3, F.lit("github.io")).otherwise(
+                F.concat(
+                    F.lit("x"), (d % 6).cast("string"), F.lit(".www.ck")
+                )
+            ),
+        )
+        .otherwise(F.col("host"))
+    )
+    hv = staged.select("doc_id", host_eff.alias("host"))
+    out = urls.registered_domain_psl(hv, host_col="host")
+    return out.select(
+        "doc_id",
+        "host",
+        urls.registered_domain(F.col("host")).alias(
+            "registered_domain_heuristic"
+        ),
+        F.col("registered_domain_psl"),
+        (
+            ~F.col("registered_domain_psl").eqNullSafe(
+                urls.registered_domain(F.col("host"))
+            )
+        ).alias("diverges"),
+    ).orderBy("doc_id")
+
+
 @query(
     "sitemap_frontier",
     oracle="WITH "

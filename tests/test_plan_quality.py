@@ -142,6 +142,10 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
                                     # batch-count frame; every doc-
                                     # sized join upstream is keyed and
                                     # the spine is checkpointed
+        "url_registered_domain_psl",  # 1-row PSL rule-map broadcast
+                                    # (3 lookup maps crossed onto the
+                                    # scan; the decision is a row-local
+                                    # suffix fold — zero shuffles)
         "q11_important_balances",   # 1-row global-total broadcast
         "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
         "knn_bruteforce",           # |Q|=10 broadcast x corpus, by design

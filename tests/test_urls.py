@@ -225,3 +225,42 @@ class TestPsl:
         assert "Exchange hashpartitioning" not in plan
         assert "Exchange rangepartitioning" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_psl_oracle_rules_match_snapshot():
+    """The oracle's VALUES table and the operator's snapshot tuple
+    must be the SAME rule set — drift pin for url_registered_domain_psl
+    (the gate would catch a behavioral drift, but only on rules the
+    fixture hosts exercise; this pins the full set)."""
+    import re
+
+    from gomrjob_spark.operators.urls import DEFAULT_PSL_SNAPSHOT
+    from gomrjob_spark.plans.web import _PSL_RULES_SQL
+
+    sql_rules = tuple(re.findall(r"\('([^']+)'\)", _PSL_RULES_SQL))
+    assert sql_rules == DEFAULT_PSL_SNAPSHOT
+
+
+def test_psl_gate_fixture_divergence_nonvacuous(spark, sf_dir):
+    """The gated output must exercise BOTH verdicts of `diverges` and
+    the null-registrable case — otherwise the PSL-vs-heuristic
+    comparison is vacuously green."""
+    from gomrjob_spark.plans.web import url_registered_domain_psl
+
+    rows = url_registered_domain_psl(spark, sf_dir).collect()
+    div = [r for r in rows if r["diverges"]]
+    same = [r for r in rows if not r["diverges"]]
+    nulls = [r for r in rows if r["registered_domain_psl"] is None]
+    assert div and same and nulls
+    # the exception class agrees with the heuristic by design
+    exc = [r for r in rows if r["host"].endswith(".www.ck")]
+    assert exc and all(
+        r["registered_domain_psl"] == "www.ck" and not r["diverges"]
+        for r in exc
+    )
+    # the wildcard class keeps the whole 3-label host
+    wild = [r for r in rows if ".zone" in r["host"]]
+    assert wild and all(
+        r["registered_domain_psl"] == r["host"] and r["diverges"]
+        for r in wild
+    )
