@@ -236,3 +236,29 @@ def robots_verdict(path: Column, rules: Column) -> Column:
         best["allow"].alias("allowed"),
         best["prefix"].alias("rule_prefix"),
     )
+
+
+def parse_sitemap_directives(robots_txt: Column) -> Column:
+    """``Sitemap:`` directive URLs from robots.txt, in file order —
+    the crawl-discovery hook (sitemaps.org: the directive tells
+    crawlers where the publisher's sitemap or sitemap INDEX lives).
+    Per RFC 9309 / the sitemaps protocol the directive is
+    GROUP-INDEPENDENT, so extraction is line-based regardless of which
+    ``User-agent`` group is active: case-insensitive key, flexible
+    whitespace, value trimmed, trailing ``#`` comments stripped; a
+    line COMMENTED OUT with a leading ``#`` never harvests (the
+    sitemap-family comment decoy, one layer down). Row-local: one
+    split + filter + transform."""
+    lines = F.split(robots_txt, "\r\n|\r|\n")
+    sm = F.filter(
+        lines,
+        lambda ln: F.regexp_like(ln, F.lit(r"(?i)^\s*sitemap\s*:")),
+    )
+    return F.transform(
+        sm,
+        lambda ln: F.regexp_replace(
+            F.regexp_extract(ln, r"(?i)^\s*sitemap\s*:\s*([^#]*)", 1),
+            r"\s+$",
+            "",
+        ),
+    )

@@ -135,3 +135,143 @@ def parse_entries(xml: Column) -> Column:
         )
 
     return F.transform(blocks, fields)
+
+
+def synth_sitemap_index(site_num: Column) -> Column:
+    """``<sitemapindex>`` XML per domain as a PURE formula of the
+    domain's site number ``k`` and registered domain — the discovery
+    layer above :func:`synth_sitemap`: real publishers shard large
+    sitemaps into an index file referenced from robots.txt's
+    ``Sitemap:`` directive. 1 + k%3 child sitemaps at
+    ``/sitemap-c<j>.xml``; a COMMENTED-OUT decoy ``<sitemap>`` block on
+    k%3==0 (an index harvest that does not strip comments first fetches
+    a phantom child and over-counts every later child's entries);
+    whitespace-noised child ``<loc>`` values on k%2==1 (the spec's
+    trimming rule, same device as the urlset fixture)."""
+    k = site_num.cast("bigint")
+    domain = F.col("registered_domain")
+
+    def child(j: Column) -> Column:
+        loc = F.concat(
+            F.lit("https://"), domain, F.lit("/sitemap-c"),
+            j.cast("string"), F.lit(".xml"),
+        )
+        noised = F.when(
+            k % 2 == 1,
+            F.concat(F.lit("\n      "), loc, F.lit(" \n    ")),
+        ).otherwise(loc)
+        return F.concat(
+            F.lit("  <sitemap>\n    <loc>"), noised,
+            F.lit("</loc>\n  </sitemap>\n"),
+        )
+
+    children = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), k % 3),
+        F.lit("").cast("string"),
+        lambda acc, j: F.concat(acc, child(j)),
+    )
+    decoy = F.when(
+        k % 3 == 0,
+        F.lit(
+            "  <!-- migrated:\n  <sitemap><loc>https://decoy.example/"
+            "old-sitemap.xml</loc></sitemap>\n  -->\n"
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+            'sitemap/0.9">\n'
+        ),
+        decoy,
+        children,
+        F.lit("</sitemapindex>\n"),
+    )
+
+
+def parse_index_entries(xml: Column) -> Column:
+    """sitemapindex text -> array<string> of child sitemap URLs in
+    file order: comments strip FIRST (the urlset rule — a phantom
+    commented-out child is the same harvest bug one level up), then
+    ``<sitemap>`` blocks extract and each ``<loc>`` trims per the
+    spec's whitespace rule. A urlset file yields an empty array (its
+    ``<url>`` blocks are not ``<sitemap>`` blocks) — discovery code
+    can therefore probe a fetched file for index-ness before choosing
+    the parser."""
+    clean = F.regexp_replace(xml, r"(?s)<!--.*?-->", "")
+    blocks = F.regexp_extract_all(
+        clean, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1
+    )
+    return F.transform(
+        blocks,
+        lambda b: F.regexp_replace(
+            F.regexp_extract(b, r"(?s)<loc>(.*?)</loc>", 1),
+            r"(?s)^\s+|\s+$",
+            "",
+        ),
+    )
+
+
+def synth_child_sitemap(site_num: Column, child_idx: Column) -> Column:
+    """Child urlset ``j`` of domain ``k`` as a pure formula — the
+    sharded second level under :func:`synth_sitemap_index`. 2 +
+    (k+j)%3 entries; odd entries point INTO the domain's robots-gated
+    ``/a<(k+j)%4>/p...`` section (so the discovery query's robots join
+    has a real decision surface: some publisher-listed URLs are
+    robots-disallowed — the inconsistency worth surfacing), even
+    entries to ``/c<j>/page<i>``; same comment-decoy (k+j)%3==0 and
+    whitespace-noise (k+j)%2==1 devices as the flat fixture."""
+    k = site_num.cast("bigint")
+    j = child_idx.cast("bigint")
+    domain = F.col("registered_domain")
+
+    def entry(i: Column) -> Column:
+        path = F.when(
+            i % 2 == 1,
+            F.concat(
+                F.lit("/a"), ((k + j) % 4).cast("string"),
+                F.lit("/p"), i.cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/c"), j.cast("string"),
+                F.lit("/page"), i.cast("string"),
+            )
+        )
+        loc = F.concat(F.lit("https://"), domain, path)
+        noised = F.when(
+            (k + j) % 2 == 1,
+            F.concat(F.lit("\n      "), loc, F.lit(" \n    ")),
+        ).otherwise(loc)
+        day = 1 + (k + j + i) % 28
+        pri = 1 + (k + j + i) % 9
+        return F.concat(
+            F.lit("  <url>\n    <loc>"), noised, F.lit("</loc>\n"),
+            F.lit("    <lastmod>2026-03-"),
+            F.lpad(day.cast("string"), 2, "0"),
+            F.lit("</lastmod>\n    <priority>0."),
+            pri.cast("string"),
+            F.lit("</priority>\n  </url>\n"),
+        )
+
+    entries = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), 1 + (k + j) % 3),
+        F.lit("").cast("string"),
+        lambda acc, i: F.concat(acc, entry(i)),
+    )
+    decoy = F.when(
+        (k + j) % 3 == 0,
+        F.lit(
+            "  <!-- retired:\n  <url><loc>https://decoy.example/x</loc>"
+            "<lastmod>2026-01-01</lastmod></url>\n  -->\n"
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        ),
+        decoy,
+        entries,
+        F.lit("</urlset>\n"),
+    )

@@ -996,6 +996,184 @@ def sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("registered_domain", "url_idx")
 
 
+#: shared decision-table chunk: is path allowed under site k's
+#: synthesized robots.txt? SINGLE SOURCE for the gate, streaming-twin,
+#: and funnel oracles (r12 added the two §2.2.3 pattern rules —
+#: '/a*/p' wildcard on k%7==2, '/*0$' end-anchor on k%7==5 — both
+#: LONGER than the base section Disallow, and the wildcard TIES the
+#: Allow override so Allow-wins-tie is exercised against a pattern).
+_ROBOTS_ALLOWED_CASE = """CASE
+        WHEN k % 3 = 0
+             AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
+        THEN TRUE
+        WHEN k % 7 = 2 AND regexp_matches(path, '^/a.*/p') THEN FALSE
+        WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
+        WHEN k % 7 = 5 AND regexp_matches(path, '^/.*0$') THEN FALSE
+        WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
+        ELSE TRUE
+      END"""
+
+
+
+@query(
+    "sitemap_discovery",
+    oracle=f"""
+    WITH {_URL_CTES},
+    doms AS (
+      SELECT DISTINCT registered_domain,
+        CAST(regexp_extract(registered_domain, 'site([0-9]+)', 1)
+             AS BIGINT) AS k
+      FROM normed
+    ),
+    kids AS (
+      SELECT registered_domain, k, CAST(j AS INT) AS child_idx
+      FROM doms, unnest(generate_series(0, k % 3)) t(j)
+    ),
+    ent AS (
+      SELECT registered_domain, k, child_idx, CAST(i AS INT) AS url_idx
+      FROM kids, unnest(generate_series(0, 1 + (k + child_idx) % 3)) t(i)
+    ),
+    res AS (
+      SELECT registered_domain, k, child_idx, url_idx,
+        'https://' || registered_domain || '/sitemap-index.xml'
+          AS sitemap_url,
+        'https://' || registered_domain || '/sitemap-c'
+          || CAST(child_idx AS VARCHAR) || '.xml' AS child_url,
+        CASE WHEN url_idx % 2 = 1
+             THEN '/a' || CAST((k + child_idx) % 4 AS VARCHAR)
+                  || '/p' || CAST(url_idx AS VARCHAR)
+             ELSE '/c' || CAST(child_idx AS VARCHAR)
+                  || '/page' || CAST(url_idx AS VARCHAR) END AS path,
+        '2026-03-'
+          || lpad(CAST(1 + (k + child_idx + url_idx) % 28 AS VARCHAR),
+                  2, '0') AS lastmod,
+        CAST((1 + (k + child_idx + url_idx) % 9) * 100000 AS BIGINT)
+          AS priority_ppm
+      FROM ent
+    )
+    SELECT registered_domain, sitemap_url, child_idx, child_url, url_idx,
+      'https://' || registered_domain || path AS loc, lastmod, priority_ppm,
+      {_ROBOTS_ALLOWED_CASE} AS allowed,
+      NOT ({_ROBOTS_ALLOWED_CASE}) AS publisher_inconsistent
+    FROM res ORDER BY registered_domain, child_idx, url_idx
+    """,
+)
+def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL sitemap DISCOVERY chain (the r12 verdict's item #5),
+    composing three operators the way a real crawler runs them:
+    robots.txt ``Sitemap:`` directive (operators/robots.py
+    parse_sitemap_directives — case-insensitive key, trimmed value,
+    trailing-comment strip, with a COMMENTED-OUT decoy directive on
+    every 3rd domain and a lowercase/whitespace-noised directive on
+    odd domains) -> the referenced ``<sitemapindex>`` file
+    (synth_sitemap_index / parse_index_entries — with a commented-out
+    decoy child on every 3rd domain: an index harvest that skips
+    comment-stripping fetches a phantom child and shifts every later
+    child_idx) -> each child urlset (synth_child_sitemap /
+    parse_entries) -> the frontier, JOINED against the domain's parsed
+    robots rules (parse_rules + robots_verdict, the RFC 9309 decision
+    incl. pattern rules): odd entries deliberately point into the
+    robots-gated /a<n>/p section, so some publisher-listed URLs are
+    robots-DISALLOWED — flagged ``publisher_inconsistent``, the
+    publisher hygiene signal a crawl operator surfaces. The oracle
+    recomputes the whole chain from the formulas (decision-table
+    robots verdict — it never parses), so directive extraction, index
+    walk, child parse, AND the admission join all sit under one hash
+    gate. Zero shuffles beyond the domain distinct: every stage is a
+    row-local column program over ~|domains| rows; at real scale the
+    fetches are I/O rows and the joins stay domain-keyed."""
+    from gomrjob_spark.operators.robots import (
+        parse_rules,
+        parse_sitemap_directives,
+        robots_verdict,
+        synth_robots,
+    )
+    from gomrjob_spark.operators.sitemap import (
+        parse_entries,
+        parse_index_entries,
+        synth_child_sitemap,
+        synth_sitemap_index,
+    )
+
+    staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir))
+    doms = (
+        staged.select("registered_domain")
+        .distinct()
+        .withColumn(
+            "k",
+            F.regexp_extract(
+                F.col("registered_domain"), "site([0-9]+)", 1
+            ).cast("bigint"),
+        )
+    )
+    k = F.col("k")
+    robots_txt = F.concat(
+        synth_robots(k),
+        F.when(
+            k % 3 == 0,
+            F.lit("# Sitemap: https://decoy.example/ignored.xml\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 1,
+            F.concat(
+                F.lit("sitemap:   https://"),
+                F.col("registered_domain"),
+                F.lit("/sitemap-index.xml  \n"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("Sitemap: https://"),
+                F.col("registered_domain"),
+                F.lit("/sitemap-index.xml\n"),
+            )
+        ),
+    )
+    # stage the text before the two independent parses (the no-CSE rule)
+    with_txt = doms.withColumn("robots_txt", robots_txt)
+    model = with_txt.select(
+        "registered_domain",
+        "k",
+        parse_rules(F.col("robots_txt")).alias("rules"),
+        F.element_at(
+            parse_sitemap_directives(F.col("robots_txt")), 1
+        ).alias("sitemap_url"),
+    )
+    kids = model.withColumn(
+        "index_xml", synth_sitemap_index(k)
+    ).select(
+        "registered_domain", "k", "rules", "sitemap_url",
+        F.posexplode(parse_index_entries(F.col("index_xml"))).alias(
+            "child_idx", "child_url"
+        ),
+    )
+    ents = kids.withColumn(
+        "child_xml", synth_child_sitemap(k, F.col("child_idx"))
+    ).select(
+        "registered_domain", "k", "rules", "sitemap_url",
+        "child_idx", "child_url",
+        F.posexplode(parse_entries(F.col("child_xml"))).alias(
+            "url_idx", "e"
+        ),
+    )
+    pathed = ents.withColumn(
+        "_path",
+        F.regexp_extract(F.col("e.loc"), r"^https://[^/]+(/.*)$", 1),
+    )
+    v = robots_verdict(F.col("_path"), F.col("rules"))
+    return pathed.select(
+        "registered_domain",
+        "sitemap_url",
+        F.col("child_idx").cast("int").alias("child_idx"),
+        "child_url",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.priority_ppm").alias("priority_ppm"),
+        v["allowed"].alias("allowed"),
+        (~v["allowed"]).alias("publisher_inconsistent"),
+    ).orderBy("registered_domain", "child_idx", "url_idx")
+
+
 def _wet_walked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared WARC->HTTP front half of corpus_wet_pipeline and
     corpus_train_pipeline: each document synthesizes a WARC 'response'
@@ -1286,24 +1464,6 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return pagerank_fixedpoint(edges, n_iters=3).orderBy("node")
-
-
-#: shared decision-table chunk: is path allowed under site k's
-#: synthesized robots.txt? SINGLE SOURCE for the gate, streaming-twin,
-#: and funnel oracles (r12 added the two §2.2.3 pattern rules —
-#: '/a*/p' wildcard on k%7==2, '/*0$' end-anchor on k%7==5 — both
-#: LONGER than the base section Disallow, and the wildcard TIES the
-#: Allow override so Allow-wins-tie is exercised against a pattern).
-_ROBOTS_ALLOWED_CASE = """CASE
-        WHEN k % 3 = 0
-             AND starts_with(path, '/a' || CAST(k % 4 AS VARCHAR) || '/p')
-        THEN TRUE
-        WHEN k % 7 = 2 AND regexp_matches(path, '^/a.*/p') THEN FALSE
-        WHEN k % 2 = 0 AND starts_with(path, '/buy') THEN FALSE
-        WHEN k % 7 = 5 AND regexp_matches(path, '^/.*0$') THEN FALSE
-        WHEN starts_with(path, '/a' || CAST(k % 4 AS VARCHAR)) THEN FALSE
-        ELSE TRUE
-      END"""
 
 
 def _robots_oracle(pred: str = "TRUE") -> str:

@@ -89,3 +89,63 @@ def test_priority_full_spec_range(spark):
         123456,  # 7th fraction digit truncates
         300000,
     ]
+
+
+def test_index_commented_out_child_is_not_harvested(spark):
+    from gomrjob_spark.operators.sitemap import parse_index_entries
+
+    xml = (
+        "<sitemapindex>\n"
+        "<!-- migrated:\n<sitemap><loc>https://decoy.example/old.xml"
+        "</loc></sitemap>\n-->\n"
+        "<sitemap><loc>\n  https://a.example/sitemap-c0.xml \n</loc>"
+        "</sitemap>\n"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = df.select(parse_index_entries(F.col("xml")).alias("c")).first()["c"]
+    assert row == ["https://a.example/sitemap-c0.xml"]
+
+
+def test_index_parser_yields_nothing_on_a_urlset(spark):
+    from gomrjob_spark.operators.sitemap import parse_index_entries
+
+    xml = "<urlset><url><loc>https://a.example/p</loc></url></urlset>"
+    df = spark.createDataFrame([(xml,)], "xml string")
+    assert (
+        df.select(parse_index_entries(F.col("xml")).alias("c")).first()["c"]
+        == []
+    )
+
+
+def test_commented_sitemap_directive_is_not_harvested(spark):
+    from gomrjob_spark.operators.robots import parse_sitemap_directives
+
+    txt = (
+        "User-agent: *\nDisallow: /a\n"
+        "# Sitemap: https://decoy.example/no.xml\n"
+        "sitemap:   https://a.example/sitemap-index.xml  \n"
+    )
+    df = spark.createDataFrame([(txt,)], "robots string")
+    got = df.select(
+        parse_sitemap_directives(F.col("robots")).alias("s")
+    ).first()["s"]
+    assert got == ["https://a.example/sitemap-index.xml"]
+
+
+def test_discovery_inconsistency_nonvacuous(spark, sf_dir):
+    """publisher_inconsistent must occur BOTH ways at fixture scale,
+    and only on robots-disallowed paths — otherwise the robots join in
+    the composed chain is vacuous."""
+    from gomrjob_spark.plans.web import sitemap_discovery
+
+    rows = sitemap_discovery(spark, sf_dir).collect()
+    bad = [r for r in rows if r["publisher_inconsistent"]]
+    ok = [r for r in rows if not r["publisher_inconsistent"]]
+    assert bad and ok
+    for r in rows:
+        assert r["publisher_inconsistent"] == (not r["allowed"])
+        assert r["loc"].startswith("https://" + r["registered_domain"])
+        assert r["sitemap_url"].endswith("/sitemap-index.xml")
+    # the gated section really is hit: some inconsistent rows are /a...
+    assert any("/a" in r["loc"].split(r["registered_domain"])[1] for r in bad)
