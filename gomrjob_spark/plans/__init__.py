@@ -24,84 +24,36 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 12): the 6 registry rows that have NEVER had a driver
-# CORRECTNESS row (the r11 verdict's item #1 — all six proven HASH-OK
-# in the judge's full 264/264 simulation), then the 8 NEW r12 queries,
-# then robots_txt_gate (r11 row exists but the r12 pattern-rule work
-# changed its fixture + verdict program — re-verify after change), then
-# 35 of the 50 equally-oldest r07 rows (alphabetical; the remaining 15
-# head _BACKFILL) — exactly filling the 50-slot window.
+# Tier 1 (round 13): the 4 NEW r13 queries, then the 4 re-verify-after-
+# change rows (dedup_semantic_diversity and streaming_semdedup_gate were
+# RE-PLANNED this round — the hierarchical two-level quantizer replaced
+# the flat Lloyd assignment on both engines; sitemap_frontier's
+# parse_entries grew full-range priority parsing; multimodal_mp3_metadata
+# gained the mixed-rate raise), then the 15 remaining r07 rows
+# (OLDEST-ALWAYS-NEXT, heading last round's _BACKFILL), then the first
+# 27 of the 50 equally-oldest r08 rows (alphabetical;
+# dedup_semantic_diversity is both re-planned AND r08-oldest, counted
+# once) — exactly filling the 50-slot window. The remaining 22 r08 rows
+# head _BACKFILL for r14.
 _VERIFY_FIRST = [
-    # never-sampled third wave (registered after the r11 window filled)
-    "streaming_mime_gate",
-    "streaming_charset_gate",
-    "streaming_robots_gate",
-    "html_metadata",
-    "dedup_canonical",
-    "corpus_funnel_report",
-    # NEW r12: file-level WARC ingestion (binaryFile -> record walk)
-    "warc_file_source",
-    # NEW r12: file-discovery streaming twin (31st topology, gzip glob)
-    "streaming_warc_file_source",
-    # NEW r12: the 11-stage crawl->train-set composite (flagship)
-    "corpus_train_pipeline",
-    # NEW r12: RIFF/AVI container walk (video file -> frames)
-    "multimodal_avi_frames",
-    # NEW r12: FLAC STREAMINFO metadata walk (bit-packed fields)
-    "multimodal_flac_metadata",
-    # NEW r12: MP3 frame-header walk (declared-length jumps, ID3v2
-    # synchsafe skip) — displaces scalar_array_map to _BACKFILL head
-    "multimodal_mp3_metadata",
-    # NEW r12: CDX byte-offset index over the WARC files — displaces
-    # sample_weighted_per_source to _BACKFILL head
-    "warc_cdx_index",
-    # NEW r12: sitemap.xml frontier seeding (comment-decoy + whitespace
-    # gates) — displaces rolling_active_users to _BACKFILL head
+    # NEW r13: MP4/ISO-BMFF box walk (stsz/stsc/stco table-driven)
+    "multimodal_mp4_frames",
+    # NEW r13: CC-faithful CDX (per-record gzip members, compressed offsets)
+    "warc_cdx_member_index",
+    # NEW r13: exact PSL registrable domains through the driver gate
+    "url_registered_domain_psl",
+    # NEW r13: robots Sitemap: -> sitemapindex -> children -> gated frontier
+    "sitemap_discovery",
+    # RE-PLANNED r13: hierarchical two-level SemDeDup quantizer (the
+    # r12 64x-probe remediation; oracle + operator changed together)
+    "dedup_semantic_diversity",
+    "streaming_semdedup_gate",
+    # changed r13: full-spec-range priority parsing (r12 advisor #3)
     "sitemap_frontier",
-    # changed r12: RFC 9309 '*'/'$' pattern rules added to fixture +
-    # verdict + decision table
-    "robots_txt_gate",
-    # oldest rows (last green r07), alphabetical, first 35
-    "burst_detection",
-    "cohort_retention",
-    "corpus_composition_report",
-    "dataset_diff",
-    "decontaminate_semantic",
-    "dedup_best_quality_survivors",
-    "dedup_impact_report",
-    "embedding_dim_stats",
-    "embedding_hard_negatives",
-    "event_transitions",
-    "graph_link_prediction",
-    "join_argmax",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range",
-    "join_semi",
-    "knn_bruteforce",
-    "mixture_bpe_weights",
-    "mr_field_count",
-    "mr_multistep",
-    "mr_python_reducer",
-    "mr_sum_reducer",
-    "multimodal_arith_pixel_stats",
-    "multimodal_features",
-    "multimodal_metadata",
-    "pack_bpe_batches",
-    "pack_efficiency_report",
-    "pivot_event_types",
-    "pivot_unpivot_roundtrip",
-    "profile_key_skew",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "revenue_share_hierarchy",
-]
-# next-oldest queries: the 15 r07 rows the 50-slot window could not
-# hold this round — they head the r13 rotation (OLDEST-ALWAYS-NEXT,
-# SCALING.md ledger), followed by the r08 rows as they age out.
-_BACKFILL = [
+    # changed r13: mixed-sample-rate raise (r12 advisor #2)
+    "multimodal_mp3_metadata",
+    # oldest rows (last green r07) — the 15 that r12's window could not
+    # hold, completing the r07 generation
     "rolling_active_users",
     "sample_weighted_per_source",
     "scalar_array_map",
@@ -117,6 +69,62 @@ _BACKFILL = [
     "timeseries_cusum_drift",
     "timeseries_ewma",
     "timeseries_mom_change",
+    # next-oldest (last green r08), alphabetical, first 27 (sans the
+    # re-planned dedup_semantic_diversity above)
+    "agg_quantile_exact",
+    "cap_per_source",
+    "corpus_curation_pipeline",
+    "corpus_triage_report",
+    "corpus_vocab_topk",
+    "curriculum_difficulty_buckets",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph_containment",
+    "dedup_paragraph_minhash_rollup",
+    "dedup_repeated_chunks",
+    "dedup_repeated_ngram_spans",
+    "embedding_centroids",
+    "funnel_conversion",
+    "multimodal_audio_headers",
+    "multimodal_audio_samples",
+    "multimodal_lossless_pixel_stats",
+    "multimodal_resize",
+    "pack_token_batches",
+    "pack_unigram_batches",
+    "quality_percentile_filter",
+    "sample_dsir_importance",
+    "sample_hash_split",
+    "sample_stratified",
+    "scalar_math",
+    "scalar_string",
+    "select_token_budget",
+]
+# next-oldest queries: the 22 r08 rows the 50-slot window could not
+# hold this round — they head the r14 rotation (OLDEST-ALWAYS-NEXT,
+# SCALING.md ledger), followed by the r09 rows as they age out.
+_BACKFILL = [
+    "set_ops",
+    "streaming_dsir_gate",
+    "streaming_mr_sum",
+    "streaming_paragraph_quarantine",
+    "text_fingerprint",
+    "text_gopher_ngram_fractions",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality",
+    "text_repetition_stats",
+    "text_stopword_strip",
+    "text_token_stats",
+    "text_unigram_encode",
+    "text_unigram_lm_train",
+    "top_n_global",
+    "udaf_weighted_avg",
+    "udtf_sentences",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_ntile",
+    "window_running_total",
+    "window_topk_per_group",
 ]
 
 
