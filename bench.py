@@ -195,6 +195,17 @@ HEADLINE = [
     # — judge: compare against those members, not against single-family
     # entries.
     "corpus_train_pipeline",
+    # r13 additions (appended, the r11 position-stability rule):
+    # the MP3 walk the r12 verdict's item #8 asked into the headline
+    # suite (its FLAC sibling was in, it wasn't), the MP4 box walk
+    # (the container class's real-world format), the CC-faithful
+    # member-compressed CDX, the exact-PSL gate, and the composed
+    # sitemap discovery chain
+    "multimodal_mp3_metadata",
+    "multimodal_mp4_frames",
+    "warc_cdx_member_index",
+    "url_registered_domain_psl",
+    "sitemap_discovery",
 ]
 
 
