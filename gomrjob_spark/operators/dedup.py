@@ -892,9 +892,27 @@ def _bucket_array_dup_pairs(
     first shared table, fetch vectors for survivors only, verify exact
     cosine. See embedding_dup_pairs_bucketed for the full plan-shape
     rationale."""
+    keyed = df.select(F.col(id_col), F.array(*bucket_exprs).alias("_bk"))
+    return _bucket_frame_dup_pairs(df, keyed, threshold, id_col, vec_col)
+
+
+def _bucket_frame_dup_pairs(
+    df: DataFrame,
+    keyed: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The propose/verify back half over an already-keyed (id, _bk:
+    array<bigint>) frame — split out (r13) so the random-plane variant
+    can compute its bucket arrays with one Arrow-batched integer
+    matmul instead of k*L separate HOF folds (the wave-2 64x probe
+    apportioned ~1/3 of its wall to per-plane zip_with/aggregate
+    expression evaluation — 99 intermediate array allocations per
+    row)."""
     from gomrjob_spark.operators.similarity import dot, l2_norm
 
-    b = df.select(F.col(id_col), F.array(*bucket_exprs).alias("_bk")).select(
+    b = keyed.select(
         F.col(id_col),
         "_bk",
         F.posexplode("_bk").alias("table_id", "bucket"),
@@ -1007,28 +1025,48 @@ def embedding_dup_pairs_rp(
     :func:`random_plane_signs`, embedded as literals in both plans.
 
     Same skeleton as the axis variant: ids-only bucket equi-join,
-    first-shared-table map-side pair dedup, exact cosine verify."""
+    first-shared-table map-side pair dedup, exact cosine verify.
+
+    Sign-test execution (r13, from the wave-2 64x probe): the k*L
+    integer dot products per vector run as ONE Arrow-batched numpy
+    matmul (quantized vectors (n x d) @ sign matrix (d x k*L)) instead
+    of k*L separate zip_with/aggregate HOF expressions — at the 64x
+    point the per-plane folds (99 intermediate array allocations per
+    row) were ~1/3 of wall clock. Bit-identical by arithmetic, not
+    luck: the quantized components are integers |q| < 2^22, every
+    partial sum of <= 64 of their +-products is an integer < 2^28 —
+    exactly representable in float64 — so BLAS's reassociated float
+    matmul produces the SAME integers as the sequential fold and the
+    sign test agrees with the DuckDB oracle's integer dots
+    everywhere."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     signs = random_plane_signs(n_planes, n_tables, dim, seed)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(1 << 20))).cast("long"),
+    sign_mat = np.array(signs, dtype=np.float64).reshape(
+        n_tables * n_planes, dim
     )
-    qdf = df.select(F.col(id_col), F.col(vec_col), q.alias("_q"))
-    bucket_exprs = []
-    for t in range(n_tables):
-        bits: Column | None = None
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(s) for s in signs[t][j]])
-            dotq = F.aggregate(
-                F.zip_with(plane, F.col("_q"), lambda s, x: s.cast("bigint") * x),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def keyer(batches):
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            bit = F.when(dotq >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        bucket_exprs.append(bits.cast("bigint"))
-    out = _bucket_array_dup_pairs(qdf, bucket_exprs, threshold, id_col, vec_col)
-    return out
+            q = np.floor(vecs * float(1 << 20))  # integer-valued float64
+            dots = q @ sign_mat.T  # (n, T*K), exact integers
+            bits = (dots >= 0).astype(np.int64).reshape(
+                len(pdf), n_tables, n_planes
+            )
+            buckets = (bits * weights).sum(axis=2)  # (n, T) bigint
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "_bk": list(buckets)}
+            )
+
+    keyed = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        keyer, schema=f"{id_col} bigint, _bk array<bigint>"
+    )
+    return _bucket_frame_dup_pairs(df, keyed, threshold, id_col, vec_col)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -376,7 +376,10 @@ def _rp_oracle_sql(threshold: float, seed: int = 7, dim: int = 64) -> str:
     (k, L): the plane-sign grid is embedded ONCE as bigint mask literals
     (plane (t, j) is independently seeded, so every (k, L) the LUT can
     select uses a prefix of the same grid), parameters come from the
-    same count(*)->LUT join as the axis oracle, and each sign test is
+    same count(*)->LUT join as the axis oracle (at target occupancy 8 —
+    the r13 candidate-volume dial: the wave-2 64x probe apportioned
+    ~2/3 of wall to the n*occ*L/2 candidate/verify term, and occupancy
+    8 buys 6x fewer candidates for 1.7x more sign bits), and each sign test is
     the exact integer dot product sum(±floor(v_d*2^20)) >= 0 — no float
     comparisons anywhere in the bucketing."""
     import random
@@ -405,7 +408,7 @@ def _rp_oracle_sql(threshold: float, seed: int = 7, dim: int = 64) -> str:
     lut(k0, k, l) AS (VALUES {vals}),
     prm AS (
       SELECT lut.k AS k, lut.l AS l FROM nn JOIN lut
-      ON lut.k0 = GREATEST(1, LEAST({len(lut)}, CAST(FLOOR(LOG2(GREATEST(2.0, nn.n / 64.0))) AS INT)))
+      ON lut.k0 = GREATEST(1, LEAST({len(lut)}, CAST(FLOOR(LOG2(GREATEST(2.0, nn.n / 8.0))) AS INT)))
     ),
     masks(t, j, mask) AS (VALUES {", ".join(mask_rows)}),
     qv AS (
@@ -457,7 +460,14 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
             flipped.alias("embedding"),
         )
     )
-    k, tables = dedup.auto_lsh_params(2 * emb.count(), threshold=0.95, max_bits=256)
+    # target_occupancy=8 (r13): the wave-2 64x probe apportioned ~2/3
+    # of this query's wall to the n*occ*L/2 candidate/verify term —
+    # occupancy 8 buys ~6x fewer candidates for 1.7x more sign bits
+    # (which the numpy matmul keyer makes near-free). Oracle derives
+    # the same (k, L) from count(*)/8 via the shared LUT.
+    k, tables = dedup.auto_lsh_params(
+        2 * emb.count(), threshold=0.95, target_occupancy=8, max_bits=256
+    )
     return dedup.embedding_dup_pairs_rp(
         corpus, threshold=0.95, n_planes=k, n_tables=tables
     ).orderBy("id_a", "id_b")
