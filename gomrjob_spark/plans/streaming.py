@@ -1416,3 +1416,32 @@ def streaming_warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, stream=True, glob="*.warc.gz"
     ).drop("offset", "record_bytes")
     return _drain(spark, recs, "append").orderBy("file_name", "rec_idx")
+
+
+def _warc_member_stream_oracle() -> str:
+    from gomrjob_spark.plans.web import _CDX_MEMBER_ORACLE
+
+    return _CDX_MEMBER_ORACLE
+
+
+@query("streaming_warc_member_source", oracle=_warc_member_stream_oracle())
+def streaming_warc_member_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-compressed WARC ingestion as a LIVE topology (the 32nd)
+    — the exact Common Crawl deployment: segments whose records are
+    INDIVIDUALLY gzip-compressed land in a bucket, the stream discovers
+    each file per micro-batch (exactly-once file-level tracking), and
+    the SAME member walk as the batch CDX reader
+    (sources.warc.warc_member_records_from_binary_files — stream ==
+    batch is shared code) splits members by the DEFLATE structure and
+    emits every record WITH its compressed random-access coordinates.
+    The gate is the full warc_cdx_member_index oracle — compressed
+    offsets as running sums of the asserted +23 member contract, the
+    stored 1f-8b payload decoy, per-record hex-md5 — so the streaming
+    path proves the identical byte accounting the batch index
+    publishes. Stateless: per-file scan-local walk, append mode, flat
+    per-batch cost forever; throttle at scale with
+    maxFilesPerTrigger."""
+    from gomrjob_spark.plans.web import _warc_member_fixture_records
+
+    recs = _warc_member_fixture_records(spark, sf_dir, stream=True)
+    return _drain(spark, recs, "append").orderBy("file_name", "rec_idx")

@@ -677,9 +677,7 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "warc_cdx_member_index",
-    oracle="""
+_CDX_MEMBER_ORACLE = """
     WITH mrecs AS (
       SELECT doc_id, doc_id % 8 AS file_idx,
         'crawl-cc-0000' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz'
@@ -724,8 +722,10 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(record_bytes + 23 AS BIGINT) AS cmp_bytes,
       record_bytes, payload_hexmd5
     FROM mlen ORDER BY file_name, rec_idx
-    """,
-)
+    """
+
+
+@query("warc_cdx_member_index", oracle=_CDX_MEMBER_ORACLE)
 def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-FAITHFUL CDX: the member-compressed variant of
     warc_cdx_index, closing its documented divergence (the r12
@@ -750,8 +750,21 @@ def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 is computed over the hex encoding (DuckDB md5 is
     VARCHAR-only and the magic bytes are not valid UTF-8).
     Scan-local file-per-task walk + one per-file window."""
+    return _warc_member_fixture_records(spark, sf_dir).orderBy(
+        "file_name", "rec_idx"
+    )
+
+
+def _warc_member_fixture_records(
+    spark: SparkSession, sf_dir: str, stream: bool = False
+) -> DataFrame:
+    """Shared front half of the member-compressed source queries
+    (batch CDX + streaming twin): write the CC-layout fixture
+    (driver-side scaffolding), read it back through the binaryFile
+    member walk, and project the gated columns."""
     from gomrjob_spark.sources.warc import (
         read_warc_member_files,
+        read_warc_member_files_stream,
         write_warc_member_fixture,
     )
 
@@ -762,7 +775,8 @@ def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     fixture = write_warc_member_fixture(sf_dir, ids)
-    recs = read_warc_member_files(spark, fixture)
+    reader = read_warc_member_files_stream if stream else read_warc_member_files
+    recs = reader(spark, fixture)
     return recs.select(
         "file_name",
         F.col("rec_idx").cast("int").alias("rec_idx"),
@@ -774,7 +788,7 @@ def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cmp_bytes").cast("bigint").alias("cmp_bytes"),
         F.col("record_bytes").cast("bigint").alias("record_bytes"),
         F.md5(F.lower(F.hex(F.col("payload")))).alias("payload_hexmd5"),
-    ).orderBy("file_name", "rec_idx")
+    )
 
 
 #: the PSL snapshot as a SQL VALUES table (mirrors

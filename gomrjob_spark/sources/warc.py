@@ -554,3 +554,19 @@ def write_warc_member_fixture(sf_dir: str, doc_ids) -> str:
         if not os.path.exists(marker):
             raise
     return out
+
+
+def read_warc_member_files_stream(spark, path: str, glob: str = "*.warc.gz"):
+    """STREAMING member-compressed WARC source — the CC-layout twin of
+    :func:`read_warc_files_stream`: segments whose records are
+    individually gzip-compressed land in a bucket and are discovered
+    per micro-batch, each walked by the SAME member program as the
+    batch reader (stream==batch is shared code), carrying compressed
+    random-access coordinates per record."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return warc_member_records_from_binary_files(files)

@@ -390,3 +390,34 @@ class TestGzipMembers:
         # same basename, same count, DIFFERENT ids -> different dir
         # (the r12 advisor's stale-cache finding)
         assert c != a
+
+    def test_member_streaming_reader_matches_batch(self, spark, tmp_path):
+        from gomrjob_spark.plans.streaming import _drain
+        from gomrjob_spark.sources.warc import (
+            encode_warc,
+            gzip_member,
+            member_fixture_record,
+            read_warc_member_files,
+            read_warc_member_files_stream,
+        )
+
+        for f, ids in ((0, [1, 9]), (1, [2, 12])):
+            blob = b"".join(
+                gzip_member(encode_warc([member_fixture_record(d)]))
+                for d in ids
+            )
+            (tmp_path / f"crawl-cc-0000{f}.warc.gz").write_bytes(blob)
+        batch = sorted(
+            map(tuple, read_warc_member_files(spark, str(tmp_path)).collect())
+        )
+        live = sorted(
+            map(
+                tuple,
+                _drain(
+                    spark,
+                    read_warc_member_files_stream(spark, str(tmp_path)),
+                    "append",
+                ).collect(),
+            )
+        )
+        assert batch == live and len(batch) == 4
