@@ -206,6 +206,10 @@ HEADLINE = [
     "warc_cdx_member_index",
     "url_registered_domain_psl",
     "sitemap_discovery",
+    # r13 late additions: the fMP4 (DASH) fragment walk and the
+    # member-compressed streaming source (the 32nd topology)
+    "multimodal_mp4_fragments",
+    "streaming_warc_member_source",
 ]
 
 

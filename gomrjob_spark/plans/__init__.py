@@ -31,7 +31,7 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
 # parse_entries grew full-range priority parsing; multimodal_mp3_metadata
 # gained the mixed-rate raise), then the 15 remaining r07 rows
 # (OLDEST-ALWAYS-NEXT, heading last round's _BACKFILL), then the first
-# 26 of the 50 equally-oldest r08 rows (alphabetical;
+# 25 of the 50 equally-oldest r08 rows (alphabetical;
 # dedup_semantic_diversity is both re-planned AND r08-oldest, counted
 # once) — exactly filling the 50-slot window. The remaining 22 r08 rows
 # head _BACKFILL for r14.
@@ -47,6 +47,9 @@ _VERIFY_FIRST = [
     # NEW r13 (late): member-compressed WARC ingestion as the 32nd live
     # topology — displaces select_token_budget to _BACKFILL head
     "streaming_warc_member_source",
+    # NEW r13 (late): fragmented MP4 (moof/trun) walk — displaces
+    # scalar_string to _BACKFILL head
+    "multimodal_mp4_fragments",
     # RE-PLANNED r13: hierarchical two-level SemDeDup quantizer (the
     # r12 64x-probe remediation; oracle + operator changed together)
     "dedup_semantic_diversity",
@@ -72,7 +75,7 @@ _VERIFY_FIRST = [
     "timeseries_cusum_drift",
     "timeseries_ewma",
     "timeseries_mom_change",
-    # next-oldest (last green r08), alphabetical, first 26 (sans the
+    # next-oldest (last green r08), alphabetical, first 25 (sans the
     # re-planned dedup_semantic_diversity above)
     "agg_quantile_exact",
     "cap_per_source",
@@ -99,12 +102,12 @@ _VERIFY_FIRST = [
     "sample_hash_split",
     "sample_stratified",
     "scalar_math",
-    "scalar_string",
 ]
 # next-oldest queries: the 23 r08 rows (+select_token_budget) the 50-slot window could not
 # hold this round — they head the r14 rotation (OLDEST-ALWAYS-NEXT,
 # SCALING.md ledger), followed by the r09 rows as they age out.
 _BACKFILL = [
+    "scalar_string",
     "select_token_budget",
     "set_ops",
     "streaming_dsir_gate",

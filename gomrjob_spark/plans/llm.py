@@ -2178,6 +2178,123 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "frame_idx")
 
 
+from gomrjob_spark.sources.mp4frag import INIT_SEGMENT_BYTES as _FMP4_INIT_BYTES  # noqa: E402
+
+
+@query(
+    "multimodal_mp4_fragments",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 8 + 12 AS INT) AS n_frames FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+             CAST((doc_id * 3 + len(list_filter(generate_series(1, f),
+                    x -> (doc_id * 7 + x * 13) % 5 = 0))) % 53 AS BIGINT) AS g
+      FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    hx AS (
+      SELECT doc_id, n_frames, frame_idx,
+        md5(lower(string_agg(
+          lpad(hex((g*31 + x*(7 + g % 101) + y*(13 + g % 83)) % 256), 2, '0'),
+          '' ORDER BY y, x))) AS frame_hexmd5
+      FROM fr, unnest(generate_series(0, 7)) AS tx(x),
+               unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id, n_frames, frame_idx, g
+    )
+    SELECT doc_id, frame_idx,
+      CAST(frame_idx // 4 + 1 AS INT) AS frag_seq,
+      CAST((n_frames + 3) // 4 AS INT) AS n_fragments,
+      CAST(n_frames AS INT) AS n_samples,
+      CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      CAST(12800 AS INT) AS timescale,
+      CAST({_FMP4_INIT_BYTES} + 363 * (frame_idx // 4)
+           + 68 + 4 * LEAST(4, n_frames - 4 * (frame_idx // 4))
+           + 23 + 64 * (frame_idx % 4) AS BIGINT) AS sample_off,
+      CAST(64 AS BIGINT) AS frame_len, frame_hexmd5
+    FROM hx ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_mp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 (fMP4/CMAF — the DASH/HLS layout that dominates
+    STREAMED crawl video) under the hash gate, closing parse_mp4's
+    documented no-moof simplification: each document's scene-cut frame
+    sequence encodes as an init segment (empty stbl + mvex/trex) plus
+    moof+mdat fragments of 4 samples (sources/mp4frag.py, the writer
+    twin), and the walk reconstructs every sample's ABSOLUTE offset
+    from moof_start + trun.data_offset + cumulative trun sizes under
+    the default-base-is-moof convention — there is no global index to
+    trust in an fMP4, which makes the per-fragment byte accounting the
+    whole gate: the oracle recomputes init-segment size, per-fragment
+    moof arithmetic (68 + 4*n_f), the junk gap each trun.data_offset
+    skips (15 bytes opening with a fake 'moov' box header — scanners
+    and contiguity readers fail), and every sample offset as a closed
+    formula. mfhd sequence ordering, the short tail fragment
+    (n % 4 != 0 docs), and per-frame content md5 all gated. Scan-local
+    Arrow-batched encode+walk; zero shuffles before the
+    oracle-determinism orderBy. Raise matrix: tests/test_mp4frag.py."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.text import spread
+    from gomrjob_spark.sources.mp4frag import (
+        encode_mp4_fragmented,
+        parse_mp4_fragmented,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        cols = (
+            "doc_id", "frame_idx", "frag_seq", "n_fragments", "n_samples",
+            "width", "height", "timescale", "sample_off", "frame_len",
+            "frame_hexmd5",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 8 + 12
+                frames, cuts = [], 0
+                for f in range(n):
+                    if f >= 1 and (d * 7 + f * 13) % 5 == 0:
+                        cuts += 1
+                    g = (d * 3 + cuts) % 53
+                    frames.append(bytes(
+                        (g * 31 + x * (7 + g % 101) + y * (13 + g % 83)) % 256
+                        for y in range(8) for x in range(8)
+                    ))
+                parsed = parse_mp4_fragmented(
+                    encode_mp4_fragmented(frames, 8, 8)
+                )
+                for j, frame in enumerate(parsed["samples"]):
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(j)
+                    rows["frag_seq"].append(parsed["fragment_seqs"][j])
+                    rows["n_fragments"].append(parsed["n_fragments"])
+                    rows["n_samples"].append(parsed["n_samples"])
+                    rows["width"].append(parsed["width"])
+                    rows["height"].append(parsed["height"])
+                    rows["timescale"].append(parsed["timescale"])
+                    rows["sample_off"].append(parsed["sample_offsets"][j])
+                    rows["frame_len"].append(len(frame))
+                    rows["frame_hexmd5"].append(
+                        hashlib.md5(frame.hex().encode("ascii")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, frame_idx int, frag_seq int, n_fragments int, "
+            "n_samples int, width int, height int, timescale int, "
+            "sample_off bigint, frame_len bigint, frame_hexmd5 string"
+        ),
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
 @query(
     "multimodal_flac_metadata",
     oracle="""
