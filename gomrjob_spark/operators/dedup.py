@@ -1050,6 +1050,8 @@ def embedding_dup_pairs_rp(
 
     def keyer(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # an upstream-filtered empty Arrow batch
+                continue
             vecs = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
