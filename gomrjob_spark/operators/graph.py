@@ -44,13 +44,22 @@ def pagerank_fixedpoint(
     converges to the base term, and dangling nodes (no out-edges)
     simply contribute nothing (their mass is dropped, the standard
     simplification). Returns (node, pr)."""
+    from gomrjob_spark.cache import scoped_persist
+
     base = (scale * (damp_den - damp_num)) // damp_den
-    nodes = (
+    # Persist the loop INVARIANTS once (r13, from the 64x probe: the
+    # un-persisted edge frame — often a distinct over a large fact
+    # table — re-evaluated once per round PLUS once each for deg and
+    # nodes, and the 3-round nested plan's concurrent recomputation
+    # blew the aggregation maps' memory budget at 38M edges where each
+    # single evaluation fits comfortably).
+    edges = scoped_persist(edges.select("src", "dst"))
+    nodes = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = scoped_persist(edges.groupBy("src").agg(F.count("*").alias("deg")))
     pr = nodes.select("node", F.lit(scale).cast("bigint").alias("pr"))
     for _ in range(n_iters):
         contrib = (
@@ -67,7 +76,10 @@ def pagerank_fixedpoint(
             )
             .cast("bigint")
             .alias("pr"),
-        )
+        # the rank table is |nodes|-sized — truncate its lineage per
+        # round (the CC-fixpoint device) so round k's plan does not
+        # re-nest rounds 1..k-1
+        ).localCheckpoint(eager=False)
     return pr
 
 
