@@ -1065,8 +1065,13 @@ def embedding_dup_pairs_rp(
                 {id_col: pdf[id_col], "_bk": list(buckets)}
             )
 
+    # the id passes through the keyer untouched, so the output schema
+    # carries the CALLER's id type (r13 advisor: a hardcoded bigint —
+    # a regression from the expression-based keyer — failed or
+    # silently coerced non-bigint id corpora)
+    id_type = df.schema[id_col].dataType.simpleString()
     keyed = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        keyer, schema=f"{id_col} bigint, _bk array<bigint>"
+        keyer, schema=f"{id_col} {id_type}, _bk array<bigint>"
     )
     return _bucket_frame_dup_pairs(df, keyed, threshold, id_col, vec_col)
 

@@ -1293,8 +1293,20 @@ def _fine_argmax(
     O(n*sqrt(k)*d) half of the hierarchical assignment. Ties resolve
     sim desc, fcell asc — array_sort over (negsim, fcell) structs, the
     exact ivf_assign ranking the oracle mirrors with
-    ``ORDER BY list_cosine_similarity(...) DESC, fcell``."""
-    joined = staged.join(F.broadcast(_fine_groups_row(fine)), "ccell")
+    ``ORDER BY list_cosine_similarity(...) DESC, fcell``.
+
+    The join is a LEFT join with an fcell=1 fallback (r13 advisor's
+    medium finding): Lloyd's can leave a coarse cell with zero training
+    members whose centroid survives via the COALESCE rule, so it has NO
+    fine centroids — a STREAMING arrival whose coarse argmax lands
+    there (hier_assign via semdedup_gate_stream) must still get a cell
+    id, or the gate's documented "first arrival passes with
+    n_same_cell=0" invariant silently breaks. In the batch training
+    path the fallback is inert: fine seeds are drawn from each coarse
+    cell's own members, so every ccell present in ``staged`` has >= 1
+    fine row. The oracle's _hier_assign_sql mirrors the same
+    LEFT JOIN + COALESCE(fcell, 1)."""
+    joined = staged.join(F.broadcast(_fine_groups_row(fine)), "ccell", "left")
     ranked = F.array_sort(
         F.transform(
             F.col("_fcs"),
@@ -1311,7 +1323,9 @@ def _fine_argmax(
     )
     keep = [c for c in staged.columns if c != "ccell"]
     return joined.select(
-        "ccell", *keep, F.element_at(ranked, 1)["fcell"].alias("fcell")
+        "ccell",
+        *keep,
+        F.coalesce(F.element_at(ranked, 1)["fcell"], F.lit(1)).alias("fcell"),
     )
 
 

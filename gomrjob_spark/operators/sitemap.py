@@ -115,9 +115,14 @@ def parse_entries(xml: Column) -> Column:
         # '1.0' and multi-digit fractions like '0.55' are legal),
         # converted with fixed-point string arithmetic — int part *
         # 10^6 plus the first 6 fraction digits right-padded with
-        # zeros — never a float
+        # zeros — never a float. The integer-1 branch admits only
+        # zero fractions (the r13 advisor's finding: '[01](\.[0-9]+)?'
+        # accepted out-of-spec '1.5'/'1.9', yielding ppm > 1000000;
+        # the spec caps priority at 1.0, so out-of-range values now
+        # fail the extract and land as null ppm like any other
+        # malformed field)
         pri = F.regexp_extract(
-            b, r"<priority>([01](?:\.[0-9]+)?)</priority>", 1
+            b, r"<priority>(0(?:\.[0-9]+)?|1(?:\.0+)?)</priority>", 1
         )
         ip = F.split(pri, "\\.").getItem(0)
         fp = F.when(

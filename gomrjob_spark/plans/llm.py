@@ -5615,13 +5615,14 @@ def _semdedup_train_sql() -> str:
     {_fine_round_sql("f1", "fa2", "f2")},
     af AS MATERIALIZED (
       SELECT vec_id, v,
-             CAST((ccell - 1) * (SELECT kf FROM par) + fcell AS INT) AS cell
+             CAST((ccell - 1) * (SELECT kf FROM par)
+                  + COALESCE(fcell, 1) AS INT) AS cell
       FROM (
         SELECT a.vec_id, a.v, a.ccell, c.fcell,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.fcell)
                  AS rn
-        FROM ac a JOIN f2 c ON c.ccell = a.ccell) s
+        FROM ac a LEFT JOIN f2 c ON c.ccell = a.ccell) s
       WHERE rn = 1
     )"""
 
@@ -5630,7 +5631,13 @@ def _hier_assign_sql(src: str, out: str) -> str:
     """Two-level assignment of ``{src}(vec_id, v)`` under an
     already-trained chain (par/c2/f2 in scope): coarse argmax vs c2,
     then fine argmax vs f2 within that coarse cell, flat composite
-    cell id — mirrors similarity.hier_assign."""
+    cell id — mirrors similarity.hier_assign. The fine join is a LEFT
+    JOIN with COALESCE(fcell, 1) (the r13 advisor's medium finding):
+    an arrival whose coarse argmax lands on a coarse cell that lost
+    every training member (its centroid survives via the COALESCE
+    rule, but it has no fine centroids) falls back to fcell = 1 — the
+    same rule similarity._fine_argmax applies — instead of being
+    silently dropped by an inner join on both engines at once."""
     return f"""{out}_c AS MATERIALIZED (
       SELECT vec_id, v, ccell FROM (
         SELECT e.vec_id, e.v, c.cell AS ccell,
@@ -5642,13 +5649,14 @@ def _hier_assign_sql(src: str, out: str) -> str:
     ),
     {out} AS MATERIALIZED (
       SELECT vec_id, v,
-             CAST((ccell - 1) * (SELECT kf FROM par) + fcell AS INT) AS cell
+             CAST((ccell - 1) * (SELECT kf FROM par)
+                  + COALESCE(fcell, 1) AS INT) AS cell
       FROM (
         SELECT a.vec_id, a.v, a.ccell, c.fcell,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY list_cosine_similarity(a.v, c.centroid) DESC, c.fcell)
                  AS rn
-        FROM {out}_c a JOIN f2 c ON c.ccell = a.ccell) s
+        FROM {out}_c a LEFT JOIN f2 c ON c.ccell = a.ccell) s
       WHERE rn = 1
     )"""
 

@@ -376,13 +376,28 @@ def parse_mp4(data: bytes) -> dict:
         for i in range(n_stsc)
     ]
     # expand stsc runs over the stco chunk list: run i covers chunks
-    # [first_chunk_i, first_chunk_{i+1}) at samples_per_chunk_i each
+    # [first_chunk_i, first_chunk_{i+1}) at samples_per_chunk_i each.
+    # first_chunk must be STRICTLY increasing (ISO/IEC 14496-12 §8.7.4
+    # orders entries by first_chunk) and the expansion must cover
+    # exactly n_chunks — the r13 advisor's finding: a crafted
+    # non-monotone run list can double-cover chunks so the sample loop
+    # hits IndexError on offsets[ci] instead of the contract's
+    # ValueError
     per_chunk: list[int] = []
     for i, (first, spc, _desc) in enumerate(runs):
         if first < 1 or first > n_chunks:
             raise ValueError(f"stsc run {i} first_chunk {first} out of range")
+        if i + 1 < len(runs) and runs[i + 1][0] <= first:
+            raise ValueError(
+                f"stsc run {i + 1} first_chunk {runs[i + 1][0]} not "
+                f"strictly increasing after {first}"
+            )
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
         per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != n_chunks:
+        raise ValueError(
+            f"stsc runs cover {len(per_chunk)} chunks, stco holds {n_chunks}"
+        )
     if sum(per_chunk) != n_samples:
         raise ValueError(
             f"stsc/stco cover {sum(per_chunk)} samples, stsz holds {n_samples}"

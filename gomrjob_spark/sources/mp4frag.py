@@ -242,6 +242,12 @@ def parse_mp4_fragmented(data: bytes) -> dict:
         for f2, b2, e2 in _walk(data, bs, be):
             if f2 == b"mfhd":
                 _, p = _full_header(data, b2, e2, b"mfhd")
+                # bounds-check against the box end (r13 advisor): a
+                # truncated mfhd body must raise the contract's
+                # ValueError, not silently read the next box's bytes
+                # as the sequence number
+                if e2 - p < 4:
+                    raise ValueError("mfhd truncated")
                 seq = struct.unpack(">I", data[p : p + 4])[0]
             elif f2 == b"traf":
                 for f3, b3, e3 in _walk(data, b2, e2):

@@ -1927,3 +1927,18 @@ def test_softdedup_weights_contract(spark):
     assert rows[2]["weight_ppm"] == max(1_000_000 - rows[2]["coverage_ppm"], 31_250)
     assert rows[3]["coverage_ppm"] == 0 and rows[3]["weight_ppm"] == 1_000_000
     assert all(r["weight_ppm"] > 0 for r in rows.values())
+
+
+def test_embedding_rp_preserves_caller_id_type(emb):
+    """r13 advisor: the rp keyer's mapInPandas schema hardcoded the id
+    to bigint (a regression from the expression-based keyer); it must
+    carry the CALLER's id type through instead."""
+    cast = emb.select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    ).limit(64)
+    out = dedup.embedding_dup_pairs_rp(
+        cast, threshold=0.4, n_planes=3, n_tables=8
+    )
+    assert out.schema["id_a"].dataType.simpleString() == "int"
+    assert out.schema["id_b"].dataType.simpleString() == "int"
+    out.collect()  # and the Arrow path executes under the narrow type

@@ -217,3 +217,24 @@ def test_raise_on_unsupported_fullbox_version():
     blob[at] = 3
     with pytest.raises(ValueError, match="version 3 unsupported"):
         parse_mp4(bytes(blob))
+
+
+def test_raise_on_stsc_non_monotone_runs():
+    """r13 advisor: non-monotone first_chunk runs could double-cover
+    chunks (len(per_chunk) > n_chunks with equal sample sum), hitting
+    IndexError instead of the contract's ValueError."""
+    blob = bytearray(encode_mp4(FRAMES, 8, 8))
+    at = blob.index(b"stsc") + 4 + 4  # entry_count position
+    # second run (entries at at+4, 12 bytes each): first_chunk 5 -> 1
+    blob[at + 16 : at + 20] = struct.pack(">I", 1)
+    with pytest.raises(ValueError, match="not strictly increasing"):
+        parse_mp4(bytes(blob))
+
+
+def test_raise_on_stsc_runs_not_covering_all_chunks():
+    blob = bytearray(encode_mp4(FRAMES, 8, 8))
+    at = blob.index(b"stsc") + 4 + 4
+    # first run starts at chunk 2: chunk 1 uncovered -> 4 of 5 chunks
+    blob[at + 4 : at + 8] = struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="stsc runs cover"):
+        parse_mp4(bytes(blob))

@@ -111,3 +111,18 @@ def test_init_segment_is_byte_constant():
 
     assert len(_init_segment(8, 8)) == INIT_SEGMENT_BYTES
     assert _init_segment(8, 8) == _init_segment(8, 8)
+
+
+def test_raise_on_truncated_mfhd():
+    """r13 advisor: the mfhd sequence read had no bounds check against
+    the box end — a truncated body silently read the NEXT box's bytes
+    as the sequence number instead of raising."""
+    from gomrjob_spark.sources.mp4 import _box
+    from gomrjob_spark.sources.mp4frag import _init_segment
+
+    init = _init_segment(8, 8)
+    # full-box header only (version/flags), NO sequence field
+    moof = _box(b"moof", _box(b"mfhd", b"\x00\x00\x00\x00"))
+    mdat = _box(b"mdat", b"x" * 8)
+    with pytest.raises(ValueError, match="mfhd truncated"):
+        parse_mp4_fragmented(init + moof + mdat)

@@ -146,3 +146,31 @@ def test_crossmodal_alignment_gate(spark):
     assert rows[1]["align_sim"] == 1.0 and rows[1]["aligned"]
     assert rows[2]["align_sim"] == -1.0 and not rows[2]["aligned"]
     assert rows[3]["align_sim"] == 0.0 and not rows[3]["aligned"]
+
+
+def test_hier_assign_empty_coarse_cell_falls_back_to_fcell_1(spark):
+    """r13 advisor (medium): Lloyd's can leave a coarse cell with zero
+    training members whose centroid survives via COALESCE — it then has
+    NO fine centroids. A (streaming) arrival whose coarse argmax lands
+    there must still be assigned (fcell=1 fallback), not silently
+    dropped by an inner join — the gate's 'first arrival passes with
+    n_same_cell=0' invariant depends on it."""
+    coarse = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    # fine centroids exist ONLY for coarse cell 1
+    fine = spark.createDataFrame(
+        [(1, 1, [1.0, 0.0]), (1, 2, [0.9, 0.1])],
+        "ccell int, fcell int, centroid array<double>",
+    )
+    model = similarity.SemDedupModel(coarse, fine, 2)
+    arrivals = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.hier_assign(arrivals, model).collect()
+    }
+    assert got[10] == 1  # (1-1)*2 + 1: normal fine argmax
+    assert got[11] == 3  # (2-1)*2 + 1: the empty-coarse-cell fallback

@@ -149,3 +149,24 @@ def test_discovery_inconsistency_nonvacuous(spark, sf_dir):
         assert r["sitemap_url"].endswith("/sitemap-index.xml")
     # the gated section really is hit: some inconsistent rows are /a...
     assert any("/a" in r["loc"].split(r["registered_domain"])[1] for r in bad)
+
+
+def test_priority_above_spec_cap_is_null(spark):
+    """r13 advisor: '[01](\\.[0-9]+)?' accepted out-of-spec '1.5',
+    yielding ppm > 1000000; the sitemaps spec caps priority at 1.0, so
+    such values must land as null like any other malformed field."""
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.example/1</loc><priority>1.5</priority></url>"
+        "<url><loc>https://a.example/2</loc><priority>1.9</priority></url>"
+        "<url><loc>https://a.example/3</loc><priority>1.0</priority></url>"
+        "<url><loc>https://a.example/4</loc><priority>1</priority></url>"
+        "</urlset>"
+    )
+    entries = _parse(spark, xml)
+    assert [e["priority_ppm"] for e in entries] == [
+        None,
+        None,
+        1000000,
+        1000000,
+    ]
