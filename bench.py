@@ -107,6 +107,32 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: row), multimodal_exif_stats is the benched pixel-stats dispatch
 #: floor, streaming_url_gate is a strict subset of the benched langid
 #: gate shape, streaming_replay_idempotent_sink is IO-bound setup.
+#: r14 rotation (r13 verdict item #1 — the artifact outgrew the
+#: driver's 2000-byte stdout window: r13's 65-entry line truncated,
+#: losing q1/q5/q18 and leaving parsed=null). ELEVEN flat entries
+#: rotate OUT, each with its cost class still measured and its plan
+#: shape pinned in tests/test_plan_quality.py:
+#: multimodal_compressed_pixel_stats (0.45 s — scene_cuts + the phash
+#: entries keep the JPEG-decode dispatch floor), warc_file_source
+#: (0.57 s — warc_cdx_member_index + streaming_warc_member_source keep
+#: the WARC walk, member-compressed variant included),
+#: join_asof_nearest left IN (the one as-of representative);
+#: join_interval_lookup (0.96 s — join_band_time keeps the inequality
+#: class), text_pii_scrub (0.74 s flat regex scan — the langid gate +
+#: html_extract keep scan-local text programs),
+#: multimodal_flac_metadata (0.80 s — mp3_metadata keeps the audio
+#: metadata walk, audio_fingerprint_dedup the audio compute class),
+#: decontaminate_ngrams (0.93 s — decontaminate_semantic keeps the
+#: decontamination class), multimodal_avi_frames (0.93 s — the two
+#: mp4 walks keep the container class), robots_txt_gate (0.94 s —
+#: corpus_funnel_report and sitemap_discovery both compose the same
+#: robots verdict fold), text_pmi_collocations (1.09 s —
+#: heavy_hitter_tokens + text_bigram_novelty keep the pair-count
+#: shuffle class), streaming_search_score and streaming_phash_admission
+#: (1.24/1.26 s — streaming keeps FIVE entries: tumbling_agg,
+#: interval_join, near_dup_probe, upsert_apply, outlier_flags,
+#: warc_member_source; the batch phash twins keep the phash class).
+#: Every rotated entry can rotate back in a later round.
 HEADLINE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -123,9 +149,7 @@ HEADLINE = [
     "knn_ivf_kmeans",
     "knn_pq",
     "search_bm25_topk",
-    "decontaminate_ngrams",
     "text_repetition_stats",
-    "text_pii_scrub",
     "text_bigram_novelty",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -138,13 +162,10 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
-    "text_pmi_collocations",
     "join_asof_nearest",
     "join_semi_bloom",
-    "join_interval_lookup",
     "graph_pagerank",
     "graph_triangles",
-    "multimodal_compressed_pixel_stats",
     "text_langid_gate",
     "multimodal_phash_dedup",
     "multimodal_phash_near_pairs",
@@ -154,9 +175,7 @@ HEADLINE = [
     "streaming_tumbling_agg",
     "streaming_interval_join",
     "streaming_near_dup_probe",
-    "streaming_search_score",
     "streaming_upsert_apply",
-    "streaming_phash_admission",
     "streaming_outlier_flags",
     # r11 additions LAST: inserting them mid-list shifted every later
     # entry's JVM neighborhood (GC/code-cache state) and inflated the
@@ -174,7 +193,6 @@ HEADLINE = [
     "html_extract_text",
     # r11 third wave: the RFC 9309 group-aware parse+verdict fold (the
     # crawl's position -1) and the four-family funnel composition
-    "robots_txt_gate",
     "corpus_funnel_report",
     # r12 additions (appended, the r11 position-stability rule). OUT to
     # pay their ~130 B of tail budget, each cost class still measured:
@@ -186,9 +204,6 @@ HEADLINE = [
     # multimodal_lossless_pixel_stats (0.52 s flat; the compressed /
     # scene-cut entries keep the decode dispatch floor). All four stay
     # plan-pinned in tests/test_plan_quality.py.
-    "warc_file_source",
-    "multimodal_avi_frames",
-    "multimodal_flac_metadata",
     # the r12 flagship: the 11-stage crawl->train-set composite. Its
     # cost is by construction ~the sum of its member families (minhash
     # + perceptron + KN + langid + html + WET walk), so expect ~15-25 s

@@ -22,13 +22,61 @@ the same bar the r10/r11 judges applied by hand.
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+
+def _recover_from_tail(tail: str, path: str) -> dict:
+    """Regex-recover a truncated artifact (r13 verdict item #1: the
+    65-entry r13 line outgrew the driver's 2000-byte stdout window, so
+    ``parsed`` is null and ``tail`` holds only the line's LAST 2000
+    bytes — this tool then crashed on its own round's artifact).
+
+    The tail's structure is a suffix of the real JSON line: some prefix
+    of the ``queries`` dict is lost, but everything from ``"sf":``
+    onward (sf, disp, wx, canary, q1ss) survives intact. Recover the
+    whole-key query times by regex (a cut mid-name — r13's tail opens
+    ``_time":1.4`` — has no opening quote and never matches; a cut
+    exactly on the quote gives a match at offset 0 with a possibly
+    truncated name, dropped), and parse the surviving JSON suffix for the
+    normalizer fields. ``wx`` is discarded: it aligns by index with the
+    FULL query order, which the lost prefix shifts — wx_for() then
+    returns -1 (unknown noise) for every query, which only makes
+    flagging MORE conservative."""
+    m = re.search(r',"sf":', tail)
+    if m is None:
+        raise SystemExit(
+            f"{path}: parsed is null and tail has no recoverable "
+            '"sf" suffix — not a bench artifact'
+        )
+    matches = list(
+        re.finditer(r'"([A-Za-z0-9_]+)":([0-9][0-9.]*)', tail[: m.start()])
+    )
+    # a cut inside a NAME leaves no opening quote, so the regex already
+    # skips it; only a cut landing exactly ON the opening quote yields a
+    # match at offset 0 whose name may be truncated — drop that one
+    if matches and matches[0].start() == 0 and not tail.startswith('{"metric"'):
+        matches = matches[1:]
+    pairs = [m2.groups() for m2 in matches]
+    suffix = json.loads("{" + tail[m.start() + 1 :])
+    out = {"queries": {k: float(v) for k, v in pairs}}
+    for key in ("sf", "disp", "canary", "q1ss"):
+        if key in suffix:
+            out[key] = suffix[key]
+    print(
+        f"# {path}: recovered {len(out['queries'])} query times from a "
+        f"truncated tail (parsed=null); earlier entries are lost",
+        file=sys.stderr,
+    )
+    return out
 
 
 def load(path: str) -> dict:
     with open(path) as fh:
         raw = json.load(fh)
     parsed = raw.get("parsed", raw)
+    if parsed is None:
+        return _recover_from_tail(raw.get("tail") or "", path)
     if "queries" not in parsed:
         raise SystemExit(f"{path}: no 'queries' field — not a bench artifact")
     return parsed
@@ -75,6 +123,8 @@ def main() -> None:
         noise = max(wx_for(a, q), wx_for(b, q), 0) / 100.0
         flag = norm > 1.25 and (norm - 1.0) > noise and (tb - ta) > 0.3
         rows.append((norm, raw, ta, tb, q, flag))
+    if not rows:
+        raise SystemExit("no shared queries between the two artifacts")
     rows.sort(reverse=True)
     print(f"{'norm':>6} {'raw':>6} {'tA':>7} {'tB':>7}  query")
     for norm, raw, ta, tb, q, flag in rows:
