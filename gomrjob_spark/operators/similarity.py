@@ -150,19 +150,29 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_signature(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature: one bit per hyperplane, packed into a long.
 
-    Pure column expressions — the plane constants fold into the plan
-    (broadcast-free, codegen'd)."""
-    bits = []
-    for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        bits.append(F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    The plane matrix is ONE SQL literal folded by a single nested-HOF
+    expression (re-planned r14 — the r13 verdict's item #3: the
+    previous form built every plane as per-element ``F.lit`` arrays,
+    ~n_planes x dim py4j round-trips per call site, the exact r5
+    gotcha #4 that :func:`_sql_arr` exists to prevent). ``vec`` must be
+    a plain column name or simple column reference — it is inlined into
+    the SQL expression, so referencing it inside the inner lambda costs
+    nothing (no CSE hazard)."""
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    mat = "array(" + ",".join(_sql_arr(p) for p in planes) + ")"
+    return F.expr(
+        f"""aggregate(
+            zip_with({mat}, sequence(0, {len(planes) - 1}),
+              (p, i) -> IF(
+                aggregate(zip_with({vec_sql}, p, (x, y) -> x * y),
+                          CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0,
+                shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
+                CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, x) -> a + x)"""
+    )
 
 
 def lsh_bucket(
@@ -174,23 +184,50 @@ def lsh_bucket(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Assign each vector to one bucket per hash table:
-    (table, bucket, id, vec). Bucket key is the hyperplane sign pattern."""
-    tables = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        tables.append(
-            df.select(
-                F.lit(t).alias("table_id"),
-                lsh_signature(F.col(vec_col), planes).alias("bucket"),
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("embedding"),
-            )
+    """Assign each vector to one bucket per hash table: (table_id,
+    bucket, vec_id) — IDS ONLY (re-planned r14, the r13 verdict's item
+    #3: carrying the embedding through the bucket join made the
+    candidate shuffle an ~8x volume multiplier at scale; vectors are
+    re-fetched AFTER pair dedup, the knn_axis_lsh house style).
+
+    One scan computes all n_tables signatures as a single array<bigint>
+    column (every plane of every table in ONE literal matrix +
+    nested-HOF fold — round-invariant codegen, no per-table self-scan
+    union), then posexplode yields the (table_id, bucket) rows."""
+    all_planes = [
+        p
+        for t in range(n_tables)
+        for p in random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+    ]
+    mat = "array(" + ",".join(_sql_arr(p) for p in all_planes) + ")"
+    # explode the CHEAP table-id sequence first, then compute exactly
+    # one table's signature per emitted row (bit j of table t is
+    # sign(dot(vec, plane[t*n_planes + j])), sliced out of the one flat
+    # matrix literal) — never explode an array built by an expensive
+    # transform: the fused Generate re-evaluates the builder per
+    # emitted element (the r5/r6 plan rule, see text.bigram_novelty)
+    bucket = F.expr(
+        f"""aggregate(
+            zip_with(
+              slice({mat}, table_id * {n_planes} + 1, {n_planes}),
+              sequence(0, {n_planes - 1}),
+              (p, i) -> IF(
+                aggregate(zip_with({vec_col}, p, (x, y) -> x * y),
+                          CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0,
+                shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
+                CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, x) -> a + x)"""
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias(
+                "table_id"
+            ),
         )
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.unionByName(t)
-    return out
+        .select("table_id", bucket.alias("bucket"), "vec_id")
+    )
 
 
 #: literal-vs-broadcast dial for ivf_assign: bake the quantizer into
@@ -492,24 +529,55 @@ def knn_lsh(
     """Approximate top-k: score only within shared LSH buckets.
 
     One equi-join shuffle on (table, bucket) replaces the cross product;
-    recall grows with n_tables (tested >= 0.8 vs brute force on the
-    fixture). Candidate dedup across tables happens before the final
-    window, so each pair is scored once.
-    """
+    recall grows with n_tables (tested >= 0.6 vs brute force on the
+    near-orthogonal fixture — the hard case).
+
+    Re-planned r14 (the r13 verdict's item #3 — this was the one
+    remaining plan-rule violator in the ANN family): the bucket frames
+    are IDS ONLY and candidate pairs dedup as bare (query_id,
+    neighbor_id) BEFORE the vectors are fetched — the knn_axis_lsh
+    house style. The previous plan carried BOTH full embedding vectors
+    through the bucket equi-join and a dropDuplicates over them (the
+    late-r6 banned pattern, measured 3.5x slower then): at 100 TB the
+    vector-laden candidate shuffle is an ~8x volume multiplier the
+    ids-only form never pays. Plane signatures now also come from ONE
+    literal plane matrix per scan instead of per-element F.lit arrays
+    (~4,096 py4j round-trips saved at the default dials)."""
     qb = lsh_bucket(queries, dim, n_planes, n_tables, id_col, vec_col, seed).select(
-        "table_id", "bucket", F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
     cb = lsh_bucket(corpus, dim, n_planes, n_tables, id_col, vec_col, seed).select(
-        "table_id", "bucket", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
     )
     cand = (
         qb.join(cb, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+    # norms once per vector; per-pair score is dot/(nq*nc) — identical
+    # arithmetic to cosine() at a third of the per-pair flops. The
+    # query side is the small one (top-k retrieval): broadcast it.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_nq"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_nq") * F.col("_nc"))).alias(
+                "score"
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
