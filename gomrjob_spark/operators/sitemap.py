@@ -142,7 +142,56 @@ def parse_entries(xml: Column) -> Column:
     return F.transform(blocks, fields)
 
 
-def synth_sitemap_index(site_num: Column) -> Column:
+@F.pandas_udf("binary")
+def encode_xml_payload(xml, gz):  # type: ignore[misc]
+    """Writer twin for the fetch layer (r14, the r13 verdict's item
+    #5): the sitemap file as the BYTES a crawler would fetch. Plain
+    children are utf-8; ``.xml.gz`` children (``gz`` true) compress as
+    TWO concatenated gzip members split mid-document (mtime=0,
+    deterministic) — real-world large sitemaps ship multi-member, and
+    a reader that inflates only the FIRST member silently loses the
+    tail entries and fails the hash gate (the member-decode decoy,
+    sources/warc.py's device applied one layer up)."""
+    import gzip  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    out = []
+    for text, g in zip(xml, gz):
+        raw = text.encode("utf-8")
+        if g:
+            cut = len(raw) // 2
+            out.append(
+                gzip.compress(raw[:cut], mtime=0)
+                + gzip.compress(raw[cut:], mtime=0)
+            )
+        else:
+            out.append(raw)
+    return pd.Series(out)
+
+
+@F.pandas_udf("string")
+def decode_xml_payload(payload, url):  # type: ignore[misc]
+    """Fetched sitemap bytes -> XML text. The compression choice is
+    made BY FILENAME EXTENSION (how a real crawler decides — the URL
+    it fetched is authoritative), never by magic-byte sniffing; gz
+    payloads inflate as a CONCATENATED-MEMBER stream via the WARC
+    member splitter (DEFLATE-structure boundaries, sources/warc.py:
+    split_gzip_members), so multi-member files decode whole."""
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.sources.warc import split_gzip_members  # noqa: PLC0415
+
+    out = []
+    for data, u in zip(payload, url):
+        b = bytes(data)
+        if u.endswith(".gz"):
+            b = b"".join(m[2] for m in split_gzip_members(b))
+        out.append(b.decode("utf-8"))
+    return pd.Series(out)
+
+
+def synth_sitemap_index(site_num: Column, gz_children: bool = False) -> Column:
     """``<sitemapindex>`` XML per domain as a PURE formula of the
     domain's site number ``k`` and registered domain — the discovery
     layer above :func:`synth_sitemap`: real publishers shard large
@@ -152,14 +201,25 @@ def synth_sitemap_index(site_num: Column) -> Column:
     k%3==0 (an index harvest that does not strip comments first fetches
     a phantom child and over-counts every later child's entries);
     whitespace-noised child ``<loc>`` values on k%2==1 (the spec's
-    trimming rule, same device as the urlset fixture)."""
+    trimming rule, same device as the urlset fixture).
+
+    ``gz_children=True`` (r14): every (k + j) % 2 == 0 child is listed
+    with a ``.xml.gz`` extension — the realistic mixed-encoding index
+    (most production sitemaps ship gzipped; the spec blesses it). The
+    formula choice lets the oracle recompute which children are
+    compressed without ever seeing the bytes."""
     k = site_num.cast("bigint")
     domain = F.col("registered_domain")
 
     def child(j: Column) -> Column:
+        ext = (
+            F.when((k + j) % 2 == 0, F.lit(".xml.gz")).otherwise(F.lit(".xml"))
+            if gz_children
+            else F.lit(".xml")
+        )
         loc = F.concat(
             F.lit("https://"), domain, F.lit("/sitemap-c"),
-            j.cast("string"), F.lit(".xml"),
+            j.cast("string"), ext,
         )
         noised = F.when(
             k % 2 == 1,

@@ -170,3 +170,71 @@ def test_priority_above_spec_cap_is_null(spark):
         1000000,
         1000000,
     ]
+
+
+def test_gz_payload_roundtrip_is_multimember(spark):
+    """The writer twin emits gz children as TWO concatenated gzip
+    members split mid-document; the reader must inflate ALL members
+    (a first-member-only reader loses the tail entries)."""
+    import gzip
+    import zlib
+
+    from gomrjob_spark.operators.sitemap import (
+        decode_xml_payload,
+        encode_xml_payload,
+    )
+
+    xml = "<urlset>" + "".join(
+        f"<url><loc>https://a.example/p{i}</loc></url>" for i in range(10)
+    ) + "</urlset>"
+    df = spark.createDataFrame(
+        [(xml, True, "https://a.example/sitemap-c0.xml.gz"),
+         (xml, False, "https://a.example/sitemap-c1.xml")],
+        "xml string, gz boolean, url string",
+    )
+    enc = df.select(
+        "url", encode_xml_payload(F.col("xml"), F.col("gz")).alias("payload")
+    )
+    rows = {r["url"]: bytes(r["payload"]) for r in enc.collect()}
+    gz_bytes = rows["https://a.example/sitemap-c0.xml.gz"]
+    # really two members: inflating only the first yields a PREFIX
+    d = zlib.decompressobj(31)
+    first = d.decompress(gz_bytes)
+    assert d.eof and d.unused_data  # a second member follows
+    assert first == xml.encode()[: len(xml.encode()) // 2]
+    assert gzip.decompress(gz_bytes) == xml.encode()  # stdlib concatenates
+    # plain child is raw utf-8
+    assert rows["https://a.example/sitemap-c1.xml"] == xml.encode()
+    # and the reader round-trips BOTH by extension
+    dec = enc.select(
+        "url", decode_xml_payload(F.col("payload"), F.col("url")).alias("xml")
+    )
+    for r in dec.collect():
+        assert r["xml"] == xml
+
+
+def test_gz_index_extension_choice_is_formula(spark):
+    from gomrjob_spark.operators.sitemap import (
+        parse_index_entries,
+        synth_sitemap_index,
+    )
+
+    df = spark.createDataFrame(
+        [("site7.canon.site", 7)], "registered_domain string, k bigint"
+    )
+    kids = df.select(
+        parse_index_entries(
+            synth_sitemap_index(F.col("k"), gz_children=True)
+        ).alias("c")
+    ).first()["c"]
+    # k=7: children j=0 (7+0 odd -> .xml), j=1 (even -> .xml.gz)
+    assert kids == [
+        "https://site7.canon.site/sitemap-c0.xml",
+        "https://site7.canon.site/sitemap-c1.xml.gz",
+    ]
+    # default stays extensionless-gz (the r13-gated sitemap_discovery
+    # child urls must not change)
+    plain = df.select(
+        parse_index_entries(synth_sitemap_index(F.col("k"))).alias("c")
+    ).first()["c"]
+    assert all(u.endswith(".xml") for u in plain)
