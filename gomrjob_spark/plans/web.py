@@ -595,6 +595,98 @@ def _warc_fixture_records(
     )
 
 
+_REVISIT_PAYLOAD_SQL = """'capture doc ' || CAST({d} AS VARCHAR) || ' of u'
+      || CAST({d} % 17 AS VARCHAR) || ' '
+      || repeat('x', CAST(11 + {d} % 7 AS INT))
+      || CASE WHEN {d} % 7 = 3
+              THEN chr(13) || chr(10) || chr(13) || chr(10)
+                   || 'WARC/1.0' || chr(13) || chr(10)
+              ELSE '' END"""
+
+
+@query(
+    "warc_revisit_resolve",
+    oracle=f"""
+    WITH caps AS (
+      SELECT doc_id AS d, doc_id % 17 AS grp FROM documents
+    ),
+    marked AS (
+      SELECT d, grp,
+        (d % 3 = 1 AND d <> min(d) OVER (PARTITION BY grp)) AS is_rev
+      FROM caps
+    ),
+    reffed AS (
+      SELECT d, grp, is_rev,
+        max(CASE WHEN NOT is_rev THEN d END) OVER (
+          PARTITION BY grp ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_resp
+      FROM marked
+    )
+    SELECT CAST(d AS BIGINT) AS doc_id,
+      'https://dup.example.org/u' || CAST(grp AS VARCHAR) AS target_uri,
+      CASE WHEN is_rev THEN 'revisit' ELSE 'response' END AS warc_type,
+      CAST(CASE WHEN is_rev AND d % 9 <> 7 THEN prev_resp END AS BIGINT)
+        AS refers_doc,
+      (NOT is_rev) OR (d % 9 <> 7) AS resolved,
+      CASE WHEN NOT is_rev THEN {_REVISIT_PAYLOAD_SQL.format(d="d")}
+           WHEN d % 9 <> 7 THEN {_REVISIT_PAYLOAD_SQL.format(d="prev_resp")}
+           END AS body
+    FROM reffed ORDER BY doc_id
+    """,
+)
+def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` resolution (r14, the r13 verdict's item #6) —
+    how Common Crawl expresses URL-level dedup (ISO 28500 §6.7.2): an
+    unchanged re-capture ships as a near-empty revisit record whose
+    ``WARC-Refers-To`` names the original response's record id; a
+    pipeline that ignores them silently loses ~10-15% of real CC
+    captures. The writer twin synthesizes 8 files where captures share
+    URLs (group d%17), every later d%3==1 capture in a group is a
+    revisit of the most recent PRECEDING response (usually in a
+    DIFFERENT file — resolution is genuinely a cross-file join), and
+    every d%9==7 revisit's referent is a VOID id: the unresolvable
+    decoy that must surface as resolved=false with a NULL body (a
+    resolver that inner-joins, or that substitutes the revisit's own
+    empty payload, cannot hash-match). The oracle recomputes the
+    group mins, the preceding-response lag (window max), the void
+    rule, and every resolved body from the doc-id formulas.
+
+    Plan (sources/warc.py resolve_revisits): responses pass through
+    with NO shuffle; only the revisit rows plus an (id, payload)
+    projection of the responses shuffle for one left equi-join on the
+    record id — the minimum data movement resolution admits at CC
+    scale."""
+    from gomrjob_spark.sources.warc import (
+        read_warc_files,
+        resolve_revisits,
+        write_warc_revisit_fixture,
+    )
+
+    ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    fixture = write_warc_revisit_fixture(sf_dir, ids)
+    recs = read_warc_files(spark, fixture, with_ids=True)
+    res = resolve_revisits(recs)
+    return res.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:rec:([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        "warc_type",
+        # try_cast: a void/absent referent extracts as '' and must land
+        # NULL, not throw under ANSI mode
+        F.regexp_extract(F.col("refers_to"), r"^urn:rec:([0-9]+)$", 1)
+        .try_cast("bigint")
+        .alias("refers_doc"),
+        "resolved",
+        F.col("resolved_payload").cast("string").alias("body"),
+    ).orderBy("doc_id")
+
+
 @query("warc_file_source", oracle=_warc_file_oracle())
 def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-level WARC ingestion — real multi-record ``.warc`` AND

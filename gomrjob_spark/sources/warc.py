@@ -27,7 +27,14 @@ _CRLF = b"\r\n"
 
 def encode_warc(records: list[dict]) -> bytes:
     """Serialize records ({uri, date, payload: bytes, type?}) into a
-    spec-shaped WARC stream (the WET 'conversion' profile)."""
+    spec-shaped WARC stream (the WET 'conversion' profile).
+
+    Optional per-record keys (r14, the revisit family): ``record_id``
+    emits ``WARC-Record-ID: <id>`` (ISO 28500 §5.2 angle-bracket URI
+    form), ``refers_to`` emits ``WARC-Refers-To: <id>`` and
+    ``profile`` emits ``WARC-Profile`` — the three headers a
+    ``revisit`` record (how Common Crawl expresses URL-level dedup)
+    needs so a reader can resolve it against the referred response."""
     out = bytearray()
     for r in records:
         payload = r["payload"]
@@ -36,8 +43,18 @@ def encode_warc(records: list[dict]) -> bytes:
             b"WARC-Type: " + r.get("type", "conversion").encode("ascii"),
             b"WARC-Target-URI: " + r["uri"].encode("ascii"),
             b"WARC-Date: " + r["date"].encode("ascii"),
-            b"Content-Length: " + str(len(payload)).encode("ascii"),
         ]
+        if r.get("record_id"):
+            headers.append(
+                b"WARC-Record-ID: <" + r["record_id"].encode("ascii") + b">"
+            )
+        if r.get("refers_to"):
+            headers.append(
+                b"WARC-Refers-To: <" + r["refers_to"].encode("ascii") + b">"
+            )
+        if r.get("profile"):
+            headers.append(b"WARC-Profile: " + r["profile"].encode("ascii"))
+        headers.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
         out += _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
     return bytes(out)
 
@@ -86,6 +103,11 @@ def parse_warc(data: bytes) -> list[dict]:
                 "type": headers.get("warc-type", ""),
                 "uri": headers.get("warc-target-uri", ""),
                 "date": headers.get("warc-date", ""),
+                # angle brackets strip on read (§5.2 writes <uri>); a
+                # record without the header yields "" like uri/date
+                "record_id": headers.get("warc-record-id", "").strip("<>"),
+                "refers_to": headers.get("warc-refers-to", "").strip("<>"),
+                "profile": headers.get("warc-profile", ""),
                 "content_length": length,
                 "payload": data[body_start:body_end],
                 # CDX-index fields: byte position of the record in the
@@ -199,29 +221,39 @@ WARC_RECORDS_SCHEMA = (
     "offset bigint, record_bytes bigint"
 )
 
+#: the id-bearing variant (r14 revisit family): + WARC-Record-ID /
+#: WARC-Refers-To / WARC-Profile. A separate schema so the dozen
+#: already-gated consumers of the bare reader keep their column sets.
+WARC_RECORDS_IDS_SCHEMA = (
+    WARC_RECORDS_SCHEMA + ", record_id string, refers_to string, "
+    "profile string"
+)
 
-def warc_records_from_binary_files(files_df):
+
+def warc_records_from_binary_files(files_df, with_ids: bool = False):
     """binaryFile rows -> one row per WARC record (shared by the batch
     and streaming readers — stream==batch is the same code). Transparent
     member decompression for ``*.gz`` paths (gzip is applied to the
     WHOLE file, so it must happen before the length-delimited walk);
     ``rec_idx`` is the record's position in its file. Arrow-batched
     ``mapInPandas``, scan-local: the only columns shipped to Python are
-    path + content, and nothing shuffles."""
+    path + content, and nothing shuffles. ``with_ids=True`` adds the
+    record-identity headers (record_id, refers_to, profile) the
+    revisit-resolution join needs."""
     import gzip  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
 
+    base_cols = (
+        "file_name", "rec_idx", "warc_type", "target_uri",
+        "warc_date", "content_length", "payload",
+        "offset", "record_bytes",
+    )
+    id_cols = ("record_id", "refers_to", "profile") if with_ids else ()
+
     def run(batches):
         for pdf in batches:
-            rows = {
-                k: []
-                for k in (
-                    "file_name", "rec_idx", "warc_type", "target_uri",
-                    "warc_date", "content_length", "payload",
-                    "offset", "record_bytes",
-                )
-            }
+            rows = {k: [] for k in base_cols + id_cols}
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = str(path).rsplit("/", 1)[-1]
                 data = bytes(content)
@@ -237,24 +269,27 @@ def warc_records_from_binary_files(files_df):
                     rows["payload"].append(rec["payload"])
                     rows["offset"].append(rec["offset"])
                     rows["record_bytes"].append(rec["record_bytes"])
+                    for k in id_cols:
+                        rows[k].append(rec[k])
             yield pd.DataFrame(rows)
 
     return files_df.select("path", "content").mapInPandas(
-        run, schema=WARC_RECORDS_SCHEMA
+        run, schema=WARC_RECORDS_IDS_SCHEMA if with_ids else WARC_RECORDS_SCHEMA
     )
 
 
-def read_warc_files(spark, path: str, glob: str = "*.warc*"):
+def read_warc_files(spark, path: str, glob: str = "*.warc*", with_ids: bool = False):
     """BATCH file-level WARC source: every ``.warc``/``.warc.gz`` under
     ``path`` -> one row per record. File listing + glob pruning happen
     JVM-side; each file is one task (the right unit — see module
-    comment)."""
+    comment). ``with_ids=True`` surfaces the record-identity headers
+    for revisit resolution."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
     )
-    return warc_records_from_binary_files(files)
+    return warc_records_from_binary_files(files, with_ids=with_ids)
 
 
 def split_gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
@@ -557,6 +592,143 @@ def write_warc_member_fixture(sf_dir: str, doc_ids) -> str:
             for d in members
         )
         with open(os.path.join(tmp, f"crawl-cc-0000{f}.warc.gz"), "wb") as fh:
+            fh.write(blob)
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return out
+
+
+def resolve_revisits(records):
+    """Resolve WARC ``revisit`` records against their referred
+    responses (r14, the r13 verdict's item #6) — the ISO 28500 §6.7.2
+    / Common Crawl URL-level dedup semantics: a re-capture whose
+    payload was unchanged ships as a near-empty ``revisit`` record
+    whose ``WARC-Refers-To`` names the original response's
+    ``WARC-Record-ID``; a pipeline that ignores them silently loses
+    ~10-15% of a real CC segment's captures.
+
+    Input: an id-bearing records frame (warc_records_from_binary_files
+    with_ids=True). Output: every capture with
+    ``resolved_payload`` (its own payload for non-revisits; the
+    referred response's payload for resolved revisits; NULL for a
+    revisit whose referent is missing from the stream) and a
+    ``resolved`` flag — unresolvable revisits are SURFACED, never
+    dropped (the data-loss signal a curation operator must see).
+
+    Plan: non-revisit records pass through without any shuffle; only
+    the (small) revisit side plus an (id, payload) projection of the
+    responses shuffle for one left equi-join on the record id — no
+    window, no sort, and the payload bytes cross the wire once, which
+    is the minimum for resolution."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    resp = records.filter(F.col("warc_type") != "revisit")
+    refs = resp.select(
+        F.col("record_id").alias("refers_to"),
+        F.col("payload").alias("resolved_payload"),
+    )
+    rev = (
+        records.filter(F.col("warc_type") == "revisit")
+        .join(refs, "refers_to", "left")
+        .withColumn("resolved", F.col("resolved_payload").isNotNull())
+    )
+    out = resp.withColumn(
+        "resolved_payload", F.col("payload")
+    ).withColumn("resolved", F.lit(True))
+    return out.unionByName(rev.select(*out.columns))
+
+
+def revisit_fixture_records(doc_ids) -> list[dict]:
+    """The revisit fixture as a pure formula of the doc-id SET —
+    mirrored by the oracle SQL (plans/web.py warc_revisit_resolve).
+    Captures share URLs via group g = d % 17 (``/u<g>`` — multiple
+    captures of one URL is what makes revisits exist); within a group,
+    ordered by doc_id:
+
+    - the FIRST capture is always a 'response';
+    - every later d with d % 3 == 1 is a 'revisit' of the most recent
+      PRECEDING response in its group (the lag the oracle recomputes
+      with a window max), profile per ISO 28500 identical-payload-
+      digest, EMPTY body — except d % 9 == 7 revisits, whose
+      WARC-Refers-To names a VOID record id (the unresolvable decoy:
+      a resolver that inner-joins or drops them cannot match);
+    - everything else is a 'response' with the formula payload
+      (including the d % 7 == 3 record-boundary decoy).
+
+    Record ids are ``urn:rec:<d>`` — deterministic, join-able, and
+    doc-extractable on both engines."""
+    ids = sorted(int(x) for x in doc_ids)
+    min_g: dict[int, int] = {}
+    for d in ids:
+        min_g.setdefault(d % 17, d)
+    last_resp: dict[int, int] = {}
+    out: list[dict] = []
+    for d in ids:
+        g = d % 17
+        is_rev = d % 3 == 1 and d != min_g[g]
+        rec = {
+            "uri": f"https://dup.example.org/u{g}",
+            "date": f"2026-02-{1 + d % 28:02d}T00:00:00Z",
+            "record_id": f"urn:rec:{d}",
+        }
+        if is_rev:
+            rec["type"] = "revisit"
+            rec["profile"] = "identical-payload-digest"
+            rec["payload"] = b""
+            rec["refers_to"] = (
+                f"urn:rec:void:{d}" if d % 9 == 7
+                else f"urn:rec:{last_resp[g]}"
+            )
+        else:
+            rec["type"] = "response"
+            rec["payload"] = (
+                f"capture doc {d} of u{g} " + "x" * (11 + d % 7)
+                + ("\r\n\r\nWARC/1.0\r\n" if d % 7 == 3 else "")
+            ).encode("ascii")
+            last_resp[g] = d
+        out.append(rec)
+    return out
+
+
+def write_warc_revisit_fixture(sf_dir: str, doc_ids) -> str:
+    """Write the revisit fixture: 8 files (doc_id % 8, plain/gz
+    alternating like write_warc_fixture) — note the referred response
+    of a revisit usually lives in a DIFFERENT file, so resolution is
+    genuinely a cross-file join, as on real CC segments. Same
+    idempotent rename-atomic scaffolding + content-addressed key."""
+    import gzip  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    ids = sorted(int(x) for x in doc_ids)
+    base = "/tmp/gomrjob_spark_fixtures"
+    key = _fixture_dir_key("warc_revisit_v1", sf_dir, ids)
+    out = os.path.join(base, key)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    recs = {int(r["record_id"].split(":")[-1]): r
+            for r in revisit_fixture_records(ids)}
+    by_file: dict[int, list[int]] = {}
+    for d in ids:
+        by_file.setdefault(d % N_FIXTURE_FILES, []).append(d)
+    for f, members in sorted(by_file.items()):
+        stream = encode_warc([recs[d] for d in members])
+        if f % 2 == 1:
+            path = os.path.join(tmp, f"crawl-rv-0000{f}.warc.gz")
+            blob = gzip.compress(stream, mtime=0)
+        else:
+            path = os.path.join(tmp, f"crawl-rv-0000{f}.warc")
+            blob = stream
+        with open(path, "wb") as fh:
             fh.write(blob)
     with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write("ok\n")

@@ -421,3 +421,57 @@ class TestGzipMembers:
             )
         )
         assert batch == live and len(batch) == 4
+
+
+def test_revisit_headers_roundtrip():
+    from gomrjob_spark.sources.warc import encode_warc, parse_warc
+
+    recs = [
+        {
+            "uri": "https://a.example/x",
+            "date": "2026-02-01T00:00:00Z",
+            "type": "response",
+            "record_id": "urn:rec:1",
+            "payload": b"hello",
+        },
+        {
+            "uri": "https://a.example/x",
+            "date": "2026-02-02T00:00:00Z",
+            "type": "revisit",
+            "record_id": "urn:rec:4",
+            "refers_to": "urn:rec:1",
+            "profile": "identical-payload-digest",
+            "payload": b"",
+        },
+    ]
+    got = parse_warc(encode_warc(recs))
+    assert got[0]["record_id"] == "urn:rec:1"
+    assert got[0]["refers_to"] == ""  # absent header reads empty
+    assert got[1]["type"] == "revisit"
+    assert got[1]["refers_to"] == "urn:rec:1"
+    assert got[1]["profile"] == "identical-payload-digest"
+    assert got[1]["payload"] == b""
+
+
+def test_revisit_fixture_nonvacuous_and_resolvable(spark, sf_dir):
+    """The gated query's decision surface must actually occur: real
+    revisits, cross-file referents, and unresolvable void decoys."""
+    from gomrjob_spark.plans.web import warc_revisit_resolve
+
+    rows = warc_revisit_resolve(spark, sf_dir).collect()
+    revs = [r for r in rows if r["warc_type"] == "revisit"]
+    unresolved = [r for r in revs if not r["resolved"]]
+    resolved = [r for r in revs if r["resolved"]]
+    assert revs and resolved and unresolved
+    for r in unresolved:
+        assert r["refers_doc"] is None and r["body"] is None
+    by_doc = {r["doc_id"]: r for r in rows}
+    for r in resolved:
+        ref = by_doc[r["refers_doc"]]
+        # referred record is an earlier response of the SAME url,
+        # usually in a different file (doc % 8)
+        assert ref["warc_type"] == "response"
+        assert ref["target_uri"] == r["target_uri"]
+        assert ref["doc_id"] < r["doc_id"]
+        assert r["body"] == ref["body"]  # payload substituted whole
+    assert any(r["refers_doc"] % 8 != r["doc_id"] % 8 for r in resolved)
