@@ -378,3 +378,22 @@ def registered_domain_psl(
     return staged.withColumn(out_col, reg).drop(
         "psl_plain", "psl_wild", "psl_excep"
     )
+
+
+def surt(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the ordering
+    the CC index / pywb CDXJ world sorts and binary-searches by:
+    lowercase, scheme dropped, host labels REVERSED comma-joined, a
+    ``)`` separator, then the path+query verbatim. Example:
+    ``https://www.Example.com/a?q=1`` -> ``com,example,www)/a?q=1``.
+
+    Pure column program (three regexes + split/reverse/concat — zero
+    UDFs, scan-local). Scope, documented per the family convention:
+    scheme://host[/path] URLs (no userinfo/port handling, no www
+    stripping — pywb's canonicalizer dials, not the transform core)."""
+    lower = F.lower(url)
+    rest = F.regexp_replace(lower, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_extract(rest, r"^([^/]+)", 1)
+    path = F.regexp_replace(rest, r"^[^/]*", "")
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    return F.concat(rev, F.lit(")"), path)

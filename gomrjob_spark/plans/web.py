@@ -769,8 +769,11 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDX_MEMBER_ORACLE = """
-    WITH mrecs AS (
+#: shared mrecs/mlen CTE chain of the member-compressed CDX oracles
+#: (the +23 stored-block compressed-size contract and the formula
+#: payload reconstruction) — reused verbatim by the CDXJ renderer so
+#: the two gates can never drift
+_CDX_MEMBER_CTES = """mrecs AS (
       SELECT doc_id, doc_id % 8 AS file_idx,
         'crawl-cc-0000' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz'
           AS file_name,
@@ -803,7 +806,11 @@ _CDX_MEMBER_ORACLE = """
           + 4 + length(payload_text) + magic_len + 4 AS BIGINT)
           AS record_bytes
       FROM mrecs
-    )
+    )"""
+
+
+_CDX_MEMBER_ORACLE = f"""
+    WITH {_CDX_MEMBER_CTES}
     SELECT file_name,
       CAST(row_number() OVER (PARTITION BY file_idx ORDER BY doc_id) - 1
            AS INT) AS rec_idx,
@@ -847,8 +854,82 @@ def warc_cdx_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "warc_cdx_cdxj",
+    oracle=f"""
+    WITH {_CDX_MEMBER_CTES},
+    idx AS (
+      SELECT doc_id, file_idx, file_name, target_uri,
+        'org,example,c' || CAST(doc_id AS VARCHAR) || ')/r'
+          || CAST(doc_id % 13 AS VARCHAR) AS surt_key,
+        '202602' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+          || '000000' AS ts14,
+        CAST(COALESCE(sum(record_bytes + 23) OVER (PARTITION BY file_idx
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS cmp_offset,
+        CAST(record_bytes + 23 AS BIGINT) AS cmp_bytes,
+        payload_hexmd5
+      FROM mlen
+    )
+    SELECT surt_key, ts14,
+      surt_key || ' ' || ts14 || ' {{"url":"' || target_uri
+        || '","digest":"' || payload_hexmd5
+        || '","length":"' || CAST(cmp_bytes AS VARCHAR)
+        || '","offset":"' || CAST(cmp_offset AS VARCHAR)
+        || '","filename":"' || file_name || '"}}' AS line
+    FROM idx ORDER BY surt_key, ts14
+    """,
+)
+def warc_cdx_cdxj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-ordered CDXJ rendering of the member-compressed CDX (r14,
+    the r13 verdict's item #7): warc_cdx_member_index gates the right
+    arithmetic, but real consumers (pywb, the CC index) read CDXJ —
+    one line per capture, ``<SURT key> <14-digit timestamp> <JSON>``
+    with the length/offset published as JSON STRINGS (the CC index
+    convention) — sorted globally BY the SURT key so the index is
+    binary-searchable. This query emits that drop-in-consumable
+    layout byte-exactly under the hash gate: the SURT transform
+    (operators/urls.py surt — host labels reversed comma-joined,
+    scheme dropped), the timestamp squeeze of the WARC date, and the
+    JSON rendering are all recomputed by the oracle from the same
+    formulas and the SAME shared mrecs/mlen CTE chain as the member
+    index, so the two gates cannot drift.
+
+    Plan: the per-file member walk + per-file offset window as before,
+    then ONE global sort — of index LINES, not data: at CC scale the
+    CDXJ is ~1/1000th of the archive bytes, and a range-partitioned
+    sort of the index is exactly how the real cluster.idx is built."""
+    from gomrjob_spark.operators.urls import surt
+
+    recs = _warc_member_fixture_records(spark, sf_dir, with_date=True)
+    ts14 = F.regexp_replace(
+        F.col("warc_date"), r"[^0-9]", ""
+    )
+    staged = recs.select(
+        surt(F.col("target_uri")).alias("surt_key"),
+        ts14.alias("ts14"),
+        "target_uri",
+        "payload_hexmd5",
+        "cmp_bytes",
+        "cmp_offset",
+        "file_name",
+    )
+    line = F.concat(
+        F.col("surt_key"), F.lit(" "), F.col("ts14"),
+        F.lit(' {"url":"'), F.col("target_uri"),
+        F.lit('","digest":"'), F.col("payload_hexmd5"),
+        F.lit('","length":"'), F.col("cmp_bytes").cast("string"),
+        F.lit('","offset":"'), F.col("cmp_offset").cast("string"),
+        F.lit('","filename":"'), F.col("file_name"), F.lit('"}'),
+    )
+    return staged.select(
+        "surt_key", "ts14", line.alias("line")
+    ).orderBy("surt_key", "ts14")
+
+
 def _warc_member_fixture_records(
-    spark: SparkSession, sf_dir: str, stream: bool = False
+    spark: SparkSession, sf_dir: str, stream: bool = False,
+    with_date: bool = False,
 ) -> DataFrame:
     """Shared front half of the member-compressed source queries
     (batch CDX + streaming twin): write the CC-layout fixture
@@ -869,7 +950,9 @@ def _warc_member_fixture_records(
     fixture = write_warc_member_fixture(sf_dir, ids)
     reader = read_warc_member_files_stream if stream else read_warc_member_files
     recs = reader(spark, fixture)
+    extra = [F.col("warc_date")] if with_date else []
     return recs.select(
+        *extra,
         "file_name",
         F.col("rec_idx").cast("int").alias("rec_idx"),
         F.regexp_extract(F.col("target_uri"), r"^https://c([0-9]+)\.", 1)

@@ -264,3 +264,32 @@ def test_psl_gate_fixture_divergence_nonvacuous(spark, sf_dir):
         r["registered_domain_psl"] == r["host"] and r["diverges"]
         for r in wild
     )
+
+
+def test_surt_transform(spark):
+    from gomrjob_spark.operators.urls import surt
+
+    cases = [
+        ("https://www.Example.com/a?q=1", "com,example,www)/a?q=1"),
+        ("http://c7.example.org/r3", "org,example,c7)/r3"),
+        ("https://host.tld", "tld,host)"),  # no path
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(surt(F.col("url"))).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_cdxj_lines_are_surt_sorted_and_json_parseable(spark, sf_dir):
+    import json
+
+    from gomrjob_spark.plans.web import warc_cdx_cdxj
+
+    rows = warc_cdx_cdxj(spark, sf_dir).collect()
+    keys = [(r["surt_key"], r["ts14"]) for r in rows]
+    assert keys == sorted(keys)  # globally SURT-ordered (binary-searchable)
+    for r in rows[:20]:
+        skey, ts, blob = r["line"].split(" ", 2)
+        assert skey == r["surt_key"] and ts == r["ts14"] and len(ts) == 14
+        j = json.loads(blob)  # valid JSON payload (pywb-consumable)
+        assert set(j) == {"url", "digest", "length", "offset", "filename"}
+        assert j["length"].isdigit() and j["offset"].isdigit()  # CC strings
