@@ -2178,6 +2178,118 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "frame_idx")
 
 
+@query(
+    "multimodal_mp4_keyframes",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 8 + 12 AS INT) AS n_frames FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+             CAST((doc_id * 3 + len(list_filter(generate_series(1, f),
+                    x -> (doc_id * 7 + x * 13) % 5 = 0))) % 53 AS BIGINT) AS g
+      FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    sync AS (
+      SELECT * FROM fr
+      WHERE frame_idx = 0 OR (doc_id * 3 + frame_idx * 5) % 4 = 0
+    ),
+    hx AS (
+      SELECT doc_id, n_frames, frame_idx,
+        md5(lower(string_agg(
+          lpad(hex((g*31 + x*(7 + g % 101) + y*(13 + g % 83)) % 256), 2, '0'),
+          '' ORDER BY y, x))) AS frame_hexmd5
+      FROM sync, unnest(generate_series(0, 7)) AS tx(x),
+                 unnest(generate_series(0, 7)) AS ty(y)
+      GROUP BY doc_id, n_frames, frame_idx, g
+    )
+    SELECT doc_id, frame_idx AS sample_idx,
+      CAST(n_frames AS INT) AS n_samples,
+      CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_sync,
+      CAST(70 + 207 * (frame_idx // 3) + 64 * (frame_idx % 3) AS BIGINT)
+        AS sample_off,
+      frame_hexmd5
+    FROM hx ORDER BY doc_id, sample_idx
+    """,
+)
+def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-only extraction via the ``stss`` sync-sample table
+    (r14, the r13 verdict's item #8) — the frame-sampling dial video
+    curation actually uses: decoding every sample of crawled video is
+    ~30-250x the work of decoding keyframes, and the stss table is how
+    a reader finds them WITHOUT touching mdat. The writer twin marks
+    formula-chosen sync samples (j == 0, plus every (d*3 + j*5) % 4 ==
+    0) — a period-4 pattern deliberately MISALIGNED with the 3-sample
+    chunking, so both naive heuristics fail the gate: a reader that
+    emits every sample over-counts, and one that assumes chunk-start
+    samples are the keyframes (the contiguity shortcut) picks
+    non-sync decoy samples and misses mid-chunk sync samples. The
+    READER's parsed stss (validated strictly-increasing, in-range)
+    drives the selection; the oracle recomputes the sync set, each
+    keyframe's absolute offset, and its content md5 from the formulas.
+
+    Plan: scan-local Arrow-batched encode+walk like the other codec
+    families — and only ~n/4 of the samples ship out of the decode
+    stage, which is the operator's whole point at scale."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.text import spread
+    from gomrjob_spark.sources.mp4 import encode_mp4, parse_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        cols = (
+            "doc_id", "sample_idx", "n_samples", "n_sync",
+            "sample_off", "frame_hexmd5",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 8 + 12
+                frames, cuts = [], 0
+                for f in range(n):
+                    if f >= 1 and (d * 7 + f * 13) % 5 == 0:
+                        cuts += 1
+                    g = (d * 3 + cuts) % 53
+                    frames.append(bytes(
+                        (g * 31 + x * (7 + g % 101) + y * (13 + g % 83)) % 256
+                        for y in range(8) for x in range(8)
+                    ))
+                marked = [
+                    j + 1
+                    for j in range(n)
+                    if j == 0 or (d * 3 + j * 5) % 4 == 0
+                ]
+                parsed = parse_mp4(encode_mp4(frames, 8, 8, marked))
+                # the PARSED table drives selection — the gate proves
+                # the stss walk, not the writer's list
+                for s in parsed["sync_samples"]:
+                    j = s - 1
+                    frame = parsed["samples"][j]
+                    rows["doc_id"].append(d)
+                    rows["sample_idx"].append(j)
+                    rows["n_samples"].append(parsed["n_samples"])
+                    rows["n_sync"].append(len(parsed["sync_samples"]))
+                    rows["sample_off"].append(parsed["sample_offsets"][j])
+                    rows["frame_hexmd5"].append(
+                        hashlib.md5(frame.hex().encode("ascii")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, sample_idx int, n_samples int, n_sync int, "
+            "sample_off bigint, frame_hexmd5 string"
+        ),
+    )
+    return out.orderBy("doc_id", "sample_idx")
+
+
 from gomrjob_spark.sources.mp4frag import INIT_SEGMENT_BYTES as _FMP4_INIT_BYTES  # noqa: E402
 
 

@@ -238,3 +238,55 @@ def test_raise_on_stsc_runs_not_covering_all_chunks():
     blob[at + 4 : at + 8] = struct.pack(">I", 2)
     with pytest.raises(ValueError, match="stsc runs cover"):
         parse_mp4(bytes(blob))
+
+
+def test_stss_roundtrip_and_default():
+    marked = [1, 4, 10]
+    p = parse_mp4(encode_mp4(FRAMES, 8, 8, marked))
+    assert p["sync_samples"] == marked
+    assert p["samples"] == FRAMES  # sample walk untouched
+    # no stss box -> spec default: sync_samples is None (all sync)
+    assert parse_mp4(encode_mp4(FRAMES, 8, 8))["sync_samples"] is None
+
+
+def test_stss_absent_keeps_bytes_identical():
+    # the already-gated mp4 queries byte-depend on the writer layout
+    assert encode_mp4(FRAMES, 8, 8) == encode_mp4(FRAMES, 8, 8, None)
+
+
+def test_stss_writer_rejects_bad_lists():
+    for bad in ([0, 2], [2, 2], [5, 3], [1, 99]):
+        with pytest.raises(ValueError, match="strictly increasing"):
+            encode_mp4(FRAMES, 8, 8, bad)
+
+
+def test_raise_on_stss_non_monotone():
+    blob = bytearray(encode_mp4(FRAMES, 8, 8, [2, 7]))
+    at = blob.index(b"stss") + 4 + 4  # entry_count position
+    blob[at + 4 : at + 8] = struct.pack(">I", 9)  # first entry 2 -> 9
+    with pytest.raises(ValueError, match="stss sample numbers"):
+        parse_mp4(bytes(blob))
+
+
+def test_raise_on_stss_out_of_range():
+    blob = bytearray(encode_mp4(FRAMES, 8, 8, [2, 7]))
+    at = blob.index(b"stss") + 4 + 4
+    blob[at + 8 : at + 12] = struct.pack(">I", 15)  # 15 > n=14
+    with pytest.raises(ValueError, match="stss sample numbers"):
+        parse_mp4(bytes(blob))
+
+
+def test_keyframe_decoys_nonvacuous():
+    """The gated query's two naive-reader failure modes must actually
+    occur: sync samples that are NOT chunk starts, and chunk starts
+    that are NOT sync (the period-4 vs period-3 misalignment)."""
+    mid_chunk_sync = chunk_start_nonsync = 0
+    for d in range(64):
+        n = d % 8 + 12
+        sync = {j for j in range(n) if j == 0 or (d * 3 + j * 5) % 4 == 0}
+        for j in range(n):
+            if j in sync and j % 3 != 0:
+                mid_chunk_sync += 1
+            if j % 3 == 0 and j not in sync:
+                chunk_start_nonsync += 1
+    assert mid_chunk_sync > 0 and chunk_start_nonsync > 0
