@@ -133,6 +133,15 @@ from gomrjob_spark.session import get_session  # noqa: E402
 #: interval_join, near_dup_probe, upsert_apply, outlier_flags,
 #: warc_member_source; the batch phash twins keep the phash class).
 #: Every rotated entry can rotate back in a later round.
+#: r14 rotation, second pass: the sf0.001 smoke line measured 1985 B —
+#: 15 B of margin, which sf0.1's longer times (17.83 vs 0.59) would
+#: blow — so TWO more flat entries rotate OUT: join_asof_nearest
+#: (0.68 s flat since r02; the as-of PLAN stays pinned in
+#: test_plan_quality and join_asof is in the r14 correctness window)
+#: and streaming_outlier_flags (1.33 s; streaming keeps five entries —
+#: tumbling_agg, interval_join, near_dup_probe, upsert_apply,
+#: warc_member_source — and the outlier scoring class stays measured
+#: batch-side via sessionize/window shapes). ~70 B regained.
 HEADLINE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -162,7 +171,6 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "dedup_ngram_containment",
     "dedup_jaccard_prefix",
-    "join_asof_nearest",
     "join_semi_bloom",
     "graph_pagerank",
     "graph_triangles",
@@ -176,7 +184,6 @@ HEADLINE = [
     "streaming_interval_join",
     "streaming_near_dup_probe",
     "streaming_upsert_apply",
-    "streaming_outlier_flags",
     # r11 additions LAST: inserting them mid-list shifted every later
     # entry's JVM neighborhood (GC/code-cache state) and inflated the
     # shared suite by a phantom 1.15x median AFTER the insertion point
@@ -225,6 +232,17 @@ HEADLINE = [
     # member-compressed streaming source (the 32nd topology)
     "multimodal_mp4_fragments",
     "streaming_warc_member_source",
+    # r14 additions (appended, the r11 position-stability rule): the
+    # four new crawl-family operators — stss keyframe-only extraction,
+    # WARC revisit resolution (the cross-file referent join), the
+    # SURT-ordered CDXJ render (per-file walk + one global index-line
+    # sort), and mixed plain/gz sitemap discovery (the member-gzip
+    # decode pass). The r14 rotation note above paid for their ~130 B
+    # of tail budget.
+    "multimodal_mp4_keyframes",
+    "warc_revisit_resolve",
+    "warc_cdx_cdxj",
+    "sitemap_discovery_gz",
 ]
 
 

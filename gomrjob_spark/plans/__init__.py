@@ -24,89 +24,43 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 13): the 4 NEW r13 queries, then the 4 re-verify-after-
-# change rows (dedup_semantic_diversity and streaming_semdedup_gate were
-# RE-PLANNED this round — the hierarchical two-level quantizer replaced
-# the flat Lloyd assignment on both engines; sitemap_frontier's
-# parse_entries grew full-range priority parsing; multimodal_mp3_metadata
-# gained the mixed-rate raise), then the 15 remaining r07 rows
-# (OLDEST-ALWAYS-NEXT, heading last round's _BACKFILL), then the first
-# 25 of the 50 equally-oldest r08 rows (alphabetical;
-# dedup_semantic_diversity is both re-planned AND r08-oldest, counted
-# once) — exactly filling the 50-slot window. The remaining 22 r08 rows
-# head _BACKFILL for r14.
+# Tier 1 (round 14, the r13 verdict's item #2): FIRST the three queries
+# re-planned in r13 AFTER the window rotated — they have judge-sim
+# green but no driver-verified row since the re-plan, and a query whose
+# oracle text changed must never skip a driver round
+# (dedup_embedding_cosine_rp: plan AND oracle changed, occupancy 64->8;
+# graph_pagerank + url_domain_pagerank: the wave-3 persist/checkpoint
+# fix). Then the 4 NEW r14 queries, then the 5 changed-this-round
+# re-verifies (the A1 left-join fallback changed the semdedup oracles
+# on both engines; knn_lsh was re-planned to house rules; the A2
+# priority-regex tightening touched both sitemap parses), then the 24
+# r08 rows that headed _BACKFILL (completing the r08 generation), then
+# the 14 alphabetically-first r09 rows — exactly filling the 50-slot
+# window. The remaining 34 r09 rows head _BACKFILL for r15
+# (OLDEST-ALWAYS-NEXT, SCALING.md ledger).
 _VERIFY_FIRST = [
-    # NEW r13: MP4/ISO-BMFF box walk (stsz/stsc/stco table-driven)
-    "multimodal_mp4_frames",
-    # NEW r13: CC-faithful CDX (per-record gzip members, compressed offsets)
-    "warc_cdx_member_index",
-    # NEW r13: exact PSL registrable domains through the driver gate
-    "url_registered_domain_psl",
-    # NEW r13: robots Sitemap: -> sitemapindex -> children -> gated frontier
-    "sitemap_discovery",
-    # NEW r13 (late): member-compressed WARC ingestion as the 32nd live
-    # topology — displaces select_token_budget to _BACKFILL head
-    "streaming_warc_member_source",
-    # NEW r13 (late): fragmented MP4 (moof/trun) walk — displaces
-    # scalar_string to _BACKFILL head
-    "multimodal_mp4_fragments",
-    # RE-PLANNED r13: hierarchical two-level SemDeDup quantizer (the
-    # r12 64x-probe remediation; oracle + operator changed together)
+    # re-planned r13, not yet window-verified (r13 verdict item #2)
+    "dedup_embedding_cosine_rp",
+    "graph_pagerank",
+    "url_domain_pagerank",
+    # NEW r14: mixed plain/gz sitemap discovery (two-member gz decode)
+    "sitemap_discovery_gz",
+    # NEW r14: WARC revisit resolution (CC URL-dedup semantics)
+    "warc_revisit_resolve",
+    # NEW r14: SURT-ordered CDXJ rendering of the member CDX
+    "warc_cdx_cdxj",
+    # NEW r14: stss keyframe-only extraction
+    "multimodal_mp4_keyframes",
+    # changed r14: the A1 empty-coarse-cell fallback rewrote the fine
+    # argmax join + oracle on both engines
     "dedup_semantic_diversity",
     "streaming_semdedup_gate",
-    # changed r13: full-spec-range priority parsing (r12 advisor #3)
+    # changed r14: knn_lsh re-planned (ids-only, one-literal-matrix)
+    "knn_lsh",
+    # changed r14: priority regex tightened to the spec cap (A2)
     "sitemap_frontier",
-    # changed r13: mixed-sample-rate raise (r12 advisor #2)
-    "multimodal_mp3_metadata",
-    # oldest rows (last green r07) — the 15 that r12's window could not
-    # hold, completing the r07 generation
-    "rolling_active_users",
-    "sample_weighted_per_source",
-    "scalar_array_map",
-    "scalar_date",
-    "scalar_json",
-    "set_ops_all",
-    "split_cluster_aware",
-    "text_bpe_encode",
-    "text_ngram_perplexity",
-    "text_readability",
-    "text_trigram_perplexity",
-    "timeseries_autocorr",
-    "timeseries_cusum_drift",
-    "timeseries_ewma",
-    "timeseries_mom_change",
-    # next-oldest (last green r08), alphabetical, first 25 (sans the
-    # re-planned dedup_semantic_diversity above)
-    "agg_quantile_exact",
-    "cap_per_source",
-    "corpus_curation_pipeline",
-    "corpus_triage_report",
-    "corpus_vocab_topk",
-    "curriculum_difficulty_buckets",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_paragraph_containment",
-    "dedup_paragraph_minhash_rollup",
-    "dedup_repeated_chunks",
-    "dedup_repeated_ngram_spans",
-    "embedding_centroids",
-    "funnel_conversion",
-    "multimodal_audio_headers",
-    "multimodal_audio_samples",
-    "multimodal_lossless_pixel_stats",
-    "multimodal_resize",
-    "pack_token_batches",
-    "pack_unigram_batches",
-    "quality_percentile_filter",
-    "sample_dsir_importance",
-    "sample_hash_split",
-    "sample_stratified",
-    "scalar_math",
-]
-# next-oldest queries: the 23 r08 rows (+select_token_budget) the 50-slot window could not
-# hold this round — they head the r14 rotation (OLDEST-ALWAYS-NEXT,
-# SCALING.md ledger), followed by the r09 rows as they age out.
-_BACKFILL = [
+    "sitemap_discovery",
+    # the 24 r08 rows the r13 window could not hold (last green r08)
     "scalar_string",
     "select_token_budget",
     "set_ops",
@@ -131,6 +85,61 @@ _BACKFILL = [
     "window_rank_ntile",
     "window_running_total",
     "window_topk_per_group",
+    # next-oldest (last green r09), alphabetical, first 14 (sans the
+    # re-planned/changed rows already above)
+    "case_when_bucketing",
+    "corpus_clean_filter",
+    "decontaminate_ngrams",
+    "decontaminate_span_scrub",
+    "dedup_cluster_survivors",
+    "dedup_cross_source_overlap",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lowsim",
+    "dedup_minhash_md5",
+    "dedup_span_removal",
+    "join_asof",
+    "join_asof_forward",
+    "join_band_time",
+    "knn_axis_lsh",
+]
+# next-oldest queries: the 34 remaining r09 rows — they head the r15
+# rotation (OLDEST-ALWAYS-NEXT, SCALING.md ledger), followed by the
+# r10 generation as it ages out.
+_BACKFILL = [
+    "mix_weights_equal_tokens",
+    "mix_weights_temperature",
+    "mr_combiner",
+    "multimodal_caption_alignment",
+    "multimodal_decode_headers",
+    "multimodal_frame_sample",
+    "multimodal_hierarchical_dct_stats",
+    "multimodal_hierarchical_pixel_stats",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "search_bm25_topk",
+    "search_tf_topk",
+    "sessionize_windows",
+    "sql_passthrough_topn_revenue",
+    "streaming_incremental_dedup",
+    "streaming_sliding_counts",
+    "streaming_tumbling_agg",
+    "streaming_wordpiece_drift",
+    "text_bigram_novelty",
+    "text_chunks",
+    "text_dup_ngram_coverage",
+    "text_winnow_fingerprint",
+    "text_wordpiece_encode",
+    "text_wordpiece_train",
+    "timeseries_rollup",
 ]
 
 
