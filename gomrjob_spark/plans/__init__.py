@@ -36,7 +36,8 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
 # priority-regex tightening touched both sitemap parses), then the 24
 # r08 rows that headed _BACKFILL (completing the r08 generation), then
 # the 14 alphabetically-first r09 rows — exactly filling the 50-slot
-# window. The remaining 34 r09 rows head _BACKFILL for r15
+# window. knn_axis_lsh (displaced late by the wave-4 probe-catch
+# re-verify) plus the remaining 34 r09 rows head _BACKFILL for r15
 # (OLDEST-ALWAYS-NEXT, SCALING.md ledger).
 _VERIFY_FIRST = [
     # re-planned r13, not yet window-verified (r13 verdict item #2)
@@ -60,6 +61,10 @@ _VERIFY_FIRST = [
     # changed r14: priority regex tightened to the spec cap (A2)
     "sitemap_frontier",
     "sitemap_discovery",
+    # changed r14 (late): the wave-4 probe catch — survivorship pair
+    # stage re-planned with the stop-shingle cap, oracle mirrored
+    # (dedup_cluster_survivors is already in the r09 block below)
+    "split_cluster_aware",
     # the 24 r08 rows the r13 window could not hold (last green r08)
     "scalar_string",
     "select_token_budget",
@@ -100,12 +105,14 @@ _VERIFY_FIRST = [
     "join_asof",
     "join_asof_forward",
     "join_band_time",
-    "knn_axis_lsh",
 ]
-# next-oldest queries: the 34 remaining r09 rows — they head the r15
+# next-oldest queries: knn_axis_lsh + the 34 remaining r09 rows — they head the r15
 # rotation (OLDEST-ALWAYS-NEXT, SCALING.md ledger), followed by the
 # r10 generation as it ages out.
 _BACKFILL = [
+    # displaced from the r14 window by the split_cluster_aware
+    # re-verify (the wave-4 probe catch) — heads the r15 rotation
+    "knn_axis_lsh",
     "mix_weights_equal_tokens",
     "mix_weights_temperature",
     "mr_combiner",

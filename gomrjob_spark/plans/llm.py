@@ -34,6 +34,29 @@ _SQL_SHINGLES = f"""
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
+
+#: capped-shingle CTE chunk for the SURVIVORSHIP queries (r14, the
+#: wave-4 64x probe catch): shingles above the stop-shingle cap drop
+#: BEFORE the intersection join and the per-doc sizes — mirroring
+#: dedup.jaccard_pairs(max_shingle_freq=_SURVIVOR_SHINGLE_CAP) exactly.
+#: At the gate scale factors nothing exceeds the cap (sf0.1 max
+#: frequency is 25), so the gated values are unchanged — but the rule
+#: lives in BOTH engines and the 64x probe exercises it for real
+#: (max frequency 1600 there).
+_SURVIVOR_SHINGLE_CAP = 256
+_SQL_SHINGLES_CAPPED = (
+    _SQL_SHINGLES
+    + f""",
+    shc AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) <= {_SURVIVOR_SHINGLE_CAP}) ok USING (shingle)
+    ),
+    sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id)
+"""
+)
+
+
 def _sql_stop_hits(words: tuple[str, ...]) -> str:
     in_list = ", ".join(f"'{w}'" for w in words)
     return (
@@ -525,18 +548,18 @@ def dedup_embedding_cosine_lowsim(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "dedup_cluster_survivors",
     oracle=f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     edges AS (
       SELECT id_a, id_b
       FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
+      JOIN sizes_c sa ON sa.doc_id = id_a
+      JOIN sizes_c sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE)
             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.6
     ),
@@ -561,29 +584,45 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection after near-dup detection: connected components
     over the jaccard >= 0.6 pair graph — every doc maps to the minimum
     id in its dup cluster (singletons to themselves), the id a cleaning
-    pipeline keeps. Spark side is min-label propagation to a fixpoint
-    (one edge-vs-labels join per round, lineage checkpointed); the
-    oracle computes the same closure with a recursive CTE."""
+    pipeline keeps. Spark side is alternating large/small-star to a
+    fixpoint (lineage checkpointed); the oracle computes the same
+    closure with a recursive CTE.
+
+    r14 (the wave-4 64x probe's catch): the pair stage runs WITH the
+    stop-shingle cap (max_shingle_freq=256, mirrored by the oracle's
+    capped CTEs). Uncapped, the shared-shingle equi-join's output is
+    sum(f^2) over shingle frequencies — measured 11.4 BILLION joined
+    rows at the 64x fixture (4097x the 1x volume; every body shingle's
+    frequency grows with the replica count, exactly how stop-shingles
+    behave on a real growing corpus) — and the probe OOM'd the pair
+    aggregation. Capped: 64M joined rows, full query 30.7 s at 64x.
+    At the gate scale factors no shingle exceeds the cap (sf0.1 max
+    frequency 25), so gated values are unchanged; the cap's semantics
+    (boilerplate shingles carry no dup signal) is the production
+    standard, and the EXACT-no-cap algorithm stays gated by
+    dedup_ngram_jaccard at gate scale."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.6, max_shingle_freq=None)
+    pairs = dedup.jaccard_pairs(
+        docs, n=3, threshold=0.6, max_shingle_freq=_SURVIVOR_SHINGLE_CAP
+    )
     return dedup.connected_components(pairs, docs).orderBy("doc_id")
 
 
 @query(
     "split_cluster_aware",
     oracle=f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     edges AS (
       SELECT id_a, id_b
       FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
+      JOIN sizes_c sa ON sa.doc_id = id_a
+      JOIN sizes_c sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE)
             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.6
     ),
@@ -623,11 +662,16 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay deterministic, rerun-stable, and consistent with every other
     hash_bucket consumer. Returns (doc_id, component, bucket, split)
     under the full hash gate (recursive-CTE closure + md5 mirror); the
-    no-straddling property is pytest-pinned over all near-dup pairs."""
+    no-straddling property is pytest-pinned over all near-dup pairs.
+    The pair stage runs with the stop-shingle cap since r14 (the
+    wave-4 probe catch — see dedup_cluster_survivors, same shape,
+    same oracle mirror)."""
     from gomrjob_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.6, max_shingle_freq=None)
+    pairs = dedup.jaccard_pairs(
+        docs, n=3, threshold=0.6, max_shingle_freq=_SURVIVOR_SHINGLE_CAP
+    )
     comp = dedup.connected_components(pairs, docs)
     b = hash_bucket(F.col("component"), 100, "split")
     return (
