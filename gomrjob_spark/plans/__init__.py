@@ -52,6 +52,9 @@ _VERIFY_FIRST = [
     "warc_cdx_cdxj",
     # NEW r14: stss keyframe-only extraction
     "multimodal_mp4_keyframes",
+    # NEW r14 (late): edts/elst presentation timing — displaces
+    # join_band_time to the _BACKFILL head
+    "multimodal_mp4_edit_timing",
     # changed r14: the A1 empty-coarse-cell fallback rewrote the fine
     # argmax join + oracle on both engines
     "dedup_semantic_diversity",
@@ -104,14 +107,14 @@ _VERIFY_FIRST = [
     "dedup_span_removal",
     "join_asof",
     "join_asof_forward",
-    "join_band_time",
 ]
 # next-oldest queries: knn_axis_lsh + the 34 remaining r09 rows — they head the r15
 # rotation (OLDEST-ALWAYS-NEXT, SCALING.md ledger), followed by the
 # r10 generation as it ages out.
 _BACKFILL = [
-    # displaced from the r14 window by the split_cluster_aware
-    # re-verify (the wave-4 probe catch) — heads the r15 rotation
+    # displaced from the r14 window late (the wave-4 probe-catch
+    # re-verify and the edts query) — they head the r15 rotation
+    "join_band_time",
     "knn_axis_lsh",
     "mix_weights_equal_tokens",
     "mix_weights_temperature",

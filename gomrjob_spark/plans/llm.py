@@ -2334,6 +2334,90 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "sample_idx")
 
 
+@query(
+    "multimodal_mp4_edit_timing",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 8 + 12 AS INT) AS n_frames,
+             CAST((doc_id % 5) * 512 AS BIGINT) AS mt
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n_frames, mt, CAST(f AS INT) AS sample_idx,
+             CAST(f * 512 AS BIGINT) AS media_time
+      FROM v, unnest(generate_series(0, n_frames - 1)) AS t(f)
+    )
+    SELECT doc_id, sample_idx, media_time,
+      (media_time >= mt) AS presented,
+      CAST(CASE WHEN media_time >= mt THEN media_time - mt END AS BIGINT)
+        AS presentation_time,
+      CAST(n_frames - CAST(mt / 512 AS INT) AS INT) AS n_presented
+    FROM fr ORDER BY doc_id, sample_idx
+    """,
+)
+def multimodal_mp4_edit_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-list (edts/elst) presentation timing — the OTHER half of
+    the r13 verdict's stss/edts residual: real encoders express
+    priming/pre-roll as a media edit (ISO/IEC 14496-12 §8.6.6), and a
+    frame-sampling pipeline that ignores it emits frames at the wrong
+    presentation times (or presents pre-roll frames that a player
+    never shows). The writer twin pre-rolls (d % 5) * 512 media units
+    (d % 5 == 0 docs carry NO edts box — the spec's identity-timeline
+    default is exercised, not assumed); the reader maps each sample's
+    media time through the parsed (validated: single entry, rate 1.0,
+    non-negative media_time) edit to presentation time, flagging
+    pre-rolled samples as presented=false with a NULL presentation
+    time. A reader that ignores elst reports presentation_time ==
+    media_time and presents everything — wrong on 4/5 of the corpus,
+    so it cannot hash-match. Scan-local Arrow-batched encode+walk
+    like the rest of the codec family."""
+    import pandas as pd  # noqa: PLC0415
+
+    from gomrjob_spark.operators.text import spread
+    from gomrjob_spark.sources.mp4 import encode_mp4, parse_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        cols = (
+            "doc_id", "sample_idx", "media_time", "presented",
+            "presentation_time", "n_presented",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 8 + 12
+                frames = [bytes([j % 256]) * 16 for j in range(n)]
+                mt_in = (d % 5) * 512
+                parsed = parse_mp4(
+                    encode_mp4(frames, 8, 8, None, mt_in if mt_in else None)
+                )
+                # the PARSED edit drives the mapping (absent box = 0)
+                mt = parsed["edit"][1] if parsed["edit"] else 0
+                n_pres = parsed["n_samples"] - mt // 512
+                for j in range(parsed["n_samples"]):
+                    media = j * 512
+                    rows["doc_id"].append(d)
+                    rows["sample_idx"].append(j)
+                    rows["media_time"].append(media)
+                    rows["presented"].append(media >= mt)
+                    rows["presentation_time"].append(
+                        media - mt if media >= mt else None
+                    )
+                    rows["n_presented"].append(n_pres)
+            yield pd.DataFrame(rows)
+
+    out = spread(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, sample_idx int, media_time bigint, "
+            "presented boolean, presentation_time bigint, n_presented int"
+        ),
+    )
+    return out.orderBy("doc_id", "sample_idx")
+
+
 from gomrjob_spark.sources.mp4frag import INIT_SEGMENT_BYTES as _FMP4_INIT_BYTES  # noqa: E402
 
 

@@ -87,6 +87,7 @@ def encode_mp4(
     width: int,
     height: int,
     sync_samples: list[int] | None = None,
+    edit_media_time: int | None = None,
 ) -> bytes:
     """Writer twin: frames -> a spec-shaped single-track ISO-BMFF file,
     mdat-before-moov (the non-faststart layout, so stco offsets are
@@ -102,7 +103,15 @@ def encode_mp4(
     (ISO/IEC 14496-12 §8.6.2). ``None`` omits the box — the spec's
     "every sample is sync" default — and keeps the emitted bytes
     IDENTICAL to the pre-stss writer, so the already-gated mp4 queries
-    are untouched. Must be strictly increasing within [1, n]."""
+    are untouched. Must be strictly increasing within [1, n].
+
+    ``edit_media_time`` (r14, closing the stss/edts residual): media
+    time units to SKIP at presentation start, written as a one-entry
+    ``edts``/``elst`` (ISO/IEC 14496-12 §8.6.6 — how real encoders
+    express priming/pre-roll: segment_duration = total - offset,
+    media_time = offset, rate 1.0). ``None`` omits the box (bytes
+    again identical to the pre-edts writer). Must lie in
+    [0, n * sample_delta)."""
     n = len(frames)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
     free = _box(b"free", b"\xdec0y!!\x00")
@@ -198,7 +207,22 @@ def encode_mp4(
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if edit_media_time is not None:
+        if not 0 <= edit_media_time < duration:
+            raise ValueError(
+                f"edit_media_time {edit_media_time} outside [0, {duration})"
+            )
+        elst = _full(
+            b"elst",
+            0,
+            struct.pack(">I", 1)
+            + struct.pack(
+                ">IiHH", duration - edit_media_time, edit_media_time, 1, 0
+            ),
+        )
+        edts = _box(b"edts", elst)
+    trak = _box(b"trak", tkhd + edts + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + free + mdat + moov
 
@@ -289,12 +313,51 @@ def parse_mp4(data: bytes) -> dict:
     tkhd_dims = None
     stbl_span = None
     handler = None
+    edit = None  # (segment_duration, media_time) from a one-entry elst
     for fourcc, bs, be in _walk(data, *moov_span):
         if fourcc == b"mvhd":
             timescale, duration, _ = _timed_header(data, bs, be, b"mvhd")
         elif fourcc == b"trak":
             for f2, b2, e2 in _walk(data, bs, be):
-                if f2 == b"tkhd":
+                if f2 == b"edts":
+                    for f2b, b2b, e2b in _walk(data, b2, e2):
+                        if f2b != b"elst":
+                            continue
+                        version, p = _full_header(data, b2b, e2b, b"elst")
+                        if e2b - p < 4:
+                            raise ValueError("elst table truncated")
+                        n_ed = struct.unpack(">I", data[p : p + 4])[0]
+                        if n_ed != 1:
+                            raise ValueError(
+                                f"elst with {n_ed} entries unsupported "
+                                "(single media edit only)"
+                            )
+                        esz = 12 if version == 0 else 20
+                        if e2b - p - 4 < esz:
+                            raise ValueError("elst entry truncated")
+                        if version == 0:
+                            seg_dur, media_t = struct.unpack(
+                                ">Ii", data[p + 4 : p + 12]
+                            )
+                            rp = p + 12
+                        else:
+                            seg_dur, media_t = struct.unpack(
+                                ">Qq", data[p + 4 : p + 20]
+                            )
+                            rp = p + 20
+                        rate_i, rate_f = struct.unpack(
+                            ">Hh", data[rp : rp + 4]
+                        )
+                        if (rate_i, rate_f) != (1, 0):
+                            raise ValueError(
+                                f"elst rate {rate_i}.{rate_f} unsupported"
+                            )
+                        if media_t < 0:
+                            raise ValueError(
+                                "empty-edit elst (media_time -1) unsupported"
+                            )
+                        edit = (int(seg_dur), int(media_t))
+                elif f2 == b"tkhd":
                     version, p = _full_header(data, b2, e2, b"tkhd")
                     # width/height are the LAST 8 bytes of the body
                     if e2 - p < (80 if version == 0 else 92):
@@ -474,4 +537,8 @@ def parse_mp4(data: bytes) -> dict:
         "samples": samples,
         "sample_offsets": sample_offsets,
         "sync_samples": sync_samples,
+        # (segment_duration, media_time) of the single elst media edit,
+        # or None when the file has no edts — presentation starts at
+        # media time 0 (§8.6.6: absent edit list = identity timeline)
+        "edit": edit,
     }

@@ -290,3 +290,43 @@ def test_keyframe_decoys_nonvacuous():
             if j % 3 == 0 and j not in sync:
                 chunk_start_nonsync += 1
     assert mid_chunk_sync > 0 and chunk_start_nonsync > 0
+
+
+def test_elst_roundtrip_and_byte_identity():
+    p = parse_mp4(encode_mp4(FRAMES, 8, 8, None, 1024))
+    assert p["edit"] == (14 * 512 - 1024, 1024)
+    assert p["samples"] == FRAMES  # sample walk untouched by the edit
+    assert parse_mp4(encode_mp4(FRAMES, 8, 8))["edit"] is None
+    # absent edts keeps writer bytes identical (gated queries untouched)
+    assert encode_mp4(FRAMES, 8, 8) == encode_mp4(FRAMES, 8, 8, None, None)
+
+
+def test_elst_writer_rejects_out_of_range():
+    with pytest.raises(ValueError, match="edit_media_time"):
+        encode_mp4(FRAMES, 8, 8, None, 14 * 512)
+    with pytest.raises(ValueError, match="edit_media_time"):
+        encode_mp4(FRAMES, 8, 8, None, -1)
+
+
+def test_raise_on_multi_entry_elst():
+    blob = bytearray(encode_mp4(FRAMES, 8, 8, None, 512))
+    at = blob.index(b"elst") + 4 + 4  # entry_count position
+    blob[at : at + 4] = struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="entries unsupported"):
+        parse_mp4(bytes(blob))
+
+
+def test_raise_on_elst_empty_edit():
+    blob = bytearray(encode_mp4(FRAMES, 8, 8, None, 512))
+    at = blob.index(b"elst") + 4 + 4 + 4  # seg_dur, then media_time
+    blob[at + 4 : at + 8] = struct.pack(">i", -1)
+    with pytest.raises(ValueError, match="empty-edit"):
+        parse_mp4(bytes(blob))
+
+
+def test_raise_on_elst_rate():
+    blob = bytearray(encode_mp4(FRAMES, 8, 8, None, 512))
+    at = blob.index(b"elst") + 4 + 4 + 4 + 8  # rate position (v0)
+    blob[at : at + 2] = struct.pack(">H", 2)
+    with pytest.raises(ValueError, match="rate"):
+        parse_mp4(bytes(blob))
