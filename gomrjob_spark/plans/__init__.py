@@ -66,8 +66,12 @@ _VERIFY_FIRST = [
     "sitemap_discovery",
     # changed r14 (late): the wave-4 probe catch — survivorship pair
     # stage re-planned with the stop-shingle cap, oracle mirrored
-    # (dedup_cluster_survivors is already in the r09 block below)
+    # (dedup_cluster_survivors is already in the r09 block below);
+    # the two exact-pair siblings took the same cap + mirror
+    # preemptively (same sum(f^2) term), so they re-verify too
     "split_cluster_aware",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     # the 24 r08 rows the r13 window could not hold (last green r08)
     "scalar_string",
     "select_token_budget",
@@ -105,15 +109,15 @@ _VERIFY_FIRST = [
     "dedup_embedding_cosine_lowsim",
     "dedup_minhash_md5",
     "dedup_span_removal",
-    "join_asof",
-    "join_asof_forward",
 ]
 # next-oldest queries: knn_axis_lsh + the 34 remaining r09 rows — they head the r15
 # rotation (OLDEST-ALWAYS-NEXT, SCALING.md ledger), followed by the
 # r10 generation as it ages out.
 _BACKFILL = [
     # displaced from the r14 window late (the wave-4 probe-catch
-    # re-verify and the edts query) — they head the r15 rotation
+    # re-verifies and the edts query) — they head the r15 rotation
+    "join_asof",
+    "join_asof_forward",
     "join_band_time",
     "knn_axis_lsh",
     "mix_weights_equal_tokens",

@@ -97,49 +97,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
+    WITH {_SQL_SHINGLES_CAPPED},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
            CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
+    JOIN sizes_c sa ON sa.doc_id = id_a
+    JOIN sizes_c sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.6
     ORDER BY id_a, id_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (>= 0.6).
+    """Word-3-gram Jaccard near-dup pairs (>= 0.6).
 
-    Candidates from the shared-shingle equi-join (never all-pairs); the
-    stop-shingle skew filter is disabled here to keep oracle semantics
-    exact (defaults on in the operator for production)."""
+    Candidates from the shared-shingle equi-join (never all-pairs).
+    r14 (preempting the wave-4 probe catch's sibling): the registered
+    query runs WITH the stop-shingle cap and the oracle mirrors it
+    (_SQL_SHINGLES_CAPPED) — uncapped, the join's output is sum(f^2)
+    over shingle frequencies, the exact O(n^2) term that OOM'd
+    dedup_cluster_survivors at the 64x probe (SCALING.md wave 4). At
+    the gate scale factors no shingle reaches the cap, so the gated
+    values are unchanged; the uncapped-exact form stays available on
+    the operator (max_shingle_freq=None) for bounded corpora."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, n=3, threshold=0.6, max_shingle_freq=None).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.jaccard_pairs(
+        docs, n=3, threshold=0.6, max_shingle_freq=_SURVIVOR_SHINGLE_CAP
+    ).orderBy("id_a", "id_b")
 
 
 @query(
     "dedup_ngram_containment",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
+    WITH {_SQL_SHINGLES_CAPPED},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shc a JOIN shc b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     joined AS (
       SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
       FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
+      JOIN sizes_c sa ON sa.doc_id = id_a
+      JOIN sizes_c sb ON sb.doc_id = id_b
     ),
     directed AS (
       SELECT id_a AS id_src, id_b AS id_dst,
@@ -165,8 +171,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     both directions derived row-locally; skew filter off for exact
     oracle semantics (on by default in the operator)."""
     docs = load_table(spark, sf_dir, "documents")
+    # capped since r14 with the oracle mirrored (_SQL_SHINGLES_CAPPED)
+    # — see dedup_ngram_jaccard: uncapped, the shared-shingle join is
+    # the sum(f^2) O(n^2) term the wave-4 probe OOM'd
     return dedup.containment_pairs(
-        docs, n=3, threshold=0.6, max_shingle_freq=None
+        docs, n=3, threshold=0.6, max_shingle_freq=_SURVIVOR_SHINGLE_CAP
     ).orderBy("id_src", "id_dst")
 
 
