@@ -59,8 +59,10 @@ _VERIFY_FIRST = [
     # argmax join + oracle on both engines
     "dedup_semantic_diversity",
     "streaming_semdedup_gate",
-    # changed r14: knn_lsh re-planned (ids-only, one-literal-matrix)
-    "knn_lsh",
+    # (knn_lsh was also re-planned this round, but it is rows-only —
+    # the window discipline keeps oracle-eligible rows first; its
+    # re-plan is gated by the pytest recall test and the full-registry
+    # sim's rows-check)
     # changed r14: priority regex tightened to the spec cap (A2)
     "sitemap_frontier",
     "sitemap_discovery",
@@ -109,6 +111,7 @@ _VERIFY_FIRST = [
     "dedup_embedding_cosine_lowsim",
     "dedup_minhash_md5",
     "dedup_span_removal",
+    "join_asof",
 ]
 # next-oldest queries: knn_axis_lsh + the 34 remaining r09 rows — they head the r15
 # rotation (OLDEST-ALWAYS-NEXT, SCALING.md ledger), followed by the
@@ -116,7 +119,6 @@ _VERIFY_FIRST = [
 _BACKFILL = [
     # displaced from the r14 window late (the wave-4 probe-catch
     # re-verifies and the edts query) — they head the r15 rotation
-    "join_asof",
     "join_asof_forward",
     "join_band_time",
     "knn_axis_lsh",
