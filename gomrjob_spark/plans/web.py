@@ -627,6 +627,10 @@ _REVISIT_PAYLOAD_SQL = """'capture doc ' || CAST({d} AS VARCHAR) || ' of u'
       CASE WHEN is_rev THEN 'revisit' ELSE 'response' END AS warc_type,
       CAST(CASE WHEN is_rev AND d % 9 <> 7 THEN prev_resp END AS BIGINT)
         AS refers_doc,
+      CASE WHEN is_rev AND d % 9 <> 7
+           THEN '2026-02-' || lpad(CAST(1 + prev_resp % 28 AS VARCHAR), 2, '0')
+                || 'T00:00:00Z'
+           ELSE '' END AS refers_date,
       (NOT is_rev) OR (d % 9 <> 7) AS resolved,
       CASE WHEN NOT is_rev THEN {_REVISIT_PAYLOAD_SQL.format(d="d")}
            WHEN d % 9 <> 7 THEN {_REVISIT_PAYLOAD_SQL.format(d="prev_resp")}
@@ -682,6 +686,10 @@ def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("refers_to"), r"^urn:rec:([0-9]+)$", 1)
         .try_cast("bigint")
         .alias("refers_doc"),
+        # the CC-faithful WARC-Refers-To-Date companion header (absent
+        # on responses and on the void decoys) — gated so the writer/
+        # parser round-trip of the §5.11 companions is pinned too
+        F.col("refers_to_date").alias("refers_date"),
         "resolved",
         F.col("resolved_payload").cast("string").alias("body"),
     ).orderBy("doc_id")

@@ -52,6 +52,15 @@ def encode_warc(records: list[dict]) -> bytes:
             headers.append(
                 b"WARC-Refers-To: <" + r["refers_to"].encode("ascii") + b">"
             )
+        if r.get("refers_to_uri"):
+            headers.append(
+                b"WARC-Refers-To-Target-URI: "
+                + r["refers_to_uri"].encode("ascii")
+            )
+        if r.get("refers_to_date"):
+            headers.append(
+                b"WARC-Refers-To-Date: " + r["refers_to_date"].encode("ascii")
+            )
         if r.get("profile"):
             headers.append(b"WARC-Profile: " + r["profile"].encode("ascii"))
         headers.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
@@ -107,6 +116,8 @@ def parse_warc(data: bytes) -> list[dict]:
                 # record without the header yields "" like uri/date
                 "record_id": headers.get("warc-record-id", "").strip("<>"),
                 "refers_to": headers.get("warc-refers-to", "").strip("<>"),
+                "refers_to_uri": headers.get("warc-refers-to-target-uri", ""),
+                "refers_to_date": headers.get("warc-refers-to-date", ""),
                 "profile": headers.get("warc-profile", ""),
                 "content_length": length,
                 "payload": data[body_start:body_end],
@@ -226,7 +237,7 @@ WARC_RECORDS_SCHEMA = (
 #: already-gated consumers of the bare reader keep their column sets.
 WARC_RECORDS_IDS_SCHEMA = (
     WARC_RECORDS_SCHEMA + ", record_id string, refers_to string, "
-    "profile string"
+    "refers_to_uri string, refers_to_date string, profile string"
 )
 
 
@@ -249,7 +260,12 @@ def warc_records_from_binary_files(files_df, with_ids: bool = False):
         "warc_date", "content_length", "payload",
         "offset", "record_bytes",
     )
-    id_cols = ("record_id", "refers_to", "profile") if with_ids else ()
+    id_cols = (
+        ("record_id", "refers_to", "refers_to_uri", "refers_to_date",
+         "profile")
+        if with_ids
+        else ()
+    )
 
     def run(batches):
         for pdf in batches:
@@ -681,10 +697,18 @@ def revisit_fixture_records(doc_ids) -> list[dict]:
             rec["type"] = "revisit"
             rec["profile"] = "identical-payload-digest"
             rec["payload"] = b""
-            rec["refers_to"] = (
-                f"urn:rec:void:{d}" if d % 9 == 7
-                else f"urn:rec:{last_resp[g]}"
-            )
+            if d % 9 == 7:
+                rec["refers_to"] = f"urn:rec:void:{d}"
+            else:
+                r0 = last_resp[g]
+                rec["refers_to"] = f"urn:rec:{r0}"
+                # the CC-faithful companion headers (ISO 28500 §5.11):
+                # the referred capture's URI and date, so a consumer
+                # can resolve without the referent in hand
+                rec["refers_to_uri"] = f"https://dup.example.org/u{g}"
+                rec["refers_to_date"] = (
+                    f"2026-02-{1 + r0 % 28:02d}T00:00:00Z"
+                )
         else:
             rec["type"] = "response"
             rec["payload"] = (
@@ -708,7 +732,8 @@ def write_warc_revisit_fixture(sf_dir: str, doc_ids) -> str:
 
     ids = sorted(int(x) for x in doc_ids)
     base = "/tmp/gomrjob_spark_fixtures"
-    key = _fixture_dir_key("warc_revisit_v1", sf_dir, ids)
+    # v2: r14 late — revisits gained the §5.11 companion headers
+    key = _fixture_dir_key("warc_revisit_v2", sf_dir, ids)
     out = os.path.join(base, key)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):

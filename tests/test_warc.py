@@ -444,11 +444,16 @@ def test_revisit_headers_roundtrip():
             "payload": b"",
         },
     ]
+    recs[1]["refers_to_uri"] = "https://a.example/x"
+    recs[1]["refers_to_date"] = "2026-02-01T00:00:00Z"
     got = parse_warc(encode_warc(recs))
     assert got[0]["record_id"] == "urn:rec:1"
     assert got[0]["refers_to"] == ""  # absent header reads empty
+    assert got[0]["refers_to_date"] == ""
     assert got[1]["type"] == "revisit"
     assert got[1]["refers_to"] == "urn:rec:1"
+    assert got[1]["refers_to_uri"] == "https://a.example/x"
+    assert got[1]["refers_to_date"] == "2026-02-01T00:00:00Z"
     assert got[1]["profile"] == "identical-payload-digest"
     assert got[1]["payload"] == b""
 
