@@ -621,45 +621,78 @@ _REVISIT_PAYLOAD_SQL = """'capture doc ' || CAST({d} AS VARCHAR) || ' of u'
           PARTITION BY grp ORDER BY d
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_resp
       FROM marked
+    ),
+    resp_set AS (
+      SELECT d, grp, 1 + d % 28 AS day,
+             'urn:rec:' || CAST(d AS VARCHAR) AS rid
+      FROM marked WHERE NOT is_rev
+    ),
+    snm AS (
+      SELECT r.d AS rev_d, min(p.rid) AS win_rid
+      FROM reffed r JOIN resp_set p
+        ON p.grp = r.grp AND p.day = 1 + r.prev_resp % 28
+      WHERE r.is_rev AND r.d % 2 = 1 AND r.d % 9 <> 7
+      GROUP BY r.d
+    ),
+    base AS (
+      SELECT r.*,
+        CAST(CASE WHEN s.win_rid IS NOT NULL THEN
+          regexp_extract(s.win_rid, 'urn:rec:([0-9]+)', 1) END AS BIGINT)
+          AS win_d
+      FROM reffed r LEFT JOIN snm s ON s.rev_d = r.d
     )
     SELECT CAST(d AS BIGINT) AS doc_id,
       'https://dup.example.org/u' || CAST(grp AS VARCHAR) AS target_uri,
       CASE WHEN is_rev THEN 'revisit' ELSE 'response' END AS warc_type,
-      CAST(CASE WHEN is_rev AND d % 9 <> 7 THEN prev_resp END AS BIGINT)
-        AS refers_doc,
+      CASE WHEN NOT is_rev THEN ''
+           WHEN d % 2 = 0 THEN 'identical-payload-digest'
+           ELSE 'server-not-modified' END AS profile,
+      CAST(CASE WHEN is_rev AND d % 2 = 0 AND d % 9 <> 7 THEN prev_resp
+           END AS BIGINT) AS refers_doc,
       CASE WHEN is_rev AND d % 9 <> 7
-           THEN '2026-02-' || lpad(CAST(1 + prev_resp % 28 AS VARCHAR), 2, '0')
-                || 'T00:00:00Z'
+           THEN '2026-02-' || lpad(CAST(1 + prev_resp % 28 AS VARCHAR),
+                                   2, '0') || 'T00:00:00Z'
+           WHEN is_rev AND d % 2 = 1 THEN '2026-03-01T00:00:00Z'
            ELSE '' END AS refers_date,
-      (NOT is_rev) OR (d % 9 <> 7) AS resolved,
+      (NOT is_rev) OR (d % 2 = 0 AND d % 9 <> 7) OR (win_d IS NOT NULL)
+        AS resolved,
       CASE WHEN NOT is_rev THEN {_REVISIT_PAYLOAD_SQL.format(d="d")}
-           WHEN d % 9 <> 7 THEN {_REVISIT_PAYLOAD_SQL.format(d="prev_resp")}
+           WHEN d % 2 = 0 AND d % 9 <> 7
+             THEN {_REVISIT_PAYLOAD_SQL.format(d="prev_resp")}
+           WHEN win_d IS NOT NULL
+             THEN {_REVISIT_PAYLOAD_SQL.format(d="win_d")}
            END AS body
-    FROM reffed ORDER BY doc_id
+    FROM base ORDER BY doc_id
     """,
 )
 def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ``revisit`` resolution (r14, the r13 verdict's item #6) —
-    how Common Crawl expresses URL-level dedup (ISO 28500 §6.7.2): an
-    unchanged re-capture ships as a near-empty revisit record whose
-    ``WARC-Refers-To`` names the original response's record id; a
-    pipeline that ignores them silently loses ~10-15% of real CC
-    captures. The writer twin synthesizes 8 files where captures share
-    URLs (group d%17), every later d%3==1 capture in a group is a
+    how Common Crawl expresses URL-level dedup, BOTH standard ISO
+    28500 profiles: ``identical-payload-digest`` (§6.7.2, resolved by
+    ``WARC-Refers-To`` record id) and ``server-not-modified`` (§6.7.1,
+    the origin answered 304 — NO refers-to header at all; resolved by
+    the §5.11 ``WARC-Refers-To-Target-URI``/``-Date`` companions, ties
+    on the (uri, date) key broken by the lexicographically smallest
+    record id — a documented deterministic rule both engines mirror).
+    A pipeline that ignores revisits silently loses ~10-15% of real CC
+    captures; one that handles only the digest profile still loses the
+    304s. The writer twin synthesizes 8 files where captures share
+    URLs (group d%17); every later d%3==1 capture in a group is a
     revisit of the most recent PRECEDING response (usually in a
-    DIFFERENT file — resolution is genuinely a cross-file join), and
-    every d%9==7 revisit's referent is a VOID id: the unresolvable
-    decoy that must surface as resolved=false with a NULL body (a
-    resolver that inner-joins, or that substitutes the revisit's own
-    empty payload, cannot hash-match). The oracle recomputes the
-    group mins, the preceding-response lag (window max), the void
-    rule, and every resolved body from the doc-id formulas.
+    DIFFERENT file — resolution is genuinely cross-file), even d by
+    record id, odd d by the companions alone; each path carries its
+    own d%9==7 VOID decoy (a void record id / a date no capture has)
+    that must surface as resolved=false with a NULL body — a resolver
+    that inner-joins, drops, or substitutes the revisit's own empty
+    payload cannot hash-match. The oracle recomputes the group mins,
+    the preceding-response window lag, the (uri, date) winner with the
+    tie rule, the void rules, and every resolved body from doc-id
+    formulas.
 
     Plan (sources/warc.py resolve_revisits): responses pass through
-    with NO shuffle; only the revisit rows plus an (id, payload)
-    projection of the responses shuffle for one left equi-join on the
-    record id — the minimum data movement resolution admits at CC
-    scale."""
+    with NO shuffle; the revisit rows plus (key, payload) projections
+    of the responses shuffle for the two left equi-joins — the minimum
+    data movement resolution admits at CC scale."""
     from gomrjob_spark.sources.warc import (
         read_warc_files,
         resolve_revisits,
@@ -681,14 +714,16 @@ def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "target_uri",
         "warc_type",
+        "profile",
         # try_cast: a void/absent referent extracts as '' and must land
-        # NULL, not throw under ANSI mode
+        # NULL, not throw under ANSI mode; SNM revisits have no
+        # refers_to at all, so refers_doc is NULL there by design (the
+        # winner's identity is gated through the body bytes)
         F.regexp_extract(F.col("refers_to"), r"^urn:rec:([0-9]+)$", 1)
         .try_cast("bigint")
         .alias("refers_doc"),
-        # the CC-faithful WARC-Refers-To-Date companion header (absent
-        # on responses and on the void decoys) — gated so the writer/
-        # parser round-trip of the §5.11 companions is pinned too
+        # the §5.11 companion date (absent on responses and on the
+        # id-path void decoys)
         F.col("refers_to_date").alias("refers_date"),
         "resolved",
         F.col("resolved_payload").cast("string").alias("body"),

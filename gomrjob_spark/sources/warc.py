@@ -622,42 +622,75 @@ def write_warc_member_fixture(sf_dir: str, doc_ids) -> str:
 
 def resolve_revisits(records):
     """Resolve WARC ``revisit`` records against their referred
-    responses (r14, the r13 verdict's item #6) — the ISO 28500 §6.7.2
+    responses (r14, the r13 verdict's item #6) — the ISO 28500 §6.7
     / Common Crawl URL-level dedup semantics: a re-capture whose
-    payload was unchanged ships as a near-empty ``revisit`` record
-    whose ``WARC-Refers-To`` names the original response's
-    ``WARC-Record-ID``; a pipeline that ignores them silently loses
-    ~10-15% of a real CC segment's captures.
+    payload was unchanged ships as a near-empty ``revisit`` record; a
+    pipeline that ignores them silently loses ~10-15% of a real CC
+    segment's captures. BOTH standard profiles resolve:
+
+    - ``identical-payload-digest`` (§6.7.2): ``WARC-Refers-To`` names
+      the original response's ``WARC-Record-ID`` — one left equi-join
+      on the record id.
+    - ``server-not-modified`` (§6.7.1): the origin answered 304, so
+      there is no digest and usually NO ``WARC-Refers-To``; the
+      referent is named by the §5.11 companions
+      ``WARC-Refers-To-Target-URI`` + ``WARC-Refers-To-Date`` — one
+      left equi-join on (uri, date). When several responses share the
+      (uri, date) key the LEXICOGRAPHICALLY smallest record id wins —
+      a documented deterministic tie rule both engines mirror.
 
     Input: an id-bearing records frame (warc_records_from_binary_files
-    with_ids=True). Output: every capture with
-    ``resolved_payload`` (its own payload for non-revisits; the
-    referred response's payload for resolved revisits; NULL for a
-    revisit whose referent is missing from the stream) and a
+    with_ids=True). Output: every capture with ``resolved_payload``
+    (its own payload for non-revisits; the referred response's payload
+    for resolved revisits; NULL when the referent is missing) and a
     ``resolved`` flag — unresolvable revisits are SURFACED, never
     dropped (the data-loss signal a curation operator must see).
 
     Plan: non-revisit records pass through without any shuffle; only
-    the (small) revisit side plus an (id, payload) projection of the
-    responses shuffle for one left equi-join on the record id — no
-    window, no sort, and the payload bytes cross the wire once, which
-    is the minimum for resolution."""
+    the (small) revisit side plus (key, payload) projections of the
+    responses shuffle for the two left equi-joins — the payload bytes
+    cross the wire once per resolved capture, the minimum resolution
+    admits."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     resp = records.filter(F.col("warc_type") != "revisit")
+    rev_all = records.filter(F.col("warc_type") == "revisit")
+
+    # §6.7.2 path: by record id
     refs = resp.select(
         F.col("record_id").alias("refers_to"),
         F.col("payload").alias("resolved_payload"),
     )
-    rev = (
-        records.filter(F.col("warc_type") == "revisit")
+    by_id = (
+        rev_all.filter(F.col("refers_to") != "")
         .join(refs, "refers_to", "left")
         .withColumn("resolved", F.col("resolved_payload").isNotNull())
     )
+
+    # §6.7.1 path: by (uri, date) companions; lexicographic-min record
+    # id breaks (uri, date) ties deterministically on both engines
+    winner = resp.groupBy(
+        F.col("target_uri").alias("refers_to_uri"),
+        F.col("warc_date").alias("refers_to_date"),
+    ).agg(F.min("record_id").alias("_rid"))
+    rid_payload = resp.select(
+        F.col("record_id").alias("_rid"),
+        F.col("payload").alias("resolved_payload"),
+    )
+    by_uri = (
+        rev_all.filter(F.col("refers_to") == "")
+        .join(winner, ["refers_to_uri", "refers_to_date"], "left")
+        .join(rid_payload, "_rid", "left")
+        .drop("_rid")
+        .withColumn("resolved", F.col("resolved_payload").isNotNull())
+    )
+
     out = resp.withColumn(
         "resolved_payload", F.col("payload")
     ).withColumn("resolved", F.lit(True))
-    return out.unionByName(rev.select(*out.columns))
+    return out.unionByName(by_id.select(*out.columns)).unionByName(
+        by_uri.select(*out.columns)
+    )
 
 
 def revisit_fixture_records(doc_ids) -> list[dict]:
@@ -670,10 +703,13 @@ def revisit_fixture_records(doc_ids) -> list[dict]:
     - the FIRST capture is always a 'response';
     - every later d with d % 3 == 1 is a 'revisit' of the most recent
       PRECEDING response in its group (the lag the oracle recomputes
-      with a window max), profile per ISO 28500 identical-payload-
-      digest, EMPTY body — except d % 9 == 7 revisits, whose
-      WARC-Refers-To names a VOID record id (the unresolvable decoy:
-      a resolver that inner-joins or drops them cannot match);
+      with a window max), EMPTY body; EVEN d resolve by record id
+      (profile identical-payload-digest), ODD d by the §5.11
+      URI+date companions alone (profile server-not-modified — no
+      WARC-Refers-To at all, the §6.7.1 shape). d % 9 == 7 revisits
+      are each path's unresolvable VOID decoy (a void record id /
+      a date no capture has): a resolver that inner-joins or drops
+      them cannot match;
     - everything else is a 'response' with the formula payload
       (including the d % 7 == 3 record-boundary decoy).
 
@@ -695,19 +731,32 @@ def revisit_fixture_records(doc_ids) -> list[dict]:
         }
         if is_rev:
             rec["type"] = "revisit"
-            rec["profile"] = "identical-payload-digest"
             rec["payload"] = b""
-            if d % 9 == 7:
-                rec["refers_to"] = f"urn:rec:void:{d}"
+            r0 = last_resp[g]
+            if d % 2 == 0:
+                # §6.7.2 identical-payload-digest: resolve by record id
+                rec["profile"] = "identical-payload-digest"
+                if d % 9 == 7:
+                    rec["refers_to"] = f"urn:rec:void:{d}"  # void decoy
+                else:
+                    rec["refers_to"] = f"urn:rec:{r0}"
+                    # the §5.11 companion headers: the referred
+                    # capture's URI and date, so a consumer can
+                    # resolve without the referent in hand
+                    rec["refers_to_uri"] = f"https://dup.example.org/u{g}"
+                    rec["refers_to_date"] = (
+                        f"2026-02-{1 + r0 % 28:02d}T00:00:00Z"
+                    )
             else:
-                r0 = last_resp[g]
-                rec["refers_to"] = f"urn:rec:{r0}"
-                # the CC-faithful companion headers (ISO 28500 §5.11):
-                # the referred capture's URI and date, so a consumer
-                # can resolve without the referent in hand
+                # §6.7.1 server-not-modified (origin answered 304): no
+                # digest, NO WARC-Refers-To — the referent is named by
+                # the companions alone; odd d % 9 == 7 revisits point
+                # at a date no capture has (this path's void decoy)
+                rec["profile"] = "server-not-modified"
                 rec["refers_to_uri"] = f"https://dup.example.org/u{g}"
                 rec["refers_to_date"] = (
-                    f"2026-02-{1 + r0 % 28:02d}T00:00:00Z"
+                    "2026-03-01T00:00:00Z" if d % 9 == 7
+                    else f"2026-02-{1 + r0 % 28:02d}T00:00:00Z"
                 )
         else:
             rec["type"] = "response"
@@ -732,8 +781,8 @@ def write_warc_revisit_fixture(sf_dir: str, doc_ids) -> str:
 
     ids = sorted(int(x) for x in doc_ids)
     base = "/tmp/gomrjob_spark_fixtures"
-    # v2: r14 late — revisits gained the §5.11 companion headers
-    key = _fixture_dir_key("warc_revisit_v2", sf_dir, ids)
+    # v3: r14 late — both §6.7 revisit profiles, per-path void decoys
+    key = _fixture_dir_key("warc_revisit_v3", sf_dir, ids)
     out = os.path.join(base, key)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):

@@ -460,18 +460,26 @@ def test_revisit_headers_roundtrip():
 
 def test_revisit_fixture_nonvacuous_and_resolvable(spark, sf_dir):
     """The gated query's decision surface must actually occur: real
-    revisits, cross-file referents, and unresolvable void decoys."""
+    revisits in BOTH ISO 28500 profiles, cross-file referents, and an
+    unresolvable void decoy in EACH resolution path."""
     from gomrjob_spark.plans.web import warc_revisit_resolve
 
     rows = warc_revisit_resolve(spark, sf_dir).collect()
     revs = [r for r in rows if r["warc_type"] == "revisit"]
-    unresolved = [r for r in revs if not r["resolved"]]
-    resolved = [r for r in revs if r["resolved"]]
-    assert revs and resolved and unresolved
-    for r in unresolved:
-        assert r["refers_doc"] is None and r["body"] is None
+    ipd = [r for r in revs if r["profile"] == "identical-payload-digest"]
+    snm = [r for r in revs if r["profile"] == "server-not-modified"]
+    assert ipd and snm and len(ipd) + len(snm) == len(revs)
+    # both paths have resolved rows AND their own void decoy
+    for fam in (ipd, snm):
+        assert any(r["resolved"] for r in fam)
+        assert any(not r["resolved"] for r in fam)
+    for r in revs:
+        if not r["resolved"]:
+            assert r["refers_doc"] is None and r["body"] is None
     by_doc = {r["doc_id"]: r for r in rows}
-    for r in resolved:
+    for r in ipd:
+        if not r["resolved"]:
+            continue
         ref = by_doc[r["refers_doc"]]
         # referred record is an earlier response of the SAME url,
         # usually in a different file (doc % 8)
@@ -479,4 +487,25 @@ def test_revisit_fixture_nonvacuous_and_resolvable(spark, sf_dir):
         assert ref["target_uri"] == r["target_uri"]
         assert ref["doc_id"] < r["doc_id"]
         assert r["body"] == ref["body"]  # payload substituted whole
-    assert any(r["refers_doc"] % 8 != r["doc_id"] % 8 for r in resolved)
+    assert any(
+        r["resolved"] and r["refers_doc"] % 8 != r["doc_id"] % 8 for r in ipd
+    )
+    for r in snm:
+        # no refers_to header at all: identity travels via companions
+        assert r["refers_doc"] is None
+        if r["resolved"]:
+            # the body is SOME same-url response's payload whose date
+            # matches the companion (the lexicographic-min tie winner)
+            assert r["body"] is not None and r["refers_date"].startswith(
+                "2026-02-"
+            )
+            donors = [
+                x
+                for x in rows
+                if x["warc_type"] == "response"
+                and x["target_uri"] == r["target_uri"]
+                and x["body"] == r["body"]
+            ]
+            assert donors
+        else:
+            assert r["refers_date"] == "2026-03-01T00:00:00Z"
