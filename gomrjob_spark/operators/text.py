@@ -960,9 +960,28 @@ def _bpe_round_loop(sym0: DataFrame, n_merges: int) -> DataFrame:
     ``toks``) — shared verbatim by the whitespace-token trainer above
     and the byte-level trainer (:func:`byte_bpe_train_merges`), so both
     granularities pin the SAME pair-count / winner-pick / greedy-merge
-    semantics by construction."""
+    semantics by construction.
+
+    Lineage discipline (r14): each round's WINNER is collected to the
+    driver — a <=1-row model-sized read, the exact
+    ``ivf_centroids_kmeans`` Lloyd-round device — and the merge fold
+    takes the winning pair as plan LITERALS. Without this, a round's
+    frame referenced its predecessor TWICE (the pair count feeding the
+    winner, and the rewrite join), the logical plan doubled per round,
+    and at 5 rounds the byte-level encode's plan carried ~10k Exchange
+    nodes: query CONSTRUCTION alone (driver-side plan copying, before
+    any execution) measured 10.4 s at sf0.1. With winner literals the
+    per-round plan is ONE projection over the persisted predecessor —
+    linear growth, columnar cache reuse — and the winner computation
+    itself is the same persisted-frame aggregate as before, now
+    driver-paced: n_merges bounded collect jobs instead of one
+    exponentially-nested action. The winner pick (count desc, w1, w2)
+    and the greedy fold are byte-identical, so the returned merge
+    table — and everything an apply pass derives from it — is
+    unchanged row for row."""
+    spark = sym0.sparkSession
     cur = scoped_persist(sym0)
-    merges = None
+    rows: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         idx = F.when(
             F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
@@ -971,24 +990,27 @@ def _bpe_round_loop(sym0: DataFrame, n_merges: int) -> DataFrame:
             F.element_at("toks", F.col("_i")).alias("w1"),
             F.element_at("toks", F.col("_i") + 1).alias("w2"),
         )
-        top1 = scoped_persist(
+        top1 = (
             pairs.groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("n_pair"))
             .orderBy(F.desc("n_pair"), "w1", "w2")
             .limit(1)
+            .collect()
         )
-        round_row = top1.select(
-            F.lit(r).cast("int").alias("round"),
-            "w1",
-            "w2",
-            F.col("n_pair").cast("bigint").alias("n_pair"),
-        )
-        merges = round_row if merges is None else merges.unionByName(round_row)
-        folded = cur.join(F.broadcast(top1)).select(
-            _greedy_merge_fold("toks", F.col("w1"), F.col("w2")).alias("toks")
+        if not top1:
+            # No adjacent pairs remain: the old rewrite join emptied
+            # `cur` silently and every later round emitted no merge
+            # row — the merge table simply ends here, exactly as then.
+            break
+        w1, w2 = top1[0]["w1"], top1[0]["w2"]
+        rows.append((r, w1, w2, int(top1[0]["n_pair"])))
+        folded = cur.select(
+            _greedy_merge_fold("toks", F.lit(w1), F.lit(w2)).alias("toks")
         )
         cur = scoped_persist(folded)
-    return merges.orderBy("round")
+    return spark.createDataFrame(
+        rows, "round int, w1 string, w2 string, n_pair bigint"
+    ).orderBy("round")
 
 
 def _greedy_merge_fold(arr, w1, w2):
