@@ -2921,8 +2921,18 @@ def langid_model(
     broadcastable frame the row-local scorer reads (see
     :func:`langid_train` / :func:`_langid_model_row`) — the offline
     half a live ingest deploys (the dsir_weights / semdedup-model
-    split)."""
-    model = langid_train(train, n=n, text_col=text_col, label_col=label_col)
+    split).
+
+    The dense model frame is scoped-persisted (r14): the one-row
+    collapse reads it FOUR times (gram weight map, language array,
+    unseen weights twice via the cnt=0 branch and the totals fallback),
+    and without the persist each branch re-ran the L x V dense build —
+    the gate's plan carried 224 Exchange nodes from those replicas. The
+    frame is model-sized (charset-bounded), so the cache cost is
+    nil."""
+    model = scoped_persist(
+        langid_train(train, n=n, text_col=text_col, label_col=label_col)
+    )
     priors = langid_priors(train, label_col=label_col)
     return _langid_model_row(model, priors)
 
