@@ -2290,6 +2290,10 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation scale."""
     from pyspark.sql import Window
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from gomrjob_spark.cache import scoped_persist
     from gomrjob_spark.operators import dedup, robots
     from gomrjob_spark.operators.html import (
@@ -2298,8 +2302,10 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_blocks,
     )
     from gomrjob_spark.operators.text import (
-        kn_perplexity,
-        langid_gate,
+        kn_model,
+        kn_score,
+        langid_apply,
+        langid_model,
         pack_token_batches,
         quality_perceptron_gate,
         quality_perceptron_train,
@@ -2309,6 +2315,31 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     train = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # The three text-layer MODELS (langid NB, batch perceptron, modified
+    # KN) depend only on `docs`/`train`, never on the funnel — but the
+    # funnel's eager localCheckpoint spine used to serialize them onto
+    # the critical path (stage attribution: a ~25 s chain of small
+    # driver-paced stages, most cores idle). Pre-train them here as
+    # CONCURRENT background jobs (guide §2.6 — overlap independent
+    # jobs; FIFO scheduling back-fills the funnel's stragglers), each
+    # persisted so the scorer reads the cache. Training inputs, the
+    # trainers, and the scorers are unchanged — identical models, just
+    # trained while the funnel runs instead of after it.
+    lg_row = scoped_persist(langid_model(train))
+    pc_w = scoped_persist(quality_perceptron_train(docs, n_rounds=8))
+    knm = {k: scoped_persist(v) for k, v in kn_model(train).items()}
+
+    def _materialize(*frames: DataFrame) -> None:
+        for fr in frames:
+            fr.write.format("noop").mode("overwrite").save()
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    futs = [
+        pool.submit(inheritable_thread_target(_materialize), lg_row),
+        pool.submit(inheritable_thread_target(_materialize), pc_w),
+        pool.submit(inheritable_thread_target(_materialize), *knm.values()),
+    ]
 
     # flag spine: WET walk + URL staging + robots/domain column
     # programs. The html PAYLOAD stays OUT of the spine — it would
@@ -2405,7 +2436,7 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exponentially (measured: catalyst alone ran minutes at sf0.1) —
     # the BPE/PageRank lineage rule applied to the funnel.
     s6_ids = gated.filter("s6").select("doc_id").localCheckpoint()
-    lg = langid_gate(docs.join(s6_ids, "doc_id"), train).select(
+    lg = langid_apply(docs.join(s6_ids, "doc_id"), lg_row).select(
         "doc_id", "pred_lang"
     )
     # read twice (majority agg + the s7 flag join): truncate the
@@ -2432,14 +2463,13 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s7_ids = flags7.filter("s7").select("doc_id").localCheckpoint()
     pc = quality_perceptron_gate(
-        docs.join(s7_ids, "doc_id"),
-        quality_perceptron_train(docs, n_rounds=8),
+        docs.join(s7_ids, "doc_id"), pc_w
     ).select("doc_id", F.col("keep").alias("pc_keep"))
     flags8 = flags7.join(pc, "doc_id", "left").withColumn(
         "s8", F.col("s7") & F.coalesce(F.col("pc_keep"), F.lit(False))
     )
     s8_ids = flags8.filter("s8").select("doc_id").localCheckpoint()
-    knf = kn_perplexity(docs.join(s8_ids, "doc_id"), train).select(
+    knf = kn_score(docs.join(s8_ids, "doc_id"), knm).select(
         "doc_id", "mbits_per_trigram"
     )
     # final spine truncation: counts and pack both read this frame
@@ -2465,6 +2495,11 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nb")
     )
+    # join the background trainers (propagates any training failure; by
+    # now the funnel's eager spine has run, so these are long finished)
+    for f in futs:
+        f.result()
+    pool.shutdown(wait=True)
     return (
         counts.join(F.broadcast(nb))
         .selectExpr(
