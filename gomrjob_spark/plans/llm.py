@@ -1885,8 +1885,13 @@ def _phash_payload_sql(sa: int, sb: int) -> str:
 
 def _phash_synth(docs: DataFrame, mod: int, sa: int = 11, sb: int = 5) -> DataFrame:
     """(doc_id, payload): each doc's visual group is doc_id % mod; see
-    :func:`_phash_payload_sql`."""
-    return docs.selectExpr(
+    :func:`_phash_payload_sql`. spread() first (r14): the per-pixel
+    payload render + the downstream Python decode are CPU-heavy and the
+    small-SF documents table is ONE parquet split — without the fan-out
+    the whole pipeline serialized into a single task (measured: one
+    8 s task, 31 cores idle, on the scene-cuts sibling). No-op on a
+    real cluster (scan splits already exceed cores)."""
+    return text.spread(docs).selectExpr(
         "doc_id",
         f"doc_id % {mod} AS g",
         "CAST(doc_id % 6 + 9 AS INT) AS w",
@@ -2000,7 +2005,11 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-local; the only shuffle is one exchange on the video id for
     the 8-bytes-per-frame lag window."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    frames = docs.selectExpr(
+    # spread BEFORE the per-frame explode + per-pixel render + Python
+    # decode: the single-split small-SF scan otherwise serializes the
+    # whole 75k-frame synth+decode into ONE task (stage profile: one
+    # 8.0 s task, 31 cores idle). No-op on a real cluster.
+    frames = text.spread(docs).selectExpr(
         "doc_id", "CAST(doc_id % 8 + 12 AS INT) AS n_frames"
     ).selectExpr(
         "doc_id", "explode(sequence(0, n_frames - 1)) AS frame_idx"
@@ -3046,7 +3055,12 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> Data
         _le_bytes(data_size, 4),
         F.unhex(sample_hex),
     )
-    staged = docs.select("doc_id", vals.alias("_vals"), n.alias("_n"))
+    # spread BEFORE the per-sample render + Python PCM decode (the
+    # _phash_synth rationale: single-split small-SF scan serializes the
+    # CPU-heavy synth+decode into one task; no-op on a real cluster)
+    staged = text.spread(docs).select(
+        "doc_id", vals.alias("_vals"), n.alias("_n")
+    )
     d = multimodal.extract_audio_fingerprint(
         staged.select("doc_id", payload.alias("payload"))
     )
