@@ -1722,13 +1722,22 @@ def kn_model(
             ).cast("bigint").alias("_p3base"),
         )
     )
+    # scoped-persist every table (r14): all five vocab-sized tables
+    # share the trigram-count lineage (`tri` feeds trim/ctx2m/p2m...),
+    # and the scorer's five-join plan embedded each table's FULL
+    # trainer subtree — Catalyst re-analyzed (and AQE re-optimized per
+    # query stage) a plan ~5x the trainer, visible as 1-task stages
+    # with ~0.2 s of compute but ~2 s of wall while the driver
+    # replanned. Persisted frames substitute as InMemoryRelation
+    # leaves during planning, so the scored plan is five cache reads;
+    # the tables are models (vocab-sized), so the cache cost is nil.
     return {
-        "trim": trim,
-        "ctx2m": ctx2m,
-        "p2m": p2m,
-        "ctx1m": ctx1m,
-        "p1m": p1m,
-        "glob": glob,
+        "trim": scoped_persist(trim),
+        "ctx2m": scoped_persist(ctx2m),
+        "p2m": scoped_persist(p2m),
+        "ctx1m": scoped_persist(ctx1m),
+        "p1m": scoped_persist(p1m),
+        "glob": scoped_persist(glob),
     }
 
 
