@@ -279,13 +279,23 @@ def ivf_assign(
     # ONE bounded action decides the path (no separate count + head
     # jobs): a limit(cap+1) collect returns every row iff the frame is
     # within the cap, and dim comes off the first row. dim >= 1 means a
-    # literal-path quantizer can never exceed cap rows.
-    rows = centroids.limit(max_literal_terms + 1).collect()
-    if not rows:
-        raise ValueError("ivf_assign: empty centroid frame")
-    dim = len(rows[0]["centroid"])
+    # literal-path quantizer can never exceed cap rows. When the caller
+    # FORCES the broadcast path (max_literal_terms <= 0 — the Lloyd
+    # training loop), skip the probe entirely (r14): createDataFrame
+    # local relations are RDD-backed in PySpark, so even a limit(1)
+    # collect launched a 1-task job per call — one extra driver-paced
+    # job per Lloyd round, measured 0.15-0.35 s each on a busy driver.
+    # Emptiness is then the caller's contract (ivf_centroids_kmeans
+    # raises on an empty seed set before the loop).
+    if max_literal_terms > 0:
+        rows = centroids.limit(max_literal_terms + 1).collect()
+        if not rows:
+            raise ValueError("ivf_assign: empty centroid frame")
+        dim = len(rows[0]["centroid"])
+    else:
+        rows, dim = [], 0
 
-    if len(rows) <= max_literal_terms and len(rows) * dim <= max_literal_terms:
+    if max_literal_terms > 0 and len(rows) <= max_literal_terms and len(rows) * dim <= max_literal_terms:
         rows = sorted(rows, key=lambda r: r["cell"])
         entries = []
         for r in rows:
@@ -443,6 +453,10 @@ def ivf_centroids_kmeans(
         int(r["cell"]): [float(x) for x in r["centroid"]]
         for r in seed_df.collect()
     }
+    if not cur:
+        # the guard ivf_assign's forced-broadcast path (max_literal_
+        # terms=0) delegates here: an empty corpus yields no seeds
+        raise ValueError("ivf_assign: empty centroid frame")
     for _ in range(n_iters):
         cents_df = spark.createDataFrame(
             sorted(cur.items()), "cell int, centroid array<double>"
