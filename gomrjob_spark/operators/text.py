@@ -2257,8 +2257,9 @@ def wordpiece_train(
     Scale shape per round: one weighted symbol-count aggregate + one
     weighted pair-count aggregate over the persisted distinct-word
     symbol arrays, two vocabulary-sized equi-joins to attach the
-    left/right counts, a 1-ROW broadcast of the winner (the
-    bpe_train_merges device — remember the BNLJ allowlist), and one
+    left/right counts, a <=1-row WINNER collect (the bpe_train_merges /
+    ivf Lloyd-round bounded driver read, r14 — folded back as plan
+    literals, so no per-round broadcast join), and one
     row-local fold rewriting each word's array. Each round's rewritten
     symbol frame is lazily ``localCheckpoint``ed (the connected-
     components fixpoint device): a round references its predecessor
@@ -2271,7 +2272,8 @@ def wordpiece_train(
     cur = scoped_persist(
         wf.select(_wp_init_syms(F.col("w")).alias("syms"), "wn")
     )
-    merges = None
+    spark = docs.sparkSession
+    rows: list[tuple[int, str, str, int, int]] = []
     for r in range(1, n_merges + 1):
         cnt = (
             cur.select(F.explode("syms").alias("s"), "wn")
@@ -2302,35 +2304,35 @@ def wordpiece_train(
                 ).cast("bigint"),
             )
         )
-        top1 = scoped_persist(
-            scored.orderBy(F.desc("score_fp"), "w1", "w2").limit(1)
+        # The round's winner is a <=1-row MODEL: collect it (the BPE /
+        # ivf Lloyd-round device, r14 — one bounded driver read, the
+        # same single materializing job the old persist + count() pair
+        # paid) and fold it back as plan LITERALS — no per-round
+        # broadcast join, and the merge table becomes literal rows. A
+        # round with NO remaining adjacent pairs used to silently empty
+        # `cur` through the rewrite cross-join; the explicit raise is
+        # unchanged.
+        top1 = (
+            scored.orderBy(F.desc("score_fp"), "w1", "w2").limit(1).collect()
         )
-        # A round with NO remaining adjacent pairs yields an empty
-        # top1; the rewrite cross-join below would then silently empty
-        # `cur` and every later round would emit no merge row — the
-        # caller would receive a truncated merge table with no error
-        # signal. top1 is persisted and at most 1 row, so this count
-        # is a model-sized action, not a data-sized collect.
-        if top1.count() == 0:
+        if not top1:
             raise RuntimeError(
                 f"wordpiece_train exhausted at round {r}: no adjacent "
                 f"symbol pairs remain after {r - 1} merges (requested "
                 f"n_merges={n_merges}); every distinct word is fully "
                 "merged — lower n_merges to the corpus's merge capacity."
             )
-        round_row = top1.select(
-            F.lit(r).cast("int").alias("round"),
-            "w1",
-            "w2",
-            F.col("n_pair").cast("bigint").alias("n_pair"),
-            "score_fp",
+        w1, w2 = top1[0]["w1"], top1[0]["w2"]
+        rows.append(
+            (r, w1, w2, int(top1[0]["n_pair"]), int(top1[0]["score_fp"]))
         )
-        merges = round_row if merges is None else merges.unionByName(round_row)
-        cur = cur.join(F.broadcast(top1.select("w1", "w2"))).select(
-            _wp_merge_fold("syms", F.col("w1"), F.col("w2")).alias("syms"),
+        cur = cur.select(
+            _wp_merge_fold("syms", F.lit(w1), F.lit(w2)).alias("syms"),
             "wn",
         ).localCheckpoint(eager=False)
-    return merges.orderBy("round")
+    return spark.createDataFrame(
+        rows, "round int, w1 string, w2 string, n_pair bigint, score_fp bigint"
+    ).orderBy("round")
 
 
 def wordpiece_vocab(
