@@ -1149,8 +1149,18 @@ def connected_components(
         64-bit hash-sum collision — vanishingly unlikely and
         non-adversarial here; max_iter still bounds the loop. This
         replaces an exceptAll + two counts (three driver jobs) per
-        round."""
-        ck = df.localCheckpoint(eager=False)
+        round.
+
+        ``spread`` before the checkpoint (r14): AQE coalesces each
+        round's distinct() output by BYTES (a few MB of edges -> 2-3
+        partitions) and the checkpoint freezes that layout, so the next
+        round's whole map side (symmetric union + star relink) and the
+        post-loop star_map aggregation ran 3-wide on a 32-core box
+        (measured: 1.4 cpu-s stages at wall ~= cpu). One round-robin
+        exchange of the already-distinct few-MB edge set per round
+        restores width; conf-gated no-op on a real cluster, where the
+        edge set is large enough that AQE keeps it wide anyway."""
+        ck = spread(df).localCheckpoint(eager=False)
         row = ck.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: exact and overflow-free under ANSI mode

@@ -813,8 +813,17 @@ def pq_train(
         F.col(id_col), F.posexplode(subs).alias("sub", "v")
     )
     from gomrjob_spark.cache import scoped_persist
+    from gomrjob_spark.operators.text import spread
 
-    frame = scoped_persist(frame)
+    # spread before the persist (r14): the embeddings table is one
+    # parquet split at test SFs, so the persisted frame had ONE
+    # partition and every Lloyd round's staged distance scan + mean
+    # aggregate ran 1-wide (measured: 1-task 0.96 cpu-s stages at wall
+    # ~= cpu). The codebook is partitioning-invariant by construction
+    # (hash-ordered seeds, order-free integer sums — see above), so a
+    # round-robin exchange changes nothing but width; no-op on a real
+    # cluster.
+    frame = scoped_persist(spread(frame))
     seeds = pq_seed_frame(frame, n_centroids, id_col)
     book = {
         (int(r["sub"]), int(r["cell"])): [float(x) for x in r["v"]]
@@ -920,7 +929,13 @@ def pq_encode(
     replaces the float embeddings for all downstream search."""
     m = len(codebook)
     sub_dim = len(codebook[0][0])
-    out = _unit_rows(corpus, id_col, vec_col, "_u")
+    from gomrjob_spark.operators.text import spread
+
+    # spread (r14): the encode scan is CPU-dense (m x cells distance
+    # folds per row) over a one-split parquet table at test SFs —
+    # row-local, so width changes nothing but wall clock; no-op on a
+    # real cluster.
+    out = _unit_rows(spread(corpus), id_col, vec_col, "_u")
     # one parsed codebook literal + one indexed transform per row: the
     # r6 compile-time shape (see pq_train) — the distance vectors stage
     # through a column so each 16-fold array is built once, not twice
