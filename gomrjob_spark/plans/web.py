@@ -2309,6 +2309,7 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_token_batches,
         quality_perceptron_gate,
         quality_perceptron_train,
+        spread,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2410,9 +2411,17 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage would re-embed (and catalyst re-optimize, and the
     # checkpoint's RDD path re-execute WITHOUT codegen) all of it, so
     # truncate here (the BPE/PageRank lineage rule).
+    # the survivor id-lists are 1-partition checkpoints with no stats,
+    # so every docs-side join broadcasts docs and streams the id list —
+    # the CPU-dense consumers (HTML block parse here, token_count in
+    # pack below) would run 1-task on the checkpoint's partitioning.
+    # The text-layer scorers spread() internally; these two seams do
+    # not, so spread the join output before the dense work (guide §2.5).
     s5_ids = f5.filter("s5").select("doc_id").localCheckpoint()
     admit = content_gate(
-        doc_content_summary(with_blocks(walked.join(s5_ids, "doc_id")))
+        doc_content_summary(
+            with_blocks(spread(walked.join(s5_ids, "doc_id")))
+        )
     ).select("doc_id", "admitted")
     gated = (
         f5.join(admit, "doc_id", "left")
@@ -2488,7 +2497,8 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cnt(f"s{i}").alias(f"c{i}") for i in range(1, 10)],
     )
     packed = pack_token_batches(
-        docs.join(flags.filter("s9").select("doc_id"), "doc_id"), budget=2048
+        spread(docs.join(flags.filter("s9").select("doc_id"), "doc_id")),
+        budget=2048,
     )
     nb = packed.agg(
         F.count_distinct(F.col("lang"), F.col("batch_id"))
