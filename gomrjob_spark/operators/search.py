@@ -39,9 +39,16 @@ from pyspark.sql import functions as F  # noqa: N812
 
 
 def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, term) token stream: whitespace split, empties dropped."""
+    """(doc_id, term) token stream: whitespace split, empties dropped.
+
+    spread() first: the tokenize+explode map side is the module's
+    CPU-dense stage, and the small-SF documents table is ONE parquet
+    split — without the fan-out the whole token stream serializes into
+    a single task (no-op on a real cluster)."""
+    from gomrjob_spark.operators.text import spread
+
     return (
-        docs.select(
+        spread(docs).select(
             "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
         ).filter(F.col("term") != "")
     )
@@ -94,15 +101,19 @@ def search_bm25_topk(
     positive values, bit-identical across engines. Returns
     (query_id, doc_id, score, rank)."""
     from gomrjob_spark.operators.sampling import cap_per_group
+    from gomrjob_spark.operators.text import spread
 
+    # spread() both corpus scans: full-text tokenization is the
+    # CPU-dense map side and the small-SF table is one parquet split
+    # (stage profile: one 2.3 cpu-s single-task stage = half the query)
     dl = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
-    stats = docs.select(dl.alias("dl")).agg(
+    stats = spread(docs).select(dl.alias("dl")).agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).withColumn("avgdl_x100", F.expr("100 * total_tokens DIV n_docs"))
 
     # dl rides the token stream (constant per doc, F.first under the
     # (doc_id, term) agg) so scoring needs no extra corpus-wide join
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id", dl.alias("dl"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = (
@@ -157,8 +168,9 @@ def search_phrase_topk(
     prune); a phrase CORPUS would instead build a positional inverted
     index keyed on each phrase's rarest term."""
     from gomrjob_spark.operators.sampling import cap_per_group
+    from gomrjob_spark.operators.text import spread
 
-    staged = docs.select(
+    staged = spread(docs).select(
         "doc_id",
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("_toks"),
     )
@@ -230,7 +242,9 @@ def search_proximity_topk(
             F.col("term_b").alias("term"), "query_id", F.lit(1).alias("role")
         )
     )
-    toks = docs.select(
+    from gomrjob_spark.operators.text import spread
+
+    toks = spread(docs).select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     ).filter(F.col("term") != "")
