@@ -627,16 +627,21 @@ def _axis_bucket_entries(
             f"n_planes*n_tables={n_planes * n_tables} exceeds dim={dim}: "
             "coordinate slices would run past the vector"
         )
+    # ONE SQL string, one server-side parse (the _sql_arr / r5 gotcha
+    # #4 rule applied to EXPRESSION BUILDING): the per-bit F.when
+    # builder cost n_tables*n_planes py4j round-trips per call site —
+    # measured 6.4 s of decontaminate_semantic's 8 s construction
+    # across its two call sites at 8x8. IF(cond, a, b) ≡
+    # when(cond, a).otherwise(b) (null condition takes the else branch
+    # in both), so the evaluated expression is unchanged.
     entries = []
     for t in range(n_tables):
-        bits: Column | None = None
-        for j in range(n_planes):
-            bit = F.when(
-                F.element_at(F.col(vec_col), t * n_planes + j + 1) >= 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        entries.append(F.struct(F.lit(t).alias("table_id"), bits.alias("bucket")))
-    return F.array(*entries)
+        bits = " + ".join(
+            f"IF(element_at(`{vec_col}`, {t * n_planes + j + 1}) >= 0, {1 << j}, 0)"
+            for j in range(n_planes)
+        )
+        entries.append(f"named_struct('table_id', {t}, 'bucket', {bits})")
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def semantic_contaminated_ids(
