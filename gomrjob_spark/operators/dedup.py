@@ -74,6 +74,76 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     ).filter(F.length("shingle") > 0)
 
 
+def _pair_intersections(
+    sh: DataFrame, id_col: str, max_shingle_freq: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage of the n-gram pair operators: the
+    undirected per-pair intersection counts (id_a < id_b, n_common) and
+    the per-doc kept-shingle sizes (id, n_sh) from a (id, shingle)
+    stream whose shingles are distinct per doc.
+
+    CAPPED mode (r15): ONE hash exchange of the shingle stream groups
+    each kept shingle's member ids; candidate pairs then explode
+    row-locally from the sorted id array (i < j, so id_a < id_b by
+    construction) instead of a second+third exchange feeding a
+    shingle-keyed self-join — same pair multiset, one fewer data-sized
+    shuffle, no join. The stop-shingle frequency pass stays a separate
+    pre-filter (NOT folded into the group agg): a collect_list buffer
+    materializes the whole group before any size filter could drop it,
+    so a 1e9-doc stop shingle would rebuild the exact OOM the cap
+    exists to kill; after the anti-join every group is <= cap ids
+    (cap^2/2 pair structs per row, bounded). The grouped frame is the
+    only persisted intermediate — the raw shingle stream now has ONE
+    consumer per pass, so the r14 multi-consumer cache-fill race on it
+    is gone.
+
+    UNCAPPED mode keeps the r13 equi-join shape: with no frequency
+    bound, one hot shingle's id group (and its f^2/2 combination
+    structs) must not land in a single row/task."""
+    if max_shingle_freq is not None:
+        sh = scoped_persist(sh)
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        kept = sh.join(
+            F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)),
+            "shingle",
+            "left_anti",
+        )
+        grp = scoped_persist(
+            kept.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .select("_ids")
+        )
+        sizes = (
+            grp.select(F.explode("_ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        combos = F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
+        inter = (
+            grp.filter(F.size("_ids") >= 2)
+            .select(F.explode(combos).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return inter, sizes
+    sh = scoped_persist(sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter, sizes
+
+
 def jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -84,22 +154,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
-    intersection via shingle equi-join + count, union via per-doc sizes:
-    |A u B| = |A| + |B| - |A n B|. ``max_shingle_freq`` drops stop-shingles
-    before the join (skew control, see module docstring).
-    """
-    sh = scoped_persist(word_shingles(df, n, text_col, id_col))
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    intersection counts + per-doc sizes via :func:`_pair_intersections`
+    (grouped single-exchange candidates in capped mode, shingle
+    equi-join uncapped); union via |A u B| = |A| + |B| - |A n B|.
+    ``max_shingle_freq`` drops stop-shingles first (skew control, see
+    module docstring)."""
+    inter, sizes = _pair_intersections(
+        word_shingles(df, n, text_col, id_col), id_col, max_shingle_freq
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -135,26 +196,14 @@ def containment_pairs(
     boilerplate headers, syndicated excerpts, and quote-heavy pages in
     a crawl. Containment is asymmetric, so pairs are directed.
 
-    Plan: identical candidate generation to :func:`jaccard_pairs` (one
-    shared-shingle equi-join computes each UNDIRECTED intersection
-    once, never all-pairs, same stop-shingle skew dial); both
+    Plan: identical candidate generation to :func:`jaccard_pairs`
+    (:func:`_pair_intersections` — each UNDIRECTED intersection
+    computed once, never all-pairs, same stop-shingle skew dial); both
     directions then derive row-locally from the one (n_common, n_a,
     n_b) row — no second join, no second shuffle. Exact bigint counts
     + one IEEE division per direction -> cross-engine hash-stable."""
-    sh = scoped_persist(word_shingles(df, n, text_col, id_col))
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "shingle", "left_anti"
-        )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    inter, sizes = _pair_intersections(
+        word_shingles(df, n, text_col, id_col), id_col, max_shingle_freq
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -634,10 +683,11 @@ def _axis_bucket_entries(
     # across its two call sites at 8x8. IF(cond, a, b) ≡
     # when(cond, a).otherwise(b) (null condition takes the else branch
     # in both), so the evaluated expression is unchanged.
+    vc = "`" + vec_col.replace("`", "``") + "`"  # quoteIfNeeded escaping
     entries = []
     for t in range(n_tables):
         bits = " + ".join(
-            f"IF(element_at(`{vec_col}`, {t * n_planes + j + 1}) >= 0, {1 << j}, 0)"
+            f"IF(element_at({vc}, {t * n_planes + j + 1}) >= 0, {1 << j}, 0)"
             for j in range(n_planes)
         )
         entries.append(f"named_struct('table_id', {t}, 'bucket', {bits})")
@@ -1125,6 +1175,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the survivor
     -selection step after near-dup pair detection (every doc maps to the
@@ -1146,7 +1197,9 @@ def connected_components(
     truncates lineage so round N's plan doesn't replay rounds 1..N-1.
     Pass ``stats={}`` to receive ``{"rounds": r}`` back (used by the
     convergence-rate test)."""
-    def _materialize(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    def _materialize(
+        df: DataFrame, n_hint: int | None = None
+    ) -> tuple[DataFrame, tuple[int, int]]:
         """One job per round: the lazy localCheckpoint materializes under
         the same action that computes the edge-set fingerprint
         (count, wrapping sum of xxhash64(src,dst)). Two consecutive
@@ -1164,8 +1217,17 @@ def connected_components(
         (measured: 1.4 cpu-s stages at wall ~= cpu). One round-robin
         exchange of the already-distinct few-MB edge set per round
         restores width; conf-gated no-op on a real cluster, where the
-        edge set is large enough that AQE keeps it wide anyway."""
-        ck = spread(df).localCheckpoint(eager=False)
+        edge set is large enough that AQE keeps it wide anyway.
+
+        r15 (the r14 verdict's inverse-scaling catch: 8 cores beat 32
+        on the unconditional full-width spread): the loop already
+        collects each round's edge COUNT in the fingerprint, so the
+        spread width is data-proportional — ``n_hint`` is the previous
+        round's count (star contraction never grows the distinct edge
+        set enough to matter for a width estimate), and a few hundred
+        edges now run 1-wide instead of paying a 32-way exchange plus
+        32 near-empty tasks per round."""
+        ck = spread(df, rows_hint=n_hint).localCheckpoint(eager=False)
         row = ck.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: exact and overflow-free under ANSI mode
@@ -1174,15 +1236,20 @@ def connected_components(
         ).first()
         return ck, (row["n"], row["fp"])
 
-    e, sig = _materialize(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    # ``edges_distinct=True`` (r15): every pair operator in this module
+    # emits ONE row per (id_a < id_b) pair (the pair aggregate's group
+    # key), so the init-round distinct() was a pure extra shuffle of
+    # already-unique rows (guide §2.4); callers passing raw edge lists
+    # keep the dedup. The loop itself is unaffected — the star rounds
+    # re-distinct their own output either way.
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).filter(
+        F.col("src") != F.col("dst")
     )
+    e, sig = _materialize(e0 if edges_distinct else e0.distinct())
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        e, new_sig = _materialize(_small_star(_large_star(e)))
+        e, new_sig = _materialize(_small_star(_large_star(e)), n_hint=sig[0])
         if new_sig == sig:
             break
         sig = new_sig

@@ -614,7 +614,9 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(
         docs, n=3, threshold=0.6, max_shingle_freq=_SURVIVOR_SHINGLE_CAP
     )
-    return dedup.connected_components(pairs, docs).orderBy("doc_id")
+    return dedup.connected_components(
+        pairs, docs, edges_distinct=True
+    ).orderBy("doc_id")
 
 
 @query(
@@ -681,7 +683,7 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(
         docs, n=3, threshold=0.6, max_shingle_freq=_SURVIVOR_SHINGLE_CAP
     )
-    comp = dedup.connected_components(pairs, docs)
+    comp = dedup.connected_components(pairs, docs, edges_distinct=True)
     b = hash_bucket(F.col("component"), 100, "split")
     return (
         comp.withColumn("bucket", b)
@@ -5147,7 +5149,9 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     te = dedup.token_edit1_pairs(titles).select("id_a", "id_b")
     edges = jp.unionByName(te).distinct()
-    comp = dedup.connected_components(edges, docs.select("doc_id"))
+    comp = dedup.connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
+    )
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -5664,7 +5668,9 @@ def dedup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup.jaccard_prefix_pairs(
         docs, n=3, threshold_num=4, threshold_den=5
     ).select("id_a", "id_b")
-    comp = dedup.connected_components(edges, docs.select("doc_id"))
+    comp = dedup.connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
+    )
     q = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("quality"))
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
