@@ -97,3 +97,18 @@ def epoch_us(col: Column | str) -> Column:
     return F.timestamp_diff(
         "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
     )
+
+
+def local_df(spark, rows, schema, rows_per_slice: int = 4096):
+    """Model-sized local DataFrame with a data-proportional partition
+    count (r15). ``SparkSession.createDataFrame(list)`` parallelizes to
+    ``defaultParallelism`` slices regardless of size, so a 31-row
+    centroid table becomes a 32-partition RDD and EVERY scan or
+    broadcast build over it schedules 32 near-empty tasks — one such
+    job per Lloyd round / trainer round across the model-frame loops.
+    Rows stay identical; only the slice count changes (1 slice per
+    ``rows_per_slice`` rows), which no engine result depends on."""
+    n = max(1, -(-len(rows) // rows_per_slice)) if rows else 1
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )

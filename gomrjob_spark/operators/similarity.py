@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from gomrjob_spark.functions import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double — matches DuckDB's
@@ -241,11 +243,12 @@ IVF_MAX_LITERAL_TERMS = 8192
 
 def ivf_assign(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_literal_terms: int = IVF_MAX_LITERAL_TERMS,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroid cells:
     (id, vec, cell) — SHUFFLE-FREE either way. Two physical paths,
@@ -327,13 +330,38 @@ def ivf_assign(
             "'cell', s.cell)))"
         )
     else:
-        one = centroids.select(
-            "cell", "centroid", l2_norm(F.col("centroid")).alias("_cn")
-        ).agg(
-            F.array_sort(F.collect_list(F.struct("cell", "centroid", "_cn"))).alias(
-                "_cents"
+        if centroid_rows is not None:
+            # r15, the Lloyd-round device: the training loop already
+            # holds the quantizer driver-side, so the one-row broadcast
+            # frame is built HERE — same field names, same struct
+            # order (cell asc — array_sort over unique-cell structs
+            # sorts by the leading field), norms via the same
+            # sequential fold as l2_norm (the literal path's
+            # driver-float == JVM-double precedent, pinned by
+            # test_ivf_assign_broadcast_path_matches_literal_path) —
+            # instead of an agg job over a parallelized model frame
+            # per round. The scan-side ranking expression below is
+            # untouched, so codegen is identical.
+            entries = []
+            for cell, cv in sorted((int(c), v) for c, v in centroid_rows):
+                vec = [float(x) for x in cv]
+                acc = 0.0
+                for x in vec:
+                    acc = acc + x * x
+                entries.append((cell, vec, math.sqrt(acc)))
+            one = local_df(
+                df.sparkSession,
+                [(entries,)],
+                "_cents array<struct<cell:int,centroid:array<double>,_cn:double>>",
             )
-        )
+        else:
+            one = centroids.select(
+                "cell", "centroid", l2_norm(F.col("centroid")).alias("_cn")
+            ).agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cell", "centroid", "_cn"))
+                ).alias("_cents")
+            )
         staged = staged.crossJoin(F.broadcast(one))
         ranked = F.array_sort(
             F.transform(
@@ -458,17 +486,19 @@ def ivf_centroids_kmeans(
         # terms=0) delegates here: an empty corpus yields no seeds
         raise ValueError("ivf_assign: empty centroid frame")
     for _ in range(n_iters):
-        cents_df = spark.createDataFrame(
-            sorted(cur.items()), "cell int, centroid array<double>"
-        )
         # training forces the BROADCAST assignment path
         # (max_literal_terms=0): each Lloyd round would otherwise bake
         # the round's centroids into fresh plan literals and re-pay
         # parse + codegen per round — the broadcast plan's generated
         # code is round-invariant (centroids travel as data), measured
         # ~2x faster cold and the scores are pinned bit-identical
-        # (test_ivf_assign_broadcast_path_matches_literal_path)
-        assigned = ivf_assign(corpus, cents_df, 1, id_col, vec_col, max_literal_terms=0)
+        # (test_ivf_assign_broadcast_path_matches_literal_path).
+        # centroid_rows (r15): the one-row broadcast builds driver-side
+        # from ``cur`` — no per-round model-frame agg job.
+        assigned = ivf_assign(
+            corpus, None, 1, id_col, vec_col,
+            max_literal_terms=0, centroid_rows=sorted(cur.items()),
+        )
         # ONE job per round: the fixed-point component sums; the new
         # centroids rebuild in plain Python over the model-sized result
         # (qsum/(n*2^20) is a single IEEE division of exact integers —
@@ -485,7 +515,7 @@ def ivf_centroids_kmeans(
                 vec[pos] = qs / (n * quant)
             nxt[cell] = vec
         cur = nxt
-    return spark.createDataFrame(sorted(cur.items()), "cell int, centroid array<double>")
+    return local_df(spark, sorted(cur.items()), "cell int, centroid array<double>")
 
 
 def knn_ivf(
@@ -1377,10 +1407,35 @@ def _fine_groups_row(fine: DataFrame) -> DataFrame:
     )
 
 
+def _fine_groups_local(spark, cur: dict) -> DataFrame:
+    """Driver-built twin of :func:`_fine_groups_row` for the training
+    loop, which already holds the fine model in ``cur`` (r15): one row
+    per coarse cell with the fcell-sorted struct array, norms via the
+    same sequential fold as :func:`l2_norm` (the ivf_assign
+    driver-float == JVM-double precedent) — no per-round
+    groupBy(ccell) shuffle over a parallelized model frame. Field
+    names/types match _fine_groups_row exactly so the argmax
+    expression resolves to identical codegen."""
+    by_ccell: dict[int, list] = {}
+    for (c, f), v in sorted(cur.items()):
+        vec = [float(x) for x in v]
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        by_ccell.setdefault(int(c), []).append((int(f), vec, math.sqrt(acc)))
+    rows = [(c, fcs) for c, fcs in sorted(by_ccell.items())]
+    return local_df(
+        spark,
+        rows,
+        "ccell int, _fcs array<struct<fcell:int,centroid:array<double>,_cn:double>>",
+    )
+
+
 def _fine_argmax(
     staged: DataFrame,
-    fine: DataFrame,
+    fine: DataFrame | None,
     vec_col: str = "embedding",
+    groups_row: DataFrame | None = None,
 ) -> DataFrame:
     """Grouped nearest-fine-centroid assignment: ``staged`` must carry
     (…, ``vec_col``, _nv, ccell); returns the same columns minus the
@@ -1403,7 +1458,8 @@ def _fine_argmax(
     cell's own members, so every ccell present in ``staged`` has >= 1
     fine row. The oracle's _hier_assign_sql mirrors the same
     LEFT JOIN + COALESCE(fcell, 1)."""
-    joined = staged.join(F.broadcast(_fine_groups_row(fine)), "ccell", "left")
+    groups = groups_row if groups_row is not None else _fine_groups_row(fine)
+    joined = staged.join(F.broadcast(groups), "ccell", "left")
     ranked = F.array_sort(
         F.transform(
             F.col("_fcs"),
@@ -1470,11 +1526,11 @@ def fine_centroids_kmeans(
         for r in seeds.collect()
     }
     for _ in range(n_iters):
-        fine_df = spark.createDataFrame(
-            [(c, f, v) for (c, f), v in sorted(cur.items())],
-            "ccell int, fcell int, centroid array<double>",
+        # r15: the per-round grouped broadcast row builds driver-side
+        # from ``cur`` (no groupBy(ccell) shuffle over a model frame)
+        assigned = _fine_argmax(
+            staged, None, vec_col, groups_row=_fine_groups_local(spark, cur)
         )
-        assigned = _fine_argmax(staged, fine_df, vec_col)
         keyed = assigned.select(
             (
                 F.col("ccell").cast("bigint") * F.lit(_FINE_KEY_STRIDE)
@@ -1494,7 +1550,8 @@ def fine_centroids_kmeans(
                 vec[pos] = qs / (n * quant)
             nxt[key] = vec
         cur = nxt
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(c, f, v) for (c, f), v in sorted(cur.items())],
         "ccell int, fcell int, centroid array<double>",
     )

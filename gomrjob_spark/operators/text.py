@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gomrjob_spark.cache import scoped_persist
+from gomrjob_spark.functions import local_df
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1019,8 +1020,8 @@ def _bpe_round_loop(sym0: DataFrame, n_merges: int) -> DataFrame:
             _greedy_merge_fold("toks", F.lit(w1), F.lit(w2)).alias("toks")
         )
         cur = scoped_persist(folded)
-    return spark.createDataFrame(
-        rows, "round int, w1 string, w2 string, n_pair bigint"
+    return local_df(
+        spark, rows, "round int, w1 string, w2 string, n_pair bigint"
     ).orderBy("round")
 
 
@@ -2373,8 +2374,8 @@ def wordpiece_train(
             _wp_merge_fold("syms", F.lit(w1), F.lit(w2)).alias("syms"),
             "wn",
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        rows, "round int, w1 string, w2 string, n_pair bigint, score_fp bigint"
+    return local_df(
+        spark, rows, "round int, w1 string, w2 string, n_pair bigint, score_fp bigint"
     ).orderBy("round")
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gomrjob_spark.catalog import load_table
+from gomrjob_spark.functions import local_df
 from gomrjob_spark.operators import dedup, multimodal, similarity, text
 from gomrjob_spark.plans.registry import query
 
@@ -3859,7 +3860,7 @@ _SEARCH_Q_SQL = "q(query_id, term) AS (VALUES " + ", ".join(
 
 
 def _search_queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_SEARCH_QUERIES, "query_id int, term string")
+    return local_df(spark, _SEARCH_QUERIES, "query_id int, term string")
 
 
 @query(
@@ -5350,8 +5351,8 @@ def search_proximity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gomrjob_spark.operators.search import search_proximity_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    pq = spark.createDataFrame(
-        _PAIR_QUERIES, "query_id int, term_a string, term_b string"
+    pq = local_df(
+        spark, _PAIR_QUERIES, "query_id int, term_a string, term_b string"
     )
     return search_proximity_topk(docs, pq, k=10).orderBy("query_id", "rank")
 
