@@ -993,22 +993,32 @@ def _bpe_round_loop(sym0: DataFrame, n_merges: int) -> DataFrame:
     unchanged row for row."""
     spark = sym0.sparkSession
     cur = scoped_persist(sym0)
+    weighted = "_w" in sym0.columns
     rows: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         idx = F.when(
             F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
         ).otherwise(F.array().cast("array<int>"))
-        pairs = cur.select("toks", F.explode(idx).alias("_i")).select(
+        pair_cols = [
             F.element_at("toks", F.col("_i")).alias("w1"),
             F.element_at("toks", F.col("_i") + 1).alias("w2"),
-        )
-        top1 = (
-            pairs.groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).alias("n_pair"))
-            .orderBy(F.desc("n_pair"), "w1", "w2")
-            .limit(1)
-            .collect()
-        )
+        ]
+        if weighted:
+            # weighted rows (r15 byte-level trainer): each distinct
+            # symbol array carries its corpus multiplicity in ``_w``,
+            # so the pair count is the weighted sum — identical totals
+            # to exploding every instance, with the explode+agg sized
+            # by DISTINCT types instead of corpus volume.
+            pairs = cur.select("toks", "_w", F.explode(idx).alias("_i")).select(
+                *pair_cols, "_w"
+            )
+            counted = pairs.groupBy("w1", "w2").agg(F.sum("_w").alias("n_pair"))
+        else:
+            pairs = cur.select("toks", F.explode(idx).alias("_i")).select(*pair_cols)
+            counted = pairs.groupBy("w1", "w2").agg(
+                F.count(F.lit(1)).alias("n_pair")
+            )
+        top1 = counted.orderBy(F.desc("n_pair"), "w1", "w2").limit(1).collect()
         if not top1:
             # No adjacent pairs remain: the old rewrite join emptied
             # `cur` silently and every later round emitted no merge
@@ -1017,7 +1027,8 @@ def _bpe_round_loop(sym0: DataFrame, n_merges: int) -> DataFrame:
         w1, w2 = top1[0]["w1"], top1[0]["w2"]
         rows.append((r, w1, w2, int(top1[0]["n_pair"])))
         folded = cur.select(
-            _greedy_merge_fold("toks", F.lit(w1), F.lit(w2)).alias("toks")
+            _greedy_merge_fold("toks", F.lit(w1), F.lit(w2)).alias("toks"),
+            *([F.col("_w")] if weighted else []),
         )
         cur = scoped_persist(folded)
     return local_df(
@@ -1187,9 +1198,27 @@ def byte_bpe_train_merges(
     (round, w1, w2, n_pair) where the symbols are GPT-2 stand-in
     characters (merged symbols 0x02-joined, the house convention; a
     0x02 BYTE maps to codepoint 258, so no input byte can collide with
-    the join marker by construction)."""
+    the join marker by construction).
+
+    r15 (the r8 memoize-over-DISTINCT-tokens device applied to the
+    trainer): byte-level merges never cross pretoken boundaries, so the
+    training corpus collapses to DISTINCT pretokens weighted by their
+    corpus frequency — pair counts become weighted sums (identical
+    totals by distributivity), the byte-mapping transform and every
+    round's greedy fold run once per pretoken TYPE instead of per
+    instance, and the per-round cached state is vocabulary-sized. This
+    is the production trainer shape (Sennrich's word-frequency table):
+    at 100 TB the distinct-pretoken table is millions of rows where the
+    instance stream is trillions."""
+    pts = (
+        spread(docs)
+        .select(F.explode(byte_pretokens(text_col)).alias("_pt"))
+        .groupBy("_pt")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .withColumn("_hx", F.hex(F.encode(F.col("_pt"), "utf-8")))
+    )
     return _bpe_round_loop(
-        _byte_symbol_frame(docs, text_col, None).select("toks"), n_merges
+        pts.select(_byte_symbols_expr().alias("toks"), "_w"), n_merges
     )
 
 
@@ -1213,12 +1242,27 @@ def byte_bpe_apply(
             "_bpe_merges"
         )
     )
-    per_pt = (
-        _byte_symbol_frame(docs, text_col, id_col)
+    # r15 (the r8 memoize-over-DISTINCT-tokens device): the merge
+    # replay is a pure function of the pretoken string, so it runs once
+    # per DISTINCT pretoken and joins back by pretoken — the nested
+    # rounds x symbols fold (the encode's dominant cost) is paid per
+    # TYPE, not per instance. The join is an equi-join on the pretoken
+    # string; the encoded side is vocabulary-sized (AQE broadcasts it
+    # at test SFs; at production scale it is a plain hash join keyed
+    # the same way as the reassembly that follows).
+    pt_pos = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(byte_pretokens(text_col)).alias("_pt_i", "_pt"),
+    )
+    enc = (
+        pt_pos.select("_pt")
+        .groupBy("_pt")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .withColumn("_hx", F.hex(F.encode(F.col("_pt"), "utf-8")))
+        .select("_pt", _byte_symbols_expr().alias("toks"))
         .join(F.broadcast(mrow))
         .select(
-            F.col(id_col),
-            "_pt_i",
+            "_pt",
             F.aggregate(
                 "_bpe_merges",
                 F.col("toks"),
@@ -1226,6 +1270,7 @@ def byte_bpe_apply(
             ).alias("toks"),
         )
     )
+    per_pt = pt_pos.join(enc, "_pt").select(F.col(id_col), "_pt_i", "toks")
     assembled = per_pt.groupBy(id_col).agg(
         F.flatten(
             F.transform(

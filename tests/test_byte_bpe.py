@@ -134,3 +134,37 @@ def test_leading_space_is_part_of_the_token(spark):
     )
     assert frame[0]["toks"][0] == "w"
     assert frame[1]["toks"][0] == "Ġ"
+
+
+def test_weighted_round_loop_matches_instance_rows(spark):
+    """r15 distinct-pretoken trainer device: a weighted symbol frame
+    (distinct rows x multiplicity in _w) must learn exactly the merge
+    table of the exploded instance frame — pair counts are weighted
+    sums by distributivity, winners and folds identical."""
+    from gomrjob_spark.operators.text import _bpe_round_loop
+
+    arrays = [
+        (["a", "b", "c"],),
+        (["a", "b", "c"],),
+        (["a", "b", "c"],),
+        (["b", "c", "a"],),
+        (["x", "y"],),
+        (["x", "y"],),
+    ]
+    inst = spark.createDataFrame(arrays, "toks array<string>")
+    got_inst = [
+        (r["round"], r["w1"], r["w2"], r["n_pair"])
+        for r in _bpe_round_loop(inst, 3).collect()
+    ]
+    from collections import Counter
+
+    weighted_rows = [
+        (list(k), int(w)) for k, w in Counter(tuple(a[0]) for a in arrays).items()
+    ]
+    wdf = spark.createDataFrame(weighted_rows, "toks array<string>, _w bigint")
+    got_w = [
+        (r["round"], r["w1"], r["w2"], r["n_pair"])
+        for r in _bpe_round_loop(wdf, 3).collect()
+    ]
+    assert got_w == got_inst
+    assert len(got_inst) == 3
