@@ -484,7 +484,10 @@ def ivf_centroids_kmeans(
     if not cur:
         # the guard ivf_assign's forced-broadcast path (max_literal_
         # terms=0) delegates here: an empty corpus yields no seeds
-        raise ValueError("ivf_assign: empty centroid frame")
+        raise ValueError(
+            "ivf_centroids_kmeans: empty seed set (no corpus rows to "
+            "sample centroids from)"
+        )
     for _ in range(n_iters):
         # training forces the BROADCAST assignment path
         # (max_literal_terms=0): each Lloyd round would otherwise bake

@@ -2287,7 +2287,18 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized stream-static joins for KN, banded candidate join for
     minhash); accounting is a single tiny aggregate. Reference parity:
     this is the multi-step job-chaining surface (runner.go Steps) at
-    curation scale."""
+    curation scale.
+
+    REGISTRY CONTRACT NOTE (r15, documenting the r14 verdict's #6):
+    unlike every other registry entry, CALLING this builder EXECUTES
+    work — the funnel spine is a chain of eager localCheckpoints, and
+    the three text-layer model trainers are launched on background
+    threads at construction so they overlap the spine (guide §2.6).
+    The returned frame is cheap to materialize; a caller that builds
+    but never runs it still pays the full pipeline. This is inherent
+    to the eager-checkpoint lineage truncation the composite needs
+    (catalyst replanning measured in minutes without it), not an
+    accident."""
     from pyspark.sql import Window
 
     from concurrent.futures import ThreadPoolExecutor
@@ -2329,182 +2340,198 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trained while the funnel runs instead of after it.
     lg_row = scoped_persist(langid_model(train))
     pc_w = scoped_persist(quality_perceptron_train(docs, n_rounds=8))
-    knm = {k: scoped_persist(v) for k, v in kn_model(train).items()}
+    # kn_model scoped-persists all six tables internally (r14) — no
+    # outer persist, or the same frames double-register and warn
+    knm = kn_model(train)
 
     def _materialize(*frames: DataFrame) -> None:
         for fr in frames:
             fr.write.format("noop").mode("overwrite").save()
 
+    # inheritable_thread_target(spark) so the workers inherit job
+    # tags/descriptions (the bare-function form logs a warning and
+    # drops tag propagation); the try/finally below cancels and joins
+    # the trainers if funnel CONSTRUCTION raises — otherwise non-daemon
+    # workers keep running noop jobs past the exception
     pool = ThreadPoolExecutor(max_workers=3)
+    _bg = inheritable_thread_target(spark)
     futs = [
-        pool.submit(inheritable_thread_target(_materialize), lg_row),
-        pool.submit(inheritable_thread_target(_materialize), pc_w),
-        pool.submit(inheritable_thread_target(_materialize), *knm.values()),
+        pool.submit(_bg(_materialize), lg_row),
+        pool.submit(_bg(_materialize), pc_w),
+        pool.submit(_bg(_materialize), *knm.values()),
     ]
 
-    # flag spine: WET walk + URL staging + robots/domain column
-    # programs. The html PAYLOAD stays OUT of the spine — it would
-    # otherwise ride the norm_url window shuffle and every spine
-    # recompute; the content gate joins it back for s5 survivors only.
-    walked = scoped_persist(_wet_walked(spark, sf_dir))
-    staged = urls.with_url_columns(
-        walked.select("doc_id", "status_code", "mime_type").withColumn(
-            "url", urls.synth_url(F.col("doc_id"))
+    try:
+        # flag spine: WET walk + URL staging + robots/domain column
+        # programs. The html PAYLOAD stays OUT of the spine — it would
+        # otherwise ride the norm_url window shuffle and every spine
+        # recompute; the content gate joins it back for s5 survivors only.
+        walked = scoped_persist(_wet_walked(spark, sf_dir))
+        staged = urls.with_url_columns(
+            walked.select("doc_id", "status_code", "mime_type").withColumn(
+                "url", urls.synth_url(F.col("doc_id"))
+            )
+        ).withColumn(
+            "path",
+            F.regexp_extract(F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
+        ).withColumn(
+            "k",
+            F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
+            .cast("bigint"),
         )
-    ).withColumn(
-        "path",
-        F.regexp_extract(F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
-    ).withColumn(
-        "k",
-        F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
-        .cast("bigint"),
-    )
-    rules = robots.parse_rules(robots.synth_robots(F.col("k")))
-    verdict = robots.robots_verdict(F.col("path"), rules)
-    base = scoped_persist(
-        staged.select(
-            "doc_id",
-            "norm_url",
-            (
-                (F.col("status_code") == 200)
-                & (F.col("mime_type") == "text/html")
-            ).alias("s1"),
-            verdict["allowed"].alias("robots_ok"),
-            (~F.col("registered_domain").isin(*BLOCKLIST)).alias("domain_ok"),
+        rules = robots.parse_rules(robots.synth_robots(F.col("k")))
+        verdict = robots.robots_verdict(F.col("path"), rules)
+        base = scoped_persist(
+            staged.select(
+                "doc_id",
+                "norm_url",
+                (
+                    (F.col("status_code") == 200)
+                    & (F.col("mime_type") == "text/html")
+                ).alias("s1"),
+                verdict["allowed"].alias("robots_ok"),
+                (~F.col("registered_domain").isin(*BLOCKLIST)).alias("domain_ok"),
+            )
         )
-    )
 
-    # stage 2: fuzzy dedup of the FETCHED corpus (pairs computed on the
-    # s1 subset — identical to filtering full-corpus pairs to both-in-s1
-    # endpoints, since signatures are per-doc)
-    fetched = docs.join(base.filter("s1").select("doc_id"), "doc_id")
-    dups = (
-        dedup.minhash_md5_dedup_pairs(
-            fetched, threshold=0.6, num_hashes=32, bands=16
+        # stage 2: fuzzy dedup of the FETCHED corpus (pairs computed on the
+        # s1 subset — identical to filtering full-corpus pairs to both-in-s1
+        # endpoints, since signatures are per-doc)
+        fetched = docs.join(base.filter("s1").select("doc_id"), "doc_id")
+        dups = (
+            dedup.minhash_md5_dedup_pairs(
+                fetched, threshold=0.6, num_hashes=32, bands=16
+            )
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
         )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    f2 = (
-        base.join(dups, "doc_id", "left")
-        .withColumn(
-            "s2", F.col("s1") & F.coalesce(~F.col("is_dup"), F.lit(True))
+        f2 = (
+            base.join(dups, "doc_id", "left")
+            .withColumn(
+                "s2", F.col("s1") & F.coalesce(~F.col("is_dup"), F.lit(True))
+            )
+            .withColumn("s3", F.col("s2") & F.col("robots_ok"))
+            .withColumn("s4", F.col("s3") & F.col("domain_ok"))
         )
-        .withColumn("s3", F.col("s2") & F.col("robots_ok"))
-        .withColumn("s4", F.col("s3") & F.col("domain_ok"))
-    )
-    w = Window.partitionBy("norm_url")
-    f5 = f2.withColumn(
-        "s5",
-        F.col("s4")
-        & (
-            F.col("doc_id")
-            == F.min(F.when(F.col("s4"), F.col("doc_id"))).over(w)
-        ),
-    )
-    # HTML extraction + content gate for s5 SURVIVORS only (the oracle
-    # scores all docs; s6 = s5 AND admitted makes subset scoring
-    # equivalent). The flag spine through s6 is TINY (one row per doc,
-    # 7 narrow columns) but its LINEAGE carries the WET walk, the
-    # robots-fold HOF tree, and the minhash banding — every downstream
-    # stage would re-embed (and catalyst re-optimize, and the
-    # checkpoint's RDD path re-execute WITHOUT codegen) all of it, so
-    # truncate here (the BPE/PageRank lineage rule).
-    # the survivor id-lists are 1-partition checkpoints with no stats,
-    # so every docs-side join broadcasts docs and streams the id list —
-    # the CPU-dense consumers (HTML block parse here, token_count in
-    # pack below) would run 1-task on the checkpoint's partitioning.
-    # The text-layer scorers spread() internally; these two seams do
-    # not, so spread the join output before the dense work (guide §2.5).
-    s5_ids = f5.filter("s5").select("doc_id").localCheckpoint()
-    admit = content_gate(
-        doc_content_summary(
-            with_blocks(spread(walked.join(s5_ids, "doc_id")))
+        w = Window.partitionBy("norm_url")
+        f5 = f2.withColumn(
+            "s5",
+            F.col("s4")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("s4"), F.col("doc_id"))).over(w)
+            ),
         )
-    ).select("doc_id", "admitted")
-    gated = (
-        f5.join(admit, "doc_id", "left")
-        .select(
-            "doc_id", "s1", "s2", "s3", "s4", "s5",
-            (
-                F.col("s5") & F.coalesce(F.col("admitted"), F.lit(False))
-            ).alias("s6"),
+        # HTML extraction + content gate for s5 SURVIVORS only (the oracle
+        # scores all docs; s6 = s5 AND admitted makes subset scoring
+        # equivalent). The flag spine through s6 is TINY (one row per doc,
+        # 7 narrow columns) but its LINEAGE carries the WET walk, the
+        # robots-fold HOF tree, and the minhash banding — every downstream
+        # stage would re-embed (and catalyst re-optimize, and the
+        # checkpoint's RDD path re-execute WITHOUT codegen) all of it, so
+        # truncate here (the BPE/PageRank lineage rule).
+        # the survivor id-lists are 1-partition checkpoints with no stats,
+        # so every docs-side join broadcasts docs and streams the id list —
+        # the CPU-dense consumers (HTML block parse here, token_count in
+        # pack below) would run 1-task on the checkpoint's partitioning.
+        # The text-layer scorers spread() internally; these two seams do
+        # not, so spread the join output before the dense work (guide §2.5).
+        s5_ids = f5.filter("s5").select("doc_id").localCheckpoint()
+        admit = content_gate(
+            doc_content_summary(
+                with_blocks(spread(walked.join(s5_ids, "doc_id")))
+            )
+        ).select("doc_id", "admitted")
+        gated = (
+            f5.join(admit, "doc_id", "left")
+            .select(
+                "doc_id", "s1", "s2", "s3", "s4", "s5",
+                (
+                    F.col("s5") & F.coalesce(F.col("admitted"), F.lit(False))
+                ).alias("s6"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
 
-    # text-layer scorers run ONLY on each stage's survivors — the
-    # 100 TB shape (you never KN-score a document the funnel already
-    # dropped); per-doc scoring given a fixed model makes this exactly
-    # equal to the oracle's score-everything-then-join formulation.
-    # Models still train at their family's full scope. Each survivor
-    # id-list is eagerly localCheckpoint'ed: WITHOUT the truncation the
-    # scorer's input would re-embed the whole upstream flag plan, the
-    # next join would embed it AGAIN, and the final plan nests
-    # exponentially (measured: catalyst alone ran minutes at sf0.1) —
-    # the BPE/PageRank lineage rule applied to the funnel.
-    s6_ids = gated.filter("s6").select("doc_id").localCheckpoint()
-    lg = langid_apply(docs.join(s6_ids, "doc_id"), lg_row).select(
-        "doc_id", "pred_lang"
-    )
-    # read twice (majority agg + the s7 flag join): truncate the
-    # langid fold out of both readers' plans
-    flags6 = gated.join(lg, "doc_id", "left").localCheckpoint(eager=False)
+        # text-layer scorers run ONLY on each stage's survivors — the
+        # 100 TB shape (you never KN-score a document the funnel already
+        # dropped); per-doc scoring given a fixed model makes this exactly
+        # equal to the oracle's score-everything-then-join formulation.
+        # Models still train at their family's full scope. Each survivor
+        # id-list is eagerly localCheckpoint'ed: WITHOUT the truncation the
+        # scorer's input would re-embed the whole upstream flag plan, the
+        # next join would embed it AGAIN, and the final plan nests
+        # exponentially (measured: catalyst alone ran minutes at sf0.1) —
+        # the BPE/PageRank lineage rule applied to the funnel.
+        s6_ids = gated.filter("s6").select("doc_id").localCheckpoint()
+        lg = langid_apply(docs.join(s6_ids, "doc_id"), lg_row).select(
+            "doc_id", "pred_lang"
+        )
+        # read twice (majority agg + the s7 flag join): truncate the
+        # langid fold out of both readers' plans
+        flags6 = gated.join(lg, "doc_id", "left").localCheckpoint(eager=False)
 
-    # monolingual target: the corpus's majority PREDICTED language —
-    # a 1-row broadcast joined on a constant key (NOT a crossJoin: an
-    # empty majority must not wipe the accounting rows)
-    major = (
-        flags6.filter("s6")
-        .groupBy("pred_lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("pred_lang"))
-        .limit(1)
-        .select(F.col("pred_lang").alias("major_lang"), F.lit(1).alias("one"))
-    )
-    flags7 = flags6.withColumn("one", F.lit(1)).join(
-        F.broadcast(major), "one", "left"
-    ).withColumn(
-        "s7",
-        F.col("s6")
-        & F.coalesce(F.col("pred_lang") == F.col("major_lang"), F.lit(False)),
-    )
-    s7_ids = flags7.filter("s7").select("doc_id").localCheckpoint()
-    pc = quality_perceptron_gate(
-        docs.join(s7_ids, "doc_id"), pc_w
-    ).select("doc_id", F.col("keep").alias("pc_keep"))
-    flags8 = flags7.join(pc, "doc_id", "left").withColumn(
-        "s8", F.col("s7") & F.coalesce(F.col("pc_keep"), F.lit(False))
-    )
-    s8_ids = flags8.filter("s8").select("doc_id").localCheckpoint()
-    knf = kn_score(docs.join(s8_ids, "doc_id"), knm).select(
-        "doc_id", "mbits_per_trigram"
-    )
-    # final spine truncation: counts and pack both read this frame
-    flags = flags8.join(knf, "doc_id", "left").withColumn(
-        "s9",
-        F.col("s8")
-        & F.coalesce(
-            F.col("mbits_per_trigram") <= F.lit(_TRAIN_KN_CEILING),
-            F.lit(False),
-        ),
-    ).localCheckpoint(eager=False)
+        # monolingual target: the corpus's majority PREDICTED language —
+        # a 1-row broadcast joined on a constant key (NOT a crossJoin: an
+        # empty majority must not wipe the accounting rows)
+        major = (
+            flags6.filter("s6")
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pred_lang"))
+            .limit(1)
+            .select(F.col("pred_lang").alias("major_lang"), F.lit(1).alias("one"))
+        )
+        flags7 = flags6.withColumn("one", F.lit(1)).join(
+            F.broadcast(major), "one", "left"
+        ).withColumn(
+            "s7",
+            F.col("s6")
+            & F.coalesce(F.col("pred_lang") == F.col("major_lang"), F.lit(False)),
+        )
+        s7_ids = flags7.filter("s7").select("doc_id").localCheckpoint()
+        pc = quality_perceptron_gate(
+            docs.join(s7_ids, "doc_id"), pc_w
+        ).select("doc_id", F.col("keep").alias("pc_keep"))
+        flags8 = flags7.join(pc, "doc_id", "left").withColumn(
+            "s8", F.col("s7") & F.coalesce(F.col("pc_keep"), F.lit(False))
+        )
+        s8_ids = flags8.filter("s8").select("doc_id").localCheckpoint()
+        knf = kn_score(docs.join(s8_ids, "doc_id"), knm).select(
+            "doc_id", "mbits_per_trigram"
+        )
+        # final spine truncation: counts and pack both read this frame
+        flags = flags8.join(knf, "doc_id", "left").withColumn(
+            "s9",
+            F.col("s8")
+            & F.coalesce(
+                F.col("mbits_per_trigram") <= F.lit(_TRAIN_KN_CEILING),
+                F.lit(False),
+            ),
+        ).localCheckpoint(eager=False)
 
-    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("bigint")  # noqa: E731
-    counts = flags.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        *[cnt(f"s{i}").alias(f"c{i}") for i in range(1, 10)],
-    )
-    packed = pack_token_batches(
-        spread(docs.join(flags.filter("s9").select("doc_id"), "doc_id")),
-        budget=2048,
-    )
-    nb = packed.agg(
-        F.count_distinct(F.col("lang"), F.col("batch_id"))
-        .cast("bigint")
-        .alias("nb")
-    )
+        cnt = lambda c: F.sum(F.col(c).cast("int")).cast("bigint")  # noqa: E731
+        counts = flags.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[cnt(f"s{i}").alias(f"c{i}") for i in range(1, 10)],
+        )
+        packed = pack_token_batches(
+            spread(docs.join(flags.filter("s9").select("doc_id"), "doc_id")),
+            budget=2048,
+        )
+        nb = packed.agg(
+            F.count_distinct(F.col("lang"), F.col("batch_id"))
+            .cast("bigint")
+            .alias("nb")
+        )
+    except BaseException:
+        # construction failed mid-build: stop the background
+        # trainers so their noop jobs don't outlive the error
+        for f in futs:
+            f.cancel()
+        pool.shutdown(wait=True)
+        raise
     # join the background trainers (propagates any training failure; by
     # now the funnel's eager spine has run, so these are long finished)
     for f in futs:
