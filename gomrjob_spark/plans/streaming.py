@@ -431,7 +431,21 @@ def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     store_path = f"/tmp/gomrjob_near_dup_store_{tag}"
     if not os.path.isdir(store_path):
-        near_dup_store_write(store, store_path)
+        # write-then-RENAME so a concurrent session never reads a
+        # half-written store (the isdir probe alone is a TOCTOU race:
+        # a second driver saw the directory mid-write and failed with
+        # UNABLE_TO_INFER_SCHEMA on the empty payload dataset). The
+        # rename is atomic on one filesystem; if another writer
+        # published first, keep theirs — the store is content-
+        # addressed per sf_dir, so both renders are identical.
+        tmp_path = f"{store_path}.tmp.{os.getpid()}"
+        near_dup_store_write(store, tmp_path)
+        try:
+            os.rename(tmp_path, store_path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_path, ignore_errors=True)
     store_frames = near_dup_store_load(spark, store_path)
     # the file-replay source yields ONE partition per file — without the
     # explicit repartition every row-local signature in the batch runs
