@@ -162,23 +162,48 @@ class Counters:
         WorkerLog)."""
         return WorkerLog(self._sc)
 
-    def task_log_tail(self, n: int = 20) -> list[str]:
+    def task_log_tail(self, n: int = 20, max_stages: int = 100) -> list[str]:
         """Formatted tail of recent task completions across stages —
         one human-readable line per task, newest last. The reference
         tailed these lines from a UDP socket; here they come from the
         driver's own status store, so the capability survives with no
         side channel. Lines look like
-        ``stage 3.0 task 42 p7 SUCCESS 207ms on host``."""
-        _, stages = self._stage_list()
+        ``stage 3.0 task 42 p7 SUCCESS 207ms on host``.
+
+        Cost discipline (r15): every status-store field read is one
+        py4j round trip, and the store retains up to
+        ``spark.ui.retainedStages`` (default 1000) stages for the WHOLE
+        application. The previous shape re-fetched the full stage list
+        once per stage (O(stages^2) round trips — measured 8+ minutes
+        in a session that had run a long test suite) to tail a handful
+        of lines. Now: one stage-list fetch, and only the newest
+        ``max_stages`` stages (by stage id, the submission order) are
+        walked — a TAIL needs recent stages, not the app's lifetime;
+        pass a larger window if you genuinely want deep history."""
+        store, stages = self._stage_list()
+        stages = sorted(
+            stages, key=lambda s: (s.stageId(), s.attemptId()), reverse=True
+        )[: max(0, max_stages)]
         lines: list[tuple[int, str]] = []
         for s in stages:
-            for t in self.task_report(stage_id=s.stageId()):
-                dur = f"{t['duration_ms']}ms" if t["duration_ms"] is not None else "-"
+            # newest-first with an early stop: once several windows'
+            # worth of candidate lines are collected, older stages
+            # cannot realistically carry later task ids (ids are
+            # assigned at launch; concurrent-job interleaving is
+            # covered by the 4x buffer)
+            if len(lines) >= max(4 * n, 64):
+                break
+            sid, att = s.stageId(), s.attemptId()
+            tasks = store.taskList(sid, att, 1000)
+            for i in range(tasks.size()):
+                t = tasks.apply(i)
+                d = t.duration()
+                dur = f"{int(d.get())}ms" if d.isDefined() else "-"
                 lines.append(
                     (
-                        t["task_id"],
-                        f"stage {t['stage_id']}.{t['attempt']} task {t['task_id']} "
-                        f"p{t['partition_id']} {t['status']} {dur} on {t['host']}",
+                        int(t.taskId()),
+                        f"stage {int(sid)}.{int(att)} task {int(t.taskId())} "
+                        f"p{int(t.partitionId())} {t.status()} {dur} on {t.host()}",
                     )
                 )
         lines.sort()

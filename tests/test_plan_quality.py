@@ -17,10 +17,13 @@ from gomrjob_spark import plans
 
 
 def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    # the JVM explain string directly — NOT redirect_stdout around
+    # df.explain(): stdout redirection is process-global, so the
+    # threaded registry sweep below would cross-capture plans between
+    # threads (observed: phantom BNLJ findings from a neighbor's plan)
+    return df.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -252,18 +255,32 @@ def test_registry_wide_no_unapproved_nested_loop_joins(spark, sf_dir):
         "dedup_best_quality_survivors",  # same CC fixpoint at construction
         "split_cluster_aware",      # same CC fixpoint at construction
     }
-    offenders = {}
-    for name, fn in plans.QUERIES.items():
-        if name in STREAMING_OR_ITERATIVE:
-            continue
+    # The sweep is py4j-BOUND (query construction is thousands of
+    # driver round trips per builder-heavy family; plan generation is
+    # JVM-side), so Python threads overlap it well — the sweep wall
+    # clock dropped ~4x with 8 workers (r15, the driver-pytest-budget
+    # item). Construction is plan-only for every non-iterative query
+    # (the iterative ones are skipped above), and the offender check
+    # is a pure string scan, so concurrency changes nothing observable.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         plan = _plan(fn(spark, sf_dir))
         bad = []
         if "CartesianProduct" in plan:
             bad.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
             bad.append("BroadcastNestedLoopJoin")
-        if bad:
-            offenders[name] = bad
+        return name, bad
+
+    items = [
+        (n, f) for n, f in plans.QUERIES.items()
+        if n not in STREAMING_OR_ITERATIVE
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(check, items))
+    offenders = {name: bad for name, bad in results if bad}
     assert not offenders, f"data-sized join products found: {offenders}"
 
 
