@@ -64,11 +64,71 @@ TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=")
 MULTI_LABEL_SUFFIXES = ("co.uk",)
 
 
-def synth_url(doc_id: Column) -> Column:
+def _sql_ident(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string interpolation (the
+    axis-LSH quoteIfNeeded escaping)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _synth_url_sql(d: str) -> str:
+    """:func:`synth_url` as ONE SQL string over the bigint expression
+    text ``d`` — the r14 axis-LSH/Viterbi device applied to the shared
+    URL builders (r14 verdict item #5): the whole formula parses
+    server-side in one round trip instead of ~100 py4j Column calls
+    per consuming query. Operator-for-operator identical to the DSL
+    form below (IF ≡ when/otherwise incl. null conditions, ``DIV`` ≡
+    call_function('div'), CAST AS STRING ≡ cast('string')); pinned by
+    tests/test_urls.py::test_sql_string_builders_match_dsl."""
+    g = f"({d} DIV 3)"
+    scheme_sem = f"IF({g} % 2 = 0, 'http', 'https')"
+    scheme = f"IF({d} % 4 = 2, upper({scheme_sem}), {scheme_sem})"
+    suffix = (
+        f"CASE WHEN {g} % 3 = 0 THEN '.com' "
+        f"WHEN {g} % 3 = 1 THEN '.org' ELSE '.co.uk' END"
+    )
+    host_sem = (
+        f"concat('cdn', CAST({g} % 5 AS STRING), '.site', "
+        f"CAST({g} % 11 AS STRING), {suffix})"
+    )
+    host0 = f"IF({d} % 5 = 0, concat('www.', {host_sem}), {host_sem})"
+    host = f"IF({d} % 4 = 3, upper({host0}), {host0})"
+    port = (
+        f"CASE WHEN {g} % 7 = 0 THEN ':8080' "
+        f"WHEN {d} % 5 = 1 THEN IF({g} % 2 = 0, ':80', ':443') "
+        f"ELSE '' END"
+    )
+    path = (
+        f"CASE WHEN {g} % 13 = 0 THEN IF({d} % 3 = 1, '/', '') "
+        f"ELSE concat('/a', CAST({g} % 4 AS STRING), '/p', "
+        f"CAST({g} AS STRING), IF({d} % 3 = 1, '/', '')) END"
+    )
+    id_amp = f"IF({g} % 17 = 0, '', concat('&id=', CAST({g} AS STRING)))"
+    id_q = f"IF({g} % 17 = 0, '', concat('id=', CAST({g} AS STRING), '&'))"
+    qs = (
+        f"CASE WHEN {d} % 3 = 0 THEN concat('?utm_source=u', "
+        f"CAST({d} % 7 AS STRING), {id_amp}, '&utm_campaign=x') "
+        f"WHEN {d} % 3 = 1 THEN concat('?', {id_q}, 'gclid=g', "
+        f"CAST({d} AS STRING)) "
+        f"ELSE concat('?fbclid=f', CAST({d} AS STRING), {id_amp}) END"
+    )
+    frag = f"IF({d} % 2 = 0, concat('#s', CAST({d} % 4 AS STRING)), '')"
+    return f"concat({scheme}, '://', {host}, {port}, {path}, {qs}, {frag})"
+
+
+def synth_url(doc_id: Column | str) -> Column:
     """Per-document URL as a PURE formula of ``doc_id`` — semantic parts
     from ``g = doc_id DIV 3``, noise from ``doc_id`` itself, so each
     id-triple names one resource behind three raw variants. Mirrored
-    verbatim by the oracle CTE ``_URL_RAW_SQL`` (plans/web.py)."""
+    verbatim by the oracle CTE ``_URL_RAW_SQL`` (plans/web.py).
+
+    A STRING argument takes the one-parse SQL path
+    (:func:`_synth_url_sql`); Column arguments (lambda variables,
+    composite expressions) keep the Column DSL below — both evaluate
+    identically (differential-pinned)."""
+    if isinstance(doc_id, str):
+        return F.expr(
+            _synth_url_sql(f"CAST({_sql_ident(doc_id)} AS BIGINT)")
+        )
     d = doc_id.cast("bigint")
     # exact bigint DIV (float '/'+cast rounds past 2^53 — the html
     # family's _idiv rationale)
@@ -155,9 +215,43 @@ def _strip_tracking(query: Column) -> Column:
     return F.array_join(kept, "&")
 
 
-def url_normalize(url: Column) -> Column:
+def _url_normalize_sql(u: str) -> str:
+    """:func:`url_normalize` as ONE SQL string over the URL expression
+    text ``u`` (the r14 SQL-string device; see :func:`_synth_url_sql`).
+    Same parse_url parts, same IF/when equivalence, same tracking
+    filter (startswith(p, x) ≡ p.startswith(x)); differential-pinned
+    in tests/test_urls.py."""
+    scheme = f"lower(parse_url({u}, 'PROTOCOL'))"
+    host = f"regexp_replace(lower(parse_url({u}, 'HOST')), '^www\\\\.', '')"
+    port = f"regexp_extract(parse_url({u}, 'AUTHORITY'), ':(\\\\d+)$', 1)"
+    default_port = f"IF({scheme} = 'http', '80', IF({scheme} = 'https', '443', ''))"
+    port_part = (
+        f"IF({port} = '' OR {port} = {default_port}, '', concat(':', {port}))"
+    )
+    raw_path = f"coalesce(parse_url({u}, 'PATH'), '')"
+    path = (
+        f"IF({raw_path} = '', '/', "
+        f"IF(length({raw_path}) > 1 AND endswith({raw_path}, '/'), "
+        f"substring({raw_path}, 1, length({raw_path}) - 1), {raw_path}))"
+    )
+    drops = " OR ".join(
+        [f"startswith(p, '{pref}')" for pref in TRACKING_PREFIXES] + ["p = ''"]
+    )
+    q = (
+        f"array_join(filter(split(coalesce(parse_url({u}, 'QUERY'), ''), "
+        f"'&'), p -> NOT ({drops})), '&')"
+    )
+    q_part = f"IF({q} = '', '', concat('?', {q}))"
+    return f"concat({scheme}, '://', {host}, {port_part}, {path}, {q_part})"
+
+
+def url_normalize(url: Column | str) -> Column:
     """Canonical URL per the module contract — one codegen'd column
-    expression over ``parse_url`` parts (no UDF, no shuffle)."""
+    expression over ``parse_url`` parts (no UDF, no shuffle). A string
+    argument takes the one-parse SQL path (:func:`_url_normalize_sql`);
+    Column arguments (lambda variables in extract_links) keep the DSL."""
+    if isinstance(url, str):
+        return F.expr(_url_normalize_sql(_sql_ident(url)))
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     host = F.regexp_replace(
         F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
@@ -182,11 +276,27 @@ def url_normalize(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
 
 
-def registered_domain(host: Column) -> Column:
+def _registered_domain_sql(h: str) -> str:
+    """:func:`registered_domain` as one SQL string over the host
+    expression text ``h`` (same suffix loop, same IF nesting)."""
+    out = f"regexp_extract({h}, '([^.]+\\\\.[^.]+)$', 1)"
+    for suf in MULTI_LABEL_SUFFIXES:
+        pat = "([^.]+\\\\." + suf.replace(".", "\\\\.") + ")$"
+        out = (
+            f"IF(endswith({h}, '.{suf}') OR {h} = '{suf}', "
+            f"regexp_extract({h}, '{pat}', 1), {out})"
+        )
+    return out
+
+
+def registered_domain(host: Column | str) -> Column:
     """Registrable domain of an already-normalized host: the label
     directly under the public suffix. Multi-label suffixes come from
     :data:`MULTI_LABEL_SUFFIXES`; everything else is treated as a
-    single-label TLD (the PSL default rule)."""
+    single-label TLD (the PSL default rule). A string argument takes
+    the one-parse SQL path; Columns keep the DSL (lambda call sites)."""
+    if isinstance(host, str):
+        return F.expr(_registered_domain_sql(_sql_ident(host)))
     out = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     for suf in MULTI_LABEL_SUFFIXES:
         pat = r"([^.]+\." + suf.replace(".", r"\.") + r")$"
@@ -203,13 +313,13 @@ def with_url_columns(
     """Scan projection with the canonical URL, normalized host, and
     registered domain staged as real columns (staging, not CSE-hoping:
     the repo rule for expressions referenced more than once)."""
-    staged = docs.withColumn("norm_url", url_normalize(F.col(url_col)))
+    staged = docs.withColumn("norm_url", url_normalize(url_col))
     staged = staged.withColumn(
         "host",
         F.regexp_extract(F.col("norm_url"), r"^[a-z]+://([^/:?#]+)", 1),
     )
     return staged.withColumn(
-        "registered_domain", registered_domain(F.col("host"))
+        "registered_domain", registered_domain("host")
     )
 
 

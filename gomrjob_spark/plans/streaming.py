@@ -1119,7 +1119,7 @@ def streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gomrjob_spark.streaming import read_documents_stream, url_gate_stream
 
     batch = read_documents_stream(spark, sf_dir).select(
-        "doc_id", urls.synth_url(F.col("doc_id")).alias("url")
+        "doc_id", urls.synth_url("doc_id").alias("url")
     )
     return _drain(spark, url_gate_stream(batch, BLOCKLIST), "append").orderBy(
         "doc_id"
@@ -1398,7 +1398,7 @@ def streaming_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = (
         read_documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") >= 250)
-        .select("doc_id", urls.synth_url(F.col("doc_id")).alias("url"))
+        .select("doc_id", urls.synth_url("doc_id").alias("url"))
     )
     staged = urls.with_url_columns(batch)
     return _drain(spark, robots_gate_stream(staged), "append").orderBy(

@@ -141,7 +141,7 @@ def _docs_with_urls(
         from gomrjob_spark.operators.text import spread
 
         docs = spread(docs)
-    return docs.withColumn("url", urls.synth_url(F.col("doc_id")))
+    return docs.withColumn("url", urls.synth_url("doc_id"))
 
 
 @query(
@@ -1150,13 +1150,13 @@ def url_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "host",
-        urls.registered_domain(F.col("host")).alias(
+        urls.registered_domain("host").alias(
             "registered_domain_heuristic"
         ),
         F.col("registered_domain_psl"),
         (
             ~F.col("registered_domain_psl").eqNullSafe(
-                urls.registered_domain(F.col("host"))
+                urls.registered_domain("host")
             )
         ).alias("diverges"),
     ).orderBy("doc_id")
@@ -2369,7 +2369,7 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         walked = scoped_persist(_wet_walked(spark, sf_dir))
         staged = urls.with_url_columns(
             walked.select("doc_id", "status_code", "mime_type").withColumn(
-                "url", urls.synth_url(F.col("doc_id"))
+                "url", urls.synth_url("doc_id")
             )
         ).withColumn(
             "path",

@@ -293,3 +293,50 @@ def test_cdxj_lines_are_surt_sorted_and_json_parseable(spark, sf_dir):
         j = json.loads(blob)  # valid JSON payload (pywb-consumable)
         assert set(j) == {"url", "digest", "length", "offset", "filename"}
         assert j["length"].isdigit() and j["offset"].isdigit()  # CC strings
+
+
+def test_sql_string_builders_match_dsl(spark):
+    """The r15 SQL-string forms of synth_url / url_normalize /
+    registered_domain (one server-side parse per consuming query)
+    must evaluate bit-identically to the Column-DSL forms they
+    replace at every named-column call site — over the whole sf0.001
+    id range plus adversarial URL shapes (every noise class of the
+    canonicalization contract)."""
+    ids = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    diff = ids.select(
+        urls.synth_url("doc_id").alias("a"),
+        urls.synth_url(F.col("doc_id")).alias("b"),
+    ).filter("NOT (a <=> b)")
+    assert diff.count() == 0
+
+    # normalize + registered_domain over the synthesized URLs AND
+    # hand-picked adversarial shapes (null query, default/odd ports,
+    # root paths, uppercase, tracking-only query, multi-label suffix)
+    extra = spark.createDataFrame(
+        [
+            ("HTTP://WWW.Site3.CO.UK:80/",),
+            ("https://cdn1.site7.co.uk:443/a/?utm_source=x&gclid=1",),
+            ("http://a.b.example.com:8080/p/?id=1&fbclid=f2#frag",),
+            ("https://example.org",),
+            ("http://www.example.com/deep/path/",),
+            ("https://site.net/?utm_a=1&utm_b=2",),
+        ],
+        "url string",
+    )
+    both = ids.select(urls.synth_url("doc_id").alias("url")).unionByName(extra)
+    diff2 = both.select(
+        urls.url_normalize("url").alias("a"),
+        urls.url_normalize(F.col("url")).alias("b"),
+    ).filter("NOT (a <=> b)")
+    assert diff2.count() == 0
+
+    hosts = both.select(
+        F.regexp_extract(
+            urls.url_normalize("url"), r"^[a-z]+://([^/:?#]+)", 1
+        ).alias("host")
+    )
+    diff3 = hosts.select(
+        urls.registered_domain("host").alias("a"),
+        urls.registered_domain(F.col("host")).alias("b"),
+    ).filter("NOT (a <=> b)")
+    assert diff3.count() == 0
