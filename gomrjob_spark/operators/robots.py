@@ -73,7 +73,113 @@ _RULE_PAT = "(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*(/[^ \t#]*)"
 _UA_PAT = "(?i)^[ \t]*user-agent[ \t]*:[ \t]*([^ \t#]+)"
 
 
-def synth_robots(site_num: Column) -> Column:
+def _sql_lit(s: str) -> str:
+    """A Python string as a SQL string literal (backslashes and quotes
+    escaped; control characters pass through as raw bytes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _synth_robots_sql(k: str) -> str:
+    """:func:`synth_robots` as ONE SQL string over the bigint
+    expression text ``k`` — the r14 SQL-string device applied to the
+    robots family (r14 verdict item #5); operator-for-operator
+    identical to the DSL (IF ≡ when/otherwise), differential-pinned in
+    tests/test_robots.py."""
+    sec = f"CAST({k} % 4 AS STRING)"
+    return (
+        "concat('# robots for site', CAST({k} AS STRING), "
+        "'\\n\\nUser-agent: *\\nDisallow: /a', {sec}, "
+        "IF({k} % 3 = 0, concat('\\nAllow: /a', {sec}, '/p'), ''), "
+        "IF({k} % 2 = 0, '\\nDisallow: /buy', ''), "
+        "IF({k} % 7 = 2, '\\nDisallow: /a*/p', ''), "
+        "IF({k} % 7 = 5, '\\nDisallow: /*0$', ''), "
+        "'\\nCrawl-delay: ', CAST({k} % 5 AS STRING), "
+        "IF({k} % 5 = 1, '\\n\\nUser-agent: badbot\\nDisallow: /', ''), "
+        "'\\n')"
+    ).format(k=f"({k})", sec=sec)
+
+
+def _parse_rules_sql(txt: str, agent: str = "*") -> str:
+    """:func:`parse_rules` as one SQL string over the robots-text
+    expression ``txt``: the same single array aggregate carrying the
+    RFC 9309 group state, with the step CASE identical to the DSL's
+    when/when/otherwise chain."""
+    ua = f"regexp_extract(ln, {_sql_lit(_UA_PAT)}, 1)"
+    verb = f"lower(regexp_extract(ln, {_sql_lit(_RULE_PAT)}, 1))"
+    rule = (
+        f"struct({verb} = 'allow' AS allow, "
+        f"regexp_extract(ln, {_sql_lit(_RULE_PAT)}, 2) AS prefix)"
+    )
+    zero = (
+        "struct(false AS in_header, false AS active, "
+        "CAST(array() AS array<struct<allow:boolean,prefix:string>>) AS rules)"
+    )
+    ua_match = f"lower({ua}) = {_sql_lit(agent.lower())}"
+    step = (
+        f"CASE WHEN {ua} != '' THEN struct("
+        "true AS in_header, "
+        f"IF(acc.in_header, acc.active OR ({ua_match}), {ua_match}) AS active, "
+        "acc.rules AS rules) "
+        f"WHEN {verb} != '' THEN struct("
+        "false AS in_header, acc.active AS active, "
+        f"IF(acc.active, array_append(acc.rules, {rule}), acc.rules) AS rules) "
+        "ELSE acc END"
+    )
+    return (
+        f"aggregate(split({txt}, '\\r\\n|\\r|\\n'), {zero}, "
+        f"(acc, ln) -> {step}, acc -> acc.rules)"
+    )
+
+
+def _rule_matches_sql(path: str, prefix: str) -> str:
+    """:func:`rule_matches` over expression texts (same fast
+    startswith path for plain prefixes, same anchored-regex
+    translation for pattern rules)."""
+    anchored = f"endswith({prefix}, '$')"
+    body = f"IF({anchored}, substring({prefix}, 1, length({prefix}) - 1), {prefix})"
+    escaped = (
+        f"regexp_replace({body}, "
+        + _sql_lit(r"([.\[\]{}()+?^$|\\])")
+        + ", "
+        + _sql_lit(r"\\$1")
+        + ")"
+    )
+    rx = (
+        f"concat('^', replace({escaped}, '*', '.*'), "
+        f"IF({anchored}, '$', ''))"
+    )
+    return (
+        f"CASE WHEN contains({prefix}, '*') OR endswith({prefix}, '$') "
+        f"THEN regexp_like({path}, {rx}) "
+        f"ELSE startswith({path}, {prefix}) END"
+    )
+
+
+def _robots_verdict_sql(path: str, rules: str) -> str:
+    """:func:`robots_verdict` over expression texts: the same filter +
+    longest-match/Allow-ties aggregate fold, composed with
+    :func:`_rule_matches_sql`."""
+    matches = f"filter({rules}, r -> {_rule_matches_sql(path, 'r.prefix')})"
+    step = (
+        "IF(length(r.prefix) > length(acc.prefix) OR "
+        "(length(r.prefix) = length(acc.prefix) AND r.allow AND NOT acc.allow), "
+        "r, acc)"
+    )
+    best = (
+        f"aggregate({matches}, struct(true AS allow, '' AS prefix), "
+        f"(acc, r) -> {step})"
+    )
+    return (
+        f"named_struct('allowed', ({best}).allow, "
+        f"'rule_prefix', ({best}).prefix)"
+    )
+
+
+def synth_robots(site_num: Column | str) -> Column:
+    if isinstance(site_num, str):
+        # mirror the DSL's defensive bigint cast (identity on bigint
+        # inputs; catalyst removes the redundant Cast either way)
+        return F.expr(_synth_robots_sql(f"CAST({site_num} AS BIGINT)"))
     """robots.txt text per domain as a PURE formula of the domain's
     site number ``k`` (mirrored by the oracle CTE in plans/web.py):
     a comment header, the ``*`` group, ``Disallow: /a<k%4>``, a
@@ -114,7 +220,13 @@ def synth_robots(site_num: Column) -> Column:
     )
 
 
-def parse_rules(robots_txt: Column, agent: str = "*") -> Column:
+def parse_rules(robots_txt: Column | str, agent: str = "*") -> Column:
+    if isinstance(robots_txt, str):
+        return F.expr(_parse_rules_sql(robots_txt, agent))
+    return _parse_rules_dsl(robots_txt, agent)
+
+
+def _parse_rules_dsl(robots_txt: Column, agent: str = "*") -> Column:
     """robots.txt text -> array<struct<allow boolean, prefix string>>:
     the rules of the groups whose header names ``agent`` (default
     ``*``), in file order. One array ``aggregate`` over the lines
@@ -207,7 +319,13 @@ def rule_matches(path: Column, rule_prefix: Column) -> Column:
     ).otherwise(path.startswith(rule_prefix))
 
 
-def robots_verdict(path: Column, rules: Column) -> Column:
+def robots_verdict(path: Column | str, rules: Column | str) -> Column:
+    if isinstance(path, str) and isinstance(rules, str):
+        return F.expr(_robots_verdict_sql(path, rules))
+    return _robots_verdict_dsl(path, rules)
+
+
+def _robots_verdict_dsl(path: Column, rules: Column) -> Column:
     """Struct (allowed, rule_prefix) for a URL path under a parsed
     rule array — RFC 9309 decision: longest matching rule wins
     (priority = octets of the rule PATTERN, wildcards and anchors

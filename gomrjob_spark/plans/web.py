@@ -1340,7 +1340,7 @@ def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.col("k")
     robots_txt = F.concat(
-        synth_robots(k),
+        synth_robots("k"),
         F.when(
             k % 3 == 0,
             F.lit("# Sitemap: https://decoy.example/ignored.xml\n"),
@@ -1365,7 +1365,7 @@ def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = with_txt.select(
         "registered_domain",
         "k",
-        parse_rules(F.col("robots_txt")).alias("rules"),
+        parse_rules("robots_txt").alias("rules"),
         F.element_at(
             parse_sitemap_directives(F.col("robots_txt")), 1
         ).alias("sitemap_url"),
@@ -1391,7 +1391,7 @@ def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_path",
         F.regexp_extract(F.col("e.loc"), r"^https://[^/]+(/.*)$", 1),
     )
-    v = robots_verdict(F.col("_path"), F.col("rules"))
+    v = robots_verdict("_path", "rules")
     return pathed.select(
         "registered_domain",
         "sitemap_url",
@@ -2054,8 +2054,10 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
-    rules = robots.parse_rules(robots.synth_robots(F.col("k")))
-    verdict = robots.robots_verdict(F.col("path"), rules)
+    rules_sql = robots._parse_rules_sql(
+        robots._synth_robots_sql("CAST(`k` AS BIGINT)")
+    )
+    verdict = robots.robots_verdict("path", rules_sql)
     gated = content_gate(doc_content_summary(with_blocks(staged)))
     f0 = gated.select(
         "doc_id",
@@ -2379,8 +2381,10 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract(F.col("registered_domain"), "site([0-9]+)", 1)
             .cast("bigint"),
         )
-        rules = robots.parse_rules(robots.synth_robots(F.col("k")))
-        verdict = robots.robots_verdict(F.col("path"), rules)
+        rules_sql = robots._parse_rules_sql(
+            robots._synth_robots_sql("CAST(`k` AS BIGINT)")
+        )
+        verdict = robots.robots_verdict("path", rules_sql)
         base = scoped_persist(
             staged.select(
                 "doc_id",

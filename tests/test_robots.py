@@ -249,3 +249,58 @@ class TestPatternRules:
         wild = out.filter(F.col("rule_prefix") == "/a*/p").count()
         anch = out.filter(F.col("rule_prefix") == "/*0$").count()
         assert wild > 0 and anch > 0  # both pattern rules non-vacuous
+
+
+def test_sql_string_robots_match_dsl(spark):
+    """The r15 SQL-string forms of synth_robots / parse_rules /
+    robots_verdict (one server-side parse per consuming query) must
+    evaluate bit-identically to the Column-DSL forms at every named
+    call site — over every fixture site number x every fixture path
+    shape, so every rule class (pattern, end-anchor, Allow override,
+    second group, tie) is exercised on both paths."""
+    import pyspark.sql.functions as F
+
+    from gomrjob_spark.operators import robots
+
+    ks = spark.range(0, 300).select(F.col("id").alias("k"))
+    d1 = ks.select(
+        robots.synth_robots("k").alias("a"),
+        robots.synth_robots(F.col("k")).alias("b"),
+    ).filter("NOT (a <=> b)")
+    assert d1.count() == 0
+
+    txts = ks.withColumn("robots_txt", robots.synth_robots("k"))
+    d2 = txts.select(
+        robots.parse_rules("robots_txt").alias("a"),
+        robots.parse_rules(F.col("robots_txt")).alias("b"),
+    ).filter("NOT (a <=> b)")
+    assert d2.count() == 0
+
+    paths = spark.createDataFrame(
+        [("/a0/p7",), ("/a1/p9/",), ("/buy",), ("/a2",), ("/x0",),
+         ("/",), ("",), ("/a3/p0",), ("/a0p",)],
+        "path string",
+    )
+    both = txts.withColumn(
+        "rules", robots.parse_rules("robots_txt")
+    ).crossJoin(paths)
+    va = robots.robots_verdict("path", "rules")
+    vb = robots.robots_verdict(F.col("path"), F.col("rules"))
+    d3 = both.select(va.alias("a"), vb.alias("b")).filter("NOT (a <=> b)")
+    assert d3.count() == 0
+
+    # the composed all-SQL chain (the funnel/train call shape) equals
+    # the all-DSL chain end to end
+    comp_sql = robots.robots_verdict(
+        "path",
+        robots._parse_rules_sql(robots._synth_robots_sql("CAST(`k` AS BIGINT)")),
+    )
+    comp_dsl = robots._robots_verdict_dsl(
+        F.col("path"), robots._parse_rules_dsl(robots.synth_robots(F.col("k")))
+    )
+    d4 = (
+        ks.crossJoin(paths)
+        .select(comp_sql.alias("a"), comp_dsl.alias("b"))
+        .filter("NOT (a <=> b)")
+    )
+    assert d4.count() == 0
