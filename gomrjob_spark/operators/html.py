@@ -110,7 +110,89 @@ MAX_LINK_DENSITY_PM = 300
 CHUNK = 200
 
 
+def _sql_lit(s: str) -> str:
+    """A Python string as a SQL string literal (backslashes and quotes
+    escaped — the robots-family helper)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _idiv_sql(a: str, b: int) -> str:
+    return f"(CAST({a} AS BIGINT) DIV {b})"
+
+
+def _synth_html_sql(doc_id: str, text: str, lang: str | None) -> str:
+    """:func:`synth_html` as ONE SQL string over expression texts (the
+    r14 SQL-string device, r14 verdict item #5): the whole page formula
+    parses server-side in one round trip. IF ≡ when/otherwise,
+    substring ≡ Column.substr, DIV ≡ call_function('div');
+    differential-pinned in tests/test_html.py."""
+    d = f"CAST({doc_id} AS BIGINT)"
+    t = f"coalesce({text}, '')"
+    la = f"coalesce({lang if lang is not None else _sql_lit('und')}, 'und')"
+    g2 = _idiv_sql(d, 6)
+    canonical = (
+        f"IF({d} % 9 = 8, '', concat("
+        "'<link rel=\"canonical\" href=\"https://canon.site', "
+        f"CAST({g2} % 11 AS STRING), '.com/c', CAST({g2} AS STRING), '\">'))"
+    )
+    n = f"length({t})"
+    idxs = (
+        f"IF({n} > 0, sequence(CAST(0 AS BIGINT), "
+        f"{_idiv_sql(f'{n} + {CHUNK - 1}', CHUNK)} - 1), "
+        "CAST(array() AS array<bigint>))"
+    )
+    para = (
+        "concat('<p class=\"c', CAST({d} % 3 AS STRING), '\">', "
+        "substring({t}, CAST(i * {c} + 1 AS INT), {c}), "
+        "IF(({d} + i) % 4 = 0, concat(' <a href=\"/r', CAST(i AS STRING), "
+        "'\">more</a>'), ''), '</p>')"
+    ).format(d=d, t=t, c=CHUNK)
+    paras = f"array_join(transform({idxs}, i -> {para}), '')"
+    return (
+        "concat('<html lang=\"', {la}, '\"><head><title>Doc ', "
+        "CAST({d} AS STRING), "
+        "'</title><meta name=\"description\" content=\"Summary ', "
+        "CAST({d} % 50 AS STRING), ' &amp; notes\">', {canonical}, "
+        "'<style>p{{font:12px}}</style></head><body>', "
+        "'<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a> | "
+        "<a href=\"/c', CAST({d} % 5 AS STRING), '\">Contact</a></nav>', "
+        "{paras}, "
+        "'<div class=\"promo\"><a href=\"/buy?x=', CAST({d} AS STRING), "
+        "'\">Buy now &amp; save &lt;deals&gt;</a></div>', "
+        "'<script>var p = \"<p>fake ', CAST({d} AS STRING), "
+        "'</p><a href=\"http://evil', CAST({d} % 4 AS STRING), "
+        "'.example/x\">c</a>\";</script>', "
+        "'<!-- build ', CAST({d} % 97 AS STRING), ' <p>also fake</p> -->', "
+        "'<pre>v', CAST({d} % 5 AS STRING), '</pre>', "
+        "'<div class=\"meta\" title=\"rev>0\">updated ', "
+        "CAST({d} % 28 AS STRING), '</div>', "
+        "'<footer>Copyright &amp; Terms <abbr>TM</abbr> "
+        "<a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a> "
+        "<a href=\"http://partner', CAST({d} % 7 AS STRING), "
+        "'.example/p', CAST({d} % 3 AS STRING), "
+        "'\">Partner</a></footer>', '</body></html>')"
+    ).format(la=la, d=d, canonical=canonical, paras=paras)
+
+
 def synth_html(
+    doc_id: Column | str, text: Column | str = None, lang=None
+) -> Column:
+    if isinstance(doc_id, str):
+        return F.expr(
+            _synth_html_sql(
+                _sql_ident(doc_id),
+                _sql_ident(text),
+                _sql_ident(lang) if lang is not None else None,
+            )
+        )
+    return _synth_html_dsl(doc_id, text, lang)
+
+
+def _synth_html_dsl(
     doc_id: Column, text: Column, lang: Column | None = None
 ) -> Column:
     """Deterministic HTML page per document — mirrored byte-for-byte by
@@ -242,7 +324,73 @@ def _stop_hits(txt: Column) -> Column:
     return F.size(F.filter(F.split(txt, " "), lambda w: w.isin(*STOPWORDS)))
 
 
-def block_structs(html: Column) -> Column:
+def _clean_invisible_sql(h: str) -> str:
+    out = h
+    for pat in INVISIBLE_PATTERNS:
+        out = f"regexp_replace({out}, {_sql_lit(pat)}, '')"
+    return out
+
+
+def _decode_entities_sql(x: str) -> str:
+    out = x
+    for ent, ch in ENTITIES:
+        out = f"replace({out}, {_sql_lit(ent)}, {_sql_lit(ch)})"
+    return out
+
+
+def _visible_text_sql(frag: str) -> str:
+    stripped = f"regexp_replace({frag}, {_sql_lit(TAG_ANY)}, '')"
+    return _decode_entities_sql(
+        f"trim(regexp_replace({stripped}, {_sql_lit(chr(92) + 's+')}, ' '))"
+    )
+
+
+def _stop_hits_sql(txt: str) -> str:
+    stops = ", ".join(_sql_lit(w) for w in STOPWORDS)
+    return f"size(filter(split({txt}, ' '), w -> w IN ({stops})))"
+
+
+def _block_structs_sql(h: str) -> str:
+    """:func:`block_structs` as one SQL string over the html expression
+    text ``h`` — the same quote-aware segmentation, per-block metrics
+    and content verdict, parsed server-side in one round trip
+    (differential-pinned in tests/test_html.py)."""
+    ch = _clean_invisible_sql(h)
+    frags = f"split({ch}, {_sql_lit(BLOCK_OPEN)})"
+    opens = f"regexp_extract_all({ch}, {_sql_lit(BLOCK_OPEN_TAG)}, 1)"
+    frag = f"element_at({frags}, CAST(i + 2 AS INT))"
+    txt = _visible_text_sql(frag)
+    n_chars = f"CAST(length({txt}) AS BIGINT)"
+    link_chars = (
+        f"aggregate(regexp_extract_all({frag}, {_sql_lit(LINK_TEXT)}, 1), "
+        f"CAST(0 AS BIGINT), (acc, l) -> acc + length({_decode_entities_sql('l')}))"
+    )
+    ld_pm = (
+        f"IF({n_chars} > 0, "
+        f"(CAST(1000 * {link_chars} AS BIGINT) DIV {n_chars}), "
+        "CAST(1000 AS BIGINT))"
+    )
+    n_words = (
+        f"CAST(IF({txt} = '', 0, size(split({txt}, ' '))) AS BIGINT)"
+    )
+    n_stop = f"CAST({_stop_hits_sql(txt)} AS BIGINT)"
+    build = (
+        f"struct(tag AS tag, {txt} AS block_text, {n_chars} AS n_chars, "
+        f"{link_chars} AS link_chars, {ld_pm} AS link_density_pm, "
+        f"{n_words} AS n_words, {n_stop} AS n_stop, "
+        f"({n_chars} >= {MIN_CONTENT_CHARS} AND {ld_pm} <= {MAX_LINK_DENSITY_PM} "
+        f"AND {n_stop} >= 1) AS is_content)"
+    )
+    return f"transform({opens}, (tag, i) -> {build})"
+
+
+def block_structs(html: Column | str) -> Column:
+    if isinstance(html, str):
+        return F.expr(_block_structs_sql(_sql_ident(html)))
+    return _block_structs_dsl(html)
+
+
+def _block_structs_dsl(html: Column) -> Column:
     """Array of per-block metric structs in document order. The page is
     segmented by splitting on block-level OPENING tags (quote-aware
     pattern — the ``title="rev>0"`` decoy cannot truncate a tag) after
@@ -295,7 +443,46 @@ def block_structs(html: Column) -> Column:
 HREF_PAT = '<a href="([^"]*)"'
 
 
-def extract_metadata(html: Column) -> Column:
+def _extract_metadata_sql(h: str) -> str:
+    """:func:`extract_metadata` as one SQL string (same clean-first,
+    decode-after contract)."""
+    ch = _clean_invisible_sql(h)
+    title = _decode_entities_sql(
+        "trim(regexp_replace(regexp_extract("
+        + ch
+        + ", '(?s)<title>(.*?)</title>', 1), "
+        + _sql_lit(chr(92) + "s+")
+        + ", ' '))"
+    )
+    lang_attr = (
+        f"regexp_extract({ch}, "
+        + _sql_lit('<html(?:[^>"]|"[^"]*")*?lang="([^"]*)"')
+        + ", 1)"
+    )
+    description = _decode_entities_sql(
+        f"regexp_extract({ch}, "
+        + _sql_lit('<meta name="description" content="([^"]*)"')
+        + ", 1)"
+    )
+    canonical = (
+        f"regexp_extract({ch}, "
+        + _sql_lit('<link rel="canonical" href="([^"]*)"')
+        + ", 1)"
+    )
+    return (
+        f"named_struct('title', {title}, 'lang_attr', {lang_attr}, "
+        f"'description', {description}, 'canonical_href', {canonical}, "
+        f"'has_canonical', {canonical} != '')"
+    )
+
+
+def extract_metadata(html: Column | str) -> Column:
+    if isinstance(html, str):
+        return F.expr(_extract_metadata_sql(_sql_ident(html)))
+    return _extract_metadata_dsl(html)
+
+
+def _extract_metadata_dsl(html: Column) -> Column:
     """Struct (title, lang_attr, description, canonical_href,
     has_canonical) from the page head — the metadata surface every
     crawl extractor reads before touching the body: the title and
@@ -381,7 +568,7 @@ def with_blocks(
     """Stage the block-struct array as a real column (staging, not
     CSE-hoping: the repo rule for expressions referenced more than
     once)."""
-    return df.withColumn(out_col, block_structs(F.col(html_col)))
+    return df.withColumn(out_col, block_structs(html_col))
 
 
 def doc_content_summary(
@@ -392,22 +579,24 @@ def doc_content_summary(
     projection in the same stage as the WARC walk). main_text joins the
     content blocks' visible text in document order — the WET-style
     output the downstream text operators consume."""
-    blocks = F.col(blocks_col)
-    content = F.filter(blocks, lambda b: b["is_content"])
-    summed = lambda arr, field: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("bigint"), lambda acc, b: acc + b[field]
+    blocks = _sql_ident(blocks_col)
+    content = f"filter({blocks}, b -> b.is_content)"
+    summed = (
+        lambda arr, field: f"aggregate({arr}, CAST(0 AS BIGINT), "  # noqa: E731
+        f"(acc, b) -> acc + b.{field})"
     )
-    return df.withColumn(
-        "n_blocks", F.size(blocks).cast("bigint")
-    ).withColumn(
-        "n_content_blocks", F.size(content).cast("bigint")
-    ).withColumn(
-        "content_chars", summed(content, "n_chars")
-    ).withColumn(
-        "total_chars", summed(blocks, "n_chars")
-    ).withColumn(
-        "main_text",
-        F.array_join(F.transform(content, lambda b: b["block_text"]), " "),
+    # one SQL parse per derived column (the r14 SQL-string device);
+    # expression-for-expression identical to the HOF DSL this replaces
+    return df.withColumns(
+        {
+            "n_blocks": F.expr(f"CAST(size({blocks}) AS BIGINT)"),
+            "n_content_blocks": F.expr(f"CAST(size({content}) AS BIGINT)"),
+            "content_chars": F.expr(summed(content, "n_chars")),
+            "total_chars": F.expr(summed(blocks, "n_chars")),
+            "main_text": F.expr(
+                f"array_join(transform({content}, b -> b.block_text), ' ')"
+            ),
+        }
     )
 
 

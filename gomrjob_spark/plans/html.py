@@ -215,9 +215,7 @@ def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spread(docs).select(
         "doc_id",
-        H.synth_html(
-            F.col("doc_id"), F.col("text"), F.col("lang")
-        ).alias("html"),
+        H.synth_html("doc_id", "text", "lang").alias("html"),
     )
 
 
@@ -362,7 +360,7 @@ def html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity decode, or misparses the lang attribute cannot hash-match.
     Row-local codegen; zero shuffles before the orderBy."""
     staged = _docs_with_html(spark, sf_dir)
-    m = H.extract_metadata(F.col("html"))
+    m = H.extract_metadata("html")
     return staged.select(
         "doc_id",
         m["title"].alias("title"),

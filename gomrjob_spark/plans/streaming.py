@@ -1309,9 +1309,7 @@ def streaming_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") >= 250)
         .select(
             "doc_id",
-            synth_html(
-                F.col("doc_id"), F.col("text"), F.col("lang")
-            ).alias("html"),
+            synth_html("doc_id", "text", "lang").alias("html"),
         )
     )
     return _drain(spark, html_gate_stream(batch), "append").orderBy("doc_id")

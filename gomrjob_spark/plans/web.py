@@ -1557,9 +1557,7 @@ def _wet_walked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     paged = docs.select(
         "doc_id",
-        synth_html(
-            F.col("doc_id"), F.col("text"), F.col("lang")
-        ).alias("page"),
+        synth_html("doc_id", "text", "lang").alias("page"),
     )
 
     def wrap_walk(batches):
@@ -1709,7 +1707,7 @@ def html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gomrjob_spark.cache import scoped_persist
 
     staged = staged.withColumn(
-        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+        "html", synth_html("doc_id", "text", "lang")
     )
     # stage + persist the link array BEFORE the explode: a Generate
     # over an expensive transform re-evaluates the builder per emitted
@@ -1798,7 +1796,7 @@ def url_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = urls.with_url_columns(_docs_with_urls(spark, sf_dir, with_text=True))
     staged = staged.withColumn(
-        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+        "html", synth_html("doc_id", "text", "lang")
     )
     from gomrjob_spark.cache import scoped_persist
 
@@ -1919,9 +1917,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_urls(spark, sf_dir, with_text=True)
     )
     staged = staged.withColumn(
-        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+        "html", synth_html("doc_id", "text", "lang")
     )
-    m = extract_metadata(F.col("html"))
+    m = extract_metadata("html")
     canon = staged.select(
         "doc_id",
         "norm_url",
@@ -2044,7 +2042,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_urls(spark, sf_dir, with_text=True)
     )
     staged = staged.withColumn(
-        "html", synth_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+        "html", synth_html("doc_id", "text", "lang")
     ).withColumn(
         "path",
         F.regexp_extract(F.col("norm_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
