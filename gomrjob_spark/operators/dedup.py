@@ -113,7 +113,14 @@ def _pair_intersections(
             .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
             .select("_ids")
         )
-        sizes = (
+        # sizes is persisted because jaccard/containment reference it
+        # TWICE (the id_a and id_b sides): unpersisted, AQE materializes
+        # both subtrees as CONCURRENT query stages before either fills
+        # grp's cache, so each re-ran kept -> sh -> the full tokenize+
+        # shingle scan (r15 stage profile: the heavy shingle stage
+        # appeared ~5x per query, ~77 of 106 executor-seconds). A
+        # doc-count-sized (id, n_sh) cache breaks both duplicate chains.
+        sizes = scoped_persist(
             grp.select(F.explode("_ids").alias(id_col))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_sh"))
