@@ -24,94 +24,78 @@ from gomrjob_spark.plans import (  # noqa: F401,E402
     web,
 )
 
-# Tier 1 (round 14, the r13 verdict's item #2): FIRST the three queries
-# re-planned in r13 AFTER the window rotated — they have judge-sim
-# green but no driver-verified row since the re-plan, and a query whose
-# oracle text changed must never skip a driver round
-# (dedup_embedding_cosine_rp: plan AND oracle changed, occupancy 64->8;
-# graph_pagerank + url_domain_pagerank: the wave-3 persist/checkpoint
-# fix). Then the 4 NEW r14 queries, then the 5 changed-this-round
-# re-verifies (the A1 left-join fallback changed the semdedup oracles
-# on both engines; knn_lsh was re-planned to house rules; the A2
-# priority-regex tightening touched both sitemap parses), then the 24
-# r08 rows that headed _BACKFILL (completing the r08 generation), then
-# the 14 alphabetically-first r09 rows — exactly filling the 50-slot
-# window. knn_axis_lsh (displaced late by the wave-4 probe-catch
-# re-verify) plus the remaining 34 r09 rows head _BACKFILL for r15
-# (OLDEST-ALWAYS-NEXT, SCALING.md ledger).
+# Tier 1 (round 15, the r14 verdict's item #1 — close the verification
+# debt): the r14 OPTIMIZER-touched queries shipped WITHOUT a
+# driver-verified row (the r14 window was locked before the
+# optimization session started), so they head this window; then every
+# query whose PLAN changed in round 15 itself — the capped pair stage
+# regroup + sizes persist (jaccard/containment/CC consumers), the
+# Lloyd/local_df device (semdedup, ivf, pq), the byte-BPE
+# distinct-pretoken restructure, and the URL/robots/HTML SQL-string
+# builders (every consumer of those three families). The changed set
+# fills all 50 slots, so the OLDEST-ALWAYS-NEXT backfill pauses for
+# one round (SCALING.md ledger: the r09/r10 backfill resumes in r16) —
+# exactly the priority rule the ledger prescribes: a query whose plan
+# changed must never skip a driver round.
 _VERIFY_FIRST = [
-    # re-planned r13, not yet window-verified (r13 verdict item #2)
-    "dedup_embedding_cosine_rp",
-    "graph_pagerank",
-    "url_domain_pagerank",
-    # NEW r14: mixed plain/gz sitemap discovery (two-member gz decode)
-    "sitemap_discovery_gz",
-    # NEW r14: WARC revisit resolution (CC URL-dedup semantics)
-    "warc_revisit_resolve",
-    # NEW r14: SURT-ordered CDXJ rendering of the member CDX
-    "warc_cdx_cdxj",
-    # NEW r14: stss keyframe-only extraction
-    "multimodal_mp4_keyframes",
-    # NEW r14 (late): edts/elst presentation timing — displaces
-    # join_band_time to the _BACKFILL head
-    "multimodal_mp4_edit_timing",
-    # changed r14: the A1 empty-coarse-cell fallback rewrote the fine
-    # argmax join + oracle on both engines
-    "dedup_semantic_diversity",
-    "streaming_semdedup_gate",
-    # (knn_lsh was also re-planned this round, but it is rows-only —
-    # the window discipline keeps oracle-eligible rows first; its
-    # re-plan is gated by the pytest recall test and the full-registry
-    # sim's rows-check)
-    # changed r14: priority regex tightened to the spec cap (A2)
-    "sitemap_frontier",
-    "sitemap_discovery",
-    # changed r14 (late): the wave-4 probe catch — survivorship pair
-    # stage re-planned with the stop-shingle cap, oracle mirrored
-    # (dedup_cluster_survivors is already in the r09 block below);
-    # the two exact-pair siblings took the same cap + mirror
-    # preemptively (same sum(f^2) term), so they re-verify too
-    "split_cluster_aware",
+    # r14-optimizer-touched, no driver row since the change (verdict #1)
+    "text_kn_perplexity",
+    "text_langid_gate",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "text_byte_bpe_encode",
+    "text_wordpiece_encode",
+    "search_bm25_topk",
+    "search_tf_topk",
+    "search_phrase_topk",
+    "search_proximity_topk",
+    "decontaminate_semantic",
+    "knn_pq",  # rows-only: the driver rows-checks it (as in r14)
+    "corpus_train_pipeline",
+    "multimodal_scene_cuts",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near_pairs",
+    "multimodal_audio_fingerprint_dedup",
+    # r15: capped shingle pair stage (grouped candidates + sizes persist)
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
-    # the 24 r08 rows the r13 window could not hold (last green r08)
-    "scalar_string",
-    "select_token_budget",
-    "set_ops",
-    "streaming_dsir_gate",
-    "streaming_mr_sum",
-    "streaming_paragraph_quarantine",
-    "text_fingerprint",
-    "text_gopher_ngram_fractions",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality",
-    "text_repetition_stats",
-    "text_stopword_strip",
-    "text_token_stats",
-    "text_unigram_encode",
-    "text_unigram_lm_train",
-    "top_n_global",
-    "udaf_weighted_avg",
-    "udtf_sentences",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_ntile",
-    "window_running_total",
-    "window_topk_per_group",
-    # next-oldest (last green r09), alphabetical, first 14 (sans the
-    # re-planned/changed rows already above)
-    "case_when_bucketing",
-    "corpus_clean_filter",
-    "decontaminate_ngrams",
-    "decontaminate_span_scrub",
     "dedup_cluster_survivors",
-    "dedup_cross_source_overlap",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lowsim",
-    "dedup_minhash_md5",
-    "dedup_span_removal",
-    "join_asof",
+    "split_cluster_aware",
+    "entity_resolution_pipeline",
+    "dedup_best_quality_survivors",
+    # r15: Lloyd broadcast-rows device + local_df model frames
+    "dedup_semantic_diversity",
+    "knn_ivf_kmeans",  # rows-only: driver rows-check
+    "streaming_semdedup_gate",
+    # r15: byte-BPE distinct-pretoken trainer/encoder
+    "text_byte_bpe_train",
+    # r15: wordpiece merge table via local_df
+    "text_wordpiece_train",
+    # r15: HTML SQL-string builders (synth/block/rollup/metadata)
+    "corpus_funnel_report",
+    "corpus_wet_pipeline",
+    "html_extract_text",
+    "html_block_stats",
+    "html_content_gate",
+    "html_extract_links",
+    "html_metadata",
+    "dedup_canonical",
+    "streaming_html_gate",
+    # r15: URL + robots SQL-string builders
+    "url_canonicalize",
+    "dedup_url_exact",
+    "url_domain_gate",
+    "url_domain_stats",
+    "sample_domain_cap",
+    "url_registered_domain_psl",
+    "url_domain_pagerank",
+    "robots_txt_gate",
+    "sitemap_frontier",
+    "sitemap_discovery",
+    "sitemap_discovery_gz",
+    "streaming_url_gate",
+    # r15: atomic near-dup store publish
+    "streaming_near_dup_probe",
 ]
 # next-oldest queries: knn_axis_lsh + the 34 remaining r09 rows — they head the r15
 # rotation (OLDEST-ALWAYS-NEXT, SCALING.md ledger), followed by the
