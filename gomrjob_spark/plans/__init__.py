@@ -50,7 +50,11 @@ _VERIFY_FIRST = [
     "search_phrase_topk",
     "search_proximity_topk",
     "decontaminate_semantic",
-    "knn_pq",  # rows-only: the driver rows-checks it (as in r14)
+    # (knn_pq and knn_ivf_kmeans are rows-only: the window discipline
+    # keeps the 50 hash slots oracle-eligible — their Lloyd/PQ changes
+    # are covered by pytest rows/recall checks and the registry sweep,
+    # and the oracled semdedup/ivf consumers below carry the hash gate
+    # for the shared device)
     "corpus_train_pipeline",
     "multimodal_scene_cuts",
     "multimodal_phash_dedup",
@@ -65,10 +69,12 @@ _VERIFY_FIRST = [
     "dedup_best_quality_survivors",
     # r15: Lloyd broadcast-rows device + local_df model frames
     "dedup_semantic_diversity",
-    "knn_ivf_kmeans",  # rows-only: driver rows-check
     "streaming_semdedup_gate",
-    # r15: byte-BPE distinct-pretoken trainer/encoder
+    # r15: byte-BPE distinct-pretoken trainer/encoder + the BPE-family
+    # twins whose merge-table frame construction changed (local_df)
     "text_byte_bpe_train",
+    "pack_bpe_batches",
+    "mixture_bpe_weights",
     # r15: wordpiece merge table via local_df
     "text_wordpiece_train",
     # r15: HTML SQL-string builders (synth/block/rollup/metadata)
@@ -125,8 +131,6 @@ _BACKFILL = [
     "q22_global_sales_opportunity",
     "q4_order_priority",
     "q7_volume_shipping",
-    "search_bm25_topk",
-    "search_tf_topk",
     "sessionize_windows",
     "sql_passthrough_topn_revenue",
     "streaming_incremental_dedup",
@@ -137,8 +141,6 @@ _BACKFILL = [
     "text_chunks",
     "text_dup_ngram_coverage",
     "text_winnow_fingerprint",
-    "text_wordpiece_encode",
-    "text_wordpiece_train",
     "timeseries_rollup",
 ]
 
